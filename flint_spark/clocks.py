@@ -1,0 +1,86 @@
+"""Clock tables: evenly or randomly spaced tick streams.
+
+Reference: ``timeseries/Clocks.scala:44-89`` builds clock
+TimeSeriesRDDs (a table with only a ``time`` column; two sequential
+ticks define an interval). Here a uniform clock is generated
+distributively with ``spark.range`` (no driver materialization), and
+carries its (begin, freq) so interval operators can take the pure
+arithmetic bucketing fast path instead of a lookup join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .timeseries import TIME_COLUMN, parse_duration_ns
+
+
+def _to_ns(value) -> int:
+    """Accept int ns, ISO date string, or datetime -> epoch ns."""
+    if isinstance(value, int):
+        return value
+    if isinstance(value, datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=timezone.utc)
+        return int(value.timestamp() * 1_000_000_000)
+    if isinstance(value, str):
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y%m%d"):
+            try:
+                dt = datetime.strptime(value, fmt).replace(tzinfo=timezone.utc)
+                return int(dt.timestamp() * 1_000_000_000)
+            except ValueError:
+                continue
+    raise ValueError(f"cannot interpret {value!r} as a time")
+
+
+@dataclass(frozen=True)
+class UniformClock:
+    """Uniform tick spec: ticks at begin, begin+freq, ... <= end (or < end)."""
+
+    begin_ns: int
+    end_ns: int
+    frequency_ns: int
+    offset_ns: int = 0
+    end_inclusive: bool = True
+    timestamp_type: bool = True  # emit TimestampType (µs) vs Long ns
+
+    def ticks_df(self, spark: SparkSession) -> DataFrame:
+        start = self.begin_ns + self.offset_ns
+        stop = self.end_ns + (1 if self.end_inclusive else 0)
+        rng = spark.range(start, stop, self.frequency_ns)
+        if self.timestamp_type:
+            tick = F.timestamp_micros((F.col("id") / 1000).cast("long"))
+        else:
+            tick = F.col("id")
+        return rng.select(tick.alias(TIME_COLUMN))
+
+
+def uniform(begin, end, frequency: str | int, offset: str | int = 0,
+            end_inclusive: bool = True, timestamp_type: bool = True) -> UniformClock:
+    return UniformClock(
+        begin_ns=_to_ns(begin),
+        end_ns=_to_ns(end),
+        frequency_ns=parse_duration_ns(frequency),
+        offset_ns=parse_duration_ns(offset) if offset else 0,
+        end_inclusive=end_inclusive,
+        timestamp_type=timestamp_type,
+    )
+
+
+def random(spark: SparkSession, begin, end, frequency: str | int,
+           seed: int = 42, timestamp_type: bool = True) -> DataFrame:
+    """Random ticks: one tick uniformly placed in each frequency bucket
+    (reference ``timeseries/clock/Clock.scala``). Deterministic per seed."""
+    b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
+    rng = spark.range(b, e, f)
+    jitter = (F.rand(seed) * F.lit(f)).cast("long")
+    ticks = (F.col("id") + jitter)
+    if timestamp_type:
+        tick = F.timestamp_micros((ticks / 1000).cast("long"))
+    else:
+        tick = ticks
+    return rng.select(tick.alias(TIME_COLUMN)).sort(TIME_COLUMN)

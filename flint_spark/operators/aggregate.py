@@ -1,0 +1,49 @@
+"""Whole-table and cumulative aggregation.
+
+``summarize`` — one output row (per key); Spark's partial+final hash
+aggregation replaces the reference's depth-2 TreeReduce
+(reference ``rdd/function/summarize/Summarize.scala:90-122``, output
+time = 0 per ``timeseries/TimeSeriesRDD.scala:1172-1199``).
+
+``add_summary_columns`` — running (cumulative) per-row aggregate,
+reference ``Summarizations.scala:51-122``: per-partition partial sums +
+scan becomes one ``Window.rowsBetween(unboundedPreceding, currentRow)``.
+WindowExec evaluates unbounded-preceding frames incrementally, so this
+is O(n) per key, one shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..summarizers import Summarizer
+from ..timeseries import TIME_COLUMN, ns_to_time_expr, time_ns_expr
+
+
+def summarize(df: DataFrame, summarizer: Summarizer, key: Sequence[str] = ()) -> DataFrame:
+    key = list(key)
+    exprs = summarizer.exprs(df)
+    if key:
+        out = df.groupBy(*key).agg(*exprs)
+    else:
+        out = df.groupBy().agg(*exprs)
+    # reference sets the output time to 0 for whole-table summaries
+    zero = ns_to_time_expr(F.lit(0).cast("long"), dict(df.dtypes)[TIME_COLUMN])
+    return out.select(zero.alias(TIME_COLUMN), *key, *summarizer.names)
+
+
+def add_summary_columns(df: DataFrame, summarizer: Summarizer,
+                        key: Sequence[str] = ()) -> DataFrame:
+    """Cumulative aggregate ordered by time; stable tie-break by an
+    input-order row id within equal timestamps (reference processes rows
+    in partition order at equal times)."""
+    key = list(key)
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(time_ns_expr(df), F.monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumns(dict(summarizer.over_exprs(df, w)))

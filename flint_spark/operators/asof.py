@@ -1,0 +1,174 @@
+"""Temporal (as-of) joins and ordered merge.
+
+The reference executes these as shuffle-free narrow merge joins over
+partition-range metadata (``rdd/function/join/RangeMergeJoin.scala:28-140``,
+``LeftJoin.scala:31-97``, ``FutureLeftJoin.scala:29-136``). Spark has no
+as-of join, so we compile the same *semantics* to stock operators with
+the **union as-of** plan:
+
+    tag left/right -> unionByName -> Window.partitionBy(key)
+    .orderBy(time, src) -> last/first(right_row_struct, ignorenulls)
+    -> filter left rows -> null out matches beyond tolerance
+
+Cost: exactly one shuffle (the window partitioning on the join key) —
+no nested-loop, no cartesian, and WindowExec streams each key group, so
+it scales to arbitrarily many rows per key. The right row is packed
+into a single struct so all right columns come from the *same* matched
+row even when right columns contain nulls.
+
+Semantics replicated from the reference (correctness checklist,
+SURVEY §2.3):
+- tolerance inclusive at the far end (``LeftJoin.scala:69``);
+- equal timestamps match in leftJoin (``LeftJoin.scala:91``) and in
+  futureLeftJoin unless ``strict_lookahead``
+  (``FutureLeftJoin.scala:70-71``);
+- key match on exact equality of the key tuple;
+- output schema = left ++ right-minus-(time,key), optional aliases,
+  conflicting names rejected.
+
+Keyless joins degenerate to a single window partition; callers joining
+un-keyed tables at scale should pre-bucket by a coarse time range (see
+``asof_keyless_bucketed`` below, which does this automatically).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..timeseries import TIME_COLUMN, floor_div, parse_duration_ns, time_ns_expr
+
+_RROW = "__rrow"
+_SRC = "__src"
+_TNS = "__tns"
+
+
+def _output_names(cols: Sequence[str], alias: str | None) -> dict[str, str]:
+    return {c: (f"{alias}_{c}" if alias else c) for c in cols}
+
+
+def _prepare(left: DataFrame, right: DataFrame, key: Sequence[str],
+             left_alias: str | None, right_alias: str | None):
+    key = list(key)
+    left_data = [c for c in left.columns if c != TIME_COLUMN and c not in key]
+    right_data = [c for c in right.columns if c != TIME_COLUMN and c not in key]
+    left_out = _output_names(left_data, left_alias)
+    right_out = _output_names(right_data, right_alias)
+    conflicts = set(left_out.values()) & set(right_out.values())
+    if conflicts:
+        raise ValueError(f"conflicting output columns {sorted(conflicts)}; "
+                         "use left_alias/right_alias")
+
+    # each side computes its own epoch-ns ordering key before the union,
+    # so the two time columns may have different dtypes (long ns vs
+    # timestamp) — mirroring the reference's TimeType duality.
+    rstruct = F.struct(
+        time_ns_expr(right).alias("__rtime"),
+        *[F.col(c) for c in right_data],
+    )
+    r_pre = right.select(time_ns_expr(right).alias(_TNS), *key, rstruct.alias(_RROW))
+    struct_t = r_pre.schema[_RROW].dataType
+    left_types = {f.name: f.dataType for f in left.schema.fields}
+    left_time_t = left.schema[TIME_COLUMN].dataType
+
+    l_tagged = left.select(
+        time_ns_expr(left).alias(_TNS), F.col(TIME_COLUMN), *key, *left_data,
+        F.lit(None).cast(struct_t).alias(_RROW),
+    )
+    r_tagged = r_pre.select(
+        F.col(_TNS), F.lit(None).cast(left_time_t).alias(TIME_COLUMN), *key,
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_data],
+        F.col(_RROW),
+    )
+    return key, left_data, right_data, left_out, right_out, l_tagged, r_tagged
+
+
+def _finish(unioned: DataFrame, key, left_data, right_data, left_out, right_out,
+            valid: Column) -> DataFrame:
+    matched = F.col(_RROW)
+    out_cols = [F.col(TIME_COLUMN)] + [F.col(k) for k in key]
+    out_cols += [F.col(c).alias(left_out[c]) for c in left_data]
+    out_cols += [F.when(valid, matched[c]).alias(right_out[c]) for c in right_data]
+    return unioned.filter(F.col(_SRC) == 1).select(*out_cols)
+
+
+def left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
+              key: Sequence[str] = (), left_alias: str | None = None,
+              right_alias: str | None = None) -> DataFrame:
+    """As-of backward join: most recent right row with time in
+    [t - tolerance, t] (inclusive both ends), per key."""
+    tol = parse_duration_ns(tolerance)
+    key, left_data, right_data, left_out, right_out, l, r = _prepare(
+        left, right, key, left_alias, right_alias)
+    # right rows sort before left rows at equal time so they are visible
+    # in the unbounded-preceding frame (equal timestamps match).
+    l = l.withColumn(_SRC, F.lit(1))
+    r = r.withColumn(_SRC, F.lit(0))
+    u = l.unionByName(r)
+    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn(_RROW, F.last(_RROW, ignorenulls=True).over(w))
+    valid = F.col(_RROW)["__rtime"] >= F.col(_TNS) - F.lit(tol)
+    return _finish(u, key, left_data, right_data, left_out, right_out, valid)
+
+
+def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
+                     key: Sequence[str] = (), left_alias: str | None = None,
+                     right_alias: str | None = None,
+                     strict_lookahead: bool = False) -> DataFrame:
+    """As-of forward join: closest future right row in [t, t + tolerance]
+    (or (t, t + tolerance] when strict)."""
+    tol = parse_duration_ns(tolerance)
+    key, left_data, right_data, left_out, right_out, l, r = _prepare(
+        left, right, key, left_alias, right_alias)
+    if strict_lookahead:
+        # rights sort BEFORE lefts at equal time -> excluded from the
+        # current-row-onwards frame -> only strictly-future rights match.
+        l = l.withColumn(_SRC, F.lit(1))
+        r = r.withColumn(_SRC, F.lit(0))
+    else:
+        # rights sort AFTER lefts at equal time -> equal timestamps match.
+        l = l.withColumn(_SRC, F.lit(0))
+        r = r.withColumn(_SRC, F.lit(1))
+    u = l.unionByName(r)
+    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC)
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = u.withColumn(_RROW, F.first(_RROW, ignorenulls=True).over(w))
+    valid = F.col(_RROW)["__rtime"] <= F.col(_TNS) + F.lit(tol)
+    left_marker = 1 if strict_lookahead else 0
+    matched = F.col(_RROW)
+    out_cols = [F.col(TIME_COLUMN)] + [F.col(k) for k in key]
+    out_cols += [F.col(c).alias(left_out[c]) for c in left_data]
+    out_cols += [F.when(valid, matched[c]).alias(right_out[c]) for c in right_data]
+    return u.filter(F.col(_SRC) == left_marker).select(*out_cols)
+
+
+def merge(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Ordered union of same-schema tables; ties ordered left-first
+    (reference ``rdd/function/join/Merge.scala:27-77``). Ordering is
+    logical — downstream operators re-establish physical order lazily."""
+    if set(left.columns) != set(right.columns):
+        raise ValueError("merge requires identical schemas")
+    return left.unionByName(right)
+
+
+def asof_keyless_bucketed(left: DataFrame, right: DataFrame,
+                          tolerance: str | int, bucket: str = "7d",
+                          **kwargs) -> DataFrame:
+    """Scale path for keyless as-of joins: assign both sides to coarse
+    time buckets, replicate right rows into the *next* bucket so matches
+    can cross the boundary (requires bucket >= tolerance), then run the
+    keyed join with the bucket as key. Keeps the window shuffle
+    parallel instead of single-partition."""
+    tol = parse_duration_ns(tolerance)
+    bucket_ns = parse_duration_ns(bucket)
+    if bucket_ns < tol:
+        bucket_ns = tol
+    left_b = left.withColumn("__bucket", floor_div(time_ns_expr(left), bucket_ns))
+    right_b = right.withColumn("__bucket", floor_div(time_ns_expr(right), bucket_ns))
+    # replicate right rows into the following bucket (boundary lookback)
+    right_rep = right_b.unionByName(right_b.withColumn("__bucket", F.col("__bucket") + 1))
+    joined = left_join(left_b, right_rep, tolerance, key=["__bucket"], **kwargs)
+    return joined.drop("__bucket")

@@ -1,0 +1,81 @@
+"""Cycle operators — a *cycle* is all rows sharing one timestamp.
+
+Reference: ``groupByCycle`` / ``summarizeCycles`` / ``addColumnsForCycle``
+(``timeseries/TimeSeriesRDD.scala:761-864,1071-1089``). The reference
+streams each partition with a per-key group iterator; for us a cycle
+aggregation is exactly ``groupBy('time', *key)`` — Spark's hash
+aggregation with map-side partials, no order dependence, one shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..summarizers import Summarizer
+from ..timeseries import TIME_COLUMN
+
+
+def summarize_cycles(df: DataFrame, summarizer: Summarizer,
+                     key: Sequence[str] = ()) -> DataFrame:
+    key = list(key)
+    return (
+        df.groupBy(TIME_COLUMN, *key)
+        .agg(*summarizer.exprs(df))
+        .select(TIME_COLUMN, *key, *summarizer.names)
+    )
+
+
+def group_by_cycle(df: DataFrame, key: Sequence[str] = ()) -> DataFrame:
+    """One row per (time[, key]) with ``rows`` = sorted array of member
+    structs (reference emits ``rows: ArrayType(inputSchema)``)."""
+    key = list(key)
+    members = F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in df.columns])))
+    return df.groupBy(TIME_COLUMN, *key).agg(members.alias("rows"))
+
+
+def add_columns_for_cycle(
+    df: DataFrame,
+    columns: Mapping[str, Column | Callable],
+    key: Sequence[str] = (),
+) -> DataFrame:
+    """Per-cycle derived columns, one value per member row.
+
+    Two forms (reference ``timeseries/CycleColumn.scala:17-119``):
+    - a Column expression using rank-like window functions — evaluated
+      over ``Window.partitionBy(time, *key)`` (pass e.g.
+      ``F.percent_rank()`` or any expression of window aggregates);
+    - a pandas callable ``pdf -> pd.Series`` applied per cycle via
+      ``applyInPandas`` (cardinality-preserving).
+    """
+    key = list(key)
+    w = Window.partitionBy(TIME_COLUMN, *key)
+    out = df
+    pandas_items: list[tuple[str, Callable]] = []
+    for name, spec in columns.items():
+        if callable(spec) and not isinstance(spec, Column):
+            pandas_items.append((name, spec))
+        else:
+            # window-function expressions need an ORDER BY for ranking fns
+            out = out.withColumn(name, spec.over(w.orderBy(F.monotonically_increasing_id()))
+                                 if _needs_order(spec) else spec.over(w))
+    if pandas_items:
+        from pyspark.sql import types as T
+
+        def fn(pdf):
+            for n, f in pandas_items:
+                pdf[n] = f(pdf)
+            return pdf
+
+        full = T.StructType(list(out.schema.fields) +
+                            [T.StructField(n, T.DoubleType()) for n, _ in pandas_items])
+        out = out.groupBy(TIME_COLUMN, *key).applyInPandas(fn, full)
+    return out
+
+
+def _needs_order(col: Column) -> bool:
+    s = str(col)
+    return any(t in s for t in ("percent_rank", "rank", "row_number", "ntile",
+                                "cume_dist", "lag", "lead"))

@@ -1,0 +1,144 @@
+"""Interval operators — assign rows to clock-tick intervals, then group.
+
+Reference: ``rdd/function/group/Intervalize.scala:46-143`` — binary
+search over a driver-broadcast clock array, with a 2×2
+``inclusion``×``rounding`` semantic matrix:
+
+- inclusion="begin": intervals ``[t_i, t_{i+1})``; "end": ``(t_i, t_{i+1}]``
+- rounding="begin": output time = interval begin tick; "end": end tick
+- rows outside the clock's [first, last] range are dropped (a row exactly
+  on the last tick is dropped under inclusion="begin", and a row exactly
+  on the first tick is dropped under inclusion="end").
+
+Two physical strategies, chosen by clock type:
+- ``UniformClock`` → pure integer arithmetic (floor/ceil over ns), fully
+  codegen'd, no broadcast, no UDF — the 100 TB fast path;
+- arbitrary tick DataFrame → collect+broadcast the tick array (the
+  reference does the same, warning above ~16.8 MB) and vectorized
+  ``np.searchsorted`` in an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..clocks import UniformClock
+from ..summarizers import Summarizer
+from ..timeseries import TIME_COLUMN, floor_div, ns_to_time_expr, time_ns_expr
+
+_INTERVAL = "__interval_ns"
+
+
+def _uniform_interval_expr(df: DataFrame, clock: UniformClock, inclusion: str,
+                           rounding: str) -> Column:
+    """Arithmetic bucketing for uniform clocks; returns rounded tick ns or null."""
+    b = clock.begin_ns + clock.offset_ns
+    f = clock.frequency_ns
+    span = clock.end_ns - b
+    m = span // f  # index of last tick
+    if not clock.end_inclusive and span % f == 0:
+        m -= 1
+    t = time_ns_expr(df)
+    r = t - F.lit(b)
+    if inclusion == "begin":
+        valid = (r >= 0) & (r < F.lit(m * f))
+        idx = floor_div(r, f)
+    else:  # inclusion == "end" -> interval (c_i, c_{i+1}]
+        valid = (r > 0) & (r <= F.lit(m * f))
+        idx = floor_div(r - F.lit(1), f)  # == ceil(r/f) - 1 for r > 0
+    if rounding == "begin":
+        tick = F.lit(b) + idx * F.lit(f)
+    else:
+        tick = F.lit(b) + (idx + 1) * F.lit(f)
+    return F.when(valid, tick.cast("long"))
+
+
+def _clock_ticks_ns(clock_df: DataFrame) -> np.ndarray:
+    ticks = clock_df.select(time_ns_expr(clock_df, TIME_COLUMN).alias("t")).toPandas()["t"]
+    arr = np.sort(ticks.to_numpy(dtype=np.int64))
+    return arr
+
+
+def _searchsorted_interval_expr(df: DataFrame, clock_df: DataFrame, inclusion: str,
+                                rounding: str) -> Column:
+    """Arbitrary-clock path: broadcast tick array + vectorized searchsorted.
+
+    The clock is driver-collected exactly like the reference
+    (``Intervalize.scala:113-127``); the per-row lookup is O(log c) inside
+    an Arrow-batched pandas UDF, so data never moves to the driver.
+    """
+    ticks = _clock_ticks_ns(clock_df)
+    sc = df.sparkSession.sparkContext
+    bticks = sc.broadcast(ticks)
+    m = len(ticks) - 1
+    incl, rnd = inclusion, rounding
+
+    @F.pandas_udf(T.LongType())
+    def bucket(t: pd.Series) -> pd.Series:
+        arr = bticks.value
+        tv = t.to_numpy(dtype=np.int64)
+        if incl == "begin":
+            i = np.searchsorted(arr, tv, side="right") - 1
+            valid = (i >= 0) & (i <= m - 1)
+            out_i = i if rnd == "begin" else i + 1
+        else:
+            i_end = np.searchsorted(arr, tv, side="left")
+            valid = (i_end >= 1) & (i_end <= m)
+            out_i = (i_end - 1) if rnd == "begin" else i_end
+        res = arr[np.clip(out_i, 0, m)]
+        out = pd.Series(res, dtype="int64").astype("Int64")
+        out[~valid] = pd.NA  # keep int64 exactness; NaN would go through float
+        return out
+
+    return bucket(time_ns_expr(df))
+
+
+def intervalize(df: DataFrame, clock, inclusion: str = "begin",
+                rounding: str = "end") -> DataFrame:
+    if inclusion not in ("begin", "end") or rounding not in ("begin", "end"):
+        raise ValueError("inclusion/rounding must be 'begin' or 'end'")
+    if isinstance(clock, UniformClock):
+        expr = _uniform_interval_expr(df, clock, inclusion, rounding)
+    else:
+        expr = _searchsorted_interval_expr(df, clock, inclusion, rounding)
+    return df.withColumn(_INTERVAL, expr).filter(F.col(_INTERVAL).isNotNull())
+
+
+def _interval_time_col(df: DataFrame) -> Column:
+    dtype = dict(df.dtypes)[TIME_COLUMN]
+    return ns_to_time_expr(F.col(_INTERVAL), dtype)
+
+
+def summarize_intervals(df: DataFrame, clock, summarizer: Summarizer,
+                        key: Sequence[str] = (), inclusion: str = "begin",
+                        rounding: str = "end") -> DataFrame:
+    """Aggregate rows per clock interval
+    (reference ``timeseries/TimeSeriesRDD.scala:1091-1126``)."""
+    key = list(key)
+    bucketed = intervalize(df, clock, inclusion, rounding)
+    out = (
+        bucketed.groupBy(_INTERVAL, *key)
+        .agg(*summarizer.exprs(df))
+        .withColumn(TIME_COLUMN, _interval_time_col(bucketed))
+        .select(TIME_COLUMN, *key, *summarizer.names)
+    )
+    return out
+
+
+def group_by_interval(df: DataFrame, clock, key: Sequence[str] = (),
+                      inclusion: str = "begin", rounding: str = "end") -> DataFrame:
+    key = list(key)
+    bucketed = intervalize(df, clock, inclusion, rounding)
+    members = F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in df.columns])))
+    return (
+        bucketed.groupBy(_INTERVAL, *key)
+        .agg(members.alias("rows"))
+        .withColumn(TIME_COLUMN, _interval_time_col(bucketed))
+        .select(TIME_COLUMN, *key, "rows")
+    )

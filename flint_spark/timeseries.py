@@ -1,0 +1,402 @@
+"""TimeSeriesDataFrame — the core time-ordered table abstraction.
+
+A thin wrapper over a plain ``pyspark.sql.DataFrame`` with a
+distinguished ``time`` column (first column, ``TimestampType`` or
+``LongType`` nanoseconds). Unlike the reference engine
+(twosigma/flint ``TimeSeriesRDD``, reference
+``timeseries/TimeSeriesRDD.scala:562-571``), we do NOT materialize
+partition-range metadata or a custom ordered RDD: sortedness is a
+logical property tracked by a flag, and each operator establishes the
+physical ordering it needs via ``Window`` specs, ``groupBy`` or
+``repartitionByRange`` — Catalyst/AQE pick the physical strategy.
+
+Design notes for 100 TB scale:
+- every operator compiles to declarative DataFrame ops so predicate
+  pushdown / column pruning / AQE all apply;
+- no driver-side collect anywhere in this module;
+- ``repartitionByRange('time')`` is only issued when a caller
+  explicitly asks for a physically range-partitioned layout.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TIME_COLUMN = "time"
+
+#: nanoseconds per unit, for tolerance / duration parsing
+_UNIT_NS = {
+    "ns": 1,
+    "us": 1_000,
+    "ms": 1_000_000,
+    "s": 1_000_000_000,
+    "m": 60 * 1_000_000_000,
+    "min": 60 * 1_000_000_000,
+    "h": 3_600 * 1_000_000_000,
+    "d": 86_400 * 1_000_000_000,
+    "day": 86_400 * 1_000_000_000,
+    "w": 7 * 86_400 * 1_000_000_000,
+}
+
+
+def parse_duration_ns(duration: str | int) -> int:
+    """Parse ``"1d"``/``"100ns"``/``"30 min"``-style durations to ns.
+
+    Mirrors the reference's duration strings
+    (reference ``timeseries/Windows.scala:32-50``).
+    """
+    if isinstance(duration, int):
+        return duration
+    s = duration.strip().lower().replace(" ", "")
+    num = ""
+    for i, ch in enumerate(s):
+        if ch.isdigit() or ch == ".":
+            num += ch
+        else:
+            unit = s[i:]
+            break
+    else:
+        raise ValueError(f"no unit in duration {duration!r}")
+    # normalize plural / long names
+    unit = {
+        "nanos": "ns", "nanosecond": "ns", "nanoseconds": "ns",
+        "micros": "us", "microsecond": "us", "microseconds": "us",
+        "millis": "ms", "millisecond": "ms", "milliseconds": "ms",
+        "sec": "s", "second": "s", "seconds": "s",
+        "minute": "m", "minutes": "m", "mins": "m",
+        "hour": "h", "hours": "h",
+        "days": "d", "week": "w", "weeks": "w",
+    }.get(unit, unit)
+    if unit not in _UNIT_NS:
+        raise ValueError(f"unknown duration unit {unit!r} in {duration!r}")
+    return int(float(num) * _UNIT_NS[unit])
+
+
+def time_ns_expr(df: DataFrame, column: str = TIME_COLUMN) -> Column:
+    """ns-since-epoch Long expression for ``df[column]`` given its dtype.
+
+    TimestampType carries microseconds internally, so ns precision is
+    only exact for LongType inputs — same duality as the reference's
+    ``TimeType`` (reference ``timeseries/time/types/TimeType.scala:43-78``).
+    """
+    dtype = dict(df.dtypes)[column]
+    if dtype in ("bigint", "long", "int"):
+        return F.col(column).cast("long")
+    if dtype.startswith("timestamp"):
+        # timestamp_ntz needs an ltz cast first (session TZ is pinned UTC,
+        # so the cast is a pure reinterpretation)
+        return F.unix_micros(F.col(column).cast("timestamp")) * F.lit(1000)
+    raise TypeError(f"time column {column!r} has unsupported type {dtype}")
+
+
+def floor_div(col: Column, divisor: int) -> Column:
+    """Exact floor division for non-negative epoch-ns Longs.
+
+    ``(col / n).cast('long')`` is lossy: ns magnitudes (~1.7e18) exceed
+    double's 53-bit mantissa. Subtracting the remainder first makes the
+    numerator exactly divisible, and decimal division keeps it exact.
+    """
+    rem = F.pmod(col, F.lit(divisor))
+    return ((col - rem).cast("decimal(38,0)") / F.lit(divisor)).cast("long")
+
+
+def ns_to_time_expr(ns: Column, dtype: str) -> Column:
+    """Inverse of time_ns_expr: epoch-ns Long -> a value of ``dtype``."""
+    if dtype in ("bigint", "long", "int"):
+        return ns.cast("long")
+    if dtype.startswith("timestamp"):
+        ts = F.timestamp_micros(floor_div(ns, 1000))
+        return ts.cast(dtype) if dtype == "timestamp_ntz" else ts
+    raise TypeError(f"unsupported time dtype {dtype}")
+
+
+def canonize(
+    df: DataFrame,
+    time_column: str = TIME_COLUMN,
+    is_sorted: bool = False,
+    time_unit: str | None = None,
+) -> DataFrame:
+    """Rename/reorder the time column first; optionally convert units.
+
+    Equivalent of the reference's ``canonizeTime``/``canonizeDF``
+    (reference ``timeseries/TimeSeriesRDD.scala:118-145,296-356``) but
+    with no eager sort: ordering is established lazily by operators.
+    """
+    if time_column != TIME_COLUMN:
+        df = df.withColumnRenamed(time_column, TIME_COLUMN)
+    if TIME_COLUMN not in df.columns:
+        raise ValueError(f"no {TIME_COLUMN!r} column after renaming {time_column!r}")
+    if time_unit is not None and time_unit != "ns":
+        # integer input in another unit -> ns
+        factor = _UNIT_NS[time_unit]
+        df = df.withColumn(TIME_COLUMN, (F.col(TIME_COLUMN) * F.lit(factor)).cast("long"))
+    others = [c for c in df.columns if c != TIME_COLUMN]
+    return df.select(TIME_COLUMN, *others)
+
+
+class TimeSeriesDataFrame:
+    """Time-ordered table: wraps a DataFrame whose ``time`` column is the
+    logical sort key. All operators return new wrappers; nothing mutates.
+    """
+
+    def __init__(self, df: DataFrame, is_sorted: bool = True):
+        if TIME_COLUMN not in df.columns:
+            raise ValueError("TimeSeriesDataFrame requires a 'time' column; use from_df()")
+        self._df = df
+        self.is_sorted = is_sorted
+
+    # -- constructors -------------------------------------------------
+    @classmethod
+    def from_df(
+        cls,
+        df: DataFrame,
+        time_column: str = TIME_COLUMN,
+        is_sorted: bool = False,
+        time_unit: str | None = None,
+    ) -> "TimeSeriesDataFrame":
+        return cls(canonize(df, time_column, is_sorted, time_unit), is_sorted=is_sorted)
+
+    @classmethod
+    def from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        columns: Sequence[str] | None = None,
+        begin=None,
+        end=None,
+        time_column: str = TIME_COLUMN,
+        time_unit: str | None = None,
+    ) -> "TimeSeriesDataFrame":
+        """Parquet scan with column pruning and [begin, end) time pruning.
+
+        Both prunings reach the parquet reader through Catalyst pushdown
+        (reference does this by hand: ``timeseries/TimeSeriesRDD.scala:400-461``).
+        """
+        df = spark.read.parquet(path)
+        if begin is not None:
+            df = df.filter(F.col(time_column) >= F.lit(begin))
+        if end is not None:
+            df = df.filter(F.col(time_column) < F.lit(end))
+        if columns is not None:
+            keep = [time_column] + [c for c in columns if c != time_column]
+            df = df.select(*keep)
+        return cls.from_df(df, time_column=time_column, time_unit=time_unit)
+
+    @classmethod
+    def from_csv(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema=None,
+        header: bool = True,
+        time_column: str = TIME_COLUMN,
+        time_unit: str | None = None,
+        **options,
+    ) -> "TimeSeriesDataFrame":
+        """CSV scan (reference ``timeseries/CSV.scala:48-182``)."""
+        reader = spark.read.options(header=header, **options)
+        df = reader.csv(path, schema=schema) if schema else reader.option(
+            "inferSchema", True
+        ).csv(path)
+        return cls.from_df(df, time_column=time_column, time_unit=time_unit)
+
+    @classmethod
+    def from_pandas(cls, spark: SparkSession, pdf, time_column: str = TIME_COLUMN,
+                    time_unit: str | None = None) -> "TimeSeriesDataFrame":
+        return cls.from_df(spark.createDataFrame(pdf), time_column=time_column,
+                           time_unit=time_unit)
+
+    # -- basic accessors ----------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._df.schema
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    def time_ns_col(self) -> Column:
+        return time_ns_expr(self._df)
+
+    def to_df(self, sort: bool = False) -> DataFrame:
+        return self._df.sort(TIME_COLUMN) if sort else self._df
+
+    def to_pandas(self):
+        return self._df.sort(TIME_COLUMN).toPandas()
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def cache(self) -> "TimeSeriesDataFrame":
+        self._df.cache()
+        return self
+
+    def unpersist(self) -> "TimeSeriesDataFrame":
+        self._df.unpersist()
+        return self
+
+    def repartition_by_range(self, n: int) -> "TimeSeriesDataFrame":
+        """Physically range-partition on time (reference ``repartition``,
+        ``rdd/OrderedRDD.scala:215-272``). One shuffle; gives every
+        downstream time-local operator co-located data."""
+        return self._wrap(self._df.repartitionByRange(n, TIME_COLUMN))
+
+    def coalesce(self, n: int) -> "TimeSeriesDataFrame":
+        return self._wrap(self._df.coalesce(n))
+
+    def validate(self) -> None:
+        """Assert time is globally non-decreasing when sorted flag set.
+
+        Reference ``validate()`` checks per-partition order/ranges
+        (``timeseries/TimeSeriesRDD.scala:1872-1893``); here the check is
+        a lag-based scan over the sorted view."""
+        w = Window.orderBy(TIME_COLUMN)
+        bad = (
+            self._df.select(TIME_COLUMN)
+            .withColumn("_prev", F.lag(TIME_COLUMN).over(w))
+            .filter(F.col("_prev") > F.col(TIME_COLUMN))
+            .count()
+        )
+        if bad:
+            raise AssertionError(f"{bad} out-of-order rows")
+
+    def _wrap(self, df: DataFrame, is_sorted: bool | None = None) -> "TimeSeriesDataFrame":
+        return TimeSeriesDataFrame(df, self.is_sorted if is_sorted is None else is_sorted)
+
+    # -- projections / filters / row ops (reference §2.2) -------------
+    def keep_columns(self, *cols: str) -> "TimeSeriesDataFrame":
+        """Projection; time always kept (reference ``TimeSeriesRDD.scala:700-712``)."""
+        return self._wrap(self._df.select(TIME_COLUMN, *[c for c in cols if c != TIME_COLUMN]))
+
+    def delete_columns(self, *cols: str) -> "TimeSeriesDataFrame":
+        if TIME_COLUMN in cols:
+            raise ValueError("cannot drop the time column")
+        return self._wrap(self._df.drop(*cols))
+
+    def rename_columns(self, mapping: Mapping[str, str]) -> "TimeSeriesDataFrame":
+        if TIME_COLUMN in mapping:
+            raise ValueError("cannot rename the time column")
+        df = self._df
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        if len(set(df.columns)) != len(df.columns):
+            raise ValueError("duplicate column names after rename")
+        return self._wrap(df)
+
+    def cast(self, mapping: Mapping[str, str]) -> "TimeSeriesDataFrame":
+        if TIME_COLUMN in mapping:
+            raise ValueError("cannot cast the time column")
+        df = self._df
+        for c, t in mapping.items():
+            df = df.withColumn(c, F.col(c).cast(t))
+        return self._wrap(df)
+
+    def filter(self, condition: Column | str) -> "TimeSeriesDataFrame":
+        return self._wrap(self._df.filter(condition))
+
+    keep_rows = filter
+
+    def delete_rows(self, condition: Column | str) -> "TimeSeriesDataFrame":
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return self._wrap(self._df.filter(~cond))
+
+    def add_columns(self, **exprs: Column) -> "TimeSeriesDataFrame":
+        """Add derived columns (reference ``addColumns``,
+        ``TimeSeriesRDD.scala:740-759``) — expression-based, not lambdas."""
+        return self._wrap(self._df.withColumns(dict(exprs)))
+
+    def set_time(self, expr: Column) -> "TimeSeriesDataFrame":
+        """Recompute the time column; marks unsorted (the reference assumes
+        monotonicity, ``TimeSeriesRDD.scala:1263-1284``)."""
+        df = self._df.withColumn(TIME_COLUMN, expr)
+        return self._wrap(canonize(df), is_sorted=False)
+
+    def shift(self, duration: str | int, backward: bool = False) -> "TimeSeriesDataFrame":
+        """Shift all timestamps by a duration (monotonic => order kept).
+
+        Reference ``shift``/``shiftTime`` (``TimeSeriesRDD.scala:1220-1247``);
+        TimestampType rounds to µs like the reference's timestamp timetype
+        (``timeseries/time/types/TimeType.scala:51-55``).
+        """
+        ns = parse_duration_ns(duration)
+        if backward:
+            ns = -ns
+        dtype = dict(self._df.dtypes)[TIME_COLUMN]
+        if dtype.startswith("timestamp"):
+            micros = F.unix_micros(F.col(TIME_COLUMN).cast("timestamp")) + F.lit(ns // 1000)
+            shifted = F.timestamp_micros(micros)
+            if dtype == "timestamp_ntz":
+                shifted = shifted.cast(dtype)
+        else:
+            shifted = (F.col(TIME_COLUMN) + F.lit(ns)).cast("long")
+        return self._wrap(self._df.withColumn(TIME_COLUMN, shifted))
+
+    # -- operator delegates (implemented in flint_spark.operators) -----
+    def left_join(self, right: "TimeSeriesDataFrame", tolerance: str | int = 0,
+                  key: Sequence[str] = (), left_alias: str | None = None,
+                  right_alias: str | None = None) -> "TimeSeriesDataFrame":
+        from .operators.asof import left_join
+        return self._wrap(left_join(self._df, right._df, tolerance, key,
+                                    left_alias, right_alias))
+
+    def future_left_join(self, right: "TimeSeriesDataFrame", tolerance: str | int = 0,
+                         key: Sequence[str] = (), left_alias: str | None = None,
+                         right_alias: str | None = None,
+                         strict_lookahead: bool = False) -> "TimeSeriesDataFrame":
+        from .operators.asof import future_left_join
+        return self._wrap(future_left_join(self._df, right._df, tolerance, key,
+                                           left_alias, right_alias, strict_lookahead))
+
+    def merge(self, other: "TimeSeriesDataFrame") -> "TimeSeriesDataFrame":
+        from .operators.asof import merge
+        return self._wrap(merge(self._df, other._df), is_sorted=False)
+
+    def group_by_cycle(self, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.cycles import group_by_cycle
+        return self._wrap(group_by_cycle(self._df, key), is_sorted=False)
+
+    def summarize_cycles(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.cycles import summarize_cycles
+        return self._wrap(summarize_cycles(self._df, summarizer, key), is_sorted=False)
+
+    def add_columns_for_cycle(self, columns, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.cycles import add_columns_for_cycle
+        return self._wrap(add_columns_for_cycle(self._df, columns, key))
+
+    def group_by_interval(self, clock, key: Sequence[str] = (), inclusion: str = "begin",
+                          rounding: str = "end") -> "TimeSeriesDataFrame":
+        from .operators.intervals import group_by_interval
+        return self._wrap(group_by_interval(self._df, clock, key, inclusion, rounding),
+                          is_sorted=False)
+
+    def summarize_intervals(self, clock, summarizer, key: Sequence[str] = (),
+                            inclusion: str = "begin", rounding: str = "end"
+                            ) -> "TimeSeriesDataFrame":
+        from .operators.intervals import summarize_intervals
+        return self._wrap(summarize_intervals(self._df, clock, summarizer, key,
+                                              inclusion, rounding), is_sorted=False)
+
+    def summarize(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.aggregate import summarize
+        return self._wrap(summarize(self._df, summarizer, key), is_sorted=False)
+
+    def add_summary_columns(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.aggregate import add_summary_columns
+        return self._wrap(add_summary_columns(self._df, summarizer, key))
+
+    def summarize_windows(self, window, summarizer, key: Sequence[str] = ()
+                          ) -> "TimeSeriesDataFrame":
+        from .operators.windows_ops import summarize_windows
+        return self._wrap(summarize_windows(self._df, window, summarizer, key))
+
+    def add_windows(self, window, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.windows_ops import add_windows
+        return self._wrap(add_windows(self._df, window, key))
