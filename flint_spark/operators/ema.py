@@ -1,0 +1,187 @@
+"""Exponential-smoothing family: ewma, exponentialSmoothing, emaHalfLife.
+
+These are the reference's only genuinely order-dependent, non-commutative
+summarizers (reference ``Summarizers.scala:445-663``,
+``rdd/.../ExponentialSmoothingSummarizer.scala``,
+``subtractable/ExponentialWeightedMovingAverageSummarizer.scala``,
+math in ``doc/ema.md``). They cannot be a hash aggregate, so they run as
+Arrow-batched ``applyInPandas`` per key group with an O(n) *vectorized*
+affine scan (no Python-level row loop):
+
+    E_i = d_i * E_{i-1} + c_i
+
+is solved in closed form as ``E_n = exp(-T_n) * cumsum(c_i * exp(T_i))``
+with ``T = cumsum(-ln d)``, renormalized in blocks of bounded exponent
+range so arbitrarily long series never overflow/underflow — the same
+O(n) complexity contract as the reference's streaming implementation.
+
+Scale note: one shuffle on the key; each key group must fit in one
+Arrow batch stream (pandas grouped-map). For keyless series the whole
+table is one group — at 100 TB, partition by entity key (the intended
+usage) or pre-aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..timeseries import TIME_COLUMN, parse_duration_ns, time_ns_expr
+
+_BLOCK_MAX_EXP = 200.0  # e^200 ~ 7e86: safe headroom inside float64
+
+
+def _affine_scan(neg_log_decay_steps: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Solve E_i = d_i E_{i-1} + c_i with d_i = exp(-step_i), E_{-1} = 0.
+
+    ``neg_log_decay_steps[i] >= 0`` is -ln(d_i) for step into row i
+    (step for row 0 applies to a zero initial state, so any value works).
+    Vectorized with block renormalization; exact to FP for monotone T.
+    """
+    n = len(c)
+    out = np.empty(n, dtype=np.float64)
+    T_ = np.cumsum(neg_log_decay_steps)
+    start = 0
+    carry = 0.0  # E value of the last row of the previous block
+    carry_T = 0.0  # its T
+    while start < n:
+        base = T_[start]
+        end = int(np.searchsorted(T_, base + _BLOCK_MAX_EXP, side="right"))
+        end = max(end, start + 1)
+        Tb = T_[start:end] - base
+        w = np.exp(Tb)  # bounded by e^BLOCK_MAX_EXP
+        cp = np.cumsum(c[start:end] * w)
+        block = cp / w  # == exp(-Tb) * cumsum
+        if start > 0:
+            block = block + carry * np.exp(-(T_[start:end] - carry_T))
+        out[start:end] = block
+        carry = out[end - 1]
+        carry_T = T_[end - 1]
+        start = end
+    return out
+
+
+def _ewma_values(t_ns: np.ndarray, x: np.ndarray, alpha: float,
+                 duration_per_period_ns: float | None, convention: str) -> np.ndarray:
+    """EWMA per reference semantics: weight_i = (1-alpha)^periods(t_i, t_n);
+    'legacy' returns the weighted sum, 'core' divides by the weight sum
+    (pandas adjust=True analogue). duration None => constant periods."""
+    lam = -np.log1p(-alpha)  # -ln(1-alpha) > 0
+    if duration_per_period_ns is None:
+        steps = np.full(len(x), lam)
+        steps[0] = 0.0
+    else:
+        dt = np.diff(t_ns, prepend=t_ns[0] if len(t_ns) else 0)
+        steps = dt / duration_per_period_ns * lam
+    primary = _affine_scan(steps, x.astype(np.float64))
+    if convention == "legacy":
+        return primary
+    aux = _affine_scan(steps, np.ones_like(x, dtype=np.float64))
+    return primary / aux
+
+
+def _smoothing_values(t_ns: np.ndarray, x: np.ndarray, alpha: float,
+                      priming_periods: float, period_ns: float,
+                      interpolation: str, convention: str) -> np.ndarray:
+    """ExponentialSmoothing per reference: inject a zero point before the
+    series (at priming_periods before x_1, or at time 0 for 'legacy'),
+    then run the interpolated convolution recurrence."""
+    n = len(x)
+    if n == 0:
+        return np.empty(0)
+    lam = -np.log1p(-alpha)
+    periods = np.diff(t_ns) / period_ns
+    if convention == "legacy":
+        first = (t_ns[0] - 0) / period_ns
+    else:
+        first = priming_periods
+    periods = np.concatenate(([first], periods)).astype(np.float64)
+    T_steps = periods * lam                     # -ln(decay) per step
+    d = np.exp(-T_steps)                        # decay per step
+    xprev = np.concatenate(([0.0], x[:-1]))     # injected zero point
+    if interpolation == "current":
+        c = (1.0 - d) * x
+    elif interpolation == "previous":
+        c = (1.0 - d) * xprev
+    elif interpolation == "linear":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nu = np.where(T_steps > 1e-12, (1.0 - d) / T_steps, 1.0)
+        c = (nu - d) * xprev + (1.0 - nu) * x
+    else:
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+    # E_i = d_i E_{i-1} + c_i with E_0 = 0 at the injected point; the
+    # scan's implicit zero initial state IS the injected point.
+    primary = _affine_scan(T_steps, c)
+    if convention == "core":
+        aux = _affine_scan(T_steps, 1.0 - d)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return primary / aux
+    return primary
+
+
+def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str],
+                   fn) -> DataFrame:
+    key = list(key)
+    with_ns = df.withColumn("__tns", time_ns_expr(df))
+    schema = T.StructType(list(df.schema.fields) +
+                          [T.StructField(out_name, T.DoubleType())])
+    in_cols = list(df.columns)
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__tns", kind="stable")
+        t = pdf["__tns"].to_numpy(dtype=np.int64)
+        x = pdf[column].to_numpy(dtype=np.float64)
+        pdf[out_name] = fn(t, x)
+        return pdf[in_cols + [out_name]]
+
+    if key:
+        return with_ns.groupBy(*key).applyInPandas(compute, schema)
+    return with_ns.groupBy().applyInPandas(compute, schema)
+
+
+def ewma(df: DataFrame, column: str, alpha: float = 0.05,
+         duration_per_period: str = "1d", convention: str = "legacy",
+         key: Sequence[str] = ()) -> DataFrame:
+    """Running EWMA per row (reference ``Summarizers.ewma``,
+    ``Summarizers.scala:548-621``). Output column ``<col>_ewma``."""
+    if convention not in ("core", "legacy"):
+        raise ValueError("convention must be 'core' or 'legacy'")
+    dur = None if duration_per_period.lower() == "constant" else float(
+        parse_duration_ns(duration_per_period))
+    return _apply_per_key(
+        df, column, f"{column}_ewma", key,
+        lambda t, x: _ewma_values(t, x, alpha, dur, convention))
+
+
+def exponential_smoothing(df: DataFrame, column: str, alpha: float = 0.05,
+                          priming_periods: float = 1.0,
+                          duration_per_period: str = "1d",
+                          interpolation: str = "current",
+                          convention: str = "core",
+                          key: Sequence[str] = ()) -> DataFrame:
+    """Running exponentially-smoothed series (reference
+    ``Summarizers.exponentialSmoothing``, ``Summarizers.scala:445-546``).
+    Output column ``<col>_ema``."""
+    if convention not in ("convolution", "core", "legacy"):
+        raise ValueError("convention must be convolution|core|legacy")
+    period_ns = float(parse_duration_ns(duration_per_period))
+    return _apply_per_key(
+        df, column, f"{column}_ema", key,
+        lambda t, x: _smoothing_values(t, x, alpha, priming_periods, period_ns,
+                                       interpolation, convention))
+
+
+def ema_half_life(df: DataFrame, column: str, half_life: str,
+                  interpolation: str = "previous", convention: str = "legacy",
+                  key: Sequence[str] = ()) -> DataFrame:
+    """EMA with a half-life (reference ``Summarizers.emaHalfLife``,
+    ``Summarizers.scala:623-663``): alpha=0.5 with one period per
+    half-life, priming 0."""
+    return exponential_smoothing(df, column, alpha=0.5, priming_periods=0.0,
+                                 duration_per_period=half_life,
+                                 interpolation=interpolation,
+                                 convention=convention, key=key)

@@ -1,0 +1,164 @@
+"""OLS multiple linear regression as a distributed Gramian aggregation.
+
+Reference: ``Summarizers.OLSRegression`` (``Summarizers.scala:282-339``,
+core ``subtractable/OLSRegressionSummarizer.scala`` over a Gramian state
+``rdd/.../RegressionSummarizer.scala``, solver
+``math/stats/regression/OLSMultipleLinearRegression.scala``).
+
+Spark-first plan: the sufficient statistics (X'WX, X'Wy, y'Wy, n,
+Σln w) are plain ``sum()`` aggregate expressions — Catalyst runs them
+as partial+final hash aggregation, so the full 100 TB scan reduces to
+one tiny row per group with no driver involvement. The k×k solve then
+runs inside an Arrow-batched ``mapInPandas`` over that aggregated row,
+one numpy ``solve``/``eig`` per group.
+
+Output schema matches the reference's 15 fields: samples, beta,
+intercept, hasIntercept, stdErr_intercept, stdErr_beta, rSquared, r,
+tStat_intercept, tStat_beta, logLikelihood, akaikeIC, bayesIC, cond,
+const_columns. Weighted form follows the reference: observations are
+scaled by sqrt(w) (w normalized to mean 1 for the likelihood terms).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _gram_exprs(y: str, xs: Sequence[str], weight: str | None):
+    """Aggregate expressions for the weighted Gramian sufficient stats."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    terms = [F.lit(1.0)] + [F.col(x) for x in xs] + [F.col(y)]
+    names = []
+    exprs = []
+    k = len(terms)
+    for i in range(k):
+        for j in range(i, k):
+            names.append(f"g_{i}_{j}")
+            exprs.append(F.sum(w * terms[i] * terms[j]).alias(f"g_{i}_{j}"))
+    exprs.append(F.count(F.col(y)).alias("n_obs"))
+    exprs.append(F.sum(F.log(w)).alias("sum_log_w"))
+    return names, exprs
+
+
+_RESULT_FIELDS = [
+    T.StructField("samples", T.LongType()),
+    T.StructField("beta", T.ArrayType(T.DoubleType())),
+    T.StructField("intercept", T.DoubleType()),
+    T.StructField("hasIntercept", T.BooleanType()),
+    T.StructField("stdErr_intercept", T.DoubleType()),
+    T.StructField("stdErr_beta", T.ArrayType(T.DoubleType())),
+    T.StructField("rSquared", T.DoubleType()),
+    T.StructField("r", T.DoubleType()),
+    T.StructField("tStat_intercept", T.DoubleType()),
+    T.StructField("tStat_beta", T.ArrayType(T.DoubleType())),
+    T.StructField("logLikelihood", T.DoubleType()),
+    T.StructField("akaikeIC", T.DoubleType()),
+    T.StructField("bayesIC", T.DoubleType()),
+    T.StructField("cond", T.DoubleType()),
+    T.StructField("const_columns", T.ArrayType(T.StringType())),
+]
+
+
+def _solve_row(row: pd.Series, nx: int, intercept: bool) -> dict:
+    k = nx + 2  # [1, x1..xnx, y]
+    G = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+    n = int(row["n_obs"])
+    sw = G[0, 0]  # Σw
+    # design = [1?, x...]; target = y
+    lo = 0 if intercept else 1
+    A = G[lo:k - 1, lo:k - 1]          # X'WX (incl. intercept row/col)
+    b = G[lo:k - 1, k - 1]             # X'Wy
+    yy = G[k - 1, k - 1]               # y'Wy
+    p = A.shape[0]
+    try:
+        beta_full = np.linalg.solve(A, b)
+        Ainv = np.linalg.inv(A)
+    except np.linalg.LinAlgError:
+        nan = float("nan")
+        return dict(samples=n, beta=[nan] * nx, intercept=nan,
+                    hasIntercept=intercept, stdErr_intercept=nan,
+                    stdErr_beta=[nan] * nx, rSquared=nan, r=nan,
+                    tStat_intercept=nan, tStat_beta=[nan] * nx,
+                    logLikelihood=nan, akaikeIC=nan, bayesIC=nan,
+                    cond=nan, const_columns=[])
+    rss = float(yy - 2 * beta_full @ b + beta_full @ A @ beta_full)
+    if intercept:
+        # TSS around the weighted mean of y
+        ybar = G[0, k - 1] / sw
+        tss = float(yy - sw * ybar * ybar)
+    else:
+        tss = float(yy)
+    rss = max(rss, 0.0)
+    dof = n - p
+    sigma2 = rss / dof if dof > 0 else float("nan")
+    se = np.sqrt(np.maximum(np.diag(Ainv), 0.0) * sigma2)
+    tstat = beta_full / se
+    r2 = 1.0 - rss / tss if tss > 0 else float("nan")
+    # Gaussian log-likelihood at the MLE variance (rss/n), with weights
+    # contributing 0.5*Σln w (reference normalizes weights to mean 1)
+    sum_log_w = float(row["sum_log_w"]) if not pd.isna(row["sum_log_w"]) else 0.0
+    mean_w_log = n * math.log(sw / n) if sw > 0 else 0.0
+    norm_log_w = sum_log_w - mean_w_log  # Σ ln(w_i / mean(w))
+    if rss > 0:
+        ll = -0.5 * n * (math.log(2 * math.pi * rss / n) + 1.0) + 0.5 * norm_log_w
+    else:
+        ll = float("inf")
+    n_params = p + 1  # betas (+intercept) + variance
+    aic = -2 * ll + 2 * n_params
+    bic = -2 * ll + n_params * math.log(n) if n > 0 else float("nan")
+    eig = np.linalg.eigvalsh(A)
+    cond = float(eig[-1] / eig[0]) if eig[0] > 0 else float("inf")
+    if intercept:
+        icpt, betas = float(beta_full[0]), beta_full[1:]
+        se_i, se_b = float(se[0]), se[1:]
+        t_i, t_b = float(tstat[0]), tstat[1:]
+    else:
+        icpt, betas = 0.0, beta_full
+        se_i, se_b = float("nan"), se
+        t_i, t_b = float("nan"), tstat
+    return dict(samples=n, beta=[float(v) for v in betas], intercept=icpt,
+                hasIntercept=intercept, stdErr_intercept=se_i,
+                stdErr_beta=[float(v) for v in se_b], rSquared=r2,
+                r=math.sqrt(r2) if r2 == r2 and r2 >= 0 else float("nan"),
+                tStat_intercept=t_i, tStat_beta=[float(v) for v in t_b],
+                logLikelihood=ll, akaikeIC=aic, bayesIC=bic, cond=cond,
+                const_columns=[])
+
+
+def ols_regression(df: DataFrame, y: str, xs: Sequence[str],
+                   weight: str | None = None, intercept: bool = True,
+                   key: Sequence[str] = ()) -> DataFrame:
+    """Distributed OLS: Gramian hash-aggregation + per-group numpy solve."""
+    xs = list(xs)
+    key = list(key)
+    # null-skip entire rows where any input is null (reference semantics)
+    cols = [y] + xs + ([weight] if weight else [])
+    clean = df.dropna(subset=cols)
+    _, exprs = _gram_exprs(y, xs, weight)
+    grouped = clean.groupBy(*key).agg(*exprs) if key else clean.groupBy().agg(*exprs)
+
+    out_schema = T.StructType(
+        [f for f in grouped.schema.fields if f.name in key] + _RESULT_FIELDS)
+    nx = len(xs)
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                res = _solve_row(row, nx, intercept)
+                for kcol in key:
+                    res[kcol] = row[kcol]
+                rows.append(res)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return grouped.mapInPandas(solve, out_schema)
