@@ -1,38 +1,1010 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001.
+``queries()`` maps operator names -> (spark, sf_dir) -> DataFrame, one
+per implemented operator from SURVEY §2 plus the training-data pipeline
+extensions. ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+(identical aliases; floats rounded identically on both sides).
+
+Engine-determinism policy:
+- events time is canonicalized to µs TIMESTAMP on the Spark side so
+  both engines see the exact same timestamps (DuckDB truncates the
+  parquet ns column to µs the same way);
+- all hashing is md5-based (identical in Spark/DuckDB);
+- floats are rounded on BOTH sides, coarser for larger magnitudes so
+  sum-order FP noise cannot straddle a rounding boundary.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from flint_spark import clocks, summarizers as S, windows as W
+from flint_spark.operators import aggregate as agg_ops
+from flint_spark.operators import asof, cycles, intervals, windows_ops
+from flint_spark.operators import ema as ema_ops
+from flint_spark.operators import regression, sessions
+from flint_spark.pipeline import dedup, multimodal, similarity, text as text_ops
+from flint_spark.pipeline.hashing import P, minhash_params, hyperplanes
+from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+
+def R(col, k: int):
+    """Deterministic half-up rounding, identical in Spark and DuckDB.
+
+    Built-in round() disagrees between engines at exact .5 boundaries
+    (HALF_UP on decimal string vs binary round-half-away), which money
+    averages hit constantly. floor(x*10^k + 0.5)/10^k evaluates the
+    same way on the same double in both engines.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    m = float(10 ** k)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+# ----------------------------------------------------------------------
+# loaders
+# ----------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with time = µs TIMESTAMP (matches DuckDB's view of ts)."""
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn(TIME_COLUMN, ns_to_time_expr(F.col("ts"), "timestamp")) \
+             .drop("ts")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").withColumnRenamed("l_shipdate", TIME_COLUMN)
+
+
+def _orders_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as an as-of right side: unique per (user_id, time)."""
+    return (_t(spark, sf_dir, "orders")
+            .select(F.col("o_orderdate").alias(TIME_COLUMN),
+                    F.col("o_custkey").alias("user_id"), "o_totalprice")
+            .groupBy(TIME_COLUMN, "user_id")
+            .agg(F.max("o_totalprice").alias("o_totalprice")))
+
+
+_ORDERS_RIGHT_SQL = """
+  SELECT o_orderdate AS rt, o_custkey AS user_id,
+         max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+"""
+
+# ----------------------------------------------------------------------
+# flagship
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: as-of join events->orders, then rolling 1h window stats
+    per user — the engine's two signature operators in one plan."""
+    sf = "/root/testdata/sf0.001"
+    ev = _events(spark, sf)
+    joined = asof.left_join(ev, _orders_right(spark, sf), tolerance="20000d",
+                            key=["user_id"])
+    out = windows_ops.summarize_windows(
+        joined, W.past_absolute_time("1h"),
+        S.compose(S.count(), S.mean("value")), key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id", "value", "o_totalprice",
+                      "count", R("value_mean", 4).alias("value_mean"))
 
+
+# ----------------------------------------------------------------------
+# SURVEY §2 operator queries + oracles
+# ----------------------------------------------------------------------
+
+def q_cycle_agg(spark, sf):
+    li = _lineitem(spark, sf)
+    summ = S.compose(S.count(), S.sum_("l_quantity"), S.mean("l_extendedprice"))
+    out = cycles.summarize_cycles(li, summ, key=["l_returnflag"])
+    return out.select(
+        TIME_COLUMN, "l_returnflag", "count",
+        R("l_quantity_sum", 2).alias("sum_qty"),
+        R("l_extendedprice_mean", 2).alias("avg_price"))
+
+
+SQL_CYCLE_AGG = """
+  SELECT l_shipdate AS time, l_returnflag, count(*) AS count,
+         floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+         floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_group_cycle_rows(spark, sf):
+    li = _lineitem(spark, sf)
+    return (li.groupBy(TIME_COLUMN)
+            .agg(F.sort_array(F.collect_list("l_orderkey")).alias("orderkeys")))
+
+
+SQL_GROUP_CYCLE_ROWS = """
+  SELECT l_shipdate AS time, list_sort(list(l_orderkey)) AS orderkeys
+  FROM lineitem GROUP BY 1
+"""
+
+
+def q_interval_uniform(spark, sf):
+    ev = _events(spark, sf)
+    clock = clocks.uniform("2024-01-01", "2027-01-01", "1d")
+    out = intervals.summarize_intervals(
+        ev, clock, S.compose(S.count(), S.sum_("value")),
+        key=["event_type"], inclusion="begin", rounding="begin")
+    return out.select(TIME_COLUMN, "event_type", "count",
+                      R("value_sum", 4).alias("value_sum"))
+
+
+SQL_INTERVAL_UNIFORM = """
+  SELECT date_trunc('day', ts) AS time, event_type, count(*) AS count,
+         floor((sum(value)) * 10000 + 0.5) / 10000 AS value_sum
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
+  GROUP BY 1, 2
+"""
+
+
+def q_interval_end_end(spark, sf):
+    ev = _events(spark, sf)
+    clock = clocks.uniform("2024-01-01", "2027-01-01", "1h")
+    out = intervals.summarize_intervals(
+        ev, clock, S.count(), key=[], inclusion="end", rounding="end")
+    return out.select(TIME_COLUMN, "count")
+
+
+SQL_INTERVAL_END_END = """
+  SELECT date_trunc('hour', ts - INTERVAL 1 MICROSECOND) + INTERVAL 1 HOUR AS time,
+         count(*) AS count
+  FROM events
+  WHERE ts > TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2027-01-01'
+  GROUP BY 1
+"""
+
+
+def q_summarize_stats(spark, sf):
+    ev = _events(spark, sf)
+    summ = S.compose(S.count(), S.mean("value"), S.stddev("value"),
+                     S.variance("value"), S.min_("value"), S.max_("value"))
+    out = agg_ops.summarize(ev, summ)
+    return out.select(
+        "count", R("value_mean", 6).alias("value_mean"),
+        R("value_stddev", 6).alias("value_stddev"),
+        R("value_variance", 4).alias("value_variance"),
+        "value_min", "value_max")
+
+
+SQL_SUMMARIZE_STATS = """
+  SELECT count(*) AS count, floor((avg(value)) * 1000000 + 0.5) / 1000000 AS value_mean,
+         floor((stddev_samp(value)) * 1000000 + 0.5) / 1000000 AS value_stddev,
+         floor((var_samp(value)) * 10000 + 0.5) / 10000 AS value_variance,
+         min(value) AS value_min, max(value) AS value_max
+  FROM events
+"""
+
+
+def q_summarize_keyed(spark, sf):
+    li = _lineitem(spark, sf)
+    summ = S.compose(
+        S.count(), S.covariance("l_quantity", "l_discount"),
+        S.correlation("l_quantity", "l_extendedprice"),
+        S.dot_product("l_quantity", "l_discount"),
+        S.geometric_mean("l_quantity"),
+    )
+    out = agg_ops.summarize(li, summ, key=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "count",
+        R("l_quantity_l_discount_covariance", 6).alias("cov_qd"),
+        R("l_quantity_l_extendedprice_correlation", 6).alias("corr_qp"),
+        R("l_quantity_l_extendedprice_correlationTStat", 4).alias("corr_qp_t"),
+        R("l_quantity_l_discount_dotProduct", 4).alias("dot_qd"),
+        R("l_quantity_geometricMean", 6).alias("geo_qty"))
+
+
+SQL_SUMMARIZE_KEYED = """
+  SELECT l_returnflag, count(*) AS count,
+         floor((covar_pop(l_quantity, l_discount)) * 1000000 + 0.5) / 1000000 AS cov_qd,
+         floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5) / 1000000 AS corr_qp,
+         floor((corr(l_quantity, l_extendedprice)
+               * sqrt((count(*) - 2)
+                      / (1 - corr(l_quantity, l_extendedprice)^2))) * 10000 + 0.5) / 10000 AS corr_qp_t,
+         floor((sum(l_quantity * l_discount)) * 10000 + 0.5) / 10000 AS dot_qd,
+         floor((exp(avg(ln(abs(l_quantity))))) * 1000000 + 0.5) / 1000000 AS geo_qty
+  FROM lineitem GROUP BY 1
+"""
+
+
+def q_moments(spark, sf):
+    ev = _events(spark, sf)
+    summ = S.compose(S.skewness("value"), S.kurtosis("value"),
+                     S.nth_moment("value", 3), S.nth_central_moment("value", 2))
+    out = agg_ops.summarize(ev, summ)
+    return out.select(
+        R("value_skewness", 6).alias("skew"),
+        R("value_kurtosis", 6).alias("kurt"),
+        R("value_3thMoment", 2).alias("m3"),
+        R("value_2thCentralMoment", 4).alias("cm2"))
+
+
+SQL_MOMENTS = """
+  WITH m AS (
+    SELECT avg(value) AS m1, avg(value^2) AS r2,
+           avg(value^3) AS r3, avg(value^4) AS r4
+    FROM events
+  )
+  SELECT floor(((r3 - 3*m1*r2 + 2*m1^3) / (r2 - m1^2)^1.5) * 1000000 + 0.5) / 1000000 AS skew,
+         floor(((r4 - 4*m1*r3 + 6*m1^2*r2 - 3*m1^4) / (r2 - m1^2)^2 - 3) * 1000000 + 0.5) / 1000000 AS kurt,
+         floor((r3) * 100 + 0.5) / 100 AS m3,
+         floor((r2 - m1^2) * 10000 + 0.5) / 10000 AS cm2
+  FROM m
+"""
+
+
+def q_quantiles(spark, sf):
+    ev = _events(spark, sf)
+    out = agg_ops.summarize(ev, S.quantile("value", [0.25, 0.5, 0.9, 0.99]))
+    return out.select(
+        R("value_0_25quantile", 6).alias("q25"),
+        R("value_0_5quantile", 6).alias("q50"),
+        R("value_0_9quantile", 6).alias("q90"),
+        R("value_0_99quantile", 6).alias("q99"))
+
+
+SQL_QUANTILES = """
+  SELECT floor((quantile_cont(value, 0.25)) * 1000000 + 0.5) / 1000000 AS q25,
+         floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS q50,
+         floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS q90,
+         floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS q99
+  FROM events
+"""
+
+
+def q_zscore(spark, sf):
+    ev = _events(spark, sf)
+    out = agg_ops.summarize(ev, S.z_score("value", in_sample=True), key=["user_id"])
+    return out.select("user_id", R("value_zScore", 6).alias("zscore"))
+
+
+SQL_ZSCORE = """
+  SELECT user_id,
+         floor(((arg_max(value, ts) - avg(value)) / stddev_samp(value)) * 1000000 + 0.5) / 1000000 AS zscore
+  FROM events GROUP BY 1
+"""
+
+
+def q_weighted(spark, sf):
+    li = _lineitem(spark, sf)
+    summ = S.compose(
+        S.weighted_mean_test("l_extendedprice", "l_quantity"),
+        S.weighted_covariance("l_extendedprice", "l_discount", "l_quantity"),
+        S.weighted_correlation("l_extendedprice", "l_discount", "l_quantity"),
+    )
+    out = agg_ops.summarize(li, summ, key=["l_linestatus"])
+    return out.select(
+        "l_linestatus",
+        R("l_extendedprice_l_quantity_weightedMean", 1).alias("wmean"),
+        R("l_extendedprice_l_quantity_weightedStandardDeviation", 1).alias("wstd"),
+        R("l_extendedprice_l_quantity_weightedTStat", 4).alias("wtstat"),
+        F.col("l_extendedprice_l_quantity_observationCount").alias("n_obs"),
+        R("l_extendedprice_l_discount_l_quantity_weightedCovariance", 1)
+         .alias("wcov"),
+        R("l_extendedprice_l_discount_l_quantity_weightedCorrelation", 6)
+         .alias("wcorr"))
+
+
+SQL_WEIGHTED = """
+  WITH s AS (
+    SELECT l_linestatus,
+           sum(l_quantity) AS sw, sum(l_quantity*l_quantity) AS sw2,
+           sum(l_quantity*l_extendedprice) AS swx,
+           sum(l_quantity*l_extendedprice*l_extendedprice) AS swxx,
+           sum(l_quantity*l_discount) AS swy,
+           sum(l_quantity*l_discount*l_discount) AS swyy,
+           sum(l_quantity*l_extendedprice*l_discount) AS swxy,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+  )
+  SELECT l_linestatus,
+         floor((swx/sw) * 10 + 0.5) / 10 AS wmean,
+         floor((sqrt((swxx - swx*swx/sw) / (sw - sw2/sw))) * 10 + 0.5) / 10 AS wstd,
+         floor(((swx/sw) * sw / sqrt(((swxx - swx*swx/sw) / (sw - sw2/sw)) * sw2)) * 10000 + 0.5) / 10000
+           AS wtstat,
+         n AS n_obs,
+         floor(((swxy - swx*swy/sw) / (sw - sw2/sw)) * 10 + 0.5) / 10 AS wcov,
+         floor(((swxy - swx*swy/sw)
+               / sqrt((swxx - swx*swx/sw) * (swyy - swy*swy/sw))) * 1000000 + 0.5) / 1000000 AS wcorr
+  FROM s
+"""
+
+
+def q_asof_backward(spark, sf):
+    ev = _events(spark, sf)
+    out = asof.left_join(ev, _orders_right(spark, sf), tolerance="9000d",
+                         key=["user_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id", "value", "o_totalprice")
+
+
+SQL_ASOF_BACKWARD = f"""
+  WITH r AS ({_ORDERS_RIGHT_SQL}),
+       l AS (SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value
+             FROM events)
+  SELECT l.time, l.event_id, l.user_id, l.value,
+         CASE WHEN r.rt >= l.time - INTERVAL 9000 DAY THEN r.o_totalprice END
+           AS o_totalprice
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.rt
+"""
+
+
+def q_asof_forward(spark, sf):
+    left = _orders_right(spark, sf).select(TIME_COLUMN, "user_id", "o_totalprice")
+    ev = (_events(spark, sf).groupBy(TIME_COLUMN, "user_id")
+          .agg(F.max("value").alias("value")))
+    out = asof.future_left_join(left, ev, tolerance="9500d", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id", "o_totalprice", "value")
+
+
+SQL_ASOF_FORWARD = f"""
+  WITH l AS (SELECT rt AS time, user_id, o_totalprice FROM ({_ORDERS_RIGHT_SQL})),
+       r AS (SELECT CAST(ts AS TIMESTAMP) AS rt, user_id, max(value) AS value
+             FROM events GROUP BY 1, 2)
+  SELECT l.time, l.user_id, l.o_totalprice,
+         CASE WHEN r.rt <= l.time + INTERVAL 9500 DAY THEN r.value END AS value
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time <= r.rt
+"""
+
+
+def q_asof_strict(spark, sf):
+    """Strict lookahead: an event joining to itself must be excluded."""
+    ev = (_events(spark, sf).groupBy(TIME_COLUMN, "user_id")
+          .agg(F.max("value").alias("value")))
+    nxt = ev.select(TIME_COLUMN, "user_id", F.col("value").alias("next_value"))
+    out = asof.future_left_join(ev, nxt, tolerance="7d", key=["user_id"],
+                                strict_lookahead=True)
+    return out.select(TIME_COLUMN, "user_id", "value", "next_value")
+
+
+SQL_ASOF_STRICT = """
+  WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id, max(value) AS value
+             FROM events GROUP BY 1, 2)
+  SELECT l.t AS time, l.user_id, l.value,
+         CASE WHEN r.t <= l.t + INTERVAL 7 DAY THEN r.value END AS next_value
+  FROM e l ASOF LEFT JOIN e r ON l.user_id = r.user_id AND l.t < r.t
+"""
+
+
+def q_merge(spark, sf):
+    ev = _events(spark, sf)
+    a = ev.filter(F.col("event_type") == "click").select(TIME_COLUMN, "event_id", "value")
+    b = ev.filter(F.col("event_type") == "view").select(TIME_COLUMN, "event_id", "value")
+    return asof.merge(a, b)
+
+
+SQL_MERGE = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, value FROM events
+  WHERE event_type = 'click'
+  UNION ALL
+  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, value FROM events
+  WHERE event_type = 'view'
+"""
+
+
+def q_shift(spark, sf):
+    from flint_spark import TimeSeriesDataFrame
+    ev = TimeSeriesDataFrame(_events(spark, sf))
+    return ev.shift("1h").df.select(TIME_COLUMN, "event_id")
+
+
+SQL_SHIFT = """
+  SELECT CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS time, event_id FROM events
+"""
+
+
+def q_filter_project(spark, sf):
+    from flint_spark import TimeSeriesDataFrame
+    ev = TimeSeriesDataFrame(_events(spark, sf))
+    out = (ev.keep_columns("event_id", "event_type", "value")
+           .filter((F.col("value") > 100) & F.col("event_type").isin("click", "error"))
+           .add_columns(value_2x=R(F.col("value") * 2, 2))
+           .cast({"event_id": "int"}))
+    return out.df
+
+
+SQL_FILTER_PROJECT = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, CAST(event_id AS INT) AS event_id,
+         event_type, value, floor((value * 2) * 100 + 0.5) / 100 AS value_2x
+  FROM events WHERE value > 100 AND event_type IN ('click', 'error')
+"""
+
+
+def q_clock_uniform(spark, sf):
+    clock = clocks.uniform("2024-01-01", "2024-02-01", "1h")
+    return clock.ticks_df(spark)
+
+
+SQL_CLOCK_UNIFORM = """
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01',
+                                INTERVAL 1 HOUR)) AS time
+"""
+
+
+def q_cumulative(spark, sf):
+    ev = _events(spark, sf)
+    out = agg_ops.add_summary_columns(ev, S.compose(S.sum_("value"), S.count()),
+                                      key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id", "value",
+                      R("value_sum", 4).alias("cum_value"),
+                      F.col("count").alias("cum_n"))
+
+
+SQL_CUMULATIVE = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+         floor((sum(value) OVER w) * 10000 + 0.5) / 10000 AS cum_value,
+         count(*) OVER w AS cum_n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_rolling(spark, sf):
+    ev = _events(spark, sf)
+    summ = S.compose(S.count(), S.sum_("value"), S.min_("value"), S.max_("value"))
+    out = windows_ops.summarize_windows(ev, W.past_absolute_time("1h"), summ,
+                                        key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id", "value", "count",
+                      R("value_sum", 4).alias("w_sum"),
+                      F.col("value_min").alias("w_min"),
+                      F.col("value_max").alias("w_max"))
+
+
+SQL_WINDOW_ROLLING = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+         count(*) OVER w AS count,
+         floor((sum(value) OVER w) * 10000 + 0.5) / 10000 AS w_sum,
+         min(value) OVER w AS w_min,
+         max(value) OVER w AS w_max
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_future_rows(spark, sf):
+    ev = _events(spark, sf)
+    out = windows_ops.add_windows(ev.select(TIME_COLUMN, "user_id", "event_id"),
+                                  W.future_absolute_time("30m"), key=["user_id"])
+    return out.select(
+        TIME_COLUMN, "user_id", "event_id",
+        F.sort_array(F.transform(F.col("window_future_30m"),
+                                 lambda r: r["event_id"])).alias("future_ids"))
+
+
+SQL_WINDOW_FUTURE_ROWS = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, user_id, event_id,
+         list_sort(list(event_id) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTE FOLLOWING))
+           AS future_ids
+  FROM events
+"""
+
+
+def q_ewma(spark, sf):
+    ev = _events(spark, sf)
+    out = ema_ops.ewma(ev, "value", alpha=0.05, duration_per_period="1d",
+                       convention="legacy", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value_ewma", 4).alias("ewma"))
+
+
+# closed form: ewma_n = exp(-lam*(t_n-t0)) * cumsum(x_i * exp(lam*(t_i-t0)))
+SQL_EWMA = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+           epoch_us(ts)::DOUBLE AS tus,
+           min(epoch_us(ts)) OVER (PARTITION BY user_id) :: DOUBLE AS base
+    FROM events
+  )
+  SELECT time, user_id,
+         floor((exp(-(tus - base) * {lam}) *
+               sum(value * exp((tus - base) * {lam})) OVER (
+                 PARTITION BY user_id ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS ewma
+  FROM e
+""".format(lam=-__import__("math").log1p(-0.05) / 86_400e6)
+
+
+def q_ema_core(spark, sf):
+    ev = _events(spark, sf)
+    out = ema_ops.exponential_smoothing(
+        ev, "value", alpha=0.05, priming_periods=1.0, duration_per_period="1d",
+        interpolation="current", convention="core", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value_ema", 6).alias("ema"))
+
+
+# E_n = sum_i c_i exp(-lam (t_n - t_i)), c_i = (1-d_i) x_i,
+# d_i from the lag gap (priming_periods=1d for the first row); core = E/A.
+SQL_EMA_CORE = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+           epoch_us(ts)::DOUBLE AS tus,
+           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)::DOUBLE AS prev
+    FROM events
+  ), d AS (
+    SELECT *, CASE WHEN prev IS NULL THEN exp(-{lam_day})
+                   ELSE exp(-(tus - prev) * {lam}) END AS dec
+    FROM e
+  )
+  SELECT time, user_id,
+         floor(((sum((1 - dec) * value * exp((tus - base) * {lam})) OVER w)
+           / (sum((1 - dec) * exp((tus - base) * {lam})) OVER w)) * 1000000 + 0.5) / 1000000 AS ema
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY time
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""".format(lam=-__import__("math").log1p(-0.05) / 86_400e6,
+           lam_day=-__import__("math").log1p(-0.05))
+
+
+def q_ols(spark, sf):
+    li = _lineitem(spark, sf)
+    out = regression.ols_regression(li, "l_extendedprice", ["l_quantity"],
+                                    key=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "samples",
+        R(F.col("beta")[0], 2).alias("slope"),
+        R("intercept", 1).alias("icpt"),
+        R("rSquared", 6).alias("r2"),
+        R(F.col("tStat_beta")[0], 2).alias("t_slope"))
+
+
+SQL_OLS = """
+  SELECT l_returnflag, count(*) AS samples,
+         floor((regr_slope(l_extendedprice, l_quantity)) * 100 + 0.5) / 100 AS slope,
+         floor((regr_intercept(l_extendedprice, l_quantity)) * 10 + 0.5) / 10 AS icpt,
+         floor((regr_r2(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000 AS r2,
+         floor((regr_slope(l_extendedprice, l_quantity)
+               / (sqrt((regr_syy(l_extendedprice, l_quantity)
+                        - regr_slope(l_extendedprice, l_quantity)^2
+                          * regr_sxx(l_extendedprice, l_quantity))
+                       / (count(*) - 2))
+                  / sqrt(regr_sxx(l_extendedprice, l_quantity)))) * 100 + 0.5) / 100 AS t_slope
+  FROM lineitem GROUP BY 1
+"""
+
+
+def q_ols_multi(spark, sf):
+    """Full 15-field OLS output — no simple SQL equivalent (rows-only check)."""
+    li = _lineitem(spark, sf)
+    out = regression.ols_regression(
+        li, "l_extendedprice", ["l_quantity", "l_discount", "l_tax"],
+        weight="l_quantity")
+    return out.select(
+        "samples", R(F.col("beta")[0], 2).alias("b_qty"),
+        R("rSquared", 6).alias("r2"),
+        R("logLikelihood", 2).alias("ll"),
+        R("akaikeIC", 2).alias("aic"), R("cond", 2).alias("cond"))
+
+
+def q_sessionize(spark, sf):
+    ev = _events(spark, sf)
+    out = sessions.session_stats(ev, gap="1h", key=["user_id"])
+    return out.select("user_id", "session_id", "session_start", "session_end",
+                      "n_events", R("duration_s", 6).alias("duration_s"))
+
+
+SQL_SESSIONIZE = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS t, user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  ), s AS (
+    SELECT t, user_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM e
+  )
+  SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
+         count(*) AS n_events,
+         floor(((epoch_us(max(t)) - epoch_us(min(t))) / 1e6) * 1000000 + 0.5) / 1000000 AS duration_s
+  FROM s GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------------
+# training-data pipeline queries + oracles
+# ----------------------------------------------------------------------
+
+_MH_N, _MH_BANDS, _MH_SEED, _MH_THRESH = 32, 8, 7, 0.5
+_PROBES = [0, 1, 2, 3, 4]
+_PLANES_N, _PLANES_SEED = 8, 11
+
+
+def q_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.exact_duplicate_groups(docs)
+
+
+SQL_DEDUP_EXACT = """
+  SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_corpus_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"))
+
+
+SQL_CORPUS_STATS = """
+  SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique_texts,
+         count(DISTINCT lang) AS n_langs
+  FROM documents
+"""
+
+
+def q_minhash_lsh(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=_MH_N, bands=_MH_BANDS,
+                                  seed=_MH_SEED, threshold=_MH_THRESH)
+    return out.select("id_a", "id_b", R("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _sql_minhash_lsh() -> str:
+    params = minhash_params(_MH_N, _MH_SEED)
+    rows = _MH_N // _MH_BANDS
+    mins = ",\n         ".join(
+        f"min(({a}*h + {b}) % {P}) AS mh_{j}" for j, (a, b) in enumerate(params))
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, concat_ws(','"
+        + "".join(f", mh_{b * rows + r}" for r in range(rows))
+        + ") AS bsig FROM sig"
+        for b in range(_MH_BANDS))
+    eq = " + ".join(f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+                    for j in range(_MH_N))
+    return f"""
+  WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+  sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 2),
+                       i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+         FROM words),
+  h AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 7))::BIGINT) AS h FROM sh),
+  sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+  bands AS (
+{band_selects}
+  ),
+  pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+  scored AS (
+    SELECT p.id_a, p.id_b, ({eq}) / {float(_MH_N)} AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b)
+  SELECT id_a, id_b, floor((est_jaccard) * 1000000 + 0.5) / 1000000 AS est_jaccard
+  FROM scored WHERE est_jaccard >= {_MH_THRESH}
+"""
+
+
+def q_simhash(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash(docs)
+
+
+def _sql_simhash() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(32))
+    sim = " + ".join(f"CASE WHEN s_{i} > 0 THEN {2 ** i} ELSE 0 END"
+                     for i in range(32))
+    return f"""
+  WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+  h AS (SELECT doc_id, (('0x' || substr(md5(w), 1, 8))::BIGINT) AS h FROM tok),
+  bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+  SELECT doc_id, ({sim})::BIGINT AS simhash FROM bits
+"""
+
+
+def q_simhash_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def _sql_simhash_pairs() -> str:
+    chunks = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, simhash, {c} AS band, (simhash >> {c * 8}) & 255 AS chunk"
+        f" FROM sim" for c in range(4))
+    return f"""
+  WITH sim AS ({_sql_simhash()}),
+  banded AS (
+{chunks}
+  )
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_df=100)
+    return out.select("id_a", "id_b", R("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+  WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+  sh0 AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+          FROM words),
+  rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100),
+  sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+  sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+  SELECT id_a, id_b,
+         floor((i::DOUBLE / (sa.nsh + sb.nsh - i)) * 1000000 + 0.5) / 1000000 AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i::DOUBLE / (sa.nsh + sb.nsh - i) >= 0.6
+"""
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.cosine_topk(emb, _PROBES, k=10)
+    return out.select("probe_id", "vec_id", R("cosine", 6).alias("cosine"),
+                      "rank")
+
+
+SQL_COSINE_TOPK = f"""
+  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  probes AS (SELECT vec_id AS probe_id, v AS pv FROM base
+             WHERE vec_id IN ({', '.join(map(str, _PROBES))})),
+  j AS (SELECT p.probe_id, b.vec_id,
+               list_dot_product(b.v, p.pv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(p.pv, p.pv))) AS cosine
+        FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id),
+  r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM j)
+  SELECT probe_id, vec_id, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.lsh_ann_topk(emb, _PROBES, k=10, n_planes=_PLANES_N,
+                                  seed=_PLANES_SEED)
+    return out.select("probe_id", "vec_id", R("cosine", 6).alias("cosine"),
+                      "rank")
+
+
+def _sql_lsh_ann() -> str:
+    planes = hyperplanes(_PLANES_N, 64, _PLANES_SEED)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {plane}) > 0 THEN {2 ** p} ELSE 0 END"
+        for p, plane in enumerate(planes))
+    return f"""
+  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  bucketed AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM base),
+  probes AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket FROM bucketed
+             WHERE vec_id IN ({', '.join(map(str, _PROBES))})),
+  j AS (SELECT p.probe_id, b.vec_id,
+               list_dot_product(b.v, p.pv)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(p.pv, p.pv))) AS cosine
+        FROM bucketed b JOIN probes p
+          ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id),
+  r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+        FROM j)
+  SELECT probe_id, vec_id, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_text_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    out = text_ops.text_stats(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_tokens_bpe",
+        R("avg_word_len", 6).alias("avg_word_len"),
+        R("distinct_ratio", 6).alias("distinct_ratio"),
+        R("stopword_ratio_en", 6).alias("stopword_ratio_en"),
+        R("quality", 6).alias("quality"),
+        "lang_pred", "fingerprint")
+
+
+def _sql_text_stats() -> str:
+    sw = {lang: ", ".join(f"'{w}'" for w in ws)
+          for lang, ws in text_ops.LANG_STOPWORDS.items()}
+    scores = {lang: (f"(len(list_filter(w, x -> list_contains([{words}], x)))"
+                     f"::DOUBLE / len(w))")
+              for lang, words in sw.items()}
+    # fold-order argmax: first language (en,de,fr,es) achieving the max
+    langs = list(text_ops.LANG_STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{scores[lang]} >= {scores[other]}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+  WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         (len(w) + list_aggregate(list_transform(w,
+             x -> cast(floor(length(x) / 4.0) AS INT)), 'sum'))::INT AS n_tokens_bpe,
+         floor(((length(text) - (len(w) - 1))::DOUBLE / len(w)) * 1000000 + 0.5) / 1000000 AS avg_word_len,
+         floor((len(list_distinct(w))::DOUBLE / len(w)) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+         floor(({scores['en']}) * 1000000 + 0.5) / 1000000 AS stopword_ratio_en,
+         floor((0.4 * least(len(w)::DOUBLE / 64.0, 1.0)
+               + 0.4 * (len(list_distinct(w))::DOUBLE / len(w))
+               + 0.2 * (1.0 - least(abs((length(text) - (len(w) - 1))::DOUBLE
+                                        / len(w) - 5.0) / 5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality,
+         {lang_case} AS lang_pred,
+         list_reduce(list_transform(w,
+             x -> (('0x' || substr(md5(x), 1, 7))::BIGINT)),
+             (acc, h) -> (acc * {text_ops.FINGERPRINT_BASE} + h) % {P}) AS fingerprint
+  FROM d
+"""
+
+
+def q_lang_confusion(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pred = docs.withColumn("lang_pred", text_ops.language_id("text"))
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+def _sql_lang_confusion() -> str:
+    inner = _sql_text_stats()
+    return f"""
+  WITH t AS ({inner})
+  SELECT d.lang, t.lang_pred, count(*) AS n
+  FROM documents d JOIN t ON d.doc_id = t.doc_id
+  GROUP BY 1, 2
+"""
+
+
+def q_multimodal_features(spark, sf):
+    docs = _t(spark, sf, "documents")
+    mm = multimodal.with_binary_payload(docs)
+    out = multimodal.extract_features(mm)
+    return out.select("doc_id", "byte_len", "byte_sum", "first_byte",
+                      R("aspect_ratio", 6).alias("aspect_ratio"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+  WITH h AS (SELECT doc_id, text,
+                    (('0x' || substr(md5(text), 1, 7))::BIGINT) AS h
+             FROM documents)
+  SELECT doc_id,
+         length(text)::BIGINT AS byte_len,
+         list_aggregate(list_transform(string_split(text, ''),
+                        c -> unicode(c)), 'sum')::BIGINT AS byte_sum,
+         unicode(substr(text, 1, 1)) AS first_byte,
+         floor(((h % 1024 + 64)::DOUBLE / ((h // 1024) % 1024 + 64)) * 1000000 + 0.5) / 1000000
+           AS aspect_ratio
+  FROM h
+"""
+
+
+def q_frame_sampling(spark, sf):
+    docs = _t(spark, sf, "documents")
+    mm = multimodal.with_binary_payload(docs)
+    return multimodal.sample_frames(mm, every_n=4)
+
+
+SQL_FRAME_SAMPLING = """
+  WITH h AS (SELECT doc_id,
+                    (('0x' || substr(md5(text), 1, 7))::BIGINT) % 16 + 1 AS n_frames
+             FROM documents)
+  SELECT doc_id, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx FROM h
+"""
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cycle_agg": q_cycle_agg,
+        "group_cycle_rows": q_group_cycle_rows,
+        "interval_uniform": q_interval_uniform,
+        "interval_end_end": q_interval_end_end,
+        "summarize_stats": q_summarize_stats,
+        "summarize_keyed": q_summarize_keyed,
+        "moments": q_moments,
+        "quantiles": q_quantiles,
+        "zscore": q_zscore,
+        "weighted": q_weighted,
+        "asof_backward": q_asof_backward,
+        "asof_forward": q_asof_forward,
+        "asof_strict": q_asof_strict,
+        "merge": q_merge,
+        "shift": q_shift,
+        "filter_project": q_filter_project,
+        "clock_uniform": q_clock_uniform,
+        "cumulative": q_cumulative,
+        "window_rolling": q_window_rolling,
+        "window_future_rows": q_window_future_rows,
+        "ewma": q_ewma,
+        "ema_core": q_ema_core,
+        "ols": q_ols,
+        "ols_multi": q_ols_multi,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "corpus_stats": q_corpus_stats,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "text_stats": q_text_stats,
+        "lang_confusion": q_lang_confusion,
+        "multimodal_features": q_multimodal_features,
+        "frame_sampling": q_frame_sampling,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cycle_agg": SQL_CYCLE_AGG,
+        "group_cycle_rows": SQL_GROUP_CYCLE_ROWS,
+        "interval_uniform": SQL_INTERVAL_UNIFORM,
+        "interval_end_end": SQL_INTERVAL_END_END,
+        "summarize_stats": SQL_SUMMARIZE_STATS,
+        "summarize_keyed": SQL_SUMMARIZE_KEYED,
+        "moments": SQL_MOMENTS,
+        "quantiles": SQL_QUANTILES,
+        "zscore": SQL_ZSCORE,
+        "weighted": SQL_WEIGHTED,
+        "asof_backward": SQL_ASOF_BACKWARD,
+        "asof_forward": SQL_ASOF_FORWARD,
+        "asof_strict": SQL_ASOF_STRICT,
+        "merge": SQL_MERGE,
+        "shift": SQL_SHIFT,
+        "filter_project": SQL_FILTER_PROJECT,
+        "clock_uniform": SQL_CLOCK_UNIFORM,
+        "cumulative": SQL_CUMULATIVE,
+        "window_rolling": SQL_WINDOW_ROLLING,
+        "window_future_rows": SQL_WINDOW_FUTURE_ROWS,
+        "ewma": SQL_EWMA,
+        "ema_core": SQL_EMA_CORE,
+        "ols": SQL_OLS,
+        # ols_multi: rows-only (15-field OLS has no concise SQL form)
+        "sessionize": SQL_SESSIONIZE,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "corpus_stats": SQL_CORPUS_STATS,
+        "minhash_lsh": _sql_minhash_lsh(),
+        "simhash": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "lsh_ann": _sql_lsh_ann(),
+        "text_stats": _sql_text_stats(),
+        "lang_confusion": _sql_lang_confusion(),
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "frame_sampling": SQL_FRAME_SAMPLING,
+    }

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full plan, no
+driver collect). The headline set covers every performance-critical
+plan shape: scan+hash-agg, as-of join (union-window), range-frame
+window, cumulative window, interval bucketing, pandas-scan EMA, Gramian
+OLS, MinHash LSH join, broadcast cosine top-k, sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "cycle_agg",
+    "interval_uniform",
+    "summarize_stats",
+    "asof_backward",
+    "asof_forward",
+    "cumulative",
+    "window_rolling",
+    "ewma",
+    "ols",
+    "sessionize",
+    "minhash_lsh",
+    "simhash_pairs",
+    "cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from flint_spark import get_spark
+
+    spark = get_spark("flint_spark_bench")
+    qs = entry.queries()
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,9 +30,11 @@ def summarize(df: DataFrame, summarizer: Summarizer, key: Sequence[str] = ()) ->
         out = df.groupBy(*key).agg(*exprs)
     else:
         out = df.groupBy().agg(*exprs)
-    # reference sets the output time to 0 for whole-table summaries
+    # reference sets the output time to 0 for whole-table summaries;
+    # item access (not name strings) so names containing '.' resolve
     zero = ns_to_time_expr(F.lit(0).cast("long"), dict(df.dtypes)[TIME_COLUMN])
-    return out.select(zero.alias(TIME_COLUMN), *key, *summarizer.names)
+    return out.select(zero.alias(TIME_COLUMN), *[out[k] for k in key],
+                      *[out[n] for n in summarizer.names])
 
 
 def add_summary_columns(df: DataFrame, summarizer: Summarizer,

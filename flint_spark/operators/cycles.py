@@ -21,11 +21,8 @@ from ..timeseries import TIME_COLUMN
 def summarize_cycles(df: DataFrame, summarizer: Summarizer,
                      key: Sequence[str] = ()) -> DataFrame:
     key = list(key)
-    return (
-        df.groupBy(TIME_COLUMN, *key)
-        .agg(*summarizer.exprs(df))
-        .select(TIME_COLUMN, *key, *summarizer.names)
-    )
+    out = df.groupBy(TIME_COLUMN, *key).agg(*summarizer.exprs(df))
+    return out.select(TIME_COLUMN, *key, *[out[n] for n in summarizer.names])
 
 
 def group_by_cycle(df: DataFrame, key: Sequence[str] = ()) -> DataFrame:

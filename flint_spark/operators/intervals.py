@@ -126,9 +126,8 @@ def summarize_intervals(df: DataFrame, clock, summarizer: Summarizer,
         bucketed.groupBy(_INTERVAL, *key)
         .agg(*summarizer.exprs(df))
         .withColumn(TIME_COLUMN, _interval_time_col(bucketed))
-        .select(TIME_COLUMN, *key, *summarizer.names)
     )
-    return out
+    return out.select(TIME_COLUMN, *key, *[out[n] for n in summarizer.names])
 
 
 def group_by_interval(df: DataFrame, clock, key: Sequence[str] = (),

@@ -1,0 +1,192 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB posture):
+- exact dedup = one hash aggregation on md5(text) — partial+final, no
+  text shuffled (only the 32-byte digest);
+- MinHash: shingle explosion is map-side; signatures reduce to one row
+  of 64 longs per doc (hash agg); LSH banding turns the quadratic pair
+  problem into equi-joins on (band, signature) — only bucket collisions
+  are ever paired;
+- stop-shingle removal (``max_df``) caps join fan-out on ubiquitous
+  shingles — the classic skew killer for shingle self-joins;
+- SimHash reduces each doc to one 32-bit int; candidate pairs come
+  from 8-bit band equi-joins, verified by ``bit_count(xor)``.
+
+All hashing is md5-based (``pipeline.hashing``) so results are
+bit-identical to the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import P, h28, h32, minhash_params
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
+    w = f"split({text_col}, ' ')"
+    sh = F.expr(
+        f"transform(sequence(1, size({w}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({w}, i, {k})))"
+    )
+    # docs shorter than k words produce no shingles (sequence(1, n<1)
+    # would count backwards in Spark, so filter first)
+    return (docs.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+            .select(F.col(id_col), F.explode(sh).alias("shingle"))
+            .distinct())
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, n_dups, canonical_id).
+
+    Only the digest shuffles; canonical representative = min id."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 64, seed: int = 7) -> DataFrame:
+    """One row per doc: ``mh_0..mh_{n-1}`` MinHash values.
+
+    min over shingles of (a_j * h28(shingle) + b_j) mod P — a single
+    hash aggregation with ``num_hashes`` min() columns."""
+    params = minhash_params(num_hashes, seed)
+    sh = shingles(docs, text_col, id_col, k).withColumn("h", h28(F.col("shingle")))
+    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(params)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3, num_hashes: int = 64,
+                      bands: int = 16, seed: int = 7,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, scored by the
+    MinHash Jaccard estimate: (id_a, id_b, est_jaccard).
+
+    bands × rows = num_hashes; a pair becomes a candidate iff it agrees
+    on ALL rows of at least one band; est_jaccard = fraction of the
+    num_hashes agreeing."""
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed)
+    mh_cols = [f"mh_{j}" for j in range(num_hashes)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(mh_cols[b * rows + r]).cast("string")
+                               for r in range(rows)]).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")) \
+                .select(id_col, "bb.band", "bb.bsig")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bsig") == F.col("b.bsig"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"),
+                       *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    sig_b = sig.select(F.col(id_col).alias("id_b"),
+                       *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    matches = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+                  for c in mh_cols)
+    return (
+        pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+        .select("id_a", "id_b",
+                (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            nbits: int = 32) -> DataFrame:
+    """32-bit SimHash over word hashes: (id, simhash)."""
+    tok = (docs.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+           .withColumn("h", h32(F.col("w"))))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"s_{i}")
+        for i in range(nbits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = sum(F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i)).otherwise(0)
+              for i in range(nbits))
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, nbits: int = 32) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ by <= max_hamming bits.
+
+    Candidates via 8-bit band equi-join (a pair within hamming<=3 of a
+    32-bit hash must agree on at least one of the four bytes)."""
+    sh = simhash(docs, text_col, id_col, nbits)
+    nbands = nbits // 8
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("band"),
+                     F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255))
+                     .alias("chunk"))
+            for c in range(nbands)
+        ])).alias("bb")
+    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.6, max_df: int = 100) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing a shingle:
+    (id_a, id_b, jaccard). Shingles occurring in > max_df docs are
+    dropped first (stop-shingle skew control)."""
+    sh = shingles(docs, text_col, id_col, k)
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df).select("shingle"))
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("nsh_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nsh_b")), "id_b")
+        .select("id_a", "id_b",
+                (F.col("inter").cast("double")
+                 / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,53 @@
+"""Engine-portable deterministic hashing.
+
+All pipeline operators hash through md5 (bit-identical in Spark, DuckDB
+and Python), taking a 7-hex-digit prefix => 28-bit non-negative int that
+fits products with 31-bit multipliers inside int64 (no overflow in
+either engine). Spark/SQL fragment builders are kept side by side so
+the DuckDB oracles are generated from the same constants.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# modulus for universal hashing: a*h + b mod P with a,b < P, h < 2^28
+# keeps every intermediate below 2^59 — safe in int64 in both engines.
+P = 1_000_000_007
+HASH_BITS = 28
+
+
+def h28(col: Column) -> Column:
+    """28-bit md5-prefix hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def h28_sql(expr: str) -> str:
+    """Same hash as ``h28`` as a DuckDB SQL fragment."""
+    return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
+
+
+def h32(col: Column) -> Column:
+    """32-bit md5-prefix hash (for SimHash bit sampling)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_hashes)]
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, inlined as literals in
+    both engines so the bucket assignment is bit-identical."""
+    rng = random.Random(seed)
+    return [[round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+            for _ in range(n_planes)]

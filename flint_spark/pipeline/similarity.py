@@ -1,0 +1,86 @@
+"""Embedding similarity search: brute-force cosine top-k and LSH ANN.
+
+- ``cosine_topk`` — the exact baseline: broadcast the (small) probe set,
+  one pass over all embeddings, dot products via ``zip_with``/
+  ``aggregate`` (JVM-side, no Python), per-probe top-k with a window.
+  One scan, one small shuffle for the top-k.
+- ``lsh_ann_topk`` — the scale path: sign-random-projection buckets
+  (deterministic literal hyperplanes so the DuckDB oracle matches
+  bit-for-bit); probes only compare against their own bucket, cutting
+  the candidate set by ~2^planes for unit-cost recall tradeoff.
+
+Vectors are cast float->double before any arithmetic so both engines
+do identical double math, summed left-to-right.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import hyperplanes
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbours for each probe id:
+    (probe_id, vec_id, cosine, rank)."""
+    base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+    probes = (base.filter(F.col(id_col).isin(list(probe_ids)))
+              .select(F.col(id_col).alias("probe_id"), F.col("v").alias("pv")))
+    joined = base.crossJoin(F.broadcast(probes)).filter(F.col(id_col) != F.col("probe_id"))
+    cos = (_dot(F.col("v"), F.col("pv"))
+           / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.select("probe_id", F.col(id_col), cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: sum_p 2^p * [dot(v, plane_p) > 0]."""
+    total = F.lit(0)
+    for p, plane in enumerate(planes):
+        d = _dot(vec, F.array(*[F.lit(c) for c in plane]))
+        total = total + F.when(d > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return total.cast("long")
+
+
+def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
+                 n_planes: int = 8, dim: int = 64, seed: int = 11,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket."""
+    planes = hyperplanes(n_planes, dim, seed)
+    base = (emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+            .withColumn("bucket", bucket_expr(F.col("v"), planes)))
+    probes = (base.filter(F.col(id_col).isin(list(probe_ids)))
+              .select(F.col(id_col).alias("probe_id"), F.col("v").alias("pv"),
+                      F.col("bucket").alias("pbucket")))
+    joined = (base.join(F.broadcast(probes),
+                        (F.col("bucket") == F.col("pbucket"))
+                        & (F.col(id_col) != F.col("probe_id"))))
+    cos = (_dot(F.col("v"), F.col("pv"))
+           / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        joined.select("probe_id", F.col(id_col), cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,110 @@
+"""Text analysis: token counting, quality scoring, language-ID,
+document fingerprinting, sessionization-grade expressions.
+
+Everything compiles to built-in column expressions (codegen'd, no
+Python), with md5-based hashing where hashing is needed so DuckDB
+oracles match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import P, h28
+
+#: tiny per-language stopword sets for the heuristic language scorer.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no"],
+}
+
+FINGERPRINT_BASE = 131
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(_words(text_col))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count: word-boundary pieces plus length/4
+    continuation pieces per word (a cheap BPE proxy; deterministic)."""
+    return F.aggregate(
+        _words(text_col), F.lit(0),
+        lambda acc, w: acc + F.lit(1) + F.floor(F.length(w) / F.lit(4)).cast("int"),
+    )
+
+
+def stopword_ratio(text_col: str = "text", lang: str = "en") -> Column:
+    sw = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(_words(text_col), lambda w: w.isin(sw)))
+    return hits.cast("double") / token_count(text_col)
+
+
+def avg_word_length(text_col: str = "text") -> Column:
+    n = token_count(text_col)
+    total_chars = F.length(F.col(text_col)) - (n - 1)  # minus the spaces
+    return total_chars.cast("double") / n
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Heuristic [0,1] document quality: length saturation + lexical
+    diversity + reasonable word length (deterministic expression)."""
+    n = token_count(text_col)
+    distinct_ratio = (F.size(F.array_distinct(_words(text_col))).cast("double") / n)
+    len_sat = F.least(n.cast("double") / F.lit(64.0), F.lit(1.0))
+    awl = avg_word_length(text_col)
+    wl_ok = F.lit(1.0) - F.least(F.abs(awl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    return (F.lit(0.4) * len_sat + F.lit(0.4) * distinct_ratio + F.lit(0.2) * wl_ok)
+
+
+def language_scores(text_col: str = "text") -> list[Column]:
+    """Per-language stopword hit ratios, one column per language."""
+    return [stopword_ratio(text_col, lang).alias(f"score_{lang}")
+            for lang in LANG_STOPWORDS]
+
+
+def language_id(text_col: str = "text") -> Column:
+    """argmax language by stopword hit ratio; deterministic tie-break on
+    language-key order."""
+    langs = list(LANG_STOPWORDS)
+    best = F.lit(langs[0])
+    best_score = stopword_ratio(text_col, langs[0])
+    for lang in langs[1:]:
+        s = stopword_ratio(text_col, lang)
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Order-sensitive polynomial rolling hash over word hashes
+    (mod P, base 131): two docs share a fingerprint iff same word
+    sequence. All arithmetic stays below 2^60."""
+    return F.aggregate(
+        _words(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(FINGERPRINT_BASE) + h28(w)) % F.lit(P),
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc with the standard text-quality feature set."""
+    return docs.withColumns({
+        "n_tokens": token_count(text_col),
+        "n_tokens_bpe": bpe_ish_token_count(text_col),
+        "avg_word_len": avg_word_length(text_col),
+        "distinct_ratio": F.size(F.array_distinct(_words(text_col))).cast("double")
+                          / token_count(text_col),
+        "stopword_ratio_en": stopword_ratio(text_col, "en"),
+        "quality": quality_score(text_col),
+        "lang_pred": language_id(text_col),
+        "fingerprint": fingerprint(text_col),
+    })

@@ -256,9 +256,13 @@ def quantile(column: str, probabilities: Sequence[float]) -> Summarizer:
     """Exact quantiles with linear (R-7) interpolation, matching the
     reference's commons-math Percentile
     (``subtractable/QuantileSummarizer.scala``). Use ``approx_quantile``
-    for the sketch-based 100TB path."""
+    for the sketch-based 100TB path.
+
+    Output name: ``<col>_<p>quantile`` with '.' replaced by '_'
+    (reference uses e.g. ``price_0.25quantile``; dots in column names
+    fight Spark's nested-field resolution at every turn)."""
     items = [
-        (f"{column}_{p}quantile",
+        (f"{column}_{str(p).replace('.', '_')}quantile",
          (lambda df, m, o, p=p: o(F.percentile(m(F.col(column)), F.lit(p)))))
         for p in probabilities
     ]
@@ -269,7 +273,7 @@ def approx_quantile(column: str, probabilities: Sequence[float],
                     accuracy: int = 10000) -> Summarizer:
     """Scale path: mergeable quantile sketch across partitions."""
     items = [
-        (f"{column}_{p}quantile",
+        (f"{column}_{str(p).replace('.', '_')}quantile",
          (lambda df, m, o, p=p: o(F.percentile_approx(m(F.col(column)), F.lit(p),
                                                       F.lit(accuracy)))))
         for p in probabilities

@@ -1,0 +1,90 @@
+"""Local mirror of the driver's correctness gate: run each
+``__spark_entry__.queries()`` entry and its ``oracle_sql()`` through
+DuckDB on the same parquet, compare row count, column names and values
+(column-name-sorted, row-order-insensitive)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.notna().any() else None, (list, np.ndarray)):
+            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("float64")  # unify Int64/int32/int64
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
+    got = _canon(spark_df.toPandas())
+    exp = _canon(con.sql(sql).df())
+    if list(got.columns) != list(exp.columns):
+        return False, f"columns differ: {list(got.columns)} vs {list(exp.columns)}"
+    if len(got) != len(exp):
+        return False, f"row count {len(got)} vs {len(exp)}"
+    try:
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                      check_exact=False, rtol=0, atol=1e-9)
+    except AssertionError as e:
+        return False, str(e).split("\n")[1][:200] if "\n" in str(e) else str(e)[:200]
+    return True, f"{len(got)} rows"
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None):
+    import __spark_entry__ as entry
+    from flint_spark import get_spark
+
+    spark = get_spark("harness")
+    con = duck_con(sf_dir)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            if name not in oracles:
+                n = df.count()
+                print(f"  {name:24s} ROWS-ONLY {n}")
+                continue
+            ok, msg = compare(name, df, oracles[name], con)
+            print(f"  {name:24s} {'OK  ' if ok else 'FAIL'} {msg}")
+            if not ok:
+                failures.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name:24s} ERROR {type(e).__name__}: {str(e)[:160]}")
+            failures.append(name)
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passing")
+    return failures
+
+
+if __name__ == "__main__":
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.exit(1 if main(sf, only) else 0)

@@ -1,0 +1,157 @@
+"""Unit/semantics tests (reference test strategy, SURVEY §5):
+hand-computed goldens for edge semantics + layout invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flint_spark import TimeSeriesDataFrame, summarizers as S, windows as W
+from flint_spark.operators import asof, cycles, intervals, windows_ops
+from flint_spark.operators import aggregate as agg_ops
+from flint_spark.clocks import UniformClock
+from flint_spark.timeseries import floor_div, parse_duration_ns
+
+
+def test_parse_duration():
+    assert parse_duration_ns("1d") == 86_400_000_000_000
+    assert parse_duration_ns("100ns") == 100
+    assert parse_duration_ns("1.5h") == int(1.5 * 3_600e9)
+    assert parse_duration_ns("30 min") == 30 * 60 * 10**9
+    with pytest.raises(ValueError):
+        parse_duration_ns("5 lightyears")
+
+
+def test_floor_div_exact(spark):
+    # values beyond double precision must divide exactly
+    vals = [(1_704_073_540_167_754_967,), (2**62 + 12345,), (999,), (0,)]
+    df = spark.createDataFrame(vals, "v long")
+    out = df.select(floor_div(F.col("v"), 1000).alias("q")).collect()
+    assert [r.q for r in out] == [v[0] // 1000 for v in vals]
+
+
+def _price(spark):
+    # reference 'price' fixture shape: duplicate timestamps across ids
+    rows = [(1000, 7, 0.5), (1000, 3, 1.0), (1050, 3, 1.5), (1050, 7, 2.0),
+            (1100, 3, 2.5), (1150, 3, 3.0), (1150, 7, 3.5), (1200, 3, 4.0)]
+    return spark.createDataFrame(rows, "time long, id int, price double")
+
+
+def _vol(spark):
+    rows = [(1000, 7, 100), (1000, 3, 200), (1050, 3, 300), (1050, 7, 400),
+            (1100, 3, 500), (1200, 3, 600), (1250, 7, 700)]
+    return spark.createDataFrame(rows, "time long, id int, volume long")
+
+
+def test_asof_left_join_semantics(spark):
+    out = asof.left_join(_price(spark), _vol(spark), tolerance=50, key=["id"])
+    got = {(r.time, r.id): r.volume for r in out.collect()}
+    # equal timestamps match (LeftJoin.scala:91)
+    assert got[(1000, 7)] == 100
+    assert got[(1000, 3)] == 200
+    # tolerance inclusive at far end: t=1100 id=3 matches vol@1050? 1100-50=1050 inclusive
+    assert got[(1100, 3)] == 500  # exact match at 1100 exists
+    assert got[(1150, 3)] == 500  # 1150-50=1100 inclusive
+    # vol@1050 for id 7: 1150-50=1100 > 1050 -> out of tolerance -> null
+    assert got[(1150, 7)] is None
+
+
+def test_asof_left_join_tolerance_boundary(spark):
+    left = spark.createDataFrame([(1100, 1, 1.0)], "time long, id int, x double")
+    right = spark.createDataFrame([(1000, 1, 10)], "time long, id int, v long")
+    # tolerance exactly t - right.time -> inclusive match
+    assert asof.left_join(left, right, tolerance=100, key=["id"]).collect()[0].v == 10
+    # one ns less -> no match
+    assert asof.left_join(left, right, tolerance=99, key=["id"]).collect()[0].v is None
+
+
+def test_asof_future_strict(spark):
+    left = spark.createDataFrame([(1000, 1, 1.0)], "time long, id int, x double")
+    right = spark.createDataFrame([(1000, 1, 10), (1040, 1, 20)],
+                                  "time long, id int, v long")
+    non_strict = asof.future_left_join(left, right, tolerance=100, key=["id"])
+    assert non_strict.collect()[0].v == 10  # equal ts matches
+    strict = asof.future_left_join(left, right, tolerance=100, key=["id"],
+                                   strict_lookahead=True)
+    assert strict.collect()[0].v == 20  # skips equal ts, finds next
+
+
+def test_merge_preserves_all_rows(spark):
+    a, b = _price(spark), _price(spark)
+    assert asof.merge(a, b).count() == 2 * a.count()
+
+
+def test_interval_matrix(spark):
+    # clock ticks 1000, 1100, 1200; row exactly on ticks and between
+    df = spark.createDataFrame([(1000,), (1050,), (1100,), (1200,), (1250,)],
+                               "time long")
+    clock = UniformClock(begin_ns=1000, end_ns=1200, frequency_ns=100,
+                         timestamp_type=False)
+    def buckets(inclusion, rounding):
+        out = intervals.intervalize(df, clock, inclusion, rounding)
+        return {r["time"]: r["__interval_ns"] for r in out.collect()}
+
+    # inclusion=begin: [b, e); row at last tick (1200) dropped; 1250 dropped
+    assert buckets("begin", "begin") == {1000: 1000, 1050: 1000, 1100: 1100}
+    assert buckets("begin", "end") == {1000: 1100, 1050: 1100, 1100: 1200}
+    # inclusion=end: (b, e]; row at first tick (1000) dropped
+    assert buckets("end", "begin") == {1050: 1000, 1100: 1000, 1200: 1100}
+    assert buckets("end", "end") == {1050: 1100, 1100: 1100, 1200: 1200}
+
+
+def test_summarize_cycles_and_windows(spark):
+    out = cycles.summarize_cycles(_price(spark), S.sum_("price"), key=["id"])
+    got = {(r.time, r.id): r.price_sum for r in out.collect()}
+    assert got[(1000, 3)] == 1.0 and got[(1050, 7)] == 2.0
+    w = windows_ops.summarize_windows(_price(spark), W.past_absolute_time(100),
+                                      S.count(), key=["id"])
+    got = {(r.time, r.id): r["count"] for r in w.collect()}
+    # id=3 at t=1200: window [1100,1200] -> rows at 1100,1150,1200
+    assert got[(1200, 3)] == 3
+    # close-close: id=3 at t=1100: [1000,1100] includes 1000,1050,1100
+    assert got[(1100, 3)] == 3
+
+
+def test_cumulative_sum(spark):
+    out = agg_ops.add_summary_columns(_price(spark), S.sum_("price"), key=["id"])
+    got = {(r.time, r.id): r.price_sum for r in out.collect()}
+    assert got[(1200, 3)] == pytest.approx(1.0 + 1.5 + 2.5 + 3.0 + 4.0)
+
+
+def test_layout_invariance(spark):
+    """Results must not depend on physical partitioning
+    (reference MultiPartitionSuite.scala:29-80)."""
+    base = _price(spark)
+    expected = sorted(
+        asof.left_join(base, _vol(spark), tolerance=100, key=["id"]).collect())
+    for layout in [base.repartition(7), base.repartition(1),
+                   base.repartitionByRange(3, "time"), base.coalesce(1)]:
+        got = sorted(asof.left_join(layout, _vol(spark), tolerance=100,
+                                    key=["id"]).collect())
+        assert got == expected
+
+
+def test_summarizer_where_prefix(spark):
+    df = _price(spark)
+    summ = S.sum_("price").where(F.col("id") == 3).prefix("id3")
+    out = agg_ops.summarize(df, summ)
+    assert out.collect()[0]["id3_price_sum"] == pytest.approx(1.0 + 1.5 + 2.5 + 3.0 + 4.0)
+
+
+def test_shift_and_validate(spark):
+    ts = TimeSeriesDataFrame(_price(spark))
+    shifted = ts.shift(50)
+    assert shifted.df.select(F.min("time")).collect()[0][0] == 1050
+    shifted.validate()  # monotone after shift
+
+
+def test_ewma_against_pandas(spark):
+    pdf = pd.DataFrame({"time": np.arange(10) * 10**9, "id": [1] * 10,
+                        "x": np.arange(10, dtype="float64")})
+    df = spark.createDataFrame(pdf)
+    from flint_spark.operators.ema import ewma
+    out = (ewma(df, "x", alpha=0.3, duration_per_period="constant",
+                convention="core", key=["id"])
+           .orderBy("time").toPandas())
+    exp = pdf["x"].ewm(alpha=0.3, adjust=True).mean()
+    assert np.allclose(out["x_ewma"], exp)
