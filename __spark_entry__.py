@@ -922,6 +922,108 @@ SQL_FRAME_SAMPLING = """
 """
 
 
+
+
+def q_cycle_rank(spark, sf):
+    """addColumnsForCycle: percent_rank of quantity within each shipdate
+    cycle (reference CycleColumn rankers)."""
+    li = _lineitem(spark, sf)
+    out = cycles.add_columns_for_cycle(
+        li, {"qty_rank": F.percent_rank()},
+        order_by=["l_quantity", "l_orderkey", "l_linenumber"])
+    return out.select(TIME_COLUMN, "l_orderkey", "l_linenumber",
+                      R("qty_rank", 6).alias("qty_rank"))
+
+
+SQL_CYCLE_RANK = """
+  SELECT l_shipdate AS time, l_orderkey, l_linenumber,
+         floor((percent_rank() OVER (PARTITION BY l_shipdate
+                ORDER BY l_quantity, l_orderkey, l_linenumber)) * 1000000 + 0.5)
+           / 1000000 AS qty_rank
+  FROM lineitem
+"""
+
+
+def q_group_interval(spark, sf):
+    """groupByInterval: member event_ids per 1d interval and type."""
+    ev = _events(spark, sf)
+    clock = clocks.uniform("2024-01-01", "2027-01-01", "1d")
+    out = intervals.group_by_interval(ev, clock, key=["event_type"],
+                                      inclusion="begin", rounding="begin")
+    ids = F.sort_array(F.transform(F.col("rows"), lambda r: r["event_id"]))
+    return out.select(TIME_COLUMN, "event_type", ids.alias("event_ids"))
+
+
+SQL_GROUP_INTERVAL = """
+  SELECT date_trunc('day', ts) AS time, event_type,
+         list_sort(list(event_id)) AS event_ids
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
+  GROUP BY 1, 2
+"""
+
+
+def q_cycle_product(spark, sf):
+    """product / min / max summarizers over small per-day cycles."""
+    li = _lineitem(spark, sf)
+    li = li.withColumn("disc1", F.col("l_discount") + 1)
+    summ = S.compose(S.product("disc1"), S.min_("l_quantity"), S.max_("l_quantity"))
+    out = cycles.summarize_cycles(li, summ)
+    return out.select(TIME_COLUMN, R("disc1_product", 6).alias("disc_product"),
+                      F.col("l_quantity_min").alias("qty_min"),
+                      F.col("l_quantity_max").alias("qty_max"))
+
+
+SQL_CYCLE_PRODUCT = """
+  SELECT l_shipdate AS time,
+         floor((product(l_discount + 1)) * 1000000 + 0.5) / 1000000 AS disc_product,
+         min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
+  FROM lineitem GROUP BY 1
+"""
+
+
+def q_cycles_udf(spark, sf):
+    """summarizeCycles with a pandas UDF (value spread per user-day)."""
+    from flint_spark import functions as FL
+    ev = _events(spark, sf)
+    daily = ev.withColumn(TIME_COLUMN, F.date_trunc("day", F.col(TIME_COLUMN)))
+
+    def spread(pdf):
+        return {"spread": float(pdf["value"].max() - pdf["value"].min())}
+
+    out = FL.summarize_cycles_udf(daily, spread, "spread double",
+                                  key=["event_type"])
+    return out.select(TIME_COLUMN, "event_type", R("spread", 4).alias("spread"))
+
+
+SQL_CYCLES_UDF = """
+  SELECT date_trunc('day', ts) AS time, event_type,
+         floor((max(value) - min(value)) * 10000 + 0.5) / 10000 AS spread
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_udf(spark, sf):
+    """summarizeWindows with a pandas UDF (mean over past 1h per user) —
+    must agree with the built-in window mean."""
+    from flint_spark import functions as FL
+    ev = _events(spark, sf).select(TIME_COLUMN, "user_id", "value")
+
+    out = FL.summarize_windows_udf(
+        ev, W.past_absolute_time("1h"),
+        lambda pdf: float(pdf["value"].mean()), "w_mean", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id", R("w_mean", 4).alias("w_mean"))
+
+
+SQL_WINDOW_UDF = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
+         floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+               * 10000 + 0.5) / 10000 AS w_mean
+  FROM events
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -929,6 +1031,11 @@ SQL_FRAME_SAMPLING = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cycle_agg": q_cycle_agg,
+        "cycle_rank": q_cycle_rank,
+        "group_interval": q_group_interval,
+        "cycle_product": q_cycle_product,
+        "cycles_udf": q_cycles_udf,
+        "window_udf": q_window_udf,
         "group_cycle_rows": q_group_cycle_rows,
         "interval_uniform": q_interval_uniform,
         "interval_end_end": q_interval_end_end,
@@ -971,6 +1078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cycle_agg": SQL_CYCLE_AGG,
+        "cycle_rank": SQL_CYCLE_RANK,
+        "group_interval": SQL_GROUP_INTERVAL,
+        "cycle_product": SQL_CYCLE_PRODUCT,
+        "cycles_udf": SQL_CYCLES_UDF,
+        "window_udf": SQL_WINDOW_UDF,
         "group_cycle_rows": SQL_GROUP_CYCLE_ROWS,
         "interval_uniform": SQL_INTERVAL_UNIFORM,
         "interval_end_end": SQL_INTERVAL_END_END,

@@ -37,6 +37,7 @@ def add_columns_for_cycle(
     df: DataFrame,
     columns: Mapping[str, Column | Callable],
     key: Sequence[str] = (),
+    order_by: Sequence[str | Column] = (),
 ) -> DataFrame:
     """Per-cycle derived columns, one value per member row.
 
@@ -44,11 +45,15 @@ def add_columns_for_cycle(
     - a Column expression using rank-like window functions — evaluated
       over ``Window.partitionBy(time, *key)`` (pass e.g.
       ``F.percent_rank()`` or any expression of window aggregates);
+      rank-like functions order by ``order_by`` when given, else by an
+      arbitrary (input-order) row id;
     - a pandas callable ``pdf -> pd.Series`` applied per cycle via
       ``applyInPandas`` (cardinality-preserving).
     """
     key = list(key)
     w = Window.partitionBy(TIME_COLUMN, *key)
+    ordered = (w.orderBy(*order_by) if order_by
+               else w.orderBy(F.monotonically_increasing_id()))
     out = df
     pandas_items: list[tuple[str, Callable]] = []
     for name, spec in columns.items():
@@ -56,7 +61,7 @@ def add_columns_for_cycle(
             pandas_items.append((name, spec))
         else:
             # window-function expressions need an ORDER BY for ranking fns
-            out = out.withColumn(name, spec.over(w.orderBy(F.monotonically_increasing_id()))
+            out = out.withColumn(name, spec.over(ordered)
                                  if _needs_order(spec) else spec.over(w))
     if pandas_items:
         from pyspark.sql import types as T

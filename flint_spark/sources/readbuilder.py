@@ -1,0 +1,103 @@
+"""Fluent reader facade mirroring the reference's ReadBuilder
+(``timeseries/io/read/ReadBuilder.scala:37-290``,
+``python/ts/flint/readwriter.py:30-456``):
+
+    ts = (TSRead(spark).option("mergeSchema", "true")
+          .range("2024-01-01", "2025-01-01")
+          .time_column("ts")
+          .parquet("/data/events"))
+
+``.range(begin, end)`` prunes [begin, end) — pushed to the parquet scan
+by Catalyst (the reference's DFBetween, 10x pruning claim). ``.clock``
+expands into a generated uniform clock instead of reading files.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .. import clocks as clocks_mod
+from ..timeseries import TIME_COLUMN, TimeSeriesDataFrame
+
+
+class TSRead:
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._options: dict[str, Any] = {}
+        self._begin = None
+        self._end = None
+        self._time_column = TIME_COLUMN
+        self._time_unit: str | None = None
+        self._columns = None
+
+    def option(self, key: str, value) -> "TSRead":
+        self._options[key] = value
+        return self
+
+    def options(self, **kv) -> "TSRead":
+        self._options.update(kv)
+        return self
+
+    def range(self, begin, end) -> "TSRead":
+        """[begin, end) time pruning, begin-inclusive end-exclusive
+        (reference ``DFBetween``, ``TimeSeriesRDD.scala:199-232``)."""
+        self._begin, self._end = begin, end
+        return self
+
+    def columns(self, *cols: str) -> "TSRead":
+        self._columns = list(cols)
+        return self
+
+    def time_column(self, name: str, unit: str | None = None) -> "TSRead":
+        self._time_column, self._time_unit = name, unit
+        return self
+
+    def _finish(self, df) -> TimeSeriesDataFrame:
+        def bound(value):
+            # long time columns hold epoch-ns: convert date strings/datetimes
+            dtype = dict(df.dtypes).get(self._time_column, "")
+            if dtype in ("bigint", "long", "int") and not isinstance(value, int):
+                return F.lit(clocks_mod._to_ns(value))
+            return F.lit(value)
+
+        if self._begin is not None:
+            df = df.filter(F.col(self._time_column) >= bound(self._begin))
+        if self._end is not None:
+            df = df.filter(F.col(self._time_column) < bound(self._end))
+        if self._columns is not None:
+            keep = [self._time_column] + [c for c in self._columns
+                                          if c != self._time_column]
+            df = df.select(*keep)
+        return TimeSeriesDataFrame.from_df(df, time_column=self._time_column,
+                                           time_unit=self._time_unit)
+
+    def parquet(self, path: str) -> TimeSeriesDataFrame:
+        return self._finish(self._spark.read.options(**self._options).parquet(path))
+
+    def csv(self, path: str, schema=None, header: bool = True) -> TimeSeriesDataFrame:
+        reader = self._spark.read.options(header=header, **self._options)
+        df = reader.csv(path, schema=schema) if schema else \
+            reader.option("inferSchema", True).csv(path)
+        return self._finish(df)
+
+    def json(self, path: str, schema=None) -> TimeSeriesDataFrame:
+        return self._finish(self._spark.read.options(**self._options)
+                            .json(path, schema=schema))
+
+    def dataframe(self, df) -> TimeSeriesDataFrame:
+        return self._finish(df)
+
+    def pandas(self, pdf) -> TimeSeriesDataFrame:
+        return self._finish(self._spark.createDataFrame(pdf))
+
+    def clock(self, frequency: str, begin=None, end=None,
+              end_inclusive: bool = True) -> TimeSeriesDataFrame:
+        b = begin if begin is not None else self._begin
+        e = end if end is not None else self._end
+        if b is None or e is None:
+            raise ValueError("clock() needs a range: .range(begin, end)")
+        ck = clocks_mod.uniform(b, e, frequency, end_inclusive=end_inclusive)
+        return TimeSeriesDataFrame(ck.ticks_df(self._spark))

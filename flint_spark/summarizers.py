@@ -86,6 +86,26 @@ def compose(*summarizers: Summarizer) -> Summarizer:
     return Summarizer(items)
 
 
+def stack(*summarizers: Summarizer) -> Summarizer:
+    """Same-schema summarizers -> one ``stack`` array-of-structs column
+    (reference ``Summarizers.stack``, ``timeseries/Summarizers.scala:420-443``,
+    ``StackSummarizerFactory.scala``)."""
+    names0 = summarizers[0].names
+    for s in summarizers[1:]:
+        if s.names != names0:
+            raise ValueError("stack requires identical output schemas")
+
+    def build(df: DataFrame, m: Mask, o: Over) -> Column:
+        structs = []
+        for s in summarizers:
+            cols = [fn(df, lambda c: m(s._mask(c)), o).alias(s._prefix + n)
+                    for n, fn in s._items]
+            structs.append(F.struct(*cols))
+        return F.array(*structs)
+
+    return Summarizer([("stack", build)])
+
+
 def _simple(name_fmt: str, agg: Callable[[Column], Column],
             post: Callable[[Column], Column] = lambda c: c):
     def factory(column: str) -> Summarizer:

@@ -1,0 +1,125 @@
+"""Tests for streaming, reader facade, stack, UDF layer, plan analysis."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flint_spark import TimeSeriesDataFrame, summarizers as S, windows as W
+from flint_spark import functions as FL
+from flint_spark.clocks import random as random_clock
+from flint_spark.operators import aggregate as agg_ops
+from flint_spark.plans.order import is_order_preserving
+from flint_spark.sources.readbuilder import TSRead
+from flint_spark.streaming import ts_stream
+
+
+def test_readbuilder_parquet_range_prune(spark, sf_dir):
+    ts = (TSRead(spark).range("2024-01-01", "2024-01-05")
+          .time_column("ts").columns("user_id", "value")
+          .parquet(f"{sf_dir}/events.parquet"))
+    assert ts.columns == ["time", "user_id", "value"]
+    # pruned read: filter reached the scan (pushdown visible in plan)
+    plan = ts.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "Filter" in plan
+    assert ts.count() > 0
+
+
+def test_readbuilder_clock(spark):
+    ts = TSRead(spark).range("2024-01-01", "2024-01-02").clock("6h")
+    assert ts.count() == 5  # inclusive end
+
+
+def test_random_clock_deterministic(spark):
+    a = random_clock(spark, "2024-01-01", "2024-01-02", "1h", seed=3).collect()
+    b = random_clock(spark, "2024-01-01", "2024-01-02", "1h", seed=3).collect()
+    assert a == b and len(a) == 24
+
+
+def test_stack_summarizer(spark):
+    df = spark.createDataFrame(
+        [(1000, 1, 2.0), (1000, 2, 3.0), (1100, 1, 4.0)],
+        "time long, id int, x double")
+    stacked = S.stack(S.sum_("x").where(F.col("id") == 1),
+                      S.sum_("x").where(F.col("id") == 2))
+    out = agg_ops.summarize(df, stacked).collect()[0]["stack"]
+    assert out[0]["x_sum"] == 6.0 and out[1]["x_sum"] == 3.0
+
+
+def test_summarize_windows_udf_matches_builtin(spark):
+    df = spark.createDataFrame(
+        [(1000, 1, 1.0), (1050, 1, 2.0), (1100, 1, 4.0), (1300, 1, 8.0)],
+        "time long, id int, v double")
+    got = FL.summarize_windows_udf(df, W.past_absolute_time(100),
+                                   lambda pdf: float(pdf["v"].sum()),
+                                   "w_sum", key=["id"])
+    vals = {r.time: r.w_sum for r in got.collect()}
+    assert vals == {1000: 1.0, 1050: 3.0, 1100: 7.0, 1300: 8.0}
+
+
+def test_summarize_cycles_udf(spark):
+    df = spark.createDataFrame(
+        [(1000, 1, 1.0), (1000, 1, 5.0), (1100, 1, 2.0)],
+        "time long, id int, v double")
+    out = FL.summarize_cycles_udf(
+        df, lambda pdf: {"spread": float(pdf.v.max() - pdf.v.min())},
+        "spread double", key=["id"])
+    got = {r.time: r.spread for r in out.collect()}
+    assert got == {1000: 4.0, 1100: 0.0}
+
+
+def test_order_preservation_rules(spark):
+    df = spark.createDataFrame([(1, 2.0)], "time long, x double")
+    assert is_order_preserving(df.filter(F.col("x") > 0).select("time"))
+    assert not is_order_preserving(df.groupBy("time").count())
+    assert not is_order_preserving(df.sort("x"))
+
+
+def test_streaming_interval_agg(spark, sf_dir, tmp_path):
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    import shutil
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
+    raw = spark.readStream.schema(schema).parquet(str(ev_dir))
+    from flint_spark.timeseries import ns_to_time_expr
+    ev = raw.withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+    agg = ts_stream.summarize_intervals_stream(
+        ev, "1 day", S.compose(S.count(), S.sum_("value")), key=["event_type"],
+        watermark="1 minute")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("stream_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM stream_out")
+    # append mode emits only watermark-closed windows; all but the last day
+    batch = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy(F.date_trunc("day", F.timestamp_micros(
+                 (F.col("ts") / 1000).cast("long"))).alias("time"), "event_type")
+             .count())
+    assert got.count() > 0
+    assert got.count() <= batch.count()
+    # spot-check one closed window against batch
+    row = got.orderBy("time", "event_type").first()
+    exp = batch.filter((F.col("time") == row["time"])
+                       & (F.col("event_type") == row["event_type"])).first()
+    assert exp is not None and exp["count"] == row["count"]
+
+
+def test_streaming_sessions(spark, sf_dir, tmp_path):
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    import shutil
+    ev_dir = tmp_path / "ev2"
+    ev_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
+    raw = spark.readStream.schema(schema).parquet(str(ev_dir))
+    from flint_spark.timeseries import ns_to_time_expr
+    ev = raw.withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+    sess = ts_stream.sessionize_stream(ev, gap="1 hour", key=["user_id"],
+                                       watermark="1 minute")
+    q = (sess.writeStream.outputMode("append").format("memory")
+         .queryName("sess_out").start())
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM sess_out").count() > 0
