@@ -1024,6 +1024,87 @@ SQL_WINDOW_UDF = """
 """
 
 
+
+
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1 shape: generic analytics delegate straight to Catalyst
+    (the reference likewise passes non-temporal queries to Spark)."""
+    li = _lineitem(spark, sf)
+    out = (li.filter(F.col(TIME_COLUMN) <= F.lit("2001-09-02"))
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity").alias("sum_qty"),
+                R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+                .alias("revenue"),
+                R(F.avg("l_quantity"), 4).alias("avg_qty"),
+                R(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order")))
+    return out
+
+
+SQL_TPCH_Q1 = """
+  SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 1 + 0.5) / 1 AS revenue,
+         floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+         floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+  GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3ish(spark, sf):
+    """Q3 shape: 3-way join with a broadcast dimension, per-order revenue."""
+    li = _lineitem(spark, sf)
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    out = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .groupBy("l_orderkey", "o_orderdate")
+           .agg(R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    return out
+
+
+SQL_TPCH_Q3ISH = """
+  SELECT l_orderkey, o_orderdate,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
+           AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2
+"""
+
+
+def q_topk_per_group(spark, sf):
+    """top-3 revenue days per returnflag (window top-k pattern)."""
+    li = _lineitem(spark, sf)
+    daily = (li.groupBy(TIME_COLUMN, "l_returnflag")
+             .agg(R(F.sum("l_extendedprice"), 2).alias("day_rev")))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("day_rev"), F.col(TIME_COLUMN))
+    return (daily.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3))
+
+
+SQL_TOPK_PER_GROUP = """
+  WITH daily AS (
+    SELECT l_shipdate AS time, l_returnflag,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS day_rev
+    FROM lineitem GROUP BY 1, 2
+  )
+  SELECT * FROM (
+    SELECT time, l_returnflag, day_rev,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY day_rev DESC, time) AS rk
+    FROM daily) WHERE rk <= 3
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1031,6 +1112,9 @@ SQL_WINDOW_UDF = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cycle_agg": q_cycle_agg,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "topk_per_group": q_topk_per_group,
         "cycle_rank": q_cycle_rank,
         "group_interval": q_group_interval,
         "cycle_product": q_cycle_product,
@@ -1078,6 +1162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cycle_agg": SQL_CYCLE_AGG,
+        "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3ish": SQL_TPCH_Q3ISH,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
         "cycle_rank": SQL_CYCLE_RANK,
         "group_interval": SQL_GROUP_INTERVAL,
         "cycle_product": SQL_CYCLE_PRODUCT,

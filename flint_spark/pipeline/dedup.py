@@ -82,7 +82,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed)
+    # the signature table feeds the band join AND both sides of the
+    # estimate join — persist it or Spark recomputes the whole
+    # shingle->hash->32-min aggregation subtree four times.
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed).persist()
     mh_cols = [f"mh_{j}" for j in range(num_hashes)]
     band_structs = [
         F.struct(
@@ -138,7 +141,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
     Candidates via 8-bit band equi-join (a pair within hamming<=3 of a
     32-bit hash must agree on at least one of the four bytes)."""
-    sh = simhash(docs, text_col, id_col, nbits)
+    # both sides of the band self-join read the simhash aggregation
+    sh = simhash(docs, text_col, id_col, nbits).persist()
     nbands = nbits // 8
     banded = sh.select(
         id_col, "simhash",
@@ -169,7 +173,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """Exact n-gram Jaccard similarity for pairs sharing a shingle:
     (id_a, id_b, jaccard). Shingles occurring in > max_df docs are
     dropped first (stop-shingle skew control)."""
-    sh = shingles(docs, text_col, id_col, k)
+    # shingle table feeds the df-filter, both join sides and the size
+    # table — persist to avoid recomputing the explode+distinct 4x.
+    sh = shingles(docs, text_col, id_col, k).persist()
     rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df).select("shingle"))
     sh = sh.join(rare, "shingle")
