@@ -145,6 +145,21 @@ def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0
     return u.filter(F.col(_SRC) == left_marker).select(*out_cols)
 
 
+def symmetric_join(left: DataFrame, right: DataFrame,
+                   tolerance: str | int = 0, key: Sequence[str] = (),
+                   left_alias: str = "left",
+                   right_alias: str = "right") -> DataFrame:
+    """Full-outer as-of join (reference internal ``SymmetricJoin.scala``):
+    one output row per input row from BOTH sides, each carrying the most
+    recent counterpart within tolerance. Columns are alias-prefixed on
+    both sides plus a ``side`` marker."""
+    a = left_join(left, right, tolerance, key, left_alias, right_alias) \
+        .withColumn("side", F.lit("left"))
+    b = left_join(right, left, tolerance, key, right_alias, left_alias) \
+        .withColumn("side", F.lit("right"))
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 def merge(left: DataFrame, right: DataFrame) -> DataFrame:
     """Ordered union of same-schema tables; ties ordered left-first
     (reference ``rdd/function/join/Merge.scala:27-77``). Ordering is

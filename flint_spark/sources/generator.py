@@ -1,0 +1,33 @@
+"""Deterministic test-data generator (reference ``TimeSeriesGenerator``,
+``timeseries/TimeSeriesGenerator.scala:17-122``): cycles at a fixed
+frequency over [begin, end], an id panel per cycle (optionally
+subsampled), seeded random measure columns. Fully distributed
+(``spark.range`` + ``rand(seed)``) — no driver data."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..clocks import _to_ns
+from ..timeseries import TIME_COLUMN, parse_duration_ns
+
+
+def generate(spark: SparkSession, begin, end, frequency: str | int,
+             ids: Sequence[int] = (1, 2, 3, 4, 5),
+             columns: Sequence[str] = ("x1", "x2"),
+             id_ratio: float = 1.0, seed: int = 42,
+             timestamp_type: bool = False) -> DataFrame:
+    b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
+    base = spark.range(b, e + 1, f).select(F.col("id").alias("__tns"))
+    panel = base.select("__tns", F.explode(F.array(
+        *[F.lit(i) for i in ids])).alias("id"))
+    if id_ratio < 1.0:
+        panel = panel.filter(F.rand(seed + 1) < id_ratio)
+    for i, c in enumerate(columns):
+        panel = panel.withColumn(c, F.rand(seed + 100 + i))
+    time_col = (F.timestamp_micros((F.col("__tns") / 1000).cast("long"))
+                if timestamp_type else F.col("__tns").cast("long"))
+    return panel.select(time_col.alias(TIME_COLUMN), "id", *columns)

@@ -173,6 +173,18 @@ def correlation(x: str, y: str) -> Summarizer:
     ])
 
 
+def correlation_matrix(*columns: str) -> Summarizer:
+    """All-pairs Pearson correlation (reference ``correlation(cols*)``
+    form, ``Summarizers.scala:211-261``): one output pair per unordered
+    column pair."""
+    pairs = [(x, y) for i, x in enumerate(columns) for y in columns[i + 1:]]
+    items: list[tuple[str, Builder]] = []
+    for x, y in pairs:
+        s = correlation(x, y)
+        items.extend(s._items)
+    return Summarizer(items)
+
+
 def nth_moment(column: str, n: int) -> Summarizer:
     return Summarizer([(f"{column}_{n}thMoment",
                         lambda df, m, o: o(F.avg(F.pow(m(F.col(column)), F.lit(n)))))])

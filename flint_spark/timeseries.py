@@ -232,6 +232,16 @@ class TimeSeriesDataFrame:
     def to_pandas(self):
         return self._df.sort(TIME_COLUMN).toPandas()
 
+    @property
+    def write(self):
+        """Sorted writer (``df.write.parquet(...)`` etc.)."""
+        return self._df.sort(TIME_COLUMN).write
+
+    def preview(self, n: int = 10):
+        """First n rows in time order (reference ``preview``,
+        ``python/ts/flint/dataframe.py:1634-1640``)."""
+        return self._df.sort(TIME_COLUMN).limit(n).toPandas()
+
     def count(self) -> int:
         return self._df.count()
 
@@ -400,3 +410,28 @@ class TimeSeriesDataFrame:
     def add_windows(self, window, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
         from .operators.windows_ops import add_windows
         return self._wrap(add_windows(self._df, window, key))
+
+    def ewma(self, column: str, alpha: float = 0.05,
+             duration_per_period: str = "1d", convention: str = "legacy",
+             key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.ema import ewma
+        return self._wrap(ewma(self._df, column, alpha, duration_per_period,
+                               convention, key))
+
+    def exponential_smoothing(self, column: str, **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.ema import exponential_smoothing
+        return self._wrap(exponential_smoothing(self._df, column, **kwargs))
+
+    def ema_half_life(self, column: str, half_life: str, **kwargs
+                      ) -> "TimeSeriesDataFrame":
+        from .operators.ema import ema_half_life
+        return self._wrap(ema_half_life(self._df, column, half_life, **kwargs))
+
+    def ols_regression(self, y: str, xs: Sequence[str], **kwargs) -> DataFrame:
+        from .operators.regression import ols_regression
+        return ols_regression(self._df, y, xs, **kwargs)
+
+    def sessionize(self, gap: str | int = "30m",
+                   key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.sessions import sessionize
+        return self._wrap(sessionize(self._df, gap, key))

@@ -155,3 +155,17 @@ def test_ewma_against_pandas(spark):
            .orderBy("time").toPandas())
     exp = pdf["x"].ewm(alpha=0.3, adjust=True).mean()
     assert np.allclose(out["x_ewma"], exp)
+
+
+def test_symmetric_join(spark):
+    left = spark.createDataFrame([(1000, 1, 1.0), (1200, 1, 2.0)],
+                                 "time long, id int, x double")
+    right = spark.createDataFrame([(1100, 1, 10)], "time long, id int, v long")
+    out = asof.symmetric_join(left, right, tolerance=150, key=["id"])
+    rows = {(r["side"], r["time"]): r for r in out.collect()}
+    assert len(rows) == 3
+    # left row at 1200 sees right@1100; left row at 1000 sees nothing
+    assert rows[("left", 1200)]["right_v"] == 10
+    assert rows[("left", 1000)]["right_v"] is None
+    # right row at 1100 sees left@1000
+    assert rows[("right", 1100)]["left_x"] == 1.0

@@ -123,3 +123,35 @@ def test_streaming_sessions(spark, sf_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT * FROM sess_out").count() > 0
+
+
+def test_generator_and_wrapper_delegates(spark):
+    from flint_spark.sources.generator import generate
+    from flint_spark import TimeSeriesDataFrame, summarizers as S
+
+    df = generate(spark, 0, 10**12, "100s", ids=[1, 2], columns=["x1"])
+    assert df.columns == ["time", "id", "x1"]
+    n_cycles = 10**12 // (100 * 10**9) + 1
+    assert df.count() == n_cycles * 2
+    # deterministic per seed
+    assert df.collect() == generate(spark, 0, 10**12, "100s", ids=[1, 2],
+                                    columns=["x1"]).collect()
+    ts = TimeSeriesDataFrame(df)
+    e = ts.ewma("x1", key=["id"])
+    assert "x1_ewma" in e.columns
+    sess = ts.sessionize(gap="1000s", key=["id"])
+    assert "session_id" in sess.columns
+    assert ts.preview(3).shape[0] == 3
+
+
+def test_correlation_matrix(spark):
+    from flint_spark.operators import aggregate as agg_ops
+    from flint_spark import summarizers as S
+    import math
+    df = spark.createDataFrame(
+        [(i, float(i), float(i * 2), float(10 - i)) for i in range(10)],
+        "time long, a double, b double, c double")
+    out = agg_ops.summarize(df, S.correlation_matrix("a", "b", "c")).collect()[0]
+    assert out["a_b_correlation"] == pytest.approx(1.0)
+    assert out["a_c_correlation"] == pytest.approx(-1.0)
+    assert out["b_c_correlation"] == pytest.approx(-1.0)
