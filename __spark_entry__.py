@@ -1105,6 +1105,36 @@ SQL_TOPK_PER_GROUP = """
 """
 
 
+
+
+def q_null_skip(spark, sf):
+    """Summarizer null-skipping (reference PredicateSummarizer /
+    null-input row skipping, timeseries/summarize/Summarizer.scala:168-188):
+    aggregates ignore injected nulls; count(col) < count(*)."""
+    ev = _events(spark, sf)
+    ev = ev.withColumn("v_null", F.when(F.col("value") >= 50, F.col("value")))
+    summ = S.compose(S.count(), S.count("v_null"), S.sum_("v_null"),
+                     S.mean("v_null"), S.min_("v_null"))
+    out = agg_ops.summarize(ev, summ, key=["event_type"])
+    return out.select("event_type", "count",
+                      F.col("v_null_count").alias("n_nonnull"),
+                      R("v_null_sum", 4).alias("sum_nonnull"),
+                      R("v_null_mean", 6).alias("mean_nonnull"),
+                      F.col("v_null_min").alias("min_nonnull"))
+
+
+SQL_NULL_SKIP = """
+  SELECT event_type, count(*) AS count,
+         count(CASE WHEN value >= 50 THEN value END) AS n_nonnull,
+         floor((sum(CASE WHEN value >= 50 THEN value END)) * 10000 + 0.5) / 10000
+           AS sum_nonnull,
+         floor((avg(CASE WHEN value >= 50 THEN value END)) * 1000000 + 0.5)
+           / 1000000 AS mean_nonnull,
+         min(CASE WHEN value >= 50 THEN value END) AS min_nonnull
+  FROM events GROUP BY 1
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1112,6 +1142,7 @@ SQL_TOPK_PER_GROUP = """
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cycle_agg": q_cycle_agg,
+        "null_skip": q_null_skip,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "topk_per_group": q_topk_per_group,
@@ -1162,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cycle_agg": SQL_CYCLE_AGG,
+        "null_skip": SQL_NULL_SKIP,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3ish": SQL_TPCH_Q3ISH,
         "topk_per_group": SQL_TOPK_PER_GROUP,

@@ -1,0 +1,61 @@
+"""Time-partitioned sinks for the 100 TB layout.
+
+``write_time_partitioned`` materializes a date-partition column and
+writes parquet partitioned by it (plus optional extra keys), so later
+``[begin, end)`` reads prune whole directories (partition pruning on
+top of row-group pruning). ``write_bucketed`` persists a
+bucket-by-key table so subsequent keyed joins/windows co-locate
+without a shuffle (Spark bucketing needs ``saveAsTable``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..timeseries import TIME_COLUMN, ns_to_time_expr, time_ns_expr
+
+PARTITION_COL = "__dt"
+
+
+_GRANULARITY_FMT = {"1d": "yyyy-MM-dd", "1h": "yyyy-MM-dd-HH",
+                    "1mo": "yyyy-MM", "1y": "yyyy"}
+
+
+def write_time_partitioned(df: DataFrame, path: str, granularity: str = "1d",
+                           extra_partition_cols: Sequence[str] = (),
+                           mode: str = "overwrite") -> None:
+    fmt = _GRANULARITY_FMT[granularity]
+    dtype = dict(df.dtypes)[TIME_COLUMN]
+    if dtype.startswith("timestamp"):
+        dt = F.date_format(F.col(TIME_COLUMN).cast("timestamp"), fmt)
+    else:
+        ts = ns_to_time_expr(time_ns_expr(df), "timestamp")
+        dt = F.date_format(ts, fmt)
+    (df.withColumn(PARTITION_COL, dt)
+       .write.mode(mode)
+       .partitionBy(PARTITION_COL, *extra_partition_cols)
+       .parquet(path))
+
+
+def read_time_partitioned(spark, path: str, begin: str | None = None,
+                          end: str | None = None) -> DataFrame:
+    """Read back with directory-level pruning on the partition column."""
+    df = spark.read.parquet(path)
+    if begin is not None:
+        df = df.filter(F.col(PARTITION_COL) >= begin)
+    if end is not None:
+        df = df.filter(F.col(PARTITION_COL) < end)
+    return df.drop(PARTITION_COL)
+
+
+def write_bucketed(df: DataFrame, table: str, key: Sequence[str],
+                   n_buckets: int = 64, mode: str = "overwrite") -> None:
+    """Bucket by join/window key: downstream operators partitioned on
+    the same key skip their shuffle (storage-partitioned layout)."""
+    (df.write.mode(mode)
+       .bucketBy(n_buckets, *key)
+       .sortBy(*key, TIME_COLUMN)
+       .saveAsTable(table, format="parquet"))

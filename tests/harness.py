@@ -15,6 +15,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import os as _os
+EXACT = _os.environ.get("HARNESS_EXACT", "") == "1"
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -35,7 +38,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.notna().any() else None, (list, np.ndarray)):
             df[c] = s.map(lambda v: tuple(v) if v is not None else None)
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.round(9)
+            if not EXACT:
+                df[c] = s.round(9)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("float64")  # unify Int64/int32/int64
     return df.sort_values(list(df.columns), ignore_index=True)
@@ -50,7 +54,8 @@ def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
         return False, f"row count {len(got)} vs {len(exp)}"
     try:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                      check_exact=False, rtol=0, atol=1e-9)
+                                      check_exact=EXACT, rtol=0,
+                                      atol=0 if EXACT else 1e-9)
     except AssertionError as e:
         return False, str(e).split("\n")[1][:200] if "\n" in str(e) else str(e)[:200]
     return True, f"{len(got)} rows"

@@ -169,3 +169,29 @@ def test_symmetric_join(spark):
     assert rows[("left", 1000)]["right_v"] is None
     # right row at 1100 sees left@1000
     assert rows[("right", 1100)]["left_x"] == 1.0
+
+
+def test_empty_inputs(spark):
+    """Operators on empty tables return empty, not errors
+    (reference EmptyTimeSeriesRDDSpec)."""
+    empty = _price(spark).filter(F.lit(False))
+    vol = _vol(spark)
+    assert asof.left_join(empty, vol, tolerance=100, key=["id"]).count() == 0
+    assert asof.left_join(_price(spark), vol.filter(F.lit(False)),
+                          tolerance=100, key=["id"]).count() == _price(spark).count()
+    assert cycles.summarize_cycles(empty, S.sum_("price")).count() == 0
+    assert agg_ops.add_summary_columns(empty, S.count(), key=["id"]).count() == 0
+    from flint_spark.operators.ema import ewma
+    assert ewma(empty, "price", key=["id"]).count() == 0
+
+
+def test_null_measures_in_join(spark):
+    """Right-side null measures must not break the matched-row struct
+    (all right columns come from the same row)."""
+    left = spark.createDataFrame([(1100, 1, 1.0)], "time long, id int, x double")
+    right = spark.createDataFrame(
+        [(1000, 1, None, 5.0), (1050, 1, 7.0, None)],
+        "time long, id int, a double, b double")
+    row = asof.left_join(left, right, tolerance=200, key=["id"]).collect()[0]
+    # most recent right row is t=1050: a=7.0, b=None (NOT b=5.0 from t=1000)
+    assert row.a == 7.0 and row.b is None

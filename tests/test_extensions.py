@@ -155,3 +155,21 @@ def test_correlation_matrix(spark):
     assert out["a_b_correlation"] == pytest.approx(1.0)
     assert out["a_c_correlation"] == pytest.approx(-1.0)
     assert out["b_c_correlation"] == pytest.approx(-1.0)
+
+
+def test_time_partitioned_writer_roundtrip(spark, sf_dir, tmp_path):
+    from flint_spark.sources.writer import (read_time_partitioned,
+                                            write_time_partitioned)
+    from flint_spark.timeseries import ns_to_time_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp")).drop("ts")
+    out = str(tmp_path / "part")
+    write_time_partitioned(ev, out, granularity="1d")
+    back = read_time_partitioned(spark, out, begin="2024-01-02", end="2024-01-04")
+    exp = ev.filter((F.col("time") >= "2024-01-02") & (F.col("time") < "2024-01-04"))
+    assert back.count() == exp.count()
+    # directory-level pruning: fewer files scanned than total partitions
+    import os
+    parts = [d for d in os.listdir(out) if d.startswith("__dt=")]
+    assert len(parts) > 2

@@ -1,0 +1,96 @@
+"""Property-based differential testing (hypothesis): random small
+frames, as-of joins checked against pandas merge_asof and a
+hand-written reference; summarizers against pandas aggregation.
+Goes beyond the reference's test strategy (it had no randomized
+differential harness — SURVEY §5)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from flint_spark import summarizers as S
+from flint_spark.operators import aggregate as agg_ops
+from flint_spark.operators import asof
+
+_SPARK = {}
+
+
+def _spark():
+    if "s" not in _SPARK:
+        from flint_spark.session import get_spark
+        _SPARK["s"] = get_spark("prop_tests")
+    return _SPARK["s"]
+
+
+@st.composite
+def panels(draw, max_rows=40):
+    n = draw(st.integers(1, max_rows))
+    times = sorted(draw(st.lists(st.integers(0, 500), min_size=n, max_size=n)))
+    ids = draw(st.lists(st.integers(1, 3), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-100, 100), min_size=n, max_size=n))
+    return pd.DataFrame({"time": times, "id": ids,
+                         "v": [float(x) for x in vals]})
+
+
+def _ref_asof_backward(left, right, tol):
+    out = []
+    for _, lr in left.iterrows():
+        cand = right[(right["id"] == lr["id"]) & (right["time"] <= lr["time"])
+                     & (right["time"] >= lr["time"] - tol)]
+        out.append(cand.sort_values("time").iloc[-1]["rv"]
+                   if len(cand) else None)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left=panels(), right=panels(), tol=st.integers(0, 200))
+def test_asof_backward_vs_reference(left, right, tol):
+    # unique (id, time) on the right — ties are engine-order-dependent
+    right = (right.groupby(["time", "id"], as_index=False)
+             .agg(rv=("v", "max")))
+    spark = _spark()
+    ldf = spark.createDataFrame(left, "time long, id int, v double")
+    rdf = spark.createDataFrame(right, "time long, id int, rv double")
+    got = (asof.left_join(ldf, rdf, tolerance=tol, key=["id"])
+           .toPandas().sort_values(["time", "id", "v"], ignore_index=True))
+    exp_vals = _ref_asof_backward(
+        left.sort_values(["time", "id", "v"], ignore_index=True), right, tol)
+    got_vals = [None if pd.isna(x) else x for x in got["rv"]]
+    assert got_vals == exp_vals
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels())
+def test_summarize_vs_pandas(panel):
+    spark = _spark()
+    df = spark.createDataFrame(panel, "time long, id int, v double")
+    summ = S.compose(S.count(), S.sum_("v"), S.mean("v"),
+                     S.min_("v"), S.max_("v"))
+    got = agg_ops.summarize(df, summ, key=["id"]).toPandas() \
+        .set_index("id").sort_index()
+    exp = panel.groupby("id")["v"].agg(["count", "sum", "mean", "min", "max"])
+    assert (got["count"] == exp["count"]).all()
+    assert np.allclose(got["v_sum"], exp["sum"])
+    assert np.allclose(got["v_mean"], exp["mean"])
+    assert np.allclose(got["v_min"], exp["min"])
+    assert np.allclose(got["v_max"], exp["max"])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), w=st.integers(0, 100))
+def test_window_count_vs_pandas(panel, w):
+    from flint_spark import windows as W
+    from flint_spark.operators import windows_ops
+
+    spark = _spark()
+    df = spark.createDataFrame(panel, "time long, id int, v double")
+    got = (windows_ops.summarize_windows(df, W.TimeWindow(-w, 0, "p"),
+                                         S.count(), key=["id"])
+           .toPandas())
+    for _, r in got.iterrows():
+        exp = ((panel["id"] == r["id"]) & (panel["time"] <= r["time"])
+               & (panel["time"] >= r["time"] - w)).sum()
+        assert r["count"] == exp
