@@ -1135,6 +1135,37 @@ SQL_NULL_SKIP = """
 """
 
 
+
+
+def q_embedding_dedup(spark, sf):
+    """Embedding-cosine near-dup pairs via LSH candidate buckets."""
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.35,
+                                              n_planes=_PLANES_N,
+                                              seed=_PLANES_SEED)
+    return out.select("id_a", "id_b", R("cosine", 6).alias("cosine"))
+
+
+def _sql_embedding_dedup() -> str:
+    planes = hyperplanes(_PLANES_N, 64, _PLANES_SEED)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(v, {plane}) > 0 THEN {2 ** p} ELSE 0 END"
+        for p, plane in enumerate(planes))
+    return f"""
+  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  bucketed AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM base),
+  pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  SELECT id_a, id_b, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM pairs WHERE cosine >= 0.35
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1183,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "embedding_dedup": q_embedding_dedup,
         "text_stats": q_text_stats,
         "lang_confusion": q_lang_confusion,
         "multimodal_features": q_multimodal_features,
@@ -1234,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_ann": _sql_lsh_ann(),
+        "embedding_dedup": _sql_embedding_dedup(),
         "text_stats": _sql_text_stats(),
         "lang_confusion": _sql_lang_confusion(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

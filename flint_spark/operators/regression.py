@@ -66,7 +66,10 @@ _RESULT_FIELDS = [
 ]
 
 
-def _solve_row(row: pd.Series, nx: int, intercept: bool) -> dict:
+def _solve_row(row: pd.Series, nx: int, intercept: bool,
+               x_names: Sequence[str] = (),
+               ignore_constants: bool = False,
+               constant_error_bound: float = 1.0e-12) -> dict:
     k = nx + 2  # [1, x1..xnx, y]
     G = np.empty((k, k))
     for i in range(k):
@@ -74,11 +77,34 @@ def _solve_row(row: pd.Series, nx: int, intercept: bool) -> dict:
             G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
     n = int(row["n_obs"])
     sw = G[0, 0]  # Σw
-    # design = [1?, x...]; target = y
-    lo = 0 if intercept else 1
-    A = G[lo:k - 1, lo:k - 1]          # X'WX (incl. intercept row/col)
-    b = G[lo:k - 1, k - 1]             # X'Wy
-    yy = G[k - 1, k - 1]               # y'Wy
+
+    # constant-variable detection: x is constant iff its weighted sum of
+    # squared deviations is below the bound (reference
+    # constantErrorBound semantics, Summarizers.scala:282-339)
+    const_idx = [i for i in range(nx)
+                 if G[i + 1, i + 1] - G[0, i + 1] ** 2 / sw < constant_error_bound]
+    const_cols = [x_names[i] for i in const_idx] if x_names else \
+        [str(i) for i in const_idx]
+    if const_idx and not ignore_constants:
+        nan = float("nan")
+        return dict(samples=n, beta=[nan] * nx, intercept=nan,
+                    hasIntercept=intercept, stdErr_intercept=nan,
+                    stdErr_beta=[nan] * nx, rSquared=nan, r=nan,
+                    tStat_intercept=nan, tStat_beta=[nan] * nx,
+                    logLikelihood=nan, akaikeIC=nan, bayesIC=nan,
+                    cond=nan, const_columns=const_cols)
+    keep_x = [i for i in range(nx) if i not in const_idx]
+
+    def expand(values, fill):
+        out = np.full(nx, fill)
+        out[keep_x] = values
+        return out
+
+    # design = [1?, kept x...]; target = y
+    design_rows = ([0] if intercept else []) + [i + 1 for i in keep_x]
+    A = G[np.ix_(design_rows, design_rows)]   # X'WX (incl. intercept row/col)
+    b = G[design_rows, k - 1]                 # X'Wy
+    yy = G[k - 1, k - 1]                      # y'Wy
     p = A.shape[0]
     try:
         beta_full = np.linalg.solve(A, b)
@@ -90,7 +116,7 @@ def _solve_row(row: pd.Series, nx: int, intercept: bool) -> dict:
                     stdErr_beta=[nan] * nx, rSquared=nan, r=nan,
                     tStat_intercept=nan, tStat_beta=[nan] * nx,
                     logLikelihood=nan, akaikeIC=nan, bayesIC=nan,
-                    cond=nan, const_columns=[])
+                    cond=nan, const_columns=const_cols)
     rss = float(yy - 2 * beta_full @ b + beta_full @ A @ beta_full)
     if intercept:
         # TSS around the weighted mean of y
@@ -126,18 +152,24 @@ def _solve_row(row: pd.Series, nx: int, intercept: bool) -> dict:
         icpt, betas = 0.0, beta_full
         se_i, se_b = float("nan"), se
         t_i, t_b = float("nan"), tstat
+    # constant positions: beta/stdErr 0.0, tStat NaN (reference contract)
+    betas = expand(betas, 0.0)
+    se_b = expand(se_b, 0.0)
+    t_b = expand(t_b, float("nan"))
     return dict(samples=n, beta=[float(v) for v in betas], intercept=icpt,
                 hasIntercept=intercept, stdErr_intercept=se_i,
                 stdErr_beta=[float(v) for v in se_b], rSquared=r2,
                 r=math.sqrt(r2) if r2 == r2 and r2 >= 0 else float("nan"),
                 tStat_intercept=t_i, tStat_beta=[float(v) for v in t_b],
                 logLikelihood=ll, akaikeIC=aic, bayesIC=bic, cond=cond,
-                const_columns=[])
+                const_columns=const_cols)
 
 
 def ols_regression(df: DataFrame, y: str, xs: Sequence[str],
                    weight: str | None = None, intercept: bool = True,
-                   key: Sequence[str] = ()) -> DataFrame:
+                   key: Sequence[str] = (),
+                   ignore_constants: bool = False,
+                   constant_error_bound: float = 1.0e-12) -> DataFrame:
     """Distributed OLS: Gramian hash-aggregation + per-group numpy solve."""
     xs = list(xs)
     key = list(key)
@@ -155,7 +187,8 @@ def ols_regression(df: DataFrame, y: str, xs: Sequence[str],
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                res = _solve_row(row, nx, intercept)
+                res = _solve_row(row, nx, intercept, xs, ignore_constants,
+                                 constant_error_bound)
                 for kcol in key:
                     res[kcol] = row[kcol]
                 rows.append(res)

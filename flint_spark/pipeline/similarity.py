@@ -63,6 +63,29 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return total.cast("long")
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                             n_planes: int = 8, dim: int = 64, seed: int = 11,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space near-duplicate pairs: candidates from shared
+    sign-random-projection buckets, verified by exact cosine >= threshold.
+    The bucket equi-join keeps the pair space ~2^planes smaller than the
+    full cross product (the embedding face of MinHash-LSH dedup)."""
+    planes = hyperplanes(n_planes, dim, seed)
+    base = (emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+            .withColumn("bucket", bucket_expr(F.col("v"), planes))
+            .persist())
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    "bucket")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    "bucket")
+    cos = (_dot(F.col("va"), F.col("vb"))
+           / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine")
+    return (a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos)
+            .filter(F.col("cosine") >= threshold))
+
+
 def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
                  n_planes: int = 8, dim: int = 64, seed: int = 11,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

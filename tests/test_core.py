@@ -195,3 +195,58 @@ def test_null_measures_in_join(spark):
     row = asof.left_join(left, right, tolerance=200, key=["id"]).collect()[0]
     # most recent right row is t=1050: a=7.0, b=None (NOT b=5.0 from t=1000)
     assert row.a == 7.0 and row.b is None
+
+
+def test_weighted_mean_test_reference_golden(spark):
+    """Exact golden from the reference's own test suite
+    (python/tests/ts/flint/test_summarizer.py test_summary_weighted_mean:
+    price joined with vol -> 4.166667, 1.547494, 8.237545, 12)."""
+    price = [(1000, 7, 0.5), (1000, 3, 1.0), (1050, 3, 1.5), (1050, 7, 2.0),
+             (1100, 3, 2.5), (1100, 7, 3.0), (1150, 3, 3.5), (1150, 7, 4.0),
+             (1200, 3, 4.5), (1200, 7, 5.0), (1250, 3, 5.5), (1250, 7, 6.0)]
+    vol = [(1000, 7, 100), (1000, 3, 200), (1050, 3, 300), (1050, 7, 400),
+           (1100, 3, 500), (1100, 7, 600), (1150, 3, 700), (1150, 7, 800),
+           (1200, 3, 900), (1200, 7, 1000), (1250, 3, 1100), (1250, 7, 1200)]
+    p = spark.createDataFrame(price, "time long, id int, price double")
+    v = spark.createDataFrame(vol, "time long, id int, volume long")
+    joined = asof.left_join(p, v, tolerance=0, key=["id"])
+    out = agg_ops.summarize(
+        joined, S.weighted_mean_test("price", "volume")).collect()[0]
+    assert out["price_volume_weightedMean"] == pytest.approx(4.166667, abs=1e-6)
+    assert out["price_volume_weightedStandardDeviation"] == pytest.approx(
+        1.547494, abs=1e-6)
+    assert out["price_volume_weightedTStat"] == pytest.approx(8.237545, abs=1e-6)
+    assert out["price_volume_observationCount"] == 12
+
+
+def test_weighted_correlation_constant_weight_property(spark):
+    """Reference property: constant weights == unweighted correlation
+    (test_summary_weighted_correlation)."""
+    rows = [(1000 + 50 * i, 1, float(i), float(i * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "time long, id int, x double, y double") \
+        .withColumn("w", F.lit(42.0))
+    out = agg_ops.summarize(
+        df, S.compose(S.weighted_correlation("x", "y", "w"),
+                      S.correlation("x", "y"))).collect()[0]
+    assert out["x_y_w_weightedCorrelation"] == pytest.approx(
+        out["x_y_correlation"], abs=1e-12)
+
+
+def test_ols_constant_columns(spark):
+    """Reference shouldIgnoreConstants contract: constant x columns get
+    beta/stdErr 0.0 and tStat NaN when ignored, all-NaN otherwise."""
+    import math
+    from flint_spark.operators.regression import ols_regression
+    rows = [(i, float(i), 7.0, 2.0 * i + 1) for i in range(20)]
+    df = spark.createDataFrame(rows, "time long, x1 double, x2 double, y double")
+    strict = ols_regression(df, "y", ["x1", "x2"]).collect()[0]
+    # NaN inside array<double> arrives as null through Arrow
+    b0 = strict["beta"][0]
+    assert (b0 is None or math.isnan(b0)) and strict["const_columns"] == ["x2"]
+    loose = ols_regression(df, "y", ["x1", "x2"], ignore_constants=True).collect()[0]
+    assert loose["beta"][0] == pytest.approx(2.0)
+    assert loose["beta"][1] == 0.0 and loose["stdErr_beta"][1] == 0.0
+    t1 = loose["tStat_beta"][1]
+    assert t1 is None or math.isnan(t1)
+    assert loose["const_columns"] == ["x2"]
+    assert loose["rSquared"] == pytest.approx(1.0)
