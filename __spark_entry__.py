@@ -1166,6 +1166,38 @@ def _sql_embedding_dedup() -> str:
 """
 
 
+
+
+_CUSTOM_TICKS = ["2024-01-01", "2024-01-04", "2024-01-05", "2024-01-12",
+                 "2024-02-01", "2024-02-15", "2024-04-01", "2024-07-01",
+                 "2025-01-01", "2026-01-01"]
+
+
+def q_interval_custom_clock(spark, sf):
+    """summarizeIntervals over an arbitrary (non-uniform) clock - the
+    broadcast+searchsorted path (inclusion=begin, rounding=begin)."""
+    ev = _events(spark, sf)
+    ticks = spark.createDataFrame([(t,) for t in _CUSTOM_TICKS], "time string")         .select(F.col("time").cast("timestamp").alias("time"))
+    out = intervals.summarize_intervals(
+        ev, ticks, S.compose(S.count(), S.sum_("value")), key=["event_type"],
+        inclusion="begin", rounding="begin")
+    return out.select(TIME_COLUMN, "event_type", "count",
+                      R("value_sum", 4).alias("value_sum"))
+
+
+def _sql_interval_custom_clock() -> str:
+    pairs = ", ".join(
+        f"(TIMESTAMP '{b}', TIMESTAMP '{e}')"
+        for b, e in zip(_CUSTOM_TICKS[:-1], _CUSTOM_TICKS[1:]))
+    return f"""
+  WITH iv(b, e) AS (VALUES {pairs})
+  SELECT iv.b AS time, ev.event_type, count(*) AS count,
+         floor((sum(ev.value)) * 10000 + 0.5) / 10000 AS value_sum
+  FROM events ev JOIN iv ON ev.ts >= iv.b AND ev.ts < iv.e
+  GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1185,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cycle_rows": q_group_cycle_rows,
         "interval_uniform": q_interval_uniform,
         "interval_end_end": q_interval_end_end,
+        "interval_custom_clock": q_interval_custom_clock,
         "summarize_stats": q_summarize_stats,
         "summarize_keyed": q_summarize_keyed,
         "moments": q_moments,
@@ -1237,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "group_cycle_rows": SQL_GROUP_CYCLE_ROWS,
         "interval_uniform": SQL_INTERVAL_UNIFORM,
         "interval_end_end": SQL_INTERVAL_END_END,
+        "interval_custom_clock": _sql_interval_custom_clock(),
         "summarize_stats": SQL_SUMMARIZE_STATS,
         "summarize_keyed": SQL_SUMMARIZE_KEYED,
         "moments": SQL_MOMENTS,
