@@ -1198,6 +1198,35 @@ def _sql_interval_custom_clock() -> str:
 """
 
 
+
+
+def q_ewma_windowed(spark, sf):
+    """Sliding-window EWMA - the reference's left-subtractable flagship
+    (doc/ema.md ~70x claim) as an O(n) incremental range-frame plan."""
+    ev = _events(spark, sf)
+    out = ema_ops.ewma_windowed(ev, "value", W.past_absolute_time("6h"),
+                                alpha=0.05, duration_per_period="1h",
+                                convention="legacy", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id", R("value_ewma", 4).alias("w_ewma"))
+
+
+SQL_EWMA_WINDOWED = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+           epoch_us(ts)::DOUBLE AS tus,
+           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base
+    FROM events
+  )
+  SELECT time, user_id,
+         floor((exp(-(tus - base) * {lam}) *
+                sum(value * exp((tus - base) * {lam})) OVER (
+                  PARTITION BY user_id ORDER BY time
+                  RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW))
+               * 10000 + 0.5) / 10000 AS w_ewma
+  FROM e
+""".format(lam=-__import__("math").log1p(-0.05) / 3_600e6)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1235,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rolling": q_window_rolling,
         "window_future_rows": q_window_future_rows,
         "ewma": q_ewma,
+        "ewma_windowed": q_ewma_windowed,
         "ema_core": q_ema_core,
         "ols": q_ols,
         "ols_multi": q_ols_multi,
@@ -1288,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rolling": SQL_WINDOW_ROLLING,
         "window_future_rows": SQL_WINDOW_FUTURE_ROWS,
         "ewma": SQL_EWMA,
+        "ewma_windowed": SQL_EWMA_WINDOWED,
         "ema_core": SQL_EMA_CORE,
         "ols": SQL_OLS,
         # ols_multi: rows-only (15-field OLS has no concise SQL form)

@@ -23,11 +23,13 @@ usage) or pre-aggregate.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..timeseries import TIME_COLUMN, parse_duration_ns, time_ns_expr
@@ -173,6 +175,49 @@ def exponential_smoothing(df: DataFrame, column: str, alpha: float = 0.05,
         df, column, f"{column}_ema", key,
         lambda t, x: _smoothing_values(t, x, alpha, priming_periods, period_ns,
                                        interpolation, convention))
+
+
+def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,
+                  duration_per_period: str = "1d", convention: str = "legacy",
+                  key: Sequence[str] = ()) -> DataFrame:
+    """EWMA over a sliding time window — the reference's flagship
+    left-subtractable case (~70x over recompute, ``doc/ema.md:120-121``).
+
+    Spark-native O(n): with lam = -ln(1-alpha)/period and a per-key time
+    base, ``ewma_w(t) = exp(-lam*(t-base)) * sum(x_i * exp(lam*(t_i-base)))``
+    over the range frame — WindowExec maintains range-frame sums
+    incrementally, which IS the subtract() trick, with zero Python.
+
+    Constraint: the per-key exponent span ``(t_max-t_min)/period *
+    |ln(1-alpha)|`` must stay < ~700 or exp overflows (e.g. alpha=0.05,
+    1d period -> ~37 per data-year: fine for decades). For extreme
+    span/period ratios use the pandas scan (``ewma``) over sub-windows.
+    """
+    from pyspark.sql import Window as W
+
+    from ..windows import TimeWindow
+
+    if not isinstance(window, TimeWindow):
+        raise TypeError("window must be a TimeWindow (windows.past_absolute_time)")
+    if convention not in ("core", "legacy"):
+        raise ValueError("convention must be 'core' or 'legacy'")
+    key = list(key)
+    lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
+    tns = time_ns_expr(df)
+    wk = W.partitionBy(*key)
+    base = F.min(tns).over(wk)
+    frame = (W.partitionBy(*key).orderBy(tns)
+             .rangeBetween(*window.range_bounds()))
+    from pyspark.sql import Column  # noqa: F401
+    rel = (tns - base).cast("double") * F.lit(lam)
+    x = F.col(column)
+    num = F.sum(x * F.exp(rel)).over(frame) * F.exp(-rel)
+    if convention == "legacy":
+        out = num
+    else:
+        den = F.sum(F.exp(rel)).over(frame) * F.exp(-rel)
+        out = num / den
+    return df.withColumn(f"{column}_ewma", out)
 
 
 def ema_half_life(df: DataFrame, column: str, half_life: str,

@@ -250,3 +250,26 @@ def test_ols_constant_columns(spark):
     assert t1 is None or math.isnan(t1)
     assert loose["const_columns"] == ["x2"]
     assert loose["rSquared"] == pytest.approx(1.0)
+
+
+def test_ewma_windowed_vs_bruteforce(spark):
+    """Windowed EWMA must equal the O(n*w) definition."""
+    import numpy as np
+    from flint_spark.operators.ema import ewma_windowed
+    from flint_spark import windows as W
+
+    rng = np.random.default_rng(5)
+    t = np.sort(rng.integers(0, 10**6, 200))
+    rows = [(int(ti), 1, float(x)) for ti, x in zip(t, rng.normal(10, 3, 200))]
+    df = spark.createDataFrame(rows, "time long, id int, x double")
+    wns = 10**5
+    out = ewma_windowed(df, "x", W.TimeWindow(-wns, 0, "w"), alpha=0.1,
+                        duration_per_period="1000ns", key=["id"]) \
+        .orderBy("time").toPandas()
+    lam = -np.log1p(-0.1) / 1000
+    for _, r in out.sample(30, random_state=0).iterrows():
+        mask = (t >= r["time"] - wns) & (t <= r["time"])
+        xs = np.array([x for (ti, _, x), m in zip(rows, mask) if m])
+        ts = t[mask]
+        exp = (xs * np.exp(-lam * (r["time"] - ts))).sum()
+        assert r["x_ewma"] == pytest.approx(exp, rel=1e-9)
