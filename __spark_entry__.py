@@ -1227,6 +1227,57 @@ SQL_EWMA_WINDOWED = """
 """.format(lam=-__import__("math").log1p(-0.05) / 3_600e6)
 
 
+
+
+_IVF_CENTROIDS = [0, 60, 120, 180, 240, 300, 360, 420]
+
+
+def q_ivf_ann(spark, sf):
+    """IVF ANN: deterministic coarse quantization + nprobe=2 search."""
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.ivf_ann_topk(emb, _PROBES, _IVF_CENTROIDS, k=10, nprobe=2)
+    return out.select("probe_id", "vec_id", R("cosine", 6).alias("cosine"),
+                      "rank")
+
+
+def _sql_ivf_ann() -> str:
+    cents = ", ".join(map(str, _IVF_CENTROIDS))
+    probes = ", ".join(map(str, _PROBES))
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+    return f"""
+  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+            WHERE vec_id IN ({cents})),
+  assigned AS (
+    SELECT vec_id, v, centroid_id FROM (
+      SELECT b.vec_id, b.v, c.centroid_id,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.centroid_id) AS rk
+      FROM base b CROSS JOIN cents c) WHERE rk = 1),
+  probes AS (SELECT vec_id AS probe_id, v AS pv FROM base
+             WHERE vec_id IN ({probes})),
+  probe_lists AS (
+    SELECT probe_id, pv, centroid_id FROM (
+      SELECT p.probe_id, p.pv, c.centroid_id,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY {cos.format(a='p.pv', b='c.cv')} DESC, c.centroid_id) AS rk
+      FROM probes p CROSS JOIN cents c) WHERE rk <= 2),
+  cand AS (
+    SELECT pl.probe_id, pl.pv, a.vec_id, a.v
+    FROM assigned a JOIN probe_lists pl USING (centroid_id)
+    WHERE a.vec_id <> pl.probe_id),
+  ranked AS (
+    SELECT probe_id, vec_id, {cos.format(a='v', b='pv')} AS cosine,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY {cos.format(a='v', b='pv')} DESC, vec_id) AS rank
+    FROM cand)
+  SELECT probe_id, vec_id, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine,
+         rank
+  FROM ranked WHERE rank <= 10
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1277,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "embedding_dedup": q_embedding_dedup,
         "text_stats": q_text_stats,
         "lang_confusion": q_lang_confusion,
@@ -1331,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_ann": _sql_lsh_ann(),
+        "ivf_ann": _sql_ivf_ann(),
         "embedding_dedup": _sql_embedding_dedup(),
         "text_stats": _sql_text_stats(),
         "lang_confusion": _sql_lang_confusion(),

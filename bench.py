@@ -33,10 +33,13 @@ HEADLINE = [
     "ewma",
     "ols",
     "sessionize",
+    "ewma_windowed",
     "minhash_lsh",
     "simhash_pairs",
     "cosine_topk",
+    "ivf_ann",
     "text_stats",
+    "tpch_q1",
 ]
 
 

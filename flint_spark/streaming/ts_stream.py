@@ -57,6 +57,66 @@ def sessionize_stream(stream: DataFrame, gap: str = "30 minutes",
                     *key, "n_events"))
 
 
+def ewma_stream(stream: DataFrame, column: str, key: Sequence[str],
+                alpha: float = 0.05, duration_per_period: str = "1d",
+                time_column: str = TIME_COLUMN) -> DataFrame:
+    """Custom stateful streaming operator: running EWMA per key via
+    ``applyInPandasWithState`` — the state carries (last event-time ns,
+    running numerator) across triggers, so the stream converges to the
+    batch ``operators.ema.ewma`` result when events arrive in order.
+
+    Within a trigger, rows are processed in event-time order; rows that
+    arrive across triggers out of order decay from the stored state
+    (the standard streaming tradeoff — use a watermark upstream to
+    bound it).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField(f"{column}_ewma", T.DoubleType())])
+    state_schema = T.StructType([T.StructField("last_tns", T.LongType()),
+                                 T.StructField("e", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        last_tns, e = state.get if state.exists else (None, 0.0)
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("__tns", kind="stable")
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            out = np.empty(len(x))
+            for i in range(len(x)):
+                if last_tns is not None:
+                    e = e * math.exp(-lam * (t[i] - last_tns)) + x[i]
+                else:
+                    e = x[i]
+                last_tns = int(t[i])
+                out[i] = e
+            res = pd.DataFrame({c: [v] * len(x) for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[column] = x
+            res[f"{column}_ewma"] = out
+            frames.append(res)
+        state.update((last_tns, float(e)))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))
+
+
 def dedup_stream(stream: DataFrame, subset: Sequence[str],
                  watermark: str = "10 minutes",
                  time_column: str = TIME_COLUMN) -> DataFrame:

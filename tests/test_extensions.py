@@ -173,3 +173,35 @@ def test_time_partitioned_writer_roundtrip(spark, sf_dir, tmp_path):
     import os
     parts = [d for d in os.listdir(out) if d.startswith("__dt=")]
     assert len(parts) > 2
+
+
+def test_streaming_stateful_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """Single-trigger streaming EWMA must equal the batch operator."""
+    import shutil
+    import numpy as np
+    from flint_spark.operators.ema import ewma
+    from flint_spark.streaming.ts_stream import ewma_stream
+    from flint_spark.timeseries import ns_to_time_expr
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_dir = tmp_path / "ev3"
+    ev_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
+    raw = spark.readStream.schema(schema).parquet(str(ev_dir))
+    stream = raw.withColumnRenamed("ts", "time")
+    out = ewma_stream(stream, "value", key=["user_id"],
+                      alpha=0.05, duration_per_period="1d")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("ewma_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql("SELECT user_id, __tns, value_ewma FROM ewma_out")
+           .toPandas().sort_values(["user_id", "__tns"], ignore_index=True))
+    batch_in = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumnRenamed("ts", "time")
+    exp = (ewma(batch_in, "value", alpha=0.05, duration_per_period="1d",
+                convention="legacy", key=["user_id"])
+           .selectExpr("user_id", "time as __tns", "value_ewma")
+           .toPandas().sort_values(["user_id", "__tns"], ignore_index=True))
+    assert len(got) == len(exp) > 0
+    assert np.allclose(got["value_ewma"], exp["value_ewma"])
