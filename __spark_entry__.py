@@ -1278,6 +1278,30 @@ def _sql_ivf_ann() -> str:
 """
 
 
+
+
+def q_tpch_q6(spark, sf):
+    """Q6 shape: pure filter+agg, fully pushed to the scan."""
+    li = _lineitem(spark, sf)
+    out = (li.filter((F.col(TIME_COLUMN) >= F.lit("1997-01-01"))
+                     & (F.col(TIME_COLUMN) < F.lit("1998-01-01"))
+                     & (F.col("l_discount").between(0.03, 0.05))
+                     & (F.col("l_quantity") < 24))
+           .agg(R(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                .alias("revenue"),
+                F.count("*").alias("n")))
+    return out
+
+
+SQL_TPCH_Q6 = """
+  SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue,
+         count(*) AS n
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1287,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cycle_agg": q_cycle_agg,
         "null_skip": q_null_skip,
         "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
         "tpch_q3ish": q_tpch_q3ish,
         "topk_per_group": q_topk_per_group,
         "cycle_rank": q_cycle_rank,
@@ -1342,6 +1367,7 @@ def oracle_sql() -> dict[str, str]:
         "cycle_agg": SQL_CYCLE_AGG,
         "null_skip": SQL_NULL_SKIP,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q6": SQL_TPCH_Q6,
         "tpch_q3ish": SQL_TPCH_Q3ISH,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "cycle_rank": SQL_CYCLE_RANK,

@@ -79,6 +79,9 @@ def _searchsorted_interval_expr(df: DataFrame, clock_df: DataFrame, inclusion: s
     m = len(ticks) - 1
     incl, rnd = inclusion, rounding
 
+    # marked non-deterministic (it isn't) so Catalyst neither duplicates
+    # it into the null-filter nor pushes it around: without this the
+    # searchsorted UDF runs twice per row (observed in the plan audit)
     @F.pandas_udf(T.LongType())
     def bucket(t: pd.Series) -> pd.Series:
         arr = bticks.value
@@ -96,7 +99,7 @@ def _searchsorted_interval_expr(df: DataFrame, clock_df: DataFrame, inclusion: s
         out[~valid] = pd.NA  # keep int64 exactness; NaN would go through float
         return out
 
-    return bucket(time_ns_expr(df))
+    return bucket.asNondeterministic()(time_ns_expr(df))
 
 
 def intervalize(df: DataFrame, clock, inclusion: str = "begin",

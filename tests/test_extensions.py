@@ -205,3 +205,26 @@ def test_streaming_stateful_ewma_matches_batch(spark, sf_dir, tmp_path):
            .toPandas().sort_values(["user_id", "__tns"], ignore_index=True))
     assert len(got) == len(exp) > 0
     assert np.allclose(got["value_ewma"], exp["value_ewma"])
+
+
+def test_from_csv_roundtrip(spark, tmp_path):
+    from flint_spark import TimeSeriesDataFrame
+    p = tmp_path / "data.csv"
+    p.write_text("t,id,price\n1000,1,0.5\n1100,2,1.5\n1200,1,2.5\n")
+    ts = TimeSeriesDataFrame.from_csv(spark, str(p), time_column="t")
+    assert ts.columns == ["time", "id", "price"]
+    assert ts.count() == 3
+    assert ts.to_pandas()["price"].tolist() == [0.5, 1.5, 2.5]
+
+
+def test_asof_keyless_bucketed(spark):
+    from flint_spark.operators.asof import asof_keyless_bucketed, left_join
+    import pyspark.sql.functions as F
+    left = spark.createDataFrame(
+        [(i * 10**9, float(i)) for i in range(200)], "time long, x double")
+    right = spark.createDataFrame(
+        [(i * 3 * 10**9 + 1, i) for i in range(60)], "time long, v long")
+    got = asof_keyless_bucketed(left, right, tolerance="30s", bucket="50s") \
+        .orderBy("time").collect()
+    exp = left_join(left, right, tolerance="30s", key=[]).orderBy("time").collect()
+    assert [ (r.time, r.v) for r in got ] == [ (r.time, r.v) for r in exp ]
