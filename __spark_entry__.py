@@ -495,9 +495,12 @@ SQL_WINDOW_FUTURE_ROWS = """
 
 
 def q_ewma(spark, sf):
+    # native (pure-JVM) running EWMA: the 2-year/1-day exponent span is
+    # safely inside double range; the pandas scan (ema_ops.ewma) is the
+    # unbounded-span fallback and is exercised by tests/goldens
     ev = _events(spark, sf)
-    out = ema_ops.ewma(ev, "value", alpha=0.05, duration_per_period="1d",
-                       convention="legacy", key=["user_id"])
+    out = ema_ops.ewma_native(ev, "value", alpha=0.05, duration_per_period="1d",
+                              convention="legacy", key=["user_id"])
     return out.select(TIME_COLUMN, "user_id",
                       R("value_ewma", 4).alias("ewma"))
 

@@ -103,11 +103,15 @@ def left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
     key, left_data, right_data, left_out, right_out, l, r = _prepare(
         left, right, key, left_alias, right_alias)
     # right rows sort before left rows at equal time so they are visible
-    # in the unbounded-preceding frame (equal timestamps match).
+    # in the unbounded-preceding frame (equal timestamps match). The
+    # right-row struct itself is the final sort key: duplicate
+    # (key, time) right rows then resolve deterministically (max struct
+    # wins) regardless of physical layout - the reference's last-seen is
+    # stream-order-dependent, which a shuffled engine cannot reproduce.
     l = l.withColumn(_SRC, F.lit(1))
     r = r.withColumn(_SRC, F.lit(0))
     u = l.unionByName(r)
-    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC)
+    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC, F.col(_RROW))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = u.withColumn(_RROW, F.last(_RROW, ignorenulls=True).over(w))
     valid = F.col(_RROW)["__rtime"] >= F.col(_TNS) - F.lit(tol)
@@ -133,7 +137,9 @@ def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0
         l = l.withColumn(_SRC, F.lit(0))
         r = r.withColumn(_SRC, F.lit(1))
     u = l.unionByName(r)
-    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC)
+    # struct tie-break: duplicate right rows resolve deterministically
+    # (min struct wins in the forward direction)
+    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC, F.col(_RROW))
          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     u = u.withColumn(_RROW, F.first(_RROW, ignorenulls=True).over(w))
     valid = F.col(_RROW)["__rtime"] <= F.col(_TNS) + F.lit(tol)

@@ -435,3 +435,17 @@ class TimeSeriesDataFrame:
                    key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
         from .operators.sessions import sessionize
         return self._wrap(sessionize(self._df, gap, key))
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "TimeSeriesDataFrame":
+        """Apply an arbitrary DataFrame transform, keeping the sortedness
+        flag honest via plan analysis (the reference's Python wrapper
+        downgrades TSDF->DF per its order-preservation rule table,
+        ``python/ts/flint/dataframe.py:184-215`` /
+        ``OrderPreservingOperation.scala``)."""
+        from .plans.order import is_order_preserving
+
+        out = fn(self._df)
+        if TIME_COLUMN not in out.columns:
+            raise ValueError("transform dropped the time column")
+        preserved = self.is_sorted and is_order_preserving(out)
+        return TimeSeriesDataFrame(out, is_sorted=preserved)

@@ -273,3 +273,55 @@ def test_ewma_windowed_vs_bruteforce(spark):
         ts = t[mask]
         exp = (xs * np.exp(-lam * (r["time"] - ts))).sum()
         assert r["x_ewma"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_asof_duplicate_right_rows_deterministic(spark):
+    """Duplicate (key, time) right rows must resolve identically under
+    every physical layout (struct tie-break)."""
+    left = spark.createDataFrame([(1100, 1, 1.0)], "time long, id int, x double")
+    dup = [(1000, 1, 10), (1000, 1, 30), (1000, 1, 20)]
+    results = set()
+    for n in (1, 2, 5):
+        right = spark.createDataFrame(dup, "time long, id int, v long") \
+            .repartition(n)
+        r = asof.left_join(left, right, tolerance=200, key=["id"]).collect()[0]
+        results.add(r.v)
+    assert results == {30}  # max struct: largest (rtime, v)
+
+
+def test_asof_multi_column_key(spark):
+    left = spark.createDataFrame(
+        [(1100, 1, "a", 1.0), (1100, 1, "b", 2.0)],
+        "time long, id int, grp string, x double")
+    right = spark.createDataFrame(
+        [(1000, 1, "a", 10), (1050, 1, "b", 20)],
+        "time long, id int, grp string, v long")
+    out = asof.left_join(left, right, tolerance=200, key=["id", "grp"])
+    got = {(r.id, r.grp): r.v for r in out.collect()}
+    assert got == {(1, "a"): 10, (1, "b"): 20}
+
+
+def test_time_unit_ingestion(spark):
+    """canonize converts s/ms/us integer time columns to ns."""
+    df = spark.createDataFrame([(1700000000, 1.0)], "t long, x double")
+    ts = TimeSeriesDataFrame.from_df(df, time_column="t", time_unit="s")
+    assert ts.df.collect()[0].time == 1700000000 * 10**9
+    df2 = spark.createDataFrame([(1700000000000, 1.0)], "t long, x double")
+    ts2 = TimeSeriesDataFrame.from_df(df2, time_column="t", time_unit="ms")
+    assert ts2.df.collect()[0].time == 1700000000000 * 10**6
+
+
+def test_ewma_native_equals_pandas_scan(spark):
+    import numpy as np
+    from flint_spark.operators.ema import ewma, ewma_native
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.integers(0, 10**15, 500))
+    rows = [(int(ti), int(i % 7), float(x))
+            for i, (ti, x) in enumerate(zip(t, rng.normal(50, 10, 500)))]
+    df = spark.createDataFrame(rows, "time long, id int, x double")
+    for conv in ("legacy", "core"):
+        a = ewma(df, "x", alpha=0.1, duration_per_period="1d",
+                 convention=conv, key=["id"]).orderBy("time", "id").toPandas()
+        b = ewma_native(df, "x", alpha=0.1, duration_per_period="1d",
+                        convention=conv, key=["id"]).orderBy("time", "id").toPandas()
+        assert np.allclose(a["x_ewma"], b["x_ewma"], rtol=1e-9), conv

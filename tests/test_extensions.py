@@ -228,3 +228,15 @@ def test_asof_keyless_bucketed(spark):
         .orderBy("time").collect()
     exp = left_join(left, right, tolerance="30s", key=[]).orderBy("time").collect()
     assert [ (r.time, r.v) for r in got ] == [ (r.time, r.v) for r in exp ]
+
+
+def test_wrapper_transform_tracks_order(spark):
+    from flint_spark import TimeSeriesDataFrame
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "time long, x double")
+    ts = TimeSeriesDataFrame(df, is_sorted=True)
+    kept = ts.transform(lambda d: d.filter(F.col("x") > 0).select("time", "x"))
+    assert kept.is_sorted
+    lost = ts.transform(lambda d: d.orderBy("x"))
+    assert not lost.is_sorted
+    with pytest.raises(ValueError):
+        ts.transform(lambda d: d.select("x"))
