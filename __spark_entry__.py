@@ -1305,6 +1305,28 @@ SQL_TPCH_Q6 = """
 """
 
 
+
+
+def q_interval_begin_end(spark, sf):
+    """Interval matrix cell [b,e) with end-tick labels (inclusion=begin,
+    rounding=end)."""
+    ev = _events(spark, sf)
+    clock = clocks.uniform("2024-01-01", "2027-01-01", "1d")
+    out = intervals.summarize_intervals(
+        ev, clock, S.count(), key=["event_type"],
+        inclusion="begin", rounding="end")
+    return out.select(TIME_COLUMN, "event_type", "count")
+
+
+SQL_INTERVAL_BEGIN_END = """
+  SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS time, event_type,
+         count(*) AS count
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
+  GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1325,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cycle_rows": q_group_cycle_rows,
         "interval_uniform": q_interval_uniform,
         "interval_end_end": q_interval_end_end,
+        "interval_begin_end": q_interval_begin_end,
         "interval_custom_clock": q_interval_custom_clock,
         "summarize_stats": q_summarize_stats,
         "summarize_keyed": q_summarize_keyed,
@@ -1381,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "group_cycle_rows": SQL_GROUP_CYCLE_ROWS,
         "interval_uniform": SQL_INTERVAL_UNIFORM,
         "interval_end_end": SQL_INTERVAL_END_END,
+        "interval_begin_end": SQL_INTERVAL_BEGIN_END,
         "interval_custom_clock": _sql_interval_custom_clock(),
         "summarize_stats": SQL_SUMMARIZE_STATS,
         "summarize_keyed": SQL_SUMMARIZE_KEYED,
