@@ -49,7 +49,19 @@ def R(col, k: int):
 # loaders
 # ----------------------------------------------------------------------
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; these runtime-settable
+    confs are required for correctness here: TIMESTAMP(NANOS) parquet
+    must read as Long ns, timestamps must render in UTC to match the
+    DuckDB oracle, and Spark 4's default ANSI mode would error on the
+    permissive arithmetic this engine (like the reference) assumes."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -87,6 +99,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: as-of join events->orders, then rolling 1h window stats
     per user — the engine's two signature operators in one plan."""
     sf = "/root/testdata/sf0.001"
+    _ensure_session_confs(spark)
     ev = _events(spark, sf)
     joined = asof.left_join(ev, _orders_right(spark, sf), tolerance="20000d",
                             key=["user_id"])
@@ -422,6 +435,7 @@ SQL_FILTER_PROJECT = """
 
 
 def q_clock_uniform(spark, sf):
+    _ensure_session_confs(spark)  # no table load; still needs UTC rendering
     clock = clocks.uniform("2024-01-01", "2024-02-01", "1h")
     return clock.ticks_df(spark)
 
