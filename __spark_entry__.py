@@ -133,13 +133,17 @@ SQL_CYCLE_AGG = """
 
 
 def q_group_cycle_rows(spark, sf):
+    # array rendered as a CSV string: the driver's pandas canonicalizer
+    # sorts every output column and cannot hash python lists (r1 err).
     li = _lineitem(spark, sf)
+    keys = F.sort_array(F.collect_list("l_orderkey")).cast("array<string>")
     return (li.groupBy(TIME_COLUMN)
-            .agg(F.sort_array(F.collect_list("l_orderkey")).alias("orderkeys")))
+            .agg(F.array_join(keys, ",").alias("orderkeys")))
 
 
 SQL_GROUP_CYCLE_ROWS = """
-  SELECT l_shipdate AS time, list_sort(list(l_orderkey)) AS orderkeys
+  SELECT l_shipdate AS time,
+         array_to_string(list_sort(list(l_orderkey)), ',') AS orderkeys
   FROM lineitem GROUP BY 1
 """
 
@@ -492,17 +496,17 @@ def q_window_future_rows(spark, sf):
     ev = _events(spark, sf)
     out = windows_ops.add_windows(ev.select(TIME_COLUMN, "user_id", "event_id"),
                                   W.future_absolute_time("30m"), key=["user_id"])
-    return out.select(
-        TIME_COLUMN, "user_id", "event_id",
-        F.sort_array(F.transform(F.col("window_future_30m"),
-                                 lambda r: r["event_id"])).alias("future_ids"))
+    ids = F.sort_array(F.transform(F.col("window_future_30m"),
+                                   lambda r: r["event_id"])).cast("array<string>")
+    return out.select(TIME_COLUMN, "user_id", "event_id",
+                      F.array_join(ids, ",").alias("future_ids"))
 
 
 SQL_WINDOW_FUTURE_ROWS = """
   SELECT CAST(ts AS TIMESTAMP) AS time, user_id, event_id,
-         list_sort(list(event_id) OVER (
+         array_to_string(list_sort(list(event_id) OVER (
             PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTE FOLLOWING))
+            RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTE FOLLOWING)), ',')
            AS future_ids
   FROM events
 """
@@ -597,16 +601,86 @@ SQL_OLS = """
 
 
 def q_ols_multi(spark, sf):
-    """Full 15-field OLS output — no simple SQL equivalent (rows-only check)."""
+    """Weighted 3-regressor OLS, full-field surface (betas, intercept,
+    r², logLikelihood, AIC). ``cond`` (eigenvalue ratio) is checked by
+    pytest only — eigen-decomposition has no SQL form."""
     li = _lineitem(spark, sf)
     out = regression.ols_regression(
         li, "l_extendedprice", ["l_quantity", "l_discount", "l_tax"],
         weight="l_quantity")
     return out.select(
-        "samples", R(F.col("beta")[0], 2).alias("b_qty"),
+        "samples",
+        R(F.col("beta")[0], 2).alias("b_qty"),
+        R(F.col("beta")[1], 2).alias("b_disc"),
+        R(F.col("beta")[2], 2).alias("b_tax"),
+        R("intercept", 2).alias("icpt"),
         R("rSquared", 6).alias("r2"),
         R("logLikelihood", 2).alias("ll"),
-        R("akaikeIC", 2).alias("aic"), R("cond", 2).alias("cond"))
+        R("akaikeIC", 2).alias("aic"))
+
+
+# Weighted multi-OLS oracle: centered weighted moments -> 3x3 normal
+# equations solved by Cramer's rule (far better conditioned than the
+# raw 4x4 Gramian), then rss/r2/loglik from the same identities the
+# engine uses (regression._solve_row): rss = Cyy - b'Cxy,
+# ll = -n/2 (ln(2 pi rss/n) + 1) + (sum ln w - n ln(mean w)) / 2.
+SQL_OLS_MULTI = """
+  WITH m AS (
+    SELECT count(*) AS n, sum(l_quantity) AS sw, sum(ln(l_quantity)) AS slw,
+           sum(l_quantity * l_quantity)   AS sx1,
+           sum(l_quantity * l_discount)   AS sx2,
+           sum(l_quantity * l_tax)        AS sx3,
+           sum(l_quantity * l_extendedprice) AS sy,
+           sum(l_quantity * l_quantity * l_quantity) AS s11,
+           sum(l_quantity * l_quantity * l_discount) AS s12,
+           sum(l_quantity * l_quantity * l_tax)      AS s13,
+           sum(l_quantity * l_discount * l_discount) AS s22,
+           sum(l_quantity * l_discount * l_tax)      AS s23,
+           sum(l_quantity * l_tax * l_tax)           AS s33,
+           sum(l_quantity * l_quantity * l_extendedprice) AS s1y,
+           sum(l_quantity * l_discount * l_extendedprice) AS s2y,
+           sum(l_quantity * l_tax * l_extendedprice)      AS s3y,
+           sum(l_quantity * l_extendedprice * l_extendedprice) AS syy
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+  ), c AS (
+    SELECT n, sw, slw, sx1, sx2, sx3, sy,
+           s11 - sx1 * sx1 / sw AS c11, s12 - sx1 * sx2 / sw AS c12,
+           s13 - sx1 * sx3 / sw AS c13, s22 - sx2 * sx2 / sw AS c22,
+           s23 - sx2 * sx3 / sw AS c23, s33 - sx3 * sx3 / sw AS c33,
+           s1y - sx1 * sy / sw AS c1y, s2y - sx2 * sy / sw AS c2y,
+           s3y - sx3 * sy / sw AS c3y, syy - sy * sy / sw AS cyy
+    FROM m
+  ), solved AS (
+    SELECT *,
+      c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13)
+        + c13*(c12*c23 - c22*c13) AS det,
+      (c1y*(c22*c33 - c23*c23) - c12*(c2y*c33 - c23*c3y)
+        + c13*(c2y*c23 - c22*c3y)) AS det1,
+      (c11*(c2y*c33 - c23*c3y) - c1y*(c12*c33 - c23*c13)
+        + c13*(c12*c3y - c2y*c13)) AS det2,
+      (c11*(c22*c3y - c2y*c23) - c12*(c12*c3y - c2y*c13)
+        + c1y*(c12*c23 - c22*c13)) AS det3
+    FROM c
+  ), beta AS (
+    SELECT *, det1 / det AS b1, det2 / det AS b2, det3 / det AS b3
+    FROM solved
+  ), fit AS (
+    SELECT *, cyy - (b1 * c1y + b2 * c2y + b3 * c3y) AS rss,
+           slw - n * ln(sw / n) AS nlw
+    FROM beta
+  )
+  SELECT n AS samples,
+         floor(b1 * 100 + 0.5) / 100 AS b_qty,
+         floor(b2 * 100 + 0.5) / 100 AS b_disc,
+         floor(b3 * 100 + 0.5) / 100 AS b_tax,
+         floor(((sy - b1 * sx1 - b2 * sx2 - b3 * sx3) / sw) * 100 + 0.5) / 100 AS icpt,
+         floor((1 - rss / cyy) * 1000000 + 0.5) / 1000000 AS r2,
+         floor((-0.5 * n * (ln(2 * pi() * rss / n) + 1) + 0.5 * nlw) * 100 + 0.5) / 100 AS ll,
+         floor((2 * (0.5 * n * (ln(2 * pi() * rss / n) + 1) - 0.5 * nlw) + 10) * 100 + 0.5) / 100 AS aic
+  FROM fit
+"""
 
 
 def q_sessionize(spark, sf):
@@ -625,9 +699,12 @@ SQL_SESSIONIZE = """
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
   ), s AS (
+    -- CAST: DuckDB integer sum() is HUGEINT, which lands in pandas as
+    -- float64 and hash-mismatches Spark's int64 even when values agree
+    -- (the r1 sessionize red row: bitwise-equal values, dtype-only diff)
     SELECT t, user_id,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
-                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
     FROM e
   )
   SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
@@ -967,13 +1044,15 @@ def q_group_interval(spark, sf):
     clock = clocks.uniform("2024-01-01", "2027-01-01", "1d")
     out = intervals.group_by_interval(ev, clock, key=["event_type"],
                                       inclusion="begin", rounding="begin")
-    ids = F.sort_array(F.transform(F.col("rows"), lambda r: r["event_id"]))
-    return out.select(TIME_COLUMN, "event_type", ids.alias("event_ids"))
+    ids = F.sort_array(
+        F.transform(F.col("rows"), lambda r: r["event_id"])).cast("array<string>")
+    return out.select(TIME_COLUMN, "event_type",
+                      F.array_join(ids, ",").alias("event_ids"))
 
 
 SQL_GROUP_INTERVAL = """
   SELECT date_trunc('day', ts) AS time, event_type,
-         list_sort(list(event_id)) AS event_ids
+         array_to_string(list_sort(list(event_id)), ',') AS event_ids
   FROM events
   WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
   GROUP BY 1, 2
@@ -1346,6 +1425,14 @@ SQL_INTERVAL_BEGIN_END = """
 # ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered by priority: round 1 showed the driver records at most 50
+    rows, taken in dict order (the 51st/52nd entries — then
+    multimodal_features / frame_sampling — were silently absent from
+    CORRECTNESS_r01.json while everything before them got a row). The
+    tail entries below are the ones whose semantics are already
+    exercised by an earlier query (simhash by simhash_pairs,
+    lang_confusion by text_stats' lang_pred column), so a cap drops the
+    most redundant coverage first."""
     return {
         "cycle_agg": q_cycle_agg,
         "null_skip": q_null_skip,
@@ -1385,10 +1472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols": q_ols,
         "ols_multi": q_ols_multi,
         "sessionize": q_sessionize,
+        "multimodal_features": q_multimodal_features,
+        "frame_sampling": q_frame_sampling,
         "dedup_exact": q_dedup_exact,
         "corpus_stats": q_corpus_stats,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1396,9 +1484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "embedding_dedup": q_embedding_dedup,
         "text_stats": q_text_stats,
+        # ---- >50 territory: dropped first if the driver caps at 50 ----
+        "simhash": q_simhash,
         "lang_confusion": q_lang_confusion,
-        "multimodal_features": q_multimodal_features,
-        "frame_sampling": q_frame_sampling,
     }
 
 
@@ -1440,7 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_windowed": SQL_EWMA_WINDOWED,
         "ema_core": SQL_EMA_CORE,
         "ols": SQL_OLS,
-        # ols_multi: rows-only (15-field OLS has no concise SQL form)
+        "ols_multi": SQL_OLS_MULTI,
         "sessionize": SQL_SESSIONIZE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "corpus_stats": SQL_CORPUS_STATS,

@@ -45,9 +45,30 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def _dtype_class_mismatch(got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    """Driver hashes without unifying int/float: a DuckDB HUGEINT (-> f64)
+    vs Spark int64 column hash-mismatches even on equal values (r1
+    sessionize). Flag any int-vs-float split before _canon masks it."""
+    bad = []
+    for c in set(got.columns) & set(exp.columns):
+        g, e = got[c].dtype, exp[c].dtype
+        gi = pd.api.types.is_integer_dtype(g)
+        ei = pd.api.types.is_integer_dtype(e)
+        gf = pd.api.types.is_float_dtype(g)
+        ef = pd.api.types.is_float_dtype(e)
+        if (gi and ef) or (gf and ei):
+            bad.append(f"{c}: spark={g} oracle={e}")
+    return bad
+
+
 def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
-    got = _canon(spark_df.toPandas())
-    exp = _canon(con.sql(sql).df())
+    got_raw = spark_df.toPandas()
+    exp_raw = con.sql(sql).df()
+    dt_bad = _dtype_class_mismatch(got_raw, exp_raw)
+    if dt_bad:
+        return False, f"int/float dtype split (driver hash hazard): {dt_bad}"
+    got = _canon(got_raw)
+    exp = _canon(exp_raw)
     if list(got.columns) != list(exp.columns):
         return False, f"columns differ: {list(got.columns)} vs {list(exp.columns)}"
     if len(got) != len(exp):
