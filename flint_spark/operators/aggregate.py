@@ -37,6 +37,24 @@ def summarize(df: DataFrame, summarizer: Summarizer, key: Sequence[str] = ()) ->
                       *[out[n] for n in summarizer.names])
 
 
+def summarize_state(df: DataFrame, summarizer: Summarizer,
+                    key: Sequence[str] = ()) -> DataFrame:
+    """Debug surface exposing the raw aggregation state instead of the
+    rendered values (reference ``summarizeState``,
+    ``timeseries/TimeSeriesRDD.scala:1188-1196`` — "undocumented function
+    for the bravest"; it returns key -> raw summarizer state).
+
+    In this expression-compiled engine the monoid state of the moment
+    family is its sufficient statistics (count, Σx, Σx², ...), emitted
+    here as one plain aggregate row per key — still a single
+    partial+final hash aggregation, no extra shuffle vs ``summarize``.
+    Summarizers without an explicit state vector fall back to their
+    rendered outputs (Catalyst's internal buffer is not exposable)."""
+    key = list(key)
+    exprs = summarizer.state_exprs(df)
+    return df.groupBy(*key).agg(*exprs) if key else df.groupBy().agg(*exprs)
+
+
 def add_summary_columns(df: DataFrame, summarizer: Summarizer,
                         key: Sequence[str] = ()) -> DataFrame:
     """Cumulative aggregate ordered by time; stable tie-break by an

@@ -59,8 +59,42 @@ def _uniform_interval_expr(df: DataFrame, clock: UniformClock, inclusion: str,
     return F.when(valid, tick.cast("long"))
 
 
-def _clock_ticks_ns(clock_df: DataFrame) -> np.ndarray:
-    ticks = clock_df.select(time_ns_expr(clock_df, TIME_COLUMN).alias("t")).toPandas()["t"]
+# collect untrimmed clocks up to this many ticks (8 MB of int64); above
+# it, pay one columnar min/max scan of the data to bound the broadcast
+_TRIM_TICK_THRESHOLD = 1_000_000
+
+
+def _clock_ticks_ns(clock_df: DataFrame,
+                    data_df: DataFrame | None = None) -> np.ndarray:
+    """Driver-collect the clock, trimmed to the data's time range when
+    the clock is large (reference trims before collecting,
+    ``Intervalize.scala:113-127``, to keep the broadcast bounded).
+
+    A clock 10x wider than the data would otherwise broadcast 10x the
+    ticks; here ticks strictly outside [max tick <= data_min,
+    min tick >= data_max] are dropped — the two enclosing boundary
+    ticks are kept so edge intervals survive. The data min/max is one
+    aggregate over the time column only (column-pruned scan); it is only
+    paid when the clock exceeds ``_TRIM_TICK_THRESHOLD`` ticks, so small
+    clocks never trigger a data pass."""
+    t = time_ns_expr(clock_df, TIME_COLUMN).alias("t")
+    ticks_df = clock_df.select(t)
+    if data_df is not None and ticks_df.count() > _TRIM_TICK_THRESHOLD:
+        lo, hi = data_df.select(
+            F.min(time_ns_expr(data_df)), F.max(time_ns_expr(data_df))).first()
+        if lo is not None:
+            # STRICT enclosing ticks: a data point exactly on a kept
+            # boundary tick must still see its neighbor tick beyond it,
+            # or its validity under the inclusion rule would change
+            enclosing = ticks_df.agg(
+                F.max(F.when(F.col("t") < F.lit(lo), F.col("t"))).alias("lo_t"),
+                F.min(F.when(F.col("t") > F.lit(hi), F.col("t"))).alias("hi_t"),
+            ).first()
+            lo_t = enclosing["lo_t"] if enclosing["lo_t"] is not None else lo
+            hi_t = enclosing["hi_t"] if enclosing["hi_t"] is not None else hi
+            ticks_df = ticks_df.filter(
+                (F.col("t") >= F.lit(lo_t)) & (F.col("t") <= F.lit(hi_t)))
+    ticks = ticks_df.toPandas()["t"]
     arr = np.sort(ticks.to_numpy(dtype=np.int64))
     return arr
 
@@ -73,7 +107,7 @@ def _searchsorted_interval_expr(df: DataFrame, clock_df: DataFrame, inclusion: s
     (``Intervalize.scala:113-127``); the per-row lookup is O(log c) inside
     an Arrow-batched pandas UDF, so data never moves to the driver.
     """
-    ticks = _clock_ticks_ns(clock_df)
+    ticks = _clock_ticks_ns(clock_df, data_df=df)
     sc = df.sparkSession.sparkContext
     bticks = sc.broadcast(ticks)
     m = len(ticks) - 1

@@ -19,8 +19,10 @@ from typing import Any
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+import datetime as _dt
+
 from .. import clocks as clocks_mod
-from ..timeseries import TIME_COLUMN, TimeSeriesDataFrame
+from ..timeseries import TIME_COLUMN, TimeSeriesDataFrame, parse_duration_ns
 
 
 class TSRead:
@@ -32,6 +34,8 @@ class TSRead:
         self._time_column = TIME_COLUMN
         self._time_unit: str | None = None
         self._columns = None
+        self._expand_begin = 0
+        self._expand_end = 0
 
     def option(self, key: str, value) -> "TSRead":
         self._options[key] = value
@@ -47,6 +51,20 @@ class TSRead:
         self._begin, self._end = begin, end
         return self
 
+    def expand(self, begin: str | int | None = None,
+               end: str | int | None = None) -> "TSRead":
+        """Widen the ``range`` by a duration on either side (reference
+        ``ReadBuilder.expand``, ``io/read/ReadBuilder.scala:126-146``;
+        python ``readwriter.py:174``): the effective scan range becomes
+        ``[begin - expand_begin, end + expand_end)``. The canonical use
+        is priming an as-of join — reading ``[b, e)`` expanded by the
+        join tolerance on the left edge so rows near ``b`` still find
+        their backward match. Both prunes stay pushed to the parquet
+        scan; only the literal bound changes."""
+        self._expand_begin = parse_duration_ns(begin) if begin is not None else 0
+        self._expand_end = parse_duration_ns(end) if end is not None else 0
+        return self
+
     def columns(self, *cols: str) -> "TSRead":
         self._columns = list(cols)
         return self
@@ -56,17 +74,28 @@ class TSRead:
         return self
 
     def _finish(self, df) -> TimeSeriesDataFrame:
-        def bound(value):
+        def bound(value, shift_ns: int = 0):
             # long time columns hold epoch-ns: convert date strings/datetimes
             dtype = dict(df.dtypes).get(self._time_column, "")
-            if dtype in ("bigint", "long", "int") and not isinstance(value, int):
-                return F.lit(clocks_mod._to_ns(value))
-            return F.lit(value)
+            is_long = dtype in ("bigint", "long", "int")
+            if isinstance(value, int) and shift_ns == 0:
+                return F.lit(value)
+            if is_long:
+                ns = value if isinstance(value, int) else clocks_mod._to_ns(value)
+                return F.lit(ns + shift_ns)
+            if shift_ns == 0:
+                return F.lit(value)
+            # native timestamp/date bound: shift in python at µs precision
+            ns = clocks_mod._to_ns(value)
+            us = (ns + shift_ns) // 1000
+            return F.lit(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us))
 
         if self._begin is not None:
-            df = df.filter(F.col(self._time_column) >= bound(self._begin))
+            df = df.filter(F.col(self._time_column)
+                           >= bound(self._begin, -self._expand_begin))
         if self._end is not None:
-            df = df.filter(F.col(self._time_column) < bound(self._end))
+            df = df.filter(F.col(self._time_column)
+                           < bound(self._end, self._expand_end))
         if self._columns is not None:
             keep = [self._time_column] + [c for c in self._columns
                                           if c != self._time_column]

@@ -40,18 +40,44 @@ _IDENT: Mask = lambda c: c
 
 
 class Summarizer:
-    """A named list of aggregate-expression builders."""
+    """A named list of aggregate-expression builders.
+
+    ``state_items`` (optional) are the raw sufficient-statistic
+    accumulators behind the rendered outputs — the analogue of the
+    reference's summarizer state (zero/add/merge before render). For
+    summarizers without an explicit state list, the rendered outputs
+    stand in (Catalyst's internal aggregation buffer is not exposable).
+    """
 
     def __init__(self, items: Sequence[tuple[str, Builder]], prefix: str = "",
-                 mask: Mask = _IDENT):
+                 mask: Mask = _IDENT,
+                 state_items: Sequence[tuple[str, Builder]] | None = None):
         self._items = list(items)
         self._prefix = prefix
         self._mask = mask
+        self._state_items = list(state_items) if state_items is not None else None
 
     def exprs(self, df: DataFrame) -> list[Column]:
         """Aliased Columns for ``groupBy().agg(...)``."""
         return [fn(df, self._mask, _IDENT).alias(self._prefix + name)
                 for name, fn in self._items]
+
+    @property
+    def _effective_state(self) -> list[tuple[str, Builder]]:
+        return self._state_items if self._state_items is not None else self._items
+
+    def state_exprs(self, df: DataFrame) -> list[Column]:
+        """Aliased Columns for the raw accumulator state, deduplicated by
+        name (compose(mean, variance) shares count/sum)."""
+        seen: set[str] = set()
+        out = []
+        for name, fn in self._effective_state:
+            full = self._prefix + name
+            if full in seen:
+                continue
+            seen.add(full)
+            out.append(fn(df, self._mask, _IDENT).alias(full))
+        return out
 
     def over_exprs(self, df: DataFrame, window) -> list[tuple[str, Column]]:
         """(name, Column) pairs with every aggregate evaluated over ``window``."""
@@ -77,13 +103,19 @@ def compose(*summarizers: Summarizer) -> Summarizer:
     """Concatenate outputs (reference ``Summarizers.compose``,
     ``timeseries/Summarizers.scala:387-418``)."""
     items: list[tuple[str, Builder]] = []
+    state: list[tuple[str, Builder]] = []
     for s in summarizers:
         for name, fn in s._items:
             pfx, msk = s._prefix, s._mask
             items.append((pfx + name,
                           (lambda df, m, o, fn=fn, msk=msk:
                            fn(df, lambda c: m(msk(c)), o))))
-    return Summarizer(items)
+        for name, fn in s._effective_state:
+            pfx, msk = s._prefix, s._mask
+            state.append((pfx + name,
+                          (lambda df, m, o, fn=fn, msk=msk:
+                           fn(df, lambda c: m(msk(c)), o))))
+    return Summarizer(items, state_items=state)
 
 
 def stack(*summarizers: Summarizer) -> Summarizer:
@@ -106,11 +138,31 @@ def stack(*summarizers: Summarizer) -> Summarizer:
     return Summarizer([("stack", build)])
 
 
+def _moment_state(column: str, order: int) -> list[tuple[str, Builder]]:
+    """Raw accumulators (count, Σx, Σx², ...) up to the given moment
+    order — the reference's NthMomentSummarizer state vector."""
+    items: list[tuple[str, Builder]] = [
+        (f"{column}_state_count",
+         lambda df, m, o: o(F.count(m(F.col(column))))),
+        (f"{column}_state_sum",
+         lambda df, m, o: o(F.sum(m(F.col(column)))).cast("double")),
+    ]
+    if order >= 2:
+        items.append((f"{column}_state_sumSq",
+                      lambda df, m, o:
+                      o(F.sum(m(F.col(column)) * m(F.col(column)))).cast("double")))
+    return items
+
+
 def _simple(name_fmt: str, agg: Callable[[Column], Column],
-            post: Callable[[Column], Column] = lambda c: c):
+            post: Callable[[Column], Column] = lambda c: c,
+            state_order: int | None = None):
     def factory(column: str) -> Summarizer:
-        return Summarizer([(name_fmt.format(col=column),
-                            lambda df, m, o: post(o(agg(m(F.col(column))))))])
+        return Summarizer(
+            [(name_fmt.format(col=column),
+              lambda df, m, o: post(o(agg(m(F.col(column))))))],
+            state_items=(_moment_state(column, state_order)
+                         if state_order else None))
     return factory
 
 
@@ -122,10 +174,10 @@ def count(column: str | None = None) -> Summarizer:
                         lambda df, m, o: o(F.count(m(F.col(column)))))])
 
 
-sum_ = _simple("{col}_sum", F.sum, lambda c: c.cast("double"))
-mean = _simple("{col}_mean", F.avg)
-stddev = _simple("{col}_stddev", F.stddev_samp)     # Bessel, ref :108-118
-variance = _simple("{col}_variance", F.var_samp)    # Bessel, ref :120-130
+sum_ = _simple("{col}_sum", F.sum, lambda c: c.cast("double"), state_order=1)
+mean = _simple("{col}_mean", F.avg, state_order=1)
+stddev = _simple("{col}_stddev", F.stddev_samp, state_order=2)  # Bessel, ref :108-118
+variance = _simple("{col}_variance", F.var_samp, state_order=2)  # Bessel, ref :120-130
 min_ = _simple("{col}_min", F.min)
 max_ = _simple("{col}_max", F.max)
 product = _simple("{col}_product", F.product)

@@ -88,7 +88,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None):
 
     spark = get_spark("harness")
     con = duck_con(sf_dir)
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    qs = {**entry.queries(), **entry.extra_queries()}
+    oracles = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -240,3 +240,83 @@ def test_wrapper_transform_tracks_order(spark):
     assert not lost.is_sorted
     with pytest.raises(ValueError):
         ts.transform(lambda d: d.select("x"))
+
+
+def test_readbuilder_expand_primes_asof_edge(spark, sf_dir):
+    """.range(b, e).expand(begin=tol) widens the right-side scan so an
+    as-of join at the range edge picks up priming rows from before b
+    (reference ReadBuilder.expand, io/read/ReadBuilder.scala:126-146)."""
+    from flint_spark.operators import asof
+    from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+
+    def right_side(expand: bool):
+        r = TSRead(spark).range("2024-01-15", "2024-02-01")
+        if expand:
+            r = r.expand(begin="14d")
+        df = r.time_column("ts").parquet(f"{sf_dir}/events.parquet").df
+        return (df.withColumn(TIME_COLUMN,
+                              ns_to_time_expr(F.col(TIME_COLUMN), "timestamp"))
+                .filter(F.col("event_type") == "click")
+                .groupBy(TIME_COLUMN, "user_id")
+                .agg(F.max("value").alias("rv")))
+
+    lo = F.to_timestamp(F.lit("2024-01-15"))
+    left = (TSRead(spark).time_column("ts").parquet(f"{sf_dir}/events.parquet").df
+            .withColumn(TIME_COLUMN, ns_to_time_expr(F.col(TIME_COLUMN), "timestamp"))
+            .filter((F.col(TIME_COLUMN) >= lo)
+                    & (F.col(TIME_COLUMN) < lo + F.expr("INTERVAL 1 DAY"))
+                    & (F.col("event_type") != "click"))
+            .select(TIME_COLUMN, "user_id", "event_id"))
+    # expanded right side must produce strictly more matches at the edge:
+    # the narrow read has almost no history for day-one rows
+    n_narrow = (asof.left_join(left, right_side(False), tolerance="14d",
+                               key=["user_id"])
+                .filter(F.col("rv").isNotNull()).count())
+    n_expanded = (asof.left_join(left, right_side(True), tolerance="14d",
+                                 key=["user_id"])
+                  .filter(F.col("rv").isNotNull()).count())
+    assert n_expanded > n_narrow
+    assert n_expanded > 0
+
+
+def test_arbitrary_clock_trimmed_before_broadcast(spark, sf_dir, monkeypatch):
+    """A clock 10x wider than the data broadcasts only the enclosing
+    ticks (reference trims pre-collect, Intervalize.scala:113-127)."""
+    from flint_spark.operators import intervals as iv
+    from flint_spark.clocks import uniform
+    from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+
+    ev = (TSRead(spark).time_column("ts").parquet(f"{sf_dir}/events.parquet").df
+          .withColumn(TIME_COLUMN, ns_to_time_expr(F.col(TIME_COLUMN), "timestamp")))
+    # clock spans 2020..2030 at 1d -> ~3650 ticks; data covers ~1 month
+    wide = uniform("2020-01-01", "2030-01-01", "1d").ticks_df(spark)
+    full = iv._clock_ticks_ns(wide)
+    monkeypatch.setattr(iv, "_TRIM_TICK_THRESHOLD", 100)
+    trimmed = iv._clock_ticks_ns(wide, data_df=ev)
+    assert len(trimmed) < len(full) / 10  # bounded by the data range
+    # trimming must not change results: same summarize_intervals output
+    from flint_spark import summarizers as S
+    out_trim = iv.summarize_intervals(ev, wide, S.count(), inclusion="begin",
+                                      rounding="begin").toPandas()
+    monkeypatch.setattr(iv, "_TRIM_TICK_THRESHOLD", 10**9)
+    out_full = iv.summarize_intervals(ev, wide, S.count(), inclusion="begin",
+                                      rounding="begin").toPandas()
+    pd.testing.assert_frame_equal(
+        out_trim.sort_values("time", ignore_index=True),
+        out_full.sort_values("time", ignore_index=True))
+
+
+def test_summarize_state_moments(spark):
+    """summarizeState exposes count / sum / sumSq accumulators, shared
+    (deduplicated) across composed summarizers."""
+    pdf = pd.DataFrame({"time": pd.to_datetime(["2024-01-01", "2024-01-02",
+                                                "2024-01-03"]),
+                        "k": ["a", "a", "b"], "v": [1.0, 3.0, 5.0]})
+    df = spark.createDataFrame(pdf)
+    out = agg_ops.summarize_state(df, S.compose(S.mean("v"), S.variance("v")),
+                                  key=["k"]).toPandas().set_index("k")
+    assert list(out.columns) == ["v_state_count", "v_state_sum", "v_state_sumSq"]
+    assert out.loc["a", "v_state_count"] == 2
+    assert out.loc["a", "v_state_sum"] == 4.0
+    assert out.loc["a", "v_state_sumSq"] == 10.0
+    assert out.loc["b", "v_state_sumSq"] == 25.0
