@@ -16,7 +16,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .timeseries import TIME_COLUMN, parse_duration_ns
+from .timeseries import TIME_COLUMN, floor_div, parse_duration_ns
 
 
 def _to_ns(value) -> int:
@@ -53,7 +53,9 @@ class UniformClock:
         stop = self.end_ns + (1 if self.end_inclusive else 0)
         rng = spark.range(start, stop, self.frequency_ns)
         if self.timestamp_type:
-            tick = F.timestamp_micros((F.col("id") / 1000).cast("long"))
+            # floor_div, not (x/1000).cast: double division is lossy for
+            # epoch-ns magnitudes (~1.7e18 > 2^53)
+            tick = F.timestamp_micros(floor_div(F.col("id"), 1000))
         else:
             tick = F.col("id")
         return rng.select(tick.alias(TIME_COLUMN))
@@ -80,7 +82,7 @@ def random(spark: SparkSession, begin, end, frequency: str | int,
     jitter = (F.rand(seed) * F.lit(f)).cast("long")
     ticks = (F.col("id") + jitter)
     if timestamp_type:
-        tick = F.timestamp_micros((ticks / 1000).cast("long"))
+        tick = F.timestamp_micros(floor_div(ticks, 1000))
     else:
         tick = ticks
     return rng.select(tick.alias(TIME_COLUMN)).sort(TIME_COLUMN)

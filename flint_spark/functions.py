@@ -81,3 +81,140 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
         return windows.map(lambda rows: fn(pd.DataFrame(list(rows))))
 
     return df.withColumn(out_name, apply(arr))
+
+
+# ----------------------------------------------------------------------
+# reference udf() facade: pandas / numpy columnar UDFs with Column,
+# multi-Column, or whole-DataFrame arguments and tuple multi-returns
+# (reference ``python/ts/flint/functions.py:31-196``; the Arrow batch
+# protocol behind it collapses into applyInPandas here)
+# ----------------------------------------------------------------------
+
+class UDFCall:
+    """A bound invocation of a :func:`udf`: remembers which input
+    columns feed the function and how to present them (pandas Series /
+    DataFrame or numpy ndarray / dict-of-ndarray)."""
+
+    def __init__(self, fn, return_type, arg_type, args):
+        self.fn = fn
+        self.return_type = return_type  # DataType or tuple of DataTypes
+        self.arg_type = arg_type
+        self.args = args  # list of str (one column) or list[str] (frame)
+
+    def _materialize(self, pdf: pd.DataFrame):
+        vals = []
+        for a in self.args:
+            if isinstance(a, list):  # whole-frame argument
+                sub = pdf[a]
+                if self.arg_type == "numpy":
+                    from collections import OrderedDict
+                    vals.append(OrderedDict(
+                        (c, sub[c].to_numpy()) for c in sub.columns))
+                else:
+                    vals.append(sub)
+            else:
+                s = pdf[a]
+                vals.append(s.to_numpy() if self.arg_type == "numpy" else s)
+        return vals
+
+    def __call__(self, pdf: pd.DataFrame):
+        return self.fn(*self._materialize(pdf))
+
+
+class FlintUDF:
+    def __init__(self, fn, return_type, arg_type="pandas"):
+        self.fn = fn
+        self.return_type = return_type
+        self.arg_type = arg_type
+
+    def __call__(self, *cols) -> UDFCall:
+        args = []
+        for c in cols:
+            if isinstance(c, DataFrame):
+                args.append(list(c.columns))
+            elif isinstance(c, str):
+                args.append(c)
+            elif isinstance(c, Column):
+                args.append(_column_name(c))
+            else:
+                raise TypeError(f"udf argument must be Column/str/DataFrame, got {type(c)}")
+        return UDFCall(self.fn, self.return_type, self.arg_type, args)
+
+
+def _column_name(col: Column) -> str:
+    """Resolve a plain attribute-reference Column (``df['v']``) to its
+    name; computed expressions are rejected like the reference's
+    non-AttributeReference branch (pass a named/aliased column)."""
+    name = col._jc.toString()  # noqa: SLF001 - classic-mode JVM column
+    if not name.isidentifier():
+        raise ValueError(
+            f"udf() arguments must be plain columns, got expression {name!r}; "
+            "alias it on the DataFrame first")
+    return name
+
+
+def udf(return_type=None, arg_type: str = "pandas"):
+    """Decorator mirroring ``ts.flint.functions.udf``: wraps a scalar-
+    or series-returning function over pandas (default) or numpy
+    (``arg_type='numpy'``) inputs. A tuple ``return_type`` declares a
+    multi-output UDF consumed as ``{('a', 'b'): fn(df['x'])}``."""
+    if arg_type not in ("pandas", "numpy"):
+        raise ValueError("arg_type must be 'pandas' or 'numpy'")
+    rt = return_type if return_type is not None else T.DoubleType()
+
+    def wrap(fn):
+        return FlintUDF(fn, rt, arg_type)
+
+    # bare @udf usage (fn passed directly)
+    if callable(return_type) and not isinstance(return_type, (T.DataType, tuple)):
+        fn, rt_ = return_type, T.DoubleType()
+        return FlintUDF(fn, rt_, arg_type)
+    return wrap
+
+
+def _calls_schema(group_cols, df: DataFrame,
+                  outputs: Mapping) -> tuple[T.StructType, list]:
+    """(full output schema, [(names, call)]) for a dict of UDFCalls."""
+    fields = [df.schema[c] for c in group_cols]
+    norm = []
+    for names, call in outputs.items():
+        names = (names,) if isinstance(names, str) else tuple(names)
+        rts = call.return_type if isinstance(call.return_type, tuple) \
+            else (call.return_type,)
+        if len(names) != len(rts):
+            raise ValueError(f"output names {names} vs return types {rts}")
+        fields.extend(T.StructField(n, t) for n, t in zip(names, rts))
+        norm.append((names, call))
+    return T.StructType(fields), norm
+
+
+def summarize_cycles_calls(df: DataFrame, outputs: Mapping,
+                           key: Sequence[str] = ()) -> DataFrame:
+    """summarizeCycles with reference-style udf dict:
+    ``{'out': my_udf(df['v']), ('a', 'b'): multi_udf(df[['v', 'w']])}``.
+    Each cycle (time, *key) group evaluates every call once."""
+    key = list(key)
+    group_cols = [TIME_COLUMN] + key
+    full, calls = _calls_schema(group_cols, df, outputs)
+
+    def apply(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        res = dict(zip(group_cols, keys))
+        for names, call in calls:
+            out = call(pdf)
+            out = out if isinstance(out, tuple) else (out,)
+            res.update(dict(zip(names, out)))
+        return pd.DataFrame([res], columns=[f.name for f in full.fields])
+
+    return df.groupBy(*group_cols).applyInPandas(apply, full)
+
+
+def summarize_intervals_calls(df: DataFrame, clock, outputs: Mapping,
+                              key: Sequence[str] = (),
+                              inclusion: str = "begin",
+                              rounding: str = "end") -> DataFrame:
+    from .operators.intervals import _INTERVAL, _interval_time_col, intervalize
+
+    bucketed = intervalize(df, clock, inclusion, rounding)
+    bucketed = bucketed.withColumn(TIME_COLUMN, _interval_time_col(bucketed)) \
+                       .drop(_INTERVAL)
+    return summarize_cycles_calls(bucketed, outputs, key)

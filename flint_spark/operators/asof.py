@@ -56,7 +56,13 @@ def _prepare(left: DataFrame, right: DataFrame, key: Sequence[str],
     right_data = [c for c in right.columns if c != TIME_COLUMN and c not in key]
     left_out = _output_names(left_data, left_alias)
     right_out = _output_names(right_data, right_alias)
-    conflicts = set(left_out.values()) & set(right_out.values())
+    # the conflict set includes key and time: an aliased data column may
+    # collide with them too (e.g. key=['user_id'], right 'id' with
+    # right_alias='user' -> 'user_id')
+    reserved = set(key) | {TIME_COLUMN}
+    conflicts = ((set(left_out.values()) & set(right_out.values()))
+                 | (set(left_out.values()) & reserved)
+                 | (set(right_out.values()) & reserved))
     if conflicts:
         raise ValueError(f"conflicting output columns {sorted(conflicts)}; "
                          "use left_alias/right_alias")

@@ -9,6 +9,7 @@ aggregation with map-side partials, no order dependence, one shuffle.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -77,7 +78,16 @@ def add_columns_for_cycle(
     return out
 
 
+_RANKING_CALL = re.compile(
+    r"\b(percent_rank|dense_rank|rank|row_number|ntile|cume_dist|lag|lead)\(")
+
+
 def _needs_order(col: Column) -> bool:
-    s = str(col)
-    return any(t in s for t in ("percent_rank", "rank", "row_number", "ntile",
-                                "cume_dist", "lag", "lead"))
+    """True iff the expression CALLS a ranking window function.
+
+    Matches ``name(`` as a function invocation in the column's
+    structured rendering (PySpark renders operators prefix-style, so a
+    user column literally named ``rank`` appears bare — ``rank`` or
+    ``+(rank, 1)`` — and does not match, while ``percent_rank()`` /
+    ``lag(rank, 1, ...)`` do)."""
+    return bool(_RANKING_CALL.search(str(col)))

@@ -119,7 +119,20 @@ def _smoothing_values(t_ns: np.ndarray, x: np.ndarray, alpha: float,
     # scan's implicit zero initial state IS the injected point.
     primary = _affine_scan(T_steps, c)
     if convention == "core":
-        aux = _affine_scan(T_steps, 1.0 - d)
+        # aux series is the smoothing of constant 1. In-series steps are
+        # interpolateForInterval(1, 1, periods) = (1-d) under EVERY
+        # interpolation, but the priming step is
+        # interpolateForInterval(0, 1, priming)
+        # (ExponentialSmoothingSummarizer.scala render()): previous -> 0,
+        # linear -> 1-nu, current -> 1-d.
+        aux_c = 1.0 - d
+        if interpolation == "previous":
+            aux_c[0] = 0.0
+        elif interpolation == "linear":
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nu0 = (1.0 - d[0]) / T_steps[0] if T_steps[0] > 1e-12 else 1.0
+            aux_c[0] = 1.0 - nu0
+        aux = _affine_scan(T_steps, aux_c)
         with np.errstate(divide="ignore", invalid="ignore"):
             return primary / aux
     return primary

@@ -55,6 +55,22 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Skew guard for banded self-joins: drop buckets with more than
+    ``max_bucket`` members before pairing. A hot bucket (a ubiquitous
+    byte-chunk / band signature) makes the self-join quadratic in that
+    bucket; like ``ngram_jaccard_pairs``'s ``max_df`` stop-shingle cap,
+    members of such buckets are overwhelmingly boilerplate and their
+    true near-dups still collide in their other, rarer buckets.
+    ``None`` disables the guard (the oracle-gated defaults)."""
+    if max_bucket is None:
+        return banded
+    ok = (banded.groupBy(*bucket_cols).agg(F.count("*").alias("__n"))
+          .filter(F.col("__n") <= max_bucket).drop("__n"))
+    return banded.join(ok, bucket_cols)
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = 64, seed: int = 7) -> DataFrame:
@@ -72,7 +88,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3, num_hashes: int = 64,
                       bands: int = 16, seed: int = 7,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, scored by the
     MinHash Jaccard estimate: (id_a, id_b, est_jaccard).
 
@@ -97,6 +114,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     ]
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")) \
                 .select(id_col, "bb.band", "bb.bsig")
+    banded = _cap_buckets(banded, ["band", "bsig"], max_bucket)
     a, b_ = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -136,7 +154,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, nbits: int = 32) -> DataFrame:
+                  max_hamming: int = 3, nbits: int = 32,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs whose SimHashes differ by <= max_hamming bits.
 
     Candidates via 8-bit band equi-join (a pair within hamming<=3 of a
@@ -153,6 +172,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             for c in range(nbands)
         ])).alias("bb")
     ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    banded = _cap_buckets(banded, ["band", "chunk"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -45,14 +45,28 @@ def _node_names(df: DataFrame) -> list[str]:
     return out
 
 
-def is_order_preserving(df: DataFrame) -> bool:
-    """True iff every node in df's analyzed plan preserves row order.
+def is_order_preserving(df: DataFrame, base: DataFrame | None = None) -> bool:
+    """True iff every plan node preserves row order.
 
-    Conservative: unknown nodes count as order-destroying."""
-    for name in _node_names(df):
-        base = name.replace("Exec", "")
-        if base in ORDER_DESTROYING_NODES:
+    With ``base`` given, only nodes ADDED on top of ``base``'s plan are
+    classified (the reference's OrderPreservingOperation compares the
+    derivation path between the two DataFrames): the walk stops at any
+    subtree equal to ``base``'s analyzed plan, so a sorted DataFrame
+    whose own lineage contains Sort/Window/Aggregate (e.g. the output
+    of an as-of join) is not spuriously downgraded by a pure filter
+    transform. Conservative: unknown nodes count as order-destroying."""
+    plan = df._jdf.queryExecution().analyzed()
+    base_plan = base._jdf.queryExecution().analyzed() if base is not None else None
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if base_plan is not None and node.sameResult(base_plan):
+            continue  # reached the original df: nothing below was added
+        name = node.nodeName().replace("Exec", "")
+        if name in ORDER_DESTROYING_NODES:
             return False
-        if base not in ORDER_PRESERVING_NODES:
+        if name not in ORDER_PRESERVING_NODES:
             return False
+        for i in range(node.children().length()):
+            stack.append(node.children().apply(i))
     return True

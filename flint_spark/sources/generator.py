@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..clocks import _to_ns
-from ..timeseries import TIME_COLUMN, parse_duration_ns
+from ..timeseries import TIME_COLUMN, floor_div, parse_duration_ns
 
 
 def generate(spark: SparkSession, begin, end, frequency: str | int,
@@ -28,6 +28,6 @@ def generate(spark: SparkSession, begin, end, frequency: str | int,
         panel = panel.filter(F.rand(seed + 1) < id_ratio)
     for i, c in enumerate(columns):
         panel = panel.withColumn(c, F.rand(seed + 100 + i))
-    time_col = (F.timestamp_micros((F.col("__tns") / 1000).cast("long"))
+    time_col = (F.timestamp_micros(floor_div(F.col("__tns"), 1000))
                 if timestamp_type else F.col("__tns").cast("long"))
     return panel.select(time_col.alias(TIME_COLUMN), "id", *columns)

@@ -76,6 +76,7 @@ def ewma_stream(stream: DataFrame, column: str, key: Sequence[str],
     import pandas as pd
     from pyspark.sql import types as T
 
+    from ..operators.ema import _affine_scan
     from ..timeseries import parse_duration_ns, time_ns_expr
 
     key = list(key)
@@ -90,21 +91,28 @@ def ewma_stream(stream: DataFrame, column: str, key: Sequence[str],
                                  T.StructField("e", T.DoubleType())])
 
     def fold(key_vals, pdf_iter, state):
+        # same vectorized block-renormalized scan as the batch engine
+        # (operators.ema._affine_scan); the carried state enters as
+        # E_{-1} decayed through the cumulative decay of the batch
         last_tns, e = state.get if state.exists else (None, 0.0)
         frames = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values("__tns", kind="stable")
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
-            out = np.empty(len(x))
-            for i in range(len(x)):
-                if last_tns is not None:
-                    e = e * math.exp(-lam * (t[i] - last_tns)) + x[i]
-                else:
-                    e = x[i]
-                last_tns = int(t[i])
-                out[i] = e
-            res = pd.DataFrame({c: [v] * len(x) for c, v in zip(key, key_vals)})
+            n = len(x)
+            if n == 0:
+                continue
+            steps = np.empty(n, dtype=np.float64)
+            steps[0] = lam * (t[0] - last_tns) if last_tns is not None else 0.0
+            steps[1:] = lam * np.diff(t).astype(np.float64)
+            out = _affine_scan(steps, x)
+            if last_tns is not None and e != 0.0:
+                with np.errstate(under="ignore"):
+                    out = out + e * np.exp(-np.cumsum(steps))
+            e = float(out[-1])
+            last_tns = int(t[-1])
+            res = pd.DataFrame({c: [v] * n for c, v in zip(key, key_vals)})
             res["__tns"] = t
             res[column] = x
             res[f"{column}_ewma"] = out

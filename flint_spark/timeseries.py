@@ -263,20 +263,40 @@ class TimeSeriesDataFrame:
         return self._wrap(self._df.coalesce(n))
 
     def validate(self) -> None:
-        """Assert time is globally non-decreasing when sorted flag set.
+        """Assert time is globally non-decreasing in the physical layout.
 
-        Reference ``validate()`` checks per-partition order/ranges
-        (``timeseries/TimeSeriesRDD.scala:1872-1893``); here the check is
-        a lag-based scan over the sorted view."""
-        w = Window.orderBy(TIME_COLUMN)
-        bad = (
-            self._df.select(TIME_COLUMN)
+        Reference ``validate()`` checks per-partition order plus
+        partition range disjointness (``TimeSeriesRDD.scala:1872-1893``).
+        Same decomposition here — within-partition monotonicity via
+        ``lag`` over a ``spark_partition_id``-partitioned window (fully
+        parallel) plus a tiny per-partition [min, max] overlap check on
+        the driver — instead of one global ``Window.orderBy`` that would
+        funnel the whole table through a single task."""
+        pid = F.spark_partition_id().alias("_pid")
+        rid = F.monotonically_increasing_id().alias("_rid")
+        base = self._df.select(pid, rid, F.col(TIME_COLUMN))
+        # order by the physical row id, NOT by time — ordering by time
+        # would sort the partition and make the monotonicity check vacuous
+        w = Window.partitionBy("_pid").orderBy("_rid")
+        agg = (
+            base
             .withColumn("_prev", F.lag(TIME_COLUMN).over(w))
-            .filter(F.col("_prev") > F.col(TIME_COLUMN))
-            .count()
+            .groupBy("_pid")
+            .agg(F.sum(F.when(F.col("_prev") > F.col(TIME_COLUMN), 1)
+                       .otherwise(0)).alias("_bad"),
+                 F.min(TIME_COLUMN).alias("_lo"),
+                 F.max(TIME_COLUMN).alias("_hi"))
         )
+        parts = sorted(agg.collect(), key=lambda r: r["_pid"])
+        bad = sum(r["_bad"] for r in parts)
         if bad:
-            raise AssertionError(f"{bad} out-of-order rows")
+            raise AssertionError(f"{bad} out-of-order rows within partitions")
+        nonempty = [r for r in parts if r["_lo"] is not None]
+        for a, b in zip(nonempty, nonempty[1:]):
+            if a["_hi"] > b["_lo"]:
+                raise AssertionError(
+                    f"partition ranges overlap: p{a['_pid']} [..{a['_hi']}] vs "
+                    f"p{b['_pid']} [{b['_lo']}..]")
 
     def _wrap(self, df: DataFrame, is_sorted: bool | None = None) -> "TimeSeriesDataFrame":
         return TimeSeriesDataFrame(df, self.is_sorted if is_sorted is None else is_sorted)
@@ -447,5 +467,6 @@ class TimeSeriesDataFrame:
         out = fn(self._df)
         if TIME_COLUMN not in out.columns:
             raise ValueError("transform dropped the time column")
-        preserved = self.is_sorted and is_order_preserving(out)
+        # classify only the nodes fn added on top of this df's plan
+        preserved = self.is_sorted and is_order_preserving(out, base=self._df)
         return TimeSeriesDataFrame(out, is_sorted=preserved)

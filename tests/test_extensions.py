@@ -320,3 +320,54 @@ def test_summarize_state_moments(spark):
     assert out.loc["a", "v_state_sum"] == 4.0
     assert out.loc["a", "v_state_sumSq"] == 10.0
     assert out.loc["b", "v_state_sumSq"] == 25.0
+
+
+def test_transform_filter_after_asof_stays_sorted(spark, sf_dir):
+    """Order analysis classifies only nodes ADDED by the transform: a
+    pure filter on an as-of join result (whose own lineage contains
+    Window/Sort) must not downgrade is_sorted (ADVICE r1)."""
+    from flint_spark.operators import asof
+    from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+
+    ev = TimeSeriesDataFrame.from_parquet(
+        spark, f"{sf_dir}/events.parquet", time_column="ts")
+    ev = TimeSeriesDataFrame(
+        ev.df.withColumn(TIME_COLUMN,
+                         ns_to_time_expr(F.col(TIME_COLUMN), "timestamp")))
+    right = (ev.df.groupBy(TIME_COLUMN, "user_id")
+             .agg(F.max("value").alias("rv")))
+    joined = TimeSeriesDataFrame(
+        asof.left_join(ev.df.select(TIME_COLUMN, "user_id", "event_id"),
+                       right, tolerance="1d", key=["user_id"]),
+        is_sorted=True)
+    filtered = joined.transform(lambda df: df.filter(F.col("user_id") < 50))
+    assert filtered.is_sorted  # previously spuriously downgraded
+    agged = joined.transform(lambda df: df.groupBy("user_id").count()
+                             .withColumn("time", F.lit(0)))
+    assert not agged.is_sorted  # an added Aggregate still downgrades
+
+
+def test_needs_order_ignores_columns_named_rank(spark):
+    from flint_spark.operators.cycles import _needs_order
+
+    df = spark.createDataFrame([(1, 2.0)], "rank long, lead double")
+    assert not _needs_order(df["rank"])
+    assert not _needs_order(df["rank"] + 1)
+    assert not _needs_order(F.sum("lead"))
+    assert _needs_order(F.percent_rank())
+    assert _needs_order(F.lag("rank"))
+    assert _needs_order(F.dense_rank() + 1)
+
+
+def test_validate_parallel(spark):
+    from flint_spark.timeseries import TimeSeriesDataFrame as TSDF
+
+    pdf = pd.DataFrame({"time": pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]),
+        "v": [1, 2, 3, 4]})
+    ok = TSDF(spark.createDataFrame(pdf).repartitionByRange(2, "time"))
+    ok.validate()  # sorted layout passes
+    shuffled = TSDF(spark.createDataFrame(
+        pdf.iloc[[3, 0, 2, 1]]).coalesce(1))
+    with pytest.raises(AssertionError):
+        shuffled.validate()

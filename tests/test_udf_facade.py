@@ -1,0 +1,123 @@
+"""Reference udf() call-shape parity (python/ts/flint/functions.py:31-196)
+and the banded-join skew guards."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flint_spark import functions as FL
+from flint_spark.pipeline import dedup
+
+
+@pytest.fixture(scope="module")
+def cycles_df(spark):
+    pdf = pd.DataFrame({
+        "time": pd.to_datetime(["2024-01-01"] * 3 + ["2024-01-02"] * 2),
+        "v": [1.0, 2.0, 3.0, 10.0, 20.0],
+        "w": [1.0, 1.0, 2.0, 1.0, 3.0],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_udf_pandas_series_args(cycles_df):
+    @FL.udf(T.DoubleType())
+    def weighted_mean(v, w):
+        return float(np.average(v, weights=w))
+
+    out = (FL.summarize_cycles_calls(
+        cycles_df, {"wm": weighted_mean(cycles_df["v"], cycles_df["w"])})
+        .toPandas().sort_values("time", ignore_index=True))
+    assert out["wm"].tolist() == [pytest.approx((1 + 2 + 6) / 4.0),
+                                  pytest.approx((10 + 60) / 4.0)]
+
+
+def test_udf_numpy_arg_type(cycles_df):
+    @FL.udf(T.DoubleType(), arg_type="numpy")
+    def mean_udf(v):
+        assert isinstance(v, np.ndarray)
+        return float(v.mean())
+
+    out = (FL.summarize_cycles_calls(cycles_df, {"m": mean_udf(cycles_df["v"])})
+           .toPandas().sort_values("time", ignore_index=True))
+    assert out["m"].tolist() == [2.0, 15.0]
+
+
+def test_udf_whole_frame_arg(cycles_df):
+    @FL.udf(T.DoubleType())
+    def wm_frame(pdf):
+        assert isinstance(pdf, pd.DataFrame)
+        return float(np.average(pdf["v"], weights=pdf["w"]))
+
+    sub = cycles_df[["v", "w"]]
+    out = (FL.summarize_cycles_calls(cycles_df, {"wm": wm_frame(sub)})
+           .toPandas().sort_values("time", ignore_index=True))
+    assert out["wm"].iloc[0] == pytest.approx(2.25)
+
+
+def test_udf_numpy_whole_frame_is_ordered_dict(cycles_df):
+    @FL.udf(T.DoubleType(), arg_type="numpy")
+    def wm_dict(d):
+        assert list(d.keys()) == ["v", "w"]
+        assert isinstance(d["v"], np.ndarray)
+        return float(np.average(d["v"], weights=d["w"]))
+
+    out = (FL.summarize_cycles_calls(
+        cycles_df, {"wm": wm_dict(cycles_df[["v", "w"]])})
+        .toPandas().sort_values("time", ignore_index=True))
+    assert out["wm"].iloc[0] == pytest.approx(2.25)
+
+
+def test_udf_tuple_multi_return(cycles_df):
+    @FL.udf((T.DoubleType(), T.LongType()), arg_type="numpy")
+    def stats(v):
+        return float(v.mean()), len(v)
+
+    out = (FL.summarize_cycles_calls(
+        cycles_df, {("m", "n"): stats(cycles_df["v"])})
+        .toPandas().sort_values("time", ignore_index=True))
+    assert out["m"].tolist() == [2.0, 15.0]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_udf_rejects_expressions(cycles_df):
+    @FL.udf(T.DoubleType())
+    def ident(v):
+        return float(v.iloc[0])
+
+    with pytest.raises(ValueError, match="plain columns"):
+        ident(cycles_df["v"] + 1)
+
+
+# ---------------------------------------------------------------------
+# skew guards
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hot_bucket_docs(spark):
+    """Adversarial corpus: 60 documents sharing one ubiquitous sentence
+    (-> one hot band bucket) plus 2 genuine near-dup pairs."""
+    boiler = "terms of service apply to all content on this site"
+    rows = [(i, f"{boiler} item {i} unique words alpha beta {i}")
+            for i in range(60)]
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_simhash_pairs_bucket_cap_bounds_pairs(hot_bucket_docs):
+    uncapped = dedup.simhash_pairs(hot_bucket_docs, max_hamming=16)
+    capped = dedup.simhash_pairs(hot_bucket_docs, max_hamming=16, max_bucket=8)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_cap < n_un  # the hot bucket no longer explodes quadratically
+    # genuine near-dup (100, 101) survives: they collide in rare buckets
+    assert capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101)).count() == 1
+
+
+def test_minhash_lsh_bucket_cap_bounds_pairs(hot_bucket_docs):
+    uncapped = dedup.minhash_lsh_pairs(hot_bucket_docs, threshold=0.0)
+    capped = dedup.minhash_lsh_pairs(hot_bucket_docs, threshold=0.0, max_bucket=8)
+    assert capped.count() < uncapped.count()
+    assert (capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101))
+            .count() == 1)
