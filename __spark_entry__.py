@@ -1559,6 +1559,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_lag_sum(spark, sf):
+    """Overlappable-window lagSum (reference
+    ``overlappable/LagSumSummarizer.scala``): per row, sum over the 1h
+    core window plus lag_sum over the 1h region preceding it."""
+    ev = _events(spark, sf)
+    out = windows_ops.summarize_windows_overlap(
+        ev.select(TIME_COLUMN, "user_id", "value"),
+        W.past_absolute_time("1h"), "1h", S.sum_("value"), key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value_sum", 4).alias("w_sum"),
+                      R("lag_value_sum", 4).alias("lag_sum"))
+
+
+SQL_LAG_SUM = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
+         floor((sum(value) OVER core) * 10000 + 0.5) / 10000 AS w_sum,
+         floor((sum(value) OVER lagw) * 10000 + 0.5) / 10000 AS lag_sum
+  FROM events
+  WINDOW core AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+         lagw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 7200000000 PRECEDING AND 3600000001 PRECEDING)
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-paired queries beyond the driver's 50-row budget; gated by
     tests/test_extra_queries.py with the identical DuckDB compare."""
@@ -1567,6 +1592,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "interval_end_end": q_interval_end_end,
         "cycle_product": q_cycle_product,
+        "lag_sum": q_lag_sum,
     }
 
 
@@ -1576,6 +1602,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "lang_confusion": _sql_lang_confusion(),
         "interval_end_end": SQL_INTERVAL_END_END,
         "cycle_product": SQL_CYCLE_PRODUCT,
+        "lag_sum": SQL_LAG_SUM,
     }
 
 

@@ -58,10 +58,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-2: the box is shared, single runs are noisy; min is
-        # the standard steady-state estimator
+        # best-of-3: the box is shared, single runs are noisy (observed
+        # 3x swings on identical plans); min is the standard
+        # steady-state estimator
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()

@@ -172,13 +172,29 @@ def symmetric_join(left: DataFrame, right: DataFrame,
     return a.unionByName(b, allowMissingColumns=True)
 
 
-def merge(left: DataFrame, right: DataFrame) -> DataFrame:
+def merge(left: DataFrame, right: DataFrame,
+          origin_column: str | None = None) -> DataFrame:
     """Ordered union of same-schema tables; ties ordered left-first
-    (reference ``rdd/function/join/Merge.scala:27-77``). Ordering is
-    logical — downstream operators re-establish physical order lazily."""
+    (reference ``rdd/function/join/Merge.scala:27-77``: MergeIterator
+    emits the left iterator's rows first at equal keys).
+
+    Ordering is logical — downstream operators re-establish physical
+    order lazily. The left-first tie rule is observable two ways:
+
+    - ``origin_column``: when given, an explicit 0 (left) / 1 (right)
+      marker is attached, the canonical secondary sort key for any
+      order-dependent consumer;
+    - implicitly, ``unionByName`` appends the right side's partitions
+      after the left's, so ``monotonically_increasing_id`` tie-breaks
+      (``add_summary_columns``) order left rows first as long as no
+      shuffle intervenes between the union and the consumer.
+    """
     if set(left.columns) != set(right.columns):
         raise ValueError("merge requires identical schemas")
-    return left.unionByName(right)
+    if origin_column is None:
+        return left.unionByName(right)
+    return (left.withColumn(origin_column, F.lit(0))
+            .unionByName(right.withColumn(origin_column, F.lit(1))))
 
 
 def asof_keyless_bucketed(left: DataFrame, right: DataFrame,

@@ -44,3 +44,35 @@ def add_windows(df: DataFrame, window: TimeWindow, key: Sequence[str] = ()) -> D
     w = _range_window(df, window, list(key))
     members = F.collect_list(F.struct(*[F.col(c) for c in df.columns])).over(w)
     return df.withColumn(f"window_{window.name}", members)
+
+
+def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
+                              overlap: str | int, summarizer: Summarizer,
+                              key: Sequence[str] = ()) -> DataFrame:
+    """Overlappable-window aggregation (reference OverlappableSummarizer,
+    ``rdd/function/summarize/summarizer/overlappable/LagSumSummarizer.scala``:
+    state = (sum over the core window, lagSum over the overlapped
+    lookback region)). Each row aggregates its core window normally and
+    the ``overlap`` region extending the window outward (backward for
+    past windows, forward for future) as ``lag_<name>``.
+
+    Both frames share one sort: Spark plans the two range frames over
+    the same (key, time) ordering in a single WindowExec subtree — one
+    shuffle, O(n) incremental evaluation, no row replication (the
+    reference physically duplicates overlapped rows into neighbor
+    partitions; a range frame reads them in place)."""
+    from ..timeseries import parse_duration_ns
+
+    key = list(key)
+    lo, hi = window.range_bounds()
+    ons = parse_duration_ns(overlap)
+    tns = time_ns_expr(df)
+    base = Window.partitionBy(*[F.col(k) for k in key]).orderBy(tns)
+    w_core = base.rangeBetween(lo, hi)
+    if lo < 0 or hi == 0:   # past window: overlap precedes [t+lo, t+hi]
+        w_lag = base.rangeBetween(lo - ons, lo - 1)
+    else:                   # future window: overlap follows
+        w_lag = base.rangeBetween(hi + 1, hi + ons)
+    out = df.withColumns(dict(summarizer.over_exprs(df, w_core)))
+    lag_cols = {f"lag_{n}": c for n, c in summarizer.over_exprs(df, w_lag)}
+    return out.withColumns(lag_cols)

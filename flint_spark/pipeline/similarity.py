@@ -158,3 +158,70 @@ def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              seed: int = 7) -> list[list[float]]:
+    """Lloyd iterations for IVF coarse centroids (spherical k-means),
+    fully distributed: each iteration is one broadcast-NLJ argmax-cosine
+    assignment (same plan shape as ``ivf_assign``) plus one
+    (centroid, component) hash aggregation — the driver only ever holds
+    the k x dim centroid matrix (~kB), never data vectors.
+
+    Deterministic: init picks the k members with the smallest
+    md5(seed || id); ties in assignment break on the lower centroid id.
+    ``ivf_ann_topk``'s fixed-member centroids remain the oracle-exact
+    gate path; this is the production training path the reference's IVF
+    analogue would use at scale."""
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("vid"),
+                      _dvec(F.col(vec_col)).alias("v")).persist()
+    seed_rows = (base
+                 .withColumn("h", F.md5(F.concat(F.lit(str(seed)),
+                                                 F.col("vid").cast("string"))))
+                 .orderBy("h", "vid").limit(k).select("v").collect())
+    centroids = [list(r["v"]) for r in seed_rows]
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "centroid_id int, cv array<double>")
+        cos = (_dot(F.col("v"), F.col("cv"))
+               / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("ccos")
+        w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.col("centroid_id"))
+        assigned = (base.crossJoin(F.broadcast(cents))
+                    .select("vid", "v", "centroid_id", cos)
+                    .withColumn("__rk", F.row_number().over(w))
+                    .filter(F.col("__rk") == 1))
+        comp = (assigned.select("centroid_id", F.posexplode("v"))
+                .groupBy("centroid_id", "pos").agg(F.avg("col").alias("m")))
+        rows = comp.collect()
+        new = {c: dict() for c in range(k)}
+        for r in rows:
+            new[r["centroid_id"]][r["pos"]] = r["m"]
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
+            for c in range(k)
+        ]
+    base.unpersist()
+    return centroids
+
+
+def ivf_assign_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Assign vectors to trained centroids: (id, v, centroid_id,
+    centroid_cos). Broadcast NLJ over the tiny centroid matrix."""
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "centroid_id int, cv array<double>")
+    cos = (_dot(F.col("v"), F.col("cv"))
+           / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("centroid_cos")
+    w = Window.partitionBy(id_col).orderBy(F.desc("centroid_cos"),
+                                           F.col("centroid_id"))
+    return (base.crossJoin(F.broadcast(cents))
+            .select(F.col(id_col), "v", "centroid_id", cos)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1).drop("__rk"))

@@ -371,3 +371,37 @@ def test_validate_parallel(spark):
         pdf.iloc[[3, 0, 2, 1]]).coalesce(1))
     with pytest.raises(AssertionError):
         shuffled.validate()
+
+
+def test_merge_left_first_tie_rule(spark):
+    """merge() ties order left-first (reference Merge.scala MergeIterator):
+    observable via origin_column and via the implicit
+    monotonically_increasing_id tie-break in cumulative operators."""
+    from flint_spark.operators import asof
+
+    left = spark.createDataFrame([(1000, 1.0), (2000, 2.0)], "time long, v double")
+    right = spark.createDataFrame([(1000, 10.0), (1500, 20.0)], "time long, v double")
+    m = asof.merge(left, right, origin_column="origin")
+    rows = m.sort("time", "origin").collect()
+    assert [(r.time, r.origin) for r in rows] == [
+        (1000, 0), (1000, 1), (1500, 1), (2000, 0)]
+    # implicit rule: cumulative sum at the tied timestamp sees left first
+    cum = agg_ops.add_summary_columns(asof.merge(left, right), S.sum_("v"))
+    at_tie = {r.v: r.v_sum for r in cum.filter(F.col("time") == 1000).collect()}
+    assert at_tie[1.0] == 1.0     # left row accumulated first
+    assert at_tie[10.0] == 11.0   # right row after it
+
+
+def test_summarize_windows_overlap_lag_sum(spark):
+    from flint_spark.operators import windows_ops
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (50, 2.0), (150, 4.0), (250, 8.0)], "time long, v double")
+    out = windows_ops.summarize_windows_overlap(
+        df, W.past_absolute_time(100), 100, S.sum_("v"))
+    got = {r.time: (r.v_sum, r.lag_v_sum) for r in out.collect()}
+    # core [t-100, t] inclusive; lag [t-200, t-101]
+    assert got[0] == (1.0, None)
+    assert got[50] == (3.0, None)
+    assert got[150] == (6.0, 1.0)    # core {50,150}; lag {0}
+    assert got[250] == (12.0, 2.0)   # core {150,250}; lag [50,149] -> {50}

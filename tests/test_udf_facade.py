@@ -121,3 +121,29 @@ def test_minhash_lsh_bucket_cap_bounds_pairs(hot_bucket_docs):
     assert capped.count() < uncapped.count()
     assert (capped.filter((F.col("id_a") == 100) & (F.col("id_b") == 101))
             .count() == 1)
+
+
+def test_ivf_lloyd_training_improves_and_assigns_nearest(spark):
+    """Lloyd iterations: mean within-cluster cosine is non-decreasing,
+    and the final assignment is the true argmax-cosine centroid."""
+    import itertools
+    from flint_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def quality(cents):
+        a = sim.ivf_assign_trained(emb, cents)
+        return a.agg(F.avg("centroid_cos")).first()[0]
+
+    c1 = sim.ivf_train(emb, k=8, iters=1)
+    c3 = sim.ivf_train(emb, k=8, iters=3)
+    q1, q3 = quality(c1), quality(c3)
+    assert q3 >= q1 - 1e-9  # Lloyd monotonicity (spherical k-means)
+    # assignment is the brute-force nearest centroid for a sample row
+    a = sim.ivf_assign_trained(emb, c3).limit(5).collect()
+    for r in a:
+        v = np.array(r["v"])
+        cosines = [float(np.dot(v, np.array(c))
+                         / (np.linalg.norm(v) * np.linalg.norm(c)))
+                   for c in c3]
+        assert int(np.argmax(cosines)) == r["centroid_id"]
