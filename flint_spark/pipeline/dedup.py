@@ -193,12 +193,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     """Exact n-gram Jaccard similarity for pairs sharing a shingle:
     (id_a, id_b, jaccard). Shingles occurring in > max_df docs are
     dropped first (stop-shingle skew control)."""
-    # shingle table feeds the df-filter, both join sides and the size
-    # table — persist to avoid recomputing the explode+distinct 4x.
-    sh = shingles(docs, text_col, id_col, k).persist()
-    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # the raw shingle table feeds the df-filter AND the join; the
+    # FILTERED table then feeds both join sides and the size table —
+    # persist both stages or the explode+distinct (and the rare-join)
+    # recompute once per consumer (plan audit showed the join subtree
+    # repeated 3x when only the raw table was cached).
+    sh0 = shingles(docs, text_col, id_col, k).persist()
+    rare = (sh0.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df).select("shingle"))
-    sh = sh.join(rare, "shingle")
+    sh = sh0.join(rare, "shingle").persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
