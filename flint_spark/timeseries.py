@@ -418,6 +418,18 @@ class TimeSeriesDataFrame:
         from .operators.aggregate import summarize
         return self._wrap(summarize(self._df, summarizer, key), is_sorted=False)
 
+    def summarize_state(self, summarizer, key: Sequence[str] = ()) -> DataFrame:
+        """Raw aggregation state per key (reference ``summarizeState``,
+        ``TimeSeriesRDD.scala:1188-1196``); returns a plain DataFrame —
+        the reference returns a Map, not a TimeSeriesRDD."""
+        from .operators.aggregate import summarize_state
+        return summarize_state(self._df, summarizer, key)
+
+    def group_by(self, *cols):
+        """Plain Spark groupBy delegate (reference exposes ``groupBy``
+        on the wrapper, ``python/ts/flint/dataframe.py``)."""
+        return self._df.groupBy(*cols)
+
     def add_summary_columns(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
         from .operators.aggregate import add_summary_columns
         return self._wrap(add_summary_columns(self._df, summarizer, key))
@@ -430,6 +442,12 @@ class TimeSeriesDataFrame:
     def add_windows(self, window, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
         from .operators.windows_ops import add_windows
         return self._wrap(add_windows(self._df, window, key))
+
+    def summarize_windows_overlap(self, window, overlap, summarizer,
+                                  key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        from .operators.windows_ops import summarize_windows_overlap
+        return self._wrap(summarize_windows_overlap(self._df, window, overlap,
+                                                    summarizer, key))
 
     def ewma(self, column: str, alpha: float = 0.05,
              duration_per_period: str = "1d", convention: str = "legacy",

@@ -55,5 +55,54 @@ def main(millions: float = 5.0):
     panel.unpersist()
 
 
+
+
+def synth_corpus(spark, n_docs: int, seed: int = 5):
+    """Synthetic text corpus with realistic shingle overlap: each doc
+    samples 40 words from a 1k vocabulary plus a boilerplate prefix on
+    20% of docs (exercises the hot-bucket path) and exact duplicates
+    for 1% (exercises dedup)."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    word = lambda salt: F.concat(F.lit("w"), F.pmod(
+        F.xxhash64(F.col("doc_id") + F.lit(salt)), F.lit(1000)).cast("string"))
+    words = F.array(*[word(i * 7 + seed) for i in range(40)])
+    text = F.array_join(words, " ")
+    boiler = F.lit("terms of service apply to everything on this site always ")
+    text = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                  F.concat(boiler, text)).otherwise(text)
+    # 1% exact duplicates: doc N copies doc N-1's content
+    dup = F.pmod(F.col("doc_id"), F.lit(100)) == 99
+    eff_id = F.when(dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    base = base.withColumn("__eff", eff_id)
+    words_eff = F.array(*[F.concat(F.lit("w"), F.pmod(
+        F.xxhash64(F.col("__eff") + F.lit(i * 7 + seed)),
+        F.lit(1000)).cast("string")) for i in range(40)])
+    text = F.array_join(words_eff, " ")
+    text = F.when(F.pmod(F.col("__eff"), F.lit(5)) == 0,
+                  F.concat(boiler, text)).otherwise(text)
+    return base.select("doc_id", text.alias("text"))
+
+
+def pipeline_scale(spark, n_docs: int = 100_000):
+    """Dedup family on a corpus that actually grows (the sf fixtures are
+    500 docs at every scale factor). Validates the banded joins + skew
+    caps at volume."""
+    from flint_spark.pipeline import dedup
+
+    docs = synth_corpus(spark, n_docs).persist()
+    print(f"corpus docs: {docs.count():,}")
+    t_exact = timed("exact dedup", dedup.exact_duplicate_groups(docs))
+    t_sim = timed("simhash_pairs (capped)",
+                  dedup.simhash_pairs(docs, max_hamming=3, max_bucket=1000))
+    t_mh = timed("minhash_lsh (capped)",
+                 dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=1000))
+    docs.unpersist()
+    return t_exact, t_sim, t_mh
+
+
 if __name__ == "__main__":
-    main(float(sys.argv[1]) if len(sys.argv) > 1 else 5.0)
+    if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        pipeline_scale(get_spark("scale_smoke"), n)
+    else:
+        main(float(sys.argv[1]) if len(sys.argv) > 1 else 5.0)
