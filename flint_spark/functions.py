@@ -218,3 +218,50 @@ def summarize_intervals_calls(df: DataFrame, clock, outputs: Mapping,
     bucketed = bucketed.withColumn(TIME_COLUMN, _interval_time_col(bucketed)) \
                        .drop(_INTERVAL)
     return summarize_cycles_calls(bucketed, outputs, key)
+
+
+def _window_udf(call: UDFCall, rt):
+    def apply(windows: pd.Series) -> pd.Series:
+        return windows.map(lambda rows: call(pd.DataFrame(list(rows))))
+    return F.pandas_udf(rt)(apply)
+
+
+def _window_udf_multi(call: UDFCall, names, struct_type):
+    def apply(windows: pd.Series) -> pd.DataFrame:
+        rows = [call(pd.DataFrame(list(r))) for r in windows]
+        return pd.DataFrame(rows, columns=list(names))
+    return F.pandas_udf(struct_type)(apply)
+
+
+def summarize_windows_calls(df: DataFrame, window: TimeWindow,
+                            outputs: Mapping,
+                            key: Sequence[str] = ()) -> DataFrame:
+    """summarizeWindows with reference-style udf dict (reference
+    ``python/ts/flint/dataframe.py:1099-1240``):
+    ``{'mean': mean(df['v']), ('m', 's'): both(df[['v', 'w']])}``.
+    Each row's window is materialized once per call as an array of the
+    call's input columns (WindowExec range frame) and reduced by an
+    Arrow-batched pandas UDF — no custom batch protocol."""
+    from .operators.windows_ops import _range_window
+
+    w = _range_window(df, window, list(key))
+    out = df
+    for names, call in outputs.items():
+        names = (names,) if isinstance(names, str) else tuple(names)
+        rts = call.return_type if isinstance(call.return_type, tuple) \
+            else (call.return_type,)
+        if len(names) != len(rts):
+            raise ValueError(f"output names {names} vs return types {rts}")
+        cols = sorted({c for a in call.args
+                       for c in (a if isinstance(a, list) else [a])})
+        arr = F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
+        if len(names) == 1:
+            out = out.withColumn(names[0], _window_udf(call, rts[0])(arr))
+        else:
+            st = T.StructType([T.StructField(n, t) for n, t in zip(names, rts)])
+            tmp = "__w_" + "_".join(names)
+            out = out.withColumn(tmp, _window_udf_multi(call, names, st)(arr))
+            for n in names:
+                out = out.withColumn(n, F.col(tmp)[n])
+            out = out.drop(tmp)
+    return out

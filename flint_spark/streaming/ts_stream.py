@@ -132,3 +132,85 @@ def dedup_stream(stream: DataFrame, subset: Sequence[str],
     streaming face of ``pipeline.dedup.exact_duplicate_groups``."""
     return (stream.withWatermark(time_column, watermark)
             .dropDuplicatesWithinWatermark(list(subset)))
+
+
+def asof_join_static(stream: DataFrame, right: DataFrame,
+                     tolerance: str | int = 0, key: Sequence[str] = (),
+                     time_column: str = TIME_COLUMN,
+                     right_time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming as-of enrichment against a STATIC right side (the
+    common stream case: tick stream x reference/dimension table).
+
+    The batch engine's union-window as-of (``operators.asof.left_join``)
+    needs a global sort, which streaming cannot do; instead the static
+    side — bounded by assumption, like any broadcast dim table — is
+    collected into per-key time-sorted arrays and broadcast, and each
+    micro-batch partition resolves its rows with a vectorized
+    ``np.searchsorted``: no shuffle, no state store, works identically
+    on a batch DataFrame (used by the parity test).
+
+    Right columns (minus key/time) are appended; rows with no match
+    within ``tolerance`` get nulls — backward semantics matching
+    ``left_join``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    tol = parse_duration_ns(tolerance) if tolerance else 0
+    rdata = [c for c in right.columns if c != right_time_column and c not in key]
+
+    rpdf = (right.select(*key,
+                         time_ns_expr(right, right_time_column).alias("__rtns"),
+                         *rdata)
+            .toPandas().sort_values("__rtns", kind="stable"))
+    tables: dict = {}
+    if key:
+        for kv, grp in rpdf.groupby(key, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            tables[kv] = (grp["__rtns"].to_numpy(np.int64),
+                          {c: grp[c].to_numpy() for c in rdata})
+    else:
+        tables[()] = (rpdf["__rtns"].to_numpy(np.int64),
+                      {c: rpdf[c].to_numpy() for c in rdata})
+    b = stream.sparkSession.sparkContext.broadcast(tables)
+
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        list(stream.schema.fields)
+        + [f for f in right.schema.fields if f.name in rdata])
+    in_cols = list(stream.columns)
+
+    def lookup(batches):
+        tbl = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            res = {c: np.full(len(pdf), None, dtype=object) for c in rdata}
+            if key:
+                groups = pdf.groupby(key, sort=False).indices
+            else:
+                groups = {(): np.arange(len(pdf))}
+            for kv, idx in groups.items():
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                if kv not in tbl:
+                    continue
+                rt, rcols = tbl[kv]
+                t = pdf["__tns"].to_numpy(np.int64)[idx]
+                pos = np.searchsorted(rt, t, side="right") - 1
+                ok = pos >= 0
+                if tol:
+                    ok &= (t - rt[np.clip(pos, 0, None)]) <= tol
+                for c in rdata:
+                    vals = res[c]
+                    sel = idx[ok]
+                    vals[sel] = rcols[c][pos[ok]]
+            out = pdf[in_cols].copy()
+            for c in rdata:
+                out[c] = res[c]
+            yield out
+
+    return with_ns.mapInPandas(lookup, out_schema)

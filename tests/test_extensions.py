@@ -405,3 +405,40 @@ def test_summarize_windows_overlap_lag_sum(spark):
     assert got[50] == (3.0, None)
     assert got[150] == (6.0, 1.0)    # core {50,150}; lag {0}
     assert got[250] == (12.0, 2.0)   # core {150,250}; lag [50,149] -> {50}
+
+
+def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path):
+    """asof_join_static through a real stream == batch left_join."""
+    import shutil
+    from flint_spark.operators import asof
+    from flint_spark.timeseries import ns_to_time_expr
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev_dir = tmp_path / "ev3"
+    ev_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
+
+    batch_ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+                .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+                .drop("ts").select("time", "user_id", "event_id"))
+    right = (batch_ev.filter(F.col("event_id") % 3 == 0)
+             .groupBy("time", "user_id")
+             .agg(F.max("event_id").alias("ref_id")))
+
+    exp = (asof.left_join(batch_ev, right, tolerance="12h", key=["user_id"])
+           .toPandas().sort_values("event_id", ignore_index=True))
+
+    stream_ev = (spark.readStream.schema(schema).parquet(str(ev_dir))
+                 .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+                 .drop("ts").select("time", "user_id", "event_id"))
+    out = ts_stream.asof_join_static(stream_ev, right, tolerance="12h",
+                                     key=["user_id"])
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("asof_static_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql("SELECT * FROM asof_static_out").toPandas()
+           .sort_values("event_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["event_id", "ref_id"]], exp[["event_id", "ref_id"]],
+        check_dtype=False)

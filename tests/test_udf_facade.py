@@ -147,3 +147,31 @@ def test_ivf_lloyd_training_improves_and_assigns_nearest(spark):
                          / (np.linalg.norm(v) * np.linalg.norm(c)))
                    for c in c3]
         assert int(np.argmax(cosines)) == r["centroid_id"]
+
+
+def test_summarize_windows_calls_udf_dict(spark):
+    from flint_spark import windows as W
+
+    df = spark.createDataFrame(
+        [(1000, 1, 1.0, 1.0), (1050, 1, 2.0, 3.0), (1100, 1, 4.0, 1.0),
+         (1300, 1, 8.0, 2.0)],
+        "time long, id int, v double, w double")
+
+    @FL.udf(T.DoubleType())
+    def wmean(pdf):
+        return float(np.average(pdf["v"], weights=pdf["w"]))
+
+    @FL.udf((T.DoubleType(), T.LongType()))
+    def sum_n(v):
+        return float(v.sum()), len(v)
+
+    out = FL.summarize_windows_calls(
+        df, W.past_absolute_time(100),
+        {"wm": wmean(df[["v", "w"]]), ("s", "n"): sum_n(df["v"])},
+        key=["id"])
+    got = {r.time: (r.wm, r.s, r.n) for r in out.collect()}
+    assert got[1000] == (1.0, 1.0, 1)
+    assert got[1050] == (pytest.approx((1 + 6) / 4.0), 3.0, 2)
+    # close-close [t-100, t]: row 1000 is still inside at t=1100
+    assert got[1100] == (pytest.approx((1 + 6 + 4) / 5.0), 7.0, 3)
+    assert got[1300] == (8.0, 8.0, 1)
