@@ -1584,6 +1584,66 @@ SQL_LAG_SUM = """
 """
 
 
+def q_tpch_q4ish(spark, sf):
+    """Semi-join shape (TPC-H Q4 style): order priority counts for
+    orders having at least one 1995 lineitem — left-semi join, which
+    Spark plans as a broadcast/shuffled semi without materializing the
+    right side."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01")))
+    sel = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+SQL_TPCH_Q4ISH = """
+  SELECT o_orderpriority, count(*) AS n
+  FROM orders
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01')
+  GROUP BY 1
+"""
+
+
+def q_tpch_q5ish(spark, sf):
+    """Multi-way join shape (TPC-H Q5 style): revenue by nation for one
+    region — two broadcast dims (nation, region) against two fact
+    tables joined on keys; Catalyst broadcast-joins the small sides."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .filter(F.col("r_name") == "ASIA"))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (joined.groupBy("n_name")
+            .agg(R(rev, 2).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+SQL_TPCH_Q5ISH = """
+  SELECT n_name,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
+           AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-paired queries beyond the driver's 50-row budget; gated by
     tests/test_extra_queries.py with the identical DuckDB compare."""
@@ -1593,6 +1653,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_end_end": q_interval_end_end,
         "cycle_product": q_cycle_product,
         "lag_sum": q_lag_sum,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q5ish": q_tpch_q5ish,
     }
 
 
@@ -1603,6 +1665,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "interval_end_end": SQL_INTERVAL_END_END,
         "cycle_product": SQL_CYCLE_PRODUCT,
         "lag_sum": SQL_LAG_SUM,
+        "tpch_q4ish": SQL_TPCH_Q4ISH,
+        "tpch_q5ish": SQL_TPCH_Q5ISH,
     }
 
 

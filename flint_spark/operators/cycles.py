@@ -72,8 +72,15 @@ def add_columns_for_cycle(
                 pdf[n] = f(pdf)
             return pdf
 
+        def out_type(spec):
+            # a bound functions.udf() call carries its declared type;
+            # plain callables default to double (reference CycleColumn)
+            rt = getattr(spec, "return_type", None)
+            return rt if isinstance(rt, T.DataType) else T.DoubleType()
+
         full = T.StructType(list(out.schema.fields) +
-                            [T.StructField(n, T.DoubleType()) for n, _ in pandas_items])
+                            [T.StructField(n, out_type(f))
+                             for n, f in pandas_items])
         out = out.groupBy(TIME_COLUMN, *key).applyInPandas(fn, full)
     return out
 

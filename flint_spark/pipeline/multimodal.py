@@ -99,3 +99,39 @@ def sample_frames(df: DataFrame, every_n: int = 4,
     n_frames = F.col(f"{meta_col}.n_frames")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(F.col(id_col), F.explode(idx).alias("frame_idx"))
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 payload_col: str = "payload", meta_col: str = "media_meta",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Resize plumbing: mapInPandas over (id, payload, meta) batches,
+    emitting a new payload + updated metadata struct.
+
+    A real implementation decodes pixels (``decode_image`` stub) and
+    resamples; here the deterministic stand-in stride-samples the
+    payload bytes to ``width * height`` so batch shape, output schema
+    (binary + struct) and per-batch vectorization are all real."""
+    import numpy as np
+
+    schema = T.StructType([df.schema[id_col],
+                           T.StructField(payload_col, T.BinaryType()),
+                           T.StructField(meta_col, MEDIA_META_TYPE)])
+    target = width * height
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(b: bytes) -> bytes:
+                if not len(b):
+                    return b
+                idx = np.linspace(0, len(b) - 1, num=min(target, len(b)),
+                                  dtype=np.int64)
+                return bytes(np.frombuffer(b, dtype=np.uint8)[idx])
+
+            metas = pdf[meta_col].map(lambda m: {
+                "format": m["format"], "width": width, "height": height,
+                "n_frames": m["n_frames"]})
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                payload_col: pdf[payload_col].map(one),
+                                meta_col: metas})
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(resize, schema)

@@ -175,3 +175,38 @@ def test_summarize_windows_calls_udf_dict(spark):
     # close-close [t-100, t]: row 1000 is still inside at t=1100
     assert got[1100] == (pytest.approx((1 + 6 + 4) / 5.0), 7.0, 3)
     assert got[1300] == (8.0, 8.0, 1)
+
+
+def test_add_columns_for_cycle_udf_call(spark, cycles_df):
+    """add_columns_for_cycle accepts a bound functions.udf() call (the
+    reference CycleColumn udf form) and honors its declared type."""
+    from flint_spark.operators import cycles
+
+    @FL.udf(T.DoubleType())
+    def pct_of_max(v):
+        return v / v.max()
+
+    out = cycles.add_columns_for_cycle(
+        cycles_df, {"pom": pct_of_max(cycles_df["v"])})
+    got = (out.toPandas().sort_values(["time", "v"], ignore_index=True))
+    assert got["pom"].tolist() == pytest.approx(
+        [1 / 3, 2 / 3, 1.0, 0.5, 1.0])
+
+
+def test_resize_media_plumbing(spark):
+    from flint_spark.pipeline import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello world this is a longer document with many bytes"),
+         (2, "tiny")], ["doc_id", "text"])
+    mm = multimodal.with_binary_payload(docs)
+    out = multimodal.resize_media(mm, width=4, height=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows[1]["payload"]) == 12      # stride-sampled to w*h
+    assert len(rows[2]["payload"]) == 4       # shorter than target: kept
+    assert rows[1]["media_meta"]["width"] == 4
+    assert rows[1]["media_meta"]["height"] == 3
+    # deterministic
+    again = {r["doc_id"]: r for r in
+             multimodal.resize_media(mm, width=4, height=3).collect()}
+    assert again[1]["payload"] == rows[1]["payload"]
