@@ -214,3 +214,121 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
             yield out
 
     return with_ns.mapInPandas(lookup, out_schema)
+
+
+def asof_join_stream(left: DataFrame, right: DataFrame,
+                     tolerance: str | int, key: Sequence[str],
+                     watermark: str = "10 minutes",
+                     time_column: str = TIME_COLUMN) -> DataFrame:
+    """Stream-stream backward as-of join: enrich each left row with the
+    most recent right row (same key) within ``tolerance``.
+
+    Built the same way Spark builds stream-stream equi-joins — buffer
+    the right side per key, bounded by the watermark — but with as-of
+    semantics Spark's join operator cannot express: both tagged streams
+    union into one ``applyInPandasWithState`` group per key whose state
+    is the right-row buffer; each micro-batch resolves its left rows
+    against buffer+batch via vectorized ``searchsorted`` and evicts
+    buffered right rows older than (max event time - tolerance -
+    watermark). Rows arriving out of order across micro-batches beyond
+    the watermark may miss matches — the standard streaming bound; a
+    time-ordered arrival (one micro-batch at a time) reproduces the
+    batch ``operators.asof.left_join`` exactly (parity test).
+
+    Output: key cols + ``__tns`` (event ns) + left data cols + right
+    data cols (null when no match). Left/right data column names must
+    be disjoint.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    tol = parse_duration_ns(tolerance)
+    wm_ns = parse_duration_ns(watermark)
+    lcols = [c for c in left.columns if c not in key and c != time_column]
+    rcols = [c for c in right.columns if c not in key and c != time_column]
+    if set(lcols) & set(rcols):
+        raise ValueError(f"overlapping data columns {set(lcols) & set(rcols)}; "
+                         "rename before joining")
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+
+    lt = (left.withWatermark(time_column, watermark)
+          .select(*key, time_ns_expr(left, time_column).alias("__tns"),
+                  F.lit(0).alias("__side"), *lcols,
+                  *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols]))
+    rt = (right.withWatermark(time_column, watermark)
+          .select(*key, time_ns_expr(right, time_column).alias("__tns"),
+                  F.lit(1).alias("__side"),
+                  *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+                  *rcols))
+    u = lt.unionByName(rt)
+
+    out_schema = T.StructType(
+        [left.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType())]
+        + [left.schema[c] for c in lcols]
+        + [right.schema[c] for c in rcols])
+    state_schema = T.StructType(
+        [T.StructField("rt", T.ArrayType(T.LongType()))]
+        + [T.StructField(c, T.ArrayType(rtypes[c])) for c in rcols])
+
+    def fold(key_vals, pdf_iter, state):
+        if state.exists:
+            st = state.get
+            buf_t = np.asarray(st[0] or [], dtype=np.int64)
+            buf_v = {c: list(st[i + 1] or []) for i, c in enumerate(rcols)}
+        else:
+            buf_t = np.empty(0, dtype=np.int64)
+            buf_v = {c: [] for c in rcols}
+        frames = []
+        max_t = int(buf_t[-1]) if len(buf_t) else None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__tns", kind="stable")
+            r_new = pdf[pdf["__side"] == 1]
+            # append new right rows, keep buffer time-sorted (merge)
+            if len(r_new):
+                all_t = np.concatenate([buf_t, r_new["__tns"].to_numpy(np.int64)])
+                order = np.argsort(all_t, kind="stable")
+                for c in rcols:
+                    vals = list(buf_v[c]) + list(r_new[c])
+                    buf_v[c] = [vals[i] for i in order]
+                buf_t = all_t[order]
+            l_rows = pdf[pdf["__side"] == 0]
+            if len(l_rows):
+                t = l_rows["__tns"].to_numpy(np.int64)
+                pos = np.searchsorted(buf_t, t, side="right") - 1
+                ok = pos >= 0
+                ok &= (t - buf_t[np.clip(pos, 0, None)]) <= tol
+                res = l_rows[key + ["__tns"] + lcols].copy() if key else \
+                    l_rows[["__tns"] + lcols].copy()
+                for i, kcol in enumerate(key):
+                    res[kcol] = key_vals[i]
+                for c in rcols:
+                    col = np.full(len(t), None, dtype=object)
+                    vals = buf_v[c]
+                    col[ok] = [vals[p] for p in pos[ok]]
+                    res[c] = col
+                frames.append(res[key + ["__tns"] + lcols + rcols])
+            bt = int(pdf["__tns"].max())
+            max_t = bt if max_t is None else max(max_t, bt)
+        # evict right rows no future left row (bounded by watermark) can use
+        if max_t is not None and len(buf_t):
+            cutoff = max_t - tol - wm_ns
+            keep = buf_t >= cutoff
+            # always retain the newest row so the next batch has a floor
+            if not keep.any():
+                keep[-1] = True
+            buf_t = buf_t[keep]
+            for c in rcols:
+                buf_v[c] = [v for v, k in zip(buf_v[c], keep) if k]
+        state.update((buf_t.tolist(), *[buf_v[c] for c in rcols]))
+        yield from frames
+
+    return u.groupBy(*key).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", "NoTimeout")

@@ -442,3 +442,50 @@ def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         got[["event_id", "ref_id"]], exp[["event_id", "ref_id"]],
         check_dtype=False)
+
+
+def test_streaming_asof_stream_stream_matches_batch(spark, sf_dir, tmp_path):
+    """asof_join_stream over time-ordered micro-batches (two time-split
+    files, maxFilesPerTrigger=1) == batch union-window left_join."""
+    from flint_spark.operators import asof
+    from flint_spark.timeseries import ns_to_time_expr
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+          .drop("ts"))
+    left_b = (ev.filter(F.col("event_type") != "click")
+              .select("time", "user_id", "event_id"))
+    right_b = (ev.filter(F.col("event_type") == "click")
+               .groupBy("time", "user_id")
+               .agg(F.max("value").alias("click_val")))
+    exp = (asof.left_join(left_b, right_b, tolerance="2d", key=["user_id"])
+           .toPandas().sort_values("event_id", ignore_index=True))
+
+    # two time-split chunks so arrival order respects event time
+    split = "2024-01-15"
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    for d, df in ((ldir, left_b), (rdir, right_b)):
+        df.filter(F.col("time") < split).coalesce(1).write.parquet(str(d / "a"))
+        df.filter(F.col("time") >= split).coalesce(1).write.parquet(str(d / "b"))
+        import os, shutil
+        for sub in ("a", "b"):
+            src = [f for f in os.listdir(d / sub) if f.endswith(".parquet")][0]
+            shutil.move(str(d / sub / src), str(d / f"{sub}.parquet"))
+            shutil.rmtree(str(d / sub))
+
+    ls = (spark.readStream.schema(left_b.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(ldir)))
+    rs = (spark.readStream.schema(right_b.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(rdir)))
+    out = ts_stream.asof_join_stream(ls, rs, tolerance="2d", key=["user_id"],
+                                     watermark="30 days")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("asof_ss_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql("SELECT * FROM asof_ss_out").toPandas()
+           .sort_values("event_id", ignore_index=True))
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "click_val"]].astype({"click_val": "float64"}),
+        exp[["event_id", "click_val"]].astype({"click_val": "float64"}))
