@@ -9,10 +9,12 @@ analysis, multimodal columns).
 """
 
 from . import clocks, summarizers, windows
+from .context import FlintContext
 from .session import get_spark
 from .timeseries import TimeSeriesDataFrame, canonize, parse_duration_ns, time_ns_expr
 
 __all__ = [
+    "FlintContext",
     "TimeSeriesDataFrame",
     "canonize",
     "clocks",

@@ -41,7 +41,7 @@ def summarize_cycles_udf(df: DataFrame, fn: Callable[[pd.DataFrame], Mapping],
     full = T.StructType(
         [df.schema[c] for c in group_cols] + list(out_schema.fields))
 
-    def apply(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+    def apply(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         res = dict(zip(group_cols, keys))
         res.update(fn(pdf))
         return pd.DataFrame([res], columns=[f.name for f in full.fields])
@@ -197,7 +197,7 @@ def summarize_cycles_calls(df: DataFrame, outputs: Mapping,
     group_cols = [TIME_COLUMN] + key
     full, calls = _calls_schema(group_cols, df, outputs)
 
-    def apply(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+    def apply(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         res = dict(zip(group_cols, keys))
         for names, call in calls:
             out = call(pdf)

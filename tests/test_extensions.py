@@ -489,3 +489,15 @@ def test_streaming_asof_stream_stream_matches_batch(spark, sf_dir, tmp_path):
     pd.testing.assert_frame_equal(
         got[["event_id", "click_val"]].astype({"click_val": "float64"}),
         exp[["event_id", "click_val"]].astype({"click_val": "float64"}))
+
+
+def test_flint_context_entry_point(spark, sf_dir):
+    from flint_spark import FlintContext
+
+    fc = FlintContext(spark)
+    ts = (fc.read.range("2024-01-01", "2024-01-05").time_column("ts")
+          .columns("user_id", "value").parquet(f"{sf_dir}/events.parquet"))
+    assert ts.columns == ["time", "user_id", "value"]
+    assert ts.count() > 0
+    # each .read access is a fresh builder (no state leak)
+    assert fc.read is not fc.read
