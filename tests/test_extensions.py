@@ -501,3 +501,37 @@ def test_flint_context_entry_point(spark, sf_dir):
     assert ts.count() > 0
     # each .read access is a fresh builder (no state leak)
     assert fc.read is not fc.read
+
+
+def test_operators_on_empty_input(spark):
+    """Every core operator must handle a 0-row table (degenerate
+    partitions are routine at 100 TB: empty time ranges, filtered-out
+    keys)."""
+    from flint_spark.operators import (aggregate as agg, asof, cycles,
+                                       intervals, sessions, windows_ops)
+    from flint_spark.operators.ema import ewma, exponential_smoothing
+    from flint_spark.clocks import uniform
+
+    empty = spark.createDataFrame(
+        [], "time timestamp, user_id long, value double")
+    assert cycles.summarize_cycles(empty, S.mean("value")).count() == 0
+    assert agg.summarize(empty, S.compose(S.count(), S.mean("value"))).count() == 1
+    assert agg.summarize_state(empty, S.mean("value")).count() == 1
+    assert agg.add_summary_columns(empty, S.sum_("value")).count() == 0
+    clock = uniform("2024-01-01", "2024-02-01", "1d")
+    assert intervals.summarize_intervals(empty, clock, S.count()).count() == 0
+    assert windows_ops.summarize_windows(
+        empty, W.past_absolute_time("1h"), S.count(), key=["user_id"]).count() == 0
+    assert windows_ops.summarize_windows_overlap(
+        empty, W.past_absolute_time("1h"), "1h", S.sum_("value")).count() == 0
+    assert sessions.session_stats(empty, gap="1h", key=["user_id"]).count() == 0
+    assert ewma(empty, "value", key=["user_id"]).count() == 0
+    assert exponential_smoothing(empty, "value").count() == 0
+    nonempty = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 1.0)],
+        "time string, user_id long, value double") \
+        .withColumn("time", F.to_timestamp("time"))
+    assert asof.left_join(nonempty, empty.withColumnRenamed("value", "rv"),
+                          tolerance="1d", key=["user_id"]).count() == 1
+    assert asof.left_join(empty, nonempty.withColumnRenamed("value", "rv"),
+                          tolerance="1d", key=["user_id"]).count() == 0
