@@ -1644,6 +1644,56 @@ SQL_TPCH_Q5ISH = """
 """
 
 
+def q_hash_split(spark, sf):
+    """Deterministic md5 train/val/test split — stable across runs,
+    engines and appends (pipeline.sampling.hash_split)."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents")
+    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count("*").alias("n"),
+                                    F.min("doc_id").alias("min_id"))
+
+
+def _sql_hash_split():
+    from flint_spark.pipeline.sampling import hash_split_sql
+    case = hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+  SELECT {case} AS split, count(*) AS n, min(doc_id) AS min_id
+  FROM documents GROUP BY 1
+"""
+
+
+def q_pack_documents(spark, sf):
+    """Concat-and-chunk sequence packing: per (shard, bin) document and
+    token counts (pipeline.sampling.pack_documents)."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+    packed = sampling.pack_documents(docs, budget=512, tokens_col="n_tokens",
+                                     shard_col="shard")
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tokens")))
+
+
+SQL_PACK_DOCUMENTS = """
+  WITH d AS (
+    SELECT doc_id, doc_id % 4 AS shard,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+  ), c AS (
+    SELECT shard, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+    FROM d
+  )
+  SELECT shard, CAST(floor(cum / 512) AS BIGINT) AS bin_id,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM c GROUP BY 1, 2
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-paired queries beyond the driver's 50-row budget; gated by
     tests/test_extra_queries.py with the identical DuckDB compare."""
@@ -1655,6 +1705,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_sum": q_lag_sum,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q5ish": q_tpch_q5ish,
+        "hash_split": q_hash_split,
+        "pack_documents": q_pack_documents,
     }
 
 
@@ -1667,6 +1719,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "lag_sum": SQL_LAG_SUM,
         "tpch_q4ish": SQL_TPCH_Q4ISH,
         "tpch_q5ish": SQL_TPCH_Q5ISH,
+        "hash_split": _sql_hash_split(),
+        "pack_documents": SQL_PACK_DOCUMENTS,
     }
 
 

@@ -1,0 +1,126 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines.
+
+Everything here is pure-expression (codegen'd, no Python, no RNG
+state): selection is a function of a content/id hash, so splits are
+reproducible across runs, engines (md5 — DuckDB-oracle-able) and
+cluster layouts, and a re-run after adding data moves no existing row
+between splits. That property — not randomness — is what a 100 TB
+training pipeline needs from its sampler.
+
+Scale posture: ``hash_split`` / ``deterministic_sample`` are map-only
+(no shuffle). ``take_per_key`` is one keyed window. ``pack_documents``
+is a cumulative window per shard: global packing order is sequential by
+nature, so parallelism comes from the shard column (pack within shard);
+the standard concat-and-chunk training layout does exactly this.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h28, h28_sql
+
+#: hash buckets for split arithmetic; 28-bit hash → uniform enough
+_BUCKETS = 10_000
+
+
+def _bucket(col: Column, salt: str) -> Column:
+    return F.pmod(h28(F.concat(F.lit(salt), col.cast("string"))),
+                  F.lit(_BUCKETS))
+
+
+def _bucket_sql(expr: str, salt: str) -> str:
+    inner = f"'{salt}' || ({expr})::VARCHAR"
+    return f"(({h28_sql(inner)}) % {_BUCKETS})"
+
+
+def hash_split(df: DataFrame, weights: Mapping[str, float],
+               on: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Adds a ``split`` column ('train'/'val'/... per ``weights``) as a
+    pure function of md5(salt || id): deterministic, engine-portable,
+    stable under appends. Weights must sum to 1."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights sum to {total}, expected 1")
+    b = _bucket(F.col(on), salt)
+    expr = None
+    edge = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        edge += w
+        cond = b < F.lit(int(round(edge * _BUCKETS)))
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def hash_split_sql(weights: Mapping[str, float], on: str = "doc_id",
+                   salt: str = "split") -> str:
+    """DuckDB CASE fragment computing the identical split column."""
+    b = _bucket_sql(on, salt)
+    parts = []
+    edge = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        edge += w
+        parts.append(f"WHEN {b} < {int(round(edge * _BUCKETS))} THEN '{name}'")
+    return f"CASE {' '.join(parts)} ELSE '{items[-1][0]}' END"
+
+
+def deterministic_sample(df: DataFrame, fraction: float, on: str = "doc_id",
+                         salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, selected by id-hash — reproducible
+    (same rows every run/engine), unlike ``df.sample`` whose output
+    depends on partition layout."""
+    b = _bucket(F.col(on), salt)
+    return df.filter(b < F.lit(int(round(fraction * _BUCKETS))))
+
+
+def stratified_sample(df: DataFrame, strata: str,
+                      fractions: Mapping[str, float],
+                      on: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling (hash-based ``sampleBy``):
+    strata not listed keep fraction 0."""
+    b = _bucket(F.col(on), salt)
+    cond = F.lit(False)
+    for value, frac in fractions.items():
+        cond = cond | ((F.col(strata) == F.lit(value))
+                       & (b < F.lit(int(round(frac * _BUCKETS)))))
+    return df.filter(cond)
+
+
+def take_per_key(df: DataFrame, key: Sequence[str], n: int,
+                 on: str = "doc_id", salt: str = "take") -> DataFrame:
+    """Deterministic k-per-key subsample (hash-ordered row_number) — the
+    distributed, reproducible stand-in for per-key reservoir sampling.
+    One keyed window shuffle."""
+    w = Window.partitionBy(*key).orderBy(_bucket(F.col(on), salt), F.col(on))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n).drop("__rk"))
+
+
+def pack_documents(df: DataFrame, budget: int, tokens_col: str,
+                   shard_col: str | None = None,
+                   on: str = "doc_id") -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in
+    deterministic (shard, id) order and assigned ``bin_id`` =
+    floor(cumulative_tokens_before / budget) — the standard training
+    layout where documents are concatenated and the stream is chunked
+    into ``budget``-token contexts.
+
+    Packing is sequential by definition; parallelism comes from
+    ``shard_col`` (bins are per-shard). With no shard the whole table
+    funnels through one task — fine for a corpus that fits one
+    executor, wrong at 100 TB; pass a shard."""
+    part = [shard_col] if shard_col else []
+    w = (Window.partitionBy(*part).orderBy(F.col(on))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    out = df.withColumn("bin_id", F.floor(cum / F.lit(budget)).cast("long"))
+    return out

@@ -210,3 +210,60 @@ def test_resize_media_plumbing(spark):
     again = {r["doc_id"]: r for r in
              multimodal.resize_media(mm, width=4, height=3).collect()}
     assert again[1]["payload"] == rows[1]["payload"]
+
+
+# ---------------------------------------------------------------------
+# deterministic sampling / splitting / packing
+# ---------------------------------------------------------------------
+
+def test_hash_split_stable_under_append(spark):
+    from flint_spark.pipeline import sampling
+
+    a = spark.range(1000).withColumnRenamed("id", "doc_id")
+    b = spark.range(2000).withColumnRenamed("id", "doc_id")
+    wa = sampling.hash_split(a, {"train": 0.8, "val": 0.2})
+    wb = sampling.hash_split(b, {"train": 0.8, "val": 0.2})
+    pa = wa.toPandas().set_index("doc_id")["split"]
+    pb = wb.toPandas().set_index("doc_id")["split"]
+    # adding data must not move any existing row between splits
+    assert (pb.loc[pa.index] == pa).all()
+    frac = (pa == "train").mean()
+    assert 0.75 < frac < 0.85
+
+
+def test_deterministic_sample_and_stratified(spark):
+    from flint_spark.pipeline import sampling
+
+    df = (spark.range(2000).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en")
+                      .otherwise("de")))
+    s1 = sampling.deterministic_sample(df, 0.25).toPandas()
+    s2 = sampling.deterministic_sample(df, 0.25).toPandas()
+    assert s1["doc_id"].tolist() == s2["doc_id"].tolist()  # reproducible
+    assert 0.2 < len(s1) / 2000 < 0.3
+    st = sampling.stratified_sample(df, "lang", {"en": 0.5}).toPandas()
+    assert (st["lang"] == "en").all()
+    assert 0.4 < len(st) / 1000 < 0.6
+
+
+def test_take_per_key_and_packing(spark):
+    from flint_spark.pipeline import sampling
+
+    df = (spark.range(300).withColumnRenamed("id", "doc_id")
+          .withColumn("k", F.pmod(F.col("doc_id"), F.lit(3)))
+          .withColumn("n_tokens", F.lit(100) + F.pmod(F.col("doc_id"), F.lit(50))))
+    took = sampling.take_per_key(df, ["k"], 5)
+    assert took.groupBy("k").count().agg(F.max("count")).first()[0] == 5
+    # same 5 every run
+    assert sorted(took.toPandas()["doc_id"]) == sorted(took.toPandas()["doc_id"])
+
+    packed = sampling.pack_documents(df, budget=1000, tokens_col="n_tokens",
+                                     shard_col="k").toPandas()
+    # bins are contiguous in id order and every bin except possibly the
+    # last holds >= budget - max_doc tokens and < budget + max_doc
+    for _, grp in packed.groupby(["k", "bin_id"]):
+        assert grp["n_tokens"].sum() < 1000 + 150
+    sizes = (packed.groupby(["k", "bin_id"])["n_tokens"].sum()
+             .groupby(level=0).apply(lambda s: s.iloc[:-1]))
+    if len(sizes):
+        assert (sizes >= 1000 - 150).all()
