@@ -124,3 +124,41 @@ def pack_documents(df: DataFrame, budget: int, tokens_col: str,
     cum = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
     out = df.withColumn("bin_id", F.floor(cum / F.lit(budget)).cast("long"))
     return out
+
+
+def repeat_dataset(df: DataFrame, factor: float, on: str = "doc_id",
+                   salt: str = "repeat") -> DataFrame:
+    """Deterministic fractional oversampling for mixture weighting:
+    every row appears ``floor(factor)`` times, plus once more for the
+    id-hash fraction selected by ``factor % 1`` — so ``factor=2.3``
+    yields exactly ~2.3 epochs, the same rows every run. Adds
+    ``repeat_idx`` (0-based copy number); map-only (explode)."""
+    if factor <= 0:
+        raise ValueError("factor must be > 0")
+    whole = int(factor)
+    frac = factor - whole
+    b = _bucket(F.col(on), salt)
+    n_copies = F.lit(whole) + F.when(
+        b < F.lit(int(round(frac * _BUCKETS))), 1).otherwise(0)
+    # rows with n_copies == 0 (factor < 1, hash not selected) drop out:
+    # sequence(0, -1) would count backwards, so filter first
+    return (df.withColumn("__n", n_copies).filter(F.col("__n") > 0)
+            .withColumn("repeat_idx", F.explode(F.sequence(F.lit(0),
+                                                           F.col("__n") - 1)))
+            .drop("__n"))
+
+
+def mix_corpora(sources: Mapping[str, tuple[DataFrame, float]],
+                on: str = "doc_id", salt: str = "mix") -> DataFrame:
+    """Weighted training mixture: each named source is deterministically
+    repeated/sampled to its weight (epochs), tagged with ``source``, and
+    unioned. Schemas must match (align columns first)."""
+    parts = []
+    for name, (df, weight) in sources.items():
+        part = repeat_dataset(df, weight, on, salt=f"{salt}:{name}") \
+            .withColumn("source", F.lit(name))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

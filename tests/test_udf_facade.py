@@ -267,3 +267,26 @@ def test_take_per_key_and_packing(spark):
              .groupby(level=0).apply(lambda s: s.iloc[:-1]))
     if len(sizes):
         assert (sizes >= 1000 - 150).all()
+
+
+def test_repeat_dataset_and_mixture(spark):
+    from flint_spark.pipeline import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    r = sampling.repeat_dataset(df, 2.3).toPandas()
+    eff = len(r) / 1000
+    assert 2.25 < eff < 2.35
+    # copies are indexed and deterministic
+    counts = r.groupby("doc_id")["repeat_idx"].max() + 1
+    assert set(counts.unique()) == {2, 3}
+    again = sampling.repeat_dataset(df, 2.3).toPandas()
+    assert sorted(again["doc_id"]) == sorted(r["doc_id"])
+
+    sub = sampling.repeat_dataset(df, 0.4)
+    n = sub.count()
+    assert 330 < n < 470
+
+    mixed = sampling.mix_corpora({
+        "web": (df, 1.0), "code": (df, 0.5)}).toPandas()
+    share = (mixed["source"] == "code").mean()
+    assert 0.28 < share < 0.38  # 0.5/(1+0.5)
