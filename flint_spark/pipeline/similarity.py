@@ -122,6 +122,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     sign-random-projection buckets, verified by exact cosine >= threshold.
     The bucket equi-join keeps the pair space ~2^planes smaller than the
     full cross product (the embedding face of MinHash-LSH dedup)."""
+    _check_dim(emb, vec_col, dim)
     planes = hyperplanes(n_planes, dim, seed)
     base = (emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
             .withColumn("bucket", bucket_expr(F.col("v"), planes))
@@ -137,10 +138,22 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
             .filter(F.col("cosine") >= threshold))
 
 
+def _check_dim(emb: DataFrame, vec_col: str, dim: int) -> None:
+    """Hyperplane dim must equal the vector dim: ``zip_with`` pads the
+    shorter side with nulls, which silently corrupts buckets (observed:
+    dim=64 planes over 16-d vectors degraded LSH to useless buckets).
+    One cheap first-row probe per operator build."""
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is not None and row["d"] != dim:
+        raise ValueError(f"{vec_col} has dim {row['d']} but planes use dim "
+                         f"{dim}; pass dim={row['d']}")
+
+
 def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
                  n_planes: int = 8, dim: int = 64, seed: int = 11,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH bucket."""
+    _check_dim(emb, vec_col, dim)
     planes = hyperplanes(n_planes, dim, seed)
     base = (emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
             .withColumn("bucket", bucket_expr(F.col("v"), planes)))

@@ -100,9 +100,39 @@ def pipeline_scale(spark, n_docs: int = 100_000):
     return t_exact, t_sim, t_mh
 
 
+
+
+def synth_embeddings(spark, n_vecs: int, dim: int = 16):
+    """Synthetic embedding table: deterministic pseudo-random unit-free
+    vectors from xxhash64 — the sf fixtures hold 500 vectors at every
+    scale factor, so ANN growth must be synthetic too."""
+    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    comps = [((F.pmod(F.xxhash64(F.col("vec_id") + F.lit(i * 131)),
+                      F.lit(2000)) - 1000) / 1000.0).cast("float")
+             for i in range(dim)]
+    return base.withColumn("embedding", F.array(*comps))
+
+
+def ann_scale(spark, n_vecs: int = 100_000):
+    """Similarity search on a growing vector table: brute-force cosine
+    top-k (the exact baseline, one scan) vs SRP-bucketed LSH ANN (the
+    scale path: candidates shrink ~2^planes)."""
+    from flint_spark.pipeline import similarity as sim
+
+    emb = synth_embeddings(spark, n_vecs).persist()
+    print(f"vectors: {emb.count():,}")
+    probes = [0, 1, 2, 3, 4]
+    timed("cosine_topk (exact)", sim.cosine_topk(emb, probes, k=10))
+    timed("lsh_ann_topk (bucketed)", sim.lsh_ann_topk(emb, probes, k=10, dim=16))
+    emb.unpersist()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
         pipeline_scale(get_spark("scale_smoke"), n)
+    elif len(sys.argv) > 1 and sys.argv[1] == "ann":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        ann_scale(get_spark("scale_smoke"), n)
     else:
         main(float(sys.argv[1]) if len(sys.argv) > 1 else 5.0)

@@ -290,3 +290,11 @@ def test_repeat_dataset_and_mixture(spark):
         "web": (df, 1.0), "code": (df, 0.5)}).toPandas()
     share = (mixed["source"] == "code").mean()
     assert 0.28 < share < 0.38  # 0.5/(1+0.5)
+
+
+def test_lsh_dim_mismatch_raises(spark):
+    from flint_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="dim"):
+        sim.lsh_ann_topk(emb, [0, 1], dim=16)  # fixture vectors are 64-d
