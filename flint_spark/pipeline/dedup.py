@@ -73,13 +73,25 @@ def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       num_hashes: int = 64, seed: int = 7) -> DataFrame:
+                       num_hashes: int = 64, seed: int = 7,
+                       max_df: int | None = None) -> DataFrame:
     """One row per doc: ``mh_0..mh_{n-1}`` MinHash values.
 
     min over shingles of (a_j * h28(shingle) + b_j) mod P — a single
-    hash aggregation with ``num_hashes`` min() columns."""
+    hash aggregation with ``num_hashes`` min() columns.
+
+    ``max_df`` drops shingles present in more than that many documents
+    BEFORE hashing (stop-shingle removal on the signature path):
+    boilerplate shingles otherwise dominate the min statistics, pulling
+    unrelated documents' signatures together and flooding LSH bands.
+    ``None`` (the oracle-gated default) keeps all shingles."""
     params = minhash_params(num_hashes, seed)
-    sh = shingles(docs, text_col, id_col, k).withColumn("h", h28(F.col("shingle")))
+    sh = shingles(docs, text_col, id_col, k)
+    if max_df is not None:
+        rare = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+                .filter(F.col("__df") <= max_df).select("shingle"))
+        sh = sh.join(rare, "shingle")
+    sh = sh.withColumn("h", h28(F.col("shingle")))
     aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh_{j}")
             for j, (a, b) in enumerate(params)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -89,7 +101,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3, num_hashes: int = 64,
                       bands: int = 16, seed: int = 7,
                       threshold: float = 0.5,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      max_df: int | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, scored by the
     MinHash Jaccard estimate: (id_a, id_b, est_jaccard).
 
@@ -102,7 +115,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # the signature table feeds the band join AND both sides of the
     # estimate join — persist it or Spark recomputes the whole
     # shingle->hash->32-min aggregation subtree four times.
-    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed).persist()
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed,
+                             max_df).persist()
     mh_cols = [f"mh_{j}" for j in range(num_hashes)]
     band_structs = [
         F.struct(

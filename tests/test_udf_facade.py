@@ -298,3 +298,14 @@ def test_lsh_dim_mismatch_raises(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="dim"):
         sim.lsh_ann_topk(emb, [0, 1], dim=16)  # fixture vectors are 64-d
+
+
+def test_minhash_stop_shingle_cap(hot_bucket_docs):
+    """max_df on the signature path: boilerplate shingles stop pulling
+    unrelated docs' signatures together, so candidate pairs shrink
+    while the genuine near-dup pair survives."""
+    loose = dedup.minhash_lsh_pairs(hot_bucket_docs, threshold=0.0)
+    tight = dedup.minhash_lsh_pairs(hot_bucket_docs, threshold=0.0, max_df=30)
+    assert tight.count() < loose.count()
+    assert (tight.filter((F.col("id_a") == 100) & (F.col("id_b") == 101))
+            .count() == 1)
