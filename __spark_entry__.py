@@ -1694,6 +1694,36 @@ SQL_PACK_DOCUMENTS = """
 """
 
 
+def q_winnow_pairs(spark, sf):
+    """Winnowing (MOSS) fingerprint candidate pairs over documents
+    (pipeline.dedup.winnow_fingerprints / winnow_pairs)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.winnow_pairs(docs, k=3, window=4, min_shared=2)
+
+
+SQL_WINNOW_PAIRS = """
+  WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  ), sh AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(ws) - 2)) AS pos,
+           unnest(list_transform(generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+    FROM w
+  ), fps AS (
+    SELECT DISTINCT doc_id,
+           min(('0x' || substr(md5(shingle), 1, 7))::BIGINT)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM sh
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-paired queries beyond the driver's 50-row budget; gated by
     tests/test_extra_queries.py with the identical DuckDB compare."""
@@ -1707,6 +1737,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -1721,6 +1752,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "tpch_q5ish": SQL_TPCH_Q5ISH,
         "hash_split": _sql_hash_split(),
         "pack_documents": SQL_PACK_DOCUMENTS,
+        "winnow_pairs": SQL_WINNOW_PAIRS,
     }
 
 

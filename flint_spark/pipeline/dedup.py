@@ -233,3 +233,48 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                  / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): hash every word k-shingle, slide a ``window`` over
+    consecutive shingle hashes and keep each window's minimum — a
+    guaranteed-hit, position-robust subset ~2/(window+1) the size of
+    the full shingle set. Two docs sharing any fingerprint share a
+    k-shingle run, so the equi-join candidate space is much smaller
+    than full shingle joins.
+
+    Plan: posexplode (map-side) -> one per-doc window min (keyed
+    window, rows frame) -> distinct. Output: (id, fp)."""
+    w = f"split({text_col}, ' ')"
+    sh = F.expr(
+        f"transform(sequence(1, size({w}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({w}, i, {k})))"
+    )
+    from pyspark.sql import Window as SqlWindow
+    exploded = (docs.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+                .select(F.col(id_col), F.posexplode(sh).alias("pos", "shingle"))
+                .withColumn("h", h28(F.col("shingle"))))
+    win = (SqlWindow.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(0, window - 1))
+    return (exploded
+            .withColumn("fp", F.min("h").over(win))
+            .select(id_col, "fp").distinct())
+
+
+def winnow_pairs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3, window: int = 4,
+                 min_shared: int = 2) -> DataFrame:
+    """Candidate near-dup pairs sharing >= ``min_shared`` winnowing
+    fingerprints: (id_a, id_b, shared). Equi-join on the winnowed set
+    (~2/(window+1) of all shingles), the standard plagiarism/near-dup
+    candidate generator."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, window).persist()
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared))

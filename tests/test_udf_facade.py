@@ -309,3 +309,30 @@ def test_minhash_stop_shingle_cap(hot_bucket_docs):
     assert tight.count() < loose.count()
     assert (tight.filter((F.col("id_a") == 100) & (F.col("id_b") == 101))
             .count() == 1)
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnow set is a subset of shingle hashes, ~2/(w+1) dense, and a
+    shared run between two docs is guaranteed to produce a shared
+    fingerprint (the MOSS guarantee for runs longer than w+k-1)."""
+    from flint_spark.pipeline.dedup import winnow_fingerprints, winnow_pairs
+
+    common = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(1, f"intro words {common} closing remarks here"),
+         (2, f"other beginning text {common} different ending words"),
+         (3, "completely unrelated content about spark window functions")],
+        ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, window=4)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n > 0 for n in per_doc.values())
+    pairs = winnow_pairs(docs, window=4, min_shared=2).collect()
+    keys = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in keys           # the shared run is detected
+    assert all(3 not in p for p in keys)  # unrelated doc stays out
+    # density: winnowed set is well below the full shingle count
+    from flint_spark.pipeline.dedup import shingles
+    n_sh = shingles(docs).groupBy("doc_id").count().agg(F.sum("count")).first()[0]
+    n_fp = fps.count()
+    assert n_fp < n_sh * 0.8
