@@ -373,3 +373,20 @@ def rows(column: str = "rows") -> Summarizer:
         cols = [F.col(c) for c in df.columns if not c.startswith("__")]
         return F.sort_array(o(F.collect_list(F.struct(*cols))))
     return Summarizer([(column, build)])
+
+
+# ----------------------------------------------------------------------
+# reference python-name aliases (python/ts/flint/summarizers.py exports
+# max/min/sum — shadowing builtins, as the reference itself does —
+# plus zscore / weighted_mean). The reference's ewma / ema_halflife /
+# linear_regression summarizers are per-row scan operators here:
+# operators.ema.ewma / ema_half_life and operators.regression.
+# ols_regression (an exact single-pass aggregate form does not exist —
+# the exponent needs the group's min time, and aggregates cannot nest).
+# ----------------------------------------------------------------------
+
+max = max_          # noqa: A001 - reference API shadows the builtin
+min = min_          # noqa: A001
+sum = sum_          # noqa: A001
+zscore = z_score
+weighted_mean = weighted_mean_test
