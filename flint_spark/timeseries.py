@@ -427,8 +427,10 @@ class TimeSeriesDataFrame:
 
     def group_by(self, *cols):
         """Plain Spark groupBy delegate (reference exposes ``groupBy``
-        on the wrapper, ``python/ts/flint/dataframe.py``)."""
+        and ``groupby`` on the wrapper, ``python/ts/flint/dataframe.py``)."""
         return self._df.groupBy(*cols)
+
+    groupby = group_by
 
     def add_summary_columns(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
         from .operators.aggregate import add_summary_columns

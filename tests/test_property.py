@@ -94,3 +94,44 @@ def test_window_count_vs_pandas(panel, w):
         exp = ((panel["id"] == r["id"]) & (panel["time"] <= r["time"])
                & (panel["time"] >= r["time"] - w)).sum()
         assert r["count"] == exp
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), budget=st.integers(50, 500))
+def test_pack_documents_invariants(panel, budget):
+    """Packing: every bin's tokens < budget + max_doc; bins are
+    contiguous in id order; no document dropped or duplicated."""
+    from flint_spark.pipeline import sampling
+
+    pdf = panel.rename(columns={"time": "doc_id"}).drop_duplicates("doc_id")
+    pdf["n_tokens"] = (pdf["v"].abs() % 97 + 1).astype(int)
+    df = _spark().createDataFrame(pdf[["doc_id", "id", "n_tokens"]])
+    out = sampling.pack_documents(df, budget=budget, tokens_col="n_tokens",
+                                  shard_col="id").toPandas()
+    assert len(out) == len(pdf)
+    mx = out["n_tokens"].max()
+    for (_, _), grp in out.groupby(["id", "bin_id"]):
+        assert grp["n_tokens"].sum() < budget + mx
+    for _, shard in out.groupby("id"):
+        shard = shard.sort_values("doc_id")
+        assert (shard["bin_id"].diff().dropna() >= 0).all()  # monotone bins
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
+                    unique=True))
+def test_hash_split_is_pure_function_of_id(ids):
+    """The split of an id never depends on what other rows are present."""
+    from flint_spark.pipeline import sampling
+
+    spark = _spark()
+    full = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    half = spark.createDataFrame([(i,) for i in ids[::2]], ["doc_id"])
+    w = {"train": 0.7, "val": 0.3}
+    pf = (sampling.hash_split(full, w).toPandas()
+          .set_index("doc_id")["split"])
+    ph = (sampling.hash_split(half, w).toPandas()
+          .set_index("doc_id")["split"])
+    assert (pf.loc[ph.index] == ph).all()
