@@ -370,6 +370,16 @@ class TimeSeriesDataFrame:
         return self._wrap(self._df.withColumn(TIME_COLUMN, shifted))
 
     # -- operator delegates (implemented in flint_spark.operators) -----
+    def look_backward_clock(self, shift_amount: str) -> "TimeSeriesDataFrame":
+        """Deprecated reference alias (``TimeSeriesRDD.scala:1231-1232``):
+        shift timestamps backward."""
+        return self.shift(shift_amount, backward=True)
+
+    def look_forward_clock(self, shift_amount: str) -> "TimeSeriesDataFrame":
+        """Deprecated reference alias (``TimeSeriesRDD.scala:1246-1247``):
+        shift timestamps forward."""
+        return self.shift(shift_amount)
+
     def left_join(self, right: "TimeSeriesDataFrame", tolerance: str | int = 0,
                   key: Sequence[str] = (), left_alias: str | None = None,
                   right_alias: str | None = None) -> "TimeSeriesDataFrame":
