@@ -1724,6 +1724,28 @@ SQL_WINNOW_PAIRS = """
 """
 
 
+def q_rollup_multi(spark, sf):
+    """Hypertable-style multi-granularity rollup: 1h + 1d interval
+    aggregates from ONE scan via GROUPING SETS (one shuffle total;
+    intervals.summarize_intervals_multi)."""
+    ev = _events(spark, sf)
+    out = intervals.summarize_intervals_multi(
+        ev, ["1h", "1d"], S.compose(S.count(), S.sum_("value")))
+    return out.select("granularity", TIME_COLUMN, "count",
+                      R("value_sum", 4).alias("value_sum"))
+
+
+SQL_ROLLUP_MULTI = """
+  SELECT CASE WHEN g1 IS NOT NULL THEN '1h' ELSE '1d' END AS granularity,
+         COALESCE(g1, gd) AS time, count(*) AS count,
+         floor((sum(value)) * 10000 + 0.5) / 10000 AS value_sum
+  FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS g1,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS gd, value
+        FROM events)
+  GROUP BY GROUPING SETS ((g1), (gd))
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-paired queries beyond the driver's 50-row budget; gated by
     tests/test_extra_queries.py with the identical DuckDB compare."""
@@ -1738,6 +1760,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_documents": q_pack_documents,
         "winnow_pairs": q_winnow_pairs,
+        "rollup_multi": q_rollup_multi,
     }
 
 
@@ -1753,6 +1776,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "hash_split": _sql_hash_split(),
         "pack_documents": SQL_PACK_DOCUMENTS,
         "winnow_pairs": SQL_WINNOW_PAIRS,
+        "rollup_multi": SQL_ROLLUP_MULTI,
     }
 
 

@@ -178,3 +178,43 @@ def group_by_interval(df: DataFrame, clock, key: Sequence[str] = (),
         .withColumn(TIME_COLUMN, _interval_time_col(bucketed))
         .select(TIME_COLUMN, *key, "rows")
     )
+
+
+def summarize_intervals_multi(df: DataFrame, granularities: Sequence[str],
+                              summarizer: Summarizer,
+                              key: Sequence[str] = ()) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: aggregate the SAME
+    scan into several interval resolutions (e.g. 1h + 1d + 7d) in ONE
+    pass via GROUPING SETS — one shuffle total, vs one full
+    scan+shuffle per granularity when looping ``summarize_intervals``.
+
+    Each output row carries ``granularity`` (the duration string) and
+    ``time`` (that granularity's bucket begin, inclusion=begin /
+    rounding=begin semantics, epoch-aligned like a UniformClock at
+    offset 0). Catalyst expands the grouping sets map-side, so the
+    shuffled data is (sets x rows) pre-aggregated partials."""
+    from ..timeseries import parse_duration_ns
+
+    key = list(key)
+    gcols = []
+    for g in granularities:
+        f = parse_duration_ns(g)
+        tns = time_ns_expr(df)
+        bucket = ns_to_time_expr(floor_div(tns, f) * F.lit(f),
+                                 dict(df.dtypes)[TIME_COLUMN])
+        name = f"__g_{g}"
+        df = df.withColumn(name, bucket)
+        gcols.append(name)
+    sets = [[g] + key for g in gcols]
+    agg = df.groupingSets(sets, *gcols, *key).agg(*summarizer.exprs(df))
+    # each output row belongs to exactly one set: its non-null __g col
+    gran = None
+    time_col = None
+    for g, name in zip(granularities, gcols):
+        cond = F.col(name).isNotNull()
+        gran = F.when(cond, F.lit(g)) if gran is None else gran.when(cond, F.lit(g))
+        time_col = F.when(cond, F.col(name)) if time_col is None else \
+            time_col.when(cond, F.col(name))
+    out = agg.select(gran.alias("granularity"), time_col.alias(TIME_COLUMN),
+                     *key, *[agg[n] for n in summarizer.names])
+    return out

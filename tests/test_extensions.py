@@ -535,3 +535,31 @@ def test_operators_on_empty_input(spark):
                           tolerance="1d", key=["user_id"]).count() == 1
     assert asof.left_join(empty, nonempty.withColumnRenamed("value", "rv"),
                           tolerance="1d", key=["user_id"]).count() == 0
+
+
+def test_rollup_multi_matches_individual_intervals(spark, sf_dir):
+    """Multi-granularity GROUPING SETS rollup == running each
+    granularity through summarize_intervals separately, at one shuffle
+    instead of three."""
+    from flint_spark.operators import intervals
+    from flint_spark.clocks import uniform
+    from flint_spark.timeseries import ns_to_time_expr
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+          .drop("ts"))
+    multi = intervals.summarize_intervals_multi(
+        ev, ["6h", "1d"], S.count()).toPandas()
+    for g in ["6h", "1d"]:
+        clock = uniform("2024-01-01", "2024-02-15", g)
+        single = (intervals.summarize_intervals(
+            ev, clock, S.count(), inclusion="begin", rounding="begin")
+            .toPandas().sort_values("time", ignore_index=True))
+        part = (multi[multi["granularity"] == g][["time", "count"]]
+                .sort_values("time", ignore_index=True))
+        pd.testing.assert_frame_equal(part, single[["time", "count"]])
+    # one Expand-based aggregation: single exchange in the plan
+    out = intervals.summarize_intervals_multi(ev, ["6h", "1d"], S.count())
+    out.write.mode("overwrite").format("noop").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
