@@ -390,3 +390,35 @@ min = min_          # noqa: A001
 sum = sum_          # noqa: A001
 zscore = z_score
 weighted_mean = weighted_mean_test
+
+
+def approx_count_distinct(column: str, rsd: float = 0.05) -> Summarizer:
+    """HyperLogLog++ distinct-count sketch (the 100 TB path for
+    cardinality: mergeable across partitions, O(1) state; the reference
+    has no distinct-count summarizer at all). ``rsd`` = relative
+    standard deviation. Not DuckDB-oracle-able (different sketch);
+    pytest-gated against exact distinct counts."""
+    return Summarizer([(f"{column}_approxCountDistinct",
+                        lambda df, m, o:
+                        o(F.approx_count_distinct(m(F.col(column)), rsd)))])
+
+
+def histogram(column: str, bins: Sequence[float]) -> Summarizer:
+    """Fixed-bin histogram as one aggregate expression per bin edge
+    pair: counts of rows in [b_i, b_{i+1}) plus underflow/overflow.
+    Pure codegen (a masked count per bin), single pass."""
+    items: list[tuple[str, Builder]] = [
+        (f"{column}_hist_under",
+         lambda df, m, o: o(F.count(F.when(m(F.col(column)) < bins[0], 1)))),
+    ]
+    for i in range(len(bins) - 1):
+        lo, hi = bins[i], bins[i + 1]
+        items.append((
+            f"{column}_hist_{i}",
+            (lambda df, m, o, lo=lo, hi=hi:
+             o(F.count(F.when((m(F.col(column)) >= lo)
+                              & (m(F.col(column)) < hi), 1))))))
+    items.append((f"{column}_hist_over",
+                  lambda df, m, o:
+                  o(F.count(F.when(m(F.col(column)) >= bins[-1], 1)))))
+    return Summarizer(items)

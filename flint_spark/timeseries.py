@@ -424,6 +424,14 @@ class TimeSeriesDataFrame:
         return self._wrap(summarize_intervals(self._df, clock, summarizer, key,
                                               inclusion, rounding), is_sorted=False)
 
+    def summarize_intervals_multi(self, granularities, summarizer,
+                                  key: Sequence[str] = ()) -> DataFrame:
+        """Multi-granularity rollup (one scan, GROUPING SETS); returns a
+        plain DataFrame — rows mix granularities, so no single time
+        order exists."""
+        from .operators.intervals import summarize_intervals_multi
+        return summarize_intervals_multi(self._df, granularities, summarizer, key)
+
     def summarize(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
         from .operators.aggregate import summarize
         return self._wrap(summarize(self._df, summarizer, key), is_sorted=False)

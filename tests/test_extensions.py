@@ -563,3 +563,22 @@ def test_rollup_multi_matches_individual_intervals(spark, sf_dir):
     out.write.mode("overwrite").format("noop").save()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
+
+
+def test_approx_count_distinct_and_histogram(spark, sf_dir):
+    from flint_spark.timeseries import ns_to_time_expr
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp")))
+    got = agg_ops.summarize(
+        ev, S.compose(S.approx_count_distinct("user_id"),
+                      S.histogram("value", [0, 50, 100, 200]))).first()
+    exact = ev.select("user_id").distinct().count()
+    assert abs(got["user_id_approxCountDistinct"] - exact) <= 0.1 * exact
+    n_valued = ev.filter(F.col("value").isNotNull()).count()
+    total = (got["value_hist_under"] + got["value_hist_0"]
+             + got["value_hist_1"] + got["value_hist_2"]
+             + got["value_hist_over"])
+    assert total == n_valued
+    exact_bin0 = ev.filter((F.col("value") >= 0) & (F.col("value") < 50)).count()
+    assert got["value_hist_0"] == exact_bin0
