@@ -1746,6 +1746,28 @@ SQL_ROLLUP_MULTI = """
 """
 
 
+def q_histogram(spark, sf):
+    """Fixed-bin histogram summarizer (masked counts, one pass)."""
+    ev = _events(spark, sf)
+    out = agg_ops.summarize(ev, S.histogram("value", [0, 25, 50, 100, 200]),
+                            key=["event_type"])
+    return out.select("event_type", "value_hist_under", "value_hist_0",
+                      "value_hist_1", "value_hist_2", "value_hist_3",
+                      "value_hist_over")
+
+
+SQL_HISTOGRAM = """
+  SELECT event_type,
+         count(CASE WHEN value < 0 THEN 1 END) AS value_hist_under,
+         count(CASE WHEN value >= 0 AND value < 25 THEN 1 END) AS value_hist_0,
+         count(CASE WHEN value >= 25 AND value < 50 THEN 1 END) AS value_hist_1,
+         count(CASE WHEN value >= 50 AND value < 100 THEN 1 END) AS value_hist_2,
+         count(CASE WHEN value >= 100 AND value < 200 THEN 1 END) AS value_hist_3,
+         count(CASE WHEN value >= 200 THEN 1 END) AS value_hist_over
+  FROM events GROUP BY 1
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-paired queries beyond the driver's 50-row budget; gated by
     tests/test_extra_queries.py with the identical DuckDB compare."""
@@ -1761,6 +1783,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "winnow_pairs": q_winnow_pairs,
         "rollup_multi": q_rollup_multi,
+        "histogram": q_histogram,
     }
 
 
@@ -1777,6 +1800,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pack_documents": SQL_PACK_DOCUMENTS,
         "winnow_pairs": SQL_WINNOW_PAIRS,
         "rollup_multi": SQL_ROLLUP_MULTI,
+        "histogram": SQL_HISTOGRAM,
     }
 
 
