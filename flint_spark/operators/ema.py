@@ -195,7 +195,8 @@ def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
                 key: Sequence[str] = ()) -> DataFrame:
     """Running EWMA as a pure JVM plan (no Python): cumulative version
     of the exp-prefix-sum trick used by ``ewma_windowed``. ~6x faster
-    than the pandas scan at bench scale.
+    than the pandas scan at bench scale. ``column`` may be a list: all
+    series share one WindowExec sort (multi-column EWMA costs one pass).
 
     Same overflow constraint: per-key exponent span
     ``(t_max-t_min)/period * |ln(1-alpha)|`` must stay < ~700 (decades
@@ -213,13 +214,18 @@ def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
     frame = (W.partitionBy(*key).orderBy(tns)
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     rel = (tns - base).cast("double") * F.lit(lam)
-    num = F.sum(F.col(column) * F.exp(rel)).over(frame) * F.exp(-rel)
-    if convention == "legacy":
-        out = num
-    else:
-        den = F.sum(F.exp(rel)).over(frame) * F.exp(-rel)
-        out = num / den
-    return df.withColumn(f"{column}_ewma", out)
+    cols = [column] if isinstance(column, str) else list(column)
+    outs = {}
+    for c in cols:
+        # every column shares the same WindowSpec, so Catalyst plans ONE
+        # WindowExec (one sort) regardless of how many series are smoothed
+        num = F.sum(F.col(c) * F.exp(rel)).over(frame) * F.exp(-rel)
+        if convention == "legacy":
+            outs[f"{c}_ewma"] = num
+        else:
+            den = F.sum(F.exp(rel)).over(frame) * F.exp(-rel)
+            outs[f"{c}_ewma"] = num / den
+    return df.withColumns(outs)
 
 
 def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,

@@ -582,3 +582,26 @@ def test_approx_count_distinct_and_histogram(spark, sf_dir):
     assert total == n_valued
     exact_bin0 = ev.filter((F.col("value") >= 0) & (F.col("value") < 50)).count()
     assert got["value_hist_0"] == exact_bin0
+
+
+def test_ewma_native_multi_column_single_window(spark):
+    from flint_spark.operators.ema import ewma_native
+
+    df = spark.createDataFrame(
+        [(i * 10**9, 1, float(i), float(2 * i)) for i in range(20)],
+        "time long, id int, a double, b double")
+    multi = ewma_native(df, ["a", "b"], alpha=0.1,
+                        duration_per_period="1s", key=["id"])
+    single_a = ewma_native(df, "a", alpha=0.1, duration_per_period="1s",
+                           key=["id"]).toPandas().sort_values("time")
+    got = multi.toPandas().sort_values("time")
+    assert got["a_ewma"].tolist() == single_a["a_ewma"].tolist()
+    assert got["b_ewma"].tolist() == pytest.approx(
+        [2 * v for v in got["a_ewma"]])
+    # the second series is free: one shuffle and <= 2 sorts total, same
+    # as the single-column plan (Window nodes share the ordering)
+    from plan_audit import _walk
+    multi.write.mode("overwrite").format("noop").save()
+    names = list(_walk(multi._jdf.queryExecution().executedPlan()))
+    assert sum(1 for n in names if n == "Exchange") == 1
+    assert sum(1 for n in names if n == "Sort") <= 2
