@@ -605,3 +605,29 @@ def test_ewma_native_multi_column_single_window(spark):
     names = list(_walk(multi._jdf.queryExecution().executedPlan()))
     assert sum(1 for n in names if n == "Exchange") == 1
     assert sum(1 for n in names if n == "Sort") <= 2
+
+
+@pytest.mark.parametrize("inclusion", ["begin", "end"])
+@pytest.mark.parametrize("rounding", ["begin", "end"])
+def test_uniform_vs_searchsorted_interval_paths_agree(spark, sf_dir,
+                                                      inclusion, rounding):
+    """The arithmetic fast path (UniformClock) and the broadcast
+    searchsorted path (arbitrary tick DataFrame) implement the same 2x2
+    inclusion/rounding matrix: feeding the SAME ticks through both must
+    be row-identical in every cell."""
+    from flint_spark.clocks import uniform
+    from flint_spark.operators import intervals
+    from flint_spark.timeseries import ns_to_time_expr
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+          .drop("ts"))
+    clock = uniform("2024-01-05", "2024-01-25", "6h")
+    fast = (intervals.summarize_intervals(ev, clock, S.count(),
+                                          inclusion=inclusion, rounding=rounding)
+            .toPandas().sort_values("time", ignore_index=True))
+    ticks = clock.ticks_df(spark)  # same ticks as an arbitrary DataFrame
+    slow = (intervals.summarize_intervals(ev, ticks, S.count(),
+                                          inclusion=inclusion, rounding=rounding)
+            .toPandas().sort_values("time", ignore_index=True))
+    pd.testing.assert_frame_equal(fast, slow)
