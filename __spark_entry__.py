@@ -19,77 +19,19 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-from flint_spark import clocks, summarizers as S, windows as W
-from flint_spark.operators import aggregate as agg_ops
-from flint_spark.operators import asof, cycles, intervals, windows_ops
-from flint_spark.operators import ema as ema_ops
-from flint_spark.operators import regression, sessions
-from flint_spark.pipeline import dedup, multimodal, similarity, text as text_ops
-from flint_spark.pipeline.hashing import P, minhash_params, hyperplanes
-from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+from flint_spark import summarizers as S, windows as W
+from flint_spark.operators import asof, windows_ops
+from flint_spark.timeseries import TIME_COLUMN
 
-def R(col, k: int):
-    """Deterministic half-up rounding, identical in Spark and DuckDB.
-
-    Built-in round() disagrees between engines at exact .5 boundaries
-    (HALF_UP on decimal string vs binary round-half-away), which money
-    averages hit constantly. floor(x*10^k + 0.5)/10^k evaluates the
-    same way on the same double in both engines.
-    """
-    if isinstance(col, str):
-        col = F.col(col)
-    m = float(10 ** k)
-    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
-
-
-# ----------------------------------------------------------------------
-# loaders
-# ----------------------------------------------------------------------
-
-def _ensure_session_confs(spark: SparkSession) -> None:
-    """The driver supplies its own SparkSession; these runtime-settable
-    confs are required for correctness here: TIMESTAMP(NANOS) parquet
-    must read as Long ns, timestamps must render in UTC to match the
-    DuckDB oracle, and Spark 4's default ANSI mode would error on the
-    permissive arithmetic this engine (like the reference) assumes."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with time = µs TIMESTAMP (matches DuckDB's view of ts)."""
-    df = _t(spark, sf_dir, "events")
-    return df.withColumn(TIME_COLUMN, ns_to_time_expr(F.col("ts"), "timestamp")) \
-             .drop("ts")
-
-
-def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "lineitem").withColumnRenamed("l_shipdate", TIME_COLUMN)
-
-
-def _orders_right(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders as an as-of right side: unique per (user_id, time)."""
-    return (_t(spark, sf_dir, "orders")
-            .select(F.col("o_orderdate").alias(TIME_COLUMN),
-                    F.col("o_custkey").alias("user_id"), "o_totalprice")
-            .groupBy(TIME_COLUMN, "user_id")
-            .agg(F.max("o_totalprice").alias("o_totalprice")))
-
-
-_ORDERS_RIGHT_SQL = """
-  SELECT o_orderdate AS rt, o_custkey AS user_id,
-         max(o_totalprice) AS o_totalprice
-  FROM orders GROUP BY 1, 2
-"""
+from entry_queries import *  # noqa: F401,F403
+from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
+                           _sql_embedding_dedup, _sql_hash_split,
+                           _sql_interval_custom_clock, _sql_ivf_ann,
+                           _sql_lang_confusion, _sql_lsh_ann,
+                           _sql_minhash_lsh, _sql_simhash,
+                           _sql_simhash_pairs, _sql_text_stats)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -109,1383 +51,6 @@ def entry(spark: SparkSession) -> DataFrame:
     return out.select(TIME_COLUMN, "user_id", "value", "o_totalprice",
                       "count", R("value_mean", 4).alias("value_mean"))
 
-
-# ----------------------------------------------------------------------
-# SURVEY §2 operator queries + oracles
-# ----------------------------------------------------------------------
-
-def q_cycle_agg(spark, sf):
-    li = _lineitem(spark, sf)
-    summ = S.compose(S.count(), S.sum_("l_quantity"), S.mean("l_extendedprice"))
-    out = cycles.summarize_cycles(li, summ, key=["l_returnflag"])
-    return out.select(
-        TIME_COLUMN, "l_returnflag", "count",
-        R("l_quantity_sum", 2).alias("sum_qty"),
-        R("l_extendedprice_mean", 2).alias("avg_price"))
-
-
-SQL_CYCLE_AGG = """
-  SELECT l_shipdate AS time, l_returnflag, count(*) AS count,
-         floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-         floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price
-  FROM lineitem GROUP BY 1, 2
-"""
-
-
-def q_group_cycle_rows(spark, sf):
-    # array rendered as a CSV string: the driver's pandas canonicalizer
-    # sorts every output column and cannot hash python lists (r1 err).
-    li = _lineitem(spark, sf)
-    keys = F.sort_array(F.collect_list("l_orderkey")).cast("array<string>")
-    return (li.groupBy(TIME_COLUMN)
-            .agg(F.array_join(keys, ",").alias("orderkeys")))
-
-
-SQL_GROUP_CYCLE_ROWS = """
-  SELECT l_shipdate AS time,
-         array_to_string(list_sort(list(l_orderkey)), ',') AS orderkeys
-  FROM lineitem GROUP BY 1
-"""
-
-
-def q_interval_uniform(spark, sf):
-    ev = _events(spark, sf)
-    clock = clocks.uniform("2024-01-01", "2027-01-01", "1d")
-    out = intervals.summarize_intervals(
-        ev, clock, S.compose(S.count(), S.sum_("value")),
-        key=["event_type"], inclusion="begin", rounding="begin")
-    return out.select(TIME_COLUMN, "event_type", "count",
-                      R("value_sum", 4).alias("value_sum"))
-
-
-SQL_INTERVAL_UNIFORM = """
-  SELECT date_trunc('day', ts) AS time, event_type, count(*) AS count,
-         floor((sum(value)) * 10000 + 0.5) / 10000 AS value_sum
-  FROM events
-  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
-  GROUP BY 1, 2
-"""
-
-
-def q_interval_end_end(spark, sf):
-    ev = _events(spark, sf)
-    clock = clocks.uniform("2024-01-01", "2027-01-01", "1h")
-    out = intervals.summarize_intervals(
-        ev, clock, S.count(), key=[], inclusion="end", rounding="end")
-    return out.select(TIME_COLUMN, "count")
-
-
-SQL_INTERVAL_END_END = """
-  SELECT date_trunc('hour', ts - INTERVAL 1 MICROSECOND) + INTERVAL 1 HOUR AS time,
-         count(*) AS count
-  FROM events
-  WHERE ts > TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2027-01-01'
-  GROUP BY 1
-"""
-
-
-def q_summarize_stats(spark, sf):
-    ev = _events(spark, sf)
-    summ = S.compose(S.count(), S.mean("value"), S.stddev("value"),
-                     S.variance("value"), S.min_("value"), S.max_("value"))
-    out = agg_ops.summarize(ev, summ)
-    return out.select(
-        "count", R("value_mean", 6).alias("value_mean"),
-        R("value_stddev", 6).alias("value_stddev"),
-        R("value_variance", 4).alias("value_variance"),
-        "value_min", "value_max")
-
-
-SQL_SUMMARIZE_STATS = """
-  SELECT count(*) AS count, floor((avg(value)) * 1000000 + 0.5) / 1000000 AS value_mean,
-         floor((stddev_samp(value)) * 1000000 + 0.5) / 1000000 AS value_stddev,
-         floor((var_samp(value)) * 10000 + 0.5) / 10000 AS value_variance,
-         min(value) AS value_min, max(value) AS value_max
-  FROM events
-"""
-
-
-def q_summarize_keyed(spark, sf):
-    li = _lineitem(spark, sf)
-    summ = S.compose(
-        S.count(), S.covariance("l_quantity", "l_discount"),
-        S.correlation("l_quantity", "l_extendedprice"),
-        S.dot_product("l_quantity", "l_discount"),
-        S.geometric_mean("l_quantity"),
-    )
-    out = agg_ops.summarize(li, summ, key=["l_returnflag"])
-    return out.select(
-        "l_returnflag", "count",
-        R("l_quantity_l_discount_covariance", 6).alias("cov_qd"),
-        R("l_quantity_l_extendedprice_correlation", 6).alias("corr_qp"),
-        R("l_quantity_l_extendedprice_correlationTStat", 4).alias("corr_qp_t"),
-        R("l_quantity_l_discount_dotProduct", 4).alias("dot_qd"),
-        R("l_quantity_geometricMean", 6).alias("geo_qty"))
-
-
-SQL_SUMMARIZE_KEYED = """
-  SELECT l_returnflag, count(*) AS count,
-         floor((covar_pop(l_quantity, l_discount)) * 1000000 + 0.5) / 1000000 AS cov_qd,
-         floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5) / 1000000 AS corr_qp,
-         floor((corr(l_quantity, l_extendedprice)
-               * sqrt((count(*) - 2)
-                      / (1 - corr(l_quantity, l_extendedprice)^2))) * 10000 + 0.5) / 10000 AS corr_qp_t,
-         floor((sum(l_quantity * l_discount)) * 10000 + 0.5) / 10000 AS dot_qd,
-         floor((exp(avg(ln(abs(l_quantity))))) * 1000000 + 0.5) / 1000000 AS geo_qty
-  FROM lineitem GROUP BY 1
-"""
-
-
-def q_moments(spark, sf):
-    ev = _events(spark, sf)
-    summ = S.compose(S.skewness("value"), S.kurtosis("value"),
-                     S.nth_moment("value", 3), S.nth_central_moment("value", 2))
-    out = agg_ops.summarize(ev, summ)
-    return out.select(
-        R("value_skewness", 6).alias("skew"),
-        R("value_kurtosis", 6).alias("kurt"),
-        R("value_3thMoment", 2).alias("m3"),
-        R("value_2thCentralMoment", 4).alias("cm2"))
-
-
-SQL_MOMENTS = """
-  WITH m AS (
-    SELECT avg(value) AS m1, avg(value^2) AS r2,
-           avg(value^3) AS r3, avg(value^4) AS r4
-    FROM events
-  )
-  SELECT floor(((r3 - 3*m1*r2 + 2*m1^3) / (r2 - m1^2)^1.5) * 1000000 + 0.5) / 1000000 AS skew,
-         floor(((r4 - 4*m1*r3 + 6*m1^2*r2 - 3*m1^4) / (r2 - m1^2)^2 - 3) * 1000000 + 0.5) / 1000000 AS kurt,
-         floor((r3) * 100 + 0.5) / 100 AS m3,
-         floor((r2 - m1^2) * 10000 + 0.5) / 10000 AS cm2
-  FROM m
-"""
-
-
-def q_quantiles(spark, sf):
-    ev = _events(spark, sf)
-    out = agg_ops.summarize(ev, S.quantile("value", [0.25, 0.5, 0.9, 0.99]))
-    return out.select(
-        R("value_0_25quantile", 6).alias("q25"),
-        R("value_0_5quantile", 6).alias("q50"),
-        R("value_0_9quantile", 6).alias("q90"),
-        R("value_0_99quantile", 6).alias("q99"))
-
-
-SQL_QUANTILES = """
-  SELECT floor((quantile_cont(value, 0.25)) * 1000000 + 0.5) / 1000000 AS q25,
-         floor((quantile_cont(value, 0.5)) * 1000000 + 0.5) / 1000000 AS q50,
-         floor((quantile_cont(value, 0.9)) * 1000000 + 0.5) / 1000000 AS q90,
-         floor((quantile_cont(value, 0.99)) * 1000000 + 0.5) / 1000000 AS q99
-  FROM events
-"""
-
-
-def q_zscore(spark, sf):
-    ev = _events(spark, sf)
-    out = agg_ops.summarize(ev, S.z_score("value", in_sample=True), key=["user_id"])
-    return out.select("user_id", R("value_zScore", 6).alias("zscore"))
-
-
-SQL_ZSCORE = """
-  SELECT user_id,
-         floor(((arg_max(value, ts) - avg(value)) / stddev_samp(value)) * 1000000 + 0.5) / 1000000 AS zscore
-  FROM events GROUP BY 1
-"""
-
-
-def q_weighted(spark, sf):
-    li = _lineitem(spark, sf)
-    summ = S.compose(
-        S.weighted_mean_test("l_extendedprice", "l_quantity"),
-        S.weighted_covariance("l_extendedprice", "l_discount", "l_quantity"),
-        S.weighted_correlation("l_extendedprice", "l_discount", "l_quantity"),
-    )
-    out = agg_ops.summarize(li, summ, key=["l_linestatus"])
-    return out.select(
-        "l_linestatus",
-        R("l_extendedprice_l_quantity_weightedMean", 1).alias("wmean"),
-        R("l_extendedprice_l_quantity_weightedStandardDeviation", 1).alias("wstd"),
-        R("l_extendedprice_l_quantity_weightedTStat", 4).alias("wtstat"),
-        F.col("l_extendedprice_l_quantity_observationCount").alias("n_obs"),
-        R("l_extendedprice_l_discount_l_quantity_weightedCovariance", 1)
-         .alias("wcov"),
-        R("l_extendedprice_l_discount_l_quantity_weightedCorrelation", 6)
-         .alias("wcorr"))
-
-
-SQL_WEIGHTED = """
-  WITH s AS (
-    SELECT l_linestatus,
-           sum(l_quantity) AS sw, sum(l_quantity*l_quantity) AS sw2,
-           sum(l_quantity*l_extendedprice) AS swx,
-           sum(l_quantity*l_extendedprice*l_extendedprice) AS swxx,
-           sum(l_quantity*l_discount) AS swy,
-           sum(l_quantity*l_discount*l_discount) AS swyy,
-           sum(l_quantity*l_extendedprice*l_discount) AS swxy,
-           count(*) AS n
-    FROM lineitem GROUP BY 1
-  )
-  SELECT l_linestatus,
-         floor((swx/sw) * 10 + 0.5) / 10 AS wmean,
-         floor((sqrt((swxx - swx*swx/sw) / (sw - sw2/sw))) * 10 + 0.5) / 10 AS wstd,
-         floor(((swx/sw) * sw / sqrt(((swxx - swx*swx/sw) / (sw - sw2/sw)) * sw2)) * 10000 + 0.5) / 10000
-           AS wtstat,
-         n AS n_obs,
-         floor(((swxy - swx*swy/sw) / (sw - sw2/sw)) * 10 + 0.5) / 10 AS wcov,
-         floor(((swxy - swx*swy/sw)
-               / sqrt((swxx - swx*swx/sw) * (swyy - swy*swy/sw))) * 1000000 + 0.5) / 1000000 AS wcorr
-  FROM s
-"""
-
-
-def q_asof_backward(spark, sf):
-    ev = _events(spark, sf)
-    out = asof.left_join(ev, _orders_right(spark, sf), tolerance="9000d",
-                         key=["user_id"])
-    return out.select(TIME_COLUMN, "event_id", "user_id", "value", "o_totalprice")
-
-
-SQL_ASOF_BACKWARD = f"""
-  WITH r AS ({_ORDERS_RIGHT_SQL}),
-       l AS (SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value
-             FROM events)
-  SELECT l.time, l.event_id, l.user_id, l.value,
-         CASE WHEN r.rt >= l.time - INTERVAL 9000 DAY THEN r.o_totalprice END
-           AS o_totalprice
-  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.rt
-"""
-
-
-def q_asof_forward(spark, sf):
-    left = _orders_right(spark, sf).select(TIME_COLUMN, "user_id", "o_totalprice")
-    ev = (_events(spark, sf).groupBy(TIME_COLUMN, "user_id")
-          .agg(F.max("value").alias("value")))
-    out = asof.future_left_join(left, ev, tolerance="9500d", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", "o_totalprice", "value")
-
-
-SQL_ASOF_FORWARD = f"""
-  WITH l AS (SELECT rt AS time, user_id, o_totalprice FROM ({_ORDERS_RIGHT_SQL})),
-       r AS (SELECT CAST(ts AS TIMESTAMP) AS rt, user_id, max(value) AS value
-             FROM events GROUP BY 1, 2)
-  SELECT l.time, l.user_id, l.o_totalprice,
-         CASE WHEN r.rt <= l.time + INTERVAL 9500 DAY THEN r.value END AS value
-  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time <= r.rt
-"""
-
-
-def q_asof_strict(spark, sf):
-    """Strict lookahead: an event joining to itself must be excluded."""
-    ev = (_events(spark, sf).groupBy(TIME_COLUMN, "user_id")
-          .agg(F.max("value").alias("value")))
-    nxt = ev.select(TIME_COLUMN, "user_id", F.col("value").alias("next_value"))
-    out = asof.future_left_join(ev, nxt, tolerance="7d", key=["user_id"],
-                                strict_lookahead=True)
-    return out.select(TIME_COLUMN, "user_id", "value", "next_value")
-
-
-SQL_ASOF_STRICT = """
-  WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id, max(value) AS value
-             FROM events GROUP BY 1, 2)
-  SELECT l.t AS time, l.user_id, l.value,
-         CASE WHEN r.t <= l.t + INTERVAL 7 DAY THEN r.value END AS next_value
-  FROM e l ASOF LEFT JOIN e r ON l.user_id = r.user_id AND l.t < r.t
-"""
-
-
-def q_merge(spark, sf):
-    ev = _events(spark, sf)
-    a = ev.filter(F.col("event_type") == "click").select(TIME_COLUMN, "event_id", "value")
-    b = ev.filter(F.col("event_type") == "view").select(TIME_COLUMN, "event_id", "value")
-    return asof.merge(a, b)
-
-
-SQL_MERGE = """
-  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, value FROM events
-  WHERE event_type = 'click'
-  UNION ALL
-  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, value FROM events
-  WHERE event_type = 'view'
-"""
-
-
-def q_shift(spark, sf):
-    from flint_spark import TimeSeriesDataFrame
-    ev = TimeSeriesDataFrame(_events(spark, sf))
-    return ev.shift("1h").df.select(TIME_COLUMN, "event_id")
-
-
-SQL_SHIFT = """
-  SELECT CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS time, event_id FROM events
-"""
-
-
-def q_filter_project(spark, sf):
-    from flint_spark import TimeSeriesDataFrame
-    ev = TimeSeriesDataFrame(_events(spark, sf))
-    out = (ev.keep_columns("event_id", "event_type", "value")
-           .filter((F.col("value") > 100) & F.col("event_type").isin("click", "error"))
-           .add_columns(value_2x=R(F.col("value") * 2, 2))
-           .cast({"event_id": "int"}))
-    return out.df
-
-
-SQL_FILTER_PROJECT = """
-  SELECT CAST(ts AS TIMESTAMP) AS time, CAST(event_id AS INT) AS event_id,
-         event_type, value, floor((value * 2) * 100 + 0.5) / 100 AS value_2x
-  FROM events WHERE value > 100 AND event_type IN ('click', 'error')
-"""
-
-
-def q_clock_uniform(spark, sf):
-    _ensure_session_confs(spark)  # no table load; still needs UTC rendering
-    clock = clocks.uniform("2024-01-01", "2024-02-01", "1h")
-    return clock.ticks_df(spark)
-
-
-SQL_CLOCK_UNIFORM = """
-  SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01',
-                                INTERVAL 1 HOUR)) AS time
-"""
-
-
-def q_cumulative(spark, sf):
-    ev = _events(spark, sf)
-    out = agg_ops.add_summary_columns(ev, S.compose(S.sum_("value"), S.count()),
-                                      key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", "value",
-                      R("value_sum", 4).alias("cum_value"),
-                      F.col("count").alias("cum_n"))
-
-
-SQL_CUMULATIVE = """
-  SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
-         floor((sum(value) OVER w) * 10000 + 0.5) / 10000 AS cum_value,
-         count(*) OVER w AS cum_n
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-"""
-
-
-def q_window_rolling(spark, sf):
-    ev = _events(spark, sf)
-    summ = S.compose(S.count(), S.sum_("value"), S.min_("value"), S.max_("value"))
-    out = windows_ops.summarize_windows(ev, W.past_absolute_time("1h"), summ,
-                                        key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", "value", "count",
-                      R("value_sum", 4).alias("w_sum"),
-                      F.col("value_min").alias("w_min"),
-                      F.col("value_max").alias("w_max"))
-
-
-SQL_WINDOW_ROLLING = """
-  SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
-         count(*) OVER w AS count,
-         floor((sum(value) OVER w) * 10000 + 0.5) / 10000 AS w_sum,
-         min(value) OVER w AS w_min,
-         max(value) OVER w AS w_max
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-"""
-
-
-def q_window_future_rows(spark, sf):
-    ev = _events(spark, sf)
-    out = windows_ops.add_windows(ev.select(TIME_COLUMN, "user_id", "event_id"),
-                                  W.future_absolute_time("30m"), key=["user_id"])
-    ids = F.sort_array(F.transform(F.col("window_future_30m"),
-                                   lambda r: r["event_id"])).cast("array<string>")
-    return out.select(TIME_COLUMN, "user_id", "event_id",
-                      F.array_join(ids, ",").alias("future_ids"))
-
-
-SQL_WINDOW_FUTURE_ROWS = """
-  SELECT CAST(ts AS TIMESTAMP) AS time, user_id, event_id,
-         array_to_string(list_sort(list(event_id) OVER (
-            PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTE FOLLOWING)), ',')
-           AS future_ids
-  FROM events
-"""
-
-
-def q_ewma(spark, sf):
-    # native (pure-JVM) running EWMA: the 2-year/1-day exponent span is
-    # safely inside double range; the pandas scan (ema_ops.ewma) is the
-    # unbounded-span fallback and is exercised by tests/goldens
-    ev = _events(spark, sf)
-    out = ema_ops.ewma_native(ev, "value", alpha=0.05, duration_per_period="1d",
-                              convention="legacy", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id",
-                      R("value_ewma", 4).alias("ewma"))
-
-
-# closed form: ewma_n = exp(-lam*(t_n-t0)) * cumsum(x_i * exp(lam*(t_i-t0)))
-SQL_EWMA = """
-  WITH e AS (
-    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
-           epoch_us(ts)::DOUBLE AS tus,
-           min(epoch_us(ts)) OVER (PARTITION BY user_id) :: DOUBLE AS base
-    FROM events
-  )
-  SELECT time, user_id,
-         floor((exp(-(tus - base) * {lam}) *
-               sum(value * exp((tus - base) * {lam})) OVER (
-                 PARTITION BY user_id ORDER BY time
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS ewma
-  FROM e
-""".format(lam=-__import__("math").log1p(-0.05) / 86_400e6)
-
-
-def q_ema_core(spark, sf):
-    ev = _events(spark, sf)
-    out = ema_ops.exponential_smoothing(
-        ev, "value", alpha=0.05, priming_periods=1.0, duration_per_period="1d",
-        interpolation="current", convention="core", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id",
-                      R("value_ema", 6).alias("ema"))
-
-
-# E_n = sum_i c_i exp(-lam (t_n - t_i)), c_i = (1-d_i) x_i,
-# d_i from the lag gap (priming_periods=1d for the first row); core = E/A.
-SQL_EMA_CORE = """
-  WITH e AS (
-    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
-           epoch_us(ts)::DOUBLE AS tus,
-           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base,
-           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)::DOUBLE AS prev
-    FROM events
-  ), d AS (
-    SELECT *, CASE WHEN prev IS NULL THEN exp(-{lam_day})
-                   ELSE exp(-(tus - prev) * {lam}) END AS dec
-    FROM e
-  )
-  SELECT time, user_id,
-         floor(((sum((1 - dec) * value * exp((tus - base) * {lam})) OVER w)
-           / (sum((1 - dec) * exp((tus - base) * {lam})) OVER w)) * 1000000 + 0.5) / 1000000 AS ema
-  FROM d
-  WINDOW w AS (PARTITION BY user_id ORDER BY time
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-""".format(lam=-__import__("math").log1p(-0.05) / 86_400e6,
-           lam_day=-__import__("math").log1p(-0.05))
-
-
-def q_ols(spark, sf):
-    li = _lineitem(spark, sf)
-    out = regression.ols_regression(li, "l_extendedprice", ["l_quantity"],
-                                    key=["l_returnflag"])
-    return out.select(
-        "l_returnflag", "samples",
-        R(F.col("beta")[0], 2).alias("slope"),
-        R("intercept", 1).alias("icpt"),
-        R("rSquared", 6).alias("r2"),
-        R(F.col("tStat_beta")[0], 2).alias("t_slope"))
-
-
-SQL_OLS = """
-  SELECT l_returnflag, count(*) AS samples,
-         floor((regr_slope(l_extendedprice, l_quantity)) * 100 + 0.5) / 100 AS slope,
-         floor((regr_intercept(l_extendedprice, l_quantity)) * 10 + 0.5) / 10 AS icpt,
-         floor((regr_r2(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000 AS r2,
-         floor((regr_slope(l_extendedprice, l_quantity)
-               / (sqrt((regr_syy(l_extendedprice, l_quantity)
-                        - regr_slope(l_extendedprice, l_quantity)^2
-                          * regr_sxx(l_extendedprice, l_quantity))
-                       / (count(*) - 2))
-                  / sqrt(regr_sxx(l_extendedprice, l_quantity)))) * 100 + 0.5) / 100 AS t_slope
-  FROM lineitem GROUP BY 1
-"""
-
-
-def q_ols_multi(spark, sf):
-    """Weighted 3-regressor OLS, full-field surface (betas, intercept,
-    r², logLikelihood, AIC). ``cond`` (eigenvalue ratio) is checked by
-    pytest only — eigen-decomposition has no SQL form."""
-    li = _lineitem(spark, sf)
-    out = regression.ols_regression(
-        li, "l_extendedprice", ["l_quantity", "l_discount", "l_tax"],
-        weight="l_quantity")
-    return out.select(
-        "samples",
-        R(F.col("beta")[0], 2).alias("b_qty"),
-        R(F.col("beta")[1], 2).alias("b_disc"),
-        R(F.col("beta")[2], 2).alias("b_tax"),
-        R("intercept", 2).alias("icpt"),
-        R("rSquared", 6).alias("r2"),
-        R("logLikelihood", 2).alias("ll"),
-        R("akaikeIC", 2).alias("aic"))
-
-
-# Weighted multi-OLS oracle: centered weighted moments -> 3x3 normal
-# equations solved by Cramer's rule (far better conditioned than the
-# raw 4x4 Gramian), then rss/r2/loglik from the same identities the
-# engine uses (regression._solve_row): rss = Cyy - b'Cxy,
-# ll = -n/2 (ln(2 pi rss/n) + 1) + (sum ln w - n ln(mean w)) / 2.
-SQL_OLS_MULTI = """
-  WITH m AS (
-    SELECT count(*) AS n, sum(l_quantity) AS sw, sum(ln(l_quantity)) AS slw,
-           sum(l_quantity * l_quantity)   AS sx1,
-           sum(l_quantity * l_discount)   AS sx2,
-           sum(l_quantity * l_tax)        AS sx3,
-           sum(l_quantity * l_extendedprice) AS sy,
-           sum(l_quantity * l_quantity * l_quantity) AS s11,
-           sum(l_quantity * l_quantity * l_discount) AS s12,
-           sum(l_quantity * l_quantity * l_tax)      AS s13,
-           sum(l_quantity * l_discount * l_discount) AS s22,
-           sum(l_quantity * l_discount * l_tax)      AS s23,
-           sum(l_quantity * l_tax * l_tax)           AS s33,
-           sum(l_quantity * l_quantity * l_extendedprice) AS s1y,
-           sum(l_quantity * l_discount * l_extendedprice) AS s2y,
-           sum(l_quantity * l_tax * l_extendedprice)      AS s3y,
-           sum(l_quantity * l_extendedprice * l_extendedprice) AS syy
-    FROM lineitem
-    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-      AND l_discount IS NOT NULL AND l_tax IS NOT NULL
-  ), c AS (
-    SELECT n, sw, slw, sx1, sx2, sx3, sy,
-           s11 - sx1 * sx1 / sw AS c11, s12 - sx1 * sx2 / sw AS c12,
-           s13 - sx1 * sx3 / sw AS c13, s22 - sx2 * sx2 / sw AS c22,
-           s23 - sx2 * sx3 / sw AS c23, s33 - sx3 * sx3 / sw AS c33,
-           s1y - sx1 * sy / sw AS c1y, s2y - sx2 * sy / sw AS c2y,
-           s3y - sx3 * sy / sw AS c3y, syy - sy * sy / sw AS cyy
-    FROM m
-  ), solved AS (
-    SELECT *,
-      c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13)
-        + c13*(c12*c23 - c22*c13) AS det,
-      (c1y*(c22*c33 - c23*c23) - c12*(c2y*c33 - c23*c3y)
-        + c13*(c2y*c23 - c22*c3y)) AS det1,
-      (c11*(c2y*c33 - c23*c3y) - c1y*(c12*c33 - c23*c13)
-        + c13*(c12*c3y - c2y*c13)) AS det2,
-      (c11*(c22*c3y - c2y*c23) - c12*(c12*c3y - c2y*c13)
-        + c1y*(c12*c23 - c22*c13)) AS det3
-    FROM c
-  ), beta AS (
-    SELECT *, det1 / det AS b1, det2 / det AS b2, det3 / det AS b3
-    FROM solved
-  ), fit AS (
-    SELECT *, cyy - (b1 * c1y + b2 * c2y + b3 * c3y) AS rss,
-           slw - n * ln(sw / n) AS nlw
-    FROM beta
-  )
-  SELECT n AS samples,
-         floor(b1 * 100 + 0.5) / 100 AS b_qty,
-         floor(b2 * 100 + 0.5) / 100 AS b_disc,
-         floor(b3 * 100 + 0.5) / 100 AS b_tax,
-         floor(((sy - b1 * sx1 - b2 * sx2 - b3 * sx3) / sw) * 100 + 0.5) / 100 AS icpt,
-         floor((1 - rss / cyy) * 1000000 + 0.5) / 1000000 AS r2,
-         floor((-0.5 * n * (ln(2 * pi() * rss / n) + 1) + 0.5 * nlw) * 100 + 0.5) / 100 AS ll,
-         floor((2 * (0.5 * n * (ln(2 * pi() * rss / n) + 1) - 0.5 * nlw) + 10) * 100 + 0.5) / 100 AS aic
-  FROM fit
-"""
-
-
-def q_summarize_state(spark, sf):
-    """summarizeState: raw sufficient-statistic accumulators per key
-    (reference ``TimeSeriesRDD.scala:1188-1196``) — count / Σx / Σx²
-    behind a composed mean+variance summarizer, deduplicated."""
-    ev = _events(spark, sf)
-    summ = S.compose(S.mean("value"), S.variance("value"))
-    out = agg_ops.summarize_state(ev, summ, key=["event_type"])
-    return out.select(
-        "event_type", F.col("value_state_count").alias("n_obs"),
-        R("value_state_sum", 4).alias("state_sum"),
-        R("value_state_sumSq", 2).alias("state_sum_sq"))
-
-
-SQL_SUMMARIZE_STATE = """
-  SELECT event_type, count(value) AS n_obs,
-         floor((sum(value)) * 10000 + 0.5) / 10000 AS state_sum,
-         floor((sum(value * value)) * 100 + 0.5) / 100 AS state_sum_sq
-  FROM events GROUP BY 1
-"""
-
-
-def q_read_expand(spark, sf):
-    """ReadBuilder ``.range(b, e).expand(begin=tol)``: the as-of right
-    side is scanned over [b - tol, e) so left rows at the range edge
-    still find their backward match (reference ``ReadBuilder.expand``,
-    ``io/read/ReadBuilder.scala:126-146``, python ``readwriter.py:174``).
-    Left: all events in [2024-01-15, 2024-02-01). Right: per-(time,user)
-    max click value, primed 2d before the window."""
-    from flint_spark.sources.readbuilder import TSRead
-    _ensure_session_confs(spark)
-    right = (TSRead(spark).range("2024-01-15", "2024-02-01")
-             .expand(begin="2d")
-             .time_column("ts")
-             .parquet(f"{sf}/events.parquet")).df
-    right = (right.withColumn(TIME_COLUMN,
-                              ns_to_time_expr(F.col(TIME_COLUMN), "timestamp"))
-             .filter(F.col("event_type") == "click")
-             .groupBy(TIME_COLUMN, "user_id")
-             .agg(F.max("value").alias("click_value")))
-    lo = F.to_timestamp(F.lit("2024-01-15"))
-    hi = F.to_timestamp(F.lit("2024-02-01"))
-    left = (_events(spark, sf)
-            .filter((F.col(TIME_COLUMN) >= lo) & (F.col(TIME_COLUMN) < hi))
-            .select(TIME_COLUMN, "user_id", "event_id"))
-    out = asof.left_join(left, right, tolerance="2d", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", "event_id",
-                      R("click_value", 4).alias("click_value"))
-
-
-SQL_READ_EXPAND = """
-  WITH r AS (
-    SELECT CAST(ts AS TIMESTAMP) AS rt, user_id, max(value) AS click_value
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-15' - INTERVAL 2 DAY
-      AND ts < TIMESTAMP '2024-02-01' AND event_type = 'click'
-    GROUP BY 1, 2
-  ), l AS (
-    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, event_id
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-01'
-  )
-  SELECT l.time, l.user_id, l.event_id,
-         CASE WHEN r.rt >= l.time - INTERVAL 2 DAY
-              THEN floor(r.click_value * 10000 + 0.5) / 10000 END AS click_value
-  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.rt <= l.time
-"""
-
-
-def q_sessionize(spark, sf):
-    ev = _events(spark, sf)
-    out = sessions.session_stats(ev, gap="1h", key=["user_id"])
-    return out.select("user_id", "session_id", "session_start", "session_end",
-                      "n_events", R("duration_s", 6).alias("duration_s"))
-
-
-SQL_SESSIONIZE = """
-  WITH e AS (
-    SELECT CAST(ts AS TIMESTAMP) AS t, user_id,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
-                THEN 1 ELSE 0 END AS new_sess
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-  ), s AS (
-    -- CAST: DuckDB integer sum() is HUGEINT, which lands in pandas as
-    -- float64 and hash-mismatches Spark's int64 even when values agree
-    -- (the r1 sessionize red row: bitwise-equal values, dtype-only diff)
-    SELECT t, user_id,
-           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
-                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
-    FROM e
-  )
-  SELECT user_id, session_id, min(t) AS session_start, max(t) AS session_end,
-         count(*) AS n_events,
-         floor(((epoch_us(max(t)) - epoch_us(min(t))) / 1e6) * 1000000 + 0.5) / 1000000 AS duration_s
-  FROM s GROUP BY 1, 2
-"""
-
-
-# ----------------------------------------------------------------------
-# training-data pipeline queries + oracles
-# ----------------------------------------------------------------------
-
-_MH_N, _MH_BANDS, _MH_SEED, _MH_THRESH = 32, 8, 7, 0.5
-_PROBES = [0, 1, 2, 3, 4]
-_PLANES_N, _PLANES_SEED = 8, 11
-
-
-def q_dedup_exact(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return dedup.exact_duplicate_groups(docs)
-
-
-SQL_DEDUP_EXACT = """
-  SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
-  FROM documents GROUP BY 1 HAVING count(*) > 1
-"""
-
-
-def q_corpus_stats(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return docs.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
-        F.countDistinct("lang").alias("n_langs"))
-
-
-SQL_CORPUS_STATS = """
-  SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique_texts,
-         count(DISTINCT lang) AS n_langs
-  FROM documents
-"""
-
-
-def q_minhash_lsh(spark, sf):
-    docs = _t(spark, sf, "documents")
-    out = dedup.minhash_lsh_pairs(docs, num_hashes=_MH_N, bands=_MH_BANDS,
-                                  seed=_MH_SEED, threshold=_MH_THRESH)
-    return out.select("id_a", "id_b", R("est_jaccard", 6).alias("est_jaccard"))
-
-
-def _sql_minhash_lsh() -> str:
-    params = minhash_params(_MH_N, _MH_SEED)
-    rows = _MH_N // _MH_BANDS
-    mins = ",\n         ".join(
-        f"min(({a}*h + {b}) % {P}) AS mh_{j}" for j, (a, b) in enumerate(params))
-    band_selects = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {b} AS band, concat_ws(','"
-        + "".join(f", mh_{b * rows + r}" for r in range(rows))
-        + ") AS bsig FROM sig"
-        for b in range(_MH_BANDS))
-    eq = " + ".join(f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
-                    for j in range(_MH_N))
-    return f"""
-  WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                 WHERE len(string_split(text, ' ')) >= 3),
-  sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(generate_series(1, len(w) - 2),
-                       i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
-         FROM words),
-  h AS (SELECT doc_id, (('0x' || substr(md5(shingle), 1, 7))::BIGINT) AS h FROM sh),
-  sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
-  bands AS (
-{band_selects}
-  ),
-  pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-  scored AS (
-    SELECT p.id_a, p.id_b, ({eq}) / {float(_MH_N)} AS est_jaccard
-    FROM pairs p
-    JOIN sig sa ON sa.doc_id = p.id_a
-    JOIN sig sb ON sb.doc_id = p.id_b)
-  SELECT id_a, id_b, floor((est_jaccard) * 1000000 + 0.5) / 1000000 AS est_jaccard
-  FROM scored WHERE est_jaccard >= {_MH_THRESH}
-"""
-
-
-def q_simhash(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return dedup.simhash(docs)
-
-
-def _sql_simhash() -> str:
-    sums = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
-        for i in range(32))
-    sim = " + ".join(f"CASE WHEN s_{i} > 0 THEN {2 ** i} ELSE 0 END"
-                     for i in range(32))
-    return f"""
-  WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-  h AS (SELECT doc_id, (('0x' || substr(md5(w), 1, 8))::BIGINT) AS h FROM tok),
-  bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-  SELECT doc_id, ({sim})::BIGINT AS simhash FROM bits
-"""
-
-
-def q_simhash_pairs(spark, sf):
-    docs = _t(spark, sf, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
-
-
-def _sql_simhash_pairs() -> str:
-    chunks = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, simhash, {c} AS band, (simhash >> {c * 8}) & 255 AS chunk"
-        f" FROM sim" for c in range(4))
-    return f"""
-  WITH sim AS ({_sql_simhash()}),
-  banded AS (
-{chunks}
-  )
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-"""
-
-
-def q_ngram_jaccard(spark, sf):
-    docs = _t(spark, sf, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_df=100)
-    return out.select("id_a", "id_b", R("jaccard", 6).alias("jaccard"))
-
-
-SQL_NGRAM_JACCARD = """
-  WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-                 WHERE len(string_split(text, ' ')) >= 3),
-  sh0 AS (SELECT DISTINCT doc_id,
-                 unnest(list_transform(generate_series(1, len(w) - 2),
-                        i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
-          FROM words),
-  rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100),
-  sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
-  sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-  SELECT id_a, id_b,
-         floor((i::DOUBLE / (sa.nsh + sb.nsh - i)) * 1000000 + 0.5) / 1000000 AS jaccard
-  FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE i::DOUBLE / (sa.nsh + sb.nsh - i) >= 0.6
-"""
-
-
-def q_cosine_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    out = similarity.cosine_topk(emb, _PROBES, k=10)
-    return out.select("probe_id", "vec_id", R("cosine", 6).alias("cosine"),
-                      "rank")
-
-
-SQL_COSINE_TOPK = f"""
-  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-  probes AS (SELECT vec_id AS probe_id, v AS pv FROM base
-             WHERE vec_id IN ({', '.join(map(str, _PROBES))})),
-  j AS (SELECT p.probe_id, b.vec_id,
-               list_dot_product(b.v, p.pv)
-                 / (sqrt(list_dot_product(b.v, b.v))
-                    * sqrt(list_dot_product(p.pv, p.pv))) AS cosine
-        FROM base b CROSS JOIN probes p WHERE b.vec_id <> p.probe_id),
-  r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-                                     ORDER BY cosine DESC, vec_id) AS rank
-        FROM j)
-  SELECT probe_id, vec_id, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine, rank FROM r WHERE rank <= 10
-"""
-
-
-def q_lsh_ann(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    out = similarity.lsh_ann_topk(emb, _PROBES, k=10, n_planes=_PLANES_N,
-                                  seed=_PLANES_SEED)
-    return out.select("probe_id", "vec_id", R("cosine", 6).alias("cosine"),
-                      "rank")
-
-
-def _sql_lsh_ann() -> str:
-    planes = hyperplanes(_PLANES_N, 64, _PLANES_SEED)
-    bucket = " + ".join(
-        f"CASE WHEN list_dot_product(v, {plane}) > 0 THEN {2 ** p} ELSE 0 END"
-        for p, plane in enumerate(planes))
-    return f"""
-  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-  bucketed AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM base),
-  probes AS (SELECT vec_id AS probe_id, v AS pv, bucket AS pbucket FROM bucketed
-             WHERE vec_id IN ({', '.join(map(str, _PROBES))})),
-  j AS (SELECT p.probe_id, b.vec_id,
-               list_dot_product(b.v, p.pv)
-                 / (sqrt(list_dot_product(b.v, b.v))
-                    * sqrt(list_dot_product(p.pv, p.pv))) AS cosine
-        FROM bucketed b JOIN probes p
-          ON b.bucket = p.pbucket AND b.vec_id <> p.probe_id),
-  r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-                                     ORDER BY cosine DESC, vec_id) AS rank
-        FROM j)
-  SELECT probe_id, vec_id, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine, rank FROM r WHERE rank <= 10
-"""
-
-
-def q_text_stats(spark, sf):
-    docs = _t(spark, sf, "documents")
-    out = text_ops.text_stats(docs)
-    return out.select(
-        "doc_id", "n_tokens", "n_tokens_bpe",
-        R("avg_word_len", 6).alias("avg_word_len"),
-        R("distinct_ratio", 6).alias("distinct_ratio"),
-        R("stopword_ratio_en", 6).alias("stopword_ratio_en"),
-        R("quality", 6).alias("quality"),
-        "lang_pred", "fingerprint")
-
-
-def _sql_text_stats() -> str:
-    sw = {lang: ", ".join(f"'{w}'" for w in ws)
-          for lang, ws in text_ops.LANG_STOPWORDS.items()}
-    scores = {lang: (f"(len(list_filter(w, x -> list_contains([{words}], x)))"
-                     f"::DOUBLE / len(w))")
-              for lang, words in sw.items()}
-    # fold-order argmax: first language (en,de,fr,es) achieving the max
-    langs = list(text_ops.LANG_STOPWORDS)
-    cases = []
-    for i, lang in enumerate(langs[:-1]):
-        conds = " AND ".join(f"{scores[lang]} >= {scores[other]}"
-                             for other in langs[i + 1:])
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    lang_case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
-    return f"""
-  WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
-  SELECT doc_id,
-         len(w) AS n_tokens,
-         (len(w) + list_aggregate(list_transform(w,
-             x -> cast(floor(length(x) / 4.0) AS INT)), 'sum'))::INT AS n_tokens_bpe,
-         floor(((length(text) - (len(w) - 1))::DOUBLE / len(w)) * 1000000 + 0.5) / 1000000 AS avg_word_len,
-         floor((len(list_distinct(w))::DOUBLE / len(w)) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
-         floor(({scores['en']}) * 1000000 + 0.5) / 1000000 AS stopword_ratio_en,
-         floor((0.4 * least(len(w)::DOUBLE / 64.0, 1.0)
-               + 0.4 * (len(list_distinct(w))::DOUBLE / len(w))
-               + 0.2 * (1.0 - least(abs((length(text) - (len(w) - 1))::DOUBLE
-                                        / len(w) - 5.0) / 5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality,
-         {lang_case} AS lang_pred,
-         list_reduce(list_transform(w,
-             x -> (('0x' || substr(md5(x), 1, 7))::BIGINT)),
-             (acc, h) -> (acc * {text_ops.FINGERPRINT_BASE} + h) % {P}) AS fingerprint
-  FROM d
-"""
-
-
-def q_lang_confusion(spark, sf):
-    docs = _t(spark, sf, "documents")
-    pred = docs.withColumn("lang_pred", text_ops.language_id("text"))
-    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
-
-
-def _sql_lang_confusion() -> str:
-    inner = _sql_text_stats()
-    return f"""
-  WITH t AS ({inner})
-  SELECT d.lang, t.lang_pred, count(*) AS n
-  FROM documents d JOIN t ON d.doc_id = t.doc_id
-  GROUP BY 1, 2
-"""
-
-
-def q_multimodal_features(spark, sf):
-    docs = _t(spark, sf, "documents")
-    mm = multimodal.with_binary_payload(docs)
-    out = multimodal.extract_features(mm)
-    return out.select("doc_id", "byte_len", "byte_sum", "first_byte",
-                      R("aspect_ratio", 6).alias("aspect_ratio"))
-
-
-SQL_MULTIMODAL_FEATURES = """
-  WITH h AS (SELECT doc_id, text,
-                    (('0x' || substr(md5(text), 1, 7))::BIGINT) AS h
-             FROM documents)
-  SELECT doc_id,
-         length(text)::BIGINT AS byte_len,
-         list_aggregate(list_transform(string_split(text, ''),
-                        c -> unicode(c)), 'sum')::BIGINT AS byte_sum,
-         unicode(substr(text, 1, 1)) AS first_byte,
-         floor(((h % 1024 + 64)::DOUBLE / ((h // 1024) % 1024 + 64)) * 1000000 + 0.5) / 1000000
-           AS aspect_ratio
-  FROM h
-"""
-
-
-def q_frame_sampling(spark, sf):
-    docs = _t(spark, sf, "documents")
-    mm = multimodal.with_binary_payload(docs)
-    return multimodal.sample_frames(mm, every_n=4)
-
-
-SQL_FRAME_SAMPLING = """
-  WITH h AS (SELECT doc_id,
-                    (('0x' || substr(md5(text), 1, 7))::BIGINT) % 16 + 1 AS n_frames
-             FROM documents)
-  SELECT doc_id, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx FROM h
-"""
-
-
-
-
-def q_cycle_rank(spark, sf):
-    """addColumnsForCycle: percent_rank of quantity within each shipdate
-    cycle (reference CycleColumn rankers)."""
-    li = _lineitem(spark, sf)
-    out = cycles.add_columns_for_cycle(
-        li, {"qty_rank": F.percent_rank()},
-        order_by=["l_quantity", "l_orderkey", "l_linenumber"])
-    return out.select(TIME_COLUMN, "l_orderkey", "l_linenumber",
-                      R("qty_rank", 6).alias("qty_rank"))
-
-
-SQL_CYCLE_RANK = """
-  SELECT l_shipdate AS time, l_orderkey, l_linenumber,
-         floor((percent_rank() OVER (PARTITION BY l_shipdate
-                ORDER BY l_quantity, l_orderkey, l_linenumber)) * 1000000 + 0.5)
-           / 1000000 AS qty_rank
-  FROM lineitem
-"""
-
-
-def q_group_interval(spark, sf):
-    """groupByInterval: member event_ids per 1d interval and type."""
-    ev = _events(spark, sf)
-    clock = clocks.uniform("2024-01-01", "2027-01-01", "1d")
-    out = intervals.group_by_interval(ev, clock, key=["event_type"],
-                                      inclusion="begin", rounding="begin")
-    ids = F.sort_array(
-        F.transform(F.col("rows"), lambda r: r["event_id"])).cast("array<string>")
-    return out.select(TIME_COLUMN, "event_type",
-                      F.array_join(ids, ",").alias("event_ids"))
-
-
-SQL_GROUP_INTERVAL = """
-  SELECT date_trunc('day', ts) AS time, event_type,
-         array_to_string(list_sort(list(event_id)), ',') AS event_ids
-  FROM events
-  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
-  GROUP BY 1, 2
-"""
-
-
-def q_cycle_product(spark, sf):
-    """product / min / max summarizers over small per-day cycles."""
-    li = _lineitem(spark, sf)
-    li = li.withColumn("disc1", F.col("l_discount") + 1)
-    summ = S.compose(S.product("disc1"), S.min_("l_quantity"), S.max_("l_quantity"))
-    out = cycles.summarize_cycles(li, summ)
-    return out.select(TIME_COLUMN, R("disc1_product", 6).alias("disc_product"),
-                      F.col("l_quantity_min").alias("qty_min"),
-                      F.col("l_quantity_max").alias("qty_max"))
-
-
-SQL_CYCLE_PRODUCT = """
-  SELECT l_shipdate AS time,
-         floor((product(l_discount + 1)) * 1000000 + 0.5) / 1000000 AS disc_product,
-         min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
-  FROM lineitem GROUP BY 1
-"""
-
-
-def q_cycles_udf(spark, sf):
-    """summarizeCycles with a pandas UDF (value spread per user-day)."""
-    from flint_spark import functions as FL
-    ev = _events(spark, sf)
-    daily = ev.withColumn(TIME_COLUMN, F.date_trunc("day", F.col(TIME_COLUMN)))
-
-    def spread(pdf):
-        return {"spread": float(pdf["value"].max() - pdf["value"].min())}
-
-    out = FL.summarize_cycles_udf(daily, spread, "spread double",
-                                  key=["event_type"])
-    return out.select(TIME_COLUMN, "event_type", R("spread", 4).alias("spread"))
-
-
-SQL_CYCLES_UDF = """
-  SELECT date_trunc('day', ts) AS time, event_type,
-         floor((max(value) - min(value)) * 10000 + 0.5) / 10000 AS spread
-  FROM events GROUP BY 1, 2
-"""
-
-
-def q_window_udf(spark, sf):
-    """summarizeWindows with a pandas UDF (mean over past 1h per user) —
-    must agree with the built-in window mean."""
-    from flint_spark import functions as FL
-    ev = _events(spark, sf).select(TIME_COLUMN, "user_id", "value")
-
-    out = FL.summarize_windows_udf(
-        ev, W.past_absolute_time("1h"),
-        lambda pdf: float(pdf["value"].mean()), "w_mean", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", R("w_mean", 4).alias("w_mean"))
-
-
-SQL_WINDOW_UDF = """
-  SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
-         floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts
-                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
-               * 10000 + 0.5) / 10000 AS w_mean
-  FROM events
-"""
-
-
-
-
-def q_tpch_q1(spark, sf):
-    """TPC-H Q1 shape: generic analytics delegate straight to Catalyst
-    (the reference likewise passes non-temporal queries to Spark)."""
-    li = _lineitem(spark, sf)
-    out = (li.filter(F.col(TIME_COLUMN) <= F.lit("2001-09-02"))
-           .groupBy("l_returnflag", "l_linestatus")
-           .agg(F.sum("l_quantity").alias("sum_qty"),
-                R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
-                .alias("revenue"),
-                R(F.avg("l_quantity"), 4).alias("avg_qty"),
-                R(F.avg("l_discount"), 6).alias("avg_disc"),
-                F.count("*").alias("count_order")))
-    return out
-
-
-SQL_TPCH_Q1 = """
-  SELECT l_returnflag, l_linestatus,
-         sum(l_quantity) AS sum_qty,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 1 + 0.5) / 1 AS revenue,
-         floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
-         floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
-         count(*) AS count_order
-  FROM lineitem
-  WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-  GROUP BY 1, 2
-"""
-
-
-def q_tpch_q3ish(spark, sf):
-    """Q3 shape: 3-way join with a broadcast dimension, per-order revenue."""
-    li = _lineitem(spark, sf)
-    orders = _t(spark, sf, "orders")
-    cust = _t(spark, sf, "customer")
-    out = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-           .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
-           .filter(F.col("c_mktsegment") == "BUILDING")
-           .groupBy("l_orderkey", "o_orderdate")
-           .agg(R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                .alias("revenue")))
-    return out
-
-
-SQL_TPCH_Q3ISH = """
-  SELECT l_orderkey, o_orderdate,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
-           AS revenue
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  WHERE c_mktsegment = 'BUILDING'
-  GROUP BY 1, 2
-"""
-
-
-def q_topk_per_group(spark, sf):
-    """top-3 revenue days per returnflag (window top-k pattern)."""
-    li = _lineitem(spark, sf)
-    daily = (li.groupBy(TIME_COLUMN, "l_returnflag")
-             .agg(R(F.sum("l_extendedprice"), 2).alias("day_rev")))
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.desc("day_rev"), F.col(TIME_COLUMN))
-    return (daily.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 3))
-
-
-SQL_TOPK_PER_GROUP = """
-  WITH daily AS (
-    SELECT l_shipdate AS time, l_returnflag,
-           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS day_rev
-    FROM lineitem GROUP BY 1, 2
-  )
-  SELECT * FROM (
-    SELECT time, l_returnflag, day_rev,
-           row_number() OVER (PARTITION BY l_returnflag
-                              ORDER BY day_rev DESC, time) AS rk
-    FROM daily) WHERE rk <= 3
-"""
-
-
-
-
-def q_null_skip(spark, sf):
-    """Summarizer null-skipping (reference PredicateSummarizer /
-    null-input row skipping, timeseries/summarize/Summarizer.scala:168-188):
-    aggregates ignore injected nulls; count(col) < count(*)."""
-    ev = _events(spark, sf)
-    ev = ev.withColumn("v_null", F.when(F.col("value") >= 50, F.col("value")))
-    summ = S.compose(S.count(), S.count("v_null"), S.sum_("v_null"),
-                     S.mean("v_null"), S.min_("v_null"))
-    out = agg_ops.summarize(ev, summ, key=["event_type"])
-    return out.select("event_type", "count",
-                      F.col("v_null_count").alias("n_nonnull"),
-                      R("v_null_sum", 4).alias("sum_nonnull"),
-                      R("v_null_mean", 6).alias("mean_nonnull"),
-                      F.col("v_null_min").alias("min_nonnull"))
-
-
-SQL_NULL_SKIP = """
-  SELECT event_type, count(*) AS count,
-         count(CASE WHEN value >= 50 THEN value END) AS n_nonnull,
-         floor((sum(CASE WHEN value >= 50 THEN value END)) * 10000 + 0.5) / 10000
-           AS sum_nonnull,
-         floor((avg(CASE WHEN value >= 50 THEN value END)) * 1000000 + 0.5)
-           / 1000000 AS mean_nonnull,
-         min(CASE WHEN value >= 50 THEN value END) AS min_nonnull
-  FROM events GROUP BY 1
-"""
-
-
-
-
-def q_embedding_dedup(spark, sf):
-    """Embedding-cosine near-dup pairs via LSH candidate buckets."""
-    emb = _t(spark, sf, "embeddings")
-    out = similarity.embedding_near_dup_pairs(emb, threshold=0.35,
-                                              n_planes=_PLANES_N,
-                                              seed=_PLANES_SEED)
-    return out.select("id_a", "id_b", R("cosine", 6).alias("cosine"))
-
-
-def _sql_embedding_dedup() -> str:
-    planes = hyperplanes(_PLANES_N, 64, _PLANES_SEED)
-    bucket = " + ".join(
-        f"CASE WHEN list_dot_product(v, {plane}) > 0 THEN {2 ** p} ELSE 0 END"
-        for p, plane in enumerate(planes))
-    return f"""
-  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-  bucketed AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM base),
-  pairs AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))) AS cosine
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-  SELECT id_a, id_b, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine
-  FROM pairs WHERE cosine >= 0.35
-"""
-
-
-
-
-_CUSTOM_TICKS = ["2024-01-01", "2024-01-04", "2024-01-05", "2024-01-12",
-                 "2024-02-01", "2024-02-15", "2024-04-01", "2024-07-01",
-                 "2025-01-01", "2026-01-01"]
-
-
-def q_interval_custom_clock(spark, sf):
-    """summarizeIntervals over an arbitrary (non-uniform) clock - the
-    broadcast+searchsorted path (inclusion=begin, rounding=begin)."""
-    ev = _events(spark, sf)
-    ticks = spark.createDataFrame([(t,) for t in _CUSTOM_TICKS], "time string")         .select(F.col("time").cast("timestamp").alias("time"))
-    out = intervals.summarize_intervals(
-        ev, ticks, S.compose(S.count(), S.sum_("value")), key=["event_type"],
-        inclusion="begin", rounding="begin")
-    return out.select(TIME_COLUMN, "event_type", "count",
-                      R("value_sum", 4).alias("value_sum"))
-
-
-def _sql_interval_custom_clock() -> str:
-    pairs = ", ".join(
-        f"(TIMESTAMP '{b}', TIMESTAMP '{e}')"
-        for b, e in zip(_CUSTOM_TICKS[:-1], _CUSTOM_TICKS[1:]))
-    return f"""
-  WITH iv(b, e) AS (VALUES {pairs})
-  SELECT iv.b AS time, ev.event_type, count(*) AS count,
-         floor((sum(ev.value)) * 10000 + 0.5) / 10000 AS value_sum
-  FROM events ev JOIN iv ON ev.ts >= iv.b AND ev.ts < iv.e
-  GROUP BY 1, 2
-"""
-
-
-
-
-def q_ewma_windowed(spark, sf):
-    """Sliding-window EWMA - the reference's left-subtractable flagship
-    (doc/ema.md ~70x claim) as an O(n) incremental range-frame plan."""
-    ev = _events(spark, sf)
-    out = ema_ops.ewma_windowed(ev, "value", W.past_absolute_time("6h"),
-                                alpha=0.05, duration_per_period="1h",
-                                convention="legacy", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", R("value_ewma", 4).alias("w_ewma"))
-
-
-SQL_EWMA_WINDOWED = """
-  WITH e AS (
-    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
-           epoch_us(ts)::DOUBLE AS tus,
-           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base
-    FROM events
-  )
-  SELECT time, user_id,
-         floor((exp(-(tus - base) * {lam}) *
-                sum(value * exp((tus - base) * {lam})) OVER (
-                  PARTITION BY user_id ORDER BY time
-                  RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW))
-               * 10000 + 0.5) / 10000 AS w_ewma
-  FROM e
-""".format(lam=-__import__("math").log1p(-0.05) / 3_600e6)
-
-
-
-
-_IVF_CENTROIDS = [0, 60, 120, 180, 240, 300, 360, 420]
-
-
-def q_ivf_ann(spark, sf):
-    """IVF ANN: deterministic coarse quantization + nprobe=2 search."""
-    emb = _t(spark, sf, "embeddings")
-    out = similarity.ivf_ann_topk(emb, _PROBES, _IVF_CENTROIDS, k=10, nprobe=2)
-    return out.select("probe_id", "vec_id", R("cosine", 6).alias("cosine"),
-                      "rank")
-
-
-def _sql_ivf_ann() -> str:
-    cents = ", ".join(map(str, _IVF_CENTROIDS))
-    probes = ", ".join(map(str, _PROBES))
-    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
-           "* sqrt(list_dot_product({b}, {b})))")
-    return f"""
-  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-  cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
-            WHERE vec_id IN ({cents})),
-  assigned AS (
-    SELECT vec_id, v, centroid_id FROM (
-      SELECT b.vec_id, b.v, c.centroid_id,
-             row_number() OVER (PARTITION BY b.vec_id
-               ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.centroid_id) AS rk
-      FROM base b CROSS JOIN cents c) WHERE rk = 1),
-  probes AS (SELECT vec_id AS probe_id, v AS pv FROM base
-             WHERE vec_id IN ({probes})),
-  probe_lists AS (
-    SELECT probe_id, pv, centroid_id FROM (
-      SELECT p.probe_id, p.pv, c.centroid_id,
-             row_number() OVER (PARTITION BY p.probe_id
-               ORDER BY {cos.format(a='p.pv', b='c.cv')} DESC, c.centroid_id) AS rk
-      FROM probes p CROSS JOIN cents c) WHERE rk <= 2),
-  cand AS (
-    SELECT pl.probe_id, pl.pv, a.vec_id, a.v
-    FROM assigned a JOIN probe_lists pl USING (centroid_id)
-    WHERE a.vec_id <> pl.probe_id),
-  ranked AS (
-    SELECT probe_id, vec_id, {cos.format(a='v', b='pv')} AS cosine,
-           row_number() OVER (PARTITION BY probe_id
-             ORDER BY {cos.format(a='v', b='pv')} DESC, vec_id) AS rank
-    FROM cand)
-  SELECT probe_id, vec_id, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine,
-         rank
-  FROM ranked WHERE rank <= 10
-"""
-
-
-
-
-def q_tpch_q6(spark, sf):
-    """Q6 shape: pure filter+agg, fully pushed to the scan."""
-    li = _lineitem(spark, sf)
-    out = (li.filter((F.col(TIME_COLUMN) >= F.lit("1997-01-01"))
-                     & (F.col(TIME_COLUMN) < F.lit("1998-01-01"))
-                     & (F.col("l_discount").between(0.03, 0.05))
-                     & (F.col("l_quantity") < 24))
-           .agg(R(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-                .alias("revenue"),
-                F.count("*").alias("n")))
-    return out
-
-
-SQL_TPCH_Q6 = """
-  SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue,
-         count(*) AS n
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-    AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
-"""
-
-
-
-
-def q_interval_begin_end(spark, sf):
-    """Interval matrix cell [b,e) with end-tick labels (inclusion=begin,
-    rounding=end)."""
-    ev = _events(spark, sf)
-    clock = clocks.uniform("2024-01-01", "2027-01-01", "1d")
-    out = intervals.summarize_intervals(
-        ev, clock, S.count(), key=["event_type"],
-        inclusion="begin", rounding="end")
-    return out.select(TIME_COLUMN, "event_type", "count")
-
-
-SQL_INTERVAL_BEGIN_END = """
-  SELECT date_trunc('day', ts) + INTERVAL 1 DAY AS time, event_type,
-         count(*) AS count
-  FROM events
-  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2027-01-01'
-  GROUP BY 1, 2
-"""
 
 
 # ----------------------------------------------------------------------
@@ -1557,215 +122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "text_stats": q_text_stats,
     }
-
-
-def q_lag_sum(spark, sf):
-    """Overlappable-window lagSum (reference
-    ``overlappable/LagSumSummarizer.scala``): per row, sum over the 1h
-    core window plus lag_sum over the 1h region preceding it."""
-    ev = _events(spark, sf)
-    out = windows_ops.summarize_windows_overlap(
-        ev.select(TIME_COLUMN, "user_id", "value"),
-        W.past_absolute_time("1h"), "1h", S.sum_("value"), key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id",
-                      R("value_sum", 4).alias("w_sum"),
-                      R("lag_value_sum", 4).alias("lag_sum"))
-
-
-SQL_LAG_SUM = """
-  SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
-         floor((sum(value) OVER core) * 10000 + 0.5) / 10000 AS w_sum,
-         floor((sum(value) OVER lagw) * 10000 + 0.5) / 10000 AS lag_sum
-  FROM events
-  WINDOW core AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
-         lagw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                  RANGE BETWEEN 7200000000 PRECEDING AND 3600000001 PRECEDING)
-"""
-
-
-def q_tpch_q4ish(spark, sf):
-    """Semi-join shape (TPC-H Q4 style): order priority counts for
-    orders having at least one 1995 lineitem — left-semi join, which
-    Spark plans as a broadcast/shuffled semi without materializing the
-    right side."""
-    orders = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1995-01-01"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01")))
-    sel = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
-    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
-
-
-SQL_TPCH_Q4ISH = """
-  SELECT o_orderpriority, count(*) AS n
-  FROM orders
-  WHERE EXISTS (
-    SELECT 1 FROM lineitem
-    WHERE l_orderkey = o_orderkey
-      AND l_shipdate >= TIMESTAMP '1995-01-01'
-      AND l_shipdate < TIMESTAMP '1996-01-01')
-  GROUP BY 1
-"""
-
-
-def q_tpch_q5ish(spark, sf):
-    """Multi-way join shape (TPC-H Q5 style): revenue by nation for one
-    region — two broadcast dims (nation, region) against two fact
-    tables joined on keys; Catalyst broadcast-joins the small sides."""
-    li = _t(spark, sf, "lineitem")
-    orders = _t(spark, sf, "orders")
-    cust = _t(spark, sf, "customer")
-    nation = _t(spark, sf, "nation")
-    region = _t(spark, sf, "region")
-    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-              .join(cust, orders.o_custkey == cust.c_custkey)
-              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-              .filter(F.col("r_name") == "ASIA"))
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return (joined.groupBy("n_name")
-            .agg(R(rev, 2).alias("revenue"),
-                 F.count("*").alias("n_items")))
-
-
-SQL_TPCH_Q5ISH = """
-  SELECT n_name,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
-           AS revenue,
-         count(*) AS n_items
-  FROM lineitem
-  JOIN orders ON l_orderkey = o_orderkey
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation ON c_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'ASIA'
-  GROUP BY 1
-"""
-
-
-def q_hash_split(spark, sf):
-    """Deterministic md5 train/val/test split — stable across runs,
-    engines and appends (pipeline.sampling.hash_split)."""
-    from flint_spark.pipeline import sampling
-    docs = _t(spark, sf, "documents")
-    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
-    return out.groupBy("split").agg(F.count("*").alias("n"),
-                                    F.min("doc_id").alias("min_id"))
-
-
-def _sql_hash_split():
-    from flint_spark.pipeline.sampling import hash_split_sql
-    case = hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1})
-    return f"""
-  SELECT {case} AS split, count(*) AS n, min(doc_id) AS min_id
-  FROM documents GROUP BY 1
-"""
-
-
-def q_pack_documents(spark, sf):
-    """Concat-and-chunk sequence packing: per (shard, bin) document and
-    token counts (pipeline.sampling.pack_documents)."""
-    from flint_spark.pipeline import sampling
-    docs = _t(spark, sf, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), " "))) \
-        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
-    packed = sampling.pack_documents(docs, budget=512, tokens_col="n_tokens",
-                                     shard_col="shard")
-    return (packed.groupBy("shard", "bin_id")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_tokens").cast("long").alias("tokens")))
-
-
-SQL_PACK_DOCUMENTS = """
-  WITH d AS (
-    SELECT doc_id, doc_id % 4 AS shard,
-           len(string_split(text, ' ')) AS n_tokens
-    FROM documents
-  ), c AS (
-    SELECT shard, doc_id, n_tokens,
-           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
-    FROM d
-  )
-  SELECT shard, CAST(floor(cum / 512) AS BIGINT) AS bin_id,
-         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
-  FROM c GROUP BY 1, 2
-"""
-
-
-def q_winnow_pairs(spark, sf):
-    """Winnowing (MOSS) fingerprint candidate pairs over documents
-    (pipeline.dedup.winnow_fingerprints / winnow_pairs)."""
-    docs = _t(spark, sf, "documents")
-    return dedup.winnow_pairs(docs, k=3, window=4, min_shared=2)
-
-
-SQL_WINNOW_PAIRS = """
-  WITH w AS (
-    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    WHERE len(string_split(text, ' ')) >= 3
-  ), sh AS (
-    SELECT doc_id,
-           unnest(generate_series(1, len(ws) - 2)) AS pos,
-           unnest(list_transform(generate_series(1, len(ws) - 2),
-                                 i -> array_to_string(ws[i:i+2], ' '))) AS shingle
-    FROM w
-  ), fps AS (
-    SELECT DISTINCT doc_id,
-           min(('0x' || substr(md5(shingle), 1, 7))::BIGINT)
-             OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-    FROM sh
-  )
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= 2
-"""
-
-
-def q_rollup_multi(spark, sf):
-    """Hypertable-style multi-granularity rollup: 1h + 1d interval
-    aggregates from ONE scan via GROUPING SETS (one shuffle total;
-    intervals.summarize_intervals_multi)."""
-    ev = _events(spark, sf)
-    out = intervals.summarize_intervals_multi(
-        ev, ["1h", "1d"], S.compose(S.count(), S.sum_("value")))
-    return out.select("granularity", TIME_COLUMN, "count",
-                      R("value_sum", 4).alias("value_sum"))
-
-
-SQL_ROLLUP_MULTI = """
-  SELECT CASE WHEN g1 IS NOT NULL THEN '1h' ELSE '1d' END AS granularity,
-         COALESCE(g1, gd) AS time, count(*) AS count,
-         floor((sum(value)) * 10000 + 0.5) / 10000 AS value_sum
-  FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS g1,
-               date_trunc('day', CAST(ts AS TIMESTAMP)) AS gd, value
-        FROM events)
-  GROUP BY GROUPING SETS ((g1), (gd))
-"""
-
-
-def q_histogram(spark, sf):
-    """Fixed-bin histogram summarizer (masked counts, one pass)."""
-    ev = _events(spark, sf)
-    out = agg_ops.summarize(ev, S.histogram("value", [0, 25, 50, 100, 200]),
-                            key=["event_type"])
-    return out.select("event_type", "value_hist_under", "value_hist_0",
-                      "value_hist_1", "value_hist_2", "value_hist_3",
-                      "value_hist_over")
-
-
-SQL_HISTOGRAM = """
-  SELECT event_type,
-         count(CASE WHEN value < 0 THEN 1 END) AS value_hist_under,
-         count(CASE WHEN value >= 0 AND value < 25 THEN 1 END) AS value_hist_0,
-         count(CASE WHEN value >= 25 AND value < 50 THEN 1 END) AS value_hist_1,
-         count(CASE WHEN value >= 50 AND value < 100 THEN 1 END) AS value_hist_2,
-         count(CASE WHEN value >= 100 AND value < 200 THEN 1 END) AS value_hist_3,
-         count(CASE WHEN value >= 200 THEN 1 END) AS value_hist_over
-  FROM events GROUP BY 1
-"""
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,13 @@
+"""Gate-query registry: every query/oracle pair lives here, grouped by
+domain; ``__spark_entry__`` is a thin facade over this package."""
+
+from .common import (R, _ensure_session_confs, _t, _events, _lineitem,  # noqa: F401
+                     _orders_right, _ORDERS_RIGHT_SQL)
+from .ts_core import *  # noqa: F401,F403
+from .pipeline_q import *  # noqa: F401,F403
+from .pipeline_q import (_sql_minhash_lsh, _sql_simhash, _sql_simhash_pairs,  # noqa: F401
+                         _sql_lsh_ann, _sql_ivf_ann, _sql_embedding_dedup,
+                         _sql_text_stats, _sql_lang_confusion,
+                         _sql_interval_custom_clock)
+from .extras_q import *  # noqa: F401,F403
+from .extras_q import _sql_hash_split  # noqa: F401

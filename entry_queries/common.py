@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flint_spark import clocks, summarizers as S, windows as W
+from flint_spark.operators import aggregate as agg_ops
+from flint_spark.operators import asof, cycles, intervals, windows_ops
+from flint_spark.operators import ema as ema_ops
+from flint_spark.operators import regression, sessions
+from flint_spark.pipeline import dedup, multimodal, similarity, text as text_ops
+from flint_spark.pipeline.hashing import P, minhash_params, hyperplanes
+from flint_spark.timeseries import TIME_COLUMN, as_time_expr, ns_to_time_expr
+
+def R(col, k: int):
+    """Deterministic half-up rounding, identical in Spark and DuckDB.
+
+    Built-in round() disagrees between engines at exact .5 boundaries
+    (HALF_UP on decimal string vs binary round-half-away), which money
+    averages hit constantly. floor(x*10^k + 0.5)/10^k evaluates the
+    same way on the same double in both engines.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    m = float(10 ** k)
+    return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+# ----------------------------------------------------------------------
+# loaders
+# ----------------------------------------------------------------------
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; these runtime-settable
+    confs are required for correctness here: TIMESTAMP(NANOS) parquet
+    must read as Long ns, timestamps must render in UTC to match the
+    DuckDB oracle, and Spark 4's default ANSI mode would error on the
+    permissive arithmetic this engine (like the reference) assumes."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with time = µs TIMESTAMP (matches DuckDB's view of ts).
+    Schema-tolerant: fixtures have carried ts as TIMESTAMP(NANOS) (read
+    as Long ns) and as TIMESTAMP(MICROS) across rounds."""
+    df = _t(spark, sf_dir, "events")
+    return df.withColumn(TIME_COLUMN, as_time_expr(df, "ts", "timestamp")) \
+             .drop("ts")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").withColumnRenamed("l_shipdate", TIME_COLUMN)
+
+
+def _orders_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders as an as-of right side: unique per (user_id, time)."""
+    return (_t(spark, sf_dir, "orders")
+            .select(F.col("o_orderdate").alias(TIME_COLUMN),
+                    F.col("o_custkey").alias("user_id"), "o_totalprice")
+            .groupBy(TIME_COLUMN, "user_id")
+            .agg(F.max("o_totalprice").alias("o_totalprice")))
+
+
+_ORDERS_RIGHT_SQL = """
+  SELECT o_orderdate AS rt, o_custkey AS user_id,
+         max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+"""

@@ -1,0 +1,226 @@
+"""Extra oracle-gated queries (beyond the driver 50-row budget);
+run by tests/test_extra_queries.py with the identical DuckDB compare."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flint_spark import clocks, summarizers as S, windows as W
+from flint_spark.operators import aggregate as agg_ops
+from flint_spark.operators import asof, cycles, intervals, windows_ops
+from flint_spark.operators import ema as ema_ops
+from flint_spark.operators import regression, sessions
+from flint_spark.pipeline import dedup, multimodal, similarity, text as text_ops
+from flint_spark.pipeline.hashing import P, minhash_params, hyperplanes
+from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+
+from .common import (R, _ensure_session_confs, _t, _events, _lineitem,
+                     _orders_right, _ORDERS_RIGHT_SQL)
+def q_lag_sum(spark, sf):
+    """Overlappable-window lagSum (reference
+    ``overlappable/LagSumSummarizer.scala``): per row, sum over the 1h
+    core window plus lag_sum over the 1h region preceding it."""
+    ev = _events(spark, sf)
+    out = windows_ops.summarize_windows_overlap(
+        ev.select(TIME_COLUMN, "user_id", "value"),
+        W.past_absolute_time("1h"), "1h", S.sum_("value"), key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value_sum", 4).alias("w_sum"),
+                      R("lag_value_sum", 4).alias("lag_sum"))
+
+
+SQL_LAG_SUM = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
+         floor((sum(value) OVER core) * 10000 + 0.5) / 10000 AS w_sum,
+         floor((sum(value) OVER lagw) * 10000 + 0.5) / 10000 AS lag_sum
+  FROM events
+  WINDOW core AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+         lagw AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 7200000000 PRECEDING AND 3600000001 PRECEDING)
+"""
+
+
+def q_tpch_q4ish(spark, sf):
+    """Semi-join shape (TPC-H Q4 style): order priority counts for
+    orders having at least one 1995 lineitem — left-semi join, which
+    Spark plans as a broadcast/shuffled semi without materializing the
+    right side."""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01")))
+    sel = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+SQL_TPCH_Q4ISH = """
+  SELECT o_orderpriority, count(*) AS n
+  FROM orders
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01')
+  GROUP BY 1
+"""
+
+
+def q_tpch_q5ish(spark, sf):
+    """Multi-way join shape (TPC-H Q5 style): revenue by nation for one
+    region — two broadcast dims (nation, region) against two fact
+    tables joined on keys; Catalyst broadcast-joins the small sides."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .filter(F.col("r_name") == "ASIA"))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (joined.groupBy("n_name")
+            .agg(R(rev, 2).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+SQL_TPCH_Q5ISH = """
+  SELECT n_name,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
+           AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+"""
+
+
+def q_hash_split(spark, sf):
+    """Deterministic md5 train/val/test split — stable across runs,
+    engines and appends (pipeline.sampling.hash_split)."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents")
+    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(F.count("*").alias("n"),
+                                    F.min("doc_id").alias("min_id"))
+
+
+def _sql_hash_split():
+    from flint_spark.pipeline.sampling import hash_split_sql
+    case = hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+  SELECT {case} AS split, count(*) AS n, min(doc_id) AS min_id
+  FROM documents GROUP BY 1
+"""
+
+
+def q_pack_documents(spark, sf):
+    """Concat-and-chunk sequence packing: per (shard, bin) document and
+    token counts (pipeline.sampling.pack_documents)."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+    packed = sampling.pack_documents(docs, budget=512, tokens_col="n_tokens",
+                                     shard_col="shard")
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tokens")))
+
+
+SQL_PACK_DOCUMENTS = """
+  WITH d AS (
+    SELECT doc_id, doc_id % 4 AS shard,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+  ), c AS (
+    SELECT shard, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+    FROM d
+  )
+  SELECT shard, CAST(floor(cum / 512) AS BIGINT) AS bin_id,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM c GROUP BY 1, 2
+"""
+
+
+def q_winnow_pairs(spark, sf):
+    """Winnowing (MOSS) fingerprint candidate pairs over documents
+    (pipeline.dedup.winnow_fingerprints / winnow_pairs)."""
+    docs = _t(spark, sf, "documents")
+    return dedup.winnow_pairs(docs, k=3, window=4, min_shared=2)
+
+
+SQL_WINNOW_PAIRS = """
+  WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+  ), sh AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(ws) - 2)) AS pos,
+           unnest(list_transform(generate_series(1, len(ws) - 2),
+                                 i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+    FROM w
+  ), fps AS (
+    SELECT DISTINCT doc_id,
+           min(('0x' || substr(md5(shingle), 1, 7))::BIGINT)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM sh
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_rollup_multi(spark, sf):
+    """Hypertable-style multi-granularity rollup: 1h + 1d interval
+    aggregates from ONE scan via GROUPING SETS (one shuffle total;
+    intervals.summarize_intervals_multi)."""
+    ev = _events(spark, sf)
+    out = intervals.summarize_intervals_multi(
+        ev, ["1h", "1d"], S.compose(S.count(), S.sum_("value")))
+    return out.select("granularity", TIME_COLUMN, "count",
+                      R("value_sum", 4).alias("value_sum"))
+
+
+SQL_ROLLUP_MULTI = """
+  SELECT CASE WHEN g1 IS NOT NULL THEN '1h' ELSE '1d' END AS granularity,
+         COALESCE(g1, gd) AS time, count(*) AS count,
+         floor((sum(value)) * 10000 + 0.5) / 10000 AS value_sum
+  FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS g1,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS gd, value
+        FROM events)
+  GROUP BY GROUPING SETS ((g1), (gd))
+"""
+
+
+def q_histogram(spark, sf):
+    """Fixed-bin histogram summarizer (masked counts, one pass)."""
+    ev = _events(spark, sf)
+    out = agg_ops.summarize(ev, S.histogram("value", [0, 25, 50, 100, 200]),
+                            key=["event_type"])
+    return out.select("event_type", "value_hist_under", "value_hist_0",
+                      "value_hist_1", "value_hist_2", "value_hist_3",
+                      "value_hist_over")
+
+
+SQL_HISTOGRAM = """
+  SELECT event_type,
+         count(CASE WHEN value < 0 THEN 1 END) AS value_hist_under,
+         count(CASE WHEN value >= 0 AND value < 25 THEN 1 END) AS value_hist_0,
+         count(CASE WHEN value >= 25 AND value < 50 THEN 1 END) AS value_hist_1,
+         count(CASE WHEN value >= 50 AND value < 100 THEN 1 END) AS value_hist_2,
+         count(CASE WHEN value >= 100 AND value < 200 THEN 1 END) AS value_hist_3,
+         count(CASE WHEN value >= 200 THEN 1 END) AS value_hist_over
+  FROM events GROUP BY 1
+"""
+

@@ -16,9 +16,13 @@ range so arbitrarily long series never overflow/underflow — the same
 O(n) complexity contract as the reference's streaming implementation.
 
 Scale note: one shuffle on the key; each key group must fit in one
-Arrow batch stream (pandas grouped-map). For keyless series the whole
-table is one group — at 100 TB, partition by entity key (the intended
-usage) or pre-aggregate.
+Arrow batch stream (pandas grouped-map). Keyless series do NOT fall
+into a single group: they run a distributed two-phase prefix scan
+(range-partition by time, per-partition affine-scan partials, driver
+composes P carries, broadcast-join applies the carry-in per row) —
+the reference's distributed prefix-aggregation pattern
+(``rdd/function/summarize/Summarizations.scala:51-122``) expressed as
+Catalyst + one mapInPandas pass.
 """
 
 from __future__ import annotations
@@ -67,79 +71,104 @@ def _affine_scan(neg_log_decay_steps: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out
 
 
-def _ewma_values(t_ns: np.ndarray, x: np.ndarray, alpha: float,
-                 duration_per_period_ns: float | None, convention: str) -> np.ndarray:
-    """EWMA per reference semantics: weight_i = (1-alpha)^periods(t_i, t_n);
-    'legacy' returns the weighted sum, 'core' divides by the weight sum
-    (pandas adjust=True analogue). duration None => constant periods."""
+def _ewma_coeffs(alpha: float, duration_per_period_ns: float | None):
+    """Coefficient builder for the EWMA recurrence E_i = d_i E_{i-1} + c_i.
+
+    Returns ``fn(t, x, prev_t, prev_x) -> (T_steps, c_primary, c_aux)``.
+    ``prev_t`` is the timestamp of the row immediately before this chunk
+    (None at the true start of the series) — it sets the boundary decay
+    step so chunks compose exactly like one long scan.
+    """
     lam = -np.log1p(-alpha)  # -ln(1-alpha) > 0
-    if duration_per_period_ns is None:
-        steps = np.full(len(x), lam)
-        steps[0] = 0.0
-    else:
-        dt = np.diff(t_ns, prepend=t_ns[0] if len(t_ns) else 0)
-        steps = dt / duration_per_period_ns * lam
-    primary = _affine_scan(steps, x.astype(np.float64))
-    if convention == "legacy":
-        return primary
-    aux = _affine_scan(steps, np.ones_like(x, dtype=np.float64))
-    return primary / aux
+
+    def fn(t_ns, x, prev_t, prev_x):
+        n = len(x)
+        if duration_per_period_ns is None:
+            steps = np.full(n, lam)
+            if prev_t is None and n:
+                steps[0] = 0.0
+        else:
+            first_prev = (t_ns[0] if prev_t is None else prev_t) if n else 0
+            dt = np.diff(t_ns, prepend=first_prev)
+            steps = dt / duration_per_period_ns * lam
+        return steps, x.astype(np.float64), np.ones(n, dtype=np.float64)
+
+    return fn
 
 
-def _smoothing_values(t_ns: np.ndarray, x: np.ndarray, alpha: float,
-                      priming_periods: float, period_ns: float,
-                      interpolation: str, convention: str) -> np.ndarray:
-    """ExponentialSmoothing per reference: inject a zero point before the
-    series (at priming_periods before x_1, or at time 0 for 'legacy'),
-    then run the interpolated convolution recurrence."""
-    n = len(x)
-    if n == 0:
-        return np.empty(0)
-    lam = -np.log1p(-alpha)
-    periods = np.diff(t_ns) / period_ns
-    if convention == "legacy":
-        first = (t_ns[0] - 0) / period_ns
-    else:
-        first = priming_periods
-    periods = np.concatenate(([first], periods)).astype(np.float64)
-    T_steps = periods * lam                     # -ln(decay) per step
-    d = np.exp(-T_steps)                        # decay per step
-    xprev = np.concatenate(([0.0], x[:-1]))     # injected zero point
-    if interpolation == "current":
-        c = (1.0 - d) * x
-    elif interpolation == "previous":
-        c = (1.0 - d) * xprev
-    elif interpolation == "linear":
-        with np.errstate(divide="ignore", invalid="ignore"):
-            nu = np.where(T_steps > 1e-12, (1.0 - d) / T_steps, 1.0)
-        c = (nu - d) * xprev + (1.0 - nu) * x
-    else:
+def _smoothing_coeffs(alpha: float, priming_periods: float, period_ns: float,
+                      interpolation: str, convention: str):
+    """Coefficient builder for exponentialSmoothing: inject a zero point
+    before the series (at priming_periods before x_1, or at time 0 for
+    'legacy'), then the interpolated convolution recurrence. At a chunk
+    boundary (``prev_t is not None``) the 'previous' value is the real
+    previous row, not the injected zero."""
+    if interpolation not in ("current", "previous", "linear"):
         raise ValueError(f"unknown interpolation {interpolation!r}")
-    # E_i = d_i E_{i-1} + c_i with E_0 = 0 at the injected point; the
-    # scan's implicit zero initial state IS the injected point.
-    primary = _affine_scan(T_steps, c)
-    if convention == "core":
+    lam = -np.log1p(-alpha)
+
+    def fn(t_ns, x, prev_t, prev_x):
+        n = len(x)
+        if n == 0:
+            z = np.empty(0)
+            return z, z, z
+        periods = np.diff(t_ns) / period_ns
+        if prev_t is None:
+            first = (t_ns[0] - 0) / period_ns if convention == "legacy" \
+                else priming_periods
+            x0 = 0.0                            # injected zero point
+        else:
+            first = (t_ns[0] - prev_t) / period_ns
+            x0 = float(prev_x)
+        periods = np.concatenate(([first], periods)).astype(np.float64)
+        T_steps = periods * lam                 # -ln(decay) per step
+        d = np.exp(-T_steps)                    # decay per step
+        xprev = np.concatenate(([x0], x[:-1]))
+        if interpolation == "current":
+            c = (1.0 - d) * x
+        elif interpolation == "previous":
+            c = (1.0 - d) * xprev
+        else:  # linear
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nu = np.where(T_steps > 1e-12, (1.0 - d) / T_steps, 1.0)
+            c = (nu - d) * xprev + (1.0 - nu) * x
         # aux series is the smoothing of constant 1. In-series steps are
         # interpolateForInterval(1, 1, periods) = (1-d) under EVERY
-        # interpolation, but the priming step is
+        # interpolation, but the priming step (series start only) is
         # interpolateForInterval(0, 1, priming)
         # (ExponentialSmoothingSummarizer.scala render()): previous -> 0,
         # linear -> 1-nu, current -> 1-d.
         aux_c = 1.0 - d
-        if interpolation == "previous":
-            aux_c[0] = 0.0
-        elif interpolation == "linear":
-            with np.errstate(divide="ignore", invalid="ignore"):
-                nu0 = (1.0 - d[0]) / T_steps[0] if T_steps[0] > 1e-12 else 1.0
-            aux_c[0] = 1.0 - nu0
-        aux = _affine_scan(T_steps, aux_c)
+        if prev_t is None:
+            if interpolation == "previous":
+                aux_c[0] = 0.0
+            elif interpolation == "linear":
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    nu0 = (1.0 - d[0]) / T_steps[0] if T_steps[0] > 1e-12 else 1.0
+                aux_c[0] = 1.0 - nu0
+        return T_steps, c, aux_c
+
+    return fn
+
+
+def _scan_values(coeff_fn, divide: bool):
+    """Whole-series scan (single chunk): t, x -> per-row values."""
+
+    def fn(t_ns, x):
+        steps, c, aux_c = coeff_fn(t_ns, x, None, None)
+        primary = _affine_scan(steps, c)
+        if not divide:
+            return primary
+        aux = _affine_scan(steps, aux_c)
         with np.errstate(divide="ignore", invalid="ignore"):
             return primary / aux
-    return primary
+
+    return fn
 
 
 def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str],
                    fn) -> DataFrame:
+    """Keyed (or, for tests, single-group) Arrow grouped-map scan."""
     key = list(key)
     with_ns = df.withColumn("__tns", time_ns_expr(df))
     schema = T.StructType(list(df.schema.fields) +
@@ -158,18 +187,150 @@ def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str]
     return with_ns.groupBy().applyInPandas(compute, schema)
 
 
+def _keyless_distributed(df: DataFrame, column: str, out_name: str,
+                         coeff_fn, divide: bool,
+                         num_partitions: int | None = None) -> DataFrame:
+    """Distributed keyless prefix scan — no single-group exchange.
+
+    The recurrence E_i = d_i E_{i-1} + c_i is affine, so a chunk of the
+    series maps its incoming state linearly: E_out = L_end + E_in * e^-T_end
+    where L is the chunk's scan from zero state and T its cumulative
+    -ln(decay). Phases (reference ``Summarizations.scala:51-122`` pattern):
+
+      1. range-partition by time, sort within partitions (ONE shuffle of
+         the data; persisted);
+      2. tiny aggregate collects per-partition boundary rows (prev_t,
+         prev_x feed the boundary decay step / interpolation);
+      3. one ``mapInPandas`` pass computes per-row (L, T) streaming
+         batch-by-batch — never holds a partition in memory;
+      4. the P (L_end, T_end) partials compose on the driver into a
+         per-partition carry-in E_in (P scalars);
+      5. a broadcast join + JVM expression applies
+         ``L + E_in * exp(-T)`` per row (and the aux series for 'core').
+
+    exp(-T) underflowing to 0.0 for rows far from the carry origin is the
+    mathematically correct decay, not an error.
+    """
+    spark = df.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    in_cols = list(df.columns)
+    sdf = (df.withColumn("__tns", time_ns_expr(df))
+             .repartitionByRange(P, F.col("__tns"))
+             .sortWithinPartitions("__tns")
+             .withColumn("__pid", F.spark_partition_id())
+             .persist())
+    # per-partition boundary rows (small: P rows collected)
+    binfo = (sdf.groupBy("__pid")
+             .agg(F.max("__tns").alias("last_t"),
+                  F.max_by(F.col(column).cast("double"), F.col("__tns"))
+                   .alias("last_x"))
+             .collect())
+    prev_map: dict = {}
+    prev = None
+    for r in sorted(binfo, key=lambda r: r["__pid"]):
+        prev_map[r["__pid"]] = prev
+        prev = (r["last_t"], r["last_x"])
+    bc = spark.sparkContext.broadcast(prev_map)
+
+    schema = T.StructType(list(sdf.schema.fields) + [
+        T.StructField("__L", T.DoubleType()),
+        T.StructField("__La", T.DoubleType()),
+        T.StructField("__T", T.DoubleType())])
+
+    def scan_partition(batches):
+        state = None  # (prev_t, prev_x, L_carry, La_carry, T_offset)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if state is None:
+                pv = bc.value.get(int(pdf["__pid"].iloc[0]))
+                prev_t, prev_x = pv if pv is not None else (None, None)
+                l_carry = la_carry = t_off = 0.0
+            else:
+                prev_t, prev_x, l_carry, la_carry, t_off = state
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            steps, c, aux_c = coeff_fn(t, x, prev_t, prev_x)
+            cum_t = np.cumsum(steps)
+            w = np.exp(-cum_t)  # underflow -> 0.0 is correct decay
+            lvals = _affine_scan(steps, c) + l_carry * w
+            lavals = _affine_scan(steps, aux_c) + la_carry * w
+            tvals = t_off + cum_t
+            pdf = pdf.copy()
+            pdf["__L"] = lvals
+            pdf["__La"] = lavals
+            pdf["__T"] = tvals
+            state = (int(t[-1]), float(x[-1]), float(lvals[-1]),
+                     float(lavals[-1]), float(tvals[-1]))
+            yield pdf
+
+    scanned = sdf.mapInPandas(scan_partition, schema).persist()
+    partials = (scanned.groupBy("__pid")
+                .agg(F.max_by("__L", "__tns").alias("l_end"),
+                     F.max_by("__La", "__tns").alias("la_end"),
+                     F.max("__T").alias("t_end"))
+                .collect())
+    sdf.unpersist()  # scanned is materialized by the collect above
+    e_rows, ep, ea = [], 0.0, 0.0
+    for r in sorted(partials, key=lambda r: r["__pid"]):
+        e_rows.append((int(r["__pid"]), float(ep), float(ea)))
+        w = math.exp(-r["t_end"]) if r["t_end"] < 700.0 else 0.0
+        ep = r["l_end"] + ep * w
+        ea = r["la_end"] + ea * w
+    e_df = spark.createDataFrame(e_rows or [(0, 0.0, 0.0)],
+                                 "__pid int, __ep double, __ea double")
+    joined = scanned.join(F.broadcast(e_df), "__pid", "left")
+    w = F.exp(-F.col("__T"))
+    primary = F.col("__L") + F.coalesce(F.col("__ep"), F.lit(0.0)) * w
+    if divide:
+        out = primary / (F.col("__La") + F.coalesce(F.col("__ea"), F.lit(0.0)) * w)
+    else:
+        out = primary
+    return joined.withColumn(out_name, out).select(in_cols + [out_name])
+
+
+# keyless inputs at most this big (Catalyst plan-stats estimate) run as a
+# single Arrow group — cheaper than the 5-job distributed scan. Unknown
+# stats report ~8 EB, so "can't tell" always takes the distributed path.
+_KEYLESS_SINGLE_GROUP_MAX_BYTES = 64 << 20
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are a fast-path hint only
+        return 1 << 62
+
+
+def _apply(df: DataFrame, column: str, out_name: str, key: Sequence[str],
+           coeff_fn, divide: bool, distributed: bool | None = None) -> DataFrame:
+    if list(key):
+        return _apply_per_key(df, column, out_name, key,
+                              _scan_values(coeff_fn, divide))
+    if distributed is None:
+        distributed = _estimated_bytes(df) > _KEYLESS_SINGLE_GROUP_MAX_BYTES
+    if distributed:
+        return _keyless_distributed(df, column, out_name, coeff_fn, divide)
+    return _apply_per_key(df, column, out_name, (),
+                          _scan_values(coeff_fn, divide))
+
+
 def ewma(df: DataFrame, column: str, alpha: float = 0.05,
          duration_per_period: str = "1d", convention: str = "legacy",
-         key: Sequence[str] = ()) -> DataFrame:
+         key: Sequence[str] = (), distributed: bool | None = None) -> DataFrame:
     """Running EWMA per row (reference ``Summarizers.ewma``,
-    ``Summarizers.scala:548-621``). Output column ``<col>_ewma``."""
+    ``Summarizers.scala:548-621``). Output column ``<col>_ewma``.
+
+    ``distributed`` applies to keyless input only: True forces the
+    two-phase partitioned prefix scan, False the single Arrow group,
+    None (default) picks by estimated input size."""
     if convention not in ("core", "legacy"):
         raise ValueError("convention must be 'core' or 'legacy'")
     dur = None if duration_per_period.lower() == "constant" else float(
         parse_duration_ns(duration_per_period))
-    return _apply_per_key(
-        df, column, f"{column}_ewma", key,
-        lambda t, x: _ewma_values(t, x, alpha, dur, convention))
+    return _apply(df, column, f"{column}_ewma", key,
+                  _ewma_coeffs(alpha, dur), divide=(convention == "core"),
+                  distributed=distributed)
 
 
 def exponential_smoothing(df: DataFrame, column: str, alpha: float = 0.05,
@@ -177,17 +338,18 @@ def exponential_smoothing(df: DataFrame, column: str, alpha: float = 0.05,
                           duration_per_period: str = "1d",
                           interpolation: str = "current",
                           convention: str = "core",
-                          key: Sequence[str] = ()) -> DataFrame:
+                          key: Sequence[str] = (),
+                          distributed: bool | None = None) -> DataFrame:
     """Running exponentially-smoothed series (reference
     ``Summarizers.exponentialSmoothing``, ``Summarizers.scala:445-546``).
-    Output column ``<col>_ema``."""
+    Output column ``<col>_ema``. ``distributed`` as in :func:`ewma`."""
     if convention not in ("convolution", "core", "legacy"):
         raise ValueError("convention must be convolution|core|legacy")
     period_ns = float(parse_duration_ns(duration_per_period))
-    return _apply_per_key(
-        df, column, f"{column}_ema", key,
-        lambda t, x: _smoothing_values(t, x, alpha, priming_periods, period_ns,
-                                       interpolation, convention))
+    return _apply(df, column, f"{column}_ema", key,
+                  _smoothing_coeffs(alpha, priming_periods, period_ns,
+                                    interpolation, convention),
+                  divide=(convention == "core"), distributed=distributed)
 
 
 def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
@@ -273,11 +435,13 @@ def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,
 
 def ema_half_life(df: DataFrame, column: str, half_life: str,
                   interpolation: str = "previous", convention: str = "legacy",
-                  key: Sequence[str] = ()) -> DataFrame:
+                  key: Sequence[str] = (),
+                  distributed: bool | None = None) -> DataFrame:
     """EMA with a half-life (reference ``Summarizers.emaHalfLife``,
     ``Summarizers.scala:623-663``): alpha=0.5 with one period per
     half-life, priming 0."""
     return exponential_smoothing(df, column, alpha=0.5, priming_periods=0.0,
                                  duration_per_period=half_life,
                                  interpolation=interpolation,
-                                 convention=convention, key=key)
+                                 convention=convention, key=key,
+                                 distributed=distributed)

@@ -114,6 +114,17 @@ def ns_to_time_expr(ns: Column, dtype: str) -> Column:
     raise TypeError(f"unsupported time dtype {dtype}")
 
 
+def as_time_expr(df: DataFrame, column: str, dtype: str = "timestamp") -> Column:
+    """``df[column]`` — long epoch-ns OR any timestamp flavor — as a
+    ``dtype`` time value. Schema-tolerant loader helper: parquet fixtures
+    may carry time as TIMESTAMP(NANOS) (read as Long ns under
+    ``nanosAsLong``), TIMESTAMP(MICROS), or raw Long ns."""
+    src = dict(df.dtypes)[column]
+    if src == "timestamp" and dtype == "timestamp":
+        return F.col(column)
+    return ns_to_time_expr(time_ns_expr(df, column), dtype)
+
+
 def canonize(
     df: DataFrame,
     time_column: str = TIME_COLUMN,

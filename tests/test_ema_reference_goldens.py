@@ -42,10 +42,12 @@ def _check(got_df, pdf, col):
 def test_smoothing_matrix_vs_reference_golden(spark, golden, convention,
                                               interpolation):
     pdf, df = golden
+    # distributed=False: keyless single group keeps file order at ties
+    # (the distributed parity test lives in test_extensions.py)
     out = exponential_smoothing(df, "price", alpha=0.5, priming_periods=0.0,
                                 duration_per_period=PERIOD,
                                 interpolation=interpolation,
-                                convention=convention)
+                                convention=convention, distributed=False)
     _check(out, pdf, f"expected_{convention}_{interpolation}")
 
 
@@ -61,7 +63,7 @@ def test_smoothing_default_keyed_vs_reference_golden(spark, golden):
 def test_half_life_vs_reference_golden(spark, golden):
     pdf, df = golden
     out = ema_half_life(df, "price", "100s", interpolation="previous",
-                        convention="legacy")
+                        convention="legacy", distributed=False)
     _check(out, pdf, "expected_legacy_previous")
 
 
@@ -132,7 +134,7 @@ def test_smoothing_priming_vs_reference_recurrence(spark, convention,
     got = (exponential_smoothing(df, "x", alpha=0.3, priming_periods=priming,
                                  duration_per_period="100s",
                                  interpolation=interpolation,
-                                 convention=convention)
+                                 convention=convention, distributed=False)
            .toPandas().sort_values("time")["x_ema"].tolist())
     exp = _reference_scalar_es(times, xs, 0.3, priming, period_ns,
                                interpolation, convention)

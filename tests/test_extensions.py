@@ -84,7 +84,7 @@ def test_streaming_interval_agg(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
     raw = spark.readStream.schema(schema).parquet(str(ev_dir))
     from flint_spark.timeseries import ns_to_time_expr
-    ev = raw.withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+    ev = raw.withColumn("time", F.col("ts").cast("timestamp"))
     agg = ts_stream.summarize_intervals_stream(
         ev, "1 day", S.compose(S.count(), S.sum_("value")), key=["event_type"],
         watermark="1 minute")
@@ -95,8 +95,8 @@ def test_streaming_interval_agg(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM stream_out")
     # append mode emits only watermark-closed windows; all but the last day
     batch = (spark.read.parquet(f"{sf_dir}/events.parquet")
-             .groupBy(F.date_trunc("day", F.timestamp_micros(
-                 (F.col("ts") / 1000).cast("long"))).alias("time"), "event_type")
+             .groupBy(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                      .alias("time"), "event_type")
              .count())
     assert got.count() > 0
     assert got.count() <= batch.count()
@@ -115,7 +115,7 @@ def test_streaming_sessions(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
     raw = spark.readStream.schema(schema).parquet(str(ev_dir))
     from flint_spark.timeseries import ns_to_time_expr
-    ev = raw.withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+    ev = raw.withColumn("time", F.col("ts").cast("timestamp"))
     sess = ts_stream.sessionize_stream(ev, gap="1 hour", key=["user_id"],
                                        watermark="1 minute")
     q = (sess.writeStream.outputMode("append").format("memory")
@@ -163,7 +163,7 @@ def test_time_partitioned_writer_roundtrip(spark, sf_dir, tmp_path):
     from flint_spark.timeseries import ns_to_time_expr
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp")).drop("ts")
+    ev = ev.withColumn("time", F.col("ts").cast("timestamp")).drop("ts")
     out = str(tmp_path / "part")
     write_time_partitioned(ev, out, granularity="1d")
     back = read_time_partitioned(spark, out, begin="2024-01-02", end="2024-01-04")
@@ -247,7 +247,7 @@ def test_readbuilder_expand_primes_asof_edge(spark, sf_dir):
     as-of join at the range edge picks up priming rows from before b
     (reference ReadBuilder.expand, io/read/ReadBuilder.scala:126-146)."""
     from flint_spark.operators import asof
-    from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+    from flint_spark.timeseries import TIME_COLUMN, as_time_expr
 
     def right_side(expand: bool):
         r = TSRead(spark).range("2024-01-15", "2024-02-01")
@@ -255,14 +255,15 @@ def test_readbuilder_expand_primes_asof_edge(spark, sf_dir):
             r = r.expand(begin="14d")
         df = r.time_column("ts").parquet(f"{sf_dir}/events.parquet").df
         return (df.withColumn(TIME_COLUMN,
-                              ns_to_time_expr(F.col(TIME_COLUMN), "timestamp"))
+                              as_time_expr(df, TIME_COLUMN, "timestamp"))
                 .filter(F.col("event_type") == "click")
                 .groupBy(TIME_COLUMN, "user_id")
                 .agg(F.max("value").alias("rv")))
 
     lo = F.to_timestamp(F.lit("2024-01-15"))
-    left = (TSRead(spark).time_column("ts").parquet(f"{sf_dir}/events.parquet").df
-            .withColumn(TIME_COLUMN, ns_to_time_expr(F.col(TIME_COLUMN), "timestamp"))
+    left_df = TSRead(spark).time_column("ts").parquet(f"{sf_dir}/events.parquet").df
+    left = (left_df
+            .withColumn(TIME_COLUMN, as_time_expr(left_df, TIME_COLUMN, "timestamp"))
             .filter((F.col(TIME_COLUMN) >= lo)
                     & (F.col(TIME_COLUMN) < lo + F.expr("INTERVAL 1 DAY"))
                     & (F.col("event_type") != "click"))
@@ -284,10 +285,10 @@ def test_arbitrary_clock_trimmed_before_broadcast(spark, sf_dir, monkeypatch):
     ticks (reference trims pre-collect, Intervalize.scala:113-127)."""
     from flint_spark.operators import intervals as iv
     from flint_spark.clocks import uniform
-    from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+    from flint_spark.timeseries import TIME_COLUMN, as_time_expr
 
-    ev = (TSRead(spark).time_column("ts").parquet(f"{sf_dir}/events.parquet").df
-          .withColumn(TIME_COLUMN, ns_to_time_expr(F.col(TIME_COLUMN), "timestamp")))
+    ev = TSRead(spark).time_column("ts").parquet(f"{sf_dir}/events.parquet").df
+    ev = ev.withColumn(TIME_COLUMN, as_time_expr(ev, TIME_COLUMN, "timestamp"))
     # clock spans 2020..2030 at 1d -> ~3650 ticks; data covers ~1 month
     wide = uniform("2020-01-01", "2030-01-01", "1d").ticks_df(spark)
     full = iv._clock_ticks_ns(wide)
@@ -327,13 +328,13 @@ def test_transform_filter_after_asof_stays_sorted(spark, sf_dir):
     pure filter on an as-of join result (whose own lineage contains
     Window/Sort) must not downgrade is_sorted (ADVICE r1)."""
     from flint_spark.operators import asof
-    from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
+    from flint_spark.timeseries import TIME_COLUMN, as_time_expr
 
     ev = TimeSeriesDataFrame.from_parquet(
         spark, f"{sf_dir}/events.parquet", time_column="ts")
     ev = TimeSeriesDataFrame(
         ev.df.withColumn(TIME_COLUMN,
-                         ns_to_time_expr(F.col(TIME_COLUMN), "timestamp")))
+                         as_time_expr(ev.df, TIME_COLUMN, "timestamp")))
     right = (ev.df.groupBy(TIME_COLUMN, "user_id")
              .agg(F.max("value").alias("rv")))
     joined = TimeSeriesDataFrame(
@@ -419,7 +420,7 @@ def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", ev_dir / "events.parquet")
 
     batch_ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-                .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+                .withColumn("time", F.col("ts").cast("timestamp"))
                 .drop("ts").select("time", "user_id", "event_id"))
     right = (batch_ev.filter(F.col("event_id") % 3 == 0)
              .groupBy("time", "user_id")
@@ -429,7 +430,7 @@ def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path):
            .toPandas().sort_values("event_id", ignore_index=True))
 
     stream_ev = (spark.readStream.schema(schema).parquet(str(ev_dir))
-                 .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+                 .withColumn("time", F.col("ts").cast("timestamp"))
                  .drop("ts").select("time", "user_id", "event_id"))
     out = ts_stream.asof_join_static(stream_ev, right, tolerance="12h",
                                      key=["user_id"])
@@ -451,7 +452,7 @@ def test_streaming_asof_stream_stream_matches_batch(spark, sf_dir, tmp_path):
     from flint_spark.timeseries import ns_to_time_expr
 
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+          .withColumn("time", F.col("ts").cast("timestamp"))
           .drop("ts"))
     left_b = (ev.filter(F.col("event_type") != "click")
               .select("time", "user_id", "event_id"))
@@ -546,7 +547,7 @@ def test_rollup_multi_matches_individual_intervals(spark, sf_dir):
     from flint_spark.timeseries import ns_to_time_expr
 
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+          .withColumn("time", F.col("ts").cast("timestamp"))
           .drop("ts"))
     multi = intervals.summarize_intervals_multi(
         ev, ["6h", "1d"], S.count()).toPandas()
@@ -569,7 +570,7 @@ def test_approx_count_distinct_and_histogram(spark, sf_dir):
     from flint_spark.timeseries import ns_to_time_expr
 
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp")))
+          .withColumn("time", F.col("ts").cast("timestamp")))
     got = agg_ops.summarize(
         ev, S.compose(S.approx_count_distinct("user_id"),
                       S.histogram("value", [0, 50, 100, 200]))).first()
@@ -620,7 +621,7 @@ def test_uniform_vs_searchsorted_interval_paths_agree(spark, sf_dir,
     from flint_spark.timeseries import ns_to_time_expr
 
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("time", ns_to_time_expr(F.col("ts"), "timestamp"))
+          .withColumn("time", F.col("ts").cast("timestamp"))
           .drop("ts"))
     clock = uniform("2024-01-05", "2024-01-25", "6h")
     fast = (intervals.summarize_intervals(ev, clock, S.count(),
@@ -631,3 +632,103 @@ def test_uniform_vs_searchsorted_interval_paths_agree(spark, sf_dir,
                                           inclusion=inclusion, rounding=rounding)
             .toPandas().sort_values("time", ignore_index=True))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_keyless_ema_distributed_matches_single_group(spark):
+    """The distributed keyless prefix scan (range partitions + carry
+    composition) must agree with the single-group scan bitwise-ish
+    (<=1e-12 rel; renormalization boundaries differ) and its physical
+    plan must contain NO single-partition exchange — that is the shape
+    that dies at 100x scale."""
+    import numpy as np
+
+    from flint_spark.operators import ema as E
+    from plan_audit import _walk
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = np.cumsum(rng.integers(1, 90_000_000_000, n))
+    rows = [(int(ti), float(xi)) for ti, xi in
+            zip(t, rng.normal(10, 3, n))]
+    df = spark.createDataFrame(rows, "time long, value double").repartition(8)
+
+    for kind, kwargs in [
+        ("ewma", dict(alpha=0.05, duration_per_period="1d",
+                      convention="core")),
+        ("es", dict(alpha=0.07, priming_periods=1.5,
+                    duration_per_period="12h", interpolation="linear",
+                    convention="core")),
+    ]:
+        fn = E.ewma if kind == "ewma" else E.exponential_smoothing
+        dist = fn(df, "value", distributed=True, **kwargs)
+        single = fn(df, "value", distributed=False, **kwargs)
+        out_col = "value_ewma" if kind == "ewma" else "value_ema"
+        got = dist.toPandas().sort_values("time")[out_col].to_numpy()
+        exp = single.toPandas().sort_values("time")[out_col].to_numpy()
+        assert np.nanmax(np.abs(got - exp) / np.maximum(np.abs(exp), 1e-9)) \
+            < 1e-12, kind
+        names = list(_walk(dist._jdf.queryExecution().executedPlan()))
+        assert not any("SinglePartition" in n for n in names), names
+        # exactly one full-data exchange: the range partitioning
+        assert sum(1 for n in names if n == "Exchange") <= 2
+
+
+def test_keyless_ema_auto_routes_small_input_to_single_group(spark, sf_dir):
+    """Tiny parquet inputs (known plan stats) skip the 5-job distributed
+    scan; unknown-stats inputs (ExistingRDD) must choose distributed."""
+    from flint_spark.operators import ema as E
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("ts").alias("time"), "value"))
+    assert E._estimated_bytes(ev) < E._KEYLESS_SINGLE_GROUP_MAX_BYTES
+    plan = E.ewma(ev, "value")._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+    rdd_df = spark.createDataFrame([(i * 10**9, float(i)) for i in range(50)],
+                                   "time long, value double")
+    assert E._estimated_bytes(rdd_df) > E._KEYLESS_SINGLE_GROUP_MAX_BYTES
+
+
+def test_asof_static_tolerance_zero_matches_batch(spark):
+    """tolerance=0 means exact-timestamp match on all three as-of
+    surfaces (ADVICE r2: the streaming static path used to do an
+    unbounded backward lookup at tol=0)."""
+    from flint_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1000, 1, "a"), (2000, 1, "b"), (3000, 1, "c")],
+        "time long, k int, tag string")
+    right = spark.createDataFrame(
+        [(1000, 1, 10.0), (2500, 1, 25.0)], "time long, k int, rv double")
+    exp = {r["tag"]: r["rv"]
+           for r in asof.left_join(left, right, tolerance=0,
+                                   key=["k"]).collect()}
+    # mapInPandas path works on batch frames too
+    got = {r["tag"]: r["rv"]
+           for r in ts_stream.asof_join_static(left, right, tolerance=0,
+                                               key=["k"]).collect()}
+    assert exp == {"a": 10.0, "b": None, "c": None}
+    assert got == exp
+
+
+def test_readbuilder_expand_agrees_across_session_timezones(spark, sf_dir):
+    """.expand() on a native timestamp column must shift by exactly the
+    duration in any session timezone (ADVICE r2: epoch-rebuilt naive
+    datetimes were reinterpreted in the session tz)."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    counts = {}
+    try:
+        for zone in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            r = (TSRead(spark).range("2024-01-15", "2024-02-01")
+                 .expand(begin="36h")
+                 .time_column("ts").parquet(f"{sf_dir}/events.parquet"))
+            counts[zone] = r.count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert counts["UTC"] == counts["America/New_York"]
+
+
+def test_udf_rejects_datatype_class(spark):
+    with pytest.raises(TypeError, match="DoubleType"):
+        FL.udf(T.DoubleType)
