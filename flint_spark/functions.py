@@ -165,6 +165,13 @@ def udf(return_type=None, arg_type: str = "pandas"):
     def wrap(fn):
         return FlintUDF(fn, rt, arg_type)
 
+    # a DataType CLASS (e.g. udf(T.DoubleType) without parens) is a common
+    # slip — without this check it would be silently wrapped as the UDF
+    # body (ADVICE r2)
+    if isinstance(return_type, type) and issubclass(return_type, T.DataType):
+        raise TypeError(
+            f"udf() got the DataType class {return_type.__name__}; pass an "
+            f"instance: udf(T.{return_type.__name__}())")
     # bare @udf usage (fn passed directly)
     if callable(return_type) and not isinstance(return_type, (T.DataType, tuple)):
         fn, rt_ = return_type, T.DoubleType()

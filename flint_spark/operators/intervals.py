@@ -79,7 +79,13 @@ def _clock_ticks_ns(clock_df: DataFrame,
     clocks never trigger a data pass."""
     t = time_ns_expr(clock_df, TIME_COLUMN).alias("t")
     ticks_df = clock_df.select(t)
-    if data_df is not None and ticks_df.count() > _TRIM_TICK_THRESHOLD:
+    # cheap size probe: small clocks pay one limited count, not a full
+    # count + a second materialization (ADVICE r2)
+    is_large = (data_df is not None and
+                ticks_df.limit(_TRIM_TICK_THRESHOLD + 1).count()
+                > _TRIM_TICK_THRESHOLD)
+    if is_large:
+        ticks_df = ticks_df.persist()
         lo, hi = data_df.select(
             F.min(time_ns_expr(data_df)), F.max(time_ns_expr(data_df))).first()
         if lo is not None:
@@ -92,10 +98,15 @@ def _clock_ticks_ns(clock_df: DataFrame,
             ).first()
             lo_t = enclosing["lo_t"] if enclosing["lo_t"] is not None else lo
             hi_t = enclosing["hi_t"] if enclosing["hi_t"] is not None else hi
-            ticks_df = ticks_df.filter(
+            trimmed = ticks_df.filter(
                 (F.col("t") >= F.lit(lo_t)) & (F.col("t") <= F.lit(hi_t)))
+            arr = np.sort(trimmed.toPandas()["t"].to_numpy(dtype=np.int64))
+            ticks_df.unpersist()
+            return arr
     ticks = ticks_df.toPandas()["t"]
     arr = np.sort(ticks.to_numpy(dtype=np.int64))
+    if is_large:
+        ticks_df.unpersist()
     return arr
 
 

@@ -19,7 +19,6 @@ from typing import Any
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-import datetime as _dt
 
 from .. import clocks as clocks_mod
 from ..timeseries import TIME_COLUMN, TimeSeriesDataFrame, parse_duration_ns
@@ -85,10 +84,15 @@ class TSRead:
                 return F.lit(ns + shift_ns)
             if shift_ns == 0:
                 return F.lit(value)
-            # native timestamp/date bound: shift in python at µs precision
-            ns = clocks_mod._to_ns(value)
-            us = (ns + shift_ns) // 1000
-            return F.lit(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us))
+            # native timestamp/date bound: shift the unshifted literal by a
+            # Spark interval so shifted and unshifted bounds agree in ANY
+            # session timezone (ADVICE r2 — a naive datetime rebuilt from
+            # epoch is reinterpreted in spark.sql.session.timeZone).
+            # Catalyst constant-folds literal+interval, so the pruned scan
+            # still sees a literal bound.
+            us = shift_ns // 1000
+            return (F.lit(value).cast(dtype)
+                    + F.expr(f"INTERVAL '{us}' MICROSECOND"))
 
         if self._begin is not None:
             df = df.filter(F.col(self._time_column)

@@ -202,8 +202,9 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
                 t = pdf["__tns"].to_numpy(np.int64)[idx]
                 pos = np.searchsorted(rt, t, side="right") - 1
                 ok = pos >= 0
-                if tol:
-                    ok &= (t - rt[np.clip(pos, 0, None)]) <= tol
+                # unconditional: tolerance=0 means exact-timestamp match,
+                # same as batch operators.asof.left_join (ADVICE r2)
+                ok &= (t - rt[np.clip(pos, 0, None)]) <= tol
                 for c in rdata:
                     vals = res[c]
                     sel = idx[ok]
