@@ -140,6 +140,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "rollup_multi": q_rollup_multi,
         "histogram": q_histogram,
+        "ema_windowed": q_ema_windowed,
     }
 
 
@@ -157,6 +158,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "winnow_pairs": SQL_WINNOW_PAIRS,
         "rollup_multi": SQL_ROLLUP_MULTI,
         "histogram": SQL_HISTOGRAM,
+        "ema_windowed": SQL_EMA_WINDOWED,
     }
 
 

@@ -224,3 +224,55 @@ SQL_HISTOGRAM = """
   FROM events GROUP BY 1
 """
 
+
+
+def q_ema_windowed(spark, sf):
+    """exponentialSmoothing over a sliding 7d window (core/current,
+    priming 1 period) — the reference's flagship left-subtractable
+    combination (``doc/ema.md:120-121``), computed with range-frame
+    sums + a first_value boundary swap, zero Python."""
+    ev = _events(spark, sf)
+    out = ema_ops.exponential_smoothing_windowed(
+        ev, "value", W.past_absolute_time("7d"), alpha=0.1,
+        priming_periods=1.0, duration_per_period="1d",
+        interpolation="current", convention="core", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value_ema", 6).alias("emaw"))
+
+
+# identical closed form in DuckDB: windowed ES(t) over [t-7d, t] equals
+# the frame sum of interior coefficients c_i = (1-dec_i) x_i weighted by
+# exp(T_i), with the window-start row's coefficient swapped for the
+# priming variant c' = (1-exp(-priming*lam)) x via first_value over the
+# same frame; 'core' divides by the identically-shaped aux sum. The
+# exp(-T_t) prefactor cancels in the ratio.
+SQL_EMA_WINDOWED = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+           epoch_us(ts)::DOUBLE AS tus,
+           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)::DOUBLE AS prevt
+    FROM events
+  ), d AS (
+    SELECT time, user_id, value, tus,
+           (tus - base) * {lam} AS T,
+           exp(-((tus - prevt) * {lam})) AS dec
+    FROM e
+  ), c AS (
+    SELECT *,
+           coalesce((1 - dec) * value, 0.0) AS ci,
+           (1 - {decb}) * value AS cb,
+           coalesce(1 - dec, 0.0) AS ai
+    FROM d
+  )
+  SELECT time, user_id,
+    floor((
+      (sum(ci * exp(T)) OVER w + first_value((cb - ci) * exp(T)) OVER w)
+      / (sum(ai * exp(T)) OVER w + first_value(({ab} - ai) * exp(T)) OVER w)
+    ) * 1000000 + 0.5) / 1000000 AS emaw
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+""".format(lam=-__import__("math").log1p(-0.1) / 86_400e6,
+           decb=__import__("math").exp(__import__("math").log1p(-0.1) * 1.0),
+           ab=1.0 - __import__("math").exp(__import__("math").log1p(-0.1) * 1.0))

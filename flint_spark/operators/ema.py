@@ -433,6 +433,109 @@ def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,
     return df.withColumn(f"{column}_ewma", out)
 
 
+def exponential_smoothing_windowed(df: DataFrame, column: str, window,
+                                   alpha: float = 0.05,
+                                   priming_periods: float = 0.0,
+                                   duration_per_period: str = "1d",
+                                   interpolation: str = "current",
+                                   convention: str = "core",
+                                   key: Sequence[str] = ()) -> DataFrame:
+    """exponentialSmoothing over a sliding time window — the reference's
+    flagship left-subtractable combination (``doc/ema.md:120-121``,
+    ``rdd/function/summarize/SummarizeWindows.scala:346-383`` +
+    ``ExponentialSmoothingSummarizer.scala``): each row gets the ES of
+    exactly the rows in ``[t - w, t]``, re-primed at the window's first
+    row, without per-window recompute.
+
+    Spark-native O(n), zero Python. The recurrence E_i = d_i E_{i-1} + c_i
+    over a window starting at row s differs from the whole-series scan in
+    ONE coefficient: c_s is replaced by the priming variant c'_s (injected
+    zero at ``priming_periods`` before s for core/convolution, at epoch 0
+    for legacy; 'previous' interp sees the zero, not the real lag). So
+
+        E_w(t) = exp(-T_t) * [ SUM_{i in w} c_i exp(T_i)
+                               + first_in_w((c'_i - c_i) exp(T_i)) ]
+
+    — one incrementally-maintained range-frame sum (WindowExec's internal
+    subtract IS the reference's subtract()) plus a FIRST over the same
+    frame for the boundary swap. 'core' divides by the identically-shaped
+    aux sum (smoothing of the constant 1). All coefficients come from
+    per-key LAGs, so Catalyst plans a single sort/exchange.
+
+    Same exponent-span constraint as :func:`ewma_windowed`:
+    ``(t_max-t_min)/period * |ln(1-alpha)|`` per key must stay < ~700.
+    """
+    from pyspark.sql import Window as W
+
+    from ..windows import TimeWindow
+
+    if not isinstance(window, TimeWindow):
+        raise TypeError("window must be a TimeWindow (windows.past_absolute_time)")
+    if convention not in ("convolution", "core", "legacy"):
+        raise ValueError("convention must be convolution|core|legacy")
+    if interpolation not in ("current", "previous", "linear"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+    key = list(key)
+    period_ns = float(parse_duration_ns(duration_per_period))
+    lam = -math.log1p(-alpha)                  # -ln(1-alpha) per period
+    lam_ns = lam / period_ns                   # per ns
+    tns = time_ns_expr(df)
+    wk = W.partitionBy(*key)
+    wlag = W.partitionBy(*key).orderBy(tns)
+    frame = W.partitionBy(*key).orderBy(tns).rangeBetween(*window.range_bounds())
+
+    base = F.min(tns).over(wk)
+    Tcum = (tns - base).cast("double") * F.lit(lam_ns)   # cumulative -ln decay
+    x = F.col(column).cast("double")
+    prev_t = F.lag(tns).over(wlag)
+    prev_x = F.lag(x).over(wlag)
+
+    eps = F.lit(1e-12)
+
+    def interp_c(d, step, xp, xc):
+        if interpolation == "current":
+            return (1.0 - d) * xc
+        if interpolation == "previous":
+            return (1.0 - d) * xp
+        nu = F.when(step > eps, (1.0 - d) / step).otherwise(F.lit(1.0))
+        return (nu - d) * xp + (1.0 - nu) * xc
+
+    # interior coefficients (previous row = the real lag)
+    step_i = (tns - prev_t).cast("double") * F.lit(lam_ns)
+    d_i = F.exp(-step_i)
+    c_i = interp_c(d_i, step_i, prev_x, x)          # null at key-first row
+    aux_i = 1.0 - d_i                               # every interp, in-series
+    # boundary coefficients (previous value = injected zero)
+    if convention == "legacy":
+        step_b = tns.cast("double") * F.lit(lam_ns)  # from epoch 0
+    else:
+        step_b = F.lit(priming_periods * lam)
+    d_b = F.exp(-step_b)
+    c_b = interp_c(d_b, step_b, F.lit(0.0), x)
+    if interpolation == "previous":
+        aux_b = F.lit(0.0)
+    elif interpolation == "current":
+        aux_b = 1.0 - d_b
+    else:
+        nu_b = F.when(step_b > eps, (1.0 - d_b) / step_b).otherwise(F.lit(1.0))
+        aux_b = 1.0 - nu_b
+
+    eT = F.exp(Tcum)
+    delta_c = (c_b - F.coalesce(c_i, F.lit(0.0))) * eT
+    primary = F.exp(-Tcum) * (
+        F.sum(F.coalesce(c_i, F.lit(0.0)) * eT).over(frame)
+        + F.first(delta_c).over(frame))
+    if convention == "core":
+        delta_a = (aux_b - F.coalesce(aux_i, F.lit(0.0))) * eT
+        aux = F.exp(-Tcum) * (
+            F.sum(F.coalesce(aux_i, F.lit(0.0)) * eT).over(frame)
+            + F.first(delta_a).over(frame))
+        out = primary / aux
+    else:
+        out = primary
+    return df.withColumn(f"{column}_ema", out)
+
+
 def ema_half_life(df: DataFrame, column: str, half_life: str,
                   interpolation: str = "previous", convention: str = "legacy",
                   key: Sequence[str] = (),

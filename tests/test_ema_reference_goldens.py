@@ -8,6 +8,8 @@ must stay NaN."""
 
 import math
 
+import numpy as np
+
 import pandas as pd
 import pytest
 
@@ -143,3 +145,69 @@ def test_smoothing_priming_vs_reference_recurrence(spark, convention,
             assert math.isnan(g)
         else:
             assert g == pytest.approx(e, rel=1e-12), (convention, interpolation)
+
+
+@pytest.mark.parametrize("convention", ["core", "legacy", "convolution"])
+@pytest.mark.parametrize("interpolation", ["current", "previous", "linear"])
+def test_windowed_smoothing_matches_per_window_recompute(spark, convention,
+                                                         interpolation):
+    """exponential_smoothing_windowed == brute-force ES re-run on every
+    window slice (the reference's summarizeWindows(exponentialSmoothing)
+    semantics, re-primed at each window's first row)."""
+    from flint_spark import windows as W
+    from flint_spark.operators.ema import exponential_smoothing_windowed
+
+    rng = np.random.default_rng(7)
+    n = 200
+    times = np.cumsum(rng.integers(3600, 7200, n)) * 10**9
+    xs = rng.normal(5, 2, n)
+    df = spark.createDataFrame(
+        [(int(t), float(x)) for t, x in zip(times, xs)],
+        "time long, value double")
+
+    WIN = 24 * 3600 * 10**9
+    period_ns = 6 * 3600 * 10**9
+    alpha, priming = 0.2, 1.5
+    lam = -np.log1p(-alpha)
+
+    def es_slice(tt, xx):
+        periods = np.diff(tt) / period_ns
+        first = (tt[0] - 0) / period_ns if convention == "legacy" else priming
+        T = np.concatenate(([first], periods)) * lam
+        d = np.exp(-T)
+        xp = np.concatenate(([0.0], xx[:-1]))
+        if interpolation == "current":
+            c = (1 - d) * xx
+        elif interpolation == "previous":
+            c = (1 - d) * xp
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nu = np.where(T > 1e-12, (1 - d) / T, 1.0)
+            c = (nu - d) * xp + (1 - nu) * xx
+        ev = 0.0
+        for k in range(len(tt)):
+            ev = d[k] * ev + c[k]
+        if convention != "core":
+            return ev
+        ac = 1 - d
+        if interpolation == "previous":
+            ac[0] = 0.0
+        elif interpolation == "linear":
+            nu0 = (1 - d[0]) / T[0] if T[0] > 1e-12 else 1.0
+            ac[0] = 1 - nu0
+        av = 0.0
+        for k in range(len(tt)):
+            av = d[k] * av + ac[k]
+        return ev / av
+
+    exp = np.array([es_slice(times[(times >= times[j] - WIN)
+                                   & (times <= times[j])],
+                             xs[(times >= times[j] - WIN)
+                                & (times <= times[j])])
+                    for j in range(n)])
+    got = (exponential_smoothing_windowed(
+               df, "value", W.past_absolute_time("1d"), alpha=alpha,
+               priming_periods=priming, duration_per_period="6h",
+               interpolation=interpolation, convention=convention)
+           .toPandas().sort_values("time")["value_ema"].to_numpy())
+    assert np.nanmax(np.abs(got - exp) / np.maximum(np.abs(exp), 1e-9)) < 1e-9
