@@ -141,6 +141,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_multi": q_rollup_multi,
         "histogram": q_histogram,
         "ema_windowed": q_ema_windowed,
+        "clock_random": q_clock_random,
+        "symmetric_join": q_symmetric_join,
+        "ema_half_life": q_ema_half_life,
+        "csv_scan": q_csv_scan,
+        "writer_roundtrip": q_writer_roundtrip,
     }
 
 
@@ -159,6 +164,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "rollup_multi": SQL_ROLLUP_MULTI,
         "histogram": SQL_HISTOGRAM,
         "ema_windowed": SQL_EMA_WINDOWED,
+        "clock_random": SQL_CLOCK_RANDOM,
+        "symmetric_join": SQL_SYMMETRIC_JOIN,
+        "ema_half_life": SQL_EMA_HALF_LIFE,
+        "csv_scan": SQL_CSV_SCAN,
+        "writer_roundtrip": SQL_WRITER_ROUNDTRIP,
     }
 
 

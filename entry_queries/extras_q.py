@@ -276,3 +276,156 @@ SQL_EMA_WINDOWED = """
 """.format(lam=-__import__("math").log1p(-0.1) / 86_400e6,
            decb=__import__("math").exp(__import__("math").log1p(-0.1) * 1.0),
            ab=1.0 - __import__("math").exp(__import__("math").log1p(-0.1) * 1.0))
+
+
+# ----------------------------------------------------------------------
+# round-3: oracle coverage for previously pytest-only surfaces
+# ----------------------------------------------------------------------
+
+def q_clock_random(spark, sf):
+    """Clocks.random replayed value-for-value: the jitter is a pure md5
+    function of (seed, bucket), so DuckDB computes the identical ticks
+    (and the clock is layout-independent — F.rand is not)."""
+    return clocks.random(spark, "2024-03-01", "2024-03-02", "1h", seed=7,
+                         timestamp_type=False)
+
+
+_CK_B = 1709251200000000000  # 2024-03-01 UTC ns
+_CK_E = 1709337600000000000  # 2024-03-02
+_CK_F = 3600000000000        # 1h
+
+SQL_CLOCK_RANDOM = f"""
+  SELECT (id + (('0x' || substr(md5('ck7:' || id::VARCHAR), 1, 12))::BIGINT
+                % {_CK_F})) AS time
+  FROM range({_CK_B}, {_CK_E}, {_CK_F}) t(id)
+  ORDER BY 1
+"""
+
+
+def q_symmetric_join(spark, sf):
+    """Full-outer as-of join (reference SymmetricJoin.scala:30-122): one
+    row per input row from BOTH sides, each enriched with the most
+    recent counterpart within tolerance."""
+    ev = _events(spark, sf)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy(TIME_COLUMN, "user_id")
+              .agg(R(F.max("value"), 4).alias("click_v")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy(TIME_COLUMN, "user_id")
+             .agg(R(F.max("value"), 4).alias("view_v")))
+    out = asof.symmetric_join(clicks, views, tolerance="2h", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      F.col("left_click_v").alias("click_v"),
+                      F.col("right_view_v").alias("view_v"), "side")
+
+
+SQL_SYMMETRIC_JOIN = """
+  WITH c AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
+           floor(max(value) * 10000 + 0.5) / 10000 AS click_v
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+  ), v AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
+           floor(max(value) * 10000 + 0.5) / 10000 AS view_v
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+  )
+  SELECT c.time, c.user_id, c.click_v,
+         CASE WHEN v.time >= c.time - INTERVAL 2 HOUR THEN v.view_v END AS view_v,
+         'left' AS side
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.time <= c.time
+  UNION ALL
+  SELECT v.time, v.user_id,
+         CASE WHEN c.time >= v.time - INTERVAL 2 HOUR THEN c.click_v END AS click_v,
+         v.view_v, 'right' AS side
+  FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND c.time <= v.time
+"""
+
+
+def q_ema_half_life(spark, sf):
+    """emaHalfLife (reference Summarizers.scala:623-663): alpha=0.5, one
+    period per half-life, legacy convention, 'previous' interpolation."""
+    ev = _events(spark, sf)
+    out = ema_ops.ema_half_life(ev, "value", "7d", interpolation="previous",
+                                convention="legacy", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id", R("value_ema", 6).alias("ema"))
+
+
+# legacy/previous closed form: c_i = (1-d_i) x_{i-1}; the injected zero
+# point sits at epoch 0, so the first in-key step decays fully (d~0) and
+# c_1 = 0 exactly.
+SQL_EMA_HALF_LIFE = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+           epoch_us(ts)::DOUBLE AS tus,
+           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)::DOUBLE AS prevt,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prevx
+    FROM events
+  )
+  SELECT time, user_id,
+         floor((exp(-(tus - base) * {lam}) *
+               sum(CASE WHEN prevt IS NULL THEN 0.0
+                        ELSE (1 - exp(-(tus - prevt) * {lam})) * prevx END
+                   * exp((tus - base) * {lam})) OVER (
+                 PARTITION BY user_id ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000 AS ema
+  FROM e
+""".format(lam=__import__("math").log(2.0) / (7 * 86_400e6))
+
+
+def q_csv_scan(spark, sf):
+    """CSV source round-trip (reference timeseries/CSV.scala:48-182):
+    write events as CSV (ns longs + exact micro-units), read back
+    through TSRead with header+inferSchema and [begin, end) range
+    pruning, then aggregate."""
+    from flint_spark.sources.readbuilder import TSRead
+
+    path = "/tmp/flint_csv_" + sf.strip("/").replace("/", "_")
+    ev = _events(spark, sf)
+    (ev.select(
+        (F.unix_micros(F.col(TIME_COLUMN)) * 1000).alias("tns"),
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v_micro"))
+     .coalesce(1).write.mode("overwrite")
+     .option("header", True).csv(path))
+    ts = (TSRead(spark).range("2024-01-05", "2024-01-20")
+          .time_column("tns").csv(path))
+    return (ts.df.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("v_micro").cast("long").alias("v_sum")))
+
+
+SQL_CSV_SCAN = """
+  SELECT event_type, count(*) AS n,
+         sum(floor(value * 1e6))::BIGINT AS v_sum
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+  GROUP BY 1
+"""
+
+
+def q_writer_roundtrip(spark, sf):
+    """Time-partitioned writer + pruned read-back
+    (sources/writer.write_time_partitioned): day directories, then a
+    [begin, end) directory-pruned scan and aggregate."""
+    from flint_spark.sources.writer import (read_time_partitioned,
+                                            write_time_partitioned)
+
+    path = "/tmp/flint_part_" + sf.strip("/").replace("/", "_")
+    ev = _events(spark, sf)
+    write_time_partitioned(ev, path, granularity="1d")
+    back = read_time_partitioned(spark, path, begin="2024-01-05",
+                                 end="2024-01-20")
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor(F.col("value") * 1e6)).cast("long").alias("v_sum")))
+
+
+SQL_WRITER_ROUNDTRIP = """
+  SELECT event_type, count(*) AS n,
+         sum(floor(value * 1e6))::BIGINT AS v_sum
+  FROM events
+  WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-05'
+    AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
+  GROUP BY 1
+"""

@@ -76,11 +76,17 @@ def uniform(begin, end, frequency: str | int, offset: str | int = 0,
 def random(spark: SparkSession, begin, end, frequency: str | int,
            seed: int = 42, timestamp_type: bool = True) -> DataFrame:
     """Random ticks: one tick uniformly placed in each frequency bucket
-    (reference ``timeseries/clock/Clock.scala``). Deterministic per seed."""
+    (reference ``timeseries/clock/Clock.scala``). Deterministic per seed.
+
+    The jitter is a pure md5 function of (seed, bucket start) — NOT
+    ``F.rand(seed)``, whose output depends on the physical partition
+    layout and so differs across cluster sizes. This form is identical
+    on any layout and replayable in ANSI SQL (DuckDB oracle)."""
     b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
     rng = spark.range(b, e, f)
-    jitter = (F.rand(seed) * F.lit(f)).cast("long")
-    ticks = (F.col("id") + jitter)
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit(f"ck{seed}:"), F.col("id").cast("string"))), 1, 12), 16, 10)
+    ticks = F.col("id") + F.pmod(h.cast("long"), F.lit(f))
     if timestamp_type:
         tick = F.timestamp_micros(floor_div(ticks, 1000))
     else:
