@@ -28,6 +28,7 @@ from flint_spark.timeseries import TIME_COLUMN
 from entry_queries import *  # noqa: F401,F403
 from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_embedding_dedup, _sql_hash_split,
+                           _sql_ivf_ann_trained,
                            _sql_interval_custom_clock, _sql_ivf_ann,
                            _sql_lang_confusion, _sql_lsh_ann,
                            _sql_minhash_lsh, _sql_simhash,
@@ -146,6 +147,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema_half_life": q_ema_half_life,
         "csv_scan": q_csv_scan,
         "writer_roundtrip": q_writer_roundtrip,
+        "ivf_ann_trained": q_ivf_ann_trained,
     }
 
 
@@ -169,6 +171,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ema_half_life": SQL_EMA_HALF_LIFE,
         "csv_scan": SQL_CSV_SCAN,
         "writer_roundtrip": SQL_WRITER_ROUNDTRIP,
+        "ivf_ann_trained": _sql_ivf_ann_trained(),
     }
 
 

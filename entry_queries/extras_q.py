@@ -429,3 +429,73 @@ SQL_WRITER_ROUNDTRIP = """
     AND strftime(ts, '%Y-%m-%d') < '2024-01-20'
   GROUP BY 1
 """
+
+
+def q_ivf_ann_trained(spark, sf):
+    """End-to-end trained IVF: distributed Lloyd spherical k-means
+    (k=8, 2 iterations, md5-seeded init, centroids quantized to 1e-9
+    for cross-engine determinism) -> assignment -> nprobe=2 top-k.
+    The SQL oracle replays the training itself (unrolled iterations)."""
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.ivf_train(emb, k=8, iters=2, seed=7, quantize=9)
+    out = similarity.ivf_ann_topk_trained(emb, cents, [0, 1, 2, 3, 4],
+                                          k=10, nprobe=2)
+    return out.select("probe_id", "vec_id", R("cosine", 6).alias("cosine"),
+                      "rank")
+
+
+def _sql_ivf_ann_trained() -> str:
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+
+    def lloyd_iter(n):
+        return f"""
+  a{n} AS (
+    SELECT vec_id, v, cid FROM (
+      SELECT b.vec_id, b.v, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.cid) AS rk
+      FROM base b CROSS JOIN c{n-1} c) WHERE rk = 1),
+  m{n} AS (
+    SELECT cid, i, avg(v[i]) AS m
+    FROM a{n} CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+  c{n} AS (
+    SELECT cid, list(floor(m * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
+    FROM m{n} GROUP BY cid)"""
+
+    return f"""
+  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  c0 AS (
+    SELECT row_number() OVER (ORDER BY md5('7' || vec_id::VARCHAR), vec_id) - 1
+             AS cid, v AS cv
+    FROM base
+    QUALIFY row_number() OVER (ORDER BY md5('7' || vec_id::VARCHAR), vec_id) <= 8),
+  {lloyd_iter(1)},
+  {lloyd_iter(2)},
+  assigned AS (
+    SELECT vec_id, v, cid FROM (
+      SELECT b.vec_id, b.v, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.cid) AS rk
+      FROM base b CROSS JOIN c2 c) WHERE rk = 1),
+  probes AS (SELECT vec_id AS probe_id, v AS pv FROM base
+             WHERE vec_id IN (0, 1, 2, 3, 4)),
+  probe_lists AS (
+    SELECT probe_id, pv, cid FROM (
+      SELECT p.probe_id, p.pv, c.cid,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY {cos.format(a='p.pv', b='c.cv')} DESC, c.cid) AS rk
+      FROM probes p CROSS JOIN c2 c) WHERE rk <= 2),
+  cand AS (
+    SELECT pl.probe_id, pl.pv, a.vec_id, a.v
+    FROM assigned a JOIN probe_lists pl USING (cid)
+    WHERE a.vec_id <> pl.probe_id),
+  ranked AS (
+    SELECT probe_id, vec_id, {cos.format(a='v', b='pv')} AS cosine,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY {cos.format(a='v', b='pv')} DESC, vec_id) AS rank
+    FROM cand)
+  SELECT probe_id, vec_id, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine,
+         rank
+  FROM ranked WHERE rank <= 10
+"""

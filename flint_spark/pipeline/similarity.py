@@ -175,7 +175,7 @@ def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
 
 def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              seed: int = 7) -> list[list[float]]:
+              seed: int = 7, quantize: int | None = None) -> list[list[float]]:
     """Lloyd iterations for IVF coarse centroids (spherical k-means),
     fully distributed: each iteration is one broadcast-NLJ argmax-cosine
     assignment (same plan shape as ``ivf_assign``) plus one
@@ -184,9 +184,10 @@ def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
 
     Deterministic: init picks the k members with the smallest
     md5(seed || id); ties in assignment break on the lower centroid id.
-    ``ivf_ann_topk``'s fixed-member centroids remain the oracle-exact
-    gate path; this is the production training path the reference's IVF
-    analogue would use at scale."""
+    ``quantize=d`` half-up-rounds every centroid component to d decimals
+    after each iteration, which pins the trained centroids across
+    engines and aggregation orders (distributed avg is order-dependent
+    in the last ulps) — the SQL-oracle-able mode."""
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("vid"),
                       _dvec(F.col(vec_col)).alias("v")).persist()
@@ -216,8 +217,50 @@ def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
             [new[c][p] for p in sorted(new[c])] if new[c] else centroids[c]
             for c in range(k)
         ]
+        if quantize is not None:
+            import math
+            m = 10.0 ** quantize
+            centroids = [[math.floor(x * m + 0.5) / m for x in c]
+                         for c in centroids]
     base.unpersist()
     return centroids
+
+
+def ivf_ann_topk_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
+                         probe_ids: Sequence[int], k: int = 10,
+                         nprobe: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """IVF top-k against TRAINED centroids (``ivf_train`` output): same
+    bucket-restricted search as ``ivf_ann_topk`` but the coarse
+    quantizer is the k x dim matrix, broadcast to both the assignment
+    and the probe-list ranking. End-to-end train->assign->search is
+    deterministic (train with ``quantize``), so the full pipeline is
+    SQL-oracle-able."""
+    spark = emb.sparkSession
+    assigned = ivf_assign_trained(emb, centroids, id_col, vec_col) \
+        .select(F.col(id_col), "v", "centroid_id").persist()
+    cents = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "centroid_id int, cv array<double>")
+    probes = (assigned.filter(F.col(id_col).isin(list(probe_ids)))
+              .select(F.col(id_col).alias("probe_id"), F.col("v").alias("pv")))
+    pcos = (_dot(F.col("pv"), F.col("cv"))
+            / (_norm(F.col("pv")) * _norm(F.col("cv")))).alias("pcos")
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("pcos"),
+                                                F.col("centroid_id"))
+    probe_lists = (probes.crossJoin(F.broadcast(cents))
+                   .select("probe_id", "pv", "centroid_id", pcos)
+                   .withColumn("__rk", F.row_number().over(wp))
+                   .filter(F.col("__rk") <= nprobe)
+                   .select("probe_id", "pv", "centroid_id"))
+    cand = assigned.join(F.broadcast(probe_lists), "centroid_id") \
+                   .filter(F.col(id_col) != F.col("probe_id"))
+    cos = (_dot(F.col("v"), F.col("pv"))
+           / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (cand.select("probe_id", F.col(id_col), cos)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def ivf_assign_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
