@@ -243,8 +243,13 @@ SQL_WEIGHTED = """
 
 def q_asof_backward(spark, sf):
     ev = _events(spark, sf)
-    out = asof.left_join(ev, _orders_right(spark, sf), tolerance="9000d",
-                         key=["user_id"])
+    # raw (un-deduped) right side: duplicate (user_id, time) orders
+    # resolve via the operator's max-struct tie rule == the oracle's
+    # dedup-by-max pre-aggregation, without that pre-agg's shuffle
+    right = _t(spark, sf, "orders").select(
+        F.col("o_orderdate").alias(TIME_COLUMN),
+        F.col("o_custkey").alias("user_id"), "o_totalprice")
+    out = asof.left_join(ev, right, tolerance="9000d", key=["user_id"])
     return out.select(TIME_COLUMN, "event_id", "user_id", "value", "o_totalprice")
 
 
@@ -261,8 +266,9 @@ SQL_ASOF_BACKWARD = f"""
 
 def q_asof_forward(spark, sf):
     left = _orders_right(spark, sf).select(TIME_COLUMN, "user_id", "o_totalprice")
-    ev = (_events(spark, sf).groupBy(TIME_COLUMN, "user_id")
-          .agg(F.max("value").alias("value")))
+    # raw right side: the forward join's max-struct tie rule replaces
+    # the dedup-by-max pre-aggregation (one less shuffle)
+    ev = _events(spark, sf).select(TIME_COLUMN, "user_id", "value")
     out = asof.future_left_join(left, ev, tolerance="9500d", key=["user_id"])
     return out.select(TIME_COLUMN, "user_id", "o_totalprice", "value")
 
@@ -281,7 +287,9 @@ def q_asof_strict(spark, sf):
     """Strict lookahead: an event joining to itself must be excluded."""
     ev = (_events(spark, sf).groupBy(TIME_COLUMN, "user_id")
           .agg(F.max("value").alias("value")))
-    nxt = ev.select(TIME_COLUMN, "user_id", F.col("value").alias("next_value"))
+    # raw right side (max-struct tie rule == the oracle's dedup-by-max)
+    nxt = _events(spark, sf).select(TIME_COLUMN, "user_id",
+                                    F.col("value").alias("next_value"))
     out = asof.future_left_join(ev, nxt, tolerance="7d", key=["user_id"],
                                 strict_lookahead=True)
     return out.select(TIME_COLUMN, "user_id", "value", "next_value")

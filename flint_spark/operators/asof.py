@@ -143,9 +143,11 @@ def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0
         l = l.withColumn(_SRC, F.lit(0))
         r = r.withColumn(_SRC, F.lit(1))
     u = l.unionByName(r)
-    # struct tie-break: duplicate right rows resolve deterministically
-    # (min struct wins in the forward direction)
-    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC, F.col(_RROW))
+    # struct tie-break: duplicate (key, time) right rows resolve
+    # deterministically to the MAX struct — the same rule as the
+    # backward join, so a dedup-by-max pre-aggregation on the right side
+    # is redundant in either direction (and its shuffle can be dropped)
+    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC, F.desc(_RROW))
          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
     u = u.withColumn(_RROW, F.first(_RROW, ignorenulls=True).over(w))
     valid = F.col(_RROW)["__rtime"] <= F.col(_TNS) + F.lit(tol)

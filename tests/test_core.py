@@ -325,3 +325,19 @@ def test_ewma_native_equals_pandas_scan(spark):
         b = ewma_native(df, "x", alpha=0.1, duration_per_period="1d",
                         convention=conv, key=["id"]).orderBy("time", "id").toPandas()
         assert np.allclose(a["x_ewma"], b["x_ewma"], rtol=1e-9), conv
+
+
+def test_asof_future_duplicate_right_rows_deterministic(spark):
+    """Forward direction: duplicate (key, time) right rows resolve to
+    the max struct under every layout — same rule as backward, so a
+    dedup-by-max pre-agg on the right is redundant in both directions."""
+    left = spark.createDataFrame([(900, 1, 1.0)], "time long, id int, x double")
+    dup = [(1000, 1, 10), (1000, 1, 30), (1000, 1, 20)]
+    results = set()
+    for n in (1, 2, 5):
+        right = spark.createDataFrame(dup, "time long, id int, v long") \
+            .repartition(n)
+        r = asof.future_left_join(left, right, tolerance=200,
+                                  key=["id"]).collect()[0]
+        results.add(r.v)
+    assert results == {30}
