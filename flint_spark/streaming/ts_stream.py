@@ -217,6 +217,23 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
     return with_ns.mapInPandas(lookup, out_schema)
 
 
+def _typed_list(values, spark_type):
+    """Buffer values coerced to match an ArrayType(spark_type) state
+    field. The tagged union pads each side's columns with nulls, which
+    promotes integer pandas columns to float64 — storing those floats
+    into a Long state array silently nulls them (Arrow cast), so
+    integral Spark types convert back to int here."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    vals = list(values)
+    if isinstance(spark_type, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+        return [None if v is None or (isinstance(v, float) and np.isnan(v))
+                else int(v) for v in vals]
+    return vals
+
+
 def asof_join_stream(left: DataFrame, right: DataFrame,
                      tolerance: str | int, key: Sequence[str],
                      watermark: str = "10 minutes",
@@ -297,7 +314,7 @@ def asof_join_stream(left: DataFrame, right: DataFrame,
                 all_t = np.concatenate([buf_t, r_new["__tns"].to_numpy(np.int64)])
                 order = np.argsort(all_t, kind="stable")
                 for c in rcols:
-                    vals = list(buf_v[c]) + list(r_new[c])
+                    vals = list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
                     buf_v[c] = [vals[i] for i in order]
                 buf_t = all_t[order]
             l_rows = pdf[pdf["__side"] == 0]
@@ -329,6 +346,160 @@ def asof_join_stream(left: DataFrame, right: DataFrame,
             for c in rcols:
                 buf_v[c] = [v for v, k in zip(buf_v[c], keep) if k]
         state.update((buf_t.tolist(), *[buf_v[c] for c in rcols]))
+        yield from frames
+
+    return u.groupBy(*key).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", "NoTimeout")
+
+
+def asof_join_stream_future(left: DataFrame, right: DataFrame,
+                            tolerance: str | int, key: Sequence[str],
+                            watermark: str = "10 minutes",
+                            strict_lookahead: bool = False,
+                            time_column: str = TIME_COLUMN) -> DataFrame:
+    """Stream-stream FORWARD as-of join: enrich each left row with the
+    EARLIEST right row (same key) in ``[t, t + tolerance]`` —
+    ``(t, t + tolerance]`` when ``strict_lookahead`` — matching batch
+    ``operators.asof.future_left_join``.
+
+    Unlike the backward join, a left row cannot be resolved on arrival:
+    its lookahead window only closes once event time passes
+    ``t + tolerance + watermark``. So state buffers BOTH sides per key:
+    pending left rows emit exactly when their window is closed w.r.t.
+    the key's max seen event time (ties resolve like batch: earliest
+    right, max value at equal times); buffered right rows evict once no
+    pending or future-arriving left can reach them. Per-key closure is
+    conservative — a key that stops receiving rows holds its tail in
+    state until more data (the streaming analogue of an open window).
+
+    Output schema matches :func:`asof_join_stream`.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    tol = parse_duration_ns(tolerance)
+    wm_ns = parse_duration_ns(watermark)
+    lcols = [c for c in left.columns if c not in key and c != time_column]
+    rcols = [c for c in right.columns if c not in key and c != time_column]
+    if set(lcols) & set(rcols):
+        raise ValueError(f"overlapping data columns {set(lcols) & set(rcols)}; "
+                         "rename before joining")
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+
+    lt = (left.withWatermark(time_column, watermark)
+          .select(*key, time_ns_expr(left, time_column).alias("__tns"),
+                  F.lit(0).alias("__side"), *lcols,
+                  *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols]))
+    rt = (right.withWatermark(time_column, watermark)
+          .select(*key, time_ns_expr(right, time_column).alias("__tns"),
+                  F.lit(1).alias("__side"),
+                  *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+                  *rcols))
+    u = lt.unionByName(rt)
+
+    out_schema = T.StructType(
+        [left.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType())]
+        + [left.schema[c] for c in lcols]
+        + [right.schema[c] for c in rcols])
+    state_schema = T.StructType(
+        [T.StructField("max_t", T.ArrayType(T.LongType()))]
+        + [T.StructField("lt", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"l_{c}", T.ArrayType(ltypes[c])) for c in lcols]
+        + [T.StructField("rt", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"r_{c}", T.ArrayType(rtypes[c])) for c in rcols])
+
+    side = "right" if strict_lookahead else "left"
+
+    def fold(key_vals, pdf_iter, state):
+        if state.exists:
+            st = state.get
+            i = 0
+            max_t = int(st[0][0]) if st[0] else None
+            i += 1
+            pend_t = np.asarray(st[i] or [], dtype=np.int64); i += 1
+            pend_v = {}
+            for c in lcols:
+                pend_v[c] = list(st[i] or []); i += 1
+            buf_t = np.asarray(st[i] or [], dtype=np.int64); i += 1
+            buf_v = {}
+            for c in rcols:
+                buf_v[c] = list(st[i] or []); i += 1
+        else:
+            max_t = None
+            pend_t = np.empty(0, dtype=np.int64)
+            pend_v = {c: [] for c in lcols}
+            buf_t = np.empty(0, dtype=np.int64)
+            buf_v = {c: [] for c in rcols}
+
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__tns", kind="stable")
+            r_new = pdf[pdf["__side"] == 1]
+            if len(r_new):
+                all_t = np.concatenate([buf_t,
+                                        r_new["__tns"].to_numpy(np.int64)])
+                order = np.argsort(all_t, kind="stable")
+                for c in rcols:
+                    vals = list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
+                    buf_v[c] = [vals[i] for i in order]
+                buf_t = all_t[order]
+            l_new = pdf[pdf["__side"] == 0]
+            if len(l_new):
+                all_t = np.concatenate([pend_t,
+                                        l_new["__tns"].to_numpy(np.int64)])
+                order = np.argsort(all_t, kind="stable")
+                for c in lcols:
+                    vals = list(pend_v[c]) + _typed_list(l_new[c], ltypes[c])
+                    pend_v[c] = [vals[i] for i in order]
+                pend_t = all_t[order]
+            bt = int(pdf["__tns"].max())
+            max_t = bt if max_t is None else max(max_t, bt)
+
+        frames = []
+        if max_t is not None and len(pend_t):
+            closed = pend_t + tol + wm_ns <= max_t
+            if closed.any():
+                t = pend_t[closed]
+                pos = np.searchsorted(buf_t, t, side=side)
+                ok = pos < len(buf_t)
+                ok &= buf_t[np.clip(pos, None, max(len(buf_t) - 1, 0))] \
+                    <= t + tol
+                res = pd.DataFrame({"__tns": t})
+                for i, kcol in enumerate(key):
+                    res[kcol] = key_vals[i]
+                for c in lcols:
+                    vals = pend_v[c]
+                    res[c] = [v for v, m in zip(vals, closed) if m]
+                for c in rcols:
+                    col = np.full(len(t), None, dtype=object)
+                    vals = buf_v[c]
+                    col[ok] = [vals[p] for p in pos[ok]]
+                    res[c] = col
+                frames.append(res[key + ["__tns"] + lcols + rcols])
+                for c in lcols:
+                    pend_v[c] = [v for v, m in zip(pend_v[c], closed) if not m]
+                pend_t = pend_t[~closed]
+        # rights below every pending left AND below any possible future
+        # left (>= max_t - wm) are unreachable in the forward direction
+        if max_t is not None and len(buf_t):
+            cutoff = max_t - wm_ns
+            if len(pend_t):
+                cutoff = min(cutoff, int(pend_t[0]))
+            keep = buf_t >= cutoff
+            buf_t = buf_t[keep]
+            for c in rcols:
+                buf_v[c] = [v for v, k in zip(buf_v[c], keep) if k]
+        state.update((
+            [max_t if max_t is not None else 0],
+            pend_t.tolist(), *[pend_v[c] for c in lcols],
+            buf_t.tolist(), *[buf_v[c] for c in rcols]))
         yield from frames
 
     return u.groupBy(*key).applyInPandasWithState(

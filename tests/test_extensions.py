@@ -732,3 +732,66 @@ def test_readbuilder_expand_agrees_across_session_timezones(spark, sf_dir):
 def test_udf_rejects_datatype_class(spark):
     with pytest.raises(TypeError, match="DoubleType"):
         FL.udf(T.DoubleType)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_streaming_asof_future_matches_batch(spark, sf_dir, tmp_path, strict):
+    """asof_join_stream_future over time-ordered micro-batches ==
+    batch future_left_join, restricted to lefts whose lookahead window
+    is watermark-closed at end of stream (per key)."""
+    import os, shutil
+    from flint_spark.operators import asof
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .drop("ts"))
+    left_b = (ev.filter(F.col("event_type") != "click")
+              .select("time", "user_id", "event_id"))
+    right_b = (ev.filter(F.col("event_type") == "click")
+               .select("time", "user_id",
+                       F.col("value").alias("click_val")))
+    tol, wm = "2d", "1 day"
+    exp_full = (asof.future_left_join(left_b, right_b, tolerance=tol,
+                                      key=["user_id"],
+                                      strict_lookahead=strict)
+                .toPandas())
+
+    split = "2024-01-15"
+    ldir, rdir = tmp_path / f"l{strict}", tmp_path / f"r{strict}"
+    for d, df in ((ldir, left_b), (rdir, right_b)):
+        df.filter(F.col("time") < split).coalesce(1).write.parquet(str(d / "a"))
+        df.filter(F.col("time") >= split).coalesce(1).write.parquet(str(d / "b"))
+        for sub in ("a", "b"):
+            src = [f for f in os.listdir(d / sub) if f.endswith(".parquet")][0]
+            shutil.move(str(d / sub / src), str(d / f"{sub}.parquet"))
+            shutil.rmtree(str(d / sub))
+
+    ls = (spark.readStream.schema(left_b.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(ldir)))
+    rs = (spark.readStream.schema(right_b.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(rdir)))
+    out = ts_stream.asof_join_stream_future(
+        ls, rs, tolerance=tol, key=["user_id"], watermark=wm,
+        strict_lookahead=strict)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(f"asof_fut_{strict}").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql(f"SELECT * FROM asof_fut_{strict}").toPandas()
+           .sort_values("event_id", ignore_index=True))
+
+    # expected emitted set: per-key window closure against the union of
+    # both streams' max event time for that key
+    from flint_spark.timeseries import parse_duration_ns
+    tol_ns, wm_ns = parse_duration_ns(tol), parse_duration_ns(wm)
+    ev_pd = ev.select("time", "user_id").toPandas()
+    ev_pd["tns"] = ev_pd["time"].astype("datetime64[ns]").astype("int64")
+    key_max = ev_pd.groupby("user_id")["tns"].max()
+    exp_full["tns"] = exp_full["time"].astype("datetime64[ns]").astype("int64")
+    closed = exp_full[exp_full.apply(
+        lambda r: r["tns"] + tol_ns + wm_ns <= key_max[r["user_id"]],
+        axis=1)].sort_values("event_id", ignore_index=True)
+    assert len(got) == len(closed) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got[["event_id", "click_val"]].astype({"click_val": "float64"}),
+        closed[["event_id", "click_val"]].astype({"click_val": "float64"}))
