@@ -44,13 +44,73 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                .withColumn("media_meta", meta)
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real decode needs an image library not present in this
-    container. The distributed plumbing calls ``extract_features``
-    which falls back to deterministic byte-level features."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (e.g. Pillow); "
-        "not available in this environment")
+def _pil():
+    """Guarded optional import: Pillow if installed, else None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
+
+
+#: True when a real imaging library is available in this environment
+HAS_PIXEL_DECODE = _pil() is not None
+
+
+def decode_image(payload: bytes):
+    """Decode image bytes to an HxWx[C] numpy array via Pillow when the
+    library is installed; otherwise raise — the container this engine is
+    developed in has no imaging library, and every caller falls back to
+    deterministic byte-level features (clearly-marked stub path)."""
+    Image = _pil()
+    if Image is None:  # pragma: no cover - exercised only without Pillow
+        raise NotImplementedError(
+            "image decode requires an imaging library (e.g. Pillow); "
+            "not available in this environment")
+    import io
+
+    import numpy as np
+    return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+PIXEL_FEATURE_FIELDS = [
+    T.StructField("px_width", T.IntegerType()),
+    T.StructField("px_height", T.IntegerType()),
+    T.StructField("px_mean", T.DoubleType()),
+    T.StructField("px_std", T.DoubleType()),
+]
+
+
+def extract_pixel_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "doc_id") -> DataFrame:
+    """REAL pixel statistics per payload (requires Pillow —
+    ``HAS_PIXEL_DECODE``): mapInPandas batches decode each image and
+    emit (width, height, mean, std) over pixel values. Same plumbing
+    shape as ``extract_features``; raises NotImplementedError up front
+    when no imaging library is present rather than per-task."""
+    if not HAS_PIXEL_DECODE:
+        raise NotImplementedError(
+            "extract_pixel_features requires an imaging library (Pillow)")
+    import numpy as np
+
+    schema = T.StructType([df.schema[id_col]] + PIXEL_FEATURE_FIELDS)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, ms, ss = [], [], [], []
+            for payload in pdf[payload_col]:
+                a = decode_image(bytes(payload)).astype(np.float64)
+                hs.append(int(a.shape[0]))
+                ws.append(int(a.shape[1]) if a.ndim > 1 else 1)
+                ms.append(float(a.mean()))
+                ss.append(float(a.std()))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "px_width": pd.Series(ws, dtype="int32"),
+                "px_height": pd.Series(hs, dtype="int32"),
+                "px_mean": ms, "px_std": ss})
+
+    return df.select(id_col, payload_col).mapInPandas(feats, schema)
 
 
 FEATURE_FIELDS = [

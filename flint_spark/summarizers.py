@@ -340,7 +340,15 @@ def quantile(column: str, probabilities: Sequence[float]) -> Summarizer:
     """Exact quantiles with linear (R-7) interpolation, matching the
     reference's commons-math Percentile
     (``subtractable/QuantileSummarizer.scala``). Use ``approx_quantile``
-    for the sketch-based 100TB path.
+    for the sketch-based 100TB path, or ``quantile_auto`` to pick by a
+    measured group-size bound.
+
+    Memory bound: ``F.percentile`` buffers EVERY group value in the
+    aggregation operator — ~8 bytes x rows per (group, column), held on
+    one executor at final aggregation. At 1e8 rows in one group that is
+    ~800 MB: exact quantiles are only safe when the largest group is
+    bounded; beyond that the sketch (``approx_quantile``, fixed ~KB per
+    group at any scale, rank error <= 1/accuracy) is the right plan.
 
     Output name: ``<col>_<p>quantile`` with '.' replaced by '_'
     (reference uses e.g. ``price_0.25quantile``; dots in column names
@@ -363,6 +371,36 @@ def approx_quantile(column: str, probabilities: Sequence[float],
         for p in probabilities
     ]
     return Summarizer(items)
+
+
+#: largest per-group row count for which exact quantiles are planned by
+#: default (~32 MB of doubles buffered on the final aggregator)
+EXACT_QUANTILE_MAX_ROWS = 4_000_000
+
+
+def quantile_auto(column: str, probabilities: Sequence[float],
+                  df=None, key: Sequence[str] = (),
+                  max_exact_rows: int = EXACT_QUANTILE_MAX_ROWS,
+                  accuracy: int = 10000) -> Summarizer:
+    """Exact quantiles when the largest group is measured (or assumed)
+    to fit the per-group buffer bound; the mergeable sketch otherwise.
+
+    The switch must happen at PLANNING time — a ``CASE WHEN`` over both
+    aggregates would still evaluate (and buffer) the exact branch. With
+    ``df`` given, one cheap count-by-key probe measures the real largest
+    group (column-pruned scan, same cost class as any pre-flight
+    statistics pass); without it, the conservative choice is the sketch.
+    """
+    if df is not None:
+        key = list(key)
+        if key:
+            largest = (df.groupBy(*key).agg(F.count(column).alias("__n"))
+                       .agg(F.max("__n")).first()[0]) or 0
+        else:
+            largest = df.select(F.count(column)).first()[0] or 0
+        if largest <= max_exact_rows:
+            return quantile(column, probabilities)
+    return approx_quantile(column, probabilities, accuracy)
 
 
 def rows(column: str = "rows") -> Summarizer:

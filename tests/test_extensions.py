@@ -795,3 +795,64 @@ def test_streaming_asof_future_matches_batch(spark, sf_dir, tmp_path, strict):
     pd.testing.assert_frame_equal(
         got[["event_id", "click_val"]].astype({"click_val": "float64"}),
         closed[["event_id", "click_val"]].astype({"click_val": "float64"}))
+
+
+def test_multimodal_pixel_decode_guarded(spark, sf_dir):
+    """Pixel decode is real when Pillow is installed, a clean
+    NotImplementedError when not — never a per-task executor crash."""
+    from flint_spark.pipeline import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    payloads = mm.with_binary_payload(docs)
+    if not mm.HAS_PIXEL_DECODE:
+        with pytest.raises(NotImplementedError, match="imaging library"):
+            mm.extract_pixel_features(payloads)
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG fake")
+        return
+    # green path (runs wherever Pillow exists): build a real PNG in
+    # memory, decode distributed, check exact pixel stats
+    import io
+    import numpy as np
+    from PIL import Image
+
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, payload binary")
+    row = mm.extract_pixel_features(df).collect()[0]
+    assert (row.px_width, row.px_height) == (4, 3)
+    assert row.px_mean == pytest.approx(arr.mean())
+    assert row.px_std == pytest.approx(arr.std())
+
+
+def test_quantile_auto_switchover_and_tolerance(spark, sf_dir):
+    """quantile_auto plans exact under the measured group bound, the
+    sketch above it; the sketch stays within rank tolerance of exact."""
+    import numpy as np
+    from flint_spark.operators import aggregate as agg_ops
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp")))
+    probs = [0.25, 0.5, 0.9]
+
+    # small groups -> exact chosen (same expressions as quantile())
+    s_auto = S.quantile_auto("value", probs, df=ev, key=["event_type"])
+    s_exact = S.quantile("value", probs)
+    s_sketch = S.quantile_auto("value", probs, df=ev, key=["event_type"],
+                               max_exact_rows=10)  # force the sketch
+    got_auto = agg_ops.summarize(ev, s_auto, key=["event_type"]).toPandas()
+    got_exact = agg_ops.summarize(ev, s_exact, key=["event_type"]).toPandas()
+    got_sk = agg_ops.summarize(ev, s_sketch, key=["event_type"]).toPandas()
+    cols = [c for c in got_exact.columns if c.endswith("quantile")]
+    a = got_auto.sort_values("event_type", ignore_index=True)
+    e = got_exact.sort_values("event_type", ignore_index=True)
+    k = got_sk.sort_values("event_type", ignore_index=True)
+    pd.testing.assert_frame_equal(a[cols], e[cols])
+    # sketch tolerance: each approx quantile within 2% rank error of
+    # exact (accuracy=10000 guarantees 1e-4 rank; 2% is a loose bound
+    # converted to value space via the empirical distribution)
+    for _, (er, kr) in enumerate(zip(e[cols].to_numpy(), k[cols].to_numpy())):
+        vals = np.abs(er - kr) / np.maximum(np.abs(er), 1e-9)
+        assert (vals < 0.02).all(), (er, kr)
