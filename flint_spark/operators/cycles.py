@@ -89,12 +89,34 @@ _RANKING_CALL = re.compile(
     r"\b(percent_rank|dense_rank|rank|row_number|ntile|cume_dist|lag|lead)\(")
 
 
+_RANKING_NAMES = {"percent_rank", "dense_rank", "rank", "row_number",
+                  "ntile", "cume_dist", "lag", "lead"}
+
+
 def _needs_order(col: Column) -> bool:
     """True iff the expression CALLS a ranking window function.
 
-    Matches ``name(`` as a function invocation in the column's
-    structured rendering (PySpark renders operators prefix-style, so a
-    user column literally named ``rank`` appears bare — ``rank`` or
-    ``+(rank, 1)`` — and does not match, while ``percent_rank()`` /
-    ``lag(rank, 1, ...)`` do)."""
-    return bool(_RANKING_CALL.search(str(col)))
+    Walks the Catalyst expression tree and checks function-call nodes
+    only, so a string LITERAL containing ``"rank("`` can never
+    misclassify (r2 advice). Falls back to a function-call regex over
+    the structured rendering if the JVM tree is unreachable (e.g.
+    Spark Connect columns)."""
+    try:
+        stack = [col._jc.expr()]
+        while stack:
+            e = stack.pop()
+            cls = e.getClass().getSimpleName()
+            if cls == "UnresolvedFunction":
+                # renders as 'name(args...); literals never take this path
+                name = str(e).lstrip("'").split("(", 1)[0].strip()
+                if name.lower() in _RANKING_NAMES:
+                    return True
+            elif cls in ("PercentRank", "DenseRank", "Rank", "RowNumber",
+                         "NTile", "CumeDist", "Lag", "Lead"):
+                return True
+            ch = e.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+    except Exception:  # noqa: BLE001 - connect/py-only columns
+        return bool(_RANKING_CALL.search(str(col)))

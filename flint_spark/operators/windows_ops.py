@@ -67,6 +67,10 @@ def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
     lo, hi = window.range_bounds()
     ons = parse_duration_ns(overlap)
     tns = time_ns_expr(df)
+    # the ±1 adjacency offsets below are integer NANOSECONDS: they are
+    # only exact because the orderBy key is time_ns_expr (epoch ns). A
+    # µs-ordered frame would silently off-by-one (r2 advice).
+    assert ons >= 1, "overlap must be at least 1ns"
     base = Window.partitionBy(*[F.col(k) for k in key]).orderBy(tns)
     w_core = base.rangeBetween(lo, hi)
     if lo < 0 or hi == 0:   # past window: overlap precedes [t+lo, t+hi]

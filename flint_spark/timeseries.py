@@ -122,6 +122,11 @@ def as_time_expr(df: DataFrame, column: str, dtype: str = "timestamp") -> Column
     src = dict(df.dtypes)[column]
     if src == "timestamp" and dtype == "timestamp":
         return F.col(column)
+    if src.startswith("timestamp") and dtype == "timestamp":
+        # ntz -> ltz under a UTC session is a pure reinterpretation; the
+        # generic path's µs->ns->µs floor_div chain is exact but costs
+        # real per-row arithmetic on every scan
+        return F.col(column).cast("timestamp")
     return ns_to_time_expr(time_ns_expr(df, column), dtype)
 
 

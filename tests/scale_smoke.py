@@ -46,6 +46,11 @@ def main(millions: float = 5.0):
                                         S.compose(S.count(), S.mean("x1")),
                                         key=["id"]))
     timed("ewma/key", ewma(panel, "x1", key=["id"]))
+    # keyless series over the FULL panel (5M rows, one series): the
+    # distributed two-phase prefix scan must process it without a
+    # single-group executor — the shape that died at 100x before r3
+    timed("ewma keyless 5M (distributed)",
+          ewma(panel.select("time", "x1"), "x1", distributed=True))
 
     right = panel.sample(0.1, seed=1).select("time", "id",
                                              F.col("x2").alias("r_val"))
