@@ -148,6 +148,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_scan": q_csv_scan,
         "writer_roundtrip": q_writer_roundtrip,
         "ivf_ann_trained": q_ivf_ann_trained,
+        "decontam": q_decontam,
+        "repetition": q_repetition,
     }
 
 
@@ -172,6 +174,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "csv_scan": SQL_CSV_SCAN,
         "writer_roundtrip": SQL_WRITER_ROUNDTRIP,
         "ivf_ann_trained": _sql_ivf_ann_trained(),
+        "decontam": SQL_DECONTAM,
+        "repetition": SQL_REPETITION,
     }
 
 

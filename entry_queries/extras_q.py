@@ -499,3 +499,77 @@ def _sql_ivf_ann_trained() -> str:
          rank
   FROM ranked WHERE rank <= 10
 """
+
+
+def q_decontam(spark, sf):
+    """Test-set decontamination (pipeline.decontam.decontaminate):
+    every 37th document plays the held-out benchmark; training docs
+    sharing any distinct word 5-gram with it are flagged. Broadcast
+    dictionary semi-join — no corpus shuffle beyond the hit count."""
+    from flint_spark.pipeline import decontam
+
+    docs = _t(spark, sf, "documents")
+    test = docs.filter(F.col("doc_id") % 37 == 0)
+    out = decontam.decontaminate(docs, test, n=5, min_hits=1)
+    return out.select("doc_id", "hits", "contaminated")
+
+
+SQL_DECONTAM = """
+  WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    WHERE len(string_split(text, ' ')) >= 5
+  ), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 4),
+                                 i -> array_to_string(ws[i:i+4], ' '))) AS shingle
+    FROM w
+  ), dict AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0
+  ), hits AS (
+    SELECT sh.doc_id, count(*) AS hits
+    FROM sh JOIN dict USING (shingle)
+    GROUP BY 1
+  )
+  SELECT d.doc_id, coalesce(h.hits, 0) AS hits,
+         coalesce(h.hits, 0) >= 1 AS contaminated
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_repetition(spark, sf):
+    """Intra-document repetition (pipeline.text.repetition_ratio):
+    fraction of word 2- and 3-grams repeating within each doc — the
+    Gopher-style boilerplate signal, zero Python."""
+    from flint_spark.pipeline import text as text_ops2
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        R(text_ops2.repetition_ratio("text", 2), 6).alias("rep2"),
+        R(text_ops2.repetition_ratio("text", 3), 6).alias("rep3"))
+
+
+SQL_REPETITION = """
+  WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  g AS (
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 2 THEN
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> array_to_string(ws[i:i+1], ' '))
+           ELSE [] END AS g2,
+           CASE WHEN len(ws) >= 3 THEN
+             list_transform(generate_series(1, len(ws) - 2),
+                            i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [] END AS g3
+    FROM d
+  )
+  SELECT doc_id,
+    floor((CASE WHEN len(g2) > 0 THEN
+             (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+           ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS rep2,
+    floor((CASE WHEN len(g3) > 0 THEN
+             (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+           ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS rep3
+  FROM g
+"""

@@ -98,6 +98,24 @@ def fingerprint(text_col: str = "text") -> Column:
     )
 
 
+def repetition_ratio(text_col: str = "text", k: int = 3) -> Column:
+    """Fraction of word k-grams that repeat an earlier k-gram within
+    the SAME document — the Gopher-style intra-document repetition
+    signal (high values mean boilerplate/listing spam). Pure codegen
+    expressions: build the k-gram array, compare total vs distinct."""
+    w = f"split({text_col}, ' ')"
+    grams = F.expr(
+        f"CASE WHEN size({w}) >= {k} THEN "
+        f"transform(sequence(1, size({w}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({w}, i, {k}))) "
+        f"ELSE array() END")
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0,
+                  (total - distinct).cast("double") / total.cast("double")) \
+            .otherwise(F.lit(0.0))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per doc with the standard text-quality feature set."""
     return docs.withColumns({

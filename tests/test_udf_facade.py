@@ -336,3 +336,26 @@ def test_winnowing_fingerprints(spark):
     n_sh = shingles(docs).groupBy("doc_id").count().agg(F.sum("count")).first()[0]
     n_fp = fps.count()
     assert n_fp < n_sh * 0.8
+
+
+def test_decontaminate_exact_ngram_semantics(spark):
+    from flint_spark.pipeline import decontam
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different sentence with no overlap at all"),
+         (3, "quick brown fox jumps over something else entirely today")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, "xx the quick brown fox jumps yy")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["hits"], r["contaminated"])
+           for r in decontam.decontaminate(train, test, n=5).collect()}
+    # doc 1 shares 'the quick brown fox jumps' (and the 5-gram starting
+    # at 'quick' is NOT in test: test has 'quick brown fox jumps yy')
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)   # shares 4-gram only, n=5 misses it
+    # plan: dictionary side must broadcast, corpus must not shuffle for it
+    plan = decontam.decontaminate(train, test, n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
