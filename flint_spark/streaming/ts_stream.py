@@ -137,7 +137,9 @@ def dedup_stream(stream: DataFrame, subset: Sequence[str],
 def asof_join_static(stream: DataFrame, right: DataFrame,
                      tolerance: str | int = 0, key: Sequence[str] = (),
                      time_column: str = TIME_COLUMN,
-                     right_time_column: str = TIME_COLUMN) -> DataFrame:
+                     right_time_column: str = TIME_COLUMN,
+                     direction: str = "backward",
+                     strict_lookahead: bool = False) -> DataFrame:
     """Streaming as-of enrichment against a STATIC right side (the
     common stream case: tick stream x reference/dimension table).
 
@@ -151,7 +153,10 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
 
     Right columns (minus key/time) are appended; rows with no match
     within ``tolerance`` get nulls — backward semantics matching
-    ``left_join``.
+    ``left_join`` by default; ``direction="forward"`` gives
+    ``future_left_join`` semantics (earliest right in [t, t+tol], or
+    (t, t+tol] with ``strict_lookahead``) — the static side is fully
+    known, so the forward lookup needs no left-row buffering.
     """
     import numpy as np
     import pandas as pd
@@ -159,6 +164,10 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
 
     from ..timeseries import parse_duration_ns, time_ns_expr
 
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if strict_lookahead and direction != "forward":
+        raise ValueError("strict_lookahead requires direction='forward'")
     key = list(key)
     tol = parse_duration_ns(tolerance) if tolerance else 0
     rdata = [c for c in right.columns if c != right_time_column and c not in key]
@@ -200,11 +209,18 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
                     continue
                 rt, rcols = tbl[kv]
                 t = pdf["__tns"].to_numpy(np.int64)[idx]
-                pos = np.searchsorted(rt, t, side="right") - 1
-                ok = pos >= 0
-                # unconditional: tolerance=0 means exact-timestamp match,
-                # same as batch operators.asof.left_join (ADVICE r2)
-                ok &= (t - rt[np.clip(pos, 0, None)]) <= tol
+                if direction == "backward":
+                    pos = np.searchsorted(rt, t, side="right") - 1
+                    ok = pos >= 0
+                    # unconditional: tolerance=0 means exact-timestamp
+                    # match, same as batch left_join (ADVICE r2)
+                    ok &= (t - rt[np.clip(pos, 0, None)]) <= tol
+                else:
+                    pos = np.searchsorted(
+                        rt, t, side="right" if strict_lookahead else "left")
+                    ok = pos < len(rt)
+                    ok &= rt[np.clip(pos, None, max(len(rt) - 1, 0))] \
+                        <= t + tol
                 for c in rdata:
                     vals = res[c]
                     sel = idx[ok]

@@ -856,3 +856,28 @@ def test_quantile_auto_switchover_and_tolerance(spark, sf_dir):
     for _, (er, kr) in enumerate(zip(e[cols].to_numpy(), k[cols].to_numpy())):
         vals = np.abs(er - kr) / np.maximum(np.abs(er), 1e-9)
         assert (vals < 0.02).all(), (er, kr)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_static_forward_matches_batch(spark, strict):
+    """asof_join_static(direction='forward') == batch future_left_join
+    (mapInPandas path exercised on batch frames)."""
+    from flint_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1000, 1, "a"), (2000, 1, "b"), (3000, 1, "c"), (500, 2, "d")],
+        "time long, k int, tag string")
+    right = spark.createDataFrame(
+        [(1000, 1, 10.0), (2500, 1, 25.0), (600, 2, 6.0)],
+        "time long, k int, rv double")
+    exp = {r["tag"]: r["rv"]
+           for r in asof.future_left_join(left, right, tolerance=2000,
+                                          key=["k"],
+                                          strict_lookahead=strict).collect()}
+    got = {r["tag"]: r["rv"]
+           for r in ts_stream.asof_join_static(left, right, tolerance=2000,
+                                               key=["k"], direction="forward",
+                                               strict_lookahead=strict).collect()}
+    assert got == exp
+    # non-strict: a matches its own-time 10.0; strict: a jumps past it
+    assert exp["a"] == (25.0 if strict else 10.0)
