@@ -133,25 +133,33 @@ def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0
     tol = parse_duration_ns(tolerance)
     key, left_data, right_data, left_out, right_out, l, r = _prepare(
         left, right, key, left_alias, right_alias)
+    # The frame runs over time-DESCENDING order so the "nearest future
+    # right" is the last non-null seen in an unbounded-PRECEDING frame,
+    # which WindowExec maintains incrementally (O(n)). The forward-frame
+    # formulation ([currentRow, unboundedFollowing] + first) uses
+    # Spark's UnboundedFollowingWindowFunctionFrame, which re-aggregates
+    # the suffix for every row — O(n^2) per key, a scale-killer.
     if strict_lookahead:
-        # rights sort BEFORE lefts at equal time -> excluded from the
-        # current-row-onwards frame -> only strictly-future rights match.
-        l = l.withColumn(_SRC, F.lit(1))
-        r = r.withColumn(_SRC, F.lit(0))
-    else:
-        # rights sort AFTER lefts at equal time -> equal timestamps match.
+        # in desc order, rights at equal time sort AFTER the left row ->
+        # outside its preceding frame -> only strictly-future rights.
         l = l.withColumn(_SRC, F.lit(0))
         r = r.withColumn(_SRC, F.lit(1))
+    else:
+        # rights first at equal time -> equal timestamps match.
+        l = l.withColumn(_SRC, F.lit(1))
+        r = r.withColumn(_SRC, F.lit(0))
     u = l.unionByName(r)
     # struct tie-break: duplicate (key, time) right rows resolve
     # deterministically to the MAX struct — the same rule as the
     # backward join, so a dedup-by-max pre-aggregation on the right side
-    # is redundant in either direction (and its shuffle can be dropped)
-    w = (Window.partitionBy(*key).orderBy(_TNS, _SRC, F.desc(_RROW))
-         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    u = u.withColumn(_RROW, F.first(_RROW, ignorenulls=True).over(w))
+    # is redundant in either direction (and its shuffle can be dropped).
+    # (asc struct + last(): among equal-(time) rights the max struct is
+    # visited last and wins.)
+    w = (Window.partitionBy(*key).orderBy(F.desc(_TNS), _SRC, F.col(_RROW))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = u.withColumn(_RROW, F.last(_RROW, ignorenulls=True).over(w))
     valid = F.col(_RROW)["__rtime"] <= F.col(_TNS) + F.lit(tol)
-    left_marker = 1 if strict_lookahead else 0
+    left_marker = 0 if strict_lookahead else 1
     matched = F.col(_RROW)
     out_cols = [F.col(TIME_COLUMN)] + [F.col(k) for k in key]
     out_cols += [F.col(c).alias(left_out[c]) for c in left_data]

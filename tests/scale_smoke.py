@@ -51,6 +51,21 @@ def main(millions: float = 5.0):
     # single-group executor — the shape that died at 100x before r3
     timed("ewma keyless 5M (distributed)",
           ewma(panel.select("time", "x1"), "x1", distributed=True))
+    # the reference's flagship number is "left-subtractable EWMA ~70x
+    # faster than exponentialSmoothing inside summarizeWindows" at 10M
+    # rows (doc/ema.md:120-121) — because only EWMA had subtract().
+    # Here BOTH are O(n) range-frame plans, so windowed ES runs at
+    # windowed-EWMA speed and the 70x penalty does not exist at all.
+    from flint_spark.operators.ema import (ewma_windowed,
+                                           exponential_smoothing_windowed)
+    timed("ewma windowed 100s/key",
+          ewma_windowed(panel, "x1", W.past_absolute_time("100s"),
+                        key=["id"]))
+    timed("exp-smoothing windowed/key",
+          exponential_smoothing_windowed(panel, "x1",
+                                         W.past_absolute_time("100s"),
+                                         interpolation="linear",
+                                         convention="core", key=["id"]))
 
     right = panel.sample(0.1, seed=1).select("time", "id",
                                              F.col("x2").alias("r_val"))

@@ -881,3 +881,26 @@ def test_asof_static_forward_matches_batch(spark, strict):
     assert got == exp
     # non-strict: a matches its own-time 10.0; strict: a jumps past it
     assert exp["a"] == (25.0 if strict else 10.0)
+
+
+def test_bucketed_layout_elides_aggregation_shuffle(spark, sf_dir, tmp_path):
+    """write_bucketed + aggregation on the bucket key runs with ZERO
+    exchanges — the storage-partitioned layout that makes repeated
+    keyed aggregation/window work shuffle-free at 100 TB."""
+    import re
+    from flint_spark.sources.writer import write_bucketed
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("ts").cast("timestamp").alias("time"),
+                  "user_id", "event_type", "value"))
+    write_bucketed(ev, "ev_bucketed", key=["user_id"], n_buckets=8)
+    try:
+        agg = (spark.table("ev_bucketed")
+               .groupBy("user_id").agg(F.sum("value").alias("s"),
+                                       F.count("*").alias("n")))
+        agg.count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange (hash|range)", plan)) == 0, plan[:500]
+        assert agg.count() == ev.select("user_id").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
