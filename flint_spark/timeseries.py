@@ -501,6 +501,24 @@ class TimeSeriesDataFrame:
         from .operators.ema import ema_half_life
         return self._wrap(ema_half_life(self._df, column, half_life, **kwargs))
 
+    def ewma_windowed(self, column: str, window, **kwargs
+                      ) -> "TimeSeriesDataFrame":
+        from .operators.ema import ewma_windowed
+        return self._wrap(ewma_windowed(self._df, column, window, **kwargs))
+
+    def exponential_smoothing_windowed(self, column: str, window, **kwargs
+                                       ) -> "TimeSeriesDataFrame":
+        from .operators.ema import exponential_smoothing_windowed
+        return self._wrap(exponential_smoothing_windowed(
+            self._df, column, window, **kwargs))
+
+    def symmetric_join(self, right: "TimeSeriesDataFrame",
+                       tolerance: str | int = 0, key: Sequence[str] = (),
+                       **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.asof import symmetric_join
+        r = right._df if isinstance(right, TimeSeriesDataFrame) else right
+        return self._wrap(symmetric_join(self._df, r, tolerance, key, **kwargs))
+
     def ols_regression(self, y: str, xs: Sequence[str], **kwargs) -> DataFrame:
         from .operators.regression import ols_regression
         return ols_regression(self._df, y, xs, **kwargs)

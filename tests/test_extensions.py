@@ -904,3 +904,21 @@ def test_bucketed_layout_elides_aggregation_shuffle(spark, sf_dir, tmp_path):
         assert agg.count() == ev.select("user_id").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+
+
+def test_wrapper_round3_methods(spark):
+    """TimeSeriesDataFrame exposes the round-3 operator surface."""
+    from flint_spark import TimeSeriesDataFrame, windows as W
+
+    df = spark.createDataFrame(
+        [(i * 10**9, 1, float(i)) for i in range(50)],
+        "time long, id int, x double")
+    ts = TimeSeriesDataFrame(df)
+    assert "x_ewma" in ts.ewma_windowed(
+        "x", W.past_absolute_time("10s"), key=["id"]).columns
+    assert "x_ema" in ts.exponential_smoothing_windowed(
+        "x", W.past_absolute_time("10s"), key=["id"]).columns
+    other = TimeSeriesDataFrame(df.select("time", "id",
+                                          F.col("x").alias("y")))
+    sym = ts.symmetric_join(other, tolerance="5s", key=["id"])
+    assert "side" in sym.columns

@@ -135,3 +135,36 @@ def test_hash_split_is_pure_function_of_id(ids):
     ph = (sampling.hash_split(half, w).toPandas()
           .set_index("doc_id")["split"])
     assert (pf.loc[ph.index] == ph).all()
+
+
+def _ref_asof_forward(left, right, tol, strict):
+    out = []
+    for _, lr in left.iterrows():
+        lo = lr["time"] + 1 if strict else lr["time"]
+        cand = right[(right["id"] == lr["id"]) & (right["time"] >= lo)
+                     & (right["time"] <= lr["time"] + tol)]
+        out.append(cand.sort_values("time").iloc[0]["rv"]
+                   if len(cand) else None)
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left=panels(), right=panels(), tol=st.integers(0, 200),
+       strict=st.booleans())
+def test_asof_forward_vs_reference(left, right, tol, strict):
+    """Forward join (desc-order prefix-frame formulation) vs a
+    hand-written per-row reference, strict and non-strict."""
+    right = (right.groupby(["time", "id"], as_index=False)
+             .agg(rv=("v", "max")))
+    spark = _spark()
+    ldf = spark.createDataFrame(left, "time long, id int, v double")
+    rdf = spark.createDataFrame(right, "time long, id int, rv double")
+    got = (asof.future_left_join(ldf, rdf, tolerance=tol, key=["id"],
+                                 strict_lookahead=strict)
+           .toPandas().sort_values(["time", "id", "v"], ignore_index=True))
+    exp_vals = _ref_asof_forward(
+        left.sort_values(["time", "id", "v"], ignore_index=True),
+        right, tol, strict)
+    got_vals = [None if pd.isna(x) else x for x in got["rv"]]
+    assert got_vals == exp_vals
