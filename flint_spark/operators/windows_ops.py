@@ -32,8 +32,18 @@ def _range_window(df: DataFrame, window: TimeWindow, key: Sequence[str]):
     )
 
 
-def summarize_windows(df: DataFrame, window: TimeWindow, summarizer: Summarizer,
+def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
                       key: Sequence[str] = ()) -> DataFrame:
+    from ..summarizers import EmaWindowSummarizer
+
+    if isinstance(summarizer, EmaWindowSummarizer):
+        # reference call shape summarizeWindows(window, Summarizers.ewma)
+        # — order-dependent, routed to the closed-form O(n) windowed EMA
+        from .ema import ewma_windowed, exponential_smoothing_windowed
+        fn = ewma_windowed if summarizer.kind == "ewma" \
+            else exponential_smoothing_windowed
+        return fn(df, summarizer.column, window, key=key,
+                  **summarizer.kwargs)
     w = _range_window(df, window, list(key))
     return df.withColumns(dict(summarizer.over_exprs(df, w)))
 

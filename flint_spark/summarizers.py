@@ -373,6 +373,46 @@ def approx_quantile(column: str, probabilities: Sequence[float],
     return Summarizer(items)
 
 
+class EmaWindowSummarizer:
+    """Marker summarizer for the EMA family inside ``summarize_windows``
+    — mirrors the reference's ``summarizeWindows(window,
+    Summarizers.ewma(...))`` call shape (its flagship left-subtractable
+    case, ``doc/ema.md:120-121``). The EMA recurrence is
+    order-dependent, not a frame aggregate, so ``summarize_windows``
+    routes this marker to the closed-form O(n) implementations
+    (``operators.ema.ewma_windowed`` / ``exponential_smoothing_windowed``)
+    instead of rendering ``.over(frame)`` expressions."""
+
+    def __init__(self, kind: str, column: str, **kwargs):
+        assert kind in ("ewma", "exponential_smoothing")
+        self.kind = kind
+        self.column = column
+        self.kwargs = kwargs
+
+
+def ewma(column: str, alpha: float = 0.05, duration_per_period: str = "1d",
+         convention: str = "legacy") -> EmaWindowSummarizer:
+    """Reference ``Summarizers.ewma`` for use in ``summarize_windows``
+    (for the running form call ``operators.ema.ewma`` directly)."""
+    return EmaWindowSummarizer("ewma", column, alpha=alpha,
+                               duration_per_period=duration_per_period,
+                               convention=convention)
+
+
+def exponential_smoothing(column: str, alpha: float = 0.05,
+                          priming_periods: float = 0.0,
+                          duration_per_period: str = "1d",
+                          interpolation: str = "current",
+                          convention: str = "core") -> EmaWindowSummarizer:
+    """Reference ``Summarizers.exponentialSmoothing`` for
+    ``summarize_windows`` (running form: ``operators.ema``)."""
+    return EmaWindowSummarizer(
+        "exponential_smoothing", column, alpha=alpha,
+        priming_periods=priming_periods,
+        duration_per_period=duration_per_period,
+        interpolation=interpolation, convention=convention)
+
+
 #: largest per-group row count for which exact quantiles are planned by
 #: default (~32 MB of doubles buffered on the final aggregator)
 EXACT_QUANTILE_MAX_ROWS = 4_000_000

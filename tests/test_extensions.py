@@ -922,3 +922,27 @@ def test_wrapper_round3_methods(spark):
                                           F.col("x").alias("y")))
     sym = ts.symmetric_join(other, tolerance="5s", key=["id"])
     assert "side" in sym.columns
+
+
+def test_summarize_windows_ema_summarizer_routing(spark):
+    """summarize_windows(window, S.ewma(...)) — the reference's flagship
+    call shape — routes to the closed-form windowed implementations and
+    matches calling them directly."""
+    from flint_spark.operators import ema as E, windows_ops
+    from flint_spark import windows as W
+
+    df = spark.createDataFrame(
+        [(i * 10**9, 1, float(i % 7)) for i in range(200)],
+        "time long, id int, x double")
+    win = W.past_absolute_time("30s")
+    via_summ = windows_ops.summarize_windows(
+        df, win, S.ewma("x", alpha=0.2, convention="core"), key=["id"])
+    direct = E.ewma_windowed(df, "x", win, alpha=0.2, convention="core",
+                             key=["id"])
+    assert via_summ.collect() == direct.collect()
+    via_es = windows_ops.summarize_windows(
+        df, win, S.exponential_smoothing("x", alpha=0.2,
+                                         interpolation="linear"), key=["id"])
+    direct_es = E.exponential_smoothing_windowed(
+        df, "x", win, alpha=0.2, interpolation="linear", key=["id"])
+    assert via_es.collect() == direct_es.collect()
