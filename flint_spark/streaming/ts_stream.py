@@ -520,3 +520,77 @@ def asof_join_stream_future(left: DataFrame, right: DataFrame,
 
     return u.groupBy(*key).applyInPandasWithState(
         fold, out_schema, state_schema, "append", "NoTimeout")
+
+
+def exponential_smoothing_stream(stream: DataFrame, column: str,
+                                 key: Sequence[str], alpha: float = 0.05,
+                                 priming_periods: float = 0.0,
+                                 duration_per_period: str = "1d",
+                                 interpolation: str = "current",
+                                 convention: str = "core",
+                                 time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming exponentialSmoothing per key — the stateful twin of
+    ``operators.ema.exponential_smoothing`` (full interpolation ×
+    convention matrix, priming). Reuses the batch engine's coefficient
+    builder and vectorized affine scan; the state carries
+    (prev event-time, prev value, primary accumulator, aux accumulator)
+    so in-order arrival reproduces the batch result exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.ema import _affine_scan, _smoothing_coeffs
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    period_ns = float(parse_duration_ns(duration_per_period))
+    coeff_fn = _smoothing_coeffs(alpha, priming_periods, period_ns,
+                                 interpolation, convention)
+    divide = convention == "core"
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField(f"{column}_ema", T.DoubleType())])
+    state_schema = T.StructType([
+        T.StructField("prev_t", T.LongType()),
+        T.StructField("prev_x", T.DoubleType()),
+        T.StructField("e", T.DoubleType()),
+        T.StructField("a", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        prev_t, prev_x, e, a = state.get if state.exists \
+            else (None, None, 0.0, 0.0)
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("__tns", kind="stable")
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            n = len(x)
+            if n == 0:
+                continue
+            steps, c, aux_c = coeff_fn(t, x, prev_t, prev_x)
+            with np.errstate(under="ignore"):
+                decay = np.exp(-np.cumsum(steps))
+            evals = _affine_scan(steps, c) + e * decay
+            avals = _affine_scan(steps, aux_c) + a * decay
+            if divide:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = evals / avals
+            else:
+                out = evals
+            e, a = float(evals[-1]), float(avals[-1])
+            prev_t, prev_x = int(t[-1]), float(x[-1])
+            res = pd.DataFrame({c_: [v] * n for c_, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[column] = x
+            res[f"{column}_ema"] = out
+            frames.append(res)
+        state.update((prev_t, prev_x, float(e), float(a)))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

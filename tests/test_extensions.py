@@ -946,3 +946,41 @@ def test_summarize_windows_ema_summarizer_routing(spark):
     direct_es = E.exponential_smoothing_windowed(
         df, "x", win, alpha=0.2, interpolation="linear", key=["id"])
     assert via_es.collect() == direct_es.collect()
+
+
+def test_streaming_exponential_smoothing_matches_batch(spark, sf_dir, tmp_path):
+    """exponential_smoothing_stream over time-split micro-batches ==
+    batch exponential_smoothing (linear/core, priming) bitwise-ish."""
+    import os, shutil
+    import numpy as np
+    from flint_spark.operators import ema as E
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .drop("ts").select("time", "user_id", "value"))
+    kwargs = dict(alpha=0.1, priming_periods=1.5, duration_per_period="12h",
+                  interpolation="linear", convention="core")
+    exp = (E.exponential_smoothing(ev, "value", key=["user_id"], **kwargs)
+           .toPandas().sort_values(["user_id", "time"], ignore_index=True))
+
+    split = "2024-01-15"
+    d = tmp_path / "es"
+    for i, flt in enumerate([F.col("time") < split, F.col("time") >= split]):
+        ev.filter(flt).coalesce(1).write.parquet(str(d / f"p{i}"))
+        src = [f for f in os.listdir(d / f"p{i}") if f.endswith(".parquet")][0]
+        shutil.move(str(d / f"p{i}" / src), str(d / f"f{i}.parquet"))
+        shutil.rmtree(str(d / f"p{i}"))
+    es = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = ts_stream.exponential_smoothing_stream(es, "value",
+                                                 key=["user_id"], **kwargs)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("es_stream_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql("SELECT * FROM es_stream_out").toPandas()
+           .sort_values(["user_id", "__tns"], ignore_index=True))
+    assert len(got) == len(exp)
+    g = got["value_ema"].to_numpy()
+    e = exp["value_ema"].to_numpy()
+    assert np.nanmax(np.abs(g - e) / np.maximum(np.abs(e), 1e-9)) < 1e-12
