@@ -594,3 +594,91 @@ def exponential_smoothing_stream(stream: DataFrame, column: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def summarize_windows_stream(stream: DataFrame, window, reducer,
+                             out_name: str, key: Sequence[str],
+                             value_col: str = "value",
+                             watermark: str = "10 minutes",
+                             out_type: str = "double",
+                             time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming per-row sliding-window aggregate — the stateful twin of
+    ``functions.summarize_windows_udf``: for each arriving row, apply
+    ``reducer(pandas_series) -> scalar`` over the values in its past
+    window ``[t - w, t]``.
+
+    State buffers (time, value) pairs per key within
+    ``window + watermark``; each micro-batch resolves its rows against
+    buffer+batch via searchsorted slices and evicts expired entries.
+    In-order arrival reproduces the batch operator exactly (parity
+    test); rows arriving out of order beyond the watermark may miss
+    window members — the standard streaming bound.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+    from ..windows import TimeWindow
+
+    if not isinstance(window, TimeWindow):
+        raise TypeError("window must be a TimeWindow")
+    lo, hi = window.range_bounds()
+    if hi != 0 or lo > 0:
+        raise ValueError("streaming supports past windows ([t-w, t]) only")
+    w_ns = -lo
+    wm_ns = parse_duration_ns(watermark)
+    key = list(key)
+    with_ns = (stream.withWatermark(time_column, watermark)
+               .withColumn("__tns", time_ns_expr(stream, time_column)))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(value_col, stream.schema[value_col].dataType),
+           T.StructField(out_name,
+                         out_type if isinstance(out_type, T.DataType)
+                         else T._parse_datatype_string(out_type))])
+    state_schema = T.StructType([
+        T.StructField("bt", T.ArrayType(T.LongType())),
+        T.StructField("bv", T.ArrayType(T.DoubleType()))])
+
+    def fold(key_vals, pdf_iter, state):
+        if state.exists:
+            st = state.get
+            buf_t = np.asarray(st[0] or [], dtype=np.int64)
+            buf_v = np.asarray(st[1] or [], dtype=np.float64)
+        else:
+            buf_t = np.empty(0, dtype=np.int64)
+            buf_v = np.empty(0, dtype=np.float64)
+        frames = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__tns", kind="stable")
+            t = pdf["__tns"].to_numpy(np.int64)
+            x = pdf[value_col].to_numpy(np.float64)
+            all_t = np.concatenate([buf_t, t])
+            all_v = np.concatenate([buf_v, x])
+            order = np.argsort(all_t, kind="stable")
+            buf_t, buf_v = all_t[order], all_v[order]
+            los = np.searchsorted(buf_t, t - w_ns, side="left")
+            his = np.searchsorted(buf_t, t, side="right")
+            vals = [reducer(pd.Series(buf_v[lo_:hi_]))
+                    for lo_, hi_ in zip(los, his)]
+            res = pd.DataFrame({c: [v] * len(t)
+                                for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[value_col] = x
+            res[out_name] = vals
+            frames.append(res)
+        if len(buf_t):
+            cutoff = int(buf_t[-1]) - w_ns - wm_ns
+            keep = buf_t >= cutoff
+            buf_t, buf_v = buf_t[keep], buf_v[keep]
+        state.update((buf_t.tolist(), buf_v.tolist()))
+        yield from frames
+
+    return (with_ns.select(*key, "__tns", value_col)
+            .groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

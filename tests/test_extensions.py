@@ -984,3 +984,41 @@ def test_streaming_exponential_smoothing_matches_batch(spark, sf_dir, tmp_path):
     g = got["value_ema"].to_numpy()
     e = exp["value_ema"].to_numpy()
     assert np.nanmax(np.abs(g - e) / np.maximum(np.abs(e), 1e-9)) < 1e-12
+
+
+def test_streaming_rolling_window_matches_batch(spark, sf_dir, tmp_path):
+    """summarize_windows_stream over time-split micro-batches ==
+    summarize_windows_udf (same reducer) in batch."""
+    import os, shutil
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .drop("ts").select("time", "user_id", "value"))
+    red = lambda s: float(s.sum())
+    exp = (FL.summarize_windows_udf(ev, W.past_absolute_time("6h"),
+                                    lambda pdf: float(pdf["value"].sum()),
+                                    "w_sum", key=["user_id"])
+           .toPandas().sort_values(["user_id", "time"], ignore_index=True))
+
+    d = tmp_path / "roll"
+    split = "2024-01-15"
+    for i, flt in enumerate([F.col("time") < split, F.col("time") >= split]):
+        ev.filter(flt).coalesce(1).write.parquet(str(d / f"p{i}"))
+        src = [f for f in os.listdir(d / f"p{i}") if f.endswith(".parquet")][0]
+        shutil.move(str(d / f"p{i}" / src), str(d / f"f{i}.parquet"))
+        shutil.rmtree(str(d / f"p{i}"))
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = ts_stream.summarize_windows_stream(
+        st, W.past_absolute_time("6h"), red, "w_sum", key=["user_id"],
+        watermark="1 minute")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("roll_out").start())
+    q.processAllAvailable()
+    q.stop()
+    got = (spark.sql("SELECT * FROM roll_out").toPandas()
+           .sort_values(["user_id", "__tns"], ignore_index=True))
+    assert len(got) == len(exp)
+    import numpy as np
+    assert np.allclose(got["w_sum"].to_numpy(), exp["w_sum"].to_numpy(),
+                       rtol=1e-12)
