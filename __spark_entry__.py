@@ -150,6 +150,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_trained": q_ivf_ann_trained,
         "decontam": q_decontam,
         "repetition": q_repetition,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -176,6 +177,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ivf_ann_trained": _sql_ivf_ann_trained(),
         "decontam": SQL_DECONTAM,
         "repetition": SQL_REPETITION,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
     }
 
 

@@ -573,3 +573,29 @@ SQL_REPETITION = """
            ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS rep3
   FROM g
 """
+
+
+def q_weighted_sample(spark, sf):
+    """Quality-weighted deterministic downsampling
+    (pipeline.sampling.weighted_sample): keep probability = per-doc
+    quality proxy; decision is md5(salt||id) — engine-replayable."""
+    from flint_spark.pipeline import sampling
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "q", (F.col("n_chars") % 997) / 997.0)
+    kept = sampling.weighted_sample(docs, "q")
+    return kept.agg(F.count("*").alias("n_kept"),
+                    F.min("doc_id").alias("first_id"),
+                    F.sum("doc_id").cast("long").alias("id_sum"))
+
+
+SQL_WEIGHTED_SAMPLE = """
+  WITH d AS (
+    SELECT doc_id, (n_chars % 997) / 997.0 AS q FROM documents
+  )
+  SELECT count(*) AS n_kept, min(doc_id) AS first_id,
+         sum(doc_id)::BIGINT AS id_sum
+  FROM d
+  WHERE ((('0x' || substr(md5('wsample' || doc_id::VARCHAR), 1, 7))::BIGINT)
+         % 10000) < CAST(q * 10000 AS INT)
+"""

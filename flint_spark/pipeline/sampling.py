@@ -82,6 +82,18 @@ def deterministic_sample(df: DataFrame, fraction: float, on: str = "doc_id",
     return df.filter(b < F.lit(int(round(fraction * _BUCKETS))))
 
 
+def weighted_sample(df: DataFrame, prob_col, on: str = "doc_id",
+                    salt: str = "wsample") -> DataFrame:
+    """Keep each row with its OWN probability (a column or expression in
+    [0, 1]) — quality-weighted corpus downsampling, deterministic: the
+    keep decision is a pure function of (salt, id), so re-runs and
+    engines agree and appending data never flips an existing row."""
+    if isinstance(prob_col, str):
+        prob_col = F.col(prob_col)
+    b = _bucket(F.col(on), salt)
+    return df.filter(b < (prob_col * _BUCKETS).cast("int"))
+
+
 def stratified_sample(df: DataFrame, strata: str,
                       fractions: Mapping[str, float],
                       on: str = "doc_id", salt: str = "sample") -> DataFrame:

@@ -1022,3 +1022,48 @@ def test_streaming_rolling_window_matches_batch(spark, sf_dir, tmp_path):
     import numpy as np
     assert np.allclose(got["w_sum"].to_numpy(), exp["w_sum"].to_numpy(),
                        rtol=1e-12)
+
+
+def test_round3_operators_on_empty_input(spark):
+    """Round-3 operators must handle 0-row inputs too."""
+    from flint_spark.operators import asof
+    from flint_spark.operators.ema import (ewma,
+                                           exponential_smoothing_windowed)
+    from flint_spark.pipeline import decontam, sampling
+    from flint_spark.pipeline.text import repetition_ratio
+
+    empty = spark.createDataFrame(
+        [], "time timestamp, user_id long, value double")
+    assert exponential_smoothing_windowed(
+        empty, "value", W.past_absolute_time("1h"), key=["user_id"]).count() == 0
+    # keyless distributed path on empty input
+    assert ewma(empty, "value", distributed=True).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert decontam.decontaminate(docs, docs).count() == 0
+    assert docs.select(repetition_ratio("text", 3)).count() == 0
+    assert sampling.weighted_sample(docs, F.lit(0.5)).count() == 0
+    nonempty = spark.createDataFrame(
+        [(1000, 1, 1.0)], "time long, user_id long, value double")
+    e2 = spark.createDataFrame([], "time long, user_id long, rv double")
+    assert asof.future_left_join(nonempty, e2, tolerance="1d",
+                                 key=["user_id"]).count() == 1
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    """weighted_sample keeps a row iff its hash bucket < p*B: higher
+    probability keeps a superset; determinism across layouts."""
+    from flint_spark.pipeline import sampling
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id") \
+        .withColumn("q", (F.col("doc_id") % 100) / 100.0)
+    lo = set(r.doc_id for r in
+             sampling.weighted_sample(docs, F.col("q") * 0.5).collect())
+    hi = set(r.doc_id for r in
+             sampling.weighted_sample(docs.repartition(7), "q").collect())
+    assert lo <= hi
+    n = docs.count()
+    # E[keep] = mean(q) ~ 0.495
+    assert 0.4 * n < len(hi) < 0.6 * n
+    again = set(r.doc_id for r in
+                sampling.weighted_sample(docs.coalesce(1), "q").collect())
+    assert hi == again
