@@ -237,7 +237,7 @@ def q_ema_windowed(spark, sf):
         priming_periods=1.0, duration_per_period="1d",
         interpolation="current", convention="core", key=["user_id"])
     return out.select(TIME_COLUMN, "user_id",
-                      R("value_ema", 6).alias("emaw"))
+                      R("value_ema", 4).alias("emaw"))
 
 
 # identical closed form in DuckDB: windowed ES(t) over [t-7d, t] equals
@@ -269,7 +269,7 @@ SQL_EMA_WINDOWED = """
     floor((
       (sum(ci * exp(T)) OVER w + first_value((cb - ci) * exp(T)) OVER w)
       / (sum(ai * exp(T)) OVER w + first_value(({ab} - ai) * exp(T)) OVER w)
-    ) * 1000000 + 0.5) / 1000000 AS emaw
+    ) * 10000 + 0.5) / 10000 AS emaw
   FROM c
   WINDOW w AS (PARTITION BY user_id ORDER BY tus
                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
@@ -347,7 +347,7 @@ def q_ema_half_life(spark, sf):
     ev = _events(spark, sf)
     out = ema_ops.ema_half_life(ev, "value", "7d", interpolation="previous",
                                 convention="legacy", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", R("value_ema", 6).alias("ema"))
+    return out.select(TIME_COLUMN, "user_id", R("value_ema", 4).alias("ema"))
 
 
 # legacy/previous closed form: c_i = (1-d_i) x_{i-1}; the injected zero
@@ -368,7 +368,7 @@ SQL_EMA_HALF_LIFE = """
                         ELSE (1 - exp(-(tus - prevt) * {lam})) * prevx END
                    * exp((tus - base) * {lam})) OVER (
                  PARTITION BY user_id ORDER BY time
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000 AS ema
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS ema
   FROM e
 """.format(lam=__import__("math").log(2.0) / (7 * 86_400e6))
 

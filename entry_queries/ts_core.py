@@ -456,7 +456,7 @@ def q_ema_core(spark, sf):
         ev, "value", alpha=0.05, priming_periods=1.0, duration_per_period="1d",
         interpolation="current", convention="core", key=["user_id"])
     return out.select(TIME_COLUMN, "user_id",
-                      R("value_ema", 6).alias("ema"))
+                      R("value_ema", 4).alias("ema"))
 
 
 # E_n = sum_i c_i exp(-lam (t_n - t_i)), c_i = (1-d_i) x_i,
@@ -475,7 +475,7 @@ SQL_EMA_CORE = """
   )
   SELECT time, user_id,
          floor(((sum((1 - dec) * value * exp((tus - base) * {lam})) OVER w)
-           / (sum((1 - dec) * exp((tus - base) * {lam})) OVER w)) * 1000000 + 0.5) / 1000000 AS ema
+           / (sum((1 - dec) * exp((tus - base) * {lam})) OVER w)) * 10000 + 0.5) / 10000 AS ema
   FROM d
   WINDOW w AS (PARTITION BY user_id ORDER BY time
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
