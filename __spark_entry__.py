@@ -151,6 +151,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "repetition": q_repetition,
         "weighted_sample": q_weighted_sample,
+        "take_per_key": q_take_per_key,
+        "repeat_dataset": q_repeat_dataset,
+        "mix_corpora": q_mix_corpora,
     }
 
 
@@ -178,6 +181,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "decontam": SQL_DECONTAM,
         "repetition": SQL_REPETITION,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "take_per_key": SQL_TAKE_PER_KEY,
+        "repeat_dataset": SQL_REPEAT_DATASET,
+        "mix_corpora": SQL_MIX_CORPORA,
     }
 
 

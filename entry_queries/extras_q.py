@@ -599,3 +599,92 @@ SQL_WEIGHTED_SAMPLE = """
   WHERE ((('0x' || substr(md5('wsample' || doc_id::VARCHAR), 1, 7))::BIGINT)
          % 10000) < CAST(q * 10000 AS INT)
 """
+
+
+def q_take_per_key(spark, sf):
+    """Deterministic k-per-key subsample (pipeline.sampling.take_per_key):
+    hash-ordered row_number, one keyed window shuffle."""
+    from flint_spark.pipeline import sampling
+
+    docs = _t(spark, sf, "documents")
+    return (sampling.take_per_key(docs, key=["lang"], n=5)
+            .select("lang", "doc_id"))
+
+
+SQL_TAKE_PER_KEY = """
+  SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             ((('0x' || substr(md5('take' || doc_id::VARCHAR), 1, 7))::BIGINT)
+              % 10000), doc_id) AS rk
+    FROM documents) t
+  WHERE rk <= 5
+"""
+
+
+def q_repeat_dataset(spark, sf):
+    """Fractional oversampling (pipeline.sampling.repeat_dataset):
+    factor=2.3 — every doc twice plus an md5-selected ~30% a third
+    time; exact same copies every run/engine."""
+    from flint_spark.pipeline import sampling
+
+    docs = _t(spark, sf, "documents")
+    rep = sampling.repeat_dataset(docs, 2.3)
+    return (rep.groupBy("repeat_idx")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))
+
+
+SQL_REPEAT_DATASET = """
+  WITH d AS (
+    SELECT doc_id,
+           2 + CASE WHEN ((('0x' || substr(md5('repeat' || doc_id::VARCHAR),
+                                           1, 7))::BIGINT) % 10000) < 3000
+                    THEN 1 ELSE 0 END AS n
+    FROM documents
+  ), e AS (
+    SELECT doc_id, unnest(generate_series(0, n - 1)) AS repeat_idx FROM d
+  )
+  SELECT repeat_idx, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+  FROM e GROUP BY 1
+"""
+
+
+def q_mix_corpora(spark, sf):
+    """Weighted training mixture (pipeline.sampling.mix_corpora): 'en'
+    docs at 1.5 epochs + everything else at 0.4 epochs, deterministic
+    per-source md5 selection."""
+    from flint_spark.pipeline import sampling
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    out = sampling.mix_corpora({"en": (en, 1.5), "rest": (rest, 0.4)})
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))
+
+
+SQL_MIX_CORPORA = """
+  WITH en AS (
+    SELECT doc_id,
+           1 + CASE WHEN ((('0x' || substr(md5('mix:en' || doc_id::VARCHAR),
+                                           1, 7))::BIGINT) % 10000) < 5000
+                    THEN 1 ELSE 0 END AS n
+    FROM documents WHERE lang = 'en'
+  ), rest AS (
+    SELECT doc_id,
+           CASE WHEN ((('0x' || substr(md5('mix:rest' || doc_id::VARCHAR),
+                                       1, 7))::BIGINT) % 10000) < 4000
+                THEN 1 ELSE 0 END AS n
+    FROM documents WHERE lang <> 'en'
+  ), u AS (
+    SELECT 'en' AS source, doc_id, unnest(generate_series(0, n - 1)) FROM en
+    WHERE n > 0
+    UNION ALL
+    SELECT 'rest' AS source, doc_id, unnest(generate_series(0, n - 1)) FROM rest
+    WHERE n > 0
+  )
+  SELECT source, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+  FROM u GROUP BY 1
+"""
