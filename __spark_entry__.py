@@ -154,6 +154,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_per_key": q_take_per_key,
         "repeat_dataset": q_repeat_dataset,
         "mix_corpora": q_mix_corpora,
+        "generator": q_generator,
     }
 
 
@@ -184,6 +185,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "take_per_key": SQL_TAKE_PER_KEY,
         "repeat_dataset": SQL_REPEAT_DATASET,
         "mix_corpora": SQL_MIX_CORPORA,
+        "generator": SQL_GENERATOR,
     }
 
 

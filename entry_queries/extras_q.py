@@ -688,3 +688,28 @@ SQL_MIX_CORPORA = """
   SELECT source, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
   FROM u GROUP BY 1
 """
+
+
+def q_generator(spark, sf):
+    """TimeSeriesGenerator replayed value-for-value: measure columns are
+    48-bit md5 fractions (exact doubles), so DuckDB regenerates the
+    identical panel — and the panel is partition-layout-independent."""
+    from flint_spark.sources.generator import generate
+
+    return generate(spark, 0, 86_400_000_000_000, "1h", ids=[1, 2, 3],
+                    columns=["x1"], id_ratio=0.8, seed=5)
+
+
+SQL_GENERATOR = """
+  WITH cyc AS (SELECT unnest(generate_series(0, 86400000000000, 3600000000000)) AS tns),
+  panel AS (SELECT tns, unnest([1, 2, 3]) AS id FROM cyc),
+  kept AS (
+    SELECT * FROM panel
+    WHERE (('0x' || substr(md5('g5s:' || tns::VARCHAR || ':' || id::VARCHAR),
+                           1, 12))::BIGINT) / 281474976710656.0 < 0.8
+  )
+  SELECT tns AS time, id,
+         (('0x' || substr(md5('g5c0:' || tns::VARCHAR || ':' || id::VARCHAR),
+                          1, 12))::BIGINT) / 281474976710656.0 AS x1
+  FROM kept
+"""
