@@ -209,19 +209,24 @@ def merge(left: DataFrame, right: DataFrame,
 
 def asof_keyless_bucketed(left: DataFrame, right: DataFrame,
                           tolerance: str | int, bucket: str = "7d",
-                          **kwargs) -> DataFrame:
-    """Scale path for keyless as-of joins: assign both sides to coarse
-    time buckets, replicate right rows into the *next* bucket so matches
-    can cross the boundary (requires bucket >= tolerance), then run the
-    keyed join with the bucket as key. Keeps the window shuffle
-    parallel instead of single-partition."""
+                          key: Sequence[str] = (), **kwargs) -> DataFrame:
+    """Scale path for keyless OR hot-key as-of joins: assign both sides
+    to coarse time buckets, replicate right rows into the *next* bucket
+    so matches can cross the boundary (requires bucket >= tolerance,
+    hence a bounded tolerance), then run the keyed join with
+    (bucket, *key) as the composite key. The window shuffle becomes
+    parallel in time — the mitigation when one key holds an entire
+    table's rows (keyless series are the extreme case) and per-key
+    ordering would otherwise funnel through one task."""
     tol = parse_duration_ns(tolerance)
     bucket_ns = parse_duration_ns(bucket)
     if bucket_ns < tol:
         bucket_ns = tol
+    key = list(key)
     left_b = left.withColumn("__bucket", floor_div(time_ns_expr(left), bucket_ns))
     right_b = right.withColumn("__bucket", floor_div(time_ns_expr(right), bucket_ns))
     # replicate right rows into the following bucket (boundary lookback)
     right_rep = right_b.unionByName(right_b.withColumn("__bucket", F.col("__bucket") + 1))
-    joined = left_join(left_b, right_rep, tolerance, key=["__bucket"], **kwargs)
+    joined = left_join(left_b, right_rep, tolerance, key=["__bucket"] + key,
+                       **kwargs)
     return joined.drop("__bucket")

@@ -341,3 +341,29 @@ def test_asof_future_duplicate_right_rows_deterministic(spark):
                                   key=["id"]).collect()[0]
         results.add(r.v)
     assert results == {30}
+
+
+def test_asof_hotkey_bucketed_matches_plain(spark):
+    """Hot-key mitigation: bucketed as-of with a composite (bucket, key)
+    grouping == plain keyed left_join, while the window shuffle is
+    parallel in time instead of funneling the hot key into one task."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = np.cumsum(rng.integers(1, 10**9, n))
+    left = spark.createDataFrame(
+        [(int(ti), 1, float(i)) for i, ti in enumerate(t)],
+        "time long, id int, x double")
+    rt = np.cumsum(rng.integers(1, 2 * 10**9, n // 2))
+    right = spark.createDataFrame(
+        [(int(ti), 1, i) for i, ti in enumerate(rt)],
+        "time long, id int, rv long")
+    plain = {r["x"]: r["rv"] for r in
+             asof.left_join(left, right, tolerance="100s",
+                            key=["id"]).collect()}
+    bucketed = {r["x"]: r["rv"] for r in
+                asof.asof_keyless_bucketed(left, right, tolerance="100s",
+                                           bucket="200s",
+                                           key=["id"]).collect()}
+    assert plain == bucketed
+    assert sum(1 for v in plain.values() if v is not None) > 0
