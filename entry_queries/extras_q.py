@@ -380,7 +380,9 @@ def q_csv_scan(spark, sf):
     pruning, then aggregate."""
     from flint_spark.sources.readbuilder import TSRead
 
-    path = "/tmp/flint_csv_" + sf.strip("/").replace("/", "_")
+    import os
+    path = (f"/tmp/flint_csv_{os.getpid()}_"
+            + sf.strip("/").replace("/", "_"))
     ev = _events(spark, sf)
     (ev.select(
         (F.unix_micros(F.col(TIME_COLUMN)) * 1000).alias("tns"),
@@ -411,7 +413,9 @@ def q_writer_roundtrip(spark, sf):
     from flint_spark.sources.writer import (read_time_partitioned,
                                             write_time_partitioned)
 
-    path = "/tmp/flint_part_" + sf.strip("/").replace("/", "_")
+    import os
+    path = (f"/tmp/flint_part_{os.getpid()}_"
+            + sf.strip("/").replace("/", "_"))
     ev = _events(spark, sf)
     write_time_partitioned(ev, path, granularity="1d")
     back = read_time_partitioned(spark, path, begin="2024-01-05",
