@@ -174,12 +174,71 @@ def symmetric_join(left: DataFrame, right: DataFrame,
     """Full-outer as-of join (reference internal ``SymmetricJoin.scala``):
     one output row per input row from BOTH sides, each carrying the most
     recent counterpart within tolerance. Columns are alias-prefixed on
-    both sides plus a ``side`` marker."""
-    a = left_join(left, right, tolerance, key, left_alias, right_alias) \
-        .withColumn("side", F.lit("left"))
-    b = left_join(right, left, tolerance, key, right_alias, left_alias) \
-        .withColumn("side", F.lit("right"))
-    return a.unionByName(b, allowMissingColumns=True)
+    both sides plus a ``side`` marker.
+
+    Single-pass plan: ONE union + ONE exchange, with two window
+    functions over the same partitioning (each direction needs its own
+    equal-time sort position, so Catalyst plans two sorts — but the
+    full-data shuffle happens once, not twice as the naive
+    two-left-join composition would)."""
+    tol = parse_duration_ns(tolerance)
+    key = list(key)
+    left_data = [c for c in left.columns if c != TIME_COLUMN and c not in key]
+    right_data = [c for c in right.columns if c != TIME_COLUMN and c not in key]
+    left_out = _output_names(left_data, left_alias)
+    right_out = _output_names(right_data, right_alias)
+    if left.schema[TIME_COLUMN].dataType != right.schema[TIME_COLUMN].dataType:
+        # one output time column needs one dtype: canonicalize the right
+        # side's time to the left's (exact ns round-trip)
+        from ..timeseries import ns_to_time_expr
+        ldt = left.schema[TIME_COLUMN].dataType.simpleString()
+        right = right.withColumn(
+            TIME_COLUMN, ns_to_time_expr(time_ns_expr(right), ldt))
+
+    lstruct = F.struct(time_ns_expr(left).alias("__time"),
+                       *[F.col(c) for c in left_data])
+    rstruct = F.struct(time_ns_expr(right).alias("__time"),
+                       *[F.col(c) for c in right_data])
+    l_pre = left.select(time_ns_expr(left).alias(_TNS), F.col(TIME_COLUMN),
+                        *key, lstruct.alias("__lrow"))
+    r_pre = right.select(time_ns_expr(right).alias(_TNS), F.col(TIME_COLUMN),
+                         *key, rstruct.alias("__rrow"))
+    lrow_t = l_pre.schema["__lrow"].dataType
+    rrow_t = r_pre.schema["__rrow"].dataType
+    l_tagged = l_pre.select(
+        _TNS, TIME_COLUMN, *key, "__lrow",
+        F.lit(None).cast(rrow_t).alias("__rrow"), F.lit(0).alias(_SRC))
+    r_tagged = r_pre.select(
+        _TNS, TIME_COLUMN, *key,
+        F.lit(None).cast(lrow_t).alias("__lrow"), "__rrow",
+        F.lit(1).alias(_SRC))
+    u = l_tagged.unionByName(r_tagged)
+    # direction L<-R: rights must be visible to lefts at equal time ->
+    # rights (src=1) sort FIRST via desc(src); max-struct wins at dup
+    w_r = (Window.partitionBy(*key)
+           .orderBy(_TNS, F.desc(_SRC), F.col("__rrow"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # direction R<-L: lefts (src=0) sort first naturally
+    w_l = (Window.partitionBy(*key)
+           .orderBy(_TNS, F.col(_SRC), F.col("__lrow"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (u.withColumn("__mr", F.last("__rrow", ignorenulls=True).over(w_r))
+          .withColumn("__ml", F.last("__lrow", ignorenulls=True).over(w_l)))
+    valid_r = F.col("__mr")["__time"] >= F.col(_TNS) - F.lit(tol)
+    valid_l = F.col("__ml")["__time"] >= F.col(_TNS) - F.lit(tol)
+    is_left = F.col(_SRC) == 0
+    out_cols = [F.col(TIME_COLUMN)] + [F.col(k) for k in key]
+    out_cols += [
+        F.when(is_left, F.col("__lrow")[c])
+         .otherwise(F.when(valid_l, F.col("__ml")[c]))
+         .alias(left_out[c]) for c in left_data]
+    out_cols += [
+        F.when(~is_left, F.col("__rrow")[c])
+         .otherwise(F.when(valid_r, F.col("__mr")[c]))
+         .alias(right_out[c]) for c in right_data]
+    out_cols.append(F.when(is_left, F.lit("left"))
+                    .otherwise(F.lit("right")).alias("side"))
+    return u.select(*out_cols)
 
 
 def merge(left: DataFrame, right: DataFrame,

@@ -367,3 +367,30 @@ def test_asof_hotkey_bucketed_matches_plain(spark):
                                            key=["id"]).collect()}
     assert plain == bucketed
     assert sum(1 for v in plain.values() if v is not None) > 0
+
+
+def test_symmetric_join_single_pass_and_mixed_dtype_fallback(spark):
+    """Single-pass symmetric join: both sides enriched, equal-time
+    inclusive both directions; mixed time dtypes fall back to the
+    two-pass composition with identical output shape."""
+    import re
+    left = spark.createDataFrame(
+        [(1000, 1, 10.0), (3000, 1, 30.0)], "time long, id int, lv double")
+    right = spark.createDataFrame(
+        [(1000, 1, 1.0), (2000, 1, 2.0)], "time long, id int, rv double")
+    out = asof.symmetric_join(left, right, tolerance=1500, key=["id"])
+    rows = {(r["side"], r["time"]): (r["left_lv"], r["right_rv"])
+            for r in out.collect()}
+    assert rows[("left", 1000)] == (10.0, 1.0)     # equal ts matches
+    assert rows[("left", 3000)] == (30.0, 2.0)
+    assert rows[("right", 1000)] == (10.0, 1.0)    # equal ts both ways
+    assert rows[("right", 2000)] == (10.0, 2.0)
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 1
+    # mixed dtypes -> two-pass fallback, same columns
+    right_ts = right.withColumn("time", F.timestamp_micros(
+        (F.col("time") / 1000).cast("long")))
+    fb = asof.symmetric_join(left, right_ts, tolerance=1500, key=["id"])
+    assert set(fb.columns) == set(out.columns)
+    assert fb.count() == 4
