@@ -168,3 +168,29 @@ def test_asof_forward_vs_reference(left, right, tol, strict):
         right, tol, strict)
     got_vals = [None if pd.isna(x) else x for x in got["rv"]]
     assert got_vals == exp_vals
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left=panels(), right=panels(), tol=st.integers(0, 200))
+def test_symmetric_join_equals_two_left_joins(left, right, tol):
+    """Single-pass symmetric join == union of the two independent
+    left_joins (the definitionally-correct composition)."""
+    left = (left.groupby(["time", "id"], as_index=False)
+            .agg(lv=("v", "max")))
+    right = (right.groupby(["time", "id"], as_index=False)
+             .agg(rv=("v", "max")))
+    spark = _spark()
+    ldf = spark.createDataFrame(left, "time long, id int, lv double")
+    rdf = spark.createDataFrame(right, "time long, id int, rv double")
+    got = (asof.symmetric_join(ldf, rdf, tolerance=tol, key=["id"])
+           .toPandas())
+    a = (asof.left_join(ldf, rdf, tol, ["id"], "left", "right").toPandas()
+         .assign(side="left"))
+    b = (asof.left_join(rdf, ldf, tol, ["id"], "right", "left").toPandas()
+         .assign(side="right"))
+    exp = pd.concat([a, b], ignore_index=True)
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols, ignore_index=True)
+    e = exp[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
