@@ -55,19 +55,35 @@ def main() -> None:
     region.count()
     region.groupBy("r_regionkey").applyInPandas(
         lambda pdf: pdf, region.schema).count()
-
-    timings: dict[str, float] = {}
+    # one untimed pass over the whole headline set: JIT-compiles every
+    # codegen'd stage shape, so the first timed query (historically
+    # cycle_agg) isn't charged the whole JVM warmup (r3 postmortem:
+    # its "+48% regression" was first-position JIT cost, plan unchanged)
     for name in HEADLINE:
-        # best-of-3: the box is shared, single runs are noisy (observed
-        # 3x swings on identical plans); min is the standard
-        # steady-state estimator
-        best = float("inf")
-        for _ in range(3):
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    # median-of-N: the box is shared and single runs are noisy (observed
+    # 3x swings on identical plans; the r3 "+16.5%" regression was n=3
+    # noise — see docs/BENCH_NOTES.md). Median is robust to both the
+    # slow-outlier and the lucky-fast run that min-of-3 overweights.
+    n_iter = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "7"))
+    timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        samples: list[float] = []
+        for _ in range(n_iter):
+            # drop persisted subtrees left by the previous iteration:
+            # otherwise iterations 2+ time cache HITS of the same plan
+            # (minhash read 0.26s warm vs ~2s honest-cold in r3), and the
+            # accumulated entries eventually thrash the block manager
+            spark.catalog.clearCache()
             df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -80,6 +96,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "estimator": f"median_of_{n_iter}",
+        "min_max": spreads,
     }))
 
 

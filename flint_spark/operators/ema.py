@@ -176,7 +176,10 @@ def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str]
     in_cols = list(df.columns)
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__tns", kind="stable")
+        # (time, value) tie order: same max-struct rule as the keyless
+        # distributed scan, so both paths are layout-independent and agree
+        # bitwise on inputs with duplicate timestamps.
+        pdf = pdf.sort_values(["__tns", column], kind="stable")
         t = pdf["__tns"].to_numpy(dtype=np.int64)
         x = pdf[column].to_numpy(dtype=np.float64)
         pdf[out_name] = fn(t, x)
@@ -185,6 +188,28 @@ def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str]
     if key:
         return with_ns.groupBy(*key).applyInPandas(compute, schema)
     return with_ns.groupBy().applyInPandas(compute, schema)
+
+
+# The distributed scan persists its mapInPandas subtree because both the
+# partials collect and the caller's eventual action consume it. The caller's
+# first action is invisible here, so the cache is released at the NEXT
+# keyless-distributed call (or explicitly via release_scan_caches()) —
+# bounding retention to one cached DataFrame instead of one per call.
+_SCAN_CACHE: list = []
+
+
+def _release_prior_scan_cache() -> None:
+    while _SCAN_CACHE:
+        try:
+            _SCAN_CACHE.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+
+
+def release_scan_caches() -> None:
+    """Unpersist the scan subtree cached by the most recent keyless
+    distributed :func:`ewma` / :func:`exponential_smoothing` call."""
+    _release_prior_scan_cache()
 
 
 def _keyless_distributed(df: DataFrame, column: str, out_name: str,
@@ -210,19 +235,28 @@ def _keyless_distributed(df: DataFrame, column: str, out_name: str,
 
     exp(-T) underflowing to 0.0 for rows far from the carry origin is the
     mathematically correct decay, not an error.
+
+    Duplicate timestamps are ordered by (time, value) — the engine-wide
+    max-struct tie rule — so every extraction below (boundary prev_x,
+    partition-end partials) is a deterministic function of the data, not
+    of physical layout. Equal keys never straddle range partitions, so a
+    tie group is always wholly inside one partition.
     """
     spark = df.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     in_cols = list(df.columns)
+    xcol = F.col(column).cast("double")
+    _release_prior_scan_cache()
     sdf = (df.withColumn("__tns", time_ns_expr(df))
              .repartitionByRange(P, F.col("__tns"))
-             .sortWithinPartitions("__tns")
+             .sortWithinPartitions(F.col("__tns"), xcol)
              .withColumn("__pid", F.spark_partition_id())
              .persist())
-    # per-partition boundary rows (small: P rows collected)
+    # per-partition boundary rows (small: P rows collected). last_x must
+    # be the row processed LAST under the (time, value) sort -> max-struct.
     binfo = (sdf.groupBy("__pid")
              .agg(F.max("__tns").alias("last_t"),
-                  F.max_by(F.col(column).cast("double"), F.col("__tns"))
+                  F.max_by(xcol, F.struct(F.col("__tns"), xcol))
                    .alias("last_x"))
              .collect())
     prev_map: dict = {}
@@ -233,12 +267,13 @@ def _keyless_distributed(df: DataFrame, column: str, out_name: str,
     bc = spark.sparkContext.broadcast(prev_map)
 
     schema = T.StructType(list(sdf.schema.fields) + [
+        T.StructField("__rid", T.LongType()),
         T.StructField("__L", T.DoubleType()),
         T.StructField("__La", T.DoubleType()),
         T.StructField("__T", T.DoubleType())])
 
     def scan_partition(batches):
-        state = None  # (prev_t, prev_x, L_carry, La_carry, T_offset)
+        state = None  # (prev_t, prev_x, L_carry, La_carry, T_offset, rid)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -246,8 +281,9 @@ def _keyless_distributed(df: DataFrame, column: str, out_name: str,
                 pv = bc.value.get(int(pdf["__pid"].iloc[0]))
                 prev_t, prev_x = pv if pv is not None else (None, None)
                 l_carry = la_carry = t_off = 0.0
+                rid0 = 0
             else:
-                prev_t, prev_x, l_carry, la_carry, t_off = state
+                prev_t, prev_x, l_carry, la_carry, t_off, rid0 = state
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
             steps, c, aux_c = coeff_fn(t, x, prev_t, prev_x)
@@ -257,17 +293,21 @@ def _keyless_distributed(df: DataFrame, column: str, out_name: str,
             lavals = _affine_scan(steps, aux_c) + la_carry * w
             tvals = t_off + cum_t
             pdf = pdf.copy()
+            pdf["__rid"] = np.arange(rid0, rid0 + len(pdf), dtype=np.int64)
             pdf["__L"] = lvals
             pdf["__La"] = lavals
             pdf["__T"] = tvals
             state = (int(t[-1]), float(x[-1]), float(lvals[-1]),
-                     float(lavals[-1]), float(tvals[-1]))
+                     float(lavals[-1]), float(tvals[-1]), rid0 + len(pdf))
             yield pdf
 
     scanned = sdf.mapInPandas(scan_partition, schema).persist()
+    _SCAN_CACHE.append(scanned)
+    # partition-end partials keyed on the explicit scan row index (__rid):
+    # duplicate (time, value) rows at the boundary cannot misresolve.
     partials = (scanned.groupBy("__pid")
-                .agg(F.max_by("__L", "__tns").alias("l_end"),
-                     F.max_by("__La", "__tns").alias("la_end"),
+                .agg(F.max_by("__L", "__rid").alias("l_end"),
+                     F.max_by("__La", "__rid").alias("la_end"),
                      F.max("__T").alias("t_end"))
                 .collect())
     sdf.unpersist()  # scanned is materialized by the collect above

