@@ -46,24 +46,32 @@ def _spread(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle).
+             k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-shingles per document: (id, shingle), distinct by default.
 
     The word array is materialized ONCE per row as a projected column
     before the ``transform`` lambda: embedding ``split`` inside the
     lambda body would re-split the text per output shingle (O(words²)
-    work per document — measured 3-5x on the whole MinHash pipeline)."""
+    work per document — measured 3-5x on the whole MinHash pipeline).
+
+    Per-doc dedup happens MAP-SIDE via ``array_distinct`` on the shingle
+    array before the explode: since ``id`` is part of every output row,
+    (id, shingle) pairs are globally distinct by construction and the
+    former post-explode ``.distinct()`` wide exchange is gone — the
+    whole operator is exchange-free. ``distinct=False`` keeps duplicate
+    in-document shingles (for consumers that weight by occurrence)."""
     base = _spread(docs).select(F.col(id_col),
                                 _words(text_col).alias("__w"))
     sh = F.expr(
         f"transform(sequence(1, size(__w) - {k - 1}), "
         f"i -> concat_ws(' ', slice(__w, i, {k})))"
     )
+    if distinct:
+        sh = F.array_distinct(sh)
     # docs shorter than k words produce no shingles (sequence(1, n<1)
     # would count backwards in Spark, so filter first)
     return (base.filter(F.size(F.col("__w")) >= k)
-            .select(F.col(id_col), F.explode(sh).alias("shingle"))
-            .distinct())
+            .select(F.col(id_col), F.explode(sh).alias("shingle")))
 
 
 def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
