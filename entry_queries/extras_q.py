@@ -601,7 +601,7 @@ SQL_WEIGHTED_SAMPLE = """
          sum(doc_id)::BIGINT AS id_sum
   FROM d
   WHERE ((('0x' || substr(md5('wsample' || doc_id::VARCHAR), 1, 7))::BIGINT)
-         % 10000) < CAST(q * 10000 AS INT)
+         % 10000) < FLOOR(q * 10000 + 0.5)
 """
 
 

@@ -87,11 +87,17 @@ def weighted_sample(df: DataFrame, prob_col, on: str = "doc_id",
     """Keep each row with its OWN probability (a column or expression in
     [0, 1]) — quality-weighted corpus downsampling, deterministic: the
     keep decision is a pure function of (salt, id), so re-runs and
-    engines agree and appending data never flips an existing row."""
+    engines agree and appending data never flips an existing row.
+
+    Probability quantization is ``floor(p * buckets + 0.5)`` — the same
+    half-up rounding as :func:`deterministic_sample`, so the two
+    samplers agree on equal probabilities and probabilities below half
+    a bucket (5e-5) round to zero symmetrically rather than truncating
+    everything under 1e-4 to never-keep."""
     if isinstance(prob_col, str):
         prob_col = F.col(prob_col)
     b = _bucket(F.col(on), salt)
-    return df.filter(b < (prob_col * _BUCKETS).cast("int"))
+    return df.filter(b < F.floor(prob_col * _BUCKETS + F.lit(0.5)))
 
 
 def stratified_sample(df: DataFrame, strata: str,
@@ -117,6 +123,21 @@ def take_per_key(df: DataFrame, key: Sequence[str], n: int,
             .filter(F.col("__rk") <= n).drop("__rk"))
 
 
+#: unsharded pack_documents refuses above this Catalyst size estimate —
+#: a single-task window over more than this is a scale bug, not a choice
+_PACK_UNSHARDED_MAX_BYTES = 256 << 20
+
+#: Catalyst reports ~Long.Max for RDD-backed plans with no stats
+_STATS_UNKNOWN = 1 << 60
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are a guard-rail hint only
+        return 1 << 62
+
+
 def pack_documents(df: DataFrame, budget: int, tokens_col: str,
                    shard_col: str | None = None,
                    on: str = "doc_id") -> DataFrame:
@@ -128,8 +149,26 @@ def pack_documents(df: DataFrame, budget: int, tokens_col: str,
 
     Packing is sequential by definition; parallelism comes from
     ``shard_col`` (bins are per-shard). With no shard the whole table
-    funnels through one task — fine for a corpus that fits one
-    executor, wrong at 100 TB; pass a shard."""
+    funnels through ONE task, so the unsharded form REFUSES inputs whose
+    Catalyst size estimate exceeds ``_PACK_UNSHARDED_MAX_BYTES``, and
+    warns loudly when the estimate is unavailable (RDD-backed plans) —
+    pass a shard column, e.g. ``pmod(h28(id), n_shards)``, instead of
+    silently serializing a large corpus."""
+    if shard_col is None:
+        est = _estimated_bytes(df)
+        if _STATS_UNKNOWN > est > _PACK_UNSHARDED_MAX_BYTES:
+            raise ValueError(
+                f"pack_documents without shard_col runs the whole table "
+                f"through one task; input estimate {est} bytes exceeds "
+                f"{_PACK_UNSHARDED_MAX_BYTES}. Pass shard_col (e.g. a "
+                f"hash of {on!r}) to pack per shard in parallel.")
+        if est >= _STATS_UNKNOWN:
+            import warnings
+            warnings.warn(
+                "pack_documents without shard_col serializes packing "
+                "through one task and this input's size is unknown to "
+                "Catalyst; pass shard_col for any corpus that doesn't "
+                "fit one executor", stacklevel=2)
     part = [shard_col] if shard_col else []
     w = (Window.partitionBy(*part).orderBy(F.col(on))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -1117,3 +1117,53 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     again = set(r.doc_id for r in
                 sampling.weighted_sample(docs.coalesce(1), "q").collect())
     assert hi == again
+
+
+def test_weighted_sample_rounds_like_deterministic_sample(spark):
+    """Equal probabilities => identical keep sets between the two
+    samplers (same salt): quantization is floor(p*B + 0.5) in both, so
+    weighted_sample(p=const) == deterministic_sample(fraction=const)
+    (ADVICE r3: the int-cast truncation kept nothing below 1e-4 and
+    biased every probability downward)."""
+    from flint_spark.pipeline import sampling
+
+    docs = spark.range(5000).withColumnRenamed("id", "doc_id")
+    for p in (0.30005, 1e-4, 5e-5, 4.9e-5, 0.7):
+        w = set(r.doc_id for r in sampling.weighted_sample(
+            docs, F.lit(p), salt="s").collect())
+        d = set(r.doc_id for r in sampling.deterministic_sample(
+            docs, p, salt="s").collect())
+        assert w == d, p
+
+
+def test_pack_documents_unsharded_guard(spark, sf_dir):
+    """Unsharded pack_documents must refuse known-large inputs (the
+    single-task window is a scale bug) and warn on unknown-stats inputs;
+    sharded calls and small known inputs pass."""
+    import warnings
+
+    import pytest
+
+    from flint_spark.pipeline import sampling
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .selectExpr("l_orderkey as doc_id", "l_linenumber as toks"))
+    big = li
+    # force a known-large estimate without real data volume
+    old = sampling._PACK_UNSHARDED_MAX_BYTES
+    sampling._PACK_UNSHARDED_MAX_BYTES = 1
+    try:
+        with pytest.raises(ValueError, match="shard_col"):
+            sampling.pack_documents(big, 4096, "toks")
+        # sharded call is always allowed
+        sampling.pack_documents(big, 4096, "toks",
+                                shard_col="doc_id").limit(1).count()
+    finally:
+        sampling._PACK_UNSHARDED_MAX_BYTES = old
+    # unknown stats (in-memory) -> loud warning, not refusal
+    small = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, toks long")
+    if sampling._estimated_bytes(small) >= sampling._STATS_UNKNOWN:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            sampling.pack_documents(small, 16, "toks").count()
+        assert any("shard_col" in str(x.message) for x in w)
