@@ -187,6 +187,18 @@ def symmetric_join(left: DataFrame, right: DataFrame,
     right_data = [c for c in right.columns if c != TIME_COLUMN and c not in key]
     left_out = _output_names(left_data, left_alias)
     right_out = _output_names(right_data, right_alias)
+    # same conflict validation as _prepare enforces for the other joins,
+    # with 'side' reserved for the output marker: colliding aliases
+    # (left_alias == right_alias with shared names), aliased names
+    # shadowing key/time, or a data column landing on 'side' would
+    # otherwise silently produce duplicate/ambiguous output columns
+    reserved = set(key) | {TIME_COLUMN, "side"}
+    conflicts = ((set(left_out.values()) & set(right_out.values()))
+                 | (set(left_out.values()) & reserved)
+                 | (set(right_out.values()) & reserved))
+    if conflicts:
+        raise ValueError(f"conflicting output columns {sorted(conflicts)}; "
+                         "use distinct left_alias/right_alias")
     if left.schema[TIME_COLUMN].dataType != right.schema[TIME_COLUMN].dataType:
         # one output time column needs one dtype: canonicalize the right
         # side's time to the left's (exact ns round-trip)

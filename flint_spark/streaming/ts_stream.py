@@ -172,10 +172,12 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
     tol = parse_duration_ns(tolerance) if tolerance else 0
     rdata = [c for c in right.columns if c != right_time_column and c not in key]
 
-    rpdf = (right.select(*key,
-                         time_ns_expr(right, right_time_column).alias("__rtns"),
-                         *rdata)
-            .toPandas().sort_values("__rtns", kind="stable"))
+    rpdf = right.select(*key,
+                        time_ns_expr(right, right_time_column).alias("__rtns"),
+                        *rdata).toPandas()
+    # batch tie rule: duplicate (key, time) rights resolve to the
+    # max-struct row, so sort by (time, values) — last of a group wins
+    rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
     tables: dict = {}
     if key:
         for kv, grp in rpdf.groupby(key, sort=False):
@@ -221,6 +223,8 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
                     ok = pos < len(rt)
                     ok &= rt[np.clip(pos, None, max(len(rt) - 1, 0))] \
                         <= t + tol
+                    # earliest matching time, max-struct among its dups
+                    pos = _forward_tie_resolve(np, rt, pos, ok)
                 for c in rdata:
                     vals = res[c]
                     sel = idx[ok]
@@ -231,6 +235,34 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
             yield out
 
     return with_ns.mapInPandas(lookup, out_schema)
+
+
+def _sort_time_then_values(pdf, tcol, data_cols):
+    """Time-sort with the batch engine's tie rule: duplicate timestamps
+    order by the data-column tuple (Spark struct comparison, nulls
+    first), so the LAST row of any timestamp group is the batch
+    max-struct winner and position-based lookups resolve duplicate
+    (key, time) rights identically to ``operators.asof`` regardless of
+    arrival order. Unorderable payloads (arrays/structs) fall back to
+    arrival order — the same rows batch cannot order either."""
+    try:
+        return pdf.sort_values([tcol] + list(data_cols), kind="stable",
+                               na_position="first")
+    except TypeError:
+        return pdf.sort_values(tcol, kind="stable")
+
+
+def _forward_tie_resolve(np, rt, pos, ok):
+    """Given forward searchsorted candidates ``pos`` into time array
+    ``rt``, move each valid position to the LAST entry of its timestamp
+    group — with the buffer sorted by (time, values), that is the batch
+    max-struct row for duplicate right timestamps."""
+    if not len(rt):
+        return pos
+    safe = np.clip(pos, None, len(rt) - 1)
+    ct = rt[safe]
+    resolved = np.searchsorted(rt, ct, side="right") - 1
+    return np.where(ok, resolved, pos)
 
 
 def _typed_list(values, spark_type):
@@ -325,14 +357,18 @@ def asof_join_stream(left: DataFrame, right: DataFrame,
                 continue
             pdf = pdf.sort_values("__tns", kind="stable")
             r_new = pdf[pdf["__side"] == 1]
-            # append new right rows, keep buffer time-sorted (merge)
+            # append new right rows, keep buffer sorted by (time, values)
+            # — the batch max-struct tie rule for duplicate timestamps,
+            # independent of arrival order across triggers
             if len(r_new):
-                all_t = np.concatenate([buf_t, r_new["__tns"].to_numpy(np.int64)])
-                order = np.argsort(all_t, kind="stable")
-                for c in rcols:
-                    vals = list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
-                    buf_v[c] = [vals[i] for i in order]
-                buf_t = all_t[order]
+                merged = pd.DataFrame({
+                    "__t": np.concatenate(
+                        [buf_t, r_new["__tns"].to_numpy(np.int64)]),
+                    **{c: list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
+                       for c in rcols}})
+                merged = _sort_time_then_values(merged, "__t", rcols)
+                buf_t = merged["__t"].to_numpy(np.int64)
+                buf_v = {c: merged[c].tolist() for c in rcols}
             l_rows = pdf[pdf["__side"] == 0]
             if len(l_rows):
                 t = l_rows["__tns"].to_numpy(np.int64)
@@ -382,8 +418,10 @@ def asof_join_stream_future(left: DataFrame, right: DataFrame,
     its lookahead window only closes once event time passes
     ``t + tolerance + watermark``. So state buffers BOTH sides per key:
     pending left rows emit exactly when their window is closed w.r.t.
-    the key's max seen event time (ties resolve like batch: earliest
-    right, max value at equal times); buffered right rows evict once no
+    the key's max seen event time (ties resolve like batch
+    ``future_left_join``: earliest right time, and among duplicate right
+    timestamps the max-struct row — the buffer is kept sorted by (time,
+    values) so arrival order never shows); buffered right rows evict once no
     pending or future-arriving left can reach them. Per-key closure is
     conservative — a key that stops receiving rows holds its tail in
     state until more data (the streaming analogue of an open window).
@@ -459,13 +497,14 @@ def asof_join_stream_future(left: DataFrame, right: DataFrame,
             pdf = pdf.sort_values("__tns", kind="stable")
             r_new = pdf[pdf["__side"] == 1]
             if len(r_new):
-                all_t = np.concatenate([buf_t,
-                                        r_new["__tns"].to_numpy(np.int64)])
-                order = np.argsort(all_t, kind="stable")
-                for c in rcols:
-                    vals = list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
-                    buf_v[c] = [vals[i] for i in order]
-                buf_t = all_t[order]
+                merged = pd.DataFrame({
+                    "__t": np.concatenate(
+                        [buf_t, r_new["__tns"].to_numpy(np.int64)]),
+                    **{c: list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
+                       for c in rcols}})
+                merged = _sort_time_then_values(merged, "__t", rcols)
+                buf_t = merged["__t"].to_numpy(np.int64)
+                buf_v = {c: merged[c].tolist() for c in rcols}
             l_new = pdf[pdf["__side"] == 0]
             if len(l_new):
                 all_t = np.concatenate([pend_t,
@@ -487,6 +526,9 @@ def asof_join_stream_future(left: DataFrame, right: DataFrame,
                 ok = pos < len(buf_t)
                 ok &= buf_t[np.clip(pos, None, max(len(buf_t) - 1, 0))] \
                     <= t + tol
+                # earliest matching time; max-struct among its duplicates
+                # (same rule as batch future_left_join)
+                pos = _forward_tie_resolve(np, buf_t, pos, ok)
                 res = pd.DataFrame({"__tns": t})
                 for i, kcol in enumerate(key):
                     res[kcol] = key_vals[i]

@@ -171,6 +171,33 @@ def test_symmetric_join(spark):
     assert rows[("right", 1100)]["left_x"] == 1.0
 
 
+def test_symmetric_join_rejects_output_conflicts(spark):
+    """symmetric_join runs the same conflict validation as the other
+    joins, with 'side' reserved for the output marker (ADVICE r3)."""
+    import pytest
+
+    left = spark.createDataFrame([(1000, 1, 1.0)],
+                                 "time long, id int, x double")
+    right = spark.createDataFrame([(1100, 1, 10)], "time long, id int, x long")
+    # identical aliases + shared column name -> duplicate output name
+    with pytest.raises(ValueError, match="conflicting"):
+        asof.symmetric_join(left, right, key=["id"],
+                            left_alias="a", right_alias="a")
+    # unprefixed data column named 'side' collides with the marker
+    side_l = left.withColumnRenamed("x", "side")
+    with pytest.raises(ValueError, match="conflicting"):
+        asof.symmetric_join(side_l, right, key=["id"],
+                            left_alias="", right_alias="r")
+    # aliased name shadowing the key: key 'k_b', left column 'b' with
+    # left_alias 'k' -> output 'k_b' collides with the key column
+    kl = spark.createDataFrame([(1000, 1, 1.0)],
+                               "time long, k_b int, b double")
+    kr = spark.createDataFrame([(1100, 1, 10)], "time long, k_b int, v long")
+    with pytest.raises(ValueError, match="conflicting"):
+        asof.symmetric_join(kl, kr, key=["k_b"],
+                            left_alias="k", right_alias="r")
+
+
 def test_empty_inputs(spark):
     """Operators on empty tables return empty, not errors
     (reference EmptyTimeSeriesRDDSpec)."""
