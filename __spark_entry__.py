@@ -155,6 +155,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_dataset": q_repeat_dataset,
         "mix_corpora": q_mix_corpora,
         "generator": q_generator,
+        "pixel_stats": q_pixel_stats,
     }
 
 
@@ -186,6 +187,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "repeat_dataset": SQL_REPEAT_DATASET,
         "mix_corpora": SQL_MIX_CORPORA,
         "generator": SQL_GENERATOR,
+        "pixel_stats": SQL_PIXEL_STATS,
     }
 
 

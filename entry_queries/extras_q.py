@@ -717,3 +717,39 @@ SQL_GENERATOR = """
                           1, 12))::BIGINT) / 281474976710656.0 AS x1
   FROM kept
 """
+
+
+def q_pixel_stats(spark, sf):
+    """Real pixel decode with no imaging library: synthesize binary P6
+    PPM payloads (pipeline.multimodal.with_ppm_payload — dims from the
+    text hash, pixel bytes a pure function of doc_id), decode them with
+    the pure-numpy netpbm parser inside extract_pixel_features, and emit
+    per-image mean/std + per-channel means. Every float is an exact
+    integer-sum division, so DuckDB replays the values bitwise."""
+    from flint_spark.pipeline import multimodal
+
+    docs = _t(spark, sf, "documents")
+    media = multimodal.with_ppm_payload(docs)
+    return multimodal.extract_pixel_features(media, assume_netpbm=True)
+
+
+SQL_PIXEL_STATS = """
+  WITH dims AS (
+    SELECT doc_id,
+           (((('0x' || substr(md5(text), 1, 7))::BIGINT) % 8) + 1)::INT AS w,
+           ((((('0x' || substr(md5(text), 1, 7))::BIGINT) // 8) % 8) + 1)::INT AS h
+    FROM documents
+  ),
+  px AS (
+    SELECT doc_id, w, h, i,
+           ((doc_id * 131 + i * 37) % 256)::DOUBLE AS v
+    FROM dims, LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS t(i)
+  )
+  SELECT doc_id, w AS px_width, h AS px_height,
+         avg(v) AS px_mean,
+         sqrt(greatest(avg(v * v) - avg(v) * avg(v), 0)) AS px_std,
+         avg(v) FILTER (WHERE i % 3 = 0) AS px_r_mean,
+         avg(v) FILTER (WHERE i % 3 = 1) AS px_g_mean,
+         avg(v) FILTER (WHERE i % 3 = 2) AS px_b_mean
+  FROM px GROUP BY 1, 2, 3
+"""

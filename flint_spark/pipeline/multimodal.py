@@ -56,21 +56,102 @@ def _pil():
 #: True when a real imaging library is available in this environment
 HAS_PIXEL_DECODE = _pil() is not None
 
+_WS = b" \t\r\n"
+
+
+def decode_ppm(payload: bytes):
+    """Pure-numpy decoder for binary netpbm images — P6 (RGB) and P5
+    (grayscale), maxval <= 255 — returning HxWx3 / HxW uint8 arrays.
+    No imaging library involved: the formats are uncompressed, so ~30
+    lines of header tokenization + ``frombuffer`` make pixel statistics
+    real (and DuckDB-oracle-able) in any environment. Returns ``None``
+    for non-netpbm payloads (caller falls through to Pillow)."""
+    import numpy as np
+
+    if len(payload) < 7 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        return None
+    toks: list[int] = []
+    i = 2
+    try:
+        while len(toks) < 3:
+            while payload[i] in _WS:
+                i += 1
+            if payload[i:i + 1] == b"#":  # comment to end of line
+                while payload[i] not in b"\r\n":
+                    i += 1
+                continue
+            j = i
+            while payload[j] not in _WS:
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval, then raw pixel data
+    except (IndexError, ValueError):
+        raise ValueError("malformed netpbm header") from None
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if payload[1:2] == b"6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return data.reshape(h, w, 3) if ch == 3 else data.reshape(h, w)
+
 
 def decode_image(payload: bytes):
-    """Decode image bytes to an HxWx[C] numpy array via Pillow when the
-    library is installed; otherwise raise — the container this engine is
-    developed in has no imaging library, and every caller falls back to
-    deterministic byte-level features (clearly-marked stub path)."""
+    """Decode image bytes to an HxWx[C] numpy array: uncompressed
+    netpbm (P5/P6) decodes with pure numpy everywhere; other formats
+    need Pillow and raise a clearly-marked NotImplementedError when no
+    imaging library is installed."""
+    arr = decode_ppm(payload)
+    if arr is not None:
+        return arr
     Image = _pil()
-    if Image is None:  # pragma: no cover - exercised only without Pillow
+    if Image is None:
         raise NotImplementedError(
-            "image decode requires an imaging library (e.g. Pillow); "
-            "not available in this environment")
+            "image decode beyond netpbm requires an imaging library "
+            "(e.g. Pillow); not available in this environment")
     import io
 
     import numpy as np
     return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+def with_ppm_payload(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", max_side: int = 8) -> DataFrame:
+    """Synthesize a REAL uncompressed image payload per document: a
+    binary P6 PPM whose dimensions derive from the text hash (1..
+    ``max_side`` per side) and whose pixel bytes are the deterministic
+    sequence ``(id * 131 + i * 37) % 256`` — a pure function of
+    (id, text) that DuckDB can replay value-for-value, making the
+    pixel-decode path oracle-checkable with no imaging library."""
+    import numpy as np
+
+    w_expr = (F.pmod(h28(F.col(text_col)), F.lit(max_side)) + 1).cast("int")
+    h_expr = (F.pmod(F.floor(h28(F.col(text_col)) / max_side).cast("long"),
+                     F.lit(max_side)) + 1).cast("int")
+    base = docs.select(F.col(id_col), F.col(text_col),
+                       w_expr.alias("__w"), h_expr.alias("__h"))
+    schema = T.StructType([docs.schema[id_col],
+                           T.StructField("payload", T.BinaryType()),
+                           T.StructField("media_meta", MEDIA_META_TYPE)])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, w, h in zip(pdf[id_col], pdf["__w"], pdf["__h"]):
+                n = int(w) * int(h) * 3
+                px = ((int(did) * 131 + np.arange(n, dtype=np.int64) * 37)
+                      % 256).astype(np.uint8)
+                payloads.append(f"P6\n{int(w)} {int(h)}\n255\n".encode()
+                                + px.tobytes())
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": payloads,
+                "media_meta": [{"format": "image/x-portable-pixmap",
+                                "width": int(w), "height": int(h),
+                                "n_frames": 1}
+                               for w, h in zip(pdf["__w"], pdf["__h"])]})
+
+    return base.mapInPandas(build, schema)
 
 
 PIXEL_FEATURE_FIELDS = [
@@ -78,37 +159,60 @@ PIXEL_FEATURE_FIELDS = [
     T.StructField("px_height", T.IntegerType()),
     T.StructField("px_mean", T.DoubleType()),
     T.StructField("px_std", T.DoubleType()),
+    T.StructField("px_r_mean", T.DoubleType()),
+    T.StructField("px_g_mean", T.DoubleType()),
+    T.StructField("px_b_mean", T.DoubleType()),
 ]
 
 
 def extract_pixel_features(df: DataFrame, payload_col: str = "payload",
-                           id_col: str = "doc_id") -> DataFrame:
-    """REAL pixel statistics per payload (requires Pillow —
-    ``HAS_PIXEL_DECODE``): mapInPandas batches decode each image and
-    emit (width, height, mean, std) over pixel values. Same plumbing
-    shape as ``extract_features``; raises NotImplementedError up front
-    when no imaging library is present rather than per-task."""
-    if not HAS_PIXEL_DECODE:
+                           id_col: str = "doc_id",
+                           assume_netpbm: bool = False) -> DataFrame:
+    """REAL pixel statistics per payload: mapInPandas batches decode
+    each image and emit (width, height, overall mean/std, per-channel
+    means). Netpbm payloads (``with_ppm_payload``) decode with pure
+    numpy in any environment — pass ``assume_netpbm=True`` to skip the
+    imaging-library requirement; other formats need Pillow and raise
+    up front (never per-task) when it is absent.
+
+    ``px_std`` is population std via ``sqrt(E[x^2] - E[x]^2)``: for
+    uint8 pixels both expectations are exact integer-sum divisions, so
+    the value is bit-identical to a SQL oracle computing the same
+    closed form (numpy's ``.std()`` uses a different summation order)."""
+    if not HAS_PIXEL_DECODE and not assume_netpbm:
         raise NotImplementedError(
-            "extract_pixel_features requires an imaging library (Pillow)")
+            "extract_pixel_features requires an imaging library (Pillow) "
+            "for non-netpbm payloads")
+    import math
+
     import numpy as np
 
     schema = T.StructType([df.schema[id_col]] + PIXEL_FEATURE_FIELDS)
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, ms, ss = [], [], [], []
+            rows = []
             for payload in pdf[payload_col]:
                 a = decode_image(bytes(payload)).astype(np.float64)
-                hs.append(int(a.shape[0]))
-                ws.append(int(a.shape[1]) if a.ndim > 1 else 1)
-                ms.append(float(a.mean()))
-                ss.append(float(a.std()))
+                h = int(a.shape[0])
+                w = int(a.shape[1]) if a.ndim > 1 else 1
+                m = float(a.mean())
+                std = math.sqrt(max(float((a * a).mean()) - m * m, 0.0))
+                if a.ndim == 3 and a.shape[2] >= 3:
+                    cm = [float(a[:, :, c].mean()) for c in range(3)]
+                else:
+                    cm = [m, m, m]
+                rows.append((w, h, m, std, *cm))
+            cols = list(zip(*rows)) if rows else [[]] * 7
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "px_width": pd.Series(ws, dtype="int32"),
-                "px_height": pd.Series(hs, dtype="int32"),
-                "px_mean": ms, "px_std": ss})
+                "px_width": pd.Series(cols[0], dtype="int32"),
+                "px_height": pd.Series(cols[1], dtype="int32"),
+                "px_mean": pd.Series(cols[2], dtype="float64"),
+                "px_std": pd.Series(cols[3], dtype="float64"),
+                "px_r_mean": pd.Series(cols[4], dtype="float64"),
+                "px_g_mean": pd.Series(cols[5], dtype="float64"),
+                "px_b_mean": pd.Series(cols[6], dtype="float64")})
 
     return df.select(id_col, payload_col).mapInPandas(feats, schema)
 

@@ -852,8 +852,30 @@ def test_multimodal_pixel_decode_guarded(spark, sf_dir):
     NotImplementedError when not — never a per-task executor crash."""
     from flint_spark.pipeline import multimodal as mm
 
+    import numpy as np
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
     payloads = mm.with_binary_payload(docs)
+
+    # netpbm decodes with pure numpy in ANY environment: P6 with a
+    # comment line, and P5 grayscale
+    ppm = b"P6\n# c\n2 2\n255\n" + bytes(range(12))
+    a = mm.decode_image(ppm)
+    assert a.shape == (2, 2, 3) and a[1, 1, 2] == 11
+    pgm = b"P5\n3 2\n255\n" + bytes(range(6))
+    assert mm.decode_image(pgm).shape == (2, 3)
+    # the synthesized PPM corpus round-trips through the distributed
+    # decode with exact stats (library-free path)
+    media = mm.with_ppm_payload(docs)
+    row = (mm.extract_pixel_features(media, assume_netpbm=True)
+           .orderBy("doc_id").collect()[0])
+    meta = media.orderBy("doc_id").select("doc_id", "media_meta").first()
+    n = meta.media_meta.width * meta.media_meta.height * 3
+    px = (meta.doc_id * 131 + np.arange(n) * 37) % 256
+    assert (row.px_width, row.px_height) == (meta.media_meta.width,
+                                             meta.media_meta.height)
+    assert row.px_mean == pytest.approx(px.mean())
+
     if not mm.HAS_PIXEL_DECODE:
         with pytest.raises(NotImplementedError, match="imaging library"):
             mm.extract_pixel_features(payloads)
