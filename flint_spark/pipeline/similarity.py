@@ -63,22 +63,40 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return total.cast("long")
 
 
+def _argmax_centroid(vcol: Column, centroids: Sequence[tuple[int, Sequence[float]]]):
+    """Nearest-centroid struct (cos, -id) via ``array_max`` over literal
+    centroid arrays — a PURE PROJECTION. The former shape (crossJoin
+    against a broadcast centroid table + per-vector row_number window)
+    shuffled and sorted the ENTIRE vector table just to take an argmax
+    over k tiny constants; at 100 TB that shuffle is the whole job.
+    Tie rule preserved: max (cos, -id) == smallest centroid_id at equal
+    cosine. Cosine arithmetic is identical to the join form (same
+    zip_with/aggregate fold), so results are bit-equal."""
+    entries = []
+    for cid, cv in centroids:
+        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+        cos = _dot(vcol, lit_cv) / (_norm(vcol) * _norm(lit_cv))
+        entries.append(F.struct(cos.alias("s"), F.lit(-cid).alias("nid")))
+    return F.array_max(F.array(*entries))
+
+
 def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    centroid (centroids = deterministic member vectors, broadcast).
+    centroid (centroids = deterministic member vectors; their k vectors
+    are collected — k x dim floats, the bounded quantizer matrix — and
+    inlined as literals so assignment is map-only).
     Returns (id, v, centroid_id, centroid_cos)."""
     base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-    cents = (base.filter(F.col(id_col).isin(list(centroid_ids)))
-             .select(F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")))
-    cos = (_dot(F.col("v"), F.col("cv"))
-           / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("centroid_cos")
-    w = Window.partitionBy(id_col).orderBy(F.desc("centroid_cos"),
-                                           F.col("centroid_id"))
-    return (base.crossJoin(F.broadcast(cents))
-            .select(F.col(id_col), "v", "centroid_id", cos)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1).drop("__rk"))
+    cent_rows = (base.filter(F.col(id_col).isin(list(centroid_ids)))
+                 .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+                 .collect())
+    cents = sorted((int(r["cid"]), list(r["cv"])) for r in cent_rows)
+    best = _argmax_centroid(F.col("v"), cents)
+    return base.select(
+        F.col(id_col), "v",
+        (-best["nid"]).cast("long").alias("centroid_id"),
+        best["s"].alias("centroid_cos"))
 
 
 def ivf_ann_topk(emb: DataFrame, probe_ids: Sequence[int],
@@ -88,8 +106,12 @@ def ivf_ann_topk(emb: DataFrame, probe_ids: Sequence[int],
     lists of its ``nprobe`` nearest centroids — candidate set shrinks by
     ~len(centroids)/nprobe while recall stays high for clustered data.
     Deterministic (centroids are fixed member ids), so exactly
-    oracle-able in SQL."""
-    assigned = ivf_assign(emb, centroid_ids, id_col, vec_col).persist()
+    oracle-able in SQL.
+
+    No persist: assignment is a pure projection (``_argmax_centroid``),
+    so the probe-side re-read is a pushed-down id filter over the scan,
+    far cheaper than materializing the full assigned table."""
+    assigned = ivf_assign(emb, centroid_ids, id_col, vec_col)
     base = assigned.select(F.col(id_col), "v", "centroid_id")
     cents = (assigned.filter(F.col(id_col).isin(list(centroid_ids)))
              .select(F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")))
@@ -177,10 +199,11 @@ def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding",
               seed: int = 7, quantize: int | None = None) -> list[list[float]]:
     """Lloyd iterations for IVF coarse centroids (spherical k-means),
-    fully distributed: each iteration is one broadcast-NLJ argmax-cosine
-    assignment (same plan shape as ``ivf_assign``) plus one
-    (centroid, component) hash aggregation — the driver only ever holds
-    the k x dim centroid matrix (~kB), never data vectors.
+    fully distributed: each iteration is one map-only argmax-cosine
+    assignment over inlined centroid literals (``_argmax_centroid``)
+    plus one (centroid, component) hash aggregation — the only shuffle
+    per iteration. The driver only ever holds the k x dim centroid
+    matrix (~kB), never data vectors.
 
     Deterministic: init picks the k members with the smallest
     md5(seed || id); ties in assignment break on the lower centroid id.
@@ -197,16 +220,9 @@ def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
                  .orderBy("h", "vid").limit(k).select("v").collect())
     centroids = [list(r["v"]) for r in seed_rows]
     for _ in range(iters):
-        cents = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "centroid_id int, cv array<double>")
-        cos = (_dot(F.col("v"), F.col("cv"))
-               / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("ccos")
-        w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.col("centroid_id"))
-        assigned = (base.crossJoin(F.broadcast(cents))
-                    .select("vid", "v", "centroid_id", cos)
-                    .withColumn("__rk", F.row_number().over(w))
-                    .filter(F.col("__rk") == 1))
+        best = _argmax_centroid(F.col("v"), list(enumerate(centroids)))
+        assigned = base.select(
+            "vid", "v", (-best["nid"]).cast("int").alias("centroid_id"))
         comp = (assigned.select("centroid_id", F.posexplode("v"))
                 .groupBy("centroid_id", "pos").agg(F.avg("col").alias("m")))
         rows = comp.collect()
@@ -232,13 +248,15 @@ def ivf_ann_topk_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
                          vec_col: str = "embedding") -> DataFrame:
     """IVF top-k against TRAINED centroids (``ivf_train`` output): same
     bucket-restricted search as ``ivf_ann_topk`` but the coarse
-    quantizer is the k x dim matrix, broadcast to both the assignment
-    and the probe-list ranking. End-to-end train->assign->search is
-    deterministic (train with ``quantize``), so the full pipeline is
-    SQL-oracle-able."""
+    quantizer is the trained k x dim matrix, inlined as literals in the
+    map-only assignment and broadcast to the probe-list ranking.
+    End-to-end train->assign->search is deterministic (train with
+    ``quantize``), so the full pipeline is SQL-oracle-able. No persist:
+    assignment is a projection, so re-reading the probe rows is a
+    pushed-down id filter, not a recompute of anything heavy."""
     spark = emb.sparkSession
     assigned = ivf_assign_trained(emb, centroids, id_col, vec_col) \
-        .select(F.col(id_col), "v", "centroid_id").persist()
+        .select(F.col(id_col), "v", "centroid_id")
     cents = spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(centroids)],
         "centroid_id int, cv array<double>")
@@ -267,17 +285,12 @@ def ivf_assign_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
     """Assign vectors to trained centroids: (id, v, centroid_id,
-    centroid_cos). Broadcast NLJ over the tiny centroid matrix."""
-    spark = emb.sparkSession
+    centroid_cos). Map-only projection over inlined centroid literals
+    (``_argmax_centroid``) — no join, no shuffle."""
     base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-    cents = spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(centroids)],
-        "centroid_id int, cv array<double>")
-    cos = (_dot(F.col("v"), F.col("cv"))
-           / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("centroid_cos")
-    w = Window.partitionBy(id_col).orderBy(F.desc("centroid_cos"),
-                                           F.col("centroid_id"))
-    return (base.crossJoin(F.broadcast(cents))
-            .select(F.col(id_col), "v", "centroid_id", cos)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1).drop("__rk"))
+    best = _argmax_centroid(F.col("v"),
+                            list(enumerate(list(c) for c in centroids)))
+    return base.select(
+        F.col(id_col), "v",
+        (-best["nid"]).cast("int").alias("centroid_id"),
+        best["s"].alias("centroid_cos"))

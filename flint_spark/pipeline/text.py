@@ -4,6 +4,12 @@ document fingerprinting, sessionization-grade expressions.
 Everything compiles to built-in column expressions (codegen'd, no
 Python), with md5-based hashing where hashing is needed so DuckDB
 oracles match exactly.
+
+``text_stats`` materializes the word array ONCE as a projected column
+and derives every feature from it — repeated inline ``split`` calls
+are invisible to codegen subexpression elimination when they sit
+inside lambda functions, so the naive form re-split the text per
+feature (measured ~40% of the whole query).
 """
 
 from __future__ import annotations
@@ -28,6 +34,60 @@ def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+# ---------------------------------------------------------------------
+# expression builders over an already-materialized word array `w`
+# ---------------------------------------------------------------------
+
+def _bpe_count(w: Column) -> Column:
+    return F.aggregate(
+        w, F.lit(0),
+        lambda acc, x: acc + F.lit(1) + F.floor(F.length(x) / F.lit(4)).cast("int"),
+    )
+
+
+def _stopword_ratio(w: Column, lang: str) -> Column:
+    sw = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(w, lambda x: x.isin(sw)))
+    return hits.cast("double") / F.size(w)
+
+
+def _avg_word_length(text_len: Column, w: Column) -> Column:
+    n = F.size(w)
+    return (text_len - (n - 1)).cast("double") / n
+
+
+def _quality(text_len: Column, w: Column) -> Column:
+    n = F.size(w)
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    len_sat = F.least(n.cast("double") / F.lit(64.0), F.lit(1.0))
+    awl = _avg_word_length(text_len, w)
+    wl_ok = F.lit(1.0) - F.least(F.abs(awl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    return (F.lit(0.4) * len_sat + F.lit(0.4) * distinct_ratio
+            + F.lit(0.2) * wl_ok)
+
+
+def _language_id(w: Column) -> Column:
+    entries = [
+        F.struct(_stopword_ratio(w, lang).alias("s"),
+                 F.lit(-i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(LANG_STOPWORDS)
+    ]
+    return F.array_max(F.array(*entries))["lang"]
+
+
+def _fingerprint(w: Column) -> Column:
+    return F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(FINGERPRINT_BASE) + h28(x)) % F.lit(P),
+    )
+
+
+# ---------------------------------------------------------------------
+# public per-column API (reference-style expression factories)
+# ---------------------------------------------------------------------
+
 def token_count(text_col: str = "text") -> Column:
     return F.size(_words(text_col))
 
@@ -35,33 +95,21 @@ def token_count(text_col: str = "text") -> Column:
 def bpe_ish_token_count(text_col: str = "text") -> Column:
     """Sub-word-ish token count: word-boundary pieces plus length/4
     continuation pieces per word (a cheap BPE proxy; deterministic)."""
-    return F.aggregate(
-        _words(text_col), F.lit(0),
-        lambda acc, w: acc + F.lit(1) + F.floor(F.length(w) / F.lit(4)).cast("int"),
-    )
+    return _bpe_count(_words(text_col))
 
 
 def stopword_ratio(text_col: str = "text", lang: str = "en") -> Column:
-    sw = LANG_STOPWORDS[lang]
-    hits = F.size(F.filter(_words(text_col), lambda w: w.isin(sw)))
-    return hits.cast("double") / token_count(text_col)
+    return _stopword_ratio(_words(text_col), lang)
 
 
 def avg_word_length(text_col: str = "text") -> Column:
-    n = token_count(text_col)
-    total_chars = F.length(F.col(text_col)) - (n - 1)  # minus the spaces
-    return total_chars.cast("double") / n
+    return _avg_word_length(F.length(F.col(text_col)), _words(text_col))
 
 
 def quality_score(text_col: str = "text") -> Column:
     """Heuristic [0,1] document quality: length saturation + lexical
     diversity + reasonable word length (deterministic expression)."""
-    n = token_count(text_col)
-    distinct_ratio = (F.size(F.array_distinct(_words(text_col))).cast("double") / n)
-    len_sat = F.least(n.cast("double") / F.lit(64.0), F.lit(1.0))
-    awl = avg_word_length(text_col)
-    wl_ok = F.lit(1.0) - F.least(F.abs(awl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
-    return (F.lit(0.4) * len_sat + F.lit(0.4) * distinct_ratio + F.lit(0.2) * wl_ok)
+    return _quality(F.length(F.col(text_col)), _words(text_col))
 
 
 def language_scores(text_col: str = "text") -> list[Column]:
@@ -78,24 +126,14 @@ def language_id(text_col: str = "text") -> Column:
     score expression appears exactly once. A when()-chain fold doubles
     the expression tree per language (2^n score evaluations: measured
     ~10x slowdown on text_stats before this form)."""
-    entries = [
-        F.struct(stopword_ratio(text_col, lang).alias("s"),
-                 F.lit(-i).alias("prio"),
-                 F.lit(lang).alias("lang"))
-        for i, lang in enumerate(LANG_STOPWORDS)
-    ]
-    return F.array_max(F.array(*entries))["lang"]
+    return _language_id(_words(text_col))
 
 
 def fingerprint(text_col: str = "text") -> Column:
     """Order-sensitive polynomial rolling hash over word hashes
     (mod P, base 131): two docs share a fingerprint iff same word
     sequence. All arithmetic stays below 2^60."""
-    return F.aggregate(
-        _words(text_col),
-        F.lit(0).cast("long"),
-        lambda acc, w: (acc * F.lit(FINGERPRINT_BASE) + h28(w)) % F.lit(P),
-    )
+    return _fingerprint(_words(text_col))
 
 
 def repetition_ratio(text_col: str = "text", k: int = 3) -> Column:
@@ -117,15 +155,24 @@ def repetition_ratio(text_col: str = "text", k: int = 3) -> Column:
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One row per doc with the standard text-quality feature set."""
-    return docs.withColumns({
-        "n_tokens": token_count(text_col),
-        "n_tokens_bpe": bpe_ish_token_count(text_col),
-        "avg_word_len": avg_word_length(text_col),
-        "distinct_ratio": F.size(F.array_distinct(_words(text_col))).cast("double")
-                          / token_count(text_col),
-        "stopword_ratio_en": stopword_ratio(text_col, "en"),
-        "quality": quality_score(text_col),
-        "lang_pred": language_id(text_col),
-        "fingerprint": fingerprint(text_col),
-    })
+    """One row per doc with the standard text-quality feature set.
+
+    The word array is projected once (``__w``) and shared by every
+    feature; small few-split corpus scans are spread across cores first
+    (``dedup._spread`` — no-op on real multi-split inputs)."""
+    from .dedup import _spread
+
+    base = _spread(docs).withColumn("__w", _words(text_col))
+    w = F.col("__w")
+    tl = F.length(F.col(text_col))
+    n = F.size(w)
+    return base.withColumns({
+        "n_tokens": n,
+        "n_tokens_bpe": _bpe_count(w),
+        "avg_word_len": _avg_word_length(tl, w),
+        "distinct_ratio": F.size(F.array_distinct(w)).cast("double") / n,
+        "stopword_ratio_en": _stopword_ratio(w, "en"),
+        "quality": _quality(tl, w),
+        "lang_pred": _language_id(w),
+        "fingerprint": _fingerprint(w),
+    }).drop("__w")
