@@ -156,6 +156,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "generator": q_generator,
         "pixel_stats": q_pixel_stats,
+        "lm_quality": q_lm_quality,
+        "tfidf": q_tfidf,
     }
 
 
@@ -188,6 +190,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "mix_corpora": SQL_MIX_CORPORA,
         "generator": SQL_GENERATOR,
         "pixel_stats": SQL_PIXEL_STATS,
+        "lm_quality": SQL_LM_QUALITY,
+        "tfidf": SQL_TFIDF,
     }
 
 

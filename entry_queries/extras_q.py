@@ -753,3 +753,64 @@ SQL_PIXEL_STATS = """
          avg(v) FILTER (WHERE i % 3 = 2) AS px_b_mean
   FROM px GROUP BY 1, 2, 3
 """
+
+
+def q_lm_quality(spark, sf):
+    """CCNet-style unigram LM quality (pipeline.text.unigram_logprob):
+    per-doc mean -ln p(token) under the corpus unigram distribution —
+    vocab counts broadcast, two corpus exchanges."""
+    docs = _t(spark, sf, "documents")
+    out = text_ops.unigram_logprob(docs)
+    return out.select("doc_id", R("nll", 6).alias("nll"), "n_tokens")
+
+
+SQL_LM_QUALITY = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ),
+  counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+  total AS (SELECT sum(cnt) AS total FROM counts)
+  SELECT doc_id,
+         floor(avg(-ln(cnt::DOUBLE / total)) * 1000000 + 0.5) / 1000000
+           AS nll,
+         count(*) AS n_tokens
+  FROM tok JOIN counts USING (w) CROSS JOIN total
+  GROUP BY 1
+"""
+
+
+def q_tfidf(spark, sf):
+    """Per-doc top-3 tf-idf terms (pipeline.text.tfidf_top_terms):
+    map-side-distinct document frequencies, broadcast joins, one
+    per-doc top-k window."""
+    docs = _t(spark, sf, "documents")
+    out = text_ops.tfidf_top_terms(docs, k=3)
+    return out.select("doc_id", "term", "tf",
+                      R("tfidf", 6).alias("tfidf"), "rank")
+
+
+SQL_TFIDF = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ),
+  tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+  dfreq AS (
+    SELECT w, count(*) AS df FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ) GROUP BY 1
+  ),
+  nd AS (SELECT count(*) AS n_docs FROM documents),
+  scored AS (
+    SELECT doc_id, w AS term, tf,
+           tf * ln(n_docs::DOUBLE / df) AS tfidf
+    FROM tf JOIN dfreq USING (w) CROSS JOIN nd
+  )
+  SELECT doc_id, term, tf,
+         floor(tfidf * 1000000 + 0.5) / 1000000 AS tfidf, rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+  ) WHERE rank <= 3
+"""

@@ -154,6 +154,67 @@ def repetition_ratio(text_col: str = "text", k: int = 3) -> Column:
             .otherwise(F.lit(0.0))
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log probability of its tokens under the CORPUS unigram
+    distribution — high values flag gibberish/rare-token spam, low
+    values flag repetitive boilerplate. Output: (id, nll, n_tokens).
+
+    Plan: map-side token explosion -> vocabulary count aggregation
+    (vocab-bounded, broadcastable by Heaps' law) -> broadcast join back
+    onto the token stream -> per-doc aggregation. Two corpus-scale
+    exchanges (vocab counts, per-doc mean); the 1-row total crossJoin
+    stays lazy — no driver action at plan-build time."""
+    tok = _token_stream(docs, text_col, id_col)
+    counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    nll = -F.log(F.col("cnt").cast("double") / F.col("total"))
+    return (tok.join(F.broadcast(counts), "w")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.avg(nll).alias("nll"),
+                 F.count("*").alias("n_tokens")))
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf (raw term frequency x
+    ln(n_docs / doc_frequency)); rank ties break on the term. Output:
+    (id, term, tf, tfidf, rank).
+
+    Document frequencies come from a map-side ``array_distinct``
+    explosion (no per-doc dedup shuffle, same trick as ``shingles``),
+    so the plan is: tf aggregation + vocab-bounded df aggregation +
+    broadcast joins + one per-doc top-k window."""
+    from pyspark.sql import Window
+
+    tok = _token_stream(docs, text_col, id_col)
+    tf = tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = (_spread_docs(docs)
+             .select(F.explode(F.array_distinct(_words(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("df")))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    win = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (tf.join(F.broadcast(dfreq), "w")
+            .crossJoin(F.broadcast(n_docs))
+            .select(F.col(id_col), F.col("w").alias("term"), "tf",
+                    tfidf.alias("tfidf"))
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k))
+
+
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    from .dedup import _spread
+    return _spread(docs)
+
+
+def _token_stream(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return _spread_docs(docs).select(F.col(id_col),
+                                     F.explode(_words(text_col)).alias("w"))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per doc with the standard text-quality feature set.
 
