@@ -188,6 +188,100 @@ def test_ewma_stream_vs_duckdb(spark, con, tmp_path):
     assert ok, msg
 
 
+def _append_sentinel(spark, ev, out_dir, row_builder):
+    """Write a far-future sentinel chunk: event-time watermark is global
+    for windowed aggregations, so one row past every real window closes
+    them all; the sentinel's own window never emits."""
+    maxt = ev.agg(F.max("time")).first()[0]
+    sent = row_builder(F.lit(maxt) + F.expr("INTERVAL 30 DAYS"))
+    tmp = os.path.join(out_dir, "_sent")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, src), os.path.join(out_dir, "chunk_9.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_summarize_intervals_stream_vs_duckdb(spark, con, tmp_path):
+    """Watermarked tumbling-window aggregation replay == DuckDB GROUP BY
+    date_trunc: a sentinel chunk closes every real window, so the sink
+    is the complete batch result."""
+    from flint_spark import summarizers as S
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "event_type", "value"))
+    out_dir = str(tmp_path / "iv")
+    _time_split_files(ev, out_dir, _SPLITS)
+    _append_sentinel(
+        spark, ev, out_dir,
+        lambda t: ev.limit(1).select(
+            t.alias("time"), F.lit("zz_sentinel").alias("event_type"),
+            F.lit(None).cast("double").alias("value")))
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    agg = ts_stream.summarize_intervals_stream(
+        st, "1 day", S.compose(S.count(), S.sum_("value")),
+        key=["event_type"], watermark="1 minute")
+    _run_to_table(agg, "so_intervals")
+    got = (spark.sql("SELECT * FROM so_intervals")
+           .select("time", "event_type", "count",
+                   (F.floor(F.col("value_sum") * 10000 + 0.5) / 10000)
+                   .alias("value_sum")))
+    sql = """
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS time, event_type,
+             count(*) AS count,
+             floor(sum(value) * 10000 + 0.5) / 10000 AS value_sum
+      FROM events GROUP BY 1, 2
+    """
+    ok, msg = compare("so_intervals", got, sql, con)
+    assert ok, msg
+
+
+def test_sessionize_stream_vs_duckdb(spark, con, tmp_path):
+    """session_window replay == DuckDB lag/cumsum sessionization (the
+    batch sessionize oracle shape): session_end differs by exactly the
+    gap (Spark reports last_event + gap), so the compare subtracts it."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id"))
+    out_dir = str(tmp_path / "sess")
+    _time_split_files(ev, out_dir, _SPLITS)
+    _append_sentinel(
+        spark, ev, out_dir,
+        lambda t: ev.limit(1).select(t.alias("time"),
+                                     F.lit(-1).cast("long").alias("user_id")))
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    sess = ts_stream.sessionize_stream(st, gap="1 hour", key=["user_id"],
+                                       watermark="1 minute")
+    _run_to_table(sess, "so_sessions")
+    got = (spark.sql("SELECT * FROM so_sessions")
+           .filter(F.col("user_id") >= 0)
+           .select("user_id", "session_start",
+                   (F.col("session_end") - F.expr("INTERVAL 1 HOUR"))
+                   .alias("last_event"), "n_events"))
+    sql = """
+      WITH e AS (
+        SELECT CAST(ts AS TIMESTAMP) AS t, user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), s AS (
+        SELECT t, user_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+      )
+      SELECT user_id, min(t) AS session_start, max(t) AS last_event,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    """
+    ok, msg = compare("so_sessions", got, sql, con)
+    assert ok, msg
+
+
 def test_stream_future_duplicate_right_tie_rule(spark):
     """Duplicate (key, time) RIGHT rows arriving in adversarial order
     across micro-batches resolve to the batch max-struct winner
