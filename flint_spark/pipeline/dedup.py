@@ -38,6 +38,8 @@ def _spread(docs: DataFrame) -> DataFrame:
     first (the shuffle moves only the pre-explosion text, which is tiny
     by definition here); 100 TB inputs have thousands of splits and pass
     through untouched."""
+    if docs.isStreaming:  # micro-batch parallelism is the source's job
+        return docs
     sc = docs.sparkSession.sparkContext
     p = sc.defaultParallelism
     if docs.rdd.getNumPartitions() < p:

@@ -164,11 +164,13 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     Plan: map-side token explosion -> vocabulary count aggregation
     (vocab-bounded, broadcastable by Heaps' law) -> broadcast join back
     onto the token stream -> per-doc aggregation. Two corpus-scale
-    exchanges (vocab counts, per-doc mean); the 1-row total crossJoin
+    exchanges (vocab counts, per-doc mean); the 1-row total aggregates
+    word-array sizes straight off the doc scan (deriving it from the
+    vocab table would recompute that whole subtree for one number) and
     stays lazy — no driver action at plan-build time."""
     tok = _token_stream(docs, text_col, id_col)
     counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("total"))
+    total = docs.agg(F.sum(F.size(_words(text_col))).alias("total"))
     nll = -F.log(F.col("cnt").cast("double") / F.col("total"))
     return (tok.join(F.broadcast(counts), "w")
             .crossJoin(F.broadcast(total))
