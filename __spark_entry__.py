@@ -27,6 +27,7 @@ from flint_spark.timeseries import TIME_COLUMN
 
 from entry_queries import *  # noqa: F401,F403
 from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
+                           _sql_bloom_dedup,
                            _sql_embedding_dedup, _sql_hash_split,
                            _sql_ivf_ann_trained,
                            _sql_interval_custom_clock, _sql_ivf_ann,
@@ -158,6 +159,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_stats": q_pixel_stats,
         "lm_quality": q_lm_quality,
         "tfidf": q_tfidf,
+        "bloom_dedup": q_bloom_dedup,
     }
 
 
@@ -192,6 +194,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pixel_stats": SQL_PIXEL_STATS,
         "lm_quality": SQL_LM_QUALITY,
         "tfidf": SQL_TFIDF,
+        "bloom_dedup": _sql_bloom_dedup(),
     }
 
 

@@ -814,3 +814,44 @@ SQL_TFIDF = """
     FROM scored
   ) WHERE rank <= 3
 """
+
+
+_BLOOM_M, _BLOOM_K, _BLOOM_SALT = 1 << 16, 5, "bg"
+
+
+def q_bloom_dedup(spark, sf):
+    """Incremental-ingestion dedup via a deterministic md5 Bloom filter
+    (pipeline.bloom): build over the even-id half of the corpus
+    (distributed position agg -> 8 KiB bitmap), flag the whole corpus
+    map-side. DuckDB replays positions exactly, so the flags — false
+    positives included — compare value-for-value."""
+    from flint_spark.pipeline import bloom
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bf = bloom.bloom_build(corpus, "doc_id", m=_BLOOM_M, k=_BLOOM_K,
+                           salt=_BLOOM_SALT)
+    return (bloom.bloom_flag(docs, bf, "doc_id", m=_BLOOM_M, k=_BLOOM_K,
+                             salt=_BLOOM_SALT)
+            .select("doc_id", "maybe_seen"))
+
+
+def _sql_bloom_dedup() -> str:
+    return f"""
+  WITH j AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
+  corpus_pos AS (
+    SELECT DISTINCT
+      (('0x' || substr(md5('{_BLOOM_SALT}:' || j || ':' || doc_id::VARCHAR),
+                       1, 7))::BIGINT) % {_BLOOM_M} AS p
+    FROM documents, j WHERE doc_id % 2 = 0
+  ),
+  new_pos AS (
+    SELECT doc_id,
+      (('0x' || substr(md5('{_BLOOM_SALT}:' || j || ':' || doc_id::VARCHAR),
+                       1, 7))::BIGINT) % {_BLOOM_M} AS p
+    FROM documents, j
+  )
+  SELECT doc_id,
+         bool_and(p IN (SELECT p FROM corpus_pos)) AS maybe_seen
+  FROM new_pos GROUP BY 1
+"""

@@ -1141,6 +1141,36 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     assert hi == again
 
 
+def test_bloom_incremental_dedup_contracts(spark):
+    """Bloom ingestion dedup: NO false negatives (nothing already in
+    the corpus survives dedup_against_corpus), flags deterministic
+    across layouts, and string keys hash identically to the JVM md5
+    (the pandas-side hashlib path must agree with h28)."""
+    from flint_spark.pipeline import bloom
+
+    corpus = spark.range(0, 1000, 2).withColumnRenamed("id", "k")
+    batch = spark.range(0, 1000).withColumnRenamed("id", "k")
+    kept = bloom.dedup_against_corpus(batch, corpus, "k",
+                                      m=1 << 16, k=4, salt="t")
+    kept_ids = {r["k"] for r in kept.collect()}
+    # no false negatives: every even id (in corpus) was dropped
+    assert not any(i % 2 == 0 for i in kept_ids)
+    # false-positive rate small at 500 keys / 64k bits: most odds kept
+    assert len(kept_ids) > 400
+    # layout invariance
+    again = {r["k"] for r in bloom.dedup_against_corpus(
+        batch.repartition(7), corpus.coalesce(1), "k",
+        m=1 << 16, k=4, salt="t").collect()}
+    assert kept_ids == again
+    # string keys: python hashlib path == JVM md5 path (same flags when
+    # the corpus is flagged against itself -> all True)
+    sdocs = spark.createDataFrame([("a b",), ("ünïcode",), ("x",)],
+                                  "key string")
+    bf = bloom.bloom_build(sdocs, "key", m=1 << 12, k=3, salt="s")
+    flags = bloom.bloom_flag(sdocs, bf, "key", m=1 << 12, k=3, salt="s")
+    assert all(r["maybe_seen"] for r in flags.collect())
+
+
 def test_weighted_sample_rounds_like_deterministic_sample(spark):
     """Equal probabilities => identical keep sets between the two
     samplers (same salt): quantization is floor(p*B + 0.5) in both, so
