@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import begin_op, keep
 from .hashing import P, h28, h32, minhash_params
 
 
@@ -148,8 +149,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # the signature table feeds the band join AND both sides of the
     # estimate join — persist it or Spark recomputes the whole
     # shingle->hash->32-min aggregation subtree four times.
-    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes, seed,
-                             max_df).persist()
+    begin_op()
+    sig = keep(minhash_signatures(docs, text_col, id_col, k, num_hashes, seed,
+                                  max_df))
     mh_cols = [f"mh_{j}" for j in range(num_hashes)]
     band_structs = [
         F.struct(
@@ -209,7 +211,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Candidates via 8-bit band equi-join (a pair within hamming<=3 of a
     32-bit hash must agree on at least one of the four bytes)."""
     # both sides of the band self-join read the simhash aggregation
-    sh = simhash(docs, text_col, id_col, nbits).persist()
+    begin_op()
+    sh = keep(simhash(docs, text_col, id_col, nbits))
     nbands = nbits // 8
     banded = sh.select(
         id_col, "simhash",
@@ -246,10 +249,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # persist both stages or the explode+distinct (and the rare-join)
     # recompute once per consumer (plan audit showed the join subtree
     # repeated 3x when only the raw table was cached).
-    sh0 = shingles(docs, text_col, id_col, k).persist()
+    begin_op()
+    sh0 = keep(shingles(docs, text_col, id_col, k))
     rare = (sh0.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df).select("shingle"))
-    sh = sh0.join(rare, "shingle").persist()
+    sh = keep(sh0.join(rare, "shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -305,7 +309,8 @@ def winnow_pairs(docs: DataFrame, text_col: str = "text",
     fingerprints: (id_a, id_b, shared). Equi-join on the winnowed set
     (~2/(window+1) of all shingles), the standard plagiarism/near-dup
     candidate generator."""
-    fps = winnow_fingerprints(docs, text_col, id_col, k, window).persist()
+    begin_op()
+    fps = keep(winnow_fingerprints(docs, text_col, id_col, k, window))
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (a.join(b, "fp")

@@ -146,9 +146,10 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     full cross product (the embedding face of MinHash-LSH dedup)."""
     _check_dim(emb, vec_col, dim)
     planes = hyperplanes(n_planes, dim, seed)
-    base = (emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-            .withColumn("bucket", bucket_expr(F.col("v"), planes))
-            .persist())
+    from ._cache import begin_op, keep
+    begin_op()
+    base = keep(emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+                .withColumn("bucket", bucket_expr(F.col("v"), planes)))
     a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                     "bucket")
     b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
