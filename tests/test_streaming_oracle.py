@@ -188,6 +188,85 @@ def test_ewma_stream_vs_duckdb(spark, con, tmp_path):
     assert ok, msg
 
 
+def test_exponential_smoothing_stream_vs_duckdb(spark, con, tmp_path):
+    """Stateful streaming exponentialSmoothing (current/core, priming=1)
+    replay == the batch ema_core DuckDB closed form, rounded to 4
+    decimals like the batch gate."""
+    import math
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "es"))
+    out = ts_stream.exponential_smoothing_stream(
+        st, "value", key=["user_id"], alpha=0.05, priming_periods=1.0,
+        duration_per_period="1d", interpolation="current",
+        convention="core")
+    _run_to_table(out, "so_es")
+    got = (spark.sql("SELECT * FROM so_es")
+           .select(F.col("__tns").alias("tns"), "user_id",
+                   (F.floor(F.col("value_ema") * 10000 + 0.5) / 10000)
+                   .alias("ema")))
+    lam = -math.log1p(-0.05) / 86_400e6
+    lam_day = -math.log1p(-0.05)
+    sql = f"""
+      WITH e AS (
+        SELECT epoch_ns(ts) AS tns, user_id, value,
+               epoch_us(ts)::DOUBLE AS tus,
+               min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                 ::DOUBLE AS prev
+        FROM events
+      ), d AS (
+        SELECT *, CASE WHEN prev IS NULL THEN exp(-{lam_day})
+                       ELSE exp(-(tus - prev) * {lam}) END AS dec
+        FROM e
+      )
+      SELECT tns, user_id,
+             floor(((sum((1 - dec) * value * exp((tus - base) * {lam})) OVER w)
+               / (sum((1 - dec) * exp((tus - base) * {lam})) OVER w))
+               * 10000 + 0.5) / 10000 AS ema
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY tns
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    ok, msg = compare("so_es", got, sql, con)
+    assert ok, msg
+
+
+def test_summarize_windows_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming per-row sliding-window mean replay == DuckDB RANGE
+    BETWEEN frame over the same events."""
+    from flint_spark import windows as W
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "sw"))
+    # sequential left-to-right fold: pandas .mean() sums pairwise, which
+    # diverges from the SQL window's running sum in the last ulp and
+    # flips half-up rounding on a handful of rows
+    out = ts_stream.summarize_windows_stream(
+        st, W.past_absolute_time("2d"),
+        lambda s: sum(s.tolist()) / len(s), "w_mean",
+        key=["user_id"], watermark="400 days")
+    _run_to_table(out, "so_swin")
+    got = (spark.sql("SELECT * FROM so_swin")
+           .select(F.col("__tns").alias("tns"), "user_id",
+                   (F.floor(F.col("w_mean") * 10000 + 0.5) / 10000)
+                   .alias("w_mean")))
+    sql = """
+      SELECT epoch_ns(ts) AS tns, user_id,
+             floor((avg(value) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 172800000000 PRECEDING AND CURRENT ROW))
+                   * 10000 + 0.5) / 10000 AS w_mean
+      FROM events
+    """
+    ok, msg = compare("so_swin", got, sql, con)
+    assert ok, msg
+
+
 def _append_sentinel(spark, ev, out_dir, row_builder):
     """Write a far-future sentinel chunk: event-time watermark is global
     for windowed aggregations, so one row past every real window closes
