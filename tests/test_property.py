@@ -194,3 +194,92 @@ def test_symmetric_join_equals_two_left_joins(left, right, tol):
     g = got[cols].sort_values(cols, ignore_index=True)
     e = exp[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+@st.composite
+def corpora(draw, max_docs=12):
+    n = draw(st.integers(2, max_docs))
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(draw(st.lists(st.sampled_from(vocab),
+                                    min_size=1, max_size=8)))
+             for _ in range(n)]
+    return pd.DataFrame({"doc_id": range(n), "text": texts})
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(docs=corpora())
+def test_tfidf_vs_pandas_reference(docs):
+    """tfidf_top_terms == a direct pandas tf-idf computation (raw tf,
+    ln(n_docs/df), rank ties on term)."""
+    import math
+
+    from flint_spark.pipeline.text import tfidf_top_terms
+
+    spark = _spark()
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = (tfidf_top_terms(sdf, k=2)
+           .toPandas().sort_values(["doc_id", "rank"], ignore_index=True))
+
+    tok = docs.assign(w=docs["text"].str.split(" ")).explode("w")
+    tf = tok.groupby(["doc_id", "w"]).size()
+    dfreq = tok.drop_duplicates(["doc_id", "w"]).groupby("w").size()
+    n_docs = len(docs)
+    rows = []
+    for (did, w), f in tf.items():
+        rows.append((did, w, f, f * math.log(n_docs / dfreq[w])))
+    ref = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "tfidf"])
+    ref = (ref.sort_values(["doc_id", "tfidf", "term"],
+                           ascending=[True, False, True])
+           .groupby("doc_id").head(2).reset_index(drop=True))
+    assert len(got) == len(ref)
+    for g, r in zip(got.itertuples(), ref.itertuples()):
+        assert (g.doc_id, g.term, g.tf) == (r.doc_id, r.term, r.tf)
+        assert abs(g.tfidf - r.tfidf) < 1e-9
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(docs=corpora())
+def test_unigram_logprob_vs_pandas_reference(docs):
+    import math
+
+    from flint_spark.pipeline.text import unigram_logprob
+
+    spark = _spark()
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = (unigram_logprob(sdf).toPandas()
+           .sort_values("doc_id", ignore_index=True))
+    tok = docs.assign(w=docs["text"].str.split(" ")).explode("w")
+    cnt = tok.groupby("w").size()
+    total = len(tok)
+    ref = (tok.assign(nll=tok["w"].map(lambda w: -math.log(cnt[w] / total)))
+           .groupby("doc_id")["nll"].mean())
+    for r in got.itertuples():
+        assert abs(r.nll - ref[r.doc_id]) < 1e-9
+        assert r.n_tokens == (tok["doc_id"] == r.doc_id).sum()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=30,
+                     unique=True),
+       split=st.integers(1, 29))
+def test_bloom_no_false_negatives_property(keys, split):
+    """Any corpus/batch split: every corpus key is flagged maybe_seen
+    (no false negatives), and keys the filter keeps are never corpus
+    members."""
+    from flint_spark.pipeline import bloom
+
+    spark = _spark()
+    corpus_keys = keys[:min(split, len(keys))]
+    corpus = spark.createDataFrame([(k,) for k in corpus_keys], "k long")
+    batch = spark.createDataFrame([(k,) for k in keys], "k long")
+    bf = bloom.bloom_build(corpus, "k", m=1 << 12, k=3, salt="p")
+    flags = {r["k"]: r["maybe_seen"]
+             for r in bloom.bloom_flag(batch, bf, "k", m=1 << 12, k=3,
+                                       salt="p").collect()}
+    for ck in corpus_keys:
+        assert flags[ck] is True
+    kept = {k for k, seen in flags.items() if not seen}
+    assert kept.isdisjoint(set(corpus_keys))
