@@ -361,6 +361,32 @@ def test_sessionize_stream_vs_duckdb(spark, con, tmp_path):
     assert ok, msg
 
 
+def test_dedup_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) replay over
+    a corpus with injected duplicates == DuckDB DISTINCT on the subset:
+    the kept set is compared on the subset column and count (which
+    physical duplicate survives is arrival-order territory in BOTH
+    engines, so only the deduped identity is the contract)."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "event_id"))
+    doubled = ev.unionByName(ev)  # every event twice
+    st = _replay(spark, doubled, str(tmp_path / "dd"))
+    out = ts_stream.dedup_stream(st, ["event_id"], watermark="400 days")
+    _run_to_table(out, "so_dedup")
+    got = (spark.sql("SELECT * FROM so_dedup")
+           .groupBy().agg(F.count("*").alias("n"),
+                          F.count_distinct("event_id").alias("n_ids"),
+                          F.sum("event_id").cast("long").alias("id_sum")))
+    sql = """
+      SELECT count(*) AS n, count(DISTINCT event_id) AS n_ids,
+             sum(event_id)::BIGINT AS id_sum
+      FROM (SELECT DISTINCT event_id FROM events)
+    """
+    ok, msg = compare("so_dedup", got, sql, con)
+    assert ok, msg
+
+
 def test_stream_future_duplicate_right_tie_rule(spark):
     """Duplicate (key, time) RIGHT rows arriving in adversarial order
     across micro-batches resolve to the batch max-struct winner
