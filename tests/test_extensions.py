@@ -1141,6 +1141,25 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     assert hi == again
 
 
+def test_ivf_assignment_is_map_only(spark, sf_dir):
+    """Nearest-centroid assignment must stay a pure projection: no
+    Exchange anywhere in ivf_assign_trained's plan (the pre-r4 shape
+    shuffled the whole vector table through a row_number window)."""
+    from plan_audit import _walk
+
+    from flint_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[0.1 * i + 0.01 * j for j in range(8)] for i in range(4)]
+    emb8 = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    out = sim.ivf_assign_trained(emb8, cents)
+    out.write.mode("overwrite").format("noop").save()
+    names = list(_walk(out._jdf.queryExecution().executedPlan()))
+    assert not any("Exchange" in n for n in names), names
+    # and the assignment is total: every vector got a centroid
+    assert out.filter(F.col("centroid_id").isNull()).count() == 0
+
+
 def test_bloom_incremental_dedup_contracts(spark):
     """Bloom ingestion dedup: NO false negatives (nothing already in
     the corpus survives dedup_against_corpus), flags deterministic
