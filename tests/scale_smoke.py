@@ -184,8 +184,21 @@ def pipeline_scale(spark, n_docs: int = 100_000):
                   dedup.simhash_pairs(docs, max_hamming=3, max_bucket=1000))
     t_mh = timed("minhash_lsh (capped)",
                  dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=1000))
+    # incremental-ingestion dedup: bloom over half the corpus, flag the
+    # whole corpus map-side (the per-batch path at 100 TB)
+    from flint_spark.pipeline import bloom
+
+    corpus_half = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    import time as _time
+    t0 = _time.perf_counter()
+    bf = bloom.bloom_build(corpus_half, "doc_id")
+    t_build = _time.perf_counter() - t0
+    print(f"  {'bloom build (half corpus)':28s} {t_build:7.2f}s "
+          f"({len(bf):,} bytes)")
+    t_flag = timed("bloom flag (full corpus)",
+                   bloom.bloom_flag(docs, bf, "doc_id"))
     docs.unpersist()
-    return t_exact, t_sim, t_mh
+    return t_exact, t_sim, t_mh, t_build, t_flag
 
 
 
