@@ -160,6 +160,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "tfidf": q_tfidf,
         "bloom_dedup": q_bloom_dedup,
+        "redact_pii": q_redact_pii,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -195,6 +197,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "lm_quality": SQL_LM_QUALITY,
         "tfidf": SQL_TFIDF,
         "bloom_dedup": _sql_bloom_dedup(),
+        "redact_pii": SQL_REDACT_PII,
+        "line_dedup": SQL_LINE_DEDUP,
     }
 
 

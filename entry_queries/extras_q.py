@@ -855,3 +855,98 @@ def _sql_bloom_dedup() -> str:
          bool_and(p IN (SELECT p FROM corpus_pos)) AS maybe_seen
   FROM new_pos GROUP BY 1
 """
+
+
+def q_redact_pii(spark, sf):
+    """Regex PII scrubbing (pipeline.text.redact_pii): emails/phones/IPs
+    replaced with <PII>, per-pattern match counts. The fixture corpus is
+    PII-free, so the query injects synthetic PII into every 5th doc —
+    non-vacuous at every sf regardless of fixture drift."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact bob@example.com or 555-123-4567 at "
+                              "10.0.0.1 now")))
+        .otherwise(F.col("text")))
+    out = text_ops.redact_pii(docs)
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4",
+                      F.md5("text_redacted").alias("redacted_md5"))
+
+
+SQL_REDACT_PII = r"""
+  WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text ||
+             ' contact bob@example.com or 555-123-4567 at 10.0.0.1 now'
+           ELSE text END AS text
+    FROM documents
+  )
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text,
+             '\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phone,
+         len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+             '\d{3}[-.]\d{3}[-.]\d{4}', '<PII>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII>', 'g'))
+           AS redacted_md5
+  FROM d
+"""
+
+
+def q_line_dedup(spark, sf):
+    """Line-level boilerplate removal (pipeline.text.
+    remove_repeated_lines): a synthetic header line is prepended to
+    every 3rd doc, then any line occurring in > 5 docs is stripped and
+    documents are rebuilt in original line order — non-vacuous at every
+    sf (the header always crosses the threshold)."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("SUBSCRIBE TO OUR NEWSLETTER\n"),
+                        F.col("text")))
+        .otherwise(F.col("text")))
+    out = text_ops.remove_repeated_lines(docs, max_line_df=5)
+    return out.select("doc_id", F.md5("text").alias("clean_md5"),
+                      "n_lines_kept", "n_lines_dropped")
+
+
+SQL_LINE_DEDUP = """
+  WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || text
+                ELSE text END AS text
+    FROM documents
+  ),
+  lines AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+           unnest(string_split(text, chr(10))) AS line
+    FROM d
+  ),
+  dfreq AS (
+    SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY 1
+  ),
+  kept AS (
+    SELECT l.* FROM lines l
+    WHERE l.line NOT IN (SELECT line FROM dfreq WHERE line_df > 5)
+  ),
+  rebuilt AS (
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text,
+           count(*) AS n_lines_kept
+    FROM kept GROUP BY 1
+  ),
+  totals AS (
+    SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM d
+  )
+  SELECT t.doc_id, md5(coalesce(r.text, '')) AS clean_md5,
+         coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+         t.n_total - coalesce(r.n_lines_kept, 0) AS n_lines_dropped
+  FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""

@@ -207,6 +207,82 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
             .filter(F.col("rank") <= k))
 
 
+#: conservative PII patterns valid in BOTH Java regex (Spark) and RE2
+#: (DuckDB): no backreferences, no lookaround
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               patterns: dict[str, str] | None = None,
+               token: str = "<PII>") -> DataFrame:
+    """Regex PII scrubbing: replaces every match of each pattern with
+    ``token`` and adds one ``n_<name>`` match-count column per pattern.
+    Pure ``regexp_replace``/``regexp_extract_all`` expressions — zero
+    shuffles, zero Python — using a conservative regex subset that
+    evaluates identically under Java regex and RE2, so the DuckDB
+    oracle compares redacted text and counts exactly."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out = docs
+    red = F.col(text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))))
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn(f"{text_col}_redacted", red)
+
+
+def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_line_df: int = 5,
+                          sep: str = "\n") -> DataFrame:
+    """CCNet/Gopher-style line-level boilerplate removal: drop every
+    line that occurs in MORE than ``max_line_df`` distinct documents
+    (headers, footers, cookie banners), rebuild each document from its
+    surviving lines in original order. Output: (id, text, n_lines_kept,
+    n_lines_dropped).
+
+    Plan: posexplode lines (map-side) -> distinct-doc line frequency
+    (``array_distinct`` per doc first, so the df aggregation sees each
+    (doc, line) once without a dedup shuffle) -> broadcast the
+    boilerplate set (only lines ABOVE the threshold — small by
+    definition) -> anti-join -> per-doc rebuild via sorted struct
+    collect. Two corpus-scale exchanges (line df, rebuild)."""
+    from .dedup import _spread
+
+    base = _spread(docs).select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("__lines"))
+    lines = base.select(
+        F.col(id_col),
+        F.posexplode(F.col("__lines")).alias("pos", "line"))
+    dfreq = (base.select(F.explode(F.array_distinct(F.col("__lines")))
+                         .alias("line"))
+             .groupBy("line").agg(F.count("*").alias("line_df")))
+    boiler = dfreq.filter(F.col("line_df") > max_line_df).select("line")
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("pos", "line")))
+                    .alias("__sl"),
+                    F.count("*").alias("n_lines_kept")))
+    n_total = base.select(F.col(id_col),
+                          F.size("__lines").alias("__n_total"))
+    return (n_total.join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.concat_ws(sep, F.transform(
+                    F.coalesce(F.col("__sl"),
+                               F.array().cast("array<struct<pos:int,line:string>>")),
+                    lambda s: s["line"])).alias(text_col),
+                F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+                (F.col("__n_total")
+                 - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+                .alias("n_lines_dropped")))
+
+
 def _spread_docs(docs: DataFrame) -> DataFrame:
     from .dedup import _spread
     return _spread(docs)
