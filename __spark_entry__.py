@@ -27,7 +27,7 @@ from flint_spark.timeseries import TIME_COLUMN
 
 from entry_queries import *  # noqa: F401,F403
 from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
-                           _sql_bloom_dedup,
+                           _sql_bloom_dedup, _sql_dedup_clusters,
                            _sql_embedding_dedup, _sql_hash_split,
                            _sql_ivf_ann_trained,
                            _sql_interval_custom_clock, _sql_ivf_ann,
@@ -162,6 +162,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "redact_pii": q_redact_pii,
         "line_dedup": q_line_dedup,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -199,6 +200,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bloom_dedup": _sql_bloom_dedup(),
         "redact_pii": SQL_REDACT_PII,
         "line_dedup": SQL_LINE_DEDUP,
+        "dedup_clusters": _sql_dedup_clusters(),
     }
 
 

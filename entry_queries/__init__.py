@@ -10,5 +10,5 @@ from .pipeline_q import (_sql_minhash_lsh, _sql_simhash, _sql_simhash_pairs,  # 
                          _sql_text_stats, _sql_lang_confusion,
                          _sql_interval_custom_clock)
 from .extras_q import *  # noqa: F401,F403
-from .extras_q import (_sql_bloom_dedup, _sql_hash_split,  # noqa: F401
-                       _sql_ivf_ann_trained)
+from .extras_q import (_sql_bloom_dedup, _sql_dedup_clusters,  # noqa: F401
+                       _sql_hash_split, _sql_ivf_ann_trained)

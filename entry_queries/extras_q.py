@@ -950,3 +950,52 @@ SQL_LINE_DEDUP = """
          t.n_total - coalesce(r.n_lines_kept, 0) AS n_lines_dropped
   FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
+
+
+def q_dedup_clusters(spark, sf):
+    """Pairs -> clusters -> canonical representative: connected
+    components (distributed min-label propagation) over the SimHash
+    near-dup pair graph, plus the kept-corpus size after
+    dedup_keep_canonical. Oracle = DuckDB recursive CTE computing the
+    min reachable id per node over the same pair graph."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    clusters = dedup.connected_components(pairs)
+    kept = dedup.dedup_keep_canonical(docs, dedup.simhash_pairs(
+        docs, max_hamming=3))
+    summary = kept.agg(F.count("*").alias("n_kept"),
+                       F.sum("doc_id").cast("long").alias("kept_id_sum"),
+                       F.lit(-1).cast("long").alias("id"),
+                       F.lit(-1).cast("long").alias("cluster"))
+    per_node = clusters.select(
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("long").alias("kept_id_sum"),
+        "id", "cluster")
+    return per_node.unionByName(summary)
+
+
+def _sql_dedup_clusters() -> str:
+    from .pipeline_q import _sql_simhash_pairs
+    return f"""
+  WITH RECURSIVE pairs AS ({_sql_simhash_pairs()}),
+  edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+  ),
+  nodes AS (SELECT DISTINCT src AS id FROM edges),
+  reach(id, label) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+  ),
+  clusters AS (SELECT id, min(label) AS cluster FROM reach GROUP BY 1),
+  kept AS (
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                      WHERE c.id = d.doc_id AND c.cluster <> c.id)
+  )
+  SELECT NULL::BIGINT AS n_kept, NULL::BIGINT AS kept_id_sum, id, cluster
+  FROM clusters
+  UNION ALL
+  SELECT count(*), sum(doc_id)::BIGINT, -1, -1 FROM kept
+"""

@@ -283,3 +283,42 @@ def test_bloom_no_false_negatives_property(keys, split):
         assert flags[ck] is True
     kept = {k for k, seen in flags.items() if not seen}
     assert kept.isdisjoint(set(corpus_keys))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edges=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                      min_size=1, max_size=40))
+def test_connected_components_vs_union_find(edges):
+    """Distributed min-label propagation + pointer jumping == classic
+    union-find on arbitrary random graphs (self-loops and duplicate
+    edges included); every node labeled with its component minimum."""
+    from flint_spark.pipeline.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    spark = _spark()
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster"]
+           for r in connected_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    for a, b in edges:
+        union(a, b)
+    comp_min = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    exp = {n: comp_min[find(n)] for n in parent}
+    assert got == exp
