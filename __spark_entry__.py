@@ -29,7 +29,9 @@ from entry_queries import *  # noqa: F401,F403
 from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_bloom_dedup, _sql_dedup_clusters,
                            _sql_embedding_dedup, _sql_hash_split,
-                           _sql_ivf_ann_trained,
+                           _sql_ivf_ann_trained, _sql_semantic_dedup,
+                           _sql_temperature_mix, _sql_hashed_classifier,
+                           _sql_pca_project,
                            _sql_interval_custom_clock, _sql_ivf_ann,
                            _sql_lang_confusion, _sql_lsh_ann,
                            _sql_minhash_lsh, _sql_simhash,
@@ -163,6 +165,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "line_dedup": q_line_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "repeated_spans": q_repeated_spans,
+        "temperature_mix": q_temperature_mix,
+        "hashed_classifier": q_hashed_classifier,
+        "pca_project": q_pca_project,
     }
 
 
@@ -201,6 +208,11 @@ def extra_oracle_sql() -> dict[str, str]:
         "redact_pii": SQL_REDACT_PII,
         "line_dedup": SQL_LINE_DEDUP,
         "dedup_clusters": _sql_dedup_clusters(),
+        "semantic_dedup": _sql_semantic_dedup(),
+        "repeated_spans": SQL_REPEATED_SPANS,
+        "temperature_mix": _sql_temperature_mix(),
+        "hashed_classifier": _sql_hashed_classifier(),
+        "pca_project": _sql_pca_project(),
     }
 
 

@@ -11,4 +11,6 @@ from .pipeline_q import (_sql_minhash_lsh, _sql_simhash, _sql_simhash_pairs,  # 
                          _sql_interval_custom_clock)
 from .extras_q import *  # noqa: F401,F403
 from .extras_q import (_sql_bloom_dedup, _sql_dedup_clusters,  # noqa: F401
-                       _sql_hash_split, _sql_ivf_ann_trained)
+                       _sql_hash_split, _sql_ivf_ann_trained,
+                       _sql_semantic_dedup, _sql_temperature_mix,
+                       _sql_hashed_classifier, _sql_pca_project)

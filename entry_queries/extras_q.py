@@ -999,3 +999,201 @@ def _sql_dedup_clusters() -> str:
   UNION ALL
   SELECT count(*), sum(doc_id)::BIGINT, -1, -1 FROM kept
 """
+
+
+_SEM_CENTROIDS = [0, 60, 120, 180, 240, 300, 360, 420]
+_SEM_THRESH = 0.30
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style cluster-then-pairwise semantic near-dup pairs
+    (pipeline.similarity.semantic_dedup_pairs): map-only k-means
+    assignment over member-vector centroids, per-cluster self-join,
+    cosine >= threshold."""
+    emb = _t(spark, sf, "embeddings")
+    out = similarity.semantic_dedup_pairs(
+        emb, _SEM_CENTROIDS, threshold=_SEM_THRESH)
+    return out.select("id_a", "id_b", "centroid_id",
+                      R("cosine", 6).alias("cosine"))
+
+
+def _sql_semantic_dedup() -> str:
+    cents = ", ".join(map(str, _SEM_CENTROIDS))
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+    return f"""
+  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+            WHERE vec_id IN ({cents})),
+  assigned AS (
+    SELECT vec_id, v, centroid_id FROM (
+      SELECT b.vec_id, b.v, c.centroid_id,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.centroid_id) AS rk
+      FROM base b CROSS JOIN cents c) WHERE rk = 1),
+  pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
+           {cos.format(a='a.v', b='b.v')} AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+  SELECT id_a, id_b, centroid_id,
+         floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM pairs WHERE cosine >= {_SEM_THRESH}
+"""
+
+
+def q_repeated_spans(spark, sf):
+    """Cross-document repeated n-gram coverage
+    (pipeline.dedup.flag_repeated_spans, the Lee et al. repeated-span
+    signal): per doc, how many of its distinct word 5-grams occur in
+    >= 2 documents."""
+    docs = _t(spark, sf, "documents")
+    out = dedup.flag_repeated_spans(docs, n=5, min_df=2)
+    return out.select("doc_id", "n_ngrams", "n_repeated",
+                      R("repeated_frac", 6).alias("repeated_frac"))
+
+
+SQL_REPEATED_SPANS = """
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(generate_series(1, len(ws) - 4),
+                  i -> array_to_string(ws[i:i+4], ' ')))) AS shingle
+    FROM w WHERE len(ws) >= 5),
+  rep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2),
+  hits AS (SELECT doc_id, count(*) AS n_repeated
+           FROM sh JOIN rep USING (shingle) GROUP BY 1),
+  tot AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= 5 THEN
+                   len(list_distinct(list_transform(generate_series(1, len(ws) - 4),
+                       i -> array_to_string(ws[i:i+4], ' '))))
+                 ELSE 0 END AS n_ngrams
+          FROM w)
+  SELECT t.doc_id, t.n_ngrams, coalesce(h.n_repeated, 0) AS n_repeated,
+         CASE WHEN t.n_ngrams > 0 THEN
+           floor((coalesce(h.n_repeated, 0)::DOUBLE / t.n_ngrams) * 1000000
+                 + 0.5) / 1000000
+         ELSE 0.0 END AS repeated_frac
+  FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature-flattened mixing (pipeline.sampling.temperature_mix):
+    per-language keep probability n_k^(alpha-1) normalized by the
+    largest stratum, md5 keep decision, alpha=0.5."""
+    from flint_spark.pipeline import sampling
+
+    docs = _t(spark, sf, "documents")
+    out = sampling.temperature_mix(docs, "lang", alpha=0.5)
+    return out.select("doc_id", "lang")
+
+
+def _sql_temperature_mix() -> str:
+    from flint_spark.pipeline.hashing import h28_sql
+    b = f"(({h28_sql(chr(39) + 'temp' + chr(39) + ' || doc_id::VARCHAR')}) % 10000)"
+    return f"""
+  WITH counts AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+  powed AS (SELECT lang, pow(n, -0.5) AS p FROM counts),
+  mx AS (SELECT max(p) AS m FROM powed),
+  probs AS (SELECT lang, p / m AS q FROM powed, mx)
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN probs USING (lang)
+  WHERE {b} < floor(q * 10000 + 0.5)
+"""
+
+
+def q_hashed_classifier(spark, sf):
+    """Hashed linear document scorer
+    (pipeline.text.hashed_classifier_score): md5 token -> bucket,
+    literal weight array, sigmoid of the mean slot weight. Map-only."""
+    docs = _t(spark, sf, "documents")
+    out = text_ops.hashed_classifier_score(docs, n_buckets=64, seed=17)
+    return out.select("doc_id", R("clf_raw", 6).alias("clf_raw"),
+                      R("clf_score", 6).alias("clf_score"))
+
+
+def _sql_hashed_classifier() -> str:
+    from flint_spark.pipeline.hashing import linear_weights
+    w = linear_weights(64, 17)
+    wlist = "[" + ", ".join(f"{x!r}" for x in w) + "]::DOUBLE[]"
+    idx = "((('0x' || substr(md5(x), 1, 7))::BIGINT % 64) + 1)"
+    return f"""
+  WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  s AS (SELECT doc_id,
+               list_reduce(
+                 list_prepend(0.0, list_transform(w, x -> ({wlist})[{idx}])),
+                 (acc, v) -> acc + v) / len(w) AS clf_raw
+        FROM d)
+  SELECT doc_id,
+         floor(clf_raw * 1000000 + 0.5) / 1000000 AS clf_raw,
+         floor((1.0 / (1.0 + exp(-clf_raw))) * 1000000 + 0.5) / 1000000
+           AS clf_score
+  FROM s
+"""
+
+
+_PCA_ITERS = 8
+_PCA_DIM = 64
+
+
+def q_pca_project(spark, sf):
+    """Distributed PCA (pipeline.similarity): one Gramian pass
+    (dim² partial sums, constant driver state), quantized power
+    iteration with deflation on the driver, map-only projection over
+    inlined component literals. The SQL oracle replays the ENTIRE
+    computation — Gramian, 8 unrolled power iterations per component,
+    deflation — from the same parquet."""
+    emb = _t(spark, sf, "embeddings")
+    comps = similarity.pca_components(emb, n_components=2,
+                                      iters=_PCA_ITERS, dim=_PCA_DIM)
+    out = similarity.pca_project(emb, comps)
+    return out.select("vec_id", R("pc0", 6).alias("pc0"),
+                      R("pc1", 6).alias("pc1"))
+
+
+def _sql_pca_project() -> str:
+    import math
+    dim = _PCA_DIM
+    v0 = math.floor(1.0 / math.sqrt(dim) * 1e6 + 0.5) / 1e6
+    parts = [f"""
+  base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  g0 AS MATERIALIZED (
+    SELECT i, j, floor(sum(v[i + 1] * v[j + 1]) * 1e4 + 0.5) / 1e4 AS g
+    FROM base CROSS JOIN range(0, {dim}) t1(i) CROSS JOIN range(0, {dim}) t2(j)
+    GROUP BY 1, 2)"""]
+    for c in range(2):
+        parts.append(f"""
+  v{c}_0 AS MATERIALIZED (SELECT i, {v0!r} AS x FROM range(0, {dim}) t(i))""")
+        for t in range(1, _PCA_ITERS + 1):
+            # MATERIALIZED is load-bearing: each CTE references its
+            # predecessor twice (numerator + norm), so inlining would
+            # expand the plan 2^iterations-fold
+            parts.append(f"""
+  w{c}_{t} AS MATERIALIZED (
+    SELECT g.i AS i, sum(g.g * v.x) AS wx
+    FROM g{c} g JOIN v{c}_{t - 1} v ON g.j = v.i GROUP BY 1),
+  v{c}_{t} AS MATERIALIZED (
+    SELECT i, floor(wx / nrm * 1e6 + 0.5) / 1e6 AS x
+    FROM w{c}_{t}, (SELECT sqrt(sum(wx * wx)) AS nrm FROM w{c}_{t}))""")
+        last = f"v{c}_{_PCA_ITERS}"
+        parts.append(f"""
+  u{c} AS (SELECT list(x ORDER BY i) AS u FROM {last})""")
+        if c == 0:
+            parts.append(f"""
+  lam{c} AS MATERIALIZED (
+    SELECT floor(sum(vi.x * g.g * vj.x) * 1e4 + 0.5) / 1e4 AS lam
+    FROM g{c} g JOIN {last} vi ON g.i = vi.i
+                JOIN {last} vj ON g.j = vj.i),
+  g{c + 1} AS MATERIALIZED (
+    SELECT g.i, g.j,
+           floor((g.g - lam * vi.x * vj.x) * 1e4 + 0.5) / 1e4 AS g
+    FROM g{c} g JOIN {last} vi ON g.i = vi.i
+                JOIN {last} vj ON g.j = vj.i
+                CROSS JOIN lam{c})""")
+    return ("  WITH" + ",".join(parts) + f"""
+  SELECT vec_id,
+         floor(list_dot_product(v, u0.u) * 1e6 + 0.5) / 1e6 AS pc0,
+         floor(list_dot_product(v, u1.u) * 1e6 + 0.5) / 1e6 AS pc1
+  FROM base, u0, u1
+""")

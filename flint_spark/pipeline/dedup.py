@@ -319,6 +319,65 @@ def winnow_pairs(docs: DataFrame, text_col: str = "text",
             .filter(F.col("shared") >= min_shared))
 
 
+def repeated_ngrams(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 5,
+                    min_df: int = 2) -> DataFrame:
+    """Word n-grams appearing in at least ``min_df`` DISTINCT documents:
+    (shingle, df). The corpus-level repeated-span dictionary of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): spans shared across documents are memorization bait and
+    near-dup evidence even when whole-document similarity is low.
+
+    One corpus-scale exchange: the df aggregation over the map-side
+    per-doc-distinct shingle stream (``shingles`` dedups with
+    ``array_distinct`` before the explode, so df counts distinct
+    documents without any dedup shuffle)."""
+    sh = shingles(docs, text_col, id_col, k=n, distinct=True)
+    return (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= min_df))
+
+
+def flag_repeated_spans(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        min_df: int = 2) -> DataFrame:
+    """Per-document coverage of corpus-repeated n-grams:
+    (id, n_ngrams, n_repeated, repeated_frac). High ``repeated_frac``
+    documents are built from spans that recur across the corpus
+    (templates, mirrors, licence blocks) — the doc-level filter derived
+    from the Lee et al. repeated-span signal.
+
+    Plan: repeated-span dictionary (1 corpus exchange, see
+    :func:`repeated_ngrams`) -> broadcast join of the shingle stream
+    against it -> per-doc count of survivors (2nd exchange, shrunk by
+    the selective join) -> broadcast reattachment onto map-side per-doc
+    totals. The broadcast assumes the above-threshold dictionary is
+    small relative to the corpus (boilerplate-bounded, the same posture
+    as ``remove_repeated_lines``); raise ``min_df`` if it is not."""
+    rep = F.broadcast(repeated_ngrams(docs, text_col, id_col, n, min_df)
+                      .select("shingle"))
+    sh = shingles(docs, text_col, id_col, k=n, distinct=True)
+    hits = (sh.join(rep, "shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_repeated")))
+    grams = F.expr(
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {n})))")
+    totals = (_spread(docs)
+              .select(F.col(id_col), _words(text_col).alias("__w"))
+              .select(
+                  F.col(id_col),
+                  F.when(F.size(F.col("__w")) >= n,
+                         F.size(F.array_distinct(grams)))
+                  .otherwise(F.lit(0)).alias("n_ngrams")))
+    return (totals.join(F.broadcast(hits), id_col, "left")
+            .select(
+                F.col(id_col), "n_ngrams",
+                F.coalesce(F.col("n_repeated"), F.lit(0)).alias("n_repeated"),
+                F.when(F.col("n_ngrams") > 0,
+                       F.coalesce(F.col("n_repeated"), F.lit(0)).cast("double")
+                       / F.col("n_ngrams").cast("double"))
+                .otherwise(F.lit(0.0)).alias("repeated_frac")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iters: int = 30) -> DataFrame:

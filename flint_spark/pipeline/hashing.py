@@ -45,6 +45,14 @@ def minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     return [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_hashes)]
 
 
+def linear_weights(n_buckets: int, seed: int = 17) -> list[float]:
+    """Deterministic weight vector in [-1, 1] for the hashed linear
+    scorer — inlined as literals in both engines (like ``hyperplanes``)
+    so scoring is bit-identical."""
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1.0, 1.0), 6) for _ in range(n_buckets)]
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes, inlined as literals in
     both engines so the bucket assignment is bit-identical."""

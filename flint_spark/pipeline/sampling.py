@@ -199,6 +199,43 @@ def repeat_dataset(df: DataFrame, factor: float, on: str = "doc_id",
             .drop("__n"))
 
 
+def temperature_mix(df: DataFrame, strata: str, alpha: float = 0.5,
+                    on: str = "doc_id", salt: str = "temp") -> DataFrame:
+    """Temperature-flattened corpus mixing: downsample each stratum so
+    group shares move from proportional (alpha=1) toward uniform
+    (alpha=0) — the multilingual-pretraining reweighting p_k ∝ n_k^alpha
+    applied as a deterministic per-row keep decision.
+
+    Per-stratum keep probability q_k = n_k^(alpha-1) / max_j n_j^(alpha-1)
+    (the largest stratum keeps everything when alpha<1 — pure
+    downsampling, no duplication; compose with ``repeat_dataset`` for
+    upsampling mixes). The decision is md5(salt || id) vs
+    floor(q_k * buckets + 0.5) — the same quantization as
+    ``deterministic_sample`` / ``weighted_sample`` — so the output is
+    reproducible across runs, engines, and appends.
+
+    Fully declarative: counts and the max-power normalizer live in a
+    strata-bounded subtree (tiny) that broadcast-joins back onto the
+    corpus; the corpus itself is map-only. No driver collect. The
+    normalizer is an unpartitioned window over the counts table (fine:
+    it is strata-bounded) so the counts subtree — which scans the
+    corpus — is referenced exactly once; a crossJoin against a separate
+    max aggregate would duplicate that scan."""
+    counts = df.groupBy(strata).agg(F.count("*").alias("__n"))
+    powed = counts.select(
+        F.col(strata),
+        F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0)).alias("__p"))
+    probs = (powed
+             .withColumn("__mx", F.max("__p").over(
+                 Window.partitionBy(F.lit(1))))
+             .select(F.col(strata),
+                     (F.col("__p") / F.col("__mx")).alias("__q")))
+    b = _bucket(F.col(on), salt)
+    return (df.join(F.broadcast(probs), strata)
+            .filter(b < F.floor(F.col("__q") * _BUCKETS + F.lit(0.5)))
+            .drop("__q"))
+
+
 def mix_corpora(sources: Mapping[str, tuple[DataFrame, float]],
                 on: str = "doc_id", salt: str = "mix") -> DataFrame:
     """Weighted training mixture: each named source is deterministically

@@ -282,6 +282,121 @@ def ivf_ann_topk_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
             .filter(F.col("rank") <= k))
 
 
+def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
+                         threshold: float = 0.9,
+                         max_cluster: int | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023:
+    cluster the embedding space, compare only WITHIN clusters): map-only
+    k-means assignment over inlined centroid literals, then a per-cluster
+    self-join keeping pairs with cosine >= ``threshold``. Output:
+    (id_a, id_b, centroid_id, cosine).
+
+    Scale posture: the all-pairs comparison shrinks from O(N²) to
+    Σ_c |c|² — the whole point of SemDeDup — and the only corpus-scale
+    exchange is the equi-join's hash partition by ``centroid_id``.
+    ``max_cluster`` drops oversized clusters before pairing (the
+    ``_cap_buckets`` skew guard: a degenerate centroid attracting half
+    the corpus would re-quadratify the join; raise k in training
+    instead of pairing inside such a cluster). Compose with
+    ``dedup.connected_components`` / ``dedup.dedup_keep_canonical`` to
+    turn pairs into a pruned corpus."""
+    assigned = ivf_assign(emb, centroid_ids, id_col, vec_col) \
+        .select(F.col(id_col), "v", "centroid_id")
+    if max_cluster is not None:
+        ok = (assigned.groupBy("centroid_id")
+              .agg(F.count("*").alias("__n"))
+              .filter(F.col("__n") <= max_cluster).drop("__n"))
+        assigned = assigned.join(F.broadcast(ok), "centroid_id")
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                        "centroid_id")
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                        "centroid_id")
+    cos = (_dot(F.col("va"), F.col("vb"))
+           / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine")
+    return (a.join(b, ["centroid_id"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "centroid_id", cos)
+            .filter(F.col("cosine") >= threshold))
+
+
+def gramian(emb: DataFrame, vec_col: str = "embedding",
+            dim: int = 64) -> DataFrame:
+    """Distributed Gram matrix G = Σ_rows v·vᵀ as (i, j, g) — the
+    one-pass covariance-style reduction under PCA/whitening. Each row
+    expands to its flattened outer product (one JVM ``posexplode``, no
+    Python), partial sums combine map-side, and the single shuffle
+    carries only dim² × partitions partials. The driver result is dim²
+    scalars — constant in the row count, so the same plan holds at
+    100 TB."""
+    base = emb.select(_dvec(F.col(vec_col)).alias("v"))
+    outer = F.flatten(F.transform(
+        F.col("v"), lambda x: F.transform(F.col("v"), lambda y: x * y)))
+    flat = base.select(F.posexplode(outer).alias("pos", "val"))
+    return (flat.groupBy((F.col("pos") / dim).cast("int").alias("i"),
+                         F.pmod(F.col("pos"), F.lit(dim)).cast("int").alias("j"))
+            .agg(F.sum("val").alias("g")))
+
+
+def _q(x: float, decimals: int) -> float:
+    import math
+    m = 10.0 ** decimals
+    return math.floor(x * m + 0.5) / m
+
+
+def pca_components(emb: DataFrame, n_components: int = 2, iters: int = 8,
+                   vec_col: str = "embedding", dim: int = 64,
+                   g_decimals: int = 4,
+                   v_decimals: int = 6) -> list[list[float]]:
+    """Top principal directions of the (uncentered) Gram matrix via
+    power iteration with deflation — the distributed part is ONE
+    :func:`gramian` pass; iteration happens on the driver over the
+    dim×dim matrix (constant-size, like the reference's OLS Gramian
+    solve).
+
+    Deterministic & engine-replayable: G and every deflation are
+    half-up quantized to ``g_decimals``, every normalized iterate to
+    ``v_decimals``, and iteration starts from the fixed vector
+    1/sqrt(dim)·𝟙 — so a SQL engine replaying the same arithmetic
+    reproduces the components bit-for-bit (sum-order FP noise is
+    absorbed by the quantization, the ``ivf_train`` trick)."""
+    import math
+
+    rows = gramian(emb, vec_col, dim).collect()
+    G = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r["i"]][r["j"]] = _q(r["g"], g_decimals)
+    comps: list[list[float]] = []
+    for _ in range(n_components):
+        v = [_q(1.0 / math.sqrt(dim), v_decimals)] * dim
+        for _ in range(iters):
+            w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            nrm = math.sqrt(sum(x * x for x in w))
+            v = [_q(x / nrm, v_decimals) for x in w]
+        lam = _q(sum(v[i] * G[i][j] * v[j]
+                     for i in range(dim) for j in range(dim)), g_decimals)
+        comps.append(v)
+        G = [[_q(G[i][j] - lam * v[i] * v[j], g_decimals)
+              for j in range(dim)] for i in range(dim)]
+    return comps
+
+
+def pca_project(emb: DataFrame, components: Sequence[Sequence[float]],
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project each vector onto trained principal directions — a pure
+    map-only projection over inlined component literals (no join, no
+    shuffle; the ``ivf_assign_trained`` shape). Output: (id, pc0,
+    pc1, ...)."""
+    base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
+    cols = [F.col(id_col)]
+    for c, comp in enumerate(components):
+        lit = F.array(*[F.lit(float(x)) for x in comp])
+        cols.append(_dot(F.col("v"), lit).alias(f"pc{c}"))
+    return base.select(*cols)
+
+
 def ivf_assign_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

@@ -283,6 +283,35 @@ def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
                 .alias("n_lines_dropped")))
 
 
+def hashed_classifier_score(docs: DataFrame, text_col: str = "text",
+                            n_buckets: int = 64,
+                            seed: int = 17) -> DataFrame:
+    """fastText-style hashed linear document scorer: each token hashes
+    into one of ``n_buckets`` feature slots (md5, engine-portable), the
+    document score is sigmoid(mean of slot weights over its tokens).
+    This is the serving path of the standard bag-of-hashed-ngrams
+    quality classifier (weights here are a deterministic placeholder —
+    swap in trained weights of the same shape); the Spark-side shape is
+    what matters at 100 TB: a PURE PROJECTION, zero shuffles, zero
+    Python, weights inlined as a literal array into codegen.
+
+    Adds ``clf_raw`` (mean weight) and ``clf_score`` (sigmoid)."""
+    from .hashing import linear_weights
+
+    weights = linear_weights(n_buckets, seed)
+    w_lit = F.array(*[F.lit(x) for x in weights])
+    tok_sum = F.aggregate(
+        F.col("__w"), F.lit(0.0),
+        lambda acc, x: acc + F.element_at(
+            w_lit, (F.pmod(h28(x), F.lit(n_buckets)) + F.lit(1)).cast("int")))
+    raw = tok_sum / F.size(F.col("__w")).cast("double")
+    return (docs.withColumn("__w", _words(text_col))
+            .withColumn("clf_raw", raw)
+            .withColumn("clf_score",
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_raw"))))
+            .drop("__w"))
+
+
 def _spread_docs(docs: DataFrame) -> DataFrame:
     from .dedup import _spread
     return _spread(docs)
