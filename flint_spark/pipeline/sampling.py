@@ -207,9 +207,9 @@ def temperature_mix(df: DataFrame, strata: str, alpha: float = 0.5,
     applied as a deterministic per-row keep decision.
 
     Per-stratum keep probability q_k = n_k^(alpha-1) / max_j n_j^(alpha-1)
-    (the largest stratum keeps everything when alpha<1 — pure
-    downsampling, no duplication; compose with ``repeat_dataset`` for
-    upsampling mixes). The decision is md5(salt || id) vs
+    (for alpha<1 the SMALLEST stratum keeps everything and larger
+    strata are downsampled toward it — pure downsampling, no
+    duplication; compose with ``repeat_dataset`` for upsampling mixes). The decision is md5(salt || id) vs
     floor(q_k * buckets + 0.5) — the same quantization as
     ``deterministic_sample`` / ``weighted_sample`` — so the output is
     reproducible across runs, engines, and appends.

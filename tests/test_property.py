@@ -322,3 +322,143 @@ def test_connected_components_vs_union_find(edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     exp = {n: comp_min[find(n)] for n in parent}
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 9999),
+                          st.sampled_from(["en", "de", "fr"])),
+                min_size=5, max_size=60, unique_by=lambda t: t[0]))
+def test_temperature_mix_properties(rows):
+    """alpha=1 keeps everything; alpha<1 keeps the whole SMALLEST
+    stratum (downsampling larger strata toward it) and never
+    upsamples; selection is a pure function of id
+    (layout-independent)."""
+    from flint_spark.pipeline import sampling
+
+    spark = _spark()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang"])
+    df = spark.createDataFrame(pdf)
+    full = sampling.temperature_mix(df, "lang", alpha=1.0).toPandas()
+    assert len(full) == len(pdf)
+
+    out = sampling.temperature_mix(df, "lang", alpha=0.5) \
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    counts = pdf.groupby("lang").size()
+    smallest = counts.idxmin()
+    kept = out.groupby("lang").size()
+    assert kept.get(smallest, 0) == counts[smallest]
+    for lang, n in counts.items():
+        assert kept.get(lang, 0) <= n
+    out2 = sampling.temperature_mix(df.repartition(7), "lang", alpha=0.5) \
+        .toPandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_pca_components_orthonormal_and_dominant():
+    """Components are unit-norm, near-orthogonal, and pc0 captures at
+    least as much Gramian energy as pc1 (power iteration converged)."""
+    import numpy as np
+    from flint_spark.pipeline import similarity
+
+    spark = _spark()
+    rng = np.random.RandomState(3)
+    # anisotropic cloud: one dominant direction
+    base = rng.randn(200, 64) * 0.1
+    base[:, 7] += rng.randn(200) * 3.0
+    base[:, 23] += rng.randn(200) * 1.0
+    pdf = pd.DataFrame({"vec_id": range(200),
+                        "embedding": [r.tolist() for r in base]})
+    df = spark.createDataFrame(pdf)
+    comps = similarity.pca_components(df, n_components=2, iters=8)
+    u0, u1 = np.array(comps[0]), np.array(comps[1])
+    assert abs(np.linalg.norm(u0) - 1) < 1e-4
+    assert abs(np.linalg.norm(u1) - 1) < 1e-4
+    assert abs(u0 @ u1) < 1e-2
+    # dominant axis is 7
+    assert np.argmax(np.abs(u0)) == 7
+    G = base.T @ base
+    assert u0 @ G @ u0 >= u1 @ G @ u1
+    proj = similarity.pca_project(df, comps).toPandas()
+    ref0 = base @ u0
+    got = proj.sort_values("vec_id")["pc0"].to_numpy()
+    assert np.allclose(got, ref0, atol=1e-6)
+
+
+def test_semantic_dedup_pairs_vs_brute_force():
+    """Within-cluster pairs == brute-force pairs restricted to same
+    assigned cluster; max_cluster drops oversized clusters entirely."""
+    import numpy as np
+    from flint_spark.pipeline import similarity
+
+    spark = _spark()
+    rng = np.random.RandomState(5)
+    centers = rng.randn(3, 64) * 2
+    vecs = np.vstack([centers[i % 3] + rng.randn(64) * 0.3
+                      for i in range(60)])
+    pdf = pd.DataFrame({"vec_id": range(60),
+                        "embedding": [r.tolist() for r in vecs]})
+    df = spark.createDataFrame(pdf)
+    cent_ids = [0, 1, 2]
+    out = similarity.semantic_dedup_pairs(df, cent_ids, threshold=0.8) \
+        .toPandas()
+    # brute-force reference
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assign = {}
+    for i in range(60):
+        sims = [(cos(vecs[i], vecs[c]), -c) for c in cent_ids]
+        assign[i] = -max(sims)[1]
+    ref = set()
+    for i in range(60):
+        for j in range(i + 1, 60):
+            if assign[i] == assign[j] and cos(vecs[i], vecs[j]) >= 0.8:
+                ref.add((i, j))
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == ref
+    # skew guard: a cap below every cluster size empties the output
+    capped = similarity.semantic_dedup_pairs(df, cent_ids, threshold=0.8,
+                                             max_cluster=5).toPandas()
+    assert len(capped) == 0
+
+
+def test_flag_repeated_spans_short_docs_and_exact_dups():
+    """Docs shorter than n get n_ngrams=0; exact duplicate docs have
+    repeated_frac == 1.0; a unique doc has repeated_frac == 0."""
+    from flint_spark.pipeline import dedup
+
+    spark = _spark()
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f g",            # dup of 2
+                 "a b c d e f g",
+                 "totally unique words here never repeated elsewhere x",
+                 "tiny"],                      # < n words
+    })
+    out = dedup.flag_repeated_spans(spark.createDataFrame(pdf), n=5,
+                                    min_df=2) \
+        .toPandas().set_index("doc_id")
+    assert out.loc[4, "n_ngrams"] == 0 and out.loc[4, "repeated_frac"] == 0
+    assert out.loc[1, "repeated_frac"] == 1.0
+    assert out.loc[2, "repeated_frac"] == 1.0
+    assert out.loc[3, "repeated_frac"] == 0.0
+
+
+def test_hashed_classifier_score_bounds_and_determinism():
+    """Scores in (0,1); raw mean bounded by max |weight|; layout-
+    independent."""
+    from flint_spark.pipeline import text as text_ops
+    from flint_spark.pipeline.hashing import linear_weights
+
+    spark = _spark()
+    pdf = pd.DataFrame({"doc_id": range(20),
+                        "text": [f"word{i} common tokens {i}" for i in range(20)]})
+    df = spark.createDataFrame(pdf)
+    out = text_ops.hashed_classifier_score(df).toPandas()
+    wmax = max(abs(x) for x in linear_weights(64, 17))
+    assert (out["clf_score"] > 0).all() and (out["clf_score"] < 1).all()
+    assert (out["clf_raw"].abs() <= wmax + 1e-9).all()
+    out2 = text_ops.hashed_classifier_score(df.repartition(5)).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id", ignore_index=True),
+        out2.sort_values("doc_id", ignore_index=True))
