@@ -118,17 +118,46 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     BEFORE hashing (stop-shingle removal on the signature path):
     boilerplate shingles otherwise dominate the min statistics, pulling
     unrelated documents' signatures together and flooding LSH bands.
-    ``None`` (the oracle-gated default) keeps all shingles."""
+    ``None`` (the oracle-gated default) keeps all shingles.
+
+    Scale shape: the default path is a PURE PROJECTION — the per-doc
+    shingle array is hashed and min-reduced map-side (``array_min``
+    over ``transform``), so NO row ever leaves its partition to build a
+    signature. The former shape exploded the shingle stream and hash-
+    aggregated it back per doc — a corpus-sized exchange that at 100 TB
+    was the whole job. MinHash is min over a set, so the map-side
+    reduction is bitwise-identical to the aggregation. Only ``max_df``
+    needs corpus-wide document frequencies and keeps the explode+agg
+    plan."""
     params = minhash_params(num_hashes, seed)
-    sh = shingles(docs, text_col, id_col, k)
     if max_df is not None:
-        rare = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-                .filter(F.col("__df") <= max_df).select("shingle"))
-        sh = sh.join(rare, "shingle")
-    sh = sh.withColumn("h", h28(F.col("shingle")))
-    aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"mh_{j}")
-            for j, (a, b) in enumerate(params)]
-    return sh.groupBy(id_col).agg(*aggs)
+        # stop-shingle filtering needs corpus-wide document frequencies.
+        # Anti-join against the ABOVE-threshold set (boilerplate-bounded,
+        # broadcastable) — not an equi-join against the rare set, which
+        # is corpus-sized and would shuffle the whole shingle stream.
+        sh = shingles(docs, text_col, id_col, k)
+        stop = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+                .filter(F.col("__df") > max_df).select("shingle"))
+        sh = (sh.join(F.broadcast(stop), "shingle", "left_anti")
+              .withColumn("h", h28(F.col("shingle"))))
+        aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P))
+                .alias(f"mh_{j}") for j, (a, b) in enumerate(params)]
+        return sh.groupBy(id_col).agg(*aggs)
+    base = _spread(docs).select(F.col(id_col), _words(text_col).alias("__w"))
+    sh_arr = F.array_distinct(F.expr(
+        f"transform(sequence(1, size(__w) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {k})))"))
+    harr = F.transform(
+        sh_arr, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
+        .cast("long"))
+    base = base.filter(F.size(F.col("__w")) >= k).withColumn("__h", harr)
+    cols = [
+        F.array_min(F.transform(
+            F.col("__h"),
+            lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P))).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return base.select(F.col(id_col), *cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -188,19 +217,32 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             nbits: int = 32) -> DataFrame:
-    """32-bit SimHash over word hashes: (id, simhash)."""
-    tok = (_spread(docs)
-           .select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
-           .withColumn("h", h32(F.col("w"))))
-    bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"s_{i}")
+    """32-bit SimHash over word hashes: (id, simhash).
+
+    MAP-ONLY: the token-hash array is projected once (one md5 per
+    token), then ``nbits`` scalar ``aggregate`` folds accumulate the
+    per-bit ±1 sums — no explode, no exchange, the signature is a
+    projection of the document row. (The former shape exploded every
+    token and hash-aggregated 32 sums per doc — a token-stream-sized
+    shuffle. Integer sums are order-independent, so this is
+    bitwise-identical.) Scalar folds, not one array-accumulator fold:
+    a ``zip_with`` accumulator allocates two ``nbits`` arrays per
+    token, which measured 2x SLOWER than the old shuffle at sf0.1;
+    the scalar form is allocation-free per token."""
+    harr = F.transform(
+        _words(text_col),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    sums = [
+        F.expr(f"aggregate(__h, 0L, (acc, h) -> "
+               f"acc + IF((shiftright(h, {i}) & 1) = 1, 1L, -1L))")
+        .alias(f"s_{i}")
         for i in range(nbits)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
+    row = _spread(docs).select(F.col(id_col), harr.alias("__h")) \
+        .select(F.col(id_col), *sums)
     sim = sum(F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i)).otherwise(0)
               for i in range(nbits))
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    return row.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -251,9 +293,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # repeated 3x when only the raw table was cached).
     begin_op()
     sh0 = keep(shingles(docs, text_col, id_col, k))
-    rare = (sh0.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df).select("shingle"))
-    sh = keep(sh0.join(rare, "shingle"))
+    # drop stop shingles by broadcast ANTI-join against the small
+    # above-threshold set; an equi-join against the rare (= almost all)
+    # shingles would shuffle the whole corpus stream instead
+    stop = (sh0.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df).select("shingle"))
+    sh = keep(sh0.join(F.broadcast(stop), "shingle", "left_anti"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
