@@ -1012,7 +1012,7 @@ def q_semantic_dedup(spark, sf):
     cosine >= threshold."""
     emb = _t(spark, sf, "embeddings")
     out = similarity.semantic_dedup_pairs(
-        emb, _SEM_CENTROIDS, threshold=_SEM_THRESH)
+        emb, _SEM_CENTROIDS, threshold=_SEM_THRESH, method="expr")
     return out.select("id_a", "id_b", "centroid_id",
                       R("cosine", 6).alias("cosine"))
 
@@ -1031,10 +1031,14 @@ def _sql_semantic_dedup() -> str:
              row_number() OVER (PARTITION BY b.vec_id
                ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.centroid_id) AS rk
       FROM base b CROSS JOIN cents c) WHERE rk = 1),
+  normed AS (
+    SELECT vec_id, centroid_id,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+    FROM assigned),
   pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id,
-           {cos.format(a='a.v', b='b.v')} AS cosine
-    FROM assigned a JOIN assigned b
+           list_dot_product(a.vn, b.vn) AS cosine
+    FROM normed a JOIN normed b
       ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
   SELECT id_a, id_b, centroid_id,
          floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine

@@ -565,12 +565,13 @@ def _sql_embedding_dedup() -> str:
         for p, plane in enumerate(planes))
     return f"""
   WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-  bucketed AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM base),
+  bucketed AS (
+    SELECT vec_id, ({bucket})::BIGINT AS bucket,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+    FROM base),
   pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+           list_dot_product(a.vn, b.vn) AS cosine
     FROM bucketed a JOIN bucketed b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
   SELECT id_a, id_b, floor((cosine) * 1000000 + 0.5) / 1000000 AS cosine

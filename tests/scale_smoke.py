@@ -225,6 +225,25 @@ def ann_scale(spark, n_vecs: int = 100_000):
     probes = [0, 1, 2, 3, 4]
     timed("cosine_topk (exact)", sim.cosine_topk(emb, probes, k=10))
     timed("lsh_ann_topk (bucketed)", sim.lsh_ann_topk(emb, probes, k=10, dim=16))
+    # SemDeDup at volume: cluster equi-join with skew cap. Cost is
+    # Σ|c|² — SemDeDup only scales when k grows with N to bound the
+    # cluster size (the paper uses k ~ sqrt(N)); 128 coarse centroids
+    # here keep clusters ~N/128
+    timed("semantic_dedup (arrow)",
+          sim.semantic_dedup_pairs(emb, list(range(0, 128)), threshold=0.95,
+                                   max_cluster=4 * n_vecs // 128))
+    timed("semantic_dedup (expr)",
+          sim.semantic_dedup_pairs(emb, list(range(0, 128)), threshold=0.95,
+                                   max_cluster=4 * n_vecs // 128,
+                                   method="expr"))
+    # one-pass Gramian + driver power iteration + map-only projection:
+    # the distributed cost is a single scan regardless of n_vecs
+    import time as _time
+    t0 = _time.perf_counter()
+    comps = sim.pca_components(emb, n_components=2, iters=8, dim=16)
+    t_train = _time.perf_counter() - t0
+    print(f"  {'pca_components (gramian)':28s} {t_train:7.2f}s")
+    timed("pca_project (map-only)", sim.pca_project(emb, comps))
     emb.unpersist()
 
 

@@ -400,8 +400,16 @@ def test_semantic_dedup_pairs_vs_brute_force():
                         "embedding": [r.tolist() for r in vecs]})
     df = spark.createDataFrame(pdf)
     cent_ids = [0, 1, 2]
-    out = similarity.semantic_dedup_pairs(df, cent_ids, threshold=0.8) \
-        .toPandas()
+    out = similarity.semantic_dedup_pairs(df, cent_ids, threshold=0.8,
+                                          method="expr").toPandas()
+    out_arrow = similarity.semantic_dedup_pairs(df, cent_ids, threshold=0.8,
+                                                method="arrow").toPandas()
+    # arrow (numpy matmul) and expr (fold) paths agree on the pair SET
+    # and to float tolerance on values
+    pd.testing.assert_frame_equal(
+        out.sort_values(["id_a", "id_b"], ignore_index=True).round(9),
+        out_arrow.sort_values(["id_a", "id_b"], ignore_index=True).round(9),
+        check_dtype=False)
     # brute-force reference
     def cos(a, b):
         return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
