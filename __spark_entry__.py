@@ -31,7 +31,7 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_embedding_dedup, _sql_hash_split,
                            _sql_ivf_ann_trained, _sql_semantic_dedup,
                            _sql_temperature_mix, _sql_hashed_classifier,
-                           _sql_pca_project,
+                           _sql_pca_project, _sql_lang_trigram,
                            _sql_interval_custom_clock, _sql_ivf_ann,
                            _sql_lang_confusion, _sql_lsh_ann,
                            _sql_minhash_lsh, _sql_simhash,
@@ -170,6 +170,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "hashed_classifier": q_hashed_classifier,
         "pca_project": q_pca_project,
+        "lang_trigram": q_lang_trigram,
     }
 
 
@@ -213,6 +214,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "temperature_mix": _sql_temperature_mix(),
         "hashed_classifier": _sql_hashed_classifier(),
         "pca_project": _sql_pca_project(),
+        "lang_trigram": _sql_lang_trigram(),
     }
 
 

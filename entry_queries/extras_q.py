@@ -1201,3 +1201,32 @@ def _sql_pca_project() -> str:
          floor(list_dot_product(v, u1.u) * 1e6 + 0.5) / 1e6 AS pc1
   FROM base, u0, u1
 """)
+
+
+def q_lang_trigram(spark, sf):
+    """Char-trigram language ID (pipeline.text.char_ngram_language_id —
+    the n-gram-heuristic identifier, complementing the stopword one):
+    confusion counts of actual lang vs trigram-density argmax."""
+    docs = _t(spark, sf, "documents")
+    pred = docs.withColumn("tri_pred", text_ops.char_ngram_language_id("text"))
+    return pred.groupBy("lang", "tri_pred").agg(F.count("*").alias("n"))
+
+
+def _sql_lang_trigram() -> str:
+    density = {}
+    for lang, grams in text_ops.LANG_TRIGRAMS.items():
+        parts = " + ".join(
+            f"(length(text) - length(replace(text, '{g}', ''))) / {float(len(g))!r}"
+            for g in grams)
+        density[lang] = f"(({parts}) / length(text)::DOUBLE)"
+    langs = list(text_ops.LANG_TRIGRAMS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{density[lang]} >= {density[other]}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+  SELECT lang, {case} AS tri_pred, count(*) AS n
+  FROM documents GROUP BY 1, 2
+"""

@@ -436,15 +436,40 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
 
 
 def gramian(emb: DataFrame, vec_col: str = "embedding",
-            dim: int = 64) -> DataFrame:
+            dim: int = 64, method: str = "expr") -> DataFrame:
     """Distributed Gram matrix G = Σ_rows v·vᵀ as (i, j, g) — the
-    one-pass covariance-style reduction under PCA/whitening. Each row
-    expands to its flattened outer product (one JVM ``posexplode``, no
-    Python), partial sums combine map-side, and the single shuffle
-    carries only dim² × partitions partials. The driver result is dim²
-    scalars — constant in the row count, so the same plan holds at
-    100 TB."""
+    one-pass covariance-style reduction under PCA/whitening. The
+    single shuffle carries only dim² × partitions partials and the
+    driver result is dim² scalars — constant in the row count, so the
+    plan holds at 100 TB.
+
+    ``method="expr"`` expands each row to its flattened outer product
+    (one JVM ``posexplode``, no Python) — SQL-replayable, the
+    oracle-gated form, but the explode is a dim²-per-row blowup.
+    ``method="arrow"`` computes one numpy ``Mᵀ @ M`` partial per Arrow
+    batch in ``mapInPandas`` (a dim² row per batch, GEMM instead of
+    dim² exploded rows) — the scale path for large dim; numpy
+    summation order differs from the fold in final ulps, which PCA's
+    quantization absorbs."""
     base = emb.select(_dvec(F.col(vec_col)).alias("v"))
+    if method == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim),
+                             indexing="ij")
+
+        def _partial(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf["v"].to_numpy())
+                G = M.T @ M
+                yield pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(),
+                                    "val": G.ravel()})
+
+        flat = base.mapInPandas(_partial, "i int, j int, val double")
+        return flat.groupBy("i", "j").agg(F.sum("val").alias("g"))
     outer = F.flatten(F.transform(
         F.col("v"), lambda x: F.transform(F.col("v"), lambda y: x * y)))
     flat = base.select(F.posexplode(outer).alias("pos", "val"))
@@ -462,7 +487,8 @@ def _q(x: float, decimals: int) -> float:
 def pca_components(emb: DataFrame, n_components: int = 2, iters: int = 8,
                    vec_col: str = "embedding", dim: int = 64,
                    g_decimals: int = 4,
-                   v_decimals: int = 6) -> list[list[float]]:
+                   v_decimals: int = 6,
+                   method: str = "expr") -> list[list[float]]:
     """Top principal directions of the (uncentered) Gram matrix via
     power iteration with deflation — the distributed part is ONE
     :func:`gramian` pass; iteration happens on the driver over the
@@ -477,7 +503,7 @@ def pca_components(emb: DataFrame, n_components: int = 2, iters: int = 8,
     absorbed by the quantization, the ``ivf_train`` trick)."""
     import math
 
-    rows = gramian(emb, vec_col, dim).collect()
+    rows = gramian(emb, vec_col, dim, method=method).collect()
     G = [[0.0] * dim for _ in range(dim)]
     for r in rows:
         G[r["i"]][r["j"]] = _q(r["g"], g_decimals)

@@ -76,6 +76,48 @@ def _language_id(w: Column) -> Column:
     return F.array_max(F.array(*entries))["lang"]
 
 
+#: characteristic character trigrams per language for the n-gram
+#: language identifier (hand-curated, high-frequency and distinctive;
+#: includes space-padded forms so word boundaries count)
+LANG_TRIGRAMS: dict[str, list[str]] = {
+    "en": ["the", " th", "ing", "and", " of", "ion", " to", "ent"],
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "und", "cht"],
+    "fr": ["les", "ent", " de", "des", "que", "ait", "une", " la"],
+    "es": [" de", "los", "ado", " la", "que", "ción", "nte", " el"],
+}
+
+
+def char_ngram_language_scores(text_col: str = "text") -> list[Column]:
+    """Per-language character-trigram hit DENSITY: total occurrences of
+    the language's profile trigrams divided by text length. Occurrence
+    counting is the replace-and-measure identity
+    (len(t) - len(replace(t, g, ''))) / len(g) — pure codegen, no
+    split, identical in DuckDB."""
+    t = F.col(text_col)
+    cols = []
+    for lang, grams in LANG_TRIGRAMS.items():
+        total = None
+        for g in grams:
+            cnt = (F.length(t) - F.length(F.replace(t, F.lit(g)))) \
+                / F.lit(float(len(g)))
+            total = cnt if total is None else total + cnt
+        cols.append((total / F.length(t).cast("double"))
+                    .alias(f"tri_{lang}"))
+    return cols
+
+
+def char_ngram_language_id(text_col: str = "text") -> Column:
+    """argmax language by trigram density; ties break toward the
+    earlier profile (same fold rule as the stopword identifier)."""
+    scores = char_ngram_language_scores(text_col)
+    entries = [
+        F.struct(scores[i].alias("s"), F.lit(-i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(LANG_TRIGRAMS)
+    ]
+    return F.array_max(F.array(*entries))["lang"]
+
+
 def _fingerprint(w: Column) -> Column:
     return F.aggregate(
         w,
@@ -285,20 +327,27 @@ def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
 
 def hashed_classifier_score(docs: DataFrame, text_col: str = "text",
                             n_buckets: int = 64,
-                            seed: int = 17) -> DataFrame:
+                            seed: int = 17,
+                            weights: list[float] | None = None) -> DataFrame:
     """fastText-style hashed linear document scorer: each token hashes
     into one of ``n_buckets`` feature slots (md5, engine-portable), the
     document score is sigmoid(mean of slot weights over its tokens).
     This is the serving path of the standard bag-of-hashed-ngrams
-    quality classifier (weights here are a deterministic placeholder —
-    swap in trained weights of the same shape); the Spark-side shape is
-    what matters at 100 TB: a PURE PROJECTION, zero shuffles, zero
-    Python, weights inlined as a literal array into codegen.
+    quality classifier; pass ``weights`` (length ``n_buckets``) to
+    serve a TRAINED model — the default is a deterministic placeholder
+    of the same shape. The Spark-side shape is what matters at 100 TB:
+    a PURE PROJECTION, zero shuffles, zero Python, weights inlined as a
+    literal array into codegen (streaming-compatible as a corollary —
+    see tests/test_streaming_oracle.py).
 
     Adds ``clf_raw`` (mean weight) and ``clf_score`` (sigmoid)."""
     from .hashing import linear_weights
 
-    weights = linear_weights(n_buckets, seed)
+    if weights is None:
+        weights = linear_weights(n_buckets, seed)
+    if len(weights) != n_buckets:
+        raise ValueError(f"weights has {len(weights)} entries, "
+                         f"expected n_buckets={n_buckets}")
     w_lit = F.array(*[F.lit(x) for x in weights])
     tok_sum = F.aggregate(
         F.col("__w"), F.lit(0.0),

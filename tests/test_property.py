@@ -470,3 +470,26 @@ def test_hashed_classifier_score_bounds_and_determinism():
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id", ignore_index=True),
         out2.sort_values("doc_id", ignore_index=True))
+
+
+def test_gramian_arrow_matches_expr():
+    """Arrow (GEMM partials) and expr (posexplode) Gramians agree to
+    float tolerance; pca_components(method='arrow') returns the same
+    quantized components when the quantization absorbs the FP delta."""
+    import numpy as np
+    from flint_spark.pipeline import similarity
+
+    spark = _spark()
+    rng = np.random.RandomState(11)
+    base = rng.randn(150, 16)
+    pdf = pd.DataFrame({"vec_id": range(150),
+                        "embedding": [r.tolist() for r in base]})
+    df = spark.createDataFrame(pdf)
+    ge = similarity.gramian(df, dim=16).toPandas() \
+        .sort_values(["i", "j"], ignore_index=True)
+    ga = similarity.gramian(df, dim=16, method="arrow").toPandas() \
+        .sort_values(["i", "j"], ignore_index=True)
+    assert np.allclose(ge["g"], ga["g"], rtol=1e-12)
+    ce = similarity.pca_components(df, 2, dim=16)
+    ca = similarity.pca_components(df, 2, dim=16, method="arrow")
+    assert ce == ca

@@ -422,3 +422,86 @@ def test_stream_future_duplicate_right_tie_rule(spark):
         tolerance=5_000, key=["id"], right_time_column="time")
         .toPandas().sort_values("time", ignore_index=True))
     assert list(got_back["rv"]) == [9.0, 9.0]
+
+def test_streaming_corpus_ingestion_vs_duckdb(spark, con, tmp_path):
+    """The map-only pipeline surface is streaming-compatible for FREE:
+    per-doc text stats, the hashed quality classifier, the map-side
+    MinHash signature and SimHash (r4 rewrites — pure projections, no
+    per-doc aggregation exchange) run unchanged on a readStream. Replay
+    the documents table as a 3-chunk file stream, compute
+    quality + simhash + one MinHash column per doc map-side, and
+    compare the materialized sink against DuckDB batch SQL."""
+    import os as _os
+    import shutil as _shutil
+
+    from flint_spark.pipeline import dedup, text as text_ops
+    from flint_spark.pipeline.hashing import minhash_params, P
+
+    docs_b = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    # chunk on doc_id (documents have no event time)
+    out_dir = str(tmp_path / "docs")
+    _os.makedirs(out_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        part = docs_b.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = _os.path.join(out_dir, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        _shutil.move(_os.path.join(tmp, src),
+                     _os.path.join(out_dir, f"chunk_{i}.parquet"))
+        _shutil.rmtree(tmp)
+    stream = (spark.readStream.schema(docs_b.schema)
+              .option("maxFilesPerTrigger", 1).parquet(out_dir))
+
+    # all three operators are pure projections after the r4 rewrites,
+    # so they accept the streaming frame unchanged; each runs to its
+    # own memory sink and is oracled independently
+    scored = text_ops.hashed_classifier_score(stream, n_buckets=64, seed=17)
+    sig = dedup.minhash_signatures(scored, num_hashes=4, seed=7)
+    sim = dedup.simhash(scored)
+    q1 = (scored.select("doc_id",
+                        (F.floor(F.col("clf_raw") * 1e6 + 0.5) / 1e6)
+                        .alias("clf_raw"))
+          .writeStream.outputMode("append").format("memory")
+          .queryName("s_clf").start())
+    q2 = (sig.writeStream.outputMode("append").format("memory")
+          .queryName("s_sig").start())
+    q3 = (sim.writeStream.outputMode("append").format("memory")
+          .queryName("s_sim").start())
+    for q in (q1, q2, q3):
+        q.processAllAvailable()
+        q.stop()
+
+    import __spark_entry__ as entry
+    clf_sql = entry.extra_oracle_sql()["hashed_classifier"]
+    ok, msg = compare("stream_clf",
+                      spark.sql("SELECT doc_id, clf_raw FROM s_clf"),
+                      f"SELECT doc_id, clf_raw FROM ({clf_sql})", con)
+    assert ok, msg
+
+    params = minhash_params(4, 7)
+    mins = ",\n".join(
+        f"min(({a}*h + {b}) % {P}) AS mh_{j}"
+        for j, (a, b) in enumerate(params))
+    sig_sql = f"""
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(generate_series(1, len(w) - 2),
+                           i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+                      AS shingle
+             FROM words),
+      h AS (SELECT doc_id,
+                   (('0x' || substr(md5(shingle), 1, 7))::BIGINT) AS h
+            FROM sh)
+      SELECT doc_id, {mins} FROM h GROUP BY doc_id
+    """
+    ok, msg = compare("stream_sig", spark.sql("SELECT * FROM s_sig"),
+                      sig_sql, con)
+    assert ok, msg
+
+    from entry_queries.pipeline_q import _sql_simhash
+    ok, msg = compare("stream_sim", spark.sql("SELECT * FROM s_sim"),
+                      _sql_simhash(), con)
+    assert ok, msg
