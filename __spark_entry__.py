@@ -171,6 +171,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_classifier": q_hashed_classifier,
         "pca_project": q_pca_project,
         "lang_trigram": q_lang_trigram,
+        "audio_stats": q_audio_stats,
+        "rollup_incremental": q_rollup_incremental,
+        "salted_join": q_salted_join,
+        "interval_join": q_interval_join,
     }
 
 
@@ -215,6 +219,10 @@ def extra_oracle_sql() -> dict[str, str]:
         "hashed_classifier": _sql_hashed_classifier(),
         "pca_project": _sql_pca_project(),
         "lang_trigram": _sql_lang_trigram(),
+        "audio_stats": SQL_AUDIO_STATS,
+        "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
+        "salted_join": SQL_SALTED_JOIN,
+        "interval_join": SQL_INTERVAL_JOIN,
     }
 
 

@@ -1230,3 +1230,148 @@ def _sql_lang_trigram() -> str:
   SELECT lang, {case} AS tri_pred, count(*) AS n
   FROM documents GROUP BY 1, 2
 """
+
+
+def q_audio_stats(spark, sf):
+    """Real audio decode with no audio library: synthesize RIFF/WAVE
+    PCM16 payloads (pipeline.multimodal.with_wav_payload — sample count
+    from the text hash, samples a pure function of doc_id), decode them
+    with the pure-numpy PCM parser inside extract_audio_features, and
+    emit duration/mean/RMS/peak/zero-crossings. Every float is a single
+    IEEE op on exact integer sums, so DuckDB replays the values
+    bitwise (the WAV analogue of pixel_stats)."""
+    from flint_spark.pipeline import multimodal
+
+    docs = _t(spark, sf, "documents")
+    media = multimodal.with_wav_payload(docs)
+    return multimodal.extract_audio_features(media)
+
+
+SQL_AUDIO_STATS = """
+  WITH dims AS (
+    SELECT doc_id,
+           (((('0x' || substr(md5(text), 1, 7))::BIGINT) % 480) + 32)::INT AS n
+    FROM documents
+  ),
+  s AS (
+    SELECT doc_id, n, i,
+           ((doc_id * 7919 + i * 104729) % 65536 - 32768)::BIGINT AS v
+    FROM dims, LATERAL unnest(generate_series(0, n - 1)) AS t(i)
+  ),
+  lagged AS (
+    SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s
+  )
+  SELECT doc_id, n AS n_samples, 8000 AS sample_rate,
+         n::DOUBLE / 8000.0 AS duration_s,
+         sum(v)::DOUBLE / n AS amp_mean,
+         sqrt(sum(v * v)::DOUBLE / n) AS amp_rms,
+         max(abs(v))::INT AS peak,
+         count(CASE WHEN pv * v < 0 THEN 1 END)::INT AS zero_crossings
+  FROM lagged GROUP BY 1, 2
+"""
+
+
+def q_rollup_incremental(spark, sf):
+    """Continuous-aggregate pattern (intervals.build_rollup /
+    rollup_to / rollup_finalize): materialize 1h reaggregable partials
+    (count/sum/sumsq/min/max monoid structs), re-aggregate them to 1d
+    WITHOUT rescanning the raw table, and finalize to user stats. The
+    oracle aggregates the raw table at 1d directly — proving the
+    partial algebra is exact."""
+    from flint_spark.operators import intervals as iv_ops
+
+    ev = _events(spark, sf)
+    hourly = iv_ops.build_rollup(ev, "1h", ["value"], key=["event_type"])
+    daily = iv_ops.rollup_to(hourly, "1d", ["value"], key=["event_type"])
+    out = iv_ops.rollup_finalize(daily, ["value"])
+    # the input values are decimal-quantized, so raw group means land
+    # EXACTLY on .5 rounding boundaries and 1e-14 cross-engine sum noise
+    # flips the rounded digit; deriving the gate mean from the
+    # identically-rounded sum makes the division bitwise on both sides
+    # (std is sqrt-valued — never boundary-exact — so plain rounding holds)
+    mean_gate = R("value_sum", 4) / F.col("value_count")
+    return out.select(
+        TIME_COLUMN, "event_type", "n_rows", "value_count",
+        R("value_sum", 4).alias("value_sum"),
+        R("value_min", 6).alias("value_min"),
+        R("value_max", 6).alias("value_max"),
+        mean_gate.alias("value_mean"),
+        R("value_std", 4).alias("value_std"))
+
+
+SQL_ROLLUP_INCREMENTAL = """
+  SELECT date_trunc('day', ts) AS time, event_type,
+         count(*) AS n_rows, count(value) AS value_count,
+         floor(sum(value) * 10000 + 0.5) / 10000 AS value_sum,
+         floor(min(value) * 1000000 + 0.5) / 1000000 AS value_min,
+         floor(max(value) * 1000000 + 0.5) / 1000000 AS value_max,
+         (floor(sum(value) * 10000 + 0.5) / 10000) / count(value)
+           AS value_mean,
+         floor(sqrt(greatest(sum(value * value) / count(value)
+                             - (sum(value) / count(value))
+                               * (sum(value) / count(value)), 0))
+               * 10000 + 0.5) / 10000 AS value_std
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_salted_join(spark, sf):
+    """Hot-key-salted equi-join (operators.joins.salted_join): lineitem
+    probes orders with every key scattered over 16 salt buckets and the
+    build side replicated per bucket — result-identical to the plain
+    join the oracle runs."""
+    from flint_spark.operators import joins
+
+    li = _lineitem(spark, sf)
+    orders = _t(spark, sf, "orders")
+    j = joins.salted_join(li, orders.withColumnRenamed("o_orderkey",
+                                                       "l_orderkey"),
+                          ["l_orderkey"], salt=16)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 R(F.sum("l_quantity"), 4).alias("qty_sum"))
+            .select("o_orderpriority", "n", "qty_sum"))
+
+
+SQL_SALTED_JOIN = """
+  SELECT o_orderpriority, count(*) AS n,
+         floor(sum(l_quantity) * 10000 + 0.5) / 10000 AS qty_sum
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+"""
+
+
+def q_interval_join(spark, sf):
+    """Bucketed point-in-interval range join
+    (operators.joins.point_in_interval_join): every 97th event spawns a
+    [ts-30min, ts+30min) interval; each event joins the intervals
+    containing it via 1h-bucket equi-join + residual filter (never a
+    nested loop). The oracle runs the inequality join directly."""
+    from flint_spark.operators import joins
+
+    ev = _events(spark, sf)
+    iv = (ev.filter(F.col("event_id") % 97 == 0)
+          .select(F.col("event_id").alias("iv_id"),
+                  (F.col(TIME_COLUMN) - F.expr("INTERVAL 30 MINUTES")).alias("begin"),
+                  (F.col(TIME_COLUMN) + F.expr("INTERVAL 30 MINUTES")).alias("end")))
+    j = joins.point_in_interval_join(ev.select(TIME_COLUMN, "value"), iv,
+                                     bucket="1h")
+    return (j.groupBy("iv_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 R(F.sum("value"), 4).alias("value_sum"))
+            .select("iv_id", "n_points", "value_sum"))
+
+
+SQL_INTERVAL_JOIN = """
+  WITH iv AS (
+    SELECT event_id AS iv_id,
+           CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS b,
+           CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+    FROM events WHERE event_id % 97 = 0
+  )
+  SELECT iv_id, count(*) AS n_points,
+         floor(sum(p.value) * 10000 + 0.5) / 10000 AS value_sum
+  FROM iv JOIN events p
+    ON CAST(p.ts AS TIMESTAMP) >= iv.b AND CAST(p.ts AS TIMESTAMP) < iv.e
+  GROUP BY 1
+"""

@@ -229,3 +229,101 @@ def summarize_intervals_multi(df: DataFrame, granularities: Sequence[str],
     out = agg.select(gran.alias("granularity"), time_col.alias(TIME_COLUMN),
                      *key, *[agg[n] for n in summarizer.names])
     return out
+
+
+# ----------------------------------------------------------------------
+# incremental (continuous-aggregate) rollups
+# ----------------------------------------------------------------------
+
+#: reaggregable partial statistics kept per (bucket, key, measure)
+_PARTIAL_FIELDS = ("cnt", "sum", "sumsq", "min", "max")
+
+
+def build_rollup(df: DataFrame, freq: str,
+                 measures: Sequence[str], key: Sequence[str] = ()) -> DataFrame:
+    """Materialize a hypertable-style CONTINUOUS-AGGREGATE partial table:
+    one row per (epoch-aligned ``freq`` bucket [, key]) carrying, for
+    each measure, the reaggregable partials (count, sum, sum-of-squares,
+    min, max) as a struct ``<m>_partial``, plus ``n_rows``.
+
+    The partials form a commutative monoid (the reference's summarizer
+    ``merge()`` contract, ``rdd/.../Summarizer.scala:25-73``), so any
+    COARSER granularity — or an incremental refresh that unions freshly
+    built buckets with the stored table — re-aggregates from this table
+    alone via :func:`rollup_to`, never rescanning the raw data. At
+    100 TB the partial table is smaller by ~rows/bucket and a refresh
+    touches only new buckets: the classic continuous-aggregate posture.
+    One scan, one hash-agg exchange; null measures are skipped per
+    measure (count is per-measure, matching null-skipping aggs)."""
+    from ..timeseries import parse_duration_ns
+
+    f = parse_duration_ns(freq)
+    key = list(key)
+    tns = time_ns_expr(df)
+    bucket = ns_to_time_expr(floor_div(tns, f) * F.lit(f),
+                             dict(df.dtypes)[TIME_COLUMN])
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for m in measures:
+        c = F.col(m)
+        aggs.append(F.struct(
+            F.count(c).alias("cnt"),
+            F.sum(c).alias("sum"),
+            F.sum(c * c).alias("sumsq"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+        ).alias(f"{m}_partial"))
+    return (df.withColumn(TIME_COLUMN, bucket)
+            .groupBy(TIME_COLUMN, *key).agg(*aggs))
+
+
+def rollup_to(rollup: DataFrame, freq: str,
+              measures: Sequence[str], key: Sequence[str] = ()) -> DataFrame:
+    """Re-aggregate a :func:`build_rollup` partial table to a COARSER
+    epoch-aligned granularity (``freq`` need not be an integer multiple
+    of the build granularity as long as its buckets are unions of build
+    buckets — true for any coarser epoch-aligned duration), merging the
+    monoid partials: counts/sums add, min/min, max/max. Emits the same
+    partial-struct schema, so rollups chain (1m -> 1h -> 1d)."""
+    from ..timeseries import parse_duration_ns
+
+    f = parse_duration_ns(freq)
+    key = list(key)
+    tns = time_ns_expr(rollup)
+    bucket = ns_to_time_expr(floor_div(tns, f) * F.lit(f),
+                             dict(rollup.dtypes)[TIME_COLUMN])
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for m in measures:
+        p = f"{m}_partial"
+        aggs.append(F.struct(
+            F.sum(F.col(f"{p}.cnt")).alias("cnt"),
+            F.sum(F.col(f"{p}.sum")).alias("sum"),
+            F.sum(F.col(f"{p}.sumsq")).alias("sumsq"),
+            F.min(F.col(f"{p}.min")).alias("min"),
+            F.max(F.col(f"{p}.max")).alias("max"),
+        ).alias(p))
+    return (rollup.withColumn(TIME_COLUMN, bucket)
+            .groupBy(TIME_COLUMN, *key).agg(*aggs))
+
+
+def rollup_finalize(rollup: DataFrame,
+                    measures: Sequence[str]) -> DataFrame:
+    """Render a partial table to user-facing statistics: per measure
+    ``<m>_count/_sum/_min/_max/_mean/_std`` (population std via the
+    ``sqrt(E[x^2]-E[x]^2)`` closed form over the exact partial sums)."""
+    cols = [F.col(c) for c in rollup.columns
+            if not c.endswith("_partial")]
+    for m in measures:
+        p = f"{m}_partial"
+        cnt = F.col(f"{p}.cnt")
+        s = F.col(f"{p}.sum")
+        sq = F.col(f"{p}.sumsq")
+        mean = s / cnt
+        cols += [
+            cnt.alias(f"{m}_count"), s.alias(f"{m}_sum"),
+            F.col(f"{p}.min").alias(f"{m}_min"),
+            F.col(f"{p}.max").alias(f"{m}_max"),
+            mean.alias(f"{m}_mean"),
+            F.sqrt(F.greatest(sq / cnt - mean * mean, F.lit(0.0)))
+            .alias(f"{m}_std"),
+        ]
+    return rollup.select(*cols)

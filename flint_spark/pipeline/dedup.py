@@ -275,8 +275,11 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
                 .alias("hamming"))
-        .distinct()
+        # hamming is a pure function of the pair, so filtering BEFORE the
+        # distinct is identical — and shrinks the dedup exchange to the
+        # qualifying pairs instead of every band-collision candidate.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -217,6 +217,156 @@ def extract_pixel_features(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(feats, schema)
 
 
+#: typed metadata for audio payloads (sibling of MEDIA_META_TYPE)
+AUDIO_META_TYPE = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+])
+
+
+def with_wav_payload(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sample_rate: int = 8000,
+                     max_samples: int = 480) -> DataFrame:
+    """Synthesize a REAL uncompressed audio payload per document: a
+    RIFF/WAVE PCM16 mono file whose sample count derives from the text
+    hash (32..32+``max_samples``) and whose samples are the
+    deterministic sequence ``((id*7919 + i*104729) % 65536) - 32768``
+    — a pure function of (id, text) that DuckDB can replay
+    value-for-value, making the audio-decode path oracle-checkable
+    with no audio library (the WAV analogue of ``with_ppm_payload``)."""
+    import struct
+
+    import numpy as np
+
+    n_expr = (F.pmod(h28(F.col(text_col)), F.lit(max_samples)) + 32).cast("int")
+    base = docs.select(F.col(id_col), n_expr.alias("__n"))
+    schema = T.StructType([docs.schema[id_col],
+                           T.StructField("payload", T.BinaryType()),
+                           T.StructField("audio_meta", AUDIO_META_TYPE)])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf[id_col], pdf["__n"]):
+                n = int(n)
+                v = ((int(did) * 7919 + np.arange(n, dtype=np.int64) * 104729)
+                     % 65536 - 32768).astype("<i2")
+                data = v.tobytes()
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                       + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1,
+                                               sample_rate, sample_rate * 2,
+                                               2, 16)
+                       + b"data" + struct.pack("<I", len(data)))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": payloads,
+                "audio_meta": [{"format": "audio/wav",
+                                "sample_rate": sample_rate,
+                                "n_samples": int(n), "channels": 1}
+                               for n in pdf["__n"]]})
+
+    return base.mapInPandas(build, schema)
+
+
+def decode_wav(payload: bytes):
+    """Pure-numpy decoder for RIFF/WAVE PCM payloads (8/16-bit, any
+    channel count): walks the chunk list, reads ``fmt `` and ``data``,
+    and returns ``(samples, sample_rate)`` where ``samples`` is an
+    int-valued array of shape (frames, channels). WAV PCM is
+    uncompressed, so — like netpbm for images — ~30 lines of header
+    parsing + ``frombuffer`` make audio statistics real in any
+    environment. Returns ``None`` for non-RIFF payloads."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only PCM 8/16-bit WAV supported, got "
+                         f"format={audio_format} bits={bits}")
+    dtype = np.dtype("<i2") if bits == 16 else np.dtype(np.uint8)
+    arr = np.frombuffer(data, dtype=dtype,
+                        count=len(data) // dtype.itemsize)
+    frames = arr.reshape(-1, channels).astype(np.int64)
+    if bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        frames = frames - 128
+    return frames, rate
+
+
+AUDIO_FEATURE_FIELDS = [
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("amp_mean", T.DoubleType()),
+    T.StructField("amp_rms", T.DoubleType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("zero_crossings", T.IntegerType()),
+]
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "doc_id") -> DataFrame:
+    """REAL audio statistics per payload: mapInPandas batches decode
+    each WAV with the pure-numpy PCM parser and emit sample count,
+    duration, mean/RMS amplitude, peak, and strict zero crossings
+    (``v[i-1] * v[i] < 0``), all over channel 0.
+
+    Every float is a single IEEE operation on exact integer sums
+    (``sum/n``, ``sqrt(sumsq/n)``, ``n/rate``), so the values are
+    bit-identical to a SQL oracle computing the same closed forms."""
+    import math
+
+    import numpy as np
+
+    schema = T.StructType([df.schema[id_col]] + AUDIO_FEATURE_FIELDS)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                decoded = decode_wav(bytes(payload))
+                if decoded is None:
+                    raise ValueError("non-WAV payload in audio feature "
+                                     "extraction")
+                frames, rate = decoded
+                v = frames[:, 0]
+                n = int(v.shape[0])
+                mean = int(v.sum()) / n
+                rms = math.sqrt(int((v * v).sum()) / n)
+                zc = int(np.count_nonzero(v[:-1] * v[1:] < 0))
+                rows.append((n, rate, n / float(rate), mean, rms,
+                             int(np.abs(v).max()), zc))
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_samples": pd.Series(cols[0], dtype="int32"),
+                "sample_rate": pd.Series(cols[1], dtype="int32"),
+                "duration_s": pd.Series(cols[2], dtype="float64"),
+                "amp_mean": pd.Series(cols[3], dtype="float64"),
+                "amp_rms": pd.Series(cols[4], dtype="float64"),
+                "peak": pd.Series(cols[5], dtype="int32"),
+                "zero_crossings": pd.Series(cols[6], dtype="int32")})
+
+    return df.select(id_col, payload_col).mapInPandas(feats, schema)
+
+
 FEATURE_FIELDS = [
     T.StructField("byte_len", T.LongType()),
     T.StructField("byte_sum", T.LongType()),

@@ -1238,3 +1238,134 @@ def test_pack_documents_unsharded_guard(spark, sf_dir):
             warnings.simplefilter("always")
             sampling.pack_documents(small, 16, "toks").count()
         assert any("shard_col" in str(x.message) for x in w)
+
+
+# ----------------------------------------------------------------------
+# round 4: audio decode, salted join, interval join, incremental rollup
+# ----------------------------------------------------------------------
+
+def test_decode_wav_roundtrip_and_variants():
+    import struct
+
+    import numpy as np
+
+    from flint_spark.pipeline.multimodal import decode_wav
+
+    def wav(samples, rate=16000, channels=1, bits=16):
+        if bits == 16:
+            data = np.asarray(samples, dtype="<i2").tobytes()
+        else:
+            data = bytes(int(s) + 128 for s in samples)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                        rate * channels * bits // 8,
+                                        channels * bits // 8, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    frames, rate = decode_wav(wav([0, 100, -100, 32767, -32768]))
+    assert rate == 16000 and frames.shape == (5, 1)
+    assert frames[:, 0].tolist() == [0, 100, -100, 32767, -32768]
+    # stereo: interleaved L/R de-interleaves into columns
+    st, _ = decode_wav(wav([1, -1, 2, -2, 3, -3], channels=2))
+    assert st.shape == (3, 2) and st[:, 0].tolist() == [1, 2, 3] \
+        and st[:, 1].tolist() == [-1, -2, -3]
+    # 8-bit is unsigned centered at 128
+    u8, _ = decode_wav(wav([0, 10, -10], bits=8))
+    assert u8[:, 0].tolist() == [0, 10, -10]
+    assert decode_wav(b"not a riff payload") is None
+    try:
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+        raise AssertionError("expected malformed-WAV error")
+    except ValueError:
+        pass
+
+
+def test_wav_payload_decodes_to_closed_form(spark, sf_dir):
+    import numpy as np
+
+    from flint_spark.pipeline.multimodal import decode_wav, with_wav_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    rows = with_wav_payload(docs).collect()
+    assert len(rows) == 5
+    for r in rows:
+        frames, rate = decode_wav(bytes(r.payload))
+        n = r.audio_meta.n_samples
+        assert rate == 8000 and frames.shape == (n, 1)
+        exp = (r.doc_id * 7919 + np.arange(n, dtype=np.int64) * 104729) \
+            % 65536 - 32768
+        assert frames[:, 0].tolist() == exp.tolist()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from flint_spark.operators import joins
+
+    # hot key: 80% of probe rows share key 1
+    left = spark.createDataFrame(
+        [(1 if i % 5 else i, float(i)) for i in range(200)], "k int, x double")
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 200, 3)], "k int, tag string")
+    for how in ("inner", "left"):
+        got = sorted(map(tuple, joins.salted_join(left, right, ["k"], how=how,
+                                                  salt=7).collect()))
+        exp = sorted(map(tuple, left.join(right, ["k"], how).collect()))
+        assert got == exp, how
+    import pytest
+
+    with pytest.raises(ValueError):
+        joins.salted_join(left, right, ["k"], how="outer")
+    with pytest.raises(ValueError):
+        joins.salted_join(left, right, ["k"], salt=1)
+
+
+def test_point_in_interval_join_matches_nested_loop(spark):
+    from flint_spark.operators import joins
+
+    base = 1_700_000_000_000_000_000  # ns epoch
+    HOUR = 3_600_000_000_000
+    points = spark.createDataFrame(
+        [(base + i * 137 * 60_000_000_000, i) for i in range(300)],
+        "time long, pid int")
+    ivs = spark.createDataFrame(
+        [(j, base + j * 11 * HOUR, base + j * 11 * HOUR + (1 + j % 5) * HOUR)
+         for j in range(40)], "iv_id int, begin long, end long")
+    exp = sorted(map(tuple, points.crossJoin(ivs).filter(
+        "time >= begin and time < end")
+        .select("time", "pid", "iv_id", "begin", "end").collect()))
+    for bucket in ("1h", "45 min", "7h"):
+        got = sorted(map(tuple, joins.point_in_interval_join(points, ivs,
+                                                             bucket=bucket)
+                         .select("time", "pid", "iv_id", "begin", "end")
+                         .collect()))
+        assert got == exp, bucket
+    # left join keeps unmatched points null-padded
+    n_matched_pts = len({(t, p) for t, p, *_ in exp})
+    left = joins.point_in_interval_join(points, ivs, how="left")
+    assert left.count() == len(exp) + (300 - n_matched_pts)
+    assert left.filter("iv_id is null").count() == 300 - n_matched_pts
+
+
+def test_rollup_chain_matches_direct_build(spark, sf_dir):
+    import math
+
+    from flint_spark.operators import intervals as iv_ops
+    from entry_queries.common import _events
+
+    ev = _events(spark, f"{sf_dir}")
+    # monoid associativity: 1h partials rolled to 1d == direct 1d build
+    via_chain = iv_ops.rollup_to(
+        iv_ops.build_rollup(ev, "1h", ["value"], key=["event_type"]),
+        "1d", ["value"], key=["event_type"])
+    direct = iv_ops.build_rollup(ev, "1d", ["value"], key=["event_type"])
+    a = {(r.time, r.event_type): r for r in via_chain.collect()}
+    b = {(r.time, r.event_type): r for r in direct.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        pa, pb = a[k].value_partial, b[k].value_partial
+        assert a[k].n_rows == b[k].n_rows and pa.cnt == pb.cnt
+        assert pa.min == pb.min and pa.max == pb.max
+        assert math.isclose(pa.sum, pb.sum, rel_tol=1e-12)
+        assert math.isclose(pa.sumsq, pb.sumsq, rel_tol=1e-12)
+    fin = iv_ops.rollup_finalize(direct, ["value"])
+    assert {"value_count", "value_sum", "value_min", "value_max",
+            "value_mean", "value_std"} <= set(fin.columns)
