@@ -35,7 +35,8 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_interval_custom_clock, _sql_ivf_ann,
                            _sql_lang_confusion, _sql_lsh_ann,
                            _sql_minhash_lsh, _sql_simhash,
-                           _sql_simhash_pairs, _sql_text_stats)
+                           _sql_simhash_pairs, _sql_text_stats,
+                           _sql_cms_counts)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -175,6 +176,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": q_rollup_incremental,
         "salted_join": q_salted_join,
         "interval_join": q_interval_join,
+        "rollup_hist": q_rollup_hist,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -223,6 +226,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "rollup_incremental": SQL_ROLLUP_INCREMENTAL,
         "salted_join": SQL_SALTED_JOIN,
         "interval_join": SQL_INTERVAL_JOIN,
+        "rollup_hist": SQL_ROLLUP_HIST,
+        "cms_counts": _sql_cms_counts(),
     }
 
 

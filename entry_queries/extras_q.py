@@ -1375,3 +1375,70 @@ SQL_INTERVAL_JOIN = """
     ON CAST(p.ts AS TIMESTAMP) >= iv.b AND CAST(p.ts AS TIMESTAMP) < iv.e
   GROUP BY 1
 """
+
+
+def q_rollup_hist(spark, sf):
+    """Histogram partials in the continuous-aggregate rollup
+    (intervals.build_rollup(hist=...) + rollup_to): per-bin integer
+    counts built at 1h merge EXACTLY to 1d — distribution shape at any
+    granularity without rescanning raw data. The oracle bins the raw
+    table at 1d directly."""
+    from flint_spark.operators import intervals as iv_ops
+
+    ev = _events(spark, sf)
+    hourly = iv_ops.build_rollup(ev, "1h", ["value"], key=["event_type"],
+                                 hist={"value": [0, 25, 50, 100, 200]})
+    daily = iv_ops.rollup_to(hourly, "1d", ["value"], key=["event_type"])
+    h = "value_hist"
+    return daily.select(
+        TIME_COLUMN, "event_type",
+        F.col(f"{h}.under").alias("h_under"),
+        *[F.col(f"{h}.b{i}").alias(f"h_b{i}") for i in range(4)],
+        F.col(f"{h}.over").alias("h_over"))
+
+
+SQL_ROLLUP_HIST = """
+  SELECT date_trunc('day', ts) AS time, event_type,
+         count(CASE WHEN value < 0 THEN 1 END) AS h_under,
+         count(CASE WHEN value >= 0 AND value < 25 THEN 1 END) AS h_b0,
+         count(CASE WHEN value >= 25 AND value < 50 THEN 1 END) AS h_b1,
+         count(CASE WHEN value >= 50 AND value < 100 THEN 1 END) AS h_b2,
+         count(CASE WHEN value >= 100 AND value < 200 THEN 1 END) AS h_b3,
+         count(CASE WHEN value >= 200 THEN 1 END) AS h_over
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_cms_counts(spark, sf):
+    """Deterministic count-min sketch (pipeline.sketches): build a
+    256x3 md5-position sketch over the document word stream, then
+    estimate each frequent word's count map-side from the inlined
+    cells. DuckDB replays build + min-of-cells estimate bitwise —
+    including the sketch's characteristic over-counts."""
+    from flint_spark.pipeline import sketches
+    from flint_spark.pipeline.text import _token_stream
+
+    docs = _t(spark, sf, "documents")
+    tok = _token_stream(docs, "text", "doc_id")
+    cms = sketches.cms_build(tok, "w", width=256, depth=3)
+    probes = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+              .filter(F.col("true_cnt") >= 20))
+    out = sketches.cms_estimate(probes, cms, "w", width=256, depth=3)
+    return out.select("w", "true_cnt", "est_count")
+
+
+def _sql_cms_counts() -> str:
+    from flint_spark.pipeline import sketches
+
+    cte, est = sketches.cms_sql(
+        "SELECT unnest(string_split(text, ' ')) AS k FROM documents",
+        probe_key="w", width=256, depth=3)
+    return f"""
+  WITH cms AS ({cte}),
+  tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+  probes AS (
+    SELECT w, count(*) AS true_cnt FROM tok GROUP BY 1
+    HAVING count(*) >= 20
+  )
+  SELECT w, true_cnt, {est} AS est_count FROM probes
+"""

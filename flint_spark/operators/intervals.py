@@ -240,7 +240,8 @@ _PARTIAL_FIELDS = ("cnt", "sum", "sumsq", "min", "max")
 
 
 def build_rollup(df: DataFrame, freq: str,
-                 measures: Sequence[str], key: Sequence[str] = ()) -> DataFrame:
+                 measures: Sequence[str], key: Sequence[str] = (),
+                 hist: "dict[str, Sequence[float]] | None" = None) -> DataFrame:
     """Materialize a hypertable-style CONTINUOUS-AGGREGATE partial table:
     one row per (epoch-aligned ``freq`` bucket [, key]) carrying, for
     each measure, the reaggregable partials (count, sum, sum-of-squares,
@@ -254,7 +255,15 @@ def build_rollup(df: DataFrame, freq: str,
     100 TB the partial table is smaller by ~rows/bucket and a refresh
     touches only new buckets: the classic continuous-aggregate posture.
     One scan, one hash-agg exchange; null measures are skipped per
-    measure (count is per-measure, matching null-skipping aggs)."""
+    measure (count is per-measure, matching null-skipping aggs).
+
+    ``hist`` optionally maps a measure to fixed bin edges: the bucket
+    row then also carries ``<m>_hist``, a struct of per-bin counts
+    (``under``, ``b0..b{n-2}``, ``over`` — same [lo, hi) semantics as
+    ``summarizers.histogram``). Counts are integers, so histograms
+    merge EXACTLY at any coarser granularity, giving rollup-resident
+    distribution shape + approx quantiles (:func:`rollup_quantile`)
+    that a sum/min/max partial alone cannot answer."""
     from ..timeseries import parse_duration_ns
 
     f = parse_duration_ns(freq)
@@ -272,6 +281,15 @@ def build_rollup(df: DataFrame, freq: str,
             F.min(c).alias("min"),
             F.max(c).alias("max"),
         ).alias(f"{m}_partial"))
+    for m, bins in (hist or {}).items():
+        c = F.col(m)
+        fields = [F.count(F.when(c < bins[0], 1)).alias("under")]
+        for i in range(len(bins) - 1):
+            lo, hi = bins[i], bins[i + 1]
+            fields.append(F.count(F.when((c >= lo) & (c < hi), 1))
+                          .alias(f"b{i}"))
+        fields.append(F.count(F.when(c >= bins[-1], 1)).alias("over"))
+        aggs.append(F.struct(*fields).alias(f"{m}_hist"))
     return (df.withColumn(TIME_COLUMN, bucket)
             .groupBy(TIME_COLUMN, *key).agg(*aggs))
 
@@ -282,8 +300,9 @@ def rollup_to(rollup: DataFrame, freq: str,
     epoch-aligned granularity (``freq`` need not be an integer multiple
     of the build granularity as long as its buckets are unions of build
     buckets — true for any coarser epoch-aligned duration), merging the
-    monoid partials: counts/sums add, min/min, max/max. Emits the same
-    partial-struct schema, so rollups chain (1m -> 1h -> 1d)."""
+    monoid partials: counts/sums add, min/min, max/max; histogram
+    structs (when present) merge by per-bin integer addition. Emits the
+    same partial-struct schema, so rollups chain (1m -> 1h -> 1d)."""
     from ..timeseries import parse_duration_ns
 
     f = parse_duration_ns(freq)
@@ -301,8 +320,40 @@ def rollup_to(rollup: DataFrame, freq: str,
             F.min(F.col(f"{p}.min")).alias("min"),
             F.max(F.col(f"{p}.max")).alias("max"),
         ).alias(p))
+        h = f"{m}_hist"
+        if h in rollup.columns:
+            hf = next(x for x in rollup.schema.fields if x.name == h)
+            aggs.append(F.struct(
+                *[F.sum(F.col(f"{h}.{sub.name}")).alias(sub.name)
+                  for sub in hf.dataType.fields]).alias(h))
     return (rollup.withColumn(TIME_COLUMN, bucket)
             .groupBy(TIME_COLUMN, *key).agg(*aggs))
+
+
+def rollup_quantile(rollup: DataFrame, measure: str,
+                    bins: Sequence[float], p: float) -> Column:
+    """Approximate p-quantile Column derived from a :func:`build_rollup`
+    histogram partial: locate the bin where the cumulative count crosses
+    ``p * total`` and linearly interpolate within its [lo, hi) edges —
+    resolution bounded by bin width, computable at ANY rollup
+    granularity without touching raw data. Underflow/overflow clamp to
+    the first/last edge (the histogram does not know their extent)."""
+    h = f"{measure}_hist"
+    names = (["under"] + [f"b{i}" for i in range(len(bins) - 1)] + ["over"])
+    counts = [F.col(f"{h}.{n}").cast("double") for n in names]
+    total = sum(counts[1:], counts[0])
+    target = F.lit(p) * total
+    # walk bins accumulating counts; first crossing wins via coalesce
+    acc = counts[0]
+    result = F.when(target <= acc, F.lit(float(bins[0])))
+    for i in range(len(bins) - 1):
+        lo, hi = float(bins[i]), float(bins[i + 1])
+        c = counts[i + 1]
+        frac = F.when(c > 0, (target - acc) / c).otherwise(F.lit(0.0))
+        result = result.when(target <= acc + c,
+                             F.lit(lo) + frac * F.lit(hi - lo))
+        acc = acc + c
+    return result.otherwise(F.lit(float(bins[-1])))
 
 
 def rollup_finalize(rollup: DataFrame,

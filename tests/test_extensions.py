@@ -1369,3 +1369,61 @@ def test_rollup_chain_matches_direct_build(spark, sf_dir):
     fin = iv_ops.rollup_finalize(direct, ["value"])
     assert {"value_count", "value_sum", "value_min", "value_max",
             "value_mean", "value_std"} <= set(fin.columns)
+
+
+def test_rollup_quantile_from_histogram(spark):
+    from flint_spark.operators import intervals as iv_ops
+
+    base = 1_700_000_000_000_000_000
+    # 1000 uniform values 0..99.9 in one bucket: quantiles are exact
+    # up to bin resolution, interpolation recovers them within a bin
+    rows = [(base + i, (i % 1000) / 10.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "time long, v double")
+    bins = [0.0, 25.0, 50.0, 75.0, 100.0]
+    r = iv_ops.build_rollup(df, "1d", ["v"], hist={"v": bins})
+    out = r.select(
+        iv_ops.rollup_quantile(r, "v", bins, 0.5).alias("p50"),
+        iv_ops.rollup_quantile(r, "v", bins, 0.25).alias("p25"),
+        iv_ops.rollup_quantile(r, "v", bins, 0.99).alias("p99"),
+        iv_ops.rollup_quantile(r, "v", bins, 0.0).alias("p0"),
+        iv_ops.rollup_quantile(r, "v", bins, 1.0).alias("p100")).first()
+    assert abs(out.p50 - 50.0) < 0.2
+    assert abs(out.p25 - 25.0) < 0.2
+    assert abs(out.p99 - 99.0) < 0.2
+    assert out.p0 == 0.0 and out.p100 == 100.0
+    # histogram partials survive a coarsening round-trip
+    hourly = iv_ops.build_rollup(df, "1h", ["v"], hist={"v": bins})
+    daily = iv_ops.rollup_to(hourly, "1d", ["v"])
+    assert daily.select("v_hist").first() == r.select("v_hist").first()
+
+
+def test_cms_overestimates_and_merges(spark):
+    from flint_spark.pipeline import sketches
+
+    words = [f"w{i % 37}" for i in range(500)] + ["rare"] * 3
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    cms = sketches.cms_build(df, "w", width=64, depth=3)
+    probes = df.distinct()
+    est = {r.w: r.est_count for r in
+           sketches.cms_estimate(probes, cms, "w", width=64,
+                                 depth=3).collect()}
+    true = {}
+    for w in words:
+        true[w] = true.get(w, 0) + 1
+    # the count-min guarantee: never under the true count
+    for w, t in true.items():
+        assert est[w] >= t, (w, est[w], t)
+    # wide sketch => no collisions => exact
+    wide = sketches.cms_build(df, "w", width=4096, depth=3)
+    est_w = {r.w: r.est_count for r in
+             sketches.cms_estimate(probes, wide, "w", width=4096,
+                                   depth=3).collect()}
+    assert est_w == true
+    # mergeability: build(a) + build(b) == build(a union b)
+    half = len(words) // 2
+    a = spark.createDataFrame([(w,) for w in words[:half]], "w string")
+    b = spark.createDataFrame([(w,) for w in words[half:]], "w string")
+    merged = sketches.cms_merge(sketches.cms_build(a, "w", width=64, depth=3),
+                                sketches.cms_build(b, "w", width=64, depth=3))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, cms.collect())))
