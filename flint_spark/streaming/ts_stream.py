@@ -41,6 +41,39 @@ def summarize_intervals_stream(stream: DataFrame, frequency: str,
                       *[out[n] for n in summarizer.names])
 
 
+def build_rollup_stream(stream: DataFrame, freq: str,
+                        measures: Sequence[str], key: Sequence[str] = (),
+                        watermark: str = "10 minutes",
+                        time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming refresh of the continuous-aggregate partial table: the
+    incremental half of ``operators.intervals.build_rollup``. Each
+    closed watermarked tumbling window appends one partial row with the
+    SAME reaggregable struct schema (count/sum/sumsq/min/max +
+    ``n_rows``), so the sink table feeds ``rollup_to``/
+    ``rollup_finalize``/``rollup_quantile`` unchanged — a stream keeps
+    the 1h partials fresh, coarse queries never touch raw data."""
+    from ..operators.intervals import _PARTIAL_FIELDS  # noqa: F401  (schema contract)
+    from ..timeseries import parse_duration_ns
+
+    key = list(key)
+    secs = parse_duration_ns(freq) // 1_000_000_000
+    win = F.window(F.col(time_column), f"{secs} seconds")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for m in measures:
+        c = F.col(m)
+        aggs.append(F.struct(
+            F.count(c).alias("cnt"),
+            F.sum(c).alias("sum"),
+            F.sum(c * c).alias("sumsq"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+        ).alias(f"{m}_partial"))
+    out = (stream.withWatermark(time_column, watermark)
+           .groupBy(win.alias("interval"), *key).agg(*aggs))
+    return out.select(F.col("interval.start").alias(TIME_COLUMN), *key,
+                      "n_rows", *[f"{m}_partial" for m in measures])
+
+
 def sessionize_stream(stream: DataFrame, gap: str = "30 minutes",
                       key: Sequence[str] = (),
                       watermark: str = "10 minutes",

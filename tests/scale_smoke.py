@@ -144,6 +144,39 @@ def linearity_suite(spark, millions: float = 5.0):
 
     linearity("symmetric_join hot-key", hotkey_sym, n_small, n_big)
 
+    def hotkey_salted(n):
+        # 50% of probe rows on ONE key joining a 100k-row build side:
+        # the shape where an unsalted shuffle join puts n/2 rows in one
+        # task. salted_join must scale with n, not with the hot key.
+        from flint_spark.operators.joins import salted_join
+
+        hot = F.when(F.pmod(F.col("id"), F.lit(2)) == 0, F.lit(0)) \
+            .otherwise(F.pmod(F.col("id"), F.lit(100_000))).cast("long")
+        left = spark.range(n).select(hot.alias("k"),
+                                     (F.col("id") % 97).alias("x"))
+        right = spark.range(100_000).select(F.col("id").alias("k"),
+                                            (F.col("id") % 7).alias("tag"))
+        return salted_join(left, right, ["k"], salt=32)
+
+    linearity("salted_join hot-key", hotkey_salted, n_small, n_big)
+
+    def range_join(n):
+        # n points vs n/100 one-to-five-bucket intervals: work must
+        # scale with points + interval coverage, never all-pairs
+        from flint_spark.operators.joins import point_in_interval_join
+
+        HOUR = 3_600_000_000_000
+        points = spark.range(n).select(
+            (F.col("id") * (HOUR // 500)).alias("time"),
+            (F.col("id") % 97).alias("x"))
+        ivs = spark.range(n // 100).select(
+            F.col("id").alias("iv_id"),
+            (F.col("id") * (2 * HOUR)).alias("begin"),
+            (F.col("id") * (2 * HOUR) + 2 * HOUR).alias("end"))
+        return point_in_interval_join(points, ivs, bucket="1h")
+
+    linearity("point_in_interval_join", range_join, n_small, n_big)
+
 
 def synth_corpus(spark, n_docs: int, seed: int = 5):
     """Synthetic text corpus with realistic shingle overlap: each doc

@@ -505,3 +505,45 @@ def test_streaming_corpus_ingestion_vs_duckdb(spark, con, tmp_path):
     ok, msg = compare("stream_sim", spark.sql("SELECT * FROM s_sim"),
                       _sql_simhash(), con)
     assert ok, msg
+
+
+def test_rollup_stream_refresh_vs_duckdb(spark, con, tmp_path):
+    """The full continuous-aggregate loop: a file-replay stream keeps
+    the 1h PARTIAL table fresh (build_rollup_stream), a batch rollup_to
+    coarsens the sink to 1d from partials alone, and DuckDB oracles the
+    result against direct 1d aggregation of the raw events — streaming
+    refresh + partial-only serving, end to end."""
+    from flint_spark.operators import intervals as iv_ops
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "event_type", "value"))
+    out_dir = str(tmp_path / "ru")
+    _time_split_files(ev, out_dir, _SPLITS)
+    _append_sentinel(
+        spark, ev, out_dir,
+        lambda t: ev.limit(1).select(
+            t.alias("time"), F.lit("zz_sentinel").alias("event_type"),
+            F.lit(None).cast("double").alias("value")))
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    hourly = ts_stream.build_rollup_stream(st, "1h", ["value"],
+                                           key=["event_type"],
+                                           watermark="1 minute")
+    _run_to_table(hourly, "so_rollup")
+    sink = spark.sql("SELECT * FROM so_rollup")
+    daily = iv_ops.rollup_to(sink, "1d", ["value"], key=["event_type"])
+    out = iv_ops.rollup_finalize(daily, ["value"])
+    got = out.select(
+        "time", "event_type", "n_rows", "value_count",
+        (F.floor(F.col("value_sum") * 10000 + 0.5) / 10000).alias("value_sum"),
+        (F.floor(F.col("value_max") * 1000000 + 0.5) / 1000000).alias("value_max"))
+    sql = """
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS time, event_type,
+             count(*) AS n_rows, count(value) AS value_count,
+             floor(sum(value) * 10000 + 0.5) / 10000 AS value_sum,
+             floor(max(value) * 1000000 + 0.5) / 1000000 AS value_max
+      FROM events GROUP BY 1, 2
+    """
+    ok, msg = compare("so_rollup", got, sql, con)
+    assert ok, msg
