@@ -241,7 +241,8 @@ _PARTIAL_FIELDS = ("cnt", "sum", "sumsq", "min", "max")
 
 def build_rollup(df: DataFrame, freq: str,
                  measures: Sequence[str], key: Sequence[str] = (),
-                 hist: "dict[str, Sequence[float]] | None" = None) -> DataFrame:
+                 hist: "dict[str, Sequence[float]] | None" = None,
+                 approx_distinct: Sequence[str] = ()) -> DataFrame:
     """Materialize a hypertable-style CONTINUOUS-AGGREGATE partial table:
     one row per (epoch-aligned ``freq`` bucket [, key]) carrying, for
     each measure, the reaggregable partials (count, sum, sum-of-squares,
@@ -263,7 +264,14 @@ def build_rollup(df: DataFrame, freq: str,
     ``summarizers.histogram``). Counts are integers, so histograms
     merge EXACTLY at any coarser granularity, giving rollup-resident
     distribution shape + approx quantiles (:func:`rollup_quantile`)
-    that a sum/min/max partial alone cannot answer."""
+    that a sum/min/max partial alone cannot answer.
+
+    ``approx_distinct`` columns each add ``<c>_hll``, a binary
+    Datasketches HLL sketch (``hll_sketch_agg``). Sketches are
+    register-max mergeable (``hll_union_agg`` in :func:`rollup_to`),
+    so distinct-count estimates — the one common rollup statistic
+    additive partials CANNOT answer — survive coarsening; rendered by
+    :func:`rollup_finalize` as ``<c>_approx_distinct``."""
     from ..timeseries import parse_duration_ns
 
     f = parse_duration_ns(freq)
@@ -290,6 +298,8 @@ def build_rollup(df: DataFrame, freq: str,
                           .alias(f"b{i}"))
         fields.append(F.count(F.when(c >= bins[-1], 1)).alias("over"))
         aggs.append(F.struct(*fields).alias(f"{m}_hist"))
+    for c in approx_distinct:
+        aggs.append(F.hll_sketch_agg(F.col(c)).alias(f"{c}_hll"))
     return (df.withColumn(TIME_COLUMN, bucket)
             .groupBy(TIME_COLUMN, *key).agg(*aggs))
 
@@ -326,6 +336,9 @@ def rollup_to(rollup: DataFrame, freq: str,
             aggs.append(F.struct(
                 *[F.sum(F.col(f"{h}.{sub.name}")).alias(sub.name)
                   for sub in hf.dataType.fields]).alias(h))
+    for c in rollup.columns:
+        if c.endswith("_hll"):
+            aggs.append(F.hll_union_agg(F.col(c)).alias(c))
     return (rollup.withColumn(TIME_COLUMN, bucket)
             .groupBy(TIME_COLUMN, *key).agg(*aggs))
 
@@ -360,9 +373,13 @@ def rollup_finalize(rollup: DataFrame,
                     measures: Sequence[str]) -> DataFrame:
     """Render a partial table to user-facing statistics: per measure
     ``<m>_count/_sum/_min/_max/_mean/_std`` (population std via the
-    ``sqrt(E[x^2]-E[x]^2)`` closed form over the exact partial sums)."""
+    ``sqrt(E[x^2]-E[x]^2)`` closed form over the exact partial sums);
+    HLL partials render as ``<c>_approx_distinct``."""
     cols = [F.col(c) for c in rollup.columns
-            if not c.endswith("_partial")]
+            if not c.endswith("_partial") and not c.endswith("_hll")]
+    cols += [F.hll_sketch_estimate(F.col(c)).alias(
+        f"{c[:-4]}_approx_distinct")
+        for c in rollup.columns if c.endswith("_hll")]
     for m in measures:
         p = f"{m}_partial"
         cnt = F.col(f"{p}.cnt")

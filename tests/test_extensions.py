@@ -1427,3 +1427,29 @@ def test_cms_overestimates_and_merges(spark):
                                 sketches.cms_build(b, "w", width=64, depth=3))
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, cms.collect())))
+
+
+def test_rollup_hll_distinct_partials(spark, sf_dir):
+    from flint_spark.operators import intervals as iv_ops
+    from entry_queries.common import _events
+
+    ev = _events(spark, sf_dir)
+    hourly = iv_ops.build_rollup(ev, "1h", ["value"],
+                                 approx_distinct=["user_id"])
+    daily = iv_ops.rollup_to(hourly, "1d", ["value"])
+    fin = iv_ops.rollup_finalize(daily, ["value"])
+    got = {r.time: r.user_id_approx_distinct for r in fin.collect()}
+    exact = {r.time: r.d for r in
+             ev.groupBy(F.date_trunc("day", "time").alias("time"))
+             .agg(F.countDistinct("user_id").alias("d")).collect()}
+    assert got.keys() == exact.keys()
+    for t, d in exact.items():
+        # datasketches HLL at default lgK=12: ~1.6% relative error
+        assert abs(got[t] - d) <= max(2, 0.05 * d), (t, got[t], d)
+    # union of hourly sketches == direct daily sketch (register-max
+    # mergeability): estimates must agree exactly
+    direct = iv_ops.rollup_finalize(
+        iv_ops.build_rollup(ev, "1d", ["value"],
+                            approx_distinct=["user_id"]), ["value"])
+    direct_est = {r.time: r.user_id_approx_distinct for r in direct.collect()}
+    assert got == direct_est
