@@ -178,6 +178,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "rollup_hist": q_rollup_hist,
         "cms_counts": q_cms_counts,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -228,6 +229,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "interval_join": SQL_INTERVAL_JOIN,
         "rollup_hist": SQL_ROLLUP_HIST,
         "cms_counts": _sql_cms_counts(),
+        "url_dedup": SQL_URL_DEDUP,
     }
 
 

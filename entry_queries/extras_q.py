@@ -1442,3 +1442,85 @@ def _sql_cms_counts() -> str:
   )
   SELECT w, true_cnt, {est} AS est_count FROM probes
 """
+
+
+def q_url_dedup(spark, sf):
+    """Engine-portable URL canonicalization + URL-level dedup
+    (pipeline.urls): synthesize messy crawl URLs per doc (mixed-case
+    host, default :443 port, trailing slash, unsorted query with utm_
+    tracking params, fragment — all deterministic functions of doc_id),
+    canonicalize with the pure-expression normalizer, and dedup on the
+    canonical string. The oracle replays every normalization step."""
+    from flint_spark.pipeline import urls
+
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"), F.pmod(d, F.lit(7)).cast("string"),
+        F.lit(".Example.COM:443/Path/"), F.pmod(d, F.lit(5)).cast("string"),
+        F.when(F.pmod(d, F.lit(3)) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="), F.pmod(d, F.lit(4)).cast("string"),
+        F.lit("&a="), F.pmod(d, F.lit(3)).cast("string"),
+        F.when(F.pmod(d, F.lit(2)) == 0, F.lit("#frag")).otherwise(F.lit("")))
+    out = urls.url_dedup(docs.select("doc_id", url.alias("url")))
+    return out.select("canonical", "keep_id", "n_urls")
+
+
+SQL_URL_DEDUP = """
+  WITH raw AS (
+    SELECT doc_id,
+           'HTTPS://WWW.Site' || (doc_id % 7)::VARCHAR ||
+           '.Example.COM:443/Path/' || (doc_id % 5)::VARCHAR ||
+           (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+           '?utm_source=feed&b=' || (doc_id % 4)::VARCHAR ||
+           '&a=' || (doc_id % 3)::VARCHAR ||
+           (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url
+    FROM documents
+  ),
+  split1 AS (
+    SELECT doc_id,
+           split_part(split_part(url, '#', 1), '?', 1) AS main,
+           split_part(split_part(url, '#', 1), '?', 2) AS query
+    FROM raw
+  ),
+  split2 AS (
+    SELECT doc_id, query,
+           lower(split_part(main, '://', 1)) AS scheme,
+           split_part(main, '://', 2) AS hostpath
+    FROM split1
+  ),
+  split3 AS (
+    SELECT *,
+           lower(split_part(hostpath, '/', 1)) AS hostport,
+           CASE WHEN strpos(hostpath, '/') > 0
+                THEN substr(hostpath, strpos(hostpath, '/'))
+                ELSE '' END AS path0
+    FROM split2
+  ),
+  norm AS (
+    SELECT doc_id, scheme, query,
+           CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                THEN substr(hostport, 1, length(hostport) - 3)
+                WHEN scheme = 'https' AND hostport LIKE '%:443'
+                THEN substr(hostport, 1, length(hostport) - 4)
+                ELSE hostport END AS host,
+           CASE WHEN length(path0) > 1 AND path0 LIKE '%/'
+                THEN substr(path0, 1, length(path0) - 1)
+                ELSE path0 END AS path,
+           array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             p -> NOT (split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref')
+                       OR split_part(p, '=', 1) LIKE 'utm\\_%' ESCAPE '\\')
+           )), '&') AS qs
+    FROM split3
+  ),
+  canon AS (
+    SELECT doc_id,
+           scheme || '://' || host || path ||
+           (CASE WHEN query = '' OR qs = '' THEN '' ELSE '?' || qs END)
+             AS canonical
+    FROM norm
+  )
+  SELECT canonical, min(doc_id) AS keep_id, count(*) AS n_urls
+  FROM canon GROUP BY 1
+"""

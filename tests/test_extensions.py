@@ -1453,3 +1453,22 @@ def test_rollup_hll_distinct_partials(spark, sf_dir):
                             approx_distinct=["user_id"]), ["value"])
     direct_est = {r.time: r.user_id_approx_distinct for r in direct.collect()}
     assert got == direct_est
+
+
+def test_canonical_url_edge_cases(spark):
+    from flint_spark.pipeline.urls import canonical_url
+
+    cases = [
+        ("HTTP://Host.COM:80/a/", "http://host.com/a"),
+        ("https://host.com:443/", "https://host.com/"),      # root slash kept
+        ("https://host.com:8443/x", "https://host.com:8443/x"),  # real port kept
+        ("http://h.com/p?utm_source=x&utm_medium=y", "http://h.com/p"),
+        ("http://h.com/p?b=2&a=1#frag", "http://h.com/p?a=1&b=2"),
+        ("http://h.com", "http://h.com"),                    # no path
+        ("http://h.com/p?ref=tw&a=1", "http://h.com/p?a=1"),
+        ("http://h.com/p?refresh=1", "http://h.com/p?refresh=1"),  # not 'ref'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
