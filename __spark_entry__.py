@@ -36,7 +36,7 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_lang_confusion, _sql_lsh_ann,
                            _sql_minhash_lsh, _sql_simhash,
                            _sql_simhash_pairs, _sql_text_stats,
-                           _sql_cms_counts)
+                           _sql_cms_counts, _sql_zorder_key)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -179,6 +179,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hist": q_rollup_hist,
         "cms_counts": q_cms_counts,
         "url_dedup": q_url_dedup,
+        "zorder_key": q_zorder_key,
     }
 
 
@@ -230,6 +231,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "rollup_hist": SQL_ROLLUP_HIST,
         "cms_counts": _sql_cms_counts(),
         "url_dedup": SQL_URL_DEDUP,
+        "zorder_key": _sql_zorder_key(),
     }
 
 

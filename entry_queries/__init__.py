@@ -14,4 +14,5 @@ from .extras_q import (_sql_bloom_dedup, _sql_dedup_clusters,  # noqa: F401
                        _sql_hash_split, _sql_ivf_ann_trained,
                        _sql_semantic_dedup, _sql_temperature_mix,
                        _sql_hashed_classifier, _sql_pca_project,
-                       _sql_lang_trigram, _sql_cms_counts)
+                       _sql_lang_trigram, _sql_cms_counts,
+                       _sql_zorder_key)

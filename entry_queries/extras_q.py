@@ -1524,3 +1524,49 @@ SQL_URL_DEDUP = """
   SELECT canonical, min(doc_id) AS keep_id, count(*) AS n_urls
   FROM canon GROUP BY 1
 """
+
+
+def q_zorder_key(spark, sf):
+    """Z-order (Morton) layout key (sources.layout.with_zorder_key):
+    quantize (l_partkey, l_suppkey) to 8 bits against their min/max and
+    interleave — pure integer arithmetic the oracle replays bitwise.
+    Output: per 4096-key range, row count + key envelope (the histogram
+    a file-level clustering of the table would follow)."""
+    from flint_spark.sources import layout
+
+    li = _lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    keyed = layout.with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    return (keyed.groupBy(F.floor(F.col("__zorder") / 4096).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("__zorder").alias("zmin"),
+                 F.max("__zorder").alias("zmax")))
+
+
+def _sql_zorder_key() -> str:
+    # replicate zorder_key(cols=[p, s], bits=8): col 0 (p) takes the
+    # HIGH position of each bit pair
+    terms = []
+    for i in range(8):
+        for j, c in enumerate(("qp", "qs")):
+            dst = i * 2 + (1 - j)
+            terms.append(f"(((({c} >> {i}) & 1)) * {2 ** dst})")
+    zkey = " + ".join(terms)
+    quant = ("least(greatest(floor((({c}::DOUBLE - lo_{c}::DOUBLE) / "
+             "nullif((hi_{c} - lo_{c})::DOUBLE, 0)) * 256.0)::BIGINT, 0), 255)")
+    qp = quant.format(c="l_partkey")
+    qs = quant.format(c="l_suppkey")
+    return f"""
+  WITH mm AS (
+    SELECT min(l_partkey) AS lo_l_partkey, max(l_partkey) AS hi_l_partkey,
+           min(l_suppkey) AS lo_l_suppkey, max(l_suppkey) AS hi_l_suppkey
+    FROM lineitem
+  ),
+  q AS (
+    SELECT coalesce({qp}, 0) AS qp, coalesce({qs}, 0) AS qs
+    FROM lineitem CROSS JOIN mm
+  ),
+  z AS (SELECT {zkey} AS zkey FROM q)
+  SELECT floor(zkey / 4096)::BIGINT AS bucket, count(*) AS n,
+         min(zkey) AS zmin, max(zkey) AS zmax
+  FROM z GROUP BY 1
+"""

@@ -1472,3 +1472,39 @@ def test_canonical_url_edge_cases(spark):
     got = [r.c for r in
            df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_zorder_clustering_narrows_both_envelopes(spark, sf_dir):
+    """cluster_by_zorder must narrow the per-file min-max envelope of
+    EVERY participating column (the parquet-pruning contract), where a
+    single-column sort only narrows its own column."""
+    from flint_spark.sources import layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_partkey", "l_suppkey")
+    n_files = 8
+
+    def envelopes(df):
+        part = df.withColumn("__f", F.spark_partition_id())
+        rows = (part.groupBy("__f")
+                .agg((F.max("l_partkey") - F.min("l_partkey")).alias("wp"),
+                     (F.max("l_suppkey") - F.min("l_suppkey")).alias("ws"))
+                .collect())
+        n = len(rows)
+        return (sum(r.wp for r in rows) / n, sum(r.ws for r in rows) / n)
+
+    stats = li.agg(F.max("l_partkey") - F.min("l_partkey"),
+                   F.max("l_suppkey") - F.min("l_suppkey")).first()
+    full_p, full_s = stats[0], stats[1]
+
+    z = layout.cluster_by_zorder(li, ["l_partkey", "l_suppkey"], n_files)
+    zp, zs = envelopes(z)
+    single = li.repartitionByRange(n_files, "l_partkey")
+    sp, ss = envelopes(single)
+
+    # single-column sort: own column narrow, other column ~full range
+    assert sp < 0.5 * full_p
+    assert ss > 0.8 * full_s
+    # z-order: BOTH columns substantially narrowed vs the full range
+    assert zp < 0.6 * full_p, (zp, full_p)
+    assert zs < 0.6 * full_s, (zs, full_s)
