@@ -305,7 +305,8 @@ def build_rollup(df: DataFrame, freq: str,
 
 
 def rollup_to(rollup: DataFrame, freq: str,
-              measures: Sequence[str], key: Sequence[str] = ()) -> DataFrame:
+              measures: "Sequence[str] | None" = None,
+              key: Sequence[str] = ()) -> DataFrame:
     """Re-aggregate a :func:`build_rollup` partial table to a COARSER
     epoch-aligned granularity (``freq`` need not be an integer multiple
     of the build granularity as long as its buckets are unions of build
@@ -317,6 +318,9 @@ def rollup_to(rollup: DataFrame, freq: str,
 
     f = parse_duration_ns(freq)
     key = list(key)
+    if measures is None:   # auto-discover from the partial schema
+        measures = [c[: -len("_partial")] for c in rollup.columns
+                    if c.endswith("_partial")]
     tns = time_ns_expr(rollup)
     bucket = ns_to_time_expr(floor_div(tns, f) * F.lit(f),
                              dict(rollup.dtypes)[TIME_COLUMN])
@@ -330,15 +334,17 @@ def rollup_to(rollup: DataFrame, freq: str,
             F.min(F.col(f"{p}.min")).alias("min"),
             F.max(F.col(f"{p}.max")).alias("max"),
         ).alias(p))
-        h = f"{m}_hist"
-        if h in rollup.columns:
+    # hist/HLL partials merge for every column carrying them — their
+    # measures need not appear in ``measures`` (a histogram may be
+    # built for a column with no sum/min/max partial)
+    for h in rollup.columns:
+        if h.endswith("_hist"):
             hf = next(x for x in rollup.schema.fields if x.name == h)
             aggs.append(F.struct(
                 *[F.sum(F.col(f"{h}.{sub.name}")).alias(sub.name)
                   for sub in hf.dataType.fields]).alias(h))
-    for c in rollup.columns:
-        if c.endswith("_hll"):
-            aggs.append(F.hll_union_agg(F.col(c)).alias(c))
+        elif h.endswith("_hll"):
+            aggs.append(F.hll_union_agg(F.col(h)).alias(h))
     return (rollup.withColumn(TIME_COLUMN, bucket)
             .groupBy(TIME_COLUMN, *key).agg(*aggs))
 
@@ -370,11 +376,14 @@ def rollup_quantile(rollup: DataFrame, measure: str,
 
 
 def rollup_finalize(rollup: DataFrame,
-                    measures: Sequence[str]) -> DataFrame:
+                    measures: "Sequence[str] | None" = None) -> DataFrame:
     """Render a partial table to user-facing statistics: per measure
     ``<m>_count/_sum/_min/_max/_mean/_std`` (population std via the
     ``sqrt(E[x^2]-E[x]^2)`` closed form over the exact partial sums);
     HLL partials render as ``<c>_approx_distinct``."""
+    if measures is None:
+        measures = [c[: -len("_partial")] for c in rollup.columns
+                    if c.endswith("_partial")]
     cols = [F.col(c) for c in rollup.columns
             if not c.endswith("_partial") and not c.endswith("_hll")]
     cols += [F.hll_sketch_estimate(F.col(c)).alias(

@@ -487,3 +487,26 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
     # no broadcast hint: the loser set scales with the duplicate rate
     # (often 10-50% of a crawl) — let AQE pick broadcast vs shuffle
     return docs.join(losers, id_col, "left_anti")
+
+
+def dedup_corpus(docs: DataFrame, method: str = "minhash",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 **kwargs) -> DataFrame:
+    """One-call near-duplicate removal: candidate pairs by ``method``
+    ('minhash' | 'simhash' | 'jaccard' | 'winnow' | 'exact'), pairs ->
+    clusters (:func:`connected_components`), keep each cluster's
+    min-id representative (:func:`dedup_keep_canonical`). ``kwargs``
+    pass through to the pair finder (thresholds, band counts, skew
+    caps). 'exact' skips the pair graph entirely — one hash-groupBy on
+    the content digest decides the keeper."""
+    if method == "exact":
+        keep_ids = (docs.groupBy(F.md5(F.col(text_col)).alias("__d"))
+                    .agg(F.min(id_col).alias(id_col)).drop("__d"))
+        return docs.join(keep_ids, id_col, "left_semi")
+    finders = {"minhash": minhash_lsh_pairs, "simhash": simhash_pairs,
+               "jaccard": ngram_jaccard_pairs, "winnow": winnow_pairs}
+    if method not in finders:
+        raise ValueError(f"unknown dedup method {method!r}; "
+                         f"one of {sorted(finders)} or 'exact'")
+    pairs = finders[method](docs, text_col, id_col, **kwargs)
+    return dedup_keep_canonical(docs, pairs, id_col)

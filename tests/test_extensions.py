@@ -1508,3 +1508,31 @@ def test_zorder_clustering_narrows_both_envelopes(spark, sf_dir):
     # z-order: BOTH columns substantially narrowed vs the full range
     assert zp < 0.6 * full_p, (zp, full_p)
     assert zs < 0.6 * full_s, (zs, full_s)
+
+
+def test_dedup_corpus_one_call(spark):
+    from flint_spark.pipeline import dedup
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (2, "the quick brown fox jumps over the lazy dog again and again ok"),
+        (3, "the quick brown fox jumps over the lazy dog again and again no"),
+        (4, "completely different text about distributed query engines here"),
+        (5, "completely different text about distributed query engines here"),
+        (6, "an unrelated singleton document with its own unique wording"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    # exact: 1==2 and 4==5 byte-identical -> keepers {1, 3, 4, 6}
+    got = sorted(r.doc_id for r in
+                 dedup.dedup_corpus(docs, method="exact").collect())
+    assert got == [1, 3, 4, 6]
+    # minhash: 3 is a near-dup of 1/2 (one word differs) -> cluster
+    # {1,2,3} keeps 1; {4,5} keeps 4; 6 survives untouched
+    got = sorted(r.doc_id for r in
+                 dedup.dedup_corpus(docs, method="minhash",
+                                    threshold=0.5).collect())
+    assert got == [1, 4, 6]
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.dedup_corpus(docs, method="nope")
