@@ -1416,10 +1416,14 @@ def q_cms_counts(spark, sf):
     cells. DuckDB replays build + min-of-cells estimate bitwise —
     including the sketch's characteristic over-counts."""
     from flint_spark.pipeline import sketches
+    from flint_spark.pipeline._cache import begin_op, keep
     from flint_spark.pipeline.text import _token_stream
 
     docs = _t(spark, sf, "documents")
-    tok = _token_stream(docs, "text", "doc_id")
+    # the token stream feeds the sketch build (collected inside
+    # cms_estimate) AND the probe aggregation — persist it once
+    begin_op()
+    tok = keep(_token_stream(docs, "text", "doc_id"))
     cms = sketches.cms_build(tok, "w", width=256, depth=3)
     probes = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
               .filter(F.col("true_cnt") >= 20))

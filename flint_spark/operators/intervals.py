@@ -239,6 +239,24 @@ def summarize_intervals_multi(df: DataFrame, granularities: Sequence[str],
 _PARTIAL_FIELDS = ("cnt", "sum", "sumsq", "min", "max")
 
 
+def partial_aggs(measures: Sequence[str]) -> "list[Column]":
+    """The monoid partial-struct aggregation list shared by the batch
+    builder and ``ts_stream.build_rollup_stream`` — one definition, so
+    the stream-partials-feed-``rollup_to`` schema contract cannot
+    drift."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for m in measures:
+        c = F.col(m)
+        aggs.append(F.struct(
+            F.count(c).alias("cnt"),
+            F.sum(c).alias("sum"),
+            F.sum(c * c).alias("sumsq"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+        ).alias(f"{m}_partial"))
+    return aggs
+
+
 def build_rollup(df: DataFrame, freq: str,
                  measures: Sequence[str], key: Sequence[str] = (),
                  hist: "dict[str, Sequence[float]] | None" = None,
@@ -279,16 +297,7 @@ def build_rollup(df: DataFrame, freq: str,
     tns = time_ns_expr(df)
     bucket = ns_to_time_expr(floor_div(tns, f) * F.lit(f),
                              dict(df.dtypes)[TIME_COLUMN])
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for m in measures:
-        c = F.col(m)
-        aggs.append(F.struct(
-            F.count(c).alias("cnt"),
-            F.sum(c).alias("sum"),
-            F.sum(c * c).alias("sumsq"),
-            F.min(c).alias("min"),
-            F.max(c).alias("max"),
-        ).alias(f"{m}_partial"))
+    aggs = partial_aggs(measures)
     for m, bins in (hist or {}).items():
         c = F.col(m)
         fields = [F.count(F.when(c < bins[0], 1)).alias("under")]
@@ -306,17 +315,28 @@ def build_rollup(df: DataFrame, freq: str,
 
 def rollup_to(rollup: DataFrame, freq: str,
               measures: "Sequence[str] | None" = None,
-              key: Sequence[str] = ()) -> DataFrame:
+              key: Sequence[str] = (),
+              from_freq: "str | None" = None) -> DataFrame:
     """Re-aggregate a :func:`build_rollup` partial table to a COARSER
-    epoch-aligned granularity (``freq`` need not be an integer multiple
-    of the build granularity as long as its buckets are unions of build
-    buckets — true for any coarser epoch-aligned duration), merging the
-    monoid partials: counts/sums add, min/min, max/max; histogram
-    structs (when present) merge by per-bin integer addition. Emits the
-    same partial-struct schema, so rollups chain (1m -> 1h -> 1d)."""
+    granularity. ``freq`` must be an INTEGER MULTIPLE of the build
+    granularity — only then is every coarse bucket a union of build
+    buckets (90m over 1h partials is coarser and epoch-aligned yet
+    silently wrong: partials straddling a 90m boundary land whole in
+    one bucket). Pass the build granularity as ``from_freq`` to have
+    the multiple validated. Merges the monoid partials: counts/sums
+    add, min/min, max/max; histogram structs by per-bin integer
+    addition. Emits the same partial-struct schema, so rollups chain
+    (1m -> 1h -> 1d)."""
     from ..timeseries import parse_duration_ns
 
     f = parse_duration_ns(freq)
+    if from_freq is not None:
+        fine = parse_duration_ns(from_freq)
+        if f % fine != 0:
+            raise ValueError(
+                f"target granularity {freq!r} is not an integer multiple "
+                f"of the build granularity {from_freq!r}; coarse buckets "
+                f"would not be unions of build buckets")
     key = list(key)
     if measures is None:   # auto-discover from the partial schema
         measures = [c[: -len("_partial")] for c in rollup.columns
@@ -362,9 +382,12 @@ def rollup_quantile(rollup: DataFrame, measure: str,
     counts = [F.col(f"{h}.{n}").cast("double") for n in names]
     total = sum(counts[1:], counts[0])
     target = F.lit(p) * total
-    # walk bins accumulating counts; first crossing wins via coalesce
+    # walk bins accumulating counts; first crossing wins via coalesce.
+    # An empty histogram (all-NULL measure in the bucket) has no
+    # quantile — return NULL, not an invented bins[0]
     acc = counts[0]
-    result = F.when(target <= acc, F.lit(float(bins[0])))
+    result = F.when(total == 0, F.lit(None).cast("double")) \
+        .when(target <= acc, F.lit(float(bins[0])))
     for i in range(len(bins) - 1):
         lo, hi = float(bins[i]), float(bins[i + 1])
         c = counts[i + 1]
@@ -400,7 +423,10 @@ def rollup_finalize(rollup: DataFrame,
             F.col(f"{p}.min").alias(f"{m}_min"),
             F.col(f"{p}.max").alias(f"{m}_max"),
             mean.alias(f"{m}_mean"),
-            F.sqrt(F.greatest(sq / cnt - mean * mean, F.lit(0.0)))
+            # guard cnt=0: greatest() skips NULLs, so the unguarded form
+            # renders 0.0 variance for a bucket with zero observations
+            F.when(cnt > 0,
+                   F.sqrt(F.greatest(sq / cnt - mean * mean, F.lit(0.0))))
             .alias(f"{m}_std"),
         ]
     return rollup.select(*cols)

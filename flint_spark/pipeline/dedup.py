@@ -500,9 +500,17 @@ def dedup_corpus(docs: DataFrame, method: str = "minhash",
     caps). 'exact' skips the pair graph entirely — one hash-groupBy on
     the content digest decides the keeper."""
     if method == "exact":
-        keep_ids = (docs.groupBy(F.md5(F.col(text_col)).alias("__d"))
+        if kwargs:
+            raise TypeError(f"dedup_corpus(method='exact') takes no "
+                            f"tuning kwargs, got {sorted(kwargs)}")
+        # NULL text (e.g. failed fetches) is MISSING, not equal: md5(NULL)
+        # is NULL and groupBy would collapse every such doc into one
+        # bogus duplicate cluster — keep them all
+        with_text = docs.filter(F.col(text_col).isNotNull())
+        keep_ids = (with_text.groupBy(F.md5(F.col(text_col)).alias("__d"))
                     .agg(F.min(id_col).alias(id_col)).drop("__d"))
-        return docs.join(keep_ids, id_col, "left_semi")
+        return (with_text.join(keep_ids, id_col, "left_semi")
+                .unionByName(docs.filter(F.col(text_col).isNull())))
     finders = {"minhash": minhash_lsh_pairs, "simhash": simhash_pairs,
                "jaccard": ngram_jaccard_pairs, "winnow": winnow_pairs}
     if method not in finders:

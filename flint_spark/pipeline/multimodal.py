@@ -291,6 +291,8 @@ def decode_wav(payload: bytes):
         (size,) = struct.unpack("<I", payload[i + 4:i + 8])
         body = payload[i + 8:i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV: truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -49,7 +49,10 @@ def cms_build(df: DataFrame, key_col: str, width: int = DEFAULT_WIDTH,
                  _pos(key, j, width, salt).alias("bucket"))
         for j in range(depth)
     ])).alias("cell")
-    return (df.select(cells)
+    # NULL keys hash to NULL positions and would poison the cell table
+    # (and crash the estimate-side literal build) — a sketch counts
+    # present keys only
+    return (df.filter(key.isNotNull()).select(cells)
             .select("cell.j", "cell.bucket")
             .groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -80,7 +83,9 @@ def cms_estimate(df: DataFrame, cms: DataFrame, key_col: str,
         # element_at is 1-based
         ests.append(F.element_at(arr, (_pos(key, j, width, salt)
                                        + 1).cast("int")))
-    return df.withColumn(out_col, F.least(*ests))
+    # a NULL probe key was never counted: estimate 0, not NULL
+    return df.withColumn(out_col, F.when(key.isNull(), F.lit(0).cast("long"))
+                         .otherwise(F.least(*ests)))
 
 
 def cms_sql(corpus_key_sql: str, probe_key: str = "w",

@@ -52,24 +52,18 @@ def build_rollup_stream(stream: DataFrame, freq: str,
     ``n_rows``), so the sink table feeds ``rollup_to``/
     ``rollup_finalize``/``rollup_quantile`` unchanged — a stream keeps
     the 1h partials fresh, coarse queries never touch raw data."""
-    from ..operators.intervals import _PARTIAL_FIELDS  # noqa: F401  (schema contract)
+    from ..operators.intervals import partial_aggs
     from ..timeseries import parse_duration_ns
 
     key = list(key)
-    secs = parse_duration_ns(freq) // 1_000_000_000
-    win = F.window(F.col(time_column), f"{secs} seconds")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for m in measures:
-        c = F.col(m)
-        aggs.append(F.struct(
-            F.count(c).alias("cnt"),
-            F.sum(c).alias("sum"),
-            F.sum(c * c).alias("sumsq"),
-            F.min(c).alias("min"),
-            F.max(c).alias("max"),
-        ).alias(f"{m}_partial"))
+    ns = parse_duration_ns(freq)
+    if ns % 1_000_000 != 0:
+        raise ValueError(f"build_rollup_stream needs a whole-millisecond "
+                         f"granularity, got {freq!r} ({ns} ns) — "
+                         f"F.window cannot express sub-ms buckets")
+    win = F.window(F.col(time_column), f"{ns // 1_000_000} milliseconds")
     out = (stream.withWatermark(time_column, watermark)
-           .groupBy(win.alias("interval"), *key).agg(*aggs))
+           .groupBy(win.alias("interval"), *key).agg(*partial_aggs(measures)))
     return out.select(F.col("interval.start").alias(TIME_COLUMN), *key,
                       "n_rows", *[f"{m}_partial" for m in measures])
 

@@ -1536,3 +1536,70 @@ def test_dedup_corpus_one_call(spark):
 
     with pytest.raises(ValueError):
         dedup.dedup_corpus(docs, method="nope")
+
+
+def test_review_fixes_rollup_edge_cases(spark):
+    import pytest
+
+    from flint_spark.operators import intervals as iv_ops
+
+    base = 1_700_000_000_000_000_000
+    df = spark.createDataFrame(
+        [(base + i * 60_000_000_000, None) for i in range(5)],
+        "time long, v double")
+    hourly = iv_ops.build_rollup(df, "1h", ["v"], hist={"v": [0.0, 1.0]})
+    # non-multiple coarsening must be rejected when the build freq is known
+    with pytest.raises(ValueError):
+        iv_ops.rollup_to(hourly, "90 min", from_freq="1h")
+    iv_ops.rollup_to(hourly, "2h", from_freq="1h")  # multiple: fine
+    # all-NULL measure: std and quantile are NULL, not invented zeros
+    fin = iv_ops.rollup_finalize(hourly, ["v"]).first()
+    assert fin.v_count == 0 and fin.v_mean is None and fin.v_std is None
+    q = hourly.select(
+        iv_ops.rollup_quantile(hourly, "v", [0.0, 1.0], 0.5).alias("p50")
+    ).first()
+    assert q.p50 is None
+
+
+def test_review_fixes_null_keys(spark):
+    from flint_spark.pipeline import dedup, sketches
+
+    # exact dedup: NULL texts are missing data, not duplicates
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id long, text string")
+    got = sorted(r.doc_id for r in
+                 dedup.dedup_corpus(docs, method="exact").collect())
+    assert got == [1, 3, 4, 5]
+    import pytest
+
+    with pytest.raises(TypeError):
+        dedup.dedup_corpus(docs, method="exact", threshold=0.5)
+    # CMS: NULL keys are skipped in build and estimate 0 on probe
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)], "w string")
+    cms = sketches.cms_build(df, "w", width=32, depth=2)
+    assert cms.filter(F.col("bucket").isNull()).count() == 0
+    est = {r.w: r.est_count for r in
+           sketches.cms_estimate(df.distinct(), cms, "w", width=32,
+                                 depth=2).collect()}
+    assert est["a"] == 2 and est["b"] == 1 and est[None] == 0
+
+
+def test_review_fixes_wav_and_stream_validation(spark):
+    import struct
+
+    import pytest
+
+    from flint_spark.pipeline.multimodal import decode_wav
+    from flint_spark.streaming import ts_stream
+
+    # truncated fmt chunk: documented ValueError, not a raw struct.error
+    bad = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 8) + b"\x00" * 8
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+    # sub-millisecond stream granularity cannot map onto F.window
+    df = spark.createDataFrame([], "time timestamp, v double")
+    with pytest.raises(ValueError):
+        ts_stream.build_rollup_stream(df, "500ns", ["v"])
