@@ -180,6 +180,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "url_dedup": q_url_dedup,
         "zorder_key": q_zorder_key,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -232,6 +233,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "cms_counts": _sql_cms_counts(),
         "url_dedup": SQL_URL_DEDUP,
         "zorder_key": _sql_zorder_key(),
+        "asof_nearest": SQL_ASOF_NEAREST,
     }
 
 

@@ -1282,7 +1282,8 @@ def q_rollup_incremental(spark, sf):
 
     ev = _events(spark, sf)
     hourly = iv_ops.build_rollup(ev, "1h", ["value"], key=["event_type"])
-    daily = iv_ops.rollup_to(hourly, "1d", ["value"], key=["event_type"])
+    daily = iv_ops.rollup_to(hourly, "1d", ["value"], key=["event_type"],
+                             from_freq="1h")
     out = iv_ops.rollup_finalize(daily, ["value"])
     # the input values are decimal-quantized, so raw group means land
     # EXACTLY on .5 rounding boundaries and 1e-14 cross-engine sum noise
@@ -1573,4 +1574,48 @@ def _sql_zorder_key() -> str:
   SELECT floor(zkey / 4096)::BIGINT AS bucket, count(*) AS n,
          min(zkey) AS zmin, max(zkey) AS zmax
   FROM z GROUP BY 1
+"""
+
+
+def q_asof_nearest(spark, sf):
+    """As-of NEAREST join (operators.asof.nearest_join — pandas
+    merge_asof direction='nearest', beyond the reference's
+    backward/forward pair): each click event takes the view event
+    minimizing |Δt| within ±2d per user, distance ties resolving
+    backward. Raw right side: duplicate (user_id, time) views resolve
+    via the operator's max-struct rule == the oracle's dedup-by-max."""
+    ev = _events(spark, sf)
+    left = (ev.filter(F.col("event_type") == "click")
+            .select(TIME_COLUMN, "event_id", "user_id", "value"))
+    right = (ev.filter(F.col("event_type") == "view")
+             .select(TIME_COLUMN, "user_id",
+                     F.col("value").alias("view_value")))
+    out = asof.nearest_join(left, right, tolerance="2d", key=["user_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id", "value",
+                      "view_value")
+
+
+SQL_ASOF_NEAREST = """
+  WITH l AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_id, user_id, value
+             FROM events WHERE event_type = 'click'),
+       r AS (SELECT CAST(ts AS TIMESTAMP) AS rt, user_id,
+                    max(value) AS view_value
+             FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       b AS (SELECT l.event_id, r.rt AS bt, r.view_value AS bv
+             FROM l ASOF LEFT JOIN r
+               ON l.user_id = r.user_id AND l.t >= r.rt),
+       f AS (SELECT l.event_id, r.rt AS ft, r.view_value AS fv
+             FROM l ASOF LEFT JOIN r
+               ON l.user_id = r.user_id AND l.t <= r.rt)
+  SELECT l.t AS time, l.event_id, l.user_id, l.value,
+         CASE
+           WHEN bt IS NOT NULL AND epoch_us(l.t) - epoch_us(bt) <= 172800000000
+                AND (ft IS NULL OR epoch_us(ft) - epoch_us(l.t) > 172800000000
+                     OR epoch_us(l.t) - epoch_us(bt)
+                        <= epoch_us(ft) - epoch_us(l.t))
+             THEN bv
+           WHEN ft IS NOT NULL AND epoch_us(ft) - epoch_us(l.t) <= 172800000000
+             THEN fv
+         END AS view_value
+  FROM l JOIN b USING (event_id) JOIN f USING (event_id)
 """

@@ -167,6 +167,50 @@ def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0
     return u.filter(F.col(_SRC) == left_marker).select(*out_cols)
 
 
+def nearest_join(left: DataFrame, right: DataFrame,
+                 tolerance: str | int = 0, key: Sequence[str] = (),
+                 left_alias: str | None = None,
+                 right_alias: str | None = None) -> DataFrame:
+    """As-of NEAREST join (pandas ``merge_asof(direction='nearest')``):
+    for each left row at t, the right row minimizing |right.time - t|
+    within [t - tolerance, t + tolerance], per key; distance ties (and
+    equal timestamps, distance 0) resolve to the BACKWARD candidate —
+    pandas' prior-row tie rule. Beyond the reference, which only ships
+    backward/forward (``LeftJoin.scala`` / ``FutureLeftJoin.scala``).
+
+    Single-pass plan: one union, ONE data exchange, two window
+    directions over the same partitioning (the ``symmetric_join``
+    trick) — each direction needs its own equal-time sort position, so
+    Catalyst plans two sorts but shuffles the data once. Duplicate
+    (key, time) rights resolve by the engine's max-struct rule in both
+    directions."""
+    tol = parse_duration_ns(tolerance)
+    key, left_data, right_data, left_out, right_out, l, r = _prepare(
+        left, right, key, left_alias, right_alias)
+    # rights sort before lefts at equal time under BOTH orderings
+    # (asc and desc agree on the secondary _SRC key), so an
+    # equal-timestamp right is visible to each direction's frame
+    l = l.withColumn(_SRC, F.lit(1))
+    r = r.withColumn(_SRC, F.lit(0))
+    u = l.unionByName(r)
+    wb = (Window.partitionBy(*key).orderBy(_TNS, _SRC, F.col(_RROW))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*key).orderBy(F.desc(_TNS), _SRC, F.col(_RROW))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (u.withColumn("__b", F.last(_RROW, ignorenulls=True).over(wb))
+         .withColumn("__f", F.last(_RROW, ignorenulls=True).over(wf)))
+    t = F.col(_TNS)
+    b, fwd = F.col("__b"), F.col("__f")
+    b_ok = F.coalesce(b["__rtime"] >= t - F.lit(tol), F.lit(False))
+    f_ok = F.coalesce(fwd["__rtime"] <= t + F.lit(tol), F.lit(False))
+    use_b = b_ok & (~f_ok | ((t - b["__rtime"]) <= (fwd["__rtime"] - t)))
+    chosen = F.when(use_b, b).when(f_ok, fwd)
+    out_cols = [F.col(TIME_COLUMN)] + [F.col(k) for k in key]
+    out_cols += [F.col(c).alias(left_out[c]) for c in left_data]
+    out_cols += [chosen[c].alias(right_out[c]) for c in right_data]
+    return u.filter(F.col(_SRC) == 1).select(*out_cols)
+
+
 def symmetric_join(left: DataFrame, right: DataFrame,
                    tolerance: str | int = 0, key: Sequence[str] = (),
                    left_alias: str = "left",

@@ -1603,3 +1603,53 @@ def test_review_fixes_wav_and_stream_validation(spark):
     df = spark.createDataFrame([], "time timestamp, v double")
     with pytest.raises(ValueError):
         ts_stream.build_rollup_stream(df, "500ns", ["v"])
+
+
+def test_nearest_join_matches_two_pass_composition(spark):
+    from flint_spark.operators import asof
+
+    # engineered ties: equal timestamps (distance 0), symmetric
+    # distances (backward must win), duplicate (key, time) rights
+    left_rows = [(1000 * i, i % 3, float(i)) for i in range(60)]
+    right_rows = ([(1000 * i + 500, i % 3, float(100 + i)) for i in range(0, 60, 2)]
+                  + [(1000 * 30, 0, 7.0), (1000 * 30, 0, 9.0)]   # dup right
+                  + [(1000 * 40, 1, 11.0)])                       # exact ts
+    left = spark.createDataFrame(left_rows, "time long, k int, x double")
+    right = spark.createDataFrame(right_rows, "time long, k int, rv double")
+    got = asof.nearest_join(left, right, tolerance=1500, key=["k"],
+                            right_alias="r")
+    b = asof.left_join(left, right, tolerance=1500, key=["k"],
+                       right_alias="b")
+    f = asof.future_left_join(left, right, tolerance=1500, key=["k"],
+                              right_alias="f")
+    # composition: join the two passes on (time, k, x) and apply the
+    # backward-wins-ties rule over the matched right TIMES; recover the
+    # matched right time from the value tables
+    import pandas as pd
+
+    gb = b.toPandas().rename(columns={"b_rv": "bv"})
+    gf = f.toPandas().rename(columns={"f_rv": "fv"})
+    rp = right.toPandas()
+    t_of = {}
+    for _, r_ in rp.iterrows():
+        # max-struct rule: at duplicate (k, time) the max value wins
+        key_ = (r_.k, r_.rv)
+        t_of[key_] = r_.time
+    m = gb.merge(gf, on=["time", "k", "x"])
+    exp = {}
+    for _, row in m.iterrows():
+        bv, fv = row.bv, row.fv
+        bt = t_of.get((row.k, bv)) if pd.notna(bv) else None
+        ft = t_of.get((row.k, fv)) if pd.notna(fv) else None
+        if bt is not None and (ft is None or row.time - bt <= ft - row.time):
+            exp[(row.time, row.k, row.x)] = bv
+        elif ft is not None:
+            exp[(row.time, row.k, row.x)] = fv
+        else:
+            exp[(row.time, row.k, row.x)] = None
+    gp = got.toPandas()
+    assert len(gp) == len(left_rows)
+    for _, row in gp.iterrows():
+        e = exp[(row.time, row.k, row.x)]
+        g = row.r_rv
+        assert (pd.isna(g) and e is None) or g == e, (row.time, row.k, g, e)
