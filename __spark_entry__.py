@@ -181,6 +181,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "zorder_key": q_zorder_key,
         "asof_nearest": q_asof_nearest,
+        "json_extract": q_json_extract,
     }
 
 
@@ -234,6 +235,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "url_dedup": SQL_URL_DEDUP,
         "zorder_key": _sql_zorder_key(),
         "asof_nearest": SQL_ASOF_NEAREST,
+        "json_extract": SQL_JSON_EXTRACT,
     }
 
 

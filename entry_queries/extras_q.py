@@ -1619,3 +1619,32 @@ SQL_ASOF_NEAREST = """
          END AS view_value
   FROM l JOIN b USING (event_id) JOIN f USING (event_id)
 """
+
+
+def q_json_extract(spark, sf):
+    """Delegated JSON scalar functions (SURVEY §2.9 — the engine
+    inherits Spark's full expression surface through the wrapper):
+    parse the events.props JSON payload, extract the numeric field, and
+    aggregate per event_type. Exercises the semi-structured column
+    path end-to-end against DuckDB's JSON extension."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.countDistinct("k").alias("k_distinct"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))
+
+
+SQL_JSON_EXTRACT = """
+  SELECT event_type, count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+           AS k_sum,
+         count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS k_distinct,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+  FROM events GROUP BY 1
+"""
