@@ -182,6 +182,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "asof_nearest": q_asof_nearest,
         "json_extract": q_json_extract,
+        "resample_linear": q_resample_linear,
     }
 
 
@@ -236,6 +237,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "zorder_key": _sql_zorder_key(),
         "asof_nearest": SQL_ASOF_NEAREST,
         "json_extract": SQL_JSON_EXTRACT,
+        "resample_linear": SQL_RESAMPLE_LINEAR,
     }
 
 

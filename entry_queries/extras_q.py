@@ -1648,3 +1648,48 @@ SQL_JSON_EXTRACT = """
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
   FROM events GROUP BY 1
 """
+
+
+def q_resample_linear(spark, sf):
+    """Grid resampling with linear interpolation
+    (operators.resample.resample): every user's irregular event values
+    projected onto a daily grid, straight-line interpolated between the
+    enclosing observations (exact-hit ticks take the observation,
+    boundary ticks are null). Two as-of passes, no Python; the oracle
+    replays both ASOF joins + the lerp."""
+    from flint_spark import clocks
+    from flint_spark.operators import resample as rs
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "user_id", "value")
+    clock = clocks.uniform("2024-01-05", "2024-01-25", "1d")
+    out = rs.resample(ev, clock, "value", key=["user_id"],
+                      method="linear", tolerance="60d")
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value", 6).alias("value"))
+
+
+SQL_RESAMPLE_LINEAR = """
+  WITH ticks AS (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                                  TIMESTAMP '2024-01-25',
+                                  INTERVAL 1 DAY)) AS t),
+  users AS (SELECT DISTINCT user_id FROM events),
+  grid AS (SELECT user_id, t FROM users CROSS JOIN ticks),
+  obs AS (SELECT CAST(ts AS TIMESTAMP) AS ot, user_id, max(value) AS v
+          FROM events GROUP BY 1, 2),
+  b AS (SELECT g.user_id, g.t, o.ot AS tb, o.v AS vb
+        FROM grid g ASOF LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.t >= o.ot),
+  f AS (SELECT g.user_id, g.t, o.ot AS tf, o.v AS vf
+        FROM grid g ASOF LEFT JOIN obs o
+          ON g.user_id = o.user_id AND g.t <= o.ot)
+  SELECT t AS time, user_id,
+         floor(CASE
+                 WHEN tb = t THEN vb
+                 WHEN tb IS NOT NULL AND tf IS NOT NULL THEN
+                   vb + (vf - vb) *
+                   ((epoch_us(t) - epoch_us(tb))::DOUBLE
+                    / (epoch_us(tf) - epoch_us(tb))::DOUBLE)
+               END * 1000000 + 0.5) / 1000000 AS value
+  FROM b JOIN f USING (user_id, t)
+"""

@@ -1653,3 +1653,32 @@ def test_nearest_join_matches_two_pass_composition(spark):
         e = exp[(row.time, row.k, row.x)]
         g = row.r_rv
         assert (pd.isna(g) and e is None) or g == e, (row.time, row.k, g, e)
+
+
+def test_resample_methods(spark):
+    import pytest
+
+    from flint_spark import clocks
+    from flint_spark.operators import resample as rs
+
+    # observations at t=10, 30 (key a): grid ticks 0,10,20,30,40
+    obs = spark.createDataFrame(
+        [(10_000_000_000, "a", 1.0), (30_000_000_000, "a", 3.0)],
+        "time long, k string, v double")
+    clock = clocks.uniform(0, 40_000_000_000, "10s", timestamp_type=False)
+
+    def vals(method, tolerance="100s"):
+        out = rs.resample(obs, clock, "v", key=["k"], method=method,
+                          tolerance=tolerance)
+        return {r.time // 1_000_000_000: r.v for r in out.collect()}
+
+    assert vals("ffill") == {0: None, 10: 1.0, 20: 1.0, 30: 3.0, 40: 3.0}
+    assert vals("nearest") == {0: 1.0, 10: 1.0, 20: 1.0, 30: 3.0, 40: 3.0}
+    # linear: exact hits take the obs, midpoint lerps, edges null
+    assert vals("linear") == {0: None, 10: 1.0, 20: 2.0, 30: 3.0, 40: None}
+    # tolerance bounds the fill reach (inclusive at exactly tolerance,
+    # the reference's LeftJoin.scala:69 rule)
+    assert vals("ffill", tolerance="10s")[40] == 3.0
+    assert vals("ffill", tolerance="5s")[40] is None
+    with pytest.raises(ValueError):
+        rs.resample(obs, clock, "v", key=["k"], method="cubic")
