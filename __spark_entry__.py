@@ -183,6 +183,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "json_extract": q_json_extract,
         "resample_linear": q_resample_linear,
+        "anomaly_zscore": q_anomaly_zscore,
     }
 
 
@@ -238,6 +239,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "asof_nearest": SQL_ASOF_NEAREST,
         "json_extract": SQL_JSON_EXTRACT,
         "resample_linear": SQL_RESAMPLE_LINEAR,
+        "anomaly_zscore": SQL_ANOMALY_ZSCORE,
     }
 
 

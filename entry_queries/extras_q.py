@@ -1693,3 +1693,36 @@ SQL_RESAMPLE_LINEAR = """
                END * 1000000 + 0.5) / 1000000 AS value
   FROM b JOIN f USING (user_id, t)
 """
+
+
+def q_anomaly_zscore(spark, sf):
+    """Rolling z-score anomaly detection
+    (operators.windows_ops.detect_anomalies): each event scored against
+    its user's trailing 7d baseline (current point excluded, >= 5
+    points, nonzero variance); emit the flagged rows. The oracle runs
+    the identical exclusive-bound range frame."""
+    from flint_spark.operators import windows_ops
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id", "value")
+    out = windows_ops.detect_anomalies(ev, "value", window="7d", k=2.5,
+                                       key=["user_id"])
+    return (out.filter(F.col("value_anomaly"))
+            .select(TIME_COLUMN, "event_id", "user_id", "value",
+                    R("value_zscore", 6).alias("z")))
+
+
+SQL_ANOMALY_ZSCORE = """
+  WITH scored AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           avg(value) OVER w AS mu,
+           stddev_samp(value) OVER w AS sd,
+           count(value) OVER w AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+  )
+  SELECT time, event_id, user_id, value,
+         floor(((value - mu) / sd) * 1000000 + 0.5) / 1000000 AS z
+  FROM scored
+  WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+"""

@@ -90,3 +90,32 @@ def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
     out = df.withColumns(dict(summarizer.over_exprs(df, w_core)))
     lag_cols = {f"lag_{n}": c for n, c in summarizer.over_exprs(df, w_lag)}
     return out.withColumns(lag_cols)
+
+
+def detect_anomalies(df: DataFrame, column: str, window: str | int = "1d",
+                     k: float = 3.0, key: Sequence[str] = (),
+                     min_baseline: int = 5) -> DataFrame:
+    """Rolling z-score anomaly flag: each row scored against the
+    TRAILING window [t - window, t) — the current point is excluded so
+    an extreme value cannot inflate its own baseline. Adds
+    ``<column>_zscore`` (null when the baseline has fewer than
+    ``min_baseline`` points or zero variance) and ``<column>_anomaly``
+    (|z| > k). One exchange (the keyed window sort), O(n) frames —
+    the outlier-filtering pass a training pipeline runs before
+    ingestion."""
+    from ..timeseries import parse_duration_ns
+
+    w_ns = parse_duration_ns(window)
+    key = list(key)
+    # exclusive right bound: up to 1 ns before the current row
+    w = (Window.partitionBy(*[F.col(c) for c in key])
+         .orderBy(time_ns_expr(df))
+         .rangeBetween(-w_ns, -1))
+    c = F.col(column)
+    mu = F.avg(c).over(w)
+    sd = F.stddev_samp(c).over(w)
+    n = F.count(c).over(w)
+    z = F.when((n >= min_baseline) & (sd > 0), (c - mu) / sd)
+    return (df.withColumn(f"{column}_zscore", z)
+            .withColumn(f"{column}_anomaly",
+                        F.coalesce(F.abs(z) > F.lit(k), F.lit(False))))

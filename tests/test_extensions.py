@@ -1682,3 +1682,21 @@ def test_resample_methods(spark):
     assert vals("ffill", tolerance="5s")[40] is None
     with pytest.raises(ValueError):
         rs.resample(obs, clock, "v", key=["k"], method="cubic")
+
+
+def test_detect_anomalies_flags_spike_not_baseline(spark):
+    from flint_spark.operators import windows_ops
+
+    S = 1_000_000_000
+    rows = [(i * S, 10.0 + (i % 3) * 0.5, "a") for i in range(20)]
+    rows[15] = (15 * S, 100.0, "a")          # spike
+    df = spark.createDataFrame(rows, "time long, v double, k string")
+    out = windows_ops.detect_anomalies(df, "v", window="30s", k=3.0,
+                                       key=["k"])
+    flagged = [r.time // S for r in out.filter("v_anomaly").collect()]
+    assert flagged == [15]
+    # the spike is excluded from its own baseline, so the NEXT normal
+    # point is judged against a baseline containing the spike — wide
+    # variance, no flag; and warmup rows (baseline < 5) never flag
+    first = out.orderBy("time").limit(5).collect()
+    assert all(not r.v_anomaly and r.v_zscore is None for r in first[:5])
