@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..clocks import UniformClock
-from ..timeseries import TIME_COLUMN, time_ns_expr
+from ..timeseries import TIME_COLUMN, parse_duration_ns, time_ns_expr
 from . import asof
 
 _OBS = "__obs_time"
@@ -59,18 +59,35 @@ def resample(df: DataFrame, clock: UniformClock, value_col: str,
         return out.select(TIME_COLUMN, *key, value_col)
     if method != "linear":
         raise ValueError(f"unknown resample method {method!r}")
-    back = asof.left_join(grid, obs, tolerance=tolerance, key=key,
-                          right_alias="b")
-    fwd = asof.future_left_join(grid, obs, tolerance=tolerance, key=key,
-                                right_alias="f")
-    joined = back.join(fwd, [TIME_COLUMN, *key])
-    t = time_ns_expr(joined)
-    tb = F.col(f"b_{_OBS}")
-    tf = F.col(f"f_{_OBS}")
-    vb = F.col(f"b_{value_col}")
-    vf = F.col(f"f_{value_col}")
+    # single-pass: ONE union + ONE data exchange with both window
+    # directions (the nearest_join plan) instead of two separate as-of
+    # joins re-joined on (time, key) — which costs 6 exchanges where
+    # this costs the grid build + one
+    from pyspark.sql import Window
+
+    from .asof import _RROW, _SRC, _TNS, _prepare
+
+    tol = parse_duration_ns(tolerance)
+    key2, _, _, _, _, l, r = _prepare(grid, obs, key, None, None)
+    l = l.withColumn(_SRC, F.lit(1))
+    r = r.withColumn(_SRC, F.lit(0))
+    u = l.unionByName(r)
+    wb = (Window.partitionBy(*key2).orderBy(_TNS, _SRC, F.col(_RROW))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*key2).orderBy(F.desc(_TNS), _SRC, F.col(_RROW))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = (u.withColumn("__b", F.last(_RROW, ignorenulls=True).over(wb))
+         .withColumn("__f", F.last(_RROW, ignorenulls=True).over(wf))
+         .filter(F.col(_SRC) == 1))
+    t = F.col(_TNS)
+    tb = F.col("__b")["__rtime"]
+    tf = F.col("__f")["__rtime"]
+    vb = F.col("__b")[value_col]
+    vf = F.col("__f")[value_col]
+    b_ok = F.coalesce(tb >= t - F.lit(tol), F.lit(False))
+    f_ok = F.coalesce(tf <= t + F.lit(tol), F.lit(False))
     # tick-on-observation => tb == t (backward matched at distance 0)
     frac = (t - tb).cast("double") / (tf - tb).cast("double")
-    val = (F.when(tb == t, vb)
-           .when(tb.isNotNull() & tf.isNotNull(), vb + (vf - vb) * frac))
-    return joined.select(TIME_COLUMN, *key, val.alias(value_col))
+    val = (F.when(b_ok & (tb == t), vb)
+           .when(b_ok & f_ok, vb + (vf - vb) * frac))
+    return u.select(TIME_COLUMN, *key, val.alias(value_col))

@@ -519,6 +519,32 @@ class TimeSeriesDataFrame:
         r = right._df if isinstance(right, TimeSeriesDataFrame) else right
         return self._wrap(symmetric_join(self._df, r, tolerance, key, **kwargs))
 
+    def nearest_join(self, right: "TimeSeriesDataFrame",
+                     tolerance: str | int = 0, key: Sequence[str] = (),
+                     **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.asof import nearest_join
+        r = right._df if isinstance(right, TimeSeriesDataFrame) else right
+        return self._wrap(nearest_join(self._df, r, tolerance, key, **kwargs))
+
+    def resample(self, clock, value_col: str, key: Sequence[str] = (),
+                 method: str = "ffill",
+                 tolerance: str | int = "36500d") -> "TimeSeriesDataFrame":
+        from .operators.resample import resample
+        return self._wrap(resample(self._df, clock, value_col, key, method,
+                                   tolerance), is_sorted=False)
+
+    def detect_anomalies(self, column: str, window: str | int = "1d",
+                         k: float = 3.0, key: Sequence[str] = (),
+                         min_baseline: int = 5) -> "TimeSeriesDataFrame":
+        from .operators.windows_ops import detect_anomalies
+        return self._wrap(detect_anomalies(self._df, column, window, k, key,
+                                           min_baseline))
+
+    def build_rollup(self, freq: str, measures: Sequence[str],
+                     key: Sequence[str] = (), **kwargs) -> DataFrame:
+        from .operators.intervals import build_rollup
+        return build_rollup(self._df, freq, measures, key, **kwargs)
+
     def ols_regression(self, y: str, xs: Sequence[str], **kwargs) -> DataFrame:
         from .operators.regression import ols_regression
         return ols_regression(self._df, y, xs, **kwargs)

@@ -1700,3 +1700,22 @@ def test_detect_anomalies_flags_spike_not_baseline(spark):
     # variance, no flag; and warmup rows (baseline < 5) never flag
     first = out.orderBy("time").limit(5).collect()
     assert all(not r.v_anomaly and r.v_zscore is None for r in first[:5])
+
+
+def test_wrapper_round4_methods(spark, sf_dir):
+    from flint_spark import TimeSeriesDataFrame, clocks
+
+    ev = TimeSeriesDataFrame.from_parquet(
+        spark, f"{sf_dir}/events.parquet", time_column="ts")
+    assert ev.detect_anomalies("value", window="7d",
+                               key=["user_id"]).columns[-1] == "value_anomaly"
+    clock = clocks.uniform("2024-01-05", "2024-01-10", "1d")
+    rs = ev.resample(clock, "value", key=["user_id"], method="nearest")
+    assert rs.columns == ["time", "user_id", "value"]
+    right = ev.filter("event_type = 'view'").keep_columns("user_id", "value") \
+        .rename_columns({"value": "view_value"})
+    nj = ev.filter("event_type = 'click'").nearest_join(
+        right, tolerance="1d", key=["user_id"])
+    assert "view_value" in nj.columns
+    ru = ev.build_rollup("1h", ["value"], key=["event_type"])
+    assert "value_partial" in ru.columns
