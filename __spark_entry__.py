@@ -184,6 +184,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "resample_linear": q_resample_linear,
         "anomaly_zscore": q_anomaly_zscore,
+        "asof_broadcast": q_asof_broadcast,
     }
 
 
@@ -240,6 +241,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "json_extract": SQL_JSON_EXTRACT,
         "resample_linear": SQL_RESAMPLE_LINEAR,
         "anomaly_zscore": SQL_ANOMALY_ZSCORE,
+        "asof_broadcast": SQL_ASOF_BROADCAST,
     }
 
 

@@ -1726,3 +1726,31 @@ SQL_ANOMALY_ZSCORE = """
   FROM scored
   WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2.5
 """
+
+
+def q_asof_broadcast(spark, sf):
+    """Zero-shuffle broadcast as-of join
+    (operators.asof.left_join_broadcast): events probe the orders dim
+    table map-side via broadcast sorted arrays + searchsorted — no
+    exchange of the big side (the as-of analogue of a broadcast hash
+    join). Same semantics and oracle as the union-window backward
+    join."""
+    ev = _events(spark, sf)
+    right = _t(spark, sf, "orders").select(
+        F.col("o_orderdate").alias(TIME_COLUMN),
+        F.col("o_custkey").alias("user_id"), "o_totalprice")
+    out = asof.left_join_broadcast(ev, right, tolerance="9000d",
+                                   key=["user_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id", "value",
+                      "o_totalprice")
+
+
+SQL_ASOF_BROADCAST = f"""
+  WITH r AS ({_ORDERS_RIGHT_SQL}),
+       l AS (SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value
+             FROM events)
+  SELECT l.time, l.event_id, l.user_id, l.value,
+         CASE WHEN r.rt >= l.time - INTERVAL 9000 DAY THEN r.o_totalprice END
+           AS o_totalprice
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.rt
+"""

@@ -167,6 +167,30 @@ def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0
     return u.filter(F.col(_SRC) == left_marker).select(*out_cols)
 
 
+def left_join_broadcast(left: DataFrame, right: DataFrame,
+                        tolerance: str | int = 0, key: Sequence[str] = (),
+                        direction: str = "backward",
+                        strict_lookahead: bool = False) -> DataFrame:
+    """As-of join against a SMALL right side with ZERO shuffle of the
+    left: the right table (a dim/reference table — rates, calendars,
+    metadata) is collected into per-key time-sorted arrays, broadcast,
+    and every left partition resolves its rows map-side with a
+    vectorized ``np.searchsorted``. The union-window plan
+    (:func:`left_join`) costs one exchange of the BIG side; at 100 TB
+    probing a KB-scale right table, that exchange is the whole job —
+    this is the as-of analogue of a broadcast hash join. Semantics
+    (tolerance bounds, equal-timestamp matching, max-struct duplicate
+    rule, forward/strict variants) match the window plan exactly —
+    shared implementation with the streaming static-dim join
+    (``streaming.ts_stream.asof_join_static``), which the parity tests
+    pin against the batch operator."""
+    from ..streaming.ts_stream import asof_join_static
+
+    return asof_join_static(left, right, tolerance, key,
+                            direction=direction,
+                            strict_lookahead=strict_lookahead)
+
+
 def nearest_join(left: DataFrame, right: DataFrame,
                  tolerance: str | int = 0, key: Sequence[str] = (),
                  left_alias: str | None = None,

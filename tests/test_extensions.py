@@ -1719,3 +1719,34 @@ def test_wrapper_round4_methods(spark, sf_dir):
     assert "view_value" in nj.columns
     ru = ev.build_rollup("1h", ["value"], key=["event_type"])
     assert "value_partial" in ru.columns
+
+
+def test_left_join_broadcast_matches_window_plan(spark):
+    import pytest
+
+    from flint_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1000 * i + (i % 7), i % 4, float(i)) for i in range(300)],
+        "time long, k int, x double")
+    right = spark.createDataFrame(
+        [(3000 * j, j % 4, float(100 + j)) for j in range(40)]
+        + [(3000 * 5, 1, 7.0), (3000 * 5, 1, 9.0)],   # dup (key, time)
+        "time long, k int, rv double")
+
+    def rows(df):
+        return sorted(map(tuple, df.select("time", "k", "x", "rv").collect()))
+
+    for tol in (0, 2500, 10**6):
+        got = asof.left_join_broadcast(left, right, tolerance=tol, key=["k"])
+        exp = asof.left_join(left, right, tolerance=tol, key=["k"])
+        assert rows(got) == rows(exp), ("backward", tol)
+    for strict in (False, True):
+        got = asof.left_join_broadcast(left, right, tolerance=5000, key=["k"],
+                                       direction="forward",
+                                       strict_lookahead=strict)
+        exp = asof.future_left_join(left, right, tolerance=5000, key=["k"],
+                                    strict_lookahead=strict)
+        assert rows(got) == rows(exp), ("forward", strict)
+    with pytest.raises(ValueError):
+        asof.left_join_broadcast(left, right, direction="sideways")
