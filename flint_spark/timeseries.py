@@ -519,6 +519,15 @@ class TimeSeriesDataFrame:
         r = right._df if isinstance(right, TimeSeriesDataFrame) else right
         return self._wrap(symmetric_join(self._df, r, tolerance, key, **kwargs))
 
+    def left_join_broadcast(self, right: "TimeSeriesDataFrame",
+                            tolerance: str | int = 0,
+                            key: Sequence[str] = (),
+                            **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.asof import left_join_broadcast
+        r = right._df if isinstance(right, TimeSeriesDataFrame) else right
+        return self._wrap(left_join_broadcast(self._df, r, tolerance, key,
+                                              **kwargs))
+
     def nearest_join(self, right: "TimeSeriesDataFrame",
                      tolerance: str | int = 0, key: Sequence[str] = (),
                      **kwargs) -> "TimeSeriesDataFrame":
