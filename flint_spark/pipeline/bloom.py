@@ -49,7 +49,10 @@ def bloom_build(df: DataFrame, key_col: str, m: int = DEFAULT_M,
     import numpy as np
 
     pos = F.explode(F.array(*_position_cols(F.col(key_col), m, k, salt)))
-    rows = df.select(pos.alias("p")).distinct().collect()
+    # null keys hash to null positions (nothing to record — a null is
+    # MISSING, not a value) and would crash the bitmap fill
+    rows = (df.filter(F.col(key_col).isNotNull())
+            .select(pos.alias("p")).distinct().collect())
     bits = np.zeros(m, dtype=bool)
     if rows:
         bits[[r["p"] for r in rows]] = True
@@ -74,23 +77,30 @@ def bloom_flag(df: DataFrame, bloom: bytes, key_col: str,
     schema = T.StructType(list(df.schema.fields)
                           + [T.StructField(flag_col, T.BooleanType())])
     in_cols = list(df.columns)
+    # stringify with SPARK's cast, not pandas astype(str): the two
+    # disagree for booleans ('true' vs 'True') and large doubles
+    # ('1.0E20' vs '1e+20'), and a representation mismatch with
+    # bloom_build's positions means FALSE NEGATIVES — breaking the
+    # module's core contract. Null keys flag False (never seen).
+    keyed = df.withColumn("__bloom_k", F.col(key_col).cast("string"))
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8))
         for pdf in batches:
-            keys = pdf[key_col].astype(str)
-            flags = np.ones(len(pdf), dtype=bool)
+            keys = pdf["__bloom_k"]
+            present = keys.notna().to_numpy()
+            flags = present.copy()
             for j in range(k):
                 prefix = f"{salt}:{j}:"
-                pos = keys.map(lambda s, p=prefix: int(
+                pos = keys.map(lambda s, p=prefix: 0 if s is None else int(
                     hashlib.md5((p + s).encode("utf-8")).hexdigest()[:7],
                     16) % m)
-                flags &= bits[pos.to_numpy()].astype(bool)
+                flags &= bits[pos.to_numpy(dtype=np.int64)].astype(bool)
             out = pdf[in_cols].copy()
             out[flag_col] = flags
             yield out
 
-    return df.mapInPandas(check, schema)
+    return keyed.mapInPandas(check, schema)
 
 
 def dedup_against_corpus(new_batch: DataFrame, corpus: DataFrame,

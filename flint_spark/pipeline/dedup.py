@@ -29,6 +29,17 @@ def _words(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _shingle_arr(k: int) -> Column:
+    """k-word shingle array over the projected word column ``__w`` —
+    THE shingle definition: every consumer (shingles, MinHash,
+    winnowing, repeated-span totals) must build shingles identically or
+    the cross-engine oracles silently diverge, so the expression lives
+    in exactly one place."""
+    return F.expr(
+        f"transform(sequence(1, size(__w) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {k})))")
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """Input-split parallelism guard for map-side explosions.
 
@@ -65,10 +76,7 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     in-document shingles (for consumers that weight by occurrence)."""
     base = _spread(docs).select(F.col(id_col),
                                 _words(text_col).alias("__w"))
-    sh = F.expr(
-        f"transform(sequence(1, size(__w) - {k - 1}), "
-        f"i -> concat_ws(' ', slice(__w, i, {k})))"
-    )
+    sh = _shingle_arr(k)
     if distinct:
         sh = F.array_distinct(sh)
     # docs shorter than k words produce no shingles (sequence(1, n<1)
@@ -144,12 +152,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                 .alias(f"mh_{j}") for j, (a, b) in enumerate(params)]
         return sh.groupBy(id_col).agg(*aggs)
     base = _spread(docs).select(F.col(id_col), _words(text_col).alias("__w"))
-    sh_arr = F.array_distinct(F.expr(
-        f"transform(sequence(1, size(__w) - {k - 1}), "
-        f"i -> concat_ws(' ', slice(__w, i, {k})))"))
-    harr = F.transform(
-        sh_arr, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10)
-        .cast("long"))
+    sh_arr = F.array_distinct(_shingle_arr(k))
+    harr = F.transform(sh_arr, h28)
     base = base.filter(F.size(F.col("__w")) >= k).withColumn("__h", harr)
     cols = [
         F.array_min(F.transform(
@@ -229,17 +233,19 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     a ``zip_with`` accumulator allocates two ``nbits`` arrays per
     token, which measured 2x SLOWER than the old shuffle at sf0.1;
     the scalar form is allocation-free per token."""
-    harr = F.transform(
-        _words(text_col),
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    harr = F.transform(_words(text_col), h32)
     sums = [
         F.expr(f"aggregate(__h, 0L, (acc, h) -> "
                f"acc + IF((shiftright(h, {i}) & 1) = 1, 1L, -1L))")
         .alias(f"s_{i}")
         for i in range(nbits)
     ]
-    row = _spread(docs).select(F.col(id_col), harr.alias("__h")) \
-        .select(F.col(id_col), *sums)
+    # null-text docs have NO signature (the old explode path dropped
+    # them): unfiltered they'd all fold to simhash 0 and pair with each
+    # other quadratically in simhash_pairs
+    row = (_spread(docs).filter(F.col(text_col).isNotNull())
+           .select(F.col(id_col), harr.alias("__h"))
+           .select(F.col(id_col), *sums))
     sim = sum(F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i)).otherwise(0)
               for i in range(nbits))
     return row.select(F.col(id_col), sim.cast("long").alias("simhash"))
@@ -334,10 +340,7 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
 
     Plan: posexplode (map-side) -> one per-doc window min (keyed
     window, rows frame) -> distinct. Output: (id, fp)."""
-    sh = F.expr(
-        f"transform(sequence(1, size(__w) - {k - 1}), "
-        f"i -> concat_ws(' ', slice(__w, i, {k})))"
-    )
+    sh = _shingle_arr(k)
     from pyspark.sql import Window as SqlWindow
     base = _spread(docs).select(F.col(id_col), _words(text_col).alias("__w"))
     exploded = (base.filter(F.size(F.col("__w")) >= k)
@@ -400,15 +403,18 @@ def flag_repeated_spans(docs: DataFrame, text_col: str = "text",
     the selective join) -> broadcast reattachment onto map-side per-doc
     totals. The broadcast assumes the above-threshold dictionary is
     small relative to the corpus (boilerplate-bounded, the same posture
-    as ``remove_repeated_lines``); raise ``min_df`` if it is not."""
-    rep = F.broadcast(repeated_ngrams(docs, text_col, id_col, n, min_df)
-                      .select("shingle"))
-    sh = shingles(docs, text_col, id_col, k=n, distinct=True)
+    as ``remove_repeated_lines``); raise ``min_df`` if it is not.
+
+    The shingle stream feeds BOTH the dictionary aggregation and the
+    hits probe, so it is persisted once (``keep``) — without it the
+    corpus scan + explode re-runs per consumer."""
+    begin_op()
+    sh = keep(shingles(docs, text_col, id_col, k=n, distinct=True))
+    rep = F.broadcast(sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                      .filter(F.col("df") >= min_df).select("shingle"))
     hits = (sh.join(rep, "shingle")
             .groupBy(id_col).agg(F.count("*").alias("n_repeated")))
-    grams = F.expr(
-        f"transform(sequence(1, size(__w) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(__w, i, {n})))")
+    grams = _shingle_arr(n)
     totals = (_spread(docs)
               .select(F.col(id_col), _words(text_col).alias("__w"))
               .select(

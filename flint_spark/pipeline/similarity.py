@@ -102,9 +102,21 @@ def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
     cent_rows = (base.filter(F.col(id_col).isin(list(centroid_ids)))
                  .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
                  .collect())
-    cents = sorted((int(r["cid"]), list(r["cv"])) for r in cent_rows)
+    cents = sorted((r["cid"], list(r["cv"])) for r in cent_rows)
     if method == "arrow":
-        return _ivf_assign_arrow(base, cents, id_col)
+        return _ivf_assign_arrow(base, cents, id_col,
+                                 emb.schema[id_col].dataType)
+    import pyspark.sql.types as _T
+
+    if not isinstance(emb.schema[id_col].dataType,
+                      (_T.ByteType, _T.ShortType, _T.IntegerType,
+                       _T.LongType)):
+        raise ValueError(
+            f"method='expr' encodes the smallest-id tie rule as a "
+            f"max(cos, -id) struct and needs integral ids; {id_col!r} is "
+            f"{emb.schema[id_col].dataType.simpleString()} — use "
+            f"method='arrow'")
+    cents = [(int(c), cv) for c, cv in cents]
     best = _argmax_centroid(F.col("v"), cents)
     return base.select(
         F.col(id_col), "v",
@@ -112,14 +124,18 @@ def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
         best["s"].alias("centroid_cos"))
 
 
-def _ivf_assign_arrow(base: DataFrame, cents, id_col: str) -> DataFrame:
+def _ivf_assign_arrow(base: DataFrame, cents, id_col: str,
+                      id_type=None) -> DataFrame:
     """Batched numpy argmax-cosine assignment: one (batch x dim) @
     (dim x k) GEMM per Arrow batch; driver/executor state is the k x
-    dim centroid matrix only."""
+    dim centroid matrix only. Works for ANY id type (the output schema
+    inherits the input id field — string ids are fine; the expr path
+    needs integral ids for its max-struct tie encoding)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
-    cid_arr = np.array([c for c, _ in cents], dtype="int64")
+    cid_arr = np.array([c for c, _ in cents])
     C = np.stack([np.asarray(cv, dtype="float64") for _, cv in cents])
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -141,9 +157,14 @@ def _ivf_assign_arrow(base: DataFrame, cents, id_col: str) -> DataFrame:
                 "centroid_cos": S[np.arange(len(S)), best],
             })
 
-    return base.mapInPandas(
-        _assign, f"{id_col} long, v array<double>, centroid_id long, "
-                 f"centroid_cos double")
+    if id_type is None:
+        id_type = base.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
+        T.StructField("centroid_id", id_type),
+        T.StructField("centroid_cos", T.DoubleType())])
+    return base.mapInPandas(_assign, schema)
 
 
 def ivf_ann_topk(emb: DataFrame, probe_ids: Sequence[int],

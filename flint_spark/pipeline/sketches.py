@@ -84,8 +84,10 @@ def cms_estimate(df: DataFrame, cms: DataFrame, key_col: str,
         ests.append(F.element_at(arr, (_pos(key, j, width, salt)
                                        + 1).cast("int")))
     # a NULL probe key was never counted: estimate 0, not NULL
+    # (F.least requires >= 2 columns; depth=1 is a valid sketch)
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
     return df.withColumn(out_col, F.when(key.isNull(), F.lit(0).cast("long"))
-                         .otherwise(F.least(*ests)))
+                         .otherwise(est))
 
 
 def cms_sql(corpus_key_sql: str, probe_key: str = "w",

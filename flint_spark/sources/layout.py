@@ -41,6 +41,11 @@ def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
     arithmetic — the disjoint bit positions sum without carries, so
     the whole key is one addition chain Catalyst folds into codegen."""
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder_key needs {k * bits} bits for {k} columns x {bits} "
+            f"bits each — exceeds a 63-bit signed long; lower bits "
+            f"(e.g. bits={63 // k}) or cluster fewer columns")
     terms = []
     for i in range(bits):           # bit i of every column
         for j, c in enumerate(cols):

@@ -292,6 +292,29 @@ def _forward_tie_resolve(np, rt, pos, ok):
     return np.where(ok, resolved, pos)
 
 
+def _merge_right_buffer(np, buf_t, buf_v, r_new, rcols, rtypes):
+    """Append new right rows to the (time, values)-sorted buffer WITHOUT
+    a pandas DataFrame round-trip: rebuilding the buffer as a DataFrame
+    re-coerces nullable integer columns to float64 (10 -> 10.0, None ->
+    NaN), and storing those floats into an ArrayType(LongType) state
+    field silently nulls them — exactly what _typed_list guards
+    against. Plain-list stable sort keeps values typed; the key orders
+    nulls first like the pandas sort it replaces (the batch max-struct
+    tie rule), and unorderable payloads fall back to arrival order."""
+    cat_t = np.concatenate([buf_t, r_new["__tns"].to_numpy(np.int64)])
+    cat_v = {c: list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
+             for c in rcols}
+    idx = list(range(len(cat_t)))
+    try:
+        idx.sort(key=lambda i: (cat_t[i],) + tuple(
+            (cat_v[c][i] is not None, cat_v[c][i]) for c in rcols))
+    except TypeError:
+        idx.sort(key=lambda i: cat_t[i])  # stable: arrival order on ties
+    return (cat_t[np.asarray(idx, dtype=np.int64)]
+            if len(idx) else cat_t,
+            {c: [cat_v[c][i] for i in idx] for c in rcols})
+
+
 def _typed_list(values, spark_type):
     """Buffer values coerced to match an ArrayType(spark_type) state
     field. The tagged union pads each side's columns with nulls, which
@@ -388,14 +411,8 @@ def asof_join_stream(left: DataFrame, right: DataFrame,
             # — the batch max-struct tie rule for duplicate timestamps,
             # independent of arrival order across triggers
             if len(r_new):
-                merged = pd.DataFrame({
-                    "__t": np.concatenate(
-                        [buf_t, r_new["__tns"].to_numpy(np.int64)]),
-                    **{c: list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
-                       for c in rcols}})
-                merged = _sort_time_then_values(merged, "__t", rcols)
-                buf_t = merged["__t"].to_numpy(np.int64)
-                buf_v = {c: merged[c].tolist() for c in rcols}
+                buf_t, buf_v = _merge_right_buffer(np, buf_t, buf_v,
+                                                   r_new, rcols, rtypes)
             l_rows = pdf[pdf["__side"] == 0]
             if len(l_rows):
                 t = l_rows["__tns"].to_numpy(np.int64)
@@ -524,14 +541,8 @@ def asof_join_stream_future(left: DataFrame, right: DataFrame,
             pdf = pdf.sort_values("__tns", kind="stable")
             r_new = pdf[pdf["__side"] == 1]
             if len(r_new):
-                merged = pd.DataFrame({
-                    "__t": np.concatenate(
-                        [buf_t, r_new["__tns"].to_numpy(np.int64)]),
-                    **{c: list(buf_v[c]) + _typed_list(r_new[c], rtypes[c])
-                       for c in rcols}})
-                merged = _sort_time_then_values(merged, "__t", rcols)
-                buf_t = merged["__t"].to_numpy(np.int64)
-                buf_v = {c: merged[c].tolist() for c in rcols}
+                buf_t, buf_v = _merge_right_buffer(np, buf_t, buf_v,
+                                                   r_new, rcols, rtypes)
             l_new = pdf[pdf["__side"] == 0]
             if len(l_new):
                 all_t = np.concatenate([pend_t,

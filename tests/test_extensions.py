@@ -1750,3 +1750,49 @@ def test_left_join_broadcast_matches_window_plan(spark):
         assert rows(got) == rows(exp), ("forward", strict)
     with pytest.raises(ValueError):
         asof.left_join_broadcast(left, right, direction="sideways")
+
+
+def test_review2_fixes(spark):
+    import pytest
+
+    from flint_spark.pipeline import bloom, dedup, sketches, similarity
+    from flint_spark.sources import layout
+
+    # bloom: boolean keys must round-trip (Spark 'true' vs pandas
+    # 'True' used to hash differently -> false negatives)
+    corpus = spark.createDataFrame([(True,), (None,)], "k boolean")
+    b = bloom.bloom_build(corpus, "k", m=1 << 10, k=3)
+    probe = spark.createDataFrame([(True,), (False,), (None,)], "k boolean")
+    flags = {r.k: r.maybe_seen
+             for r in bloom.bloom_flag(probe, b, "k", m=1 << 10,
+                                       k=3).collect()}
+    assert flags[True] is True          # no false negative
+    assert flags[None] is False         # nulls are never "seen"
+
+    # simhash: null-text docs have no signature (no quadratic 0-pairs)
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here with words")],
+        "doc_id long, text string")
+    assert dedup.simhash(docs).count() == 1
+    assert dedup.simhash_pairs(docs, max_hamming=32).count() == 0
+
+    # ivf_assign: string ids work on the arrow path, expr raises clearly
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.9, 0.1])],
+        "vec_id string, embedding array<double>")
+    out = similarity.ivf_assign(emb, ["a", "b"], method="arrow").collect()
+    assert {r.vec_id: r.centroid_id for r in out} == \
+        {"a": "a", "b": "b", "c": "a"}
+    with pytest.raises(ValueError):
+        similarity.ivf_assign(emb, ["a", "b"], method="expr")
+
+    # zorder: > 63 bits is a clear error, not a broken literal
+    with pytest.raises(ValueError):
+        layout.zorder_key([F.lit(1)] * 8, bits=8)
+
+    # cms: depth=1 is a valid sketch
+    df = spark.createDataFrame([("x",), ("x",)], "w string")
+    cms = sketches.cms_build(df, "w", width=16, depth=1)
+    est = sketches.cms_estimate(df.distinct(), cms, "w", width=16,
+                                depth=1).first()
+    assert est.est_count == 2

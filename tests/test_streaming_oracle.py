@@ -547,3 +547,36 @@ def test_rollup_stream_refresh_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_rollup", got, sql, con)
     assert ok, msg
+
+
+def test_stream_buffer_preserves_nullable_long_values(spark, tmp_path):
+    """Regression: the right-buffer merge must not round-trip values
+    through pandas (int+None lists coerce to float64, and floats stored
+    into a Long state array silently null out). A nullable LongType
+    right column buffered in one micro-batch must emit its exact values
+    when matched in a later micro-batch."""
+    from flint_spark.operators import asof
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp")))
+    left_b = (ev.filter(F.col("event_type") != "click")
+              .select("time", "user_id", "event_id"))
+    right_b = (ev.filter(F.col("event_type") == "click")
+               .groupBy("time", "user_id")
+               .agg(F.max("event_id").alias("click_id"))
+               # nullable LongType data column: null every 5th row
+               .withColumn("click_id",
+                           F.when(F.col("click_id") % 5 != 0,
+                                  F.col("click_id"))))
+    ls = _replay(spark, left_b, str(tmp_path / "l"))
+    rs = _replay(spark, right_b, str(tmp_path / "r"))
+    out = ts_stream.asof_join_stream(ls, rs, tolerance="2d",
+                                     key=["user_id"], watermark="400 days")
+    _run_to_table(out, "so_nullable_long")
+    got = spark.sql("SELECT * FROM so_nullable_long")
+    assert dict(got.dtypes)["click_id"] == "bigint"
+    exp = asof.left_join(left_b, right_b, tolerance="2d", key=["user_id"])
+    g = {(r.user_id, r.event_id): r.click_id for r in got.collect()}
+    e = {(r.user_id, r.event_id): r.click_id for r in exp.collect()}
+    assert g == e
+    assert any(v is not None for v in g.values())  # non-vacuous
