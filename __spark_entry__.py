@@ -185,6 +185,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_linear": q_resample_linear,
         "anomaly_zscore": q_anomaly_zscore,
         "asof_broadcast": q_asof_broadcast,
+        "rolling_ols": q_rolling_ols,
     }
 
 
@@ -242,6 +243,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "resample_linear": SQL_RESAMPLE_LINEAR,
         "anomaly_zscore": SQL_ANOMALY_ZSCORE,
         "asof_broadcast": SQL_ASOF_BROADCAST,
+        "rolling_ols": SQL_ROLLING_OLS,
     }
 
 

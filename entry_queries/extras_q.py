@@ -1754,3 +1754,55 @@ SQL_ASOF_BROADCAST = f"""
            AS o_totalprice
   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.rt
 """
+
+
+def q_rolling_ols(spark, sf):
+    """Rolling simple OLS (operators.regression.rolling_ols — the quant
+    rolling-beta shape): per event, regress value on the JSON props
+    field over the user's trailing 7d window via closed-form windowed
+    sums — one keyed exchange, zero Python. The oracle computes the
+    identical algebra over the same range frame."""
+    from flint_spark import windows as W
+    from flint_spark.operators import regression
+
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "event_id", "user_id", "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("x"))
+    out = regression.rolling_ols(ev, "value", "x",
+                                 W.past_absolute_time("7d"),
+                                 key=["user_id"], min_samples=5)
+    return (out.filter(F.col("beta").isNotNull())
+            .select(TIME_COLUMN, "event_id", "user_id",
+                    R("beta", 4).alias("beta"),
+                    R("alpha", 4).alias("alpha"),
+                    R("r2", 6).alias("r2")))
+
+
+SQL_ROLLING_OLS = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x
+    FROM events
+  ),
+  s AS (
+    SELECT time, event_id, user_id,
+           count(x) OVER w AS n,
+           sum(x) OVER w AS sx, sum(value) OVER w AS sy,
+           sum(x * x) OVER w AS sxx, sum(value * value) OVER w AS syy,
+           sum(x * value) OVER w AS sxy
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(time)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+  )
+  SELECT time, event_id, user_id,
+         floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5)
+           / 10000 AS beta,
+         floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+               * 10000 + 0.5) / 10000 AS alpha,
+         CASE WHEN n * syy - sy * sy > 0 THEN
+           floor((power(n * sxy - sx * sy, 2)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                 * 1000000 + 0.5) / 1000000
+         END AS r2
+  FROM s WHERE n >= 5 AND n * sxx - sx * sx > 0
+"""

@@ -195,3 +195,52 @@ def ols_regression(df: DataFrame, y: str, xs: Sequence[str],
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return grouped.mapInPandas(solve, out_schema)
+
+
+def rolling_ols(df: DataFrame, y: str, x: str, window,
+                key: Sequence[str] = (),
+                min_samples: int = 3) -> DataFrame:
+    """Per-row simple OLS over each row's trailing time window (the
+    rolling-beta shape): adds ``beta`` (slope), ``alpha`` (intercept)
+    and ``r2``, computed in closed form from windowed sums —
+    ``beta = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` — so the whole
+    operator is ONE keyed exchange of O(n) incremental range frames,
+    zero Python. The multi-regressor path
+    (:func:`ols_regression`) needs a Gramian solve and stays a
+    whole-group aggregate; for one regressor the solve is this
+    algebraic identity. Rows whose window holds fewer than
+    ``min_samples`` points or a degenerate x (zero variance) get
+    nulls."""
+    from pyspark.sql import Window as W
+
+    from ..timeseries import time_ns_expr
+    from ..windows import TimeWindow
+
+    if not isinstance(window, TimeWindow):
+        raise TypeError("window must be a TimeWindow "
+                        "(windows.past_absolute_time(...))")
+    lo, hi = window.range_bounds()
+    w = (W.partitionBy(*[F.col(k) for k in key])
+         .orderBy(time_ns_expr(df)).rangeBetween(lo, hi))
+    xc, yc = F.col(x), F.col(y)
+    # null-pair masking: a row where EITHER side is null contributes to
+    # no sum (matching the whole-table OLS null-skip rule)
+    both = xc.isNotNull() & yc.isNotNull()
+    mx = F.when(both, xc)
+    my = F.when(both, yc)
+    n = F.count(mx).over(w).cast("double")
+    sx = F.sum(mx).over(w)
+    sy = F.sum(my).over(w)
+    sxx = F.sum(mx * mx).over(w)
+    syy = F.sum(my * my).over(w)
+    sxy = F.sum(mx * my).over(w)
+    det = n * sxx - sx * sx
+    beta = F.when((n >= min_samples) & (det > 0),
+                  (n * sxy - sx * sy) / det)
+    alpha = F.when(beta.isNotNull(), (sy - beta * sx) / n)
+    denom_y = n * syy - sy * sy
+    r2 = F.when(beta.isNotNull() & (denom_y > 0),
+                F.pow(n * sxy - sx * sy, 2) / (det * denom_y))
+    return (df.withColumn("beta", beta)
+            .withColumn("alpha", alpha)
+            .withColumn("r2", r2))

@@ -1796,3 +1796,30 @@ def test_review2_fixes(spark):
     est = sketches.cms_estimate(df.distinct(), cms, "w", width=16,
                                 depth=1).first()
     assert est.est_count == 2
+
+
+def test_rolling_ols_matches_numpy(spark):
+    import numpy as np
+
+    from flint_spark import windows as W
+    from flint_spark.operators import regression
+
+    S = 1_000_000_000
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    ys = [2.1, 3.9, 6.2, 8.0, 9.8, 12.1, 14.0, 16.2]
+    df = spark.createDataFrame(
+        [(i * S, x, y, "a") for i, (x, y) in enumerate(zip(xs, ys))],
+        "time long, x double, y double, k string")
+    out = regression.rolling_ols(df, "y", "x", W.past_absolute_time("3s"),
+                                 key=["k"], min_samples=3).collect()
+    by_t = {r.time // S: r for r in out}
+    # window [t-3, t] inclusive: at t=5 the frame holds indices 2..5
+    for t in (3, 5, 7):
+        fx = np.array(xs[t - 3:t + 1])
+        fy = np.array(ys[t - 3:t + 1])
+        b, a = np.polyfit(fx, fy, 1)
+        assert abs(by_t[t].beta - b) < 1e-9 and abs(by_t[t].alpha - a) < 1e-9
+        r = np.corrcoef(fx, fy)[0, 1]
+        assert abs(by_t[t].r2 - r * r) < 1e-9
+    # warmup rows below min_samples are null
+    assert by_t[0].beta is None and by_t[1].beta is None
