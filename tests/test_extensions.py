@@ -1823,3 +1823,22 @@ def test_rolling_ols_matches_numpy(spark):
         assert abs(by_t[t].r2 - r * r) < 1e-9
     # warmup rows below min_samples are null
     assert by_t[0].beta is None and by_t[1].beta is None
+
+
+def test_zorder_key_is_invertible(spark):
+    """The Morton key must be a bijection of the quantized inputs:
+    decode bit-deinterleave in python and recover both columns exactly
+    for every grid point."""
+    from flint_spark.sources import layout
+
+    pts = [(a, b) for a in range(0, 256, 17) for b in range(0, 256, 23)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    out = df.select("a", "b",
+                    layout.zorder_key([F.col("a"), F.col("b")],
+                                      bits=8).alias("z")).collect()
+    for r in out:
+        a = b = 0
+        for i in range(8):
+            a |= ((r.z >> (2 * i + 1)) & 1) << i
+            b |= ((r.z >> (2 * i)) & 1) << i
+        assert (a, b) == (r.a, r.b), (r.z, a, b, r.a, r.b)
