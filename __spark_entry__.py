@@ -186,6 +186,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "asof_broadcast": q_asof_broadcast,
         "rolling_ols": q_rolling_ols,
+        "window_corr": q_window_corr,
     }
 
 
@@ -244,6 +245,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "anomaly_zscore": SQL_ANOMALY_ZSCORE,
         "asof_broadcast": SQL_ASOF_BROADCAST,
         "rolling_ols": SQL_ROLLING_OLS,
+        "window_corr": SQL_WINDOW_CORR,
     }
 
 

@@ -1806,3 +1806,41 @@ SQL_ROLLING_OLS = """
          END AS r2
   FROM s WHERE n >= 5 AND n * sxx - sx * sx > 0
 """
+
+
+def q_window_corr(spark, sf):
+    """Rolling correlation over a trailing 7d window per user
+    (summarize_windows + the correlation summarizer — left-subtractable
+    in the reference, O(n) WindowExec frames here): corr(value, JSON
+    props.k) per row. Sample correlation needs >= 2 pairs and nonzero
+    variances; DuckDB's corr returns null in the same cases."""
+    from flint_spark import summarizers as S, windows as W
+    from flint_spark.operators import windows_ops
+
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "event_id", "user_id", "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("x"))
+    out = windows_ops.summarize_windows(
+        ev, W.past_absolute_time("7d"),
+        S.correlation("value", "x"), key=["user_id"])
+    return (out.filter(F.col("value_x_correlation").isNotNull())
+            .select(TIME_COLUMN, "event_id", "user_id",
+                    R("value_x_correlation", 4).alias("corr")))
+
+
+SQL_WINDOW_CORR = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x
+    FROM events
+  ),
+  s AS (
+    SELECT time, event_id, user_id, corr(value, x) OVER w AS c
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(time)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+  )
+  SELECT time, event_id, user_id,
+         floor(c * 10000 + 0.5) / 10000 AS corr
+  FROM s WHERE c IS NOT NULL
+"""

@@ -602,6 +602,91 @@ def asof_join_stream_future(left: DataFrame, right: DataFrame,
         fold, out_schema, state_schema, "append", "NoTimeout")
 
 
+def detect_anomalies_stream(stream: DataFrame, column: str,
+                            key: Sequence[str],
+                            window: str | int = "1d", k: float = 3.0,
+                            min_baseline: int = 5,
+                            time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of ``operators.windows_ops.detect_anomalies``:
+    per-key rolling z-score against the trailing [t - window, t)
+    baseline (current row and equal-time rows excluded, matching the
+    batch range frame), via ``applyInPandasWithState``. State is the
+    (time, value) buffer inside the window horizon — trimmed every
+    trigger, so memory is bounded by window x arrival rate. Converges
+    to the batch result when events arrive in order; per-row stats are
+    O(1) via prefix sums + searchsorted."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    w_ns = parse_duration_ns(window)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField(f"{column}_zscore", T.DoubleType()),
+           T.StructField(f"{column}_anomaly", T.BooleanType())])
+    state_schema = T.StructType([
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("vs", T.ArrayType(T.DoubleType()))])
+
+    def fold(key_vals, pdf_iter, state):
+        buf_t, buf_v = state.get if state.exists else ([], [])
+        buf_t = np.asarray(buf_t or [], dtype=np.int64)
+        buf_v = np.asarray(buf_v or [], dtype=np.float64)
+        frames = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__tns", kind="stable")
+            t_new = pdf["__tns"].to_numpy(np.int64)
+            v_new = pdf[column].to_numpy(np.float64)
+            allt = np.concatenate([buf_t, t_new])
+            allv = np.concatenate([buf_v, v_new])
+            # prefix sums over the (sorted) combined buffer: baseline of
+            # row at time ti = entries in [ti - w, ti) -> O(log) per row
+            ps = np.concatenate([[0.0], np.cumsum(allv)])
+            ps2 = np.concatenate([[0.0], np.cumsum(allv * allv)])
+            lo = np.searchsorted(allt, t_new - w_ns, side="left")
+            hi = np.searchsorted(allt, t_new, side="left")
+            n = (hi - lo).astype(np.int64)
+            z = np.full(len(t_new), np.nan)
+            ok = n >= min_baseline
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sm = ps[hi] - ps[lo]
+                sq = ps2[hi] - ps2[lo]
+                mean = np.where(n > 0, sm / np.maximum(n, 1), np.nan)
+                var = np.where(n > 1,
+                               (sq - np.maximum(n, 1) * mean * mean)
+                               / np.maximum(n - 1, 1), np.nan)
+                sd = np.sqrt(np.maximum(var, 0.0))
+                good = ok & (sd > 0)
+                z[good] = ((v_new - mean) / sd)[good]
+            res = pd.DataFrame({c: [kv] * len(t_new)
+                                for c, kv in zip(key, key_vals)})
+            res["__tns"] = t_new
+            res[column] = v_new
+            res[f"{column}_zscore"] = [None if math.isnan(x) else x
+                                       for x in z]
+            res[f"{column}_anomaly"] = [
+                (not math.isnan(x)) and abs(x) > k for x in z]
+            frames.append(res)
+            keepm = allt >= allt[-1] - w_ns
+            buf_t, buf_v = allt[keepm], allv[keepm]
+        state.update((buf_t.tolist(), buf_v.tolist()))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))
+
+
 def exponential_smoothing_stream(stream: DataFrame, column: str,
                                  key: Sequence[str], alpha: float = 0.05,
                                  priming_periods: float = 0.0,

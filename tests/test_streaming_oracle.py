@@ -580,3 +580,38 @@ def test_stream_buffer_preserves_nullable_long_values(spark, tmp_path):
     e = {(r.user_id, r.event_id): r.click_id for r in exp.collect()}
     assert g == e
     assert any(v is not None for v in g.values())  # non-vacuous
+
+
+def test_anomaly_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming rolling z-score replay == DuckDB's exclusive-bound
+    range frame (the batch anomaly_zscore oracle shape) on an in-order
+    file replay."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "event_id", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "an"))
+    out = ts_stream.detect_anomalies_stream(st, "value", key=["user_id"],
+                                            window="7d", k=2.5)
+    _run_to_table(out, "so_anomaly")
+    got = (spark.sql("SELECT * FROM so_anomaly")
+           .filter(F.col("value_anomaly"))
+           .select(F.col("__tns").alias("tns"), "user_id", "value",
+                   (F.floor(F.col("value_zscore") * 1000000 + 0.5)
+                    / 1000000).alias("z")))
+    sql = """
+      WITH scored AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns, user_id, value,
+               avg(value) OVER w AS mu,
+               stddev_samp(value) OVER w AS sd,
+               count(value) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT tns, user_id, value,
+             floor(((value - mu) / sd) * 1000000 + 0.5) / 1000000 AS z
+      FROM scored
+      WHERE n >= 5 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+    """
+    ok, msg = compare("so_anomaly", got, sql, con)
+    assert ok, msg
