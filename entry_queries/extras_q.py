@@ -1686,7 +1686,9 @@ SQL_RESAMPLE_LINEAR = """
   SELECT t AS time, user_id,
          floor(CASE
                  WHEN tb = t THEN vb
-                 WHEN tb IS NOT NULL AND tf IS NOT NULL THEN
+                 WHEN tb IS NOT NULL AND tf IS NOT NULL
+                      AND epoch_us(t) - epoch_us(tb) <= 5184000000000
+                      AND epoch_us(tf) - epoch_us(t) <= 5184000000000 THEN
                    vb + (vf - vb) *
                    ((epoch_us(t) - epoch_us(tb))::DOUBLE
                     / (epoch_us(tf) - epoch_us(tb))::DOUBLE)
@@ -1784,13 +1786,22 @@ SQL_ROLLING_OLS = """
            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x
     FROM events
   ),
+  m AS (
+    -- pairwise masking, mirroring the operator: a row where EITHER
+    -- side is null contributes to NO sum
+    SELECT time, event_id, user_id,
+           CASE WHEN x IS NOT NULL AND value IS NOT NULL THEN x END AS mx,
+           CASE WHEN x IS NOT NULL AND value IS NOT NULL
+                THEN value END AS my
+    FROM e
+  ),
   s AS (
     SELECT time, event_id, user_id,
-           count(x) OVER w AS n,
-           sum(x) OVER w AS sx, sum(value) OVER w AS sy,
-           sum(x * x) OVER w AS sxx, sum(value * value) OVER w AS syy,
-           sum(x * value) OVER w AS sxy
-    FROM e
+           count(mx) OVER w AS n,
+           sum(mx) OVER w AS sx, sum(my) OVER w AS sy,
+           sum(mx * mx) OVER w AS sxx, sum(my * my) OVER w AS syy,
+           sum(mx * my) OVER w AS sxy
+    FROM m
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(time)
                  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
   )

@@ -88,6 +88,13 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
     bns = time_ns_expr(intervals, begin_col)
     ens = time_ns_expr(intervals, end_col)
     iv = (intervals.withColumn("__bns", bns).withColumn("__ens", ens)
+          # degenerate guard: an empty interval (end <= begin) matches
+          # nothing under close-open — drop it BEFORE the explode,
+          # where sequence(hi, lo) would otherwise generate a
+          # descending bucket list whose length grows with how corrupt
+          # the interval is (the residual filter keeps results correct
+          # but the blow-up is unbounded)
+          .filter(F.col("__ens") > F.col("__bns"))
           .withColumn("__b", F.explode(F.sequence(
               _bucket(F.col("__bns"), width),
               # end is exclusive: the last covered bucket holds end-1

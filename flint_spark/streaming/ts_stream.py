@@ -612,9 +612,13 @@ def detect_anomalies_stream(stream: DataFrame, column: str,
     baseline (current row and equal-time rows excluded, matching the
     batch range frame), via ``applyInPandasWithState``. State is the
     (time, value) buffer inside the window horizon — trimmed every
-    trigger, so memory is bounded by window x arrival rate. Converges
-    to the batch result when events arrive in order; per-row stats are
-    O(1) via prefix sums + searchsorted."""
+    trigger, so memory is bounded by window x arrival rate. The merged
+    (buffer + batch) timeline is re-sorted every trigger, so
+    cross-batch out-of-order arrival inside the horizon still yields
+    the batch baselines; only events older than the already-trimmed
+    horizon are lost. Null values are scored null/False and EXCLUDED
+    from the baseline buffer — matching the batch avg/stddev/count
+    null-skip. Per-row stats are O(1) via prefix sums + searchsorted."""
     import math
 
     import numpy as np
@@ -647,10 +651,15 @@ def detect_anomalies_stream(stream: DataFrame, column: str,
             pdf = pdf.sort_values("__tns", kind="stable")
             t_new = pdf["__tns"].to_numpy(np.int64)
             v_new = pdf[column].to_numpy(np.float64)
-            allt = np.concatenate([buf_t, t_new])
-            allv = np.concatenate([buf_v, v_new])
-            # prefix sums over the (sorted) combined buffer: baseline of
-            # row at time ti = entries in [ti - w, ti) -> O(log) per row
+            # baseline buffer: merged, NaN-free (nulls never contribute
+            # to avg/stddev/count in the batch frame), and re-sorted so
+            # late arrivals within the horizon land in timeline order
+            mt = np.concatenate([buf_t, t_new[~np.isnan(v_new)]])
+            mv = np.concatenate([buf_v, v_new[~np.isnan(v_new)]])
+            order = np.argsort(mt, kind="stable")
+            allt, allv = mt[order], mv[order]
+            # prefix sums over the sorted baseline: baseline of a row
+            # at time ti = entries in [ti - w, ti) -> O(log) per row
             ps = np.concatenate([[0.0], np.cumsum(allv)])
             ps2 = np.concatenate([[0.0], np.cumsum(allv * allv)])
             lo = np.searchsorted(allt, t_new - w_ns, side="left")
@@ -677,7 +686,12 @@ def detect_anomalies_stream(stream: DataFrame, column: str,
             res[f"{column}_anomaly"] = [
                 (not math.isnan(x)) and abs(x) > k for x in z]
             frames.append(res)
-            keepm = allt >= allt[-1] - w_ns
+            # trim against the max time SEEN (null-valued rows advance
+            # the clock too), not the last buffer entry
+            max_seen = int(t_new[-1])
+            if len(allt):
+                max_seen = max(max_seen, int(allt[-1]))
+            keepm = allt >= max_seen - w_ns
             buf_t, buf_v = allt[keepm], allv[keepm]
         state.update((buf_t.tolist(), buf_v.tolist()))
         yield from frames

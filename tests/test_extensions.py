@@ -1343,6 +1343,19 @@ def test_point_in_interval_join_matches_nested_loop(spark):
     left = joins.point_in_interval_join(points, ivs, how="left")
     assert left.count() == len(exp) + (300 - n_matched_pts)
     assert left.filter("iv_id is null").count() == 300 - n_matched_pts
+    # degenerate intervals (end <= begin) match nothing under
+    # close-open AND must not explode a descending bucket sequence: a
+    # wildly corrupt interval (end a year before begin) adds 0 rows
+    # and 0 exploded buckets, not ~8760 spurious ones
+    corrupt = spark.createDataFrame(
+        [(100, base + 8760 * HOUR, base),      # end << begin
+         (101, base + 5 * HOUR, base + 5 * HOUR)],  # empty
+        "iv_id int, begin long, end long")
+    got_c = joins.point_in_interval_join(points, corrupt)
+    assert got_c.count() == 0
+    left_c = joins.point_in_interval_join(points, corrupt, how="left")
+    assert left_c.count() == 300
+    assert left_c.filter("iv_id is not null").count() == 0
 
 
 def test_rollup_chain_matches_direct_build(spark, sf_dir):

@@ -585,9 +585,13 @@ def test_stream_buffer_preserves_nullable_long_values(spark, tmp_path):
 def test_anomaly_stream_vs_duckdb(spark, con, tmp_path):
     """Streaming rolling z-score replay == DuckDB's exclusive-bound
     range frame (the batch anomaly_zscore oracle shape) on an in-order
-    file replay."""
+    file replay. Every 7th event's value is nulled on BOTH sides, so
+    the gate pins the null-skip contract: null rows score null/False
+    and never enter any baseline (batch avg/stddev/count semantics)."""
     ev = (spark.read.parquet(f"{SF}/events.parquet")
           .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("value", F.when(F.col("event_id") % 7 != 0,
+                                      F.col("value")))
           .select("time", "event_id", "user_id", "value"))
     st = _replay(spark, ev, str(tmp_path / "an"))
     out = ts_stream.detect_anomalies_stream(st, "value", key=["user_id"],
@@ -599,12 +603,16 @@ def test_anomaly_stream_vs_duckdb(spark, con, tmp_path):
                    (F.floor(F.col("value_zscore") * 1000000 + 0.5)
                     / 1000000).alias("z")))
     sql = """
-      WITH scored AS (
+      WITH ev AS (
+        SELECT ts, user_id,
+               CASE WHEN event_id % 7 <> 0 THEN value END AS value
+        FROM events
+      ), scored AS (
         SELECT epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns, user_id, value,
                avg(value) OVER w AS mu,
                stddev_samp(value) OVER w AS sd,
                count(value) OVER w AS n
-        FROM events
+        FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
       )
@@ -615,3 +623,66 @@ def test_anomaly_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_anomaly", got, sql, con)
     assert ok, msg
+
+
+def test_anomaly_stream_late_arrival_converges(spark, tmp_path):
+    """A whole chunk of LATE events (inside the horizon, no watermark)
+    must slot into the state buffer in timeline order: rows scored in
+    later triggers see the same baselines as the batch operator. Rows
+    scored BEFORE the late chunk arrived legitimately differ (append
+    mode cannot retract); the gate compares only rows emitted at or
+    after the late data landed, plus buffer integrity via the final
+    trigger."""
+    import pandas as pd
+
+    from flint_spark.operators.windows_ops import detect_anomalies
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [((base + pd.Timedelta(hours=h)).to_pydatetime(), "k", float(v))
+            for h, v in [
+        (0, 10.0), (1, 11.0), (2, 9.0), (3, 10.5), (4, 9.5), (5, 10.2),
+        # chunk 2 (late: earlier than chunk 1's tail, inside 1d horizon)
+        (6, 30.0), (7, 10.1),
+        # chunk 3 (after late data: baselines must include hours 6-7)
+        (9, 10.0), (10, 29.0), (11, 10.3), (12, 9.9),
+    ]]
+    batch = spark.createDataFrame(rows, "time timestamp, k string, "
+                                        "value double")
+    out_dir = str(tmp_path / "late")
+    os.makedirs(out_dir, exist_ok=True)
+    # replay order: hours [0-5, 9], then LATE [6-7], then [10-12]
+    chunks = [[0, 1, 2, 3, 4, 5, 8], [6, 7], [9, 10, 11]]
+    for i, idx in enumerate(chunks):
+        sub = [rows[j] for j in idx]
+        (spark.createDataFrame(sub, batch.schema).coalesce(1)
+         .write.mode("overwrite").parquet(out_dir + f"/_t{i}"))
+        src = next(f for f in os.listdir(out_dir + f"/_t{i}")
+                   if f.endswith(".parquet"))
+        shutil.move(os.path.join(out_dir + f"/_t{i}", src),
+                    os.path.join(out_dir, f"chunk_{i}.parquet"))
+        shutil.rmtree(out_dir + f"/_t{i}")
+    st = (spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = ts_stream.detect_anomalies_stream(
+        st, "value", key=["k"], window="1d", k=2.0, min_baseline=3)
+    _run_to_table(out, "so_late")
+    got = {r["__tns"]: (r["value_zscore"], r["value_anomaly"])
+           for r in spark.sql("SELECT * FROM so_late").collect()}
+    exp = {r["__tns"]: (r["value_zscore"], r["value_anomaly"])
+           for r in detect_anomalies(
+               batch.withColumn("__tns",
+                                F.unix_micros("time") * 1000),
+               "value", window="1d", k=2.0, min_baseline=3)
+           .collect()}
+    late_ns = int((base + pd.Timedelta(hours=10)).value)
+    checked = 0
+    for tns, (z, a) in got.items():
+        if tns >= late_ns:  # scored after the late chunk landed
+            ez, ea = exp[tns]
+            assert a == ea and (z == ez or abs(z - ez) < 1e-9), \
+                (tns, z, ez)
+            checked += 1
+    assert checked >= 3
+    # the engineered spike at hour 10 must be flagged (it would be
+    # missed if the late 30.0 corrupted the sorted buffer)
+    assert got[late_ns][1] is True
