@@ -757,10 +757,14 @@ SQL_PIXEL_STATS = """
 
 def q_lm_quality(spark, sf):
     """CCNet-style unigram LM quality (pipeline.text.unigram_logprob):
-    per-doc mean -ln p(token) under the corpus unigram distribution —
-    vocab counts broadcast, two corpus exchanges."""
+    per-doc mean -ln p(token) under the TOP-K corpus unigram
+    distribution, out-of-vocab tokens scored with the constant tail
+    mass. vocab_size=12 is deliberately smaller than the test
+    corpus's vocabulary so the gate exercises BOTH branches — in-vocab
+    counts and the OOV constant — and pins the deterministic
+    (count DESC, token ASC) vocabulary cut."""
     docs = _t(spark, sf, "documents")
-    out = text_ops.unigram_logprob(docs)
+    out = text_ops.unigram_logprob(docs, vocab_size=12)
     return out.select("doc_id", R("nll", 6).alias("nll"), "n_tokens")
 
 
@@ -769,12 +773,16 @@ SQL_LM_QUALITY = """
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
   ),
   counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
-  total AS (SELECT sum(cnt) AS total FROM counts)
+  vocab AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 12),
+  tot AS (SELECT sum(cnt) AS total FROM counts),
+  vm AS (SELECT sum(cnt) AS vmass FROM vocab)
   SELECT doc_id,
-         floor(avg(-ln(cnt::DOUBLE / total)) * 1000000 + 0.5) / 1000000
-           AS nll,
+         floor(avg(-ln(
+           (CASE WHEN v.cnt IS NOT NULL THEN v.cnt
+                 ELSE greatest(total - vmass, 1) END)::DOUBLE / total))
+           * 1000000 + 0.5) / 1000000 AS nll,
          count(*) AS n_tokens
-  FROM tok JOIN counts USING (w) CROSS JOIN total
+  FROM tok LEFT JOIN vocab v USING (w) CROSS JOIN tot CROSS JOIN vm
   GROUP BY 1
 """
 

@@ -197,25 +197,52 @@ def repetition_ratio(text_col: str = "text", k: int = 3) -> Column:
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    vocab_size: int | None = 100_000) -> DataFrame:
     """CCNet-style language-model quality proxy: per-document mean
-    negative log probability of its tokens under the CORPUS unigram
+    negative log probability of its tokens under the corpus unigram
     distribution — high values flag gibberish/rare-token spam, low
     values flag repetitive boilerplate. Output: (id, nll, n_tokens).
 
-    Plan: map-side token explosion -> vocabulary count aggregation
-    (vocab-bounded, broadcastable by Heaps' law) -> broadcast join back
-    onto the token stream -> per-doc aggregation. Two corpus-scale
-    exchanges (vocab counts, per-doc mean); the 1-row total aggregates
-    word-array sizes straight off the doc scan (deriving it from the
-    vocab table would recompute that whole subtree for one number) and
-    stays lazy — no driver action at plan-build time."""
+    The modeled vocabulary is capped to the ``vocab_size`` most
+    frequent tokens (ties broken on the token, so the cut is
+    deterministic); every out-of-vocabulary token scores the constant
+    tail mass ``max(total - topk_mass, 1) / total`` — the aggregate
+    probability of "some rare token". This is what CCNet's actual LM
+    filter does, and it is what makes the operator safe at web-corpus
+    scale: a 100 TB crawl's distinct whitespace-token table (URLs,
+    typos, code, numbers) runs to billions of rows, so the modeled
+    vocab must be bounded BY CONSTRUCTION, not by a Heaps'-law hope.
+    It also denoises the NLL — hapax tokens no longer dominate the
+    mean with their individual -ln(1/total) spikes.
+
+    Plan: map-side token explosion -> vocabulary count aggregation ->
+    distributed top-K (``TakeOrderedAndProject``: per-partition
+    partial top-K, merge of K-row partials — never the full vocab in
+    one place) -> K-row broadcast back onto the token stream ->
+    per-doc aggregation. Two corpus-scale exchanges (vocab counts,
+    per-doc mean); the broadcast side is <= ``vocab_size`` rows by
+    construction. ``vocab_size=None`` keeps the exact full-vocab
+    model with NO forced broadcast — AQE picks the join strategy —
+    for callers who know their vocab is small."""
     tok = _token_stream(docs, text_col, id_col)
     counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     total = docs.agg(F.sum(F.size(_words(text_col))).alias("total"))
-    nll = -F.log(F.col("cnt").cast("double") / F.col("total"))
-    return (tok.join(F.broadcast(counts), "w")
-            .crossJoin(F.broadcast(total))
+    if vocab_size is None:
+        nll = -F.log(F.col("cnt").cast("double") / F.col("total"))
+        return (tok.join(counts, "w")
+                .crossJoin(F.broadcast(total))
+                .groupBy(id_col)
+                .agg(F.avg(nll).alias("nll"),
+                     F.count("*").alias("n_tokens")))
+    vocab = counts.orderBy(F.desc("cnt"), "w").limit(vocab_size)
+    consts = total.crossJoin(vocab.agg(F.sum("cnt").alias("vmass")))
+    p = (F.when(F.col("cnt").isNotNull(), F.col("cnt"))
+         .otherwise(F.greatest(F.col("total") - F.col("vmass"), F.lit(1)))
+         .cast("double"))
+    nll = -F.log(p / F.col("total"))
+    return (tok.join(F.broadcast(vocab), "w", "left")
+            .crossJoin(F.broadcast(consts))
             .groupBy(id_col)
             .agg(F.avg(nll).alias("nll"),
                  F.count("*").alias("n_tokens")))
@@ -229,8 +256,15 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
 
     Document frequencies come from a map-side ``array_distinct``
     explosion (no per-doc dedup shuffle, same trick as ``shingles``),
-    so the plan is: tf aggregation + vocab-bounded df aggregation +
-    broadcast joins + one per-doc top-k window."""
+    so the plan is: tf aggregation + df aggregation + a tf<->df join
+    on the term + one per-doc top-k window. The df table is
+    vocabulary-sized and therefore UNBOUNDED at corpus scale, and it
+    cannot be capped the way ``unigram_logprob``'s vocab can — the
+    rare terms a cap would drop are exactly the high-idf terms the
+    top-k selects — so the term join carries no broadcast hint: AQE
+    broadcasts it when the measured size allows and falls back to a
+    shuffle join when it does not. Only the 1-row ``n_docs`` aggregate
+    is force-broadcast."""
     from pyspark.sql import Window
 
     tok = _token_stream(docs, text_col, id_col)
@@ -241,7 +275,7 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     tfidf = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     win = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
-    return (tf.join(F.broadcast(dfreq), "w")
+    return (tf.join(dfreq, "w")
             .crossJoin(F.broadcast(n_docs))
             .select(F.col(id_col), F.col("w").alias("term"), "tf",
                     tfidf.alias("tfidf"))
