@@ -187,6 +187,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_broadcast": q_asof_broadcast,
         "rolling_ols": q_rolling_ols,
         "window_corr": q_window_corr,
+        "passthrough": q_passthrough,
     }
 
 
@@ -246,6 +247,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "asof_broadcast": SQL_ASOF_BROADCAST,
         "rolling_ols": SQL_ROLLING_OLS,
         "window_corr": SQL_WINDOW_CORR,
+        "passthrough": SQL_PASSTHROUGH,
     }
 
 

@@ -577,3 +577,44 @@ class TimeSeriesDataFrame:
         # classify only the nodes fn added on top of this df's plan
         preserved = self.is_sorted and is_order_preserving(out, base=self._df)
         return TimeSeriesDataFrame(out, is_sorted=preserved)
+
+    def __getattr__(self, name: str):
+        """DataFrame-method passthrough: any attribute not defined on
+        the wrapper resolves against the underlying DataFrame, and a
+        DataFrame-returning method comes back as a
+        ``TimeSeriesDataFrame`` whose ``is_sorted`` flag is maintained
+        by the same plan analysis as :meth:`transform` — so
+        ``ts.select(...)``, ``ts.where(...)``, ``ts.withColumn(...)``
+        keep the flag, while ``ts.sort(...)``/``ts.sample(...)`` (order-
+        redefining nodes) downgrade it, exactly like the reference's
+        auto-wrap (``python/ts/flint/dataframe.py:166-227``, rule table
+        ``OrderPreservingOperation.scala:34-96``). A result that drops
+        the ``time`` column, or a non-DataFrame result (``groupBy``,
+        ``count``, column access), is returned unwrapped."""
+        if name.startswith("__"):
+            # never forward dunders (pickle/copy/ipython probes)
+            raise AttributeError(name)
+        df = self.__dict__.get("_df")
+        if df is None:
+            raise AttributeError(name)
+        attr = getattr(df, name)
+        if isinstance(attr, Column) or not callable(attr):
+            # ts.<col> column access / properties (columns, schema, na…)
+            return attr
+
+        import functools
+
+        from .plans.order import is_order_preserving
+
+        @functools.wraps(attr)
+        def call(*args, **kwargs):
+            out = attr(*args, **kwargs)
+            if isinstance(out, DataFrame):
+                if TIME_COLUMN in out.columns:
+                    preserved = self.is_sorted and \
+                        is_order_preserving(out, base=df)
+                    return TimeSeriesDataFrame(out, is_sorted=preserved)
+                return out
+            return out
+
+        return call
