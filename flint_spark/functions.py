@@ -10,9 +10,11 @@ machinery collapses to ``applyInPandas`` / pandas UDFs:
 - ``add_columns_for_cycle_udf`` — cardinality-preserving per-cycle fn
   (see ``operators.cycles.add_columns_for_cycle``);
 - ``summarize_windows_udf`` — per-row window aggregation with a pandas
-  fn: materializes each row's window as an array column and applies an
-  Arrow-batched UDF over it. Memory is O(rows x window) — fine for
-  bounded windows; use built-in summarizers (WindowExec, O(n)) wherever
+  fn over interval buckets: rows replicate into the <= 3 adjacent
+  buckets they can serve, one ``applyInPandas`` per bucket slices each
+  target's window as a searchsorted VIEW of the shared bucket frame.
+  Memory is O(rows-per-bucket), never O(rows x window); still use
+  built-in summarizers (WindowExec, O(n) frames, zero Python) wherever
   the aggregate is expressible.
 """
 
@@ -63,24 +65,76 @@ def summarize_intervals_udf(df: DataFrame, clock, fn, out_schema,
 def summarize_windows_udf(df: DataFrame, window: TimeWindow,
                           fn: Callable[[pd.DataFrame], float],
                           out_name: str, key: Sequence[str] = (),
-                          out_type: T.DataType = T.DoubleType()) -> DataFrame:
-    """Per-row pandas aggregation of the row's time window.
+                          out_type: T.DataType = T.DoubleType(),
+                          bucket: str | int | None = None) -> DataFrame:
+    """Per-row pandas aggregation of the row's time window, with
+    memory bounded by BUCKET size, not rows x window.
 
-    Plan: collect_list(struct(*)) over the range frame (WindowExec), then
-    an Arrow-batched pandas UDF maps each window-array to a scalar.
-    Replaces the reference's 460-LoC Arrow window-batch machinery
-    (``summarizeWindowBatches``, ``TimeSeriesRDD.scala:1648-1748``)."""
-    from .operators.windows_ops import _range_window
+    The naive plan (``collect_list(struct(*)).over(rangeWindow)``)
+    materializes every row's window as its own array — O(n·w) memory
+    and Arrow transfer, which is exactly why the reference built
+    500k-row window batches instead (``summarizeWindowBatches``,
+    ``TimeSeriesRDD.scala:1648-1748``, ``FlintConf.scala:20-23``).
+    This is the Spark-native equivalent: rows land in fixed-width time
+    buckets (width >= the window span, so every row's window spans at
+    most two buckets) and each row is replicated into the <= 3 buckets
+    whose targets it can serve — bounded constant-factor duplication.
+    One ``applyInPandas`` per (key, bucket) then sorts once and slices
+    each target's window out of the shared bucket frame with
+    ``searchsorted`` (the ``detect_anomalies_stream`` prefix recipe):
+    each window is a VIEW of the bucket, never an owned copy.
 
-    w = _range_window(df, window, list(key))
-    data_cols = [c for c in df.columns]
-    arr = F.collect_list(F.struct(*[F.col(c) for c in data_cols])).over(w)
+    ``fn`` receives the window as a pandas DataFrame of the input
+    columns in time order (including the target row itself whenever
+    0 is inside the window bounds; an empty window yields an empty
+    frame WITH the input columns). ``bucket`` overrides the bucket
+    width — larger buckets trade lower duplication for bigger tasks.
 
-    @F.pandas_udf(out_type)
-    def apply(windows: pd.Series) -> pd.Series:
-        return windows.map(lambda rows: fn(pd.DataFrame(list(rows))))
+    Exchanges: ONE (the key+bucket hash partitioning); memory per task
+    is O(rows-per-bucket), flat in total row count."""
+    from .timeseries import floor_div, parse_duration_ns, time_ns_expr
 
-    return df.withColumn(out_name, apply(arr))
+    key = list(key)
+    lo, hi = window.range_bounds()
+    span = max(int(hi) - int(lo), 1)
+    width = parse_duration_ns(bucket) if bucket is not None else span
+    if width < span:
+        raise ValueError(
+            f"bucket width {width} ns is smaller than the window span "
+            f"{span} ns — a window would span more than two buckets")
+    data_cols = list(df.columns)
+    d = df.withColumn("__tns", time_ns_expr(df))
+    own_b = floor_div(F.col("__tns"), width)
+    # buckets whose TARGETS this row serves: t_target in [t-hi, t-lo]
+    serve_from = floor_div(F.col("__tns") - F.lit(int(hi)), width)
+    serve_to = floor_div(F.col("__tns") - F.lit(int(lo)), width)
+    exploded = (d.withColumn("__ob", own_b)
+                .withColumn("__b", F.explode(F.sequence(
+                    F.least(serve_from, F.col("__ob")),
+                    F.greatest(serve_to, F.col("__ob")))))
+                .withColumn("__tgt", F.col("__b") == F.col("__ob"))
+                .drop("__ob"))
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField(out_name, out_type)])
+    out_cols = [f.name for f in out_schema.fields]
+    lo_i, hi_i = int(lo), int(hi)
+
+    def apply(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("__tns", kind="stable").reset_index(drop=True)
+        ctx = pdf[data_cols]
+        t = pdf["__tns"].to_numpy(np.int64)
+        tgt_mask = pdf["__tgt"].to_numpy(bool)
+        tgt_t = t[tgt_mask]
+        starts = np.searchsorted(t, tgt_t + lo_i, side="left")
+        ends = np.searchsorted(t, tgt_t + hi_i, side="right")
+        res = pdf.loc[tgt_mask, data_cols].copy()
+        res[out_name] = [fn(ctx.iloc[s:e]) for s, e in zip(starts, ends)]
+        return res[out_cols]
+
+    return (exploded.groupBy(*key, "__b")
+            .applyInPandas(apply, out_schema))
 
 
 # ----------------------------------------------------------------------
