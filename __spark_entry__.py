@@ -188,6 +188,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_ols": q_rolling_ols,
         "window_corr": q_window_corr,
         "passthrough": q_passthrough,
+        "rolling_ols_multi": q_rolling_ols_multi,
     }
 
 
@@ -248,6 +249,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "rolling_ols": SQL_ROLLING_OLS,
         "window_corr": SQL_WINDOW_CORR,
         "passthrough": SQL_PASSTHROUGH,
+        "rolling_ols_multi": SQL_ROLLING_OLS_MULTI,
     }
 
 

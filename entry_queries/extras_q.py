@@ -1892,3 +1892,87 @@ SQL_PASSTHROUGH = """
          floor((value * value) * 100 + 0.5) / 100 AS value_sq
   FROM events WHERE event_type IN ('view', 'purchase')
 """
+
+
+def q_rolling_ols_multi(spark, sf):
+    """Multi-regressor rolling OLS (operators.regression.
+    rolling_ols_multi): per event, regress value on [props.k,
+    event_id%7] over the user's trailing 7d window — windowed Gramian
+    sums in ONE WindowExec + batched np.linalg.solve in one Arrow
+    stage. The oracle replays the identical masked windowed sums and
+    solves the 3x3 system by Cramer's rule. (The k=3 case is pinned by
+    the numpy-lstsq golden test; this gate pins k=2 value-for-value in
+    SQL and gives the operator a PLANS row.)"""
+    from flint_spark import windows as W
+    from flint_spark.operators import regression
+
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "event_id", "user_id", "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("x1"),
+        (F.col("event_id") % 7).cast("double").alias("x2"))
+    out = regression.rolling_ols_multi(ev, "value", ["x1", "x2"],
+                                       W.past_absolute_time("7d"),
+                                       key=["user_id"], min_samples=5)
+    return (out.filter(F.col("beta").isNotNull())
+            .select(TIME_COLUMN, "event_id", "user_id",
+                    R("alpha", 4).alias("alpha"),
+                    R(F.col("beta")[0], 4).alias("b1"),
+                    R(F.col("beta")[1], 4).alias("b2"),
+                    R("r2", 6).alias("r2")))
+
+
+SQL_ROLLING_OLS_MULTI = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x1,
+           (event_id % 7)::DOUBLE AS x2
+    FROM events
+  ),
+  m AS (  -- complete-case masking, mirroring the operator
+    SELECT time, event_id, user_id,
+           CASE WHEN x1 IS NOT NULL AND value IS NOT NULL THEN x1 END
+             AS mx1,
+           CASE WHEN x1 IS NOT NULL AND value IS NOT NULL THEN x2 END
+             AS mx2,
+           CASE WHEN x1 IS NOT NULL AND value IS NOT NULL THEN value END
+             AS my
+    FROM e
+  ),
+  s AS (
+    SELECT time, event_id, user_id,
+           count(my) OVER w AS n,
+           sum(mx1) OVER w AS a, sum(mx2) OVER w AS b,
+           sum(mx1 * mx1) OVER w AS c, sum(mx1 * mx2) OVER w AS d,
+           sum(mx2 * mx2) OVER w AS e,
+           sum(my) OVER w AS sy, sum(mx1 * my) OVER w AS p,
+           sum(mx2 * my) OVER w AS q, sum(my * my) OVER w AS syy
+    FROM m
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(time)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+  ),
+  solved AS (
+    SELECT *,
+           n * (c * e - d * d) - a * (a * e - d * b)
+             + b * (a * d - c * b) AS det
+    FROM s
+  ),
+  coefs AS (
+    SELECT time, event_id, user_id, n, sy, p, q, syy, det,
+           (sy * (c * e - d * d) - a * (p * e - d * q)
+              + b * (p * d - c * q)) / det AS alpha,
+           (n * (p * e - d * q) - sy * (a * e - d * b)
+              + b * (a * q - p * b)) / det AS b1,
+           (n * (c * q - p * d) - a * (a * q - p * b)
+              + sy * (a * d - c * b)) / det AS b2
+    FROM solved WHERE n >= 5 AND det <> 0
+  )
+  SELECT time, event_id, user_id,
+         floor(alpha * 10000 + 0.5) / 10000 AS alpha,
+         floor(b1 * 10000 + 0.5) / 10000 AS b1,
+         floor(b2 * 10000 + 0.5) / 10000 AS b2,
+         CASE WHEN syy - sy * sy / n > 0 THEN
+           floor((1.0 - (syy - alpha * sy - b1 * p - b2 * q)
+                        / (syy - sy * sy / n)) * 1000000 + 0.5) / 1000000
+         END AS r2
+  FROM coefs
+"""

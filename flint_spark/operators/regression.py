@@ -244,3 +244,105 @@ def rolling_ols(df: DataFrame, y: str, x: str, window,
     return (df.withColumn("beta", beta)
             .withColumn("alpha", alpha)
             .withColumn("r2", r2))
+
+
+def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
+                      key: Sequence[str] = (),
+                      min_samples: int | None = None,
+                      fit_intercept: bool = True) -> DataFrame:
+    """Per-row MULTI-regressor OLS over each row's trailing time window
+    — the k-factor rolling-beta shape (reference users get it from
+    ``OLSRegressionSummarizer`` inside ``summarizeWindows``,
+    ``Summarizers.scala:282-339``). Adds ``alpha`` (intercept, null
+    when ``fit_intercept=False``), ``beta`` (array, one slope per
+    regressor, in ``xs`` order) and ``r2``.
+
+    Plan: the whole-table :func:`ols_regression` Gramian recipe
+    applied per frame — every sufficient statistic
+    (n, Σt_i·t_j over terms [1, x1..xk, y]) is an incrementally-
+    maintained ``rangeBetween`` window sum sharing ONE WindowExec
+    (one keyed exchange, O(n) total), and the (k+1)x(k+1) solves run
+    batched (``np.linalg.solve`` over stacked matrices) in ONE
+    Arrow-batched pandas stage — no per-row Python, no driver.
+
+    Null rule: complete-case per row — a row where ``y`` or ANY
+    regressor is null contributes to no sum (the pairwise rule of
+    :func:`rolling_ols` generalized). Windows with fewer than
+    ``min_samples`` complete rows (default ``k + 2``), a singular
+    design, or zero response variance get nulls."""
+    from pyspark.sql import Window as W
+
+    from ..timeseries import time_ns_expr
+    from ..windows import TimeWindow
+
+    if not isinstance(window, TimeWindow):
+        raise TypeError("window must be a TimeWindow "
+                        "(windows.past_absolute_time(...))")
+    xs = list(xs)
+    k = len(xs)
+    if k == 0:
+        raise ValueError("xs must name at least one regressor")
+    if min_samples is None:
+        min_samples = k + 2
+    lo, hi = window.range_bounds()
+    w = (W.partitionBy(*[F.col(c) for c in key])
+         .orderBy(time_ns_expr(df)).rangeBetween(lo, hi))
+    complete = F.col(y).isNotNull()
+    for x in xs:
+        complete = complete & F.col(x).isNotNull()
+    terms = [F.lit(1.0)] + [F.col(x) for x in xs] + [F.col(y)]
+    masked = [F.when(complete, t) for t in terms]
+    m = k + 2
+    sums = []
+    for i in range(m):
+        for j in range(i, m):
+            sums.append(F.sum(masked[i] * masked[j]).over(w))
+    packed = F.array(*sums)
+    tri = [(i, j) for i in range(m) for j in range(i, m)]
+    p = k + 1 if fit_intercept else k
+    off = 0 if fit_intercept else 1
+    out_t = T.StructType([T.StructField("alpha", T.DoubleType()),
+                          T.StructField("beta",
+                                        T.ArrayType(T.DoubleType())),
+                          T.StructField("r2", T.DoubleType())])
+
+    @F.pandas_udf(out_t)
+    def solve(col: pd.Series) -> pd.DataFrame:
+        N = len(col)
+        S = np.zeros((N, m, m))
+        vals = np.array([[np.nan if v is None else v for v in row]
+                         for row in col], dtype=np.float64) \
+            if N else np.zeros((0, len(tri)))
+        for idx, (i, j) in enumerate(tri):
+            S[:, i, j] = vals[:, idx]
+            S[:, j, i] = vals[:, idx]
+        n = S[:, 0, 0]
+        A = S[:, off:k + 1, off:k + 1]
+        b = S[:, off:k + 1, k + 1]
+        syy = S[:, k + 1, k + 1]
+        sy = S[:, 0, k + 1]
+        with np.errstate(all="ignore"):
+            det = np.linalg.det(np.nan_to_num(A, nan=0.0))
+            ok = (n >= min_samples) & np.isfinite(det) & (det != 0.0) \
+                & np.isfinite(A).all(axis=(1, 2)) & np.isfinite(b).all(axis=1)
+            coef = np.full((N, p), np.nan)
+            if ok.any():
+                coef[ok] = np.linalg.solve(A[ok], b[ok])
+            sse = syy - np.einsum("np,np->n", coef, b)
+            sst = syy - sy * sy / np.maximum(n, 1) if fit_intercept else syy
+            r2 = np.where(ok & (sst > 0), 1.0 - sse / sst, np.nan)
+        alpha = coef[:, 0] if fit_intercept else np.full(N, np.nan)
+        betas = coef[:, 1:] if fit_intercept else coef
+        return pd.DataFrame({
+            "alpha": [None if not np.isfinite(a) else float(a)
+                      for a in alpha],
+            "beta": [None if not o else [float(v) for v in row]
+                     for o, row in zip(ok, betas)],
+            "r2": [None if not np.isfinite(v) else float(v) for v in r2],
+        })
+
+    res = df.withColumn("__ols", solve(packed))
+    return (res.withColumn("alpha", F.col("__ols.alpha"))
+            .withColumn("beta", F.col("__ols.beta"))
+            .withColumn("r2", F.col("__ols.r2"))
+            .drop("__ols"))

@@ -558,6 +558,18 @@ class TimeSeriesDataFrame:
         from .operators.regression import ols_regression
         return ols_regression(self._df, y, xs, **kwargs)
 
+    def rolling_ols(self, y: str, x: str, window,
+                    **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.regression import rolling_ols
+        return self._wrap(rolling_ols(self._df, y, x, window, **kwargs),
+                          is_sorted=False)
+
+    def rolling_ols_multi(self, y: str, xs: Sequence[str], window,
+                          **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.regression import rolling_ols_multi
+        return self._wrap(rolling_ols_multi(self._df, y, xs, window,
+                                            **kwargs), is_sorted=False)
+
     def sessionize(self, gap: str | int = "30m",
                    key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
         from .operators.sessions import sessionize
