@@ -189,6 +189,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_corr": q_window_corr,
         "passthrough": q_passthrough,
         "rolling_ols_multi": q_rolling_ols_multi,
+        "asof_backward_bucketed": q_asof_backward_bucketed,
     }
 
 
@@ -250,6 +251,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "window_corr": SQL_WINDOW_CORR,
         "passthrough": SQL_PASSTHROUGH,
         "rolling_ols_multi": SQL_ROLLING_OLS_MULTI,
+        "asof_backward_bucketed": SQL_ASOF_BACKWARD_BUCKETED,
     }
 
 

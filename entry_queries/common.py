@@ -75,3 +75,25 @@ _ORDERS_RIGHT_SQL = """
          max(o_totalprice) AS o_totalprice
   FROM orders GROUP BY 1, 2
 """
+
+
+def count_exchanges(df) -> int:
+    """Exchange count of df's final adaptive plan (forces a noop
+    execution) — lets a gate assert its promised shuffle shape."""
+    def walk(node):
+        name = node.nodeName()
+        yield name
+        if name.startswith(("InMemoryTableScan", "ReusedExchange")):
+            return
+        if name.startswith("AdaptiveSparkPlan"):
+            yield from walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            yield from walk(node.plan())
+            return
+        for i in range(node.children().length()):
+            yield from walk(node.children().apply(i))
+
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan()
+    return sum(1 for n in walk(plan) if n == "Exchange")

@@ -1976,3 +1976,45 @@ SQL_ROLLING_OLS_MULTI = """
          END AS r2
   FROM coefs
 """
+
+
+def q_asof_backward_bucketed(spark, sf):
+    """Shuffle-eliding as-of over a co-bucketed layout
+    (operators.asof.left_join_cogroup + sources.writer.write_bucketed —
+    the storage-partitioned RangeMergeJoin, SURVEY §4 item 6): both
+    sides persisted bucketed+sorted by user_id, read back, and joined
+    by the cogrouped Arrow merge whose ClusteredDistribution is
+    satisfied by the scans' HashPartitioning — ZERO data exchanges
+    (asserted in-query, plan-audited in PLANS.md). Values must equal
+    the exchange-ful asof_backward oracle exactly."""
+    from flint_spark.operators import asof
+    from flint_spark.sources.writer import write_bucketed
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id",
+                                   "value")
+    right = _t(spark, sf, "orders").select(
+        F.col("o_orderdate").alias(TIME_COLUMN),
+        F.col("o_custkey").alias("user_id"), "o_totalprice")
+    write_bucketed(ev, "gate_ab_left", ["user_id"], n_buckets=16)
+    write_bucketed(right, "gate_ab_right", ["user_id"], n_buckets=16)
+    out = asof.left_join_cogroup(spark.table("gate_ab_left"),
+                                 spark.table("gate_ab_right"),
+                                 tolerance="9000d", key=["user_id"])
+    from .common import count_exchanges
+    assert count_exchanges(out) == 0, "bucketed as-of plan re-shuffled"
+    return out.select(TIME_COLUMN, "event_id", "user_id", "value",
+                      "o_totalprice")
+
+
+SQL_ASOF_BACKWARD_BUCKETED = """
+  WITH r AS (SELECT o_orderdate AS rt, o_custkey AS user_id,
+                    max(o_totalprice) AS o_totalprice
+             FROM orders GROUP BY 1, 2),
+       l AS (SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id,
+                    value
+             FROM events)
+  SELECT l.time, l.event_id, l.user_id, l.value,
+         CASE WHEN r.rt >= l.time - INTERVAL 9000 DAY THEN r.o_totalprice
+           END AS o_totalprice
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.rt
+"""

@@ -191,6 +191,92 @@ def left_join_broadcast(left: DataFrame, right: DataFrame,
                             strict_lookahead=strict_lookahead)
 
 
+def left_join_cogroup(left: DataFrame, right: DataFrame,
+                      tolerance: str | int = 0, key: Sequence[str] = (),
+                      direction: str = "backward",
+                      strict_lookahead: bool = False) -> DataFrame:
+    """As-of join that ELIDES ITS SHUFFLE on co-bucketed layouts — the
+    storage-partitioned answer to the reference's shuffle-free
+    ``RangeMergeJoin.scala:28-140`` (SURVEY §4 item 6).
+
+    The union-window plan (:func:`left_join`) cannot inherit a
+    bucketed layout: Catalyst's ``UnionExec`` reports
+    ``UnknownPartitioning`` no matter how its children are
+    partitioned, so the window exchange always re-shuffles. This
+    variant instead compiles to ``groupBy(key).cogroup(...)
+    .applyInPandas`` — a per-key Arrow merge join (vectorized
+    ``searchsorted``, the same matcher as
+    :func:`left_join_broadcast`) whose required child distribution IS
+    ``ClusteredDistribution(key)``: when both sides scan tables
+    bucketed by ``key`` with matching bucket counts
+    (``sources.writer.write_bucketed``), EnsureRequirements finds the
+    scans' HashPartitioning compatible and plans ZERO data exchanges;
+    on unbucketed inputs it degrades to the ordinary two-sided
+    shuffle. At 100 TB the write-once bucketed layout turns every
+    subsequent as-of against that key into a map-side job.
+
+    Semantics match ``left_join`` / ``future_left_join`` exactly
+    (tolerance bounds, equal-timestamp matching, max-struct duplicate
+    rule via the shared time-then-values sort, forward/strict
+    variants); output = left columns ++ right data columns. Keyless
+    as-of cannot co-bucket — use :func:`asof_keyless_bucketed`."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..streaming.ts_stream import (_forward_tie_resolve,
+                                       _sort_time_then_values)
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if strict_lookahead and direction != "forward":
+        raise ValueError("strict_lookahead requires direction='forward'")
+    key = list(key)
+    if not key:
+        raise ValueError("left_join_cogroup needs a join key; keyless "
+                         "as-of joins use asof_keyless_bucketed")
+    tol = parse_duration_ns(tolerance) if tolerance else 0
+    rdata = [c for c in right.columns
+             if c != TIME_COLUMN and c not in key]
+    conflicts = set(rdata) & set(left.columns)
+    if conflicts:
+        raise ValueError(f"conflicting output columns {sorted(conflicts)}")
+    l_ns = left.withColumn(_TNS, time_ns_expr(left))
+    r_ns = right.select(*key, time_ns_expr(right).alias("__rtns"), *rdata)
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [f for f in right.schema.fields if f.name in rdata])
+    in_cols = list(left.columns)
+
+    def fold(lpdf, rpdf):
+        out = lpdf[in_cols].copy()
+        t = lpdf[_TNS].to_numpy(np.int64)
+        if len(rpdf) == 0:
+            for c in rdata:
+                out[c] = np.full(len(t), None, dtype=object)
+            return out
+        rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
+        rt = rpdf["__rtns"].to_numpy(np.int64)
+        if direction == "backward":
+            pos = np.searchsorted(rt, t, side="right") - 1
+            ok = pos >= 0
+            ok &= (t - rt[np.clip(pos, 0, None)]) <= tol
+        else:
+            pos = np.searchsorted(
+                rt, t, side="right" if strict_lookahead else "left")
+            ok = pos < len(rt)
+            ok &= rt[np.clip(pos, None, max(len(rt) - 1, 0))] <= t + tol
+            pos = _forward_tie_resolve(np, rt, pos, ok)
+        for c in rdata:
+            vals = np.full(len(t), None, dtype=object)
+            if ok.any():
+                vals[ok] = rpdf[c].to_numpy()[pos[ok]]
+            out[c] = vals
+        return out
+
+    return (l_ns.groupBy(*key).cogroup(r_ns.groupBy(*key))
+            .applyInPandas(fold, out_schema))
+
+
 def nearest_join(left: DataFrame, right: DataFrame,
                  tolerance: str | int = 0, key: Sequence[str] = (),
                  left_alias: str | None = None,
