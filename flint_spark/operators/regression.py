@@ -341,6 +341,11 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
             "r2": [None if not np.isfinite(v) else float(v) for v in r2],
         })
 
+    # nondeterministic marker: Catalyst clones deterministic UDF calls
+    # into pushed-down filters (e.g. a beta-isNotNull filter would run
+    # the whole batched solve TWICE); the solve is pure, but opting out
+    # of expression duplication keeps exactly one Arrow stage
+    solve = solve.asNondeterministic()
     res = df.withColumn("__ols", solve(packed))
     return (res.withColumn("alpha", F.col("__ols.alpha"))
             .withColumn("beta", F.col("__ols.beta"))

@@ -54,7 +54,23 @@ def read_time_partitioned(spark, path: str, begin: str | None = None,
 def write_bucketed(df: DataFrame, table: str, key: Sequence[str],
                    n_buckets: int = 64, mode: str = "overwrite") -> None:
     """Bucket by join/window key: downstream operators partitioned on
-    the same key skip their shuffle (storage-partitioned layout)."""
+    the same key skip their shuffle (storage-partitioned layout).
+    ``mode='overwrite'`` also clears an ORPHANED managed-table
+    location (a previous session's warehouse directory whose catalog
+    entry died with that session) — otherwise saveAsTable fails with
+    LOCATION_ALREADY_EXISTS even though the catalog has no table."""
+    if mode == "overwrite":
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark = df.sparkSession
+        if not spark.catalog.tableExists(table):
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path \
+                or spark.conf.get("spark.sql.warehouse.dir")
+            loc = os.path.join(wh, table.split(".")[-1].lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     (df.write.mode(mode)
        .bucketBy(n_buckets, *key)
        .sortBy(*key, TIME_COLUMN)
