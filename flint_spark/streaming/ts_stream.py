@@ -861,3 +861,109 @@ def summarize_windows_stream(stream: DataFrame, window, reducer,
             .groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def rolling_ols_stream(stream: DataFrame, y: str, x: str,
+                       key: Sequence[str],
+                       window: str | int = "7d",
+                       min_samples: int = 3,
+                       time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of ``operators.regression.rolling_ols``: per-key
+    closed-form simple OLS (beta/alpha/r2) over the trailing
+    ``[t - window, t]`` frame (current and equal-time rows INCLUDED,
+    matching the batch rangeBetween(lo, 0)), via
+    ``applyInPandasWithState``. State is the (t, x, y) buffer of
+    COMPLETE pairs inside the horizon — pairwise masking exactly like
+    the batch operator (a row with either side null contributes to no
+    sum, but is still scored against its window). The merged buffer is
+    re-sorted every trigger, so late in-horizon arrivals converge to
+    the batch result for rows scored after they land; per-row sums are
+    O(1) via prefix sums + searchsorted (the anomaly-stream recipe)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    w_ns = parse_duration_ns(window)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(x, T.DoubleType()),
+           T.StructField(y, T.DoubleType()),
+           T.StructField("beta", T.DoubleType()),
+           T.StructField("alpha", T.DoubleType()),
+           T.StructField("r2", T.DoubleType())])
+    state_schema = T.StructType([
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType()))])
+
+    def fold(key_vals, pdf_iter, state):
+        bt, bx, by = state.get if state.exists else ([], [], [])
+        bt = np.asarray(bt or [], dtype=np.int64)
+        bx = np.asarray(bx or [], dtype=np.float64)
+        by = np.asarray(by or [], dtype=np.float64)
+        frames = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__tns", kind="stable")
+            t_new = pdf["__tns"].to_numpy(np.int64)
+            x_new = pdf[x].to_numpy(np.float64)
+            y_new = pdf[y].to_numpy(np.float64)
+            # complete pairs only enter the sums (batch pairwise rule)
+            comp = ~np.isnan(x_new) & ~np.isnan(y_new)
+            mt = np.concatenate([bt, t_new[comp]])
+            mx = np.concatenate([bx, x_new[comp]])
+            my = np.concatenate([by, y_new[comp]])
+            order = np.argsort(mt, kind="stable")
+            allt, allx, ally = mt[order], mx[order], my[order]
+            pre = lambda v: np.concatenate([[0.0], np.cumsum(v)])
+            psx, psy = pre(allx), pre(ally)
+            psxx, psyy = pre(allx * allx), pre(ally * ally)
+            psxy = pre(allx * ally)
+            lo = np.searchsorted(allt, t_new - w_ns, side="left")
+            hi = np.searchsorted(allt, t_new, side="right")
+            n = (hi - lo).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sx = psx[hi] - psx[lo]
+                sy = psy[hi] - psy[lo]
+                sxx = psxx[hi] - psxx[lo]
+                syy = psyy[hi] - psyy[lo]
+                sxy = psxy[hi] - psxy[lo]
+                det = n * sxx - sx * sx
+                ok = (n >= min_samples) & (det > 0)
+                beta = np.where(ok, (n * sxy - sx * sy)
+                                / np.where(det != 0, det, 1.0), np.nan)
+                alpha = np.where(ok, (sy - beta * sx)
+                                 / np.maximum(n, 1), np.nan)
+                deny = n * syy - sy * sy
+                r2 = np.where(ok & (deny > 0),
+                              (n * sxy - sx * sy) ** 2
+                              / (np.where(det != 0, det, 1.0)
+                                 * np.where(deny != 0, deny, 1.0)),
+                              np.nan)
+            res = pd.DataFrame({c: [kv] * len(t_new)
+                                for c, kv in zip(key, key_vals)})
+            res["__tns"] = t_new
+            res[x] = x_new
+            res[y] = y_new
+            fin = lambda a: [None if np.isnan(v) else float(v) for v in a]
+            res["beta"], res["alpha"], res["r2"] = \
+                fin(beta), fin(alpha), fin(r2)
+            frames.append(res)
+            max_seen = int(t_new[-1])
+            if len(allt):
+                max_seen = max(max_seen, int(allt[-1]))
+            keep = allt >= max_seen - w_ns
+            allt, allx, ally = allt[keep], allx[keep], ally[keep]
+            bt, bx, by = allt, allx, ally
+        state.update((bt.tolist(), bx.tolist(), by.tolist()))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

@@ -558,6 +558,22 @@ class TimeSeriesDataFrame:
         from .operators.regression import ols_regression
         return ols_regression(self._df, y, xs, **kwargs)
 
+    def left_join_bucketed(self, other, tolerance: str | int = 0,
+                           key: Sequence[str] = (),
+                           direction: str = "backward",
+                           strict_lookahead: bool = False
+                           ) -> "TimeSeriesDataFrame":
+        """Storage-partitioned as-of (:func:`operators.asof.
+        left_join_cogroup`): zero data exchanges when both sides scan
+        tables bucketed by ``key`` with matching bucket counts."""
+        from .operators.asof import left_join_cogroup
+        right = other._df if isinstance(other, TimeSeriesDataFrame) \
+            else other
+        return self._wrap(
+            left_join_cogroup(self._df, right, tolerance, key,
+                              direction, strict_lookahead),
+            is_sorted=False)
+
     def rolling_ols(self, y: str, x: str, window,
                     **kwargs) -> "TimeSeriesDataFrame":
         from .operators.regression import rolling_ols

@@ -790,6 +790,42 @@ def test_asof_cogroup_bucketed_elides_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bucketed_layout_elides_aggregate_exchange(spark):
+    """The bucketed layout pays off beyond as-of joins: Catalyst's own
+    HashAggregate/Window require ClusteredDistribution on the grouping
+    key, so a keyed summarize and a keyed window over a bucketed scan
+    plan ZERO exchanges too — one write-time range/bucket layout
+    accelerates the whole keyed-operator family at 100 TB."""
+    from flint_spark.sources.writer import write_bucketed
+    from plan_audit import _walk
+
+    df = spark.createDataFrame(
+        [(i * 1000, i % 13, float(i % 7)) for i in range(5000)],
+        "time long, k int, v double")
+    write_bucketed(df, "agg_bucket_t", ["k"], n_buckets=8)
+    b = spark.table("agg_bucket_t")
+
+    def n_exchanges(out):
+        out.write.mode("overwrite").format("noop").save()
+        names = list(_walk(out._jdf.queryExecution().executedPlan()))
+        return sum(1 for n in names if n == "Exchange")
+
+    agg = b.groupBy("k").agg(F.sum("v").alias("s"))
+    assert n_exchanges(agg) == 0
+    assert n_exchanges(df.groupBy("k").agg(F.sum("v").alias("s"))) == 1
+    from pyspark.sql import Window as W
+    win = b.withColumn(
+        "cum", F.sum("v").over(W.partitionBy("k").orderBy("time")
+                               .rowsBetween(W.unboundedPreceding, 0)))
+    assert n_exchanges(win) == 0
+    # and through the engine: keyed ewma_windowed on the bucketed scan
+    from flint_spark import windows as FW
+    from flint_spark.operators.ema import ewma_windowed
+    assert n_exchanges(ewma_windowed(b, "v", FW.past_absolute_time(10_000),
+                                     key=["k"])) == 0
+    spark.sql("DROP TABLE IF EXISTS agg_bucket_t")
+
+
 def test_rolling_ols_multi_golden(spark):
     """rolling_ols_multi at k=3 vs numpy lstsq run independently per
     window (r4 judge item #7): alpha/beta/r2 match to 1e-9 on every

@@ -582,6 +582,75 @@ def test_stream_buffer_preserves_nullable_long_values(spark, tmp_path):
     assert any(v is not None for v in g.values())  # non-vacuous
 
 
+def test_rolling_ols_stream_vs_duckdb(spark, con, tmp_path):
+    """Sixteenth replay gate: streaming rolling simple OLS == DuckDB's
+    pairwise-masked windowed-sum algebra over the batch range frame
+    (the rolling_ols oracle shape) on an in-order file replay. Every
+    9th x is nulled on BOTH sides, so the gate pins the complete-case
+    rule in the stream too."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("x", F.when(F.col("event_id") % 9 != 0,
+                                  F.get_json_object(F.col("props"), "$.k")
+                                  .cast("double")))
+          .select("time", "user_id", "x", "value"))
+    st = _replay(spark, ev, str(tmp_path / "ro"))
+    out = ts_stream.rolling_ols_stream(st, "value", "x",
+                                       key=["user_id"], window="7d",
+                                       min_samples=5)
+    _run_to_table(out, "so_rols")
+    got = (spark.sql("SELECT * FROM so_rols")
+           .filter(F.col("beta").isNotNull())
+           .select(F.col("__tns").alias("tns"), "user_id", "x", "value",
+                   (F.floor(F.col("beta") * 10000 + 0.5) / 10000)
+                   .alias("beta"),
+                   (F.floor(F.col("alpha") * 10000 + 0.5) / 10000)
+                   .alias("alpha"),
+                   (F.floor(F.col("r2") * 1000000 + 0.5) / 1000000)
+                   .alias("r2")))
+    sql = """
+      WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns, user_id,
+               CASE WHEN event_id % 9 <> 0 THEN
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS x,
+               value
+        FROM events
+      ),
+      m AS (
+        SELECT tns, user_id, x, value,
+               CASE WHEN x IS NOT NULL AND value IS NOT NULL THEN x END
+                 AS mx,
+               CASE WHEN x IS NOT NULL AND value IS NOT NULL THEN value
+                 END AS my
+        FROM e
+      ),
+      s AS (
+        SELECT tns, user_id, x, value,
+               count(mx) OVER w AS n,
+               sum(mx) OVER w AS sx, sum(my) OVER w AS sy,
+               sum(mx * mx) OVER w AS sxx, sum(my * my) OVER w AS syy,
+               sum(mx * my) OVER w AS sxy
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY tns
+                     RANGE BETWEEN 604800000000000 PRECEDING
+                     AND CURRENT ROW)
+      )
+      SELECT tns, user_id, x, value,
+             floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000
+                   + 0.5) / 10000 AS beta,
+             floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                     * sx) / n) * 10000 + 0.5) / 10000 AS alpha,
+             CASE WHEN n * syy - sy * sy > 0 THEN
+               floor((power(n * sxy - sx * sy, 2)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                     * 1000000 + 0.5) / 1000000
+             END AS r2
+      FROM s WHERE n >= 5 AND n * sxx - sx * sx > 0
+    """
+    ok, msg = compare("so_rols", got, sql, con)
+    assert ok, msg
+
+
 def test_streaming_bloom_ingestion_vs_duckdb(spark, con, tmp_path):
     """Fifteenth replay gate (r4 judge item #8): bloom_flag is
     map-only (bitmap rides a broadcast into one Arrow stage), so it
