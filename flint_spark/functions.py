@@ -88,7 +88,12 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
     columns in time order (including the target row itself whenever
     0 is inside the window bounds; an empty window yields an empty
     frame WITH the input columns). ``bucket`` overrides the bucket
-    width — larger buckets trade lower duplication for bigger tasks.
+    width; pick it as LARGE as executor memory allows — duplication
+    is ~span/bucket + 1 copies (wider is strictly less) and the
+    ~2.7ms per-(key, bucket) pandas overhead amortizes over more
+    targets (209s -> 21s at sf0.1 going 1h -> 14d buckets for a 1h
+    window; docs/BENCH_NOTES.md). The span default is the
+    memory-safe floor, not the fast choice.
 
     Exchanges: ONE (the key+bucket hash partitioning); memory per task
     is O(rows-per-bucket), flat in total row count."""
