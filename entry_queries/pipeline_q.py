@@ -421,15 +421,9 @@ def q_window_udf(spark, sf):
     from flint_spark import functions as FL
     ev = _events(spark, sf).select(TIME_COLUMN, "user_id", "value")
 
-    # bucket >> span: duplication is ~span/bucket + 1 (LESS at wider
-    # buckets) and per-group pandas overhead (~2.7ms) amortizes over
-    # more targets — 1h-span/1h-bucket costs 209s at sf0.1 vs 48s at
-    # 2d (docs/BENCH_NOTES.md bucket-width study); results are
-    # bucket-invariant (property-tested)
     out = FL.summarize_windows_udf(
         ev, W.past_absolute_time("1h"),
-        lambda pdf: float(pdf["value"].mean()), "w_mean", key=["user_id"],
-        bucket="2d")
+        lambda pdf: float(pdf["value"].mean()), "w_mean", key=["user_id"])
     return out.select(TIME_COLUMN, "user_id", R("w_mean", 4).alias("w_mean"))
 
 

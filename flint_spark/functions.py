@@ -79,24 +79,27 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
     buckets (width >= the window span, so every row's window spans at
     most two buckets) and each row is replicated into the <= 3 buckets
     whose targets it can serve — bounded constant-factor duplication.
-    One ``applyInPandas`` per (key, bucket) then sorts once and slices
-    each target's window out of the shared bucket frame with
-    ``searchsorted`` (the ``detect_anomalies_stream`` prefix recipe):
-    each window is a VIEW of the bucket, never an owned copy.
+    Execution is ONE hash repartition on (key, bucket) + a
+    within-partition sort + ``mapInPandas``: many groups ride in each
+    Arrow batch (a per-group ``applyInPandas`` pays ~2.7ms of
+    JVM<->Arrow round-trip PER GROUP, which dominated small-bucket
+    runs 10:1 — docs/BENCH_NOTES.md bucket-width study), group runs
+    are rediscovered as change-points of the sorted batch, a group
+    split across batch boundaries is carried over, and each target's
+    window is sliced out of the shared frame with ``searchsorted``
+    (the ``detect_anomalies_stream`` prefix recipe): a VIEW, never an
+    owned copy.
 
     ``fn`` receives the window as a pandas DataFrame of the input
     columns in time order (including the target row itself whenever
     0 is inside the window bounds; an empty window yields an empty
     frame WITH the input columns). ``bucket`` overrides the bucket
-    width; pick it as LARGE as executor memory allows — duplication
-    is ~span/bucket + 1 copies (wider is strictly less) and the
-    ~2.7ms per-(key, bucket) pandas overhead amortizes over more
-    targets (209s -> 21s at sf0.1 going 1h -> 14d buckets for a 1h
-    window; docs/BENCH_NOTES.md). The span default is the
-    memory-safe floor, not the fast choice.
+    width; wider buckets strictly reduce duplication
+    (~span/bucket + 1 copies) at the cost of per-carry memory — the
+    span default is the memory-safe floor.
 
-    Exchanges: ONE (the key+bucket hash partitioning); memory per task
-    is O(rows-per-bucket), flat in total row count."""
+    Exchanges: ONE (the key+bucket hash repartition); memory per task
+    is O(arrow-batch + rows-per-bucket), flat in total row count."""
     from .timeseries import floor_div, parse_duration_ns, time_ns_expr
 
     key = list(key)
@@ -123,23 +126,66 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
                               + [T.StructField(out_name, out_type)])
     out_cols = [f.name for f in out_schema.fields]
     lo_i, hi_i = int(lo), int(hi)
+    gcols = [*key, "__b"]
 
-    def apply(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    def _boundaries(np, pdf: pd.DataFrame):
+        """Indices where a new (key, bucket) group starts (row 0
+        included); NaN == NaN within a column (null keys group)."""
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in gcols:
+            a = pdf[c].to_numpy()
+            neq = a[1:] != a[:-1]
+            both_na = pd.isna(a[1:]) & pd.isna(a[:-1])
+            change[1:] |= neq & ~both_na
+        return np.flatnonzero(change)
 
-        pdf = pdf.sort_values("__tns", kind="stable").reset_index(drop=True)
+    def _emit(np, pdf: pd.DataFrame) -> pd.DataFrame:
+        """pdf holds COMPLETE groups, sorted by (gcols, __tns)."""
+        pdf = pdf.reset_index(drop=True)
         ctx = pdf[data_cols]
         t = pdf["__tns"].to_numpy(np.int64)
-        tgt_mask = pdf["__tgt"].to_numpy(bool)
-        tgt_t = t[tgt_mask]
-        starts = np.searchsorted(t, tgt_t + lo_i, side="left")
-        ends = np.searchsorted(t, tgt_t + hi_i, side="right")
-        res = pdf.loc[tgt_mask, data_cols].copy()
-        res[out_name] = [fn(ctx.iloc[s:e]) for s, e in zip(starts, ends)]
+        tgt = pdf["__tgt"].to_numpy(bool)
+        starts = np.empty(len(t), dtype=np.int64)
+        ends = np.empty(len(t), dtype=np.int64)
+        segs = _boundaries(np, pdf).tolist() + [len(t)]
+        for s0, s1 in zip(segs, segs[1:]):
+            tt = t[s0:s1]
+            m = tgt[s0:s1]
+            starts[s0:s1][m] = s0 + np.searchsorted(tt, tt[m] + lo_i,
+                                                    side="left")
+            ends[s0:s1][m] = s0 + np.searchsorted(tt, tt[m] + hi_i,
+                                                  side="right")
+        res = pdf.loc[tgt, data_cols].copy()
+        res[out_name] = [fn(ctx.iloc[s:e])
+                         for s, e in zip(starts[tgt], ends[tgt])]
         return res[out_cols]
 
-    return (exploded.groupBy(*key, "__b")
-            .applyInPandas(apply, out_schema))
+    def run(batches):
+        import numpy as np
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # the last group may continue into the next batch: hold it
+            bounds = _boundaries(np, pdf)
+            cut = int(bounds[-1])
+            if cut == 0:
+                carry = pdf
+                continue
+            head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+            yield _emit(np, head)
+        if carry is not None and len(carry):
+            yield _emit(np, carry)
+
+    arranged = (exploded.repartition(*[F.col(c) for c in gcols])
+                .sortWithinPartitions(*gcols, "__tns"))
+    return arranged.mapInPandas(run, out_schema)
 
 
 # ----------------------------------------------------------------------
