@@ -100,6 +100,25 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
 
     Exchanges: ONE (the key+bucket hash repartition); memory per task
     is O(arrow-batch + rows-per-bucket), flat in total row count."""
+    return _bucketed_window_apply(
+        df, window, key, bucket,
+        [T.StructField(out_name, out_type)],
+        lambda ctx, starts, ends: {
+            out_name: [fn(ctx.iloc[s:e]) for s, e in zip(starts, ends)]})
+
+
+def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
+                           key: Sequence[str],
+                           bucket: str | int | None,
+                           new_fields: Sequence[T.StructField],
+                           compute) -> DataFrame:
+    """Shared engine for per-row custom window aggregation (the
+    bucketed mapInPandas plan described in
+    :func:`summarize_windows_udf`). ``compute(ctx, starts, ends)``
+    receives the complete-group frame (input columns, time order) and
+    the per-target window slice bounds, and returns
+    ``{out_name: list-of-values}`` for every field in
+    ``new_fields``."""
     from .timeseries import floor_div, parse_duration_ns, time_ns_expr
 
     key = list(key)
@@ -113,7 +132,6 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
     data_cols = list(df.columns)
     d = df.withColumn("__tns", time_ns_expr(df))
     own_b = floor_div(F.col("__tns"), width)
-    # buckets whose TARGETS this row serves: t_target in [t-hi, t-lo]
     serve_from = floor_div(F.col("__tns") - F.lit(int(hi)), width)
     serve_to = floor_div(F.col("__tns") - F.lit(int(lo)), width)
     exploded = (d.withColumn("__ob", own_b)
@@ -122,8 +140,7 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
                     F.greatest(serve_to, F.col("__ob")))))
                 .withColumn("__tgt", F.col("__b") == F.col("__ob"))
                 .drop("__ob"))
-    out_schema = T.StructType(list(df.schema.fields)
-                              + [T.StructField(out_name, out_type)])
+    out_schema = T.StructType(list(df.schema.fields) + list(new_fields))
     out_cols = [f.name for f in out_schema.fields]
     lo_i, hi_i = int(lo), int(hi)
     gcols = [*key, "__b"]
@@ -158,8 +175,8 @@ def summarize_windows_udf(df: DataFrame, window: TimeWindow,
             ends[s0:s1][m] = s0 + np.searchsorted(tt, tt[m] + hi_i,
                                                   side="right")
         res = pdf.loc[tgt, data_cols].copy()
-        res[out_name] = [fn(ctx.iloc[s:e])
-                         for s, e in zip(starts[tgt], ends[tgt])]
+        for name, vals in compute(ctx, starts[tgt], ends[tgt]).items():
+            res[name] = vals
         return res[out_cols]
 
     def run(batches):
@@ -332,48 +349,38 @@ def summarize_intervals_calls(df: DataFrame, clock, outputs: Mapping,
     return summarize_cycles_calls(bucketed, outputs, key)
 
 
-def _window_udf(call: UDFCall, rt):
-    def apply(windows: pd.Series) -> pd.Series:
-        return windows.map(lambda rows: call(pd.DataFrame(list(rows))))
-    return F.pandas_udf(rt)(apply)
-
-
-def _window_udf_multi(call: UDFCall, names, struct_type):
-    def apply(windows: pd.Series) -> pd.DataFrame:
-        rows = [call(pd.DataFrame(list(r))) for r in windows]
-        return pd.DataFrame(rows, columns=list(names))
-    return F.pandas_udf(struct_type)(apply)
-
-
 def summarize_windows_calls(df: DataFrame, window: TimeWindow,
                             outputs: Mapping,
-                            key: Sequence[str] = ()) -> DataFrame:
+                            key: Sequence[str] = (),
+                            bucket: str | int | None = None) -> DataFrame:
     """summarizeWindows with reference-style udf dict (reference
     ``python/ts/flint/dataframe.py:1099-1240``):
     ``{'mean': mean(df['v']), ('m', 's'): both(df[['v', 'w']])}``.
-    Each row's window is materialized once per call as an array of the
-    call's input columns (WindowExec range frame) and reduced by an
-    Arrow-batched pandas UDF — no custom batch protocol."""
-    from .operators.windows_ops import _range_window
-
-    w = _range_window(df, window, list(key))
-    out = df
+    ALL calls evaluate in the single bucketed mapInPandas pass of
+    :func:`summarize_windows_udf` — one repartition + sort no matter
+    how many outputs, each window a searchsorted view of the shared
+    bucket frame (never the O(rows x window) per-call collect_list
+    arrays of the naive plan)."""
+    fields: list[T.StructField] = []
+    norm: list[tuple[tuple, tuple, "UDFCall"]] = []
     for names, call in outputs.items():
         names = (names,) if isinstance(names, str) else tuple(names)
         rts = call.return_type if isinstance(call.return_type, tuple) \
             else (call.return_type,)
         if len(names) != len(rts):
             raise ValueError(f"output names {names} vs return types {rts}")
-        cols = sorted({c for a in call.args
-                       for c in (a if isinstance(a, list) else [a])})
-        arr = F.collect_list(F.struct(*[F.col(c) for c in cols])).over(w)
-        if len(names) == 1:
-            out = out.withColumn(names[0], _window_udf(call, rts[0])(arr))
-        else:
-            st = T.StructType([T.StructField(n, t) for n, t in zip(names, rts)])
-            tmp = "__w_" + "_".join(names)
-            out = out.withColumn(tmp, _window_udf_multi(call, names, st)(arr))
-            for n in names:
-                out = out.withColumn(n, F.col(tmp)[n])
-            out = out.drop(tmp)
-    return out
+        fields.extend(T.StructField(n, t) for n, t in zip(names, rts))
+        norm.append((names, rts, call))
+
+    def compute(ctx: pd.DataFrame, starts, ends) -> Mapping:
+        res: dict = {}
+        for names, rts, call in norm:
+            vals = [call(ctx.iloc[s:e]) for s, e in zip(starts, ends)]
+            if len(names) == 1:
+                res[names[0]] = vals
+            else:
+                for i, n in enumerate(names):
+                    res[n] = [v[i] for v in vals]
+        return res
+
+    return _bucketed_window_apply(df, window, key, bucket, fields, compute)
