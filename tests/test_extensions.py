@@ -58,6 +58,38 @@ def test_summarize_windows_udf_matches_builtin(spark):
     assert vals == {1000: 1.0, 1050: 3.0, 1100: 7.0, 1300: 8.0}
 
 
+def test_summarize_windows_udf_batch_carry(spark):
+    """The mapInPandas rewrite carries a group split across Arrow
+    batch boundaries into the next batch. Default batches are 10k
+    rows, so ordinary tests never exercise the carry — force
+    7-row batches so every group spans several and the
+    carry/concat/boundary-cut path runs for real, including a group
+    larger than many batches and the tail-flush."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        rows = [(t * 100, g, float((t * 7 + g) % 11))
+                for g in range(3) for t in range(85)]
+        df = spark.createDataFrame(rows, "time long, id int, v double")
+        got = FL.summarize_windows_udf(
+            df, W.past_absolute_time(1000),
+            lambda w: float(w["v"].sum()), "s", key=["id"],
+            bucket=10**9)  # one giant bucket -> one group per id
+        res = {(r.time, r.id): r.s for r in got.collect()}
+        pdf = df.toPandas()
+        for (t, g), s in res.items():
+            exp = pdf[(pdf.id == g) & (pdf.time >= t - 1000)
+                      & (pdf.time <= t)].v.sum()
+            assert s == float(exp), (t, g)
+        assert len(res) == len(rows)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_summarize_windows_udf_bucketed_plan(spark):
     """Interval-bucketed window UDF (r4 judge item #3): results are
     bucket-width-invariant, a detached (strictly-past) window whose
@@ -2086,6 +2118,22 @@ def test_left_join_broadcast_matches_window_plan(spark):
         assert rows(got) == rows(exp), ("forward", strict)
     with pytest.raises(ValueError):
         asof.left_join_broadcast(left, right, direction="sideways")
+    # the cogrouped (storage-partitioned) plan shares the matcher:
+    # same parity on the SAME data, duplicate (key, time) rights
+    # included — pins the max-struct tie rule across all three plans
+    for tol in (0, 2500, 10**6):
+        got = asof.left_join_cogroup(left, right, tolerance=tol, key=["k"])
+        exp = asof.left_join(left, right, tolerance=tol, key=["k"])
+        assert rows(got) == rows(exp), ("cogroup-backward", tol)
+    for strict in (False, True):
+        got = asof.left_join_cogroup(left, right, tolerance=5000, key=["k"],
+                                     direction="forward",
+                                     strict_lookahead=strict)
+        exp = asof.future_left_join(left, right, tolerance=5000, key=["k"],
+                                    strict_lookahead=strict)
+        assert rows(got) == rows(exp), ("cogroup-forward", strict)
+    with pytest.raises(ValueError):
+        asof.left_join_cogroup(left, right, key=[])  # keyless unsupported
 
 
 def test_review2_fixes(spark):
