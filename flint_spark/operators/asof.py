@@ -219,7 +219,15 @@ def left_join_cogroup(left: DataFrame, right: DataFrame,
     (tolerance bounds, equal-timestamp matching, max-struct duplicate
     rule via the shared time-then-values sort, forward/strict
     variants); output = left columns ++ right data columns. Keyless
-    as-of cannot co-bucket — use :func:`asof_keyless_bucketed`."""
+    as-of cannot co-bucket — use :func:`asof_keyless_bucketed`.
+
+    Memory profile: cogroup materializes ONE KEY'S rows per task
+    (both sides), where the window plan streams each key group
+    through WindowExec in bounded memory. The zero-exchange trade is
+    therefore right for entity-keyed layouts whose per-key history
+    fits an executor (the id-keyed quant/dimension shape bucketed
+    layouts exist for); a hot key with unbounded history should stay
+    on :func:`left_join` and pay the shuffle."""
     import numpy as np
     from pyspark.sql import types as T
 

@@ -493,3 +493,39 @@ def test_gramian_arrow_matches_expr():
     ce = similarity.pca_components(df, 2, dim=16)
     ca = similarity.pca_components(df, 2, dim=16, method="arrow")
     assert ce == ca
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), lo=st.integers(-120, 60), span=st.integers(0, 180),
+       bucket=st.integers(1, 400))
+def test_summarize_windows_udf_vs_brute_force(panel, lo, span, bucket):
+    """Bucketed window-UDF engine vs per-row pandas brute force on
+    random panels (duplicate timestamps included): any window bounds
+    [lo, lo+span] incl. detached/future ones, any bucket width >=
+    span (random widths land group boundaries everywhere relative to
+    windows)."""
+    from flint_spark import functions as FL
+    from flint_spark.windows import TimeWindow
+
+    hi = lo + span
+    width = max(bucket, span, 1)
+    spark = _spark()
+    df = spark.createDataFrame(panel, "time long, id int, v double")
+    out = FL.summarize_windows_udf(
+        df, TimeWindow(lo, hi, "rand"),
+        lambda w: float(w["v"].sum()) if len(w) else -1.0,
+        "s", key=["id"], bucket=width)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r.time, r.id, r.v), []).append(r.s)
+    exp = {}
+    for _, row in panel.iterrows():
+        sub = panel[(panel.id == row.id)
+                    & (panel.time >= row.time + lo)
+                    & (panel.time <= row.time + hi)]
+        k = (row.time, row.id, row.v)
+        exp.setdefault(k, []).append(float(sub.v.sum())
+                                     if len(sub) else -1.0)
+    assert {k: sorted(v) for k, v in got.items()} \
+        == {k: sorted(v) for k, v in exp.items()}
