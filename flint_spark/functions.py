@@ -31,24 +31,90 @@ from .timeseries import TIME_COLUMN
 from .windows import TimeWindow
 
 
+def _group_boundaries(np, pdf: pd.DataFrame, gcols: Sequence[str]):
+    """Start indices of each group run in a frame sorted by ``gcols``
+    (row 0 included); NaN == NaN within a column so null keys group."""
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in gcols:
+        a = pdf[c].to_numpy()
+        neq = a[1:] != a[:-1]
+        both_na = pd.isna(a[1:]) & pd.isna(a[:-1])
+        change[1:] |= neq & ~both_na
+    return np.flatnonzero(change)
+
+
+def _complete_group_batches(batches, gcols: Sequence[str]):
+    """Re-chunk a mapInPandas batch iterator (sorted by ``gcols``
+    within the partition) into frames of COMPLETE groups: the possibly
+    continuing last group of each Arrow batch is carried into the
+    next, and the tail flushes at the end. Groups stay contiguous, so
+    each yielded frame's group runs are its ``_group_boundaries``.
+
+    This is the engine under every custom grouped UDF here: one Arrow
+    batch carries MANY groups, where a per-group ``applyInPandas``
+    pays its ~2.7ms JVM<->Arrow round-trip PER GROUP — the 10:1
+    overhead the bucket-width study measured
+    (docs/BENCH_NOTES.md)."""
+    import numpy as np
+
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if len(pdf) == 0:
+            continue
+        bounds = _group_boundaries(np, pdf, gcols)
+        cut = int(bounds[-1])
+        if cut == 0:
+            carry = pdf
+            continue
+        head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+        yield head
+    if carry is not None and len(carry):
+        yield carry
+
+
 def summarize_cycles_udf(df: DataFrame, fn: Callable[[pd.DataFrame], Mapping],
                          out_schema: str | T.StructType,
                          key: Sequence[str] = ()) -> DataFrame:
     """Aggregate each cycle with a pandas function returning a dict of
-    scalars. Output: (time, *key, **fn outputs)."""
+    scalars. Output: (time, *key, **fn outputs).
+
+    Execution: ONE hash repartition on the group columns + a
+    within-partition sort + ``mapInPandas`` over complete-group
+    chunks (``_complete_group_batches``) — at per-second cycles over
+    years of data the group count runs to millions, and a per-group
+    ``applyInPandas`` round-trip would dominate the aggregation
+    itself."""
+    import numpy as np
+
     key = list(key)
     if isinstance(out_schema, str):
         out_schema = T.StructType.fromDDL(out_schema)
     group_cols = [TIME_COLUMN] + key
     full = T.StructType(
         [df.schema[c] for c in group_cols] + list(out_schema.fields))
+    names = [f.name for f in full.fields]
 
-    def apply(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        res = dict(zip(group_cols, keys))
-        res.update(fn(pdf))
-        return pd.DataFrame([res], columns=[f.name for f in full.fields])
+    def run(batches):
+        for head in _complete_group_batches(batches, group_cols):
+            head = head.reset_index(drop=True)
+            segs = _group_boundaries(np, head, group_cols).tolist() \
+                + [len(head)]
+            rows = []
+            for s0, s1 in zip(segs, segs[1:]):
+                g = head.iloc[s0:s1]
+                res = {c: g.iloc[0][c] for c in group_cols}
+                res.update(fn(g))
+                rows.append(res)
+            yield pd.DataFrame(rows, columns=names)
 
-    return df.groupBy(*group_cols).applyInPandas(apply, full)
+    arranged = (df.repartition(*[F.col(c) for c in group_cols])
+                .sortWithinPartitions(*group_cols))
+    return arranged.mapInPandas(run, full)
 
 
 def summarize_intervals_udf(df: DataFrame, clock, fn, out_schema,
@@ -145,19 +211,6 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
     lo_i, hi_i = int(lo), int(hi)
     gcols = [*key, "__b"]
 
-    def _boundaries(np, pdf: pd.DataFrame):
-        """Indices where a new (key, bucket) group starts (row 0
-        included); NaN == NaN within a column (null keys group)."""
-        n = len(pdf)
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for c in gcols:
-            a = pdf[c].to_numpy()
-            neq = a[1:] != a[:-1]
-            both_na = pd.isna(a[1:]) & pd.isna(a[:-1])
-            change[1:] |= neq & ~both_na
-        return np.flatnonzero(change)
-
     def _emit(np, pdf: pd.DataFrame) -> pd.DataFrame:
         """pdf holds COMPLETE groups, sorted by (gcols, __tns)."""
         pdf = pdf.reset_index(drop=True)
@@ -166,7 +219,7 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
         tgt = pdf["__tgt"].to_numpy(bool)
         starts = np.empty(len(t), dtype=np.int64)
         ends = np.empty(len(t), dtype=np.int64)
-        segs = _boundaries(np, pdf).tolist() + [len(t)]
+        segs = _group_boundaries(np, pdf, gcols).tolist() + [len(t)]
         for s0, s1 in zip(segs, segs[1:]):
             tt = t[s0:s1]
             m = tgt[s0:s1]
@@ -182,23 +235,8 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
     def run(batches):
         import numpy as np
 
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            # the last group may continue into the next batch: hold it
-            bounds = _boundaries(np, pdf)
-            cut = int(bounds[-1])
-            if cut == 0:
-                carry = pdf
-                continue
-            head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
+        for head in _complete_group_batches(batches, gcols):
             yield _emit(np, head)
-        if carry is not None and len(carry):
-            yield _emit(np, carry)
 
     arranged = (exploded.repartition(*[F.col(c) for c in gcols])
                 .sortWithinPartitions(*gcols, "__tns"))
@@ -321,20 +359,35 @@ def summarize_cycles_calls(df: DataFrame, outputs: Mapping,
                            key: Sequence[str] = ()) -> DataFrame:
     """summarizeCycles with reference-style udf dict:
     ``{'out': my_udf(df['v']), ('a', 'b'): multi_udf(df[['v', 'w']])}``.
-    Each cycle (time, *key) group evaluates every call once."""
+    Each cycle (time, *key) group evaluates every call once; groups
+    ride many-per-Arrow-batch (``_complete_group_batches``), same
+    engine as :func:`summarize_cycles_udf`."""
+    import numpy as np
+
     key = list(key)
     group_cols = [TIME_COLUMN] + key
     full, calls = _calls_schema(group_cols, df, outputs)
+    names_all = [f.name for f in full.fields]
 
-    def apply(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        res = dict(zip(group_cols, keys))
-        for names, call in calls:
-            out = call(pdf)
-            out = out if isinstance(out, tuple) else (out,)
-            res.update(dict(zip(names, out)))
-        return pd.DataFrame([res], columns=[f.name for f in full.fields])
+    def run(batches):
+        for head in _complete_group_batches(batches, group_cols):
+            head = head.reset_index(drop=True)
+            segs = _group_boundaries(np, head, group_cols).tolist() \
+                + [len(head)]
+            rows = []
+            for s0, s1 in zip(segs, segs[1:]):
+                g = head.iloc[s0:s1]
+                res = {c: g.iloc[0][c] for c in group_cols}
+                for names, call in calls:
+                    out = call(g)
+                    out = out if isinstance(out, tuple) else (out,)
+                    res.update(dict(zip(names, out)))
+                rows.append(res)
+            yield pd.DataFrame(rows, columns=names_all)
 
-    return df.groupBy(*group_cols).applyInPandas(apply, full)
+    arranged = (df.repartition(*[F.col(c) for c in group_cols])
+                .sortWithinPartitions(*group_cols))
+    return arranged.mapInPandas(run, full)
 
 
 def summarize_intervals_calls(df: DataFrame, clock, outputs: Mapping,
