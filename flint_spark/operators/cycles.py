@@ -65,12 +65,8 @@ def add_columns_for_cycle(
             out = out.withColumn(name, spec.over(ordered)
                                  if _needs_order(spec) else spec.over(w))
     if pandas_items:
+        import pandas as pd
         from pyspark.sql import types as T
-
-        def fn(pdf):
-            for n, f in pandas_items:
-                pdf[n] = f(pdf)
-            return pdf
 
         def out_type(spec):
             # a bound functions.udf() call carries its declared type;
@@ -81,7 +77,33 @@ def add_columns_for_cycle(
         full = T.StructType(list(out.schema.fields) +
                             [T.StructField(n, out_type(f))
                              for n, f in pandas_items])
-        out = out.groupBy(TIME_COLUMN, *key).applyInPandas(fn, full)
+        names = [f.name for f in full.fields]
+        group_cols = [TIME_COLUMN] + key
+
+        # many cycles per Arrow batch (functions._complete_group_batches)
+        # instead of one applyInPandas round-trip per cycle — see the
+        # grouped-UDF engine note in docs/BENCH_NOTES.md
+        def run(batches):
+            import numpy as np
+
+            from ..functions import (_complete_group_batches,
+                                     _group_boundaries)
+
+            for head in _complete_group_batches(batches, group_cols):
+                head = head.reset_index(drop=True)
+                segs = _group_boundaries(np, head, group_cols).tolist() \
+                    + [len(head)]
+                frames = []
+                for s0, s1 in zip(segs, segs[1:]):
+                    g = head.iloc[s0:s1].copy()
+                    for n, f in pandas_items:
+                        g[n] = f(g)
+                    frames.append(g)
+                yield pd.concat(frames, ignore_index=True)[names]
+
+        arranged = (out.repartition(*[F.col(c) for c in group_cols])
+                    .sortWithinPartitions(*group_cols))
+        out = arranged.mapInPandas(run, full)
     return out
 
 
