@@ -186,7 +186,35 @@ def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str]
         return pdf[in_cols + [out_name]]
 
     if key:
-        return with_ns.groupBy(*key).applyInPandas(compute, schema)
+        # many key groups per Arrow batch (functions.
+        # _complete_group_batches) — a per-group applyInPandas pays its
+        # ~2.7ms JVM<->Arrow round-trip PER KEY, which at 10^5-10^6
+        # instruments would dominate the vectorized scans themselves.
+        # The (time, value) tie sort runs IN SPARK (asc_nulls_last ==
+        # pandas sort_values NaN placement, so results are bitwise
+        # identical to the old per-group sort), leaving pure numpy per
+        # group: slice, scan, write into one preallocated column.
+        from ..functions import _complete_group_batches, _group_boundaries
+
+        def run(batches):
+            for head in _complete_group_batches(batches, key):
+                head = head.reset_index(drop=True)
+                t_all = head["__tns"].to_numpy(np.int64)
+                x_all = head[column].to_numpy(np.float64)
+                outv = np.empty(len(head), dtype=np.float64)
+                segs = _group_boundaries(np, head, key).tolist() \
+                    + [len(head)]
+                for s0, s1 in zip(segs, segs[1:]):
+                    outv[s0:s1] = fn(t_all[s0:s1], x_all[s0:s1])
+                res = head[in_cols].copy()
+                res[out_name] = outv
+                yield res
+
+        arranged = (with_ns.repartition(*[F.col(k) for k in key])
+                    .sortWithinPartitions(
+                        *key, F.col("__tns").asc_nulls_last(),
+                        F.col(column).asc_nulls_last()))
+        return arranged.mapInPandas(run, schema)
     return with_ns.groupBy().applyInPandas(compute, schema)
 
 
