@@ -420,6 +420,15 @@ class TimeSeriesDataFrame:
         return self._wrap(group_by_cycle(self._df, key), is_sorted=False)
 
     def summarize_cycles(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+        """Summarizer object, or a reference-style udf dict
+        (``{'out': udf(...)(self['v'])}`` — dispatches to
+        ``functions.summarize_cycles_calls``, matching
+        ``python/ts/flint/dataframe.py:922-1010``)."""
+        if isinstance(summarizer, Mapping):
+            from .functions import summarize_cycles_calls
+            return self._wrap(
+                summarize_cycles_calls(self._df, summarizer, key),
+                is_sorted=False)
         from .operators.cycles import summarize_cycles
         return self._wrap(summarize_cycles(self._df, summarizer, key), is_sorted=False)
 
@@ -472,6 +481,14 @@ class TimeSeriesDataFrame:
 
     def summarize_windows(self, window, summarizer, key: Sequence[str] = ()
                           ) -> "TimeSeriesDataFrame":
+        """Summarizer object, or a reference-style udf dict
+        (``{'mean': udf(...)(self['v'])}`` — dispatches to
+        ``functions.summarize_windows_calls``, matching
+        ``python/ts/flint/dataframe.py:1099-1240``)."""
+        if isinstance(summarizer, Mapping):
+            from .functions import summarize_windows_calls
+            return self._wrap(
+                summarize_windows_calls(self._df, window, summarizer, key))
         from .operators.windows_ops import summarize_windows
         return self._wrap(summarize_windows(self._df, window, summarizer, key))
 

@@ -177,6 +177,32 @@ def test_summarize_windows_calls_udf_dict(spark):
     assert got[1300] == (8.0, 8.0, 1)
 
 
+def test_tsdf_summarize_dispatches_udf_dict(spark):
+    """Reference API parity: TSDF.summarize_windows / summarize_cycles
+    accept a udf DICT in the summarizer position
+    (python/ts/flint/dataframe.py:922-1010,1099-1240) and route to the
+    *_calls engines."""
+    from flint_spark import TimeSeriesDataFrame, windows as W
+
+    df = spark.createDataFrame(
+        [(1000, 1, 1.0), (1000, 1, 3.0), (1100, 1, 4.0), (1300, 1, 8.0)],
+        "time long, id int, v double")
+    ts = TimeSeriesDataFrame(df, is_sorted=True)
+
+    @FL.udf(T.DoubleType())
+    def total(v):
+        return float(v.sum())
+
+    win = ts.summarize_windows(W.past_absolute_time(100),
+                               {"s": total(df["v"])}, key=["id"])
+    assert {r.time: r.s for r in win.df.collect()} == \
+        {1000: 4.0, 1100: 8.0, 1300: 8.0}
+    cyc = ts.summarize_cycles({"s": total(df["v"])}, key=["id"])
+    assert {r.time: r.s for r in cyc.df.collect()} == \
+        {1000: 4.0, 1100: 4.0, 1300: 8.0}
+    assert not cyc.is_sorted
+
+
 def test_add_columns_for_cycle_udf_call(spark, cycles_df):
     """add_columns_for_cycle accepts a bound functions.udf() call (the
     reference CycleColumn udf form) and honors its declared type."""
