@@ -36,7 +36,8 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_lang_confusion, _sql_lsh_ann,
                            _sql_minhash_lsh, _sql_simhash,
                            _sql_simhash_pairs, _sql_text_stats,
-                           _sql_cms_counts, _sql_zorder_key)
+                           _sql_cms_counts, _sql_zorder_key,
+                           _sql_logreg_quality)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -190,6 +191,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passthrough": q_passthrough,
         "rolling_ols_multi": q_rolling_ols_multi,
         "asof_backward_bucketed": q_asof_backward_bucketed,
+        "logreg_quality": q_logreg_quality,
     }
 
 
@@ -252,6 +254,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "passthrough": SQL_PASSTHROUGH,
         "rolling_ols_multi": SQL_ROLLING_OLS_MULTI,
         "asof_backward_bucketed": SQL_ASOF_BACKWARD_BUCKETED,
+        "logreg_quality": _sql_logreg_quality(),
     }
 
 

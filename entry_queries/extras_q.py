@@ -2018,3 +2018,76 @@ SQL_ASOF_BACKWARD_BUCKETED = """
            END AS o_totalprice
   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.rt
 """
+
+
+_LOGREG_ITERS, _LOGREG_LR = 8, 0.5
+
+
+def _logreg_features(docs):
+    """Exactly-replayable numeric features: scaled token count, scaled
+    char length, lexical diversity (all integer counts + one division,
+    identical in DuckDB)."""
+    w = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        (F.size(w) / F.lit(100.0)).alias("x1"),
+        (F.length("text") / F.lit(1000.0)).alias("x2"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w))
+        .alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"))
+
+
+def q_logreg_quality(spark, sf):
+    """Trainable quality classifier (pipeline.text.train_logreg +
+    logreg_score — CCNet trains its LM/quality filters, so the engine
+    must TRAIN one, not just apply fixed weights): full-batch gradient
+    descent where each iteration is ONE aggregate over the corpus
+    (weights inlined as literals, driver holds k+1 floats), then
+    map-only scoring. Weights/gradients are half-up quantized every
+    iteration (the pca_components determinism recipe), so the oracle
+    replays the ENTIRE training loop as unrolled SQL CTEs and the
+    scores match value-for-value."""
+    from flint_spark.pipeline import text as text_ops
+
+    feats = _logreg_features(_t(spark, sf, "documents"))
+    w = text_ops.train_logreg(feats, ["x1", "x2", "x3"], "y",
+                              iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+    out = text_ops.logreg_score(feats, ["x1", "x2", "x3"], w)
+    return out.select("doc_id", R("quality", 6).alias("quality"),
+                      F.col("quality_pred").alias("pred"))
+
+
+def _sql_logreg_quality() -> str:
+    xs = ["x1", "x2", "x3"]
+    zexpr = lambda a: "w.w0 + " + " + ".join(
+        f"w.w{j + 1} * {a}.{c}" for j, c in enumerate(xs))
+    parts = [f"""
+  base AS MATERIALIZED (
+    SELECT doc_id,
+           len(string_split(text, ' ')) / 100.0 AS x1,
+           length(text) / 1000.0 AS x2,
+           len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')) AS x3,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM documents),
+  w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""]
+    for t in range(1, _LOGREG_ITERS + 1):
+        gsums = ",\n           ".join(
+            [f"floor(sum(p - y) * 1e9 + 0.5) / 1e9 AS g0"]
+            + [f"floor(sum((p - y) * {c}) * 1e9 + 0.5) / 1e9 AS g{j + 1}"
+               for j, c in enumerate(xs)])
+        wups = ",\n           ".join(
+            f"floor((w.w{j} - {_LOGREG_LR} * g.g{j} / g.n) * 1e9 + 0.5)"
+            f" / 1e9 AS w{j}" for j in range(len(xs) + 1))
+        parts.append(f"""
+  g{t} AS MATERIALIZED (
+    SELECT count(*) AS n,
+           {gsums}
+    FROM (SELECT b.*, 1.0 / (1.0 + exp(-({zexpr('b')}))) AS p
+          FROM base b CROSS JOIN w{t - 1} w)),
+  w{t} AS (SELECT {wups} FROM w{t - 1} w, g{t} g)""")
+    return ("  WITH" + ",".join(parts) + f"""
+  SELECT doc_id, floor(p * 1e6 + 0.5) / 1e6 AS quality, p >= 0.5 AS pred
+  FROM (SELECT b.doc_id, 1.0 / (1.0 + exp(-({zexpr('b')}))) AS p
+        FROM base b CROSS JOIN w{_LOGREG_ITERS} w)
+""")

@@ -14,6 +14,8 @@ feature (measured ~40% of the whole query).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -427,3 +429,59 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred": _language_id(w),
         "fingerprint": _fingerprint(w),
     }).drop("__w")
+
+
+def train_logreg(df: DataFrame, feature_cols: Sequence[str],
+                 label_col: str, iters: int = 8, lr: float = 0.5,
+                 decimals: int = 9) -> list[float]:
+    """Distributed logistic-regression training by full-batch gradient
+    descent — the TRAINABLE complement to the fixed-weight
+    :func:`hashed_classifier_score` (CCNet trains its quality
+    classifier; the hashed scorer only applies one). Returns
+    ``[w_intercept, w_1..w_k]``.
+
+    Each iteration is ONE partial+final aggregate over the data
+    (``sum((sigmoid(w·x) − y) · x_j)``, current weights inlined as
+    literals — the ``ivf_assign`` trick), so per-iteration driver
+    state is k+1 floats and nothing corpus-sized ever moves: the scan
+    is the whole cost. At 100 TB, project + persist the feature
+    columns once before calling (the ``iters`` scans then read the
+    narrow cached projection, not the text). Weights and gradients
+    are half-up quantized to ``decimals`` every iteration, so a SQL
+    engine replaying the same arithmetic reproduces the weights
+    bit-for-bit (the ``pca_components`` determinism recipe —
+    sum-order FP noise sits ~1e-13 below the 0.5e-9 quantum)."""
+    from .similarity import _q
+
+    k = len(feature_cols)
+    w = [0.0] * (k + 1)
+    y = F.col(label_col).cast("double")
+    n = None
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for j, c in enumerate(feature_cols):
+            z = z + F.lit(w[j + 1]) * F.col(c).cast("double")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        aggs = [F.count(F.lit(1)).alias("n"),
+                F.sum(p - y).alias("g0")]
+        aggs += [F.sum((p - y) * F.col(c).cast("double")).alias(f"g{j + 1}")
+                 for j, c in enumerate(feature_cols)]
+        row = df.agg(*aggs).first()
+        n = row["n"]
+        grads = [_q(row[f"g{j}"], decimals) for j in range(k + 1)]
+        w = [_q(w[j] - lr * grads[j] / n, decimals) for j in range(k + 1)]
+    return w
+
+
+def logreg_score(df: DataFrame, feature_cols: Sequence[str],
+                 weights: Sequence[float],
+                 out_col: str = "quality") -> DataFrame:
+    """Map-only scoring with trained :func:`train_logreg` weights:
+    adds ``<out_col>`` (sigmoid probability) and ``<out_col>_pred``.
+    Zero shuffles, zero Python — the weights ride as literals."""
+    z = F.lit(float(weights[0]))
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(float(weights[j + 1])) * F.col(c).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (df.withColumn(out_col, p)
+            .withColumn(f"{out_col}_pred", p >= F.lit(0.5)))

@@ -822,6 +822,41 @@ def test_asof_cogroup_bucketed_elides_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_train_logreg_learns_separable_data(spark):
+    """train_logreg genuinely learns: on linearly separable features
+    the trained weights beat the zero model's log-loss and the scorer
+    splits predictions correctly (the oracle gate pins exact replay;
+    this pins that the thing replayed is actual learning)."""
+    import math
+
+    from flint_spark.pipeline.text import logreg_score, train_logreg
+
+    rows = [(i, (i % 20) / 10.0, ((i * 7) % 13) / 13.0,
+             1.0 if (i % 20) / 10.0 > 1.0 else 0.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, "
+                                     "y double")
+    w = train_logreg(df, ["x1", "x2"], "y", iters=30, lr=2.0)
+    assert any(abs(v) > 0.1 for v in w)
+
+    def loss(weights):
+        tot = 0.0
+        for r in df.collect():
+            z = weights[0] + weights[1] * r.x1 + weights[2] * r.x2
+            p = 1.0 / (1.0 + math.exp(-z))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            tot += -(r.y * math.log(p) + (1 - r.y) * math.log(1 - p))
+        return tot / 400
+
+    assert loss(w) < loss([0.0, 0.0, 0.0]) * 0.8
+    out = logreg_score(df, ["x1", "x2"], w)
+    acc = out.filter("(quality_pred and y = 1.0) or "
+                     "(not quality_pred and y = 0.0)").count() / 400
+    assert acc > 0.85
+    # scores are per-row discriminative, not a constant
+    qs = [r.quality for r in out.select("quality").distinct().collect()]
+    assert len(qs) > 10
+
+
 def test_bucketed_layout_elides_aggregate_exchange(spark):
     """The bucketed layout pays off beyond as-of joins: Catalyst's own
     HashAggregate/Window require ClusteredDistribution on the grouping
