@@ -651,6 +651,58 @@ def test_rolling_ols_stream_vs_duckdb(spark, con, tmp_path):
     assert ok, msg
 
 
+def test_rolling_ols_stream_late_arrival_converges(spark, tmp_path):
+    """Late in-horizon chunk slots into the sorted (t, x, y) state:
+    rows scored at-or-after the late data landed match the batch
+    rolling_ols exactly (same convergence contract as the anomaly
+    stream)."""
+    import pandas as pd
+
+    from flint_spark import windows as W
+    from flint_spark.operators.regression import rolling_ols
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [((base + pd.Timedelta(hours=h)).to_pydatetime(), "k",
+             float(h % 5), float(2.0 * (h % 5) + 1.0 + (h % 3) * 0.1))
+            for h in [0, 1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 12]]
+    batch = spark.createDataFrame(
+        rows, "time timestamp, k string, x double, y double")
+    out_dir = str(tmp_path / "rolate")
+    os.makedirs(out_dir, exist_ok=True)
+    # replay: [hours 0-5, 9] then LATE [6-7] then [10-12]
+    for i, idx in enumerate([[0, 1, 2, 3, 4, 5, 8], [6, 7], [9, 10, 11]]):
+        sub = [rows[j] for j in idx]
+        (spark.createDataFrame(sub, batch.schema).coalesce(1)
+         .write.mode("overwrite").parquet(out_dir + f"/_t{i}"))
+        src = next(f for f in os.listdir(out_dir + f"/_t{i}")
+                   if f.endswith(".parquet"))
+        shutil.move(os.path.join(out_dir + f"/_t{i}", src),
+                    os.path.join(out_dir, f"chunk_{i}.parquet"))
+        shutil.rmtree(out_dir + f"/_t{i}")
+    st = (spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = ts_stream.rolling_ols_stream(st, "y", "x", key=["k"],
+                                       window="1d", min_samples=3)
+    _run_to_table(out, "so_ro_late")
+    got = {r["__tns"]: (r.beta, r.alpha, r.r2)
+           for r in spark.sql("SELECT * FROM so_ro_late").collect()}
+    exp_df = rolling_ols(
+        batch.withColumn("__tns", F.unix_micros("time") * 1000),
+        "y", "x", W.past_absolute_time("1d"), key=["k"], min_samples=3)
+    exp = {r["__tns"]: (r.beta, r.alpha, r.r2) for r in exp_df.collect()}
+    late_ns = int((base + pd.Timedelta(hours=10)).value)
+    checked = 0
+    for tns, g in got.items():
+        if tns >= late_ns:
+            e = exp[tns]
+            for gv, ev in zip(g, e):
+                assert (gv is None) == (ev is None) and \
+                    (gv is None or abs(gv - ev) < 1e-9), (tns, g, e)
+            checked += 1
+    assert checked >= 3
+    assert got[late_ns][0] is not None  # hour-10 window includes 6-7
+
+
 def test_streaming_bloom_ingestion_vs_duckdb(spark, con, tmp_path):
     """Fifteenth replay gate (r4 judge item #8): bloom_flag is
     map-only (bitmap rides a broadcast into one Arrow stage), so it
