@@ -177,6 +177,47 @@ def linearity_suite(spark, millions: float = 5.0):
 
     linearity("point_in_interval_join", range_join, n_small, n_big)
 
+    # r5 engines: complete-group Arrow batching + cogroup as-of
+    def window_udf_lin(n):
+        from flint_spark.functions import summarize_windows_udf
+
+        return summarize_windows_udf(
+            keyed_panel(n), W.past_absolute_time("100s"),
+            lambda w: float(w["x1"].mean()) if len(w) else None,
+            "m", key=["id"])
+
+    linearity("window_udf bucketed engine", window_udf_lin,
+              n_small, n_big)
+
+    def cycles_udf_lin(n):
+        from flint_spark.functions import summarize_cycles_udf
+
+        # n/20 cycles of 20 rows: the many-small-groups shape
+        panel = spark.range(n).select(
+            (F.pmod(F.col("id"), F.lit(n // 20)) * 10**9).alias("time"),
+            (F.col("id") % 97).cast("double").alias("x1"))
+        return summarize_cycles_udf(
+            panel, lambda g: {"s": float(g.x1.sum())}, "s double")
+
+    linearity("cycles_udf group engine", cycles_udf_lin, n_small, n_big)
+
+    def keyed_ewma_lin(n):
+        return ewma(keyed_panel(n), "x1", key=["id"],
+                    duration_per_period="1s")
+
+    linearity("ewma keyed scan engine", keyed_ewma_lin, n_small, n_big)
+
+    def cogroup_asof_lin(n):
+        left = keyed_panel(n)
+        right = (spark.range(n // 4)
+                 .select((F.col("id") * 4 * 10**9 + 500).alias("time"),
+                         F.pmod(F.col("id"), F.lit(2000)).alias("id"),
+                         (F.col("id") % 89).cast("double").alias("v")))
+        return asof.left_join_cogroup(left, right, tolerance="100s",
+                                      key=["id"])
+
+    linearity("left_join_cogroup", cogroup_asof_lin, n_small, n_big)
+
 
 def synth_corpus(spark, n_docs: int, seed: int = 5):
     """Synthetic text corpus with realistic shingle overlap: each doc
