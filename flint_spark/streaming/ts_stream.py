@@ -967,3 +967,132 @@ def rolling_ols_stream(stream: DataFrame, y: str, x: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def rolling_ols_multi_stream(stream: DataFrame, y: str,
+                             xs: Sequence[str], key: Sequence[str],
+                             window: str | int = "7d",
+                             min_samples: int | None = None,
+                             time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of ``operators.regression.rolling_ols_multi``:
+    per-key k-regressor OLS (alpha, beta[], r2) over the trailing
+    ``[t - window, t]`` frame via prefix sums of every Gramian product
+    over the sorted complete-case state buffer, then stacked
+    ``np.linalg.solve`` per micro-batch — the batch operator's two
+    stages (windowed sums + batched solve) fused into one stateful
+    fold. Same late-arrival (sorted-merge) and complete-case
+    contracts as :func:`rolling_ols_stream`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    xs = list(xs)
+    k = len(xs)
+    if k == 0:
+        raise ValueError("xs must name at least one regressor")
+    if min_samples is None:
+        min_samples = k + 2
+    w_ns = parse_duration_ns(window)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in xs]
+        + [T.StructField(y, T.DoubleType()),
+           T.StructField("alpha", T.DoubleType()),
+           T.StructField("beta", T.ArrayType(T.DoubleType())),
+           T.StructField("r2", T.DoubleType())])
+    state_schema = T.StructType(
+        [T.StructField("ts", T.ArrayType(T.LongType()))]
+        + [T.StructField(f"x{j}", T.ArrayType(T.DoubleType()))
+           for j in range(k)]
+        + [T.StructField("ys", T.ArrayType(T.DoubleType()))])
+    m = k + 2  # terms: [1, x1..xk, y]
+
+    def fold(key_vals, pdf_iter, state):
+        if state.exists:
+            st = state.get
+            bt = np.asarray(st[0] or [], dtype=np.int64)
+            bx = [np.asarray(st[1 + j] or [], dtype=np.float64)
+                  for j in range(k)]
+            by = np.asarray(st[k + 1] or [], dtype=np.float64)
+        else:
+            bt = np.asarray([], dtype=np.int64)
+            bx = [np.asarray([], dtype=np.float64) for _ in range(k)]
+            by = np.asarray([], dtype=np.float64)
+        frames = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__tns", kind="stable")
+            t_new = pdf["__tns"].to_numpy(np.int64)
+            x_new = [pdf[c].to_numpy(np.float64) for c in xs]
+            y_new = pdf[y].to_numpy(np.float64)
+            comp = ~np.isnan(y_new)
+            for xv in x_new:
+                comp &= ~np.isnan(xv)
+            mt = np.concatenate([bt, t_new[comp]])
+            mx = [np.concatenate([bx[j], x_new[j][comp]])
+                  for j in range(k)]
+            my = np.concatenate([by, y_new[comp]])
+            order = np.argsort(mt, kind="stable")
+            allt = mt[order]
+            terms = [np.ones(len(allt))] \
+                + [mx[j][order] for j in range(k)] + [my[order]]
+            pre = lambda v: np.concatenate([[0.0], np.cumsum(v)])
+            ps = {}
+            for i in range(m):
+                for j in range(i, m):
+                    ps[(i, j)] = pre(terms[i] * terms[j])
+            lo = np.searchsorted(allt, t_new - w_ns, side="left")
+            hi = np.searchsorted(allt, t_new, side="right")
+            N = len(t_new)
+            S = np.zeros((N, m, m))
+            for i in range(m):
+                for j in range(i, m):
+                    v = ps[(i, j)][hi] - ps[(i, j)][lo]
+                    S[:, i, j] = v
+                    S[:, j, i] = v
+            n = S[:, 0, 0]
+            A = S[:, :k + 1, :k + 1]
+            b = S[:, :k + 1, k + 1]
+            syy = S[:, k + 1, k + 1]
+            sy = S[:, 0, k + 1]
+            with np.errstate(all="ignore"):
+                det = np.linalg.det(A)
+                ok = (n >= min_samples) & np.isfinite(det) & (det != 0.0)
+                coef = np.full((N, k + 1), np.nan)
+                if ok.any():
+                    coef[ok] = np.linalg.solve(A[ok], b[ok])
+                sse = syy - np.einsum("np,np->n", coef, b)
+                sst = syy - sy * sy / np.maximum(n, 1)
+                r2 = np.where(ok & (sst > 0), 1.0 - sse / sst, np.nan)
+            res = pd.DataFrame({c: [kv] * N
+                                for c, kv in zip(key, key_vals)})
+            res["__tns"] = t_new
+            for j, c in enumerate(xs):
+                res[c] = x_new[j]
+            res[y] = y_new
+            fin = lambda a: [None if np.isnan(v) else float(v) for v in a]
+            res["alpha"] = fin(coef[:, 0])
+            res["beta"] = [None if not o else [float(v) for v in row[1:]]
+                           for o, row in zip(ok, coef)]
+            res["r2"] = fin(r2)
+            frames.append(res)
+            max_seen = int(t_new[-1])
+            if len(allt):
+                max_seen = max(max_seen, int(allt[-1]))
+            keep = allt >= max_seen - w_ns
+            bt = allt[keep]
+            bx = [terms[1 + j][keep] for j in range(k)]
+            by = terms[k + 1][keep]
+        state.update((bt.tolist(), *[v.tolist() for v in bx],
+                      by.tolist()))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

@@ -325,8 +325,17 @@ def vocab_scale(spark, n_docs: int = 1_000_000):
 
     # tf-idf: the df table is ~10M rows here; with no forced hint AQE
     # must pick a shuffle join and complete instead of OOMing
-    timed("tfidf_top_terms (AQE join)",
-          text_ops.tfidf_top_terms(docs, k=3))
+    tfidf = text_ops.tfidf_top_terms(docs, k=3)
+    timed("tfidf_top_terms (AQE join)", tfidf)
+    # plan proof: the ONLY broadcast input is the 1-row n_docs
+    # aggregate — the 10M-row df table must ride a shuffle join
+    troot = tfidf._jdf.queryExecution().executedPlan()
+    tb = [n for n in subtree(troot)
+          if n.nodeName().startswith("BroadcastExchange")]
+    for b in tb:
+        assert "keys=[]" in b.toString(), \
+            f"df table broadcast: {b.toString()[:300]}"
+    print(f"  tfidf broadcasts: {len(tb)} (all 1-row aggregates)")
 
 
 def window_udf_scale(spark, millions: float = 5.0):

@@ -703,6 +703,97 @@ def test_rolling_ols_stream_late_arrival_converges(spark, tmp_path):
     assert got[late_ns][0] is not None  # hour-10 window includes 6-7
 
 
+def test_rolling_ols_multi_stream_vs_duckdb(spark, con, tmp_path):
+    """Seventeenth replay gate: streaming k=2 rolling OLS == DuckDB's
+    complete-case windowed Gramian sums solved by Cramer's rule over
+    the batch range frame, on an in-order file replay (every 9th x1
+    nulled on both sides to pin the complete-case rule)."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("x1", F.when(F.col("event_id") % 9 != 0,
+                                   F.get_json_object(F.col("props"), "$.k")
+                                   .cast("double")))
+          .withColumn("x2", (F.col("event_id") % 7).cast("double"))
+          .select("time", "user_id", "x1", "x2", "value"))
+    st = _replay(spark, ev, str(tmp_path / "rom"))
+    out = ts_stream.rolling_ols_multi_stream(
+        st, "value", ["x1", "x2"], key=["user_id"], window="7d",
+        min_samples=5)
+    _run_to_table(out, "so_rolsm")
+    got = (spark.sql("SELECT * FROM so_rolsm")
+           .filter(F.col("beta").isNotNull())
+           .select(F.col("__tns").alias("tns"), "user_id", "x1", "x2",
+                   "value",
+                   (F.floor(F.col("alpha") * 10000 + 0.5) / 10000)
+                   .alias("alpha"),
+                   (F.floor(F.col("beta")[0] * 10000 + 0.5) / 10000)
+                   .alias("b1"),
+                   (F.floor(F.col("beta")[1] * 10000 + 0.5) / 10000)
+                   .alias("b2"),
+                   (F.floor(F.col("r2") * 1000000 + 0.5) / 1000000)
+                   .alias("r2")))
+    sql = """
+      WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns, user_id,
+               CASE WHEN event_id % 9 <> 0 THEN
+                 CAST(json_extract_string(props, '$.k') AS DOUBLE) END
+                 AS x1,
+               (event_id % 7)::DOUBLE AS x2, value
+        FROM events
+      ),
+      m AS (
+        SELECT tns, user_id, x1, x2, value,
+               CASE WHEN x1 IS NOT NULL AND value IS NOT NULL THEN x1
+                 END AS mx1,
+               CASE WHEN x1 IS NOT NULL AND value IS NOT NULL THEN x2
+                 END AS mx2,
+               CASE WHEN x1 IS NOT NULL AND value IS NOT NULL THEN value
+                 END AS my
+        FROM e
+      ),
+      s AS (
+        SELECT tns, user_id, x1, x2, value,
+               count(my) OVER w AS n,
+               sum(mx1) OVER w AS a, sum(mx2) OVER w AS b,
+               sum(mx1 * mx1) OVER w AS c, sum(mx1 * mx2) OVER w AS d,
+               sum(mx2 * mx2) OVER w AS e,
+               sum(my) OVER w AS sy, sum(mx1 * my) OVER w AS p,
+               sum(mx2 * my) OVER w AS q, sum(my * my) OVER w AS syy
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY tns
+                     RANGE BETWEEN 604800000000000 PRECEDING
+                     AND CURRENT ROW)
+      ),
+      solved AS (
+        SELECT *, n * (c * e - d * d) - a * (a * e - d * b)
+                  + b * (a * d - c * b) AS det
+        FROM s
+      ),
+      coefs AS (
+        SELECT tns, user_id, x1, x2, value, n, sy, p, q, syy, det,
+               (sy * (c * e - d * d) - a * (p * e - d * q)
+                  + b * (p * d - c * q)) / det AS alpha,
+               (n * (p * e - d * q) - sy * (a * e - d * b)
+                  + b * (a * q - p * b)) / det AS b1,
+               (n * (c * q - p * d) - a * (a * q - p * b)
+                  + sy * (a * d - c * b)) / det AS b2
+        FROM solved WHERE n >= 5 AND det <> 0
+      )
+      SELECT tns, user_id, x1, x2, value,
+             floor(alpha * 10000 + 0.5) / 10000 AS alpha,
+             floor(b1 * 10000 + 0.5) / 10000 AS b1,
+             floor(b2 * 10000 + 0.5) / 10000 AS b2,
+             CASE WHEN syy - sy * sy / n > 0 THEN
+               floor((1.0 - (syy - alpha * sy - b1 * p - b2 * q)
+                            / (syy - sy * sy / n)) * 1000000 + 0.5)
+                 / 1000000
+             END AS r2
+      FROM coefs
+    """
+    ok, msg = compare("so_rolsm", got, sql, con)
+    assert ok, msg
+
+
 def test_streaming_bloom_ingestion_vs_duckdb(spark, con, tmp_path):
     """Fifteenth replay gate (r4 judge item #8): bloom_flag is
     map-only (bitmap rides a broadcast into one Arrow stage), so it
