@@ -192,6 +192,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_ols_multi": q_rolling_ols_multi,
         "asof_backward_bucketed": q_asof_backward_bucketed,
         "logreg_quality": q_logreg_quality,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -255,6 +256,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "rolling_ols_multi": SQL_ROLLING_OLS_MULTI,
         "asof_backward_bucketed": SQL_ASOF_BACKWARD_BUCKETED,
         "logreg_quality": _sql_logreg_quality(),
+        "chunk_docs": SQL_CHUNK_DOCS,
     }
 
 

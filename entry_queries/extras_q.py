@@ -2091,3 +2091,26 @@ def _sql_logreg_quality() -> str:
   FROM (SELECT b.doc_id, 1.0 / (1.0 + exp(-({zexpr('b')}))) AS p
         FROM base b CROSS JOIN w{_LOGREG_ITERS} w)
 """)
+
+
+def q_chunk_docs(spark, sf):
+    """Overlapping token-window document chunking
+    (pipeline.text.chunk_documents): 64-token chunks, 16-token
+    overlap — the context-window preparation step; pure expression
+    (split once -> explode sequence -> slice), zero shuffles."""
+    docs = _t(spark, sf, "documents")
+    return (text_ops.chunk_documents(docs, max_tokens=64, overlap=16)
+            .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text"))
+
+
+SQL_CHUNK_DOCS = """
+  WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       c AS (SELECT doc_id, w, len(w) AS n,
+                    greatest(1, CAST(ceil((len(w) - 16) / 48.0) AS INT)) AS nc
+             FROM t),
+       e AS (SELECT doc_id, w, n, unnest(range(nc)) AS chunk_id FROM c)
+  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         CAST(least(64, n - chunk_id*48) AS INT) AS chunk_tokens,
+         array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+  FROM e
+"""

@@ -485,3 +485,45 @@ def logreg_score(df: DataFrame, feature_cols: Sequence[str],
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (df.withColumn(out_col, p)
             .withColumn(f"{out_col}_pred", p >= F.lit(0.5)))
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int = 64,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    context-window preparation step of a training pipeline (compose
+    with ``sampling.pack_documents`` to pack the chunks into fixed
+    sequence budgets).
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride +
+    max_tokens)`` with ``stride = max_tokens - overlap``; the number of
+    chunks is ``max(1, ceil((n_tokens - overlap) / stride))``, so every
+    token belongs to at least one chunk, consecutive chunks share
+    ``overlap`` tokens, and an empty/short document still yields its
+    single (possibly short) chunk.
+
+    Scale: pure expression — split once, explode a ``sequence()`` of
+    chunk ids, ``slice`` + ``array_join`` per chunk. Zero shuffles,
+    zero Python; output bytes ~= input bytes * (1 + overlap/stride).
+    Beyond the reference surface (its corpus ops stop at the document
+    level); deterministic and SQL-replayable like the rest of this
+    module.
+    """
+    if overlap < 0 or max_tokens <= overlap:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    n = F.size(F.col("__w"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    start = F.col("chunk_id") * F.lit(stride)  # 0-based token offset
+    return (docs
+            .withColumn("__w", _words(text_col))
+            .withColumn("chunk_id",
+                        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))))
+            .withColumn("chunk_tokens",
+                        F.least(F.lit(max_tokens), F.size("__w") - start))
+            .withColumn("chunk_text",
+                        F.array_join(F.slice("__w", start + F.lit(1),
+                                             F.lit(max_tokens)), " "))
+            .drop("__w"))

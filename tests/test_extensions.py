@@ -2261,3 +2261,37 @@ def test_zorder_key_is_invertible(spark):
             a |= ((r.z >> (2 * i + 1)) & 1) << i
             b |= ((r.z >> (2 * i)) & 1) << i
         assert (a, b) == (r.a, r.b), (r.z, a, b, r.a, r.b)
+
+
+def test_chunk_documents_contracts(spark):
+    """Every token appears in >= 1 chunk, consecutive chunks share
+    exactly `overlap` tokens, short/empty docs yield one chunk, and
+    the parameter guard rejects overlap >= max_tokens."""
+    import pytest
+    from flint_spark.pipeline.text import chunk_documents
+
+    rows = [("a", "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            ("b", "x"),                               # 1 token
+            ("c", ""),                                # split -> [""]
+            ("d", " ".join(f"w{i}" for i in range(17)))]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = chunk_documents(docs, max_tokens=8, overlap=3).toPandas()
+    by = {k: g.sort_values("chunk_id") for k, g in out.groupby("doc_id")}
+
+    # d: 17 tokens, stride 5 -> ceil((17-3)/5) = 3 chunks
+    d = by["d"]
+    assert list(d.chunk_id) == [0, 1, 2]
+    assert list(d.chunk_tokens) == [8, 8, 7]
+    # reconstruction: chunk i tokens [5i, 5i+8) — union covers 0..16
+    toks = [c.split(" ") for c in d.chunk_text]
+    assert toks[0] == [f"w{i}" for i in range(8)]
+    assert toks[1] == [f"w{i}" for i in range(5, 13)]
+    assert toks[2] == [f"w{i}" for i in range(10, 17)]
+    assert toks[0][5:] == toks[1][:3]  # overlap of 3
+    # a: 10 tokens -> ceil(7/5) = 2 chunks; b/c: single chunk
+    assert list(by["a"].chunk_tokens) == [8, 5]
+    assert list(by["b"].chunk_tokens) == [1]
+    assert list(by["c"].chunk_tokens) == [1]  # [""] — empty string token
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)
