@@ -193,6 +193,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_backward_bucketed": q_asof_backward_bucketed,
         "logreg_quality": q_logreg_quality,
         "chunk_docs": q_chunk_docs,
+        "overlap_join": q_overlap_join,
     }
 
 
@@ -257,6 +258,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "asof_backward_bucketed": SQL_ASOF_BACKWARD_BUCKETED,
         "logreg_quality": _sql_logreg_quality(),
         "chunk_docs": SQL_CHUNK_DOCS,
+        "overlap_join": SQL_OVERLAP_JOIN,
     }
 
 

@@ -2114,3 +2114,46 @@ SQL_CHUNK_DOCS = """
          array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
   FROM e
 """
+
+
+def q_overlap_join(spark, sf):
+    """Interval-overlap range join (operators.joins
+    .interval_overlap_join): activity intervals from two event
+    subsets meet in a 1h-bucket equi-join, each overlapping pair
+    emitted exactly once from the overlap-start bucket (the keyed
+    variant is pinned by tests/test_extensions.py's brute-force
+    parity matrix). The oracle runs the inequality join directly."""
+    from flint_spark.operators import joins
+
+    ev = _events(spark, sf)
+    lhs = (ev.filter(F.col("event_id") % 7 == 0)
+           .select(F.col("event_id").alias("lid"),
+                   (F.col(TIME_COLUMN) - F.expr("INTERVAL 45 MINUTES")).alias("begin"),
+                   (F.col(TIME_COLUMN) + F.expr("INTERVAL 45 MINUTES")).alias("end")))
+    rhs = (ev.filter(F.col("event_id") % 11 == 0)
+           .select(F.col("event_id").alias("rid"),
+                   (F.col(TIME_COLUMN) - F.expr("INTERVAL 30 MINUTES")).alias("rbegin"),
+                   (F.col(TIME_COLUMN) + F.expr("INTERVAL 90 MINUTES")).alias("rend")))
+    j = joins.interval_overlap_join(lhs, rhs, bucket="1h")
+    return (j.groupBy("lid")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("rid").alias("rid_sum"))
+            .select("lid", "n_pairs", "rid_sum"))
+
+
+SQL_OVERLAP_JOIN = """
+  WITH l AS (
+    SELECT event_id AS lid,
+           CAST(ts AS TIMESTAMP) - INTERVAL 45 MINUTE AS b,
+           CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+    FROM events WHERE event_id % 7 = 0),
+  r AS (
+    SELECT event_id AS rid,
+           CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS b,
+           CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS e
+    FROM events WHERE event_id % 11 = 0)
+  SELECT l.lid, count(*) AS n_pairs,
+         CAST(sum(r.rid) AS BIGINT) AS rid_sum
+  FROM l JOIN r ON l.b < r.e AND r.b < l.e
+  GROUP BY 1
+"""

@@ -2295,3 +2295,45 @@ def test_chunk_documents_contracts(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=8, overlap=8)
+
+
+def test_interval_overlap_join_matches_nested_loop(spark):
+    """Bucketed overlap join == brute-force inequality join, including
+    exactly-once pair emission across bucket boundaries, degenerate
+    (end <= begin) intervals dropped, and keyed tightening."""
+    import random
+    from flint_spark.operators.joins import interval_overlap_join
+
+    random.seed(11)
+    L = [(i, random.randrange(0, 10**6), random.randrange(-100, 2 * 10**5),
+          f"k{random.randrange(3)}") for i in range(120)]
+    Rr = [(j, random.randrange(0, 10**6), random.randrange(-100, 2 * 10**5),
+           f"k{random.randrange(3)}") for j in range(100)]
+    ldf = spark.createDataFrame([(i, b, b + d, k) for i, b, d, k in L],
+                                "lid long, begin long, end long, key string")
+    rdf = spark.createDataFrame([(j, b, b + d, k) for j, b, d, k in Rr],
+                                "rid long, rbegin long, rend long, key string")
+
+    def brute(keyed):
+        exp = set()
+        for i, b, d, k in L:
+            e = b + d
+            if e <= b:
+                continue
+            for j, rb, rd, rk in Rr:
+                re_ = rb + rd
+                if re_ <= rb or (keyed and rk != k):
+                    continue
+                if b < re_ and rb < e:
+                    exp.add((i, j))
+        return exp
+
+    got = set(map(tuple, interval_overlap_join(
+        ldf, rdf, bucket=50_000, key=["key"])
+        .select("lid", "rid").toPandas().values.tolist()))
+    assert got == brute(True)
+
+    got2 = set(map(tuple, interval_overlap_join(
+        ldf.drop("key"), rdf.drop("key"), bucket=30_000)
+        .select("lid", "rid").toPandas().values.tolist()))
+    assert got2 == brute(False)
