@@ -194,6 +194,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_quality": q_logreg_quality,
         "chunk_docs": q_chunk_docs,
         "overlap_join": q_overlap_join,
+        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -259,6 +260,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "logreg_quality": _sql_logreg_quality(),
         "chunk_docs": SQL_CHUNK_DOCS,
         "overlap_join": SQL_OVERLAP_JOIN,
+        "global_shuffle": SQL_GLOBAL_SHUFFLE,
     }
 
 

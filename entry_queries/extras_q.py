@@ -2157,3 +2157,32 @@ SQL_OVERLAP_JOIN = """
   FROM l JOIN r ON l.b < r.e AND r.b < l.e
   GROUP BY 1
 """
+
+
+def q_global_shuffle(spark, sf):
+    """Deterministic global shuffle (pipeline.sampling.global_shuffle):
+    unique global_pos = shard offset + within-shard md5-key rank; ONE
+    keyed exchange, driver state bounded by the shard count. The
+    oracle replays offsets as an exclusive prefix sum over the
+    16-row count table."""
+    from flint_spark.pipeline.sampling import global_shuffle
+
+    docs = _t(spark, sf, "documents")
+    return (global_shuffle(docs, seed="epoch0", shards=16)
+            .select("doc_id", "shard", "global_pos"))
+
+
+SQL_GLOBAL_SHUFFLE = """
+  WITH t AS (
+    SELECT doc_id, md5('epoch0:' || doc_id::VARCHAR) AS k,
+           CAST((('0x' || substr(md5('epoch0:' || doc_id::VARCHAR), 1, 7))::BIGINT)
+                % 16 AS INT) AS shard
+    FROM documents),
+  c AS (SELECT shard, count(*) AS c FROM t GROUP BY 1),
+  o AS (SELECT shard, COALESCE(sum(c) OVER (ORDER BY shard
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c)
+  SELECT t.doc_id, t.shard,
+         CAST(o.off + row_number() OVER (PARTITION BY t.shard
+              ORDER BY t.k, t.doc_id) - 1 AS BIGINT) AS global_pos
+  FROM t JOIN o USING (shard)
+"""

@@ -250,3 +250,46 @@ def mix_corpora(sources: Mapping[str, tuple[DataFrame, float]],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def global_shuffle(df: DataFrame, seed: str = "epoch0", on: str = "doc_id",
+                   shards: int = 64) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    unique ``global_pos`` in [0, n) — the permutation induced by
+    sorting on ``md5(seed || ':' || id)`` — without ever planning a
+    single-partition global window.
+
+    Mechanics: ``shard`` = 28-bit hash of the sort key mod ``shards``;
+    within-shard rank is one keyed window (ONE hash exchange);
+    ``global_pos = shard_offset + rank`` where the offsets are the
+    exclusive prefix sums of the ``shards``-row count table — the only
+    driver state, bounded by ``shards`` regardless of corpus size.
+    Epoch reshuffles are just a new ``seed``. ``on`` must be unique
+    per row (it seeds the hash AND breaks exact-key ties); the
+    permutation is reproducible across runs, engines and partition
+    layouts, unlike ``df.orderBy(rand())``.
+
+    Scale: readers consume shards 0..S-1 each sorted by ``global_pos``;
+    ``shards`` only needs to exceed reader/writer parallelism. The
+    count pass is a second scan but aggregates map-side to S rows."""
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    skey = F.md5(F.concat(F.lit(f"{seed}:"), F.col(on).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(skey, 1, 7), 16, 10).cast("long"),
+        F.lit(shards)).cast("int")
+    t = df.withColumn("__k", skey).withColumn("shard", shard)
+    counts = {r["shard"]: r["c"] for r in
+              t.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offset, acc = {}, 0
+    for s in sorted(counts):
+        offset[s] = acc
+        acc += counts[s]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v) for s in sorted(offset)
+                       for v in (s, offset[s])]),
+        F.col("shard")) if offset else F.lit(0)
+    rank = F.row_number().over(
+        Window.partitionBy("shard").orderBy("__k", on)) - F.lit(1)
+    return (t.withColumn("global_pos", (off_expr + rank).cast("long"))
+            .drop("__k"))

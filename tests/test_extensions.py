@@ -2337,3 +2337,23 @@ def test_interval_overlap_join_matches_nested_loop(spark):
         ldf.drop("key"), rdf.drop("key"), bucket=30_000)
         .select("lid", "rid").toPandas().values.tolist()))
     assert got2 == brute(False)
+
+
+def test_global_shuffle_is_layout_invariant_permutation(spark):
+    """global_pos is a bijection onto [0, n), identical across
+    partition layouts and different per seed."""
+    from flint_spark.pipeline.sampling import global_shuffle
+
+    docs = spark.range(0, 257).select(F.col("id").alias("doc_id"))
+    a = global_shuffle(docs, seed="e0", shards=8) \
+        .select("doc_id", "global_pos").toPandas()
+    assert sorted(a.global_pos) == list(range(257))
+    b = global_shuffle(docs.repartition(7), seed="e0", shards=8) \
+        .select("doc_id", "global_pos").toPandas()
+    assert a.set_index("doc_id").global_pos.to_dict() == \
+        b.set_index("doc_id").global_pos.to_dict()
+    c = global_shuffle(docs, seed="e1", shards=8) \
+        .select("doc_id", "global_pos").toPandas()
+    assert sorted(c.global_pos) == list(range(257))
+    assert a.set_index("doc_id").global_pos.to_dict() != \
+        c.set_index("doc_id").global_pos.to_dict()
