@@ -78,22 +78,8 @@ _ORDERS_RIGHT_SQL = """
 
 
 def count_exchanges(df) -> int:
-    """Exchange count of df's final adaptive plan (forces a noop
-    execution) — lets a gate assert its promised shuffle shape."""
-    def walk(node):
-        name = node.nodeName()
-        yield name
-        if name.startswith(("InMemoryTableScan", "ReusedExchange")):
-            return
-        if name.startswith("AdaptiveSparkPlan"):
-            yield from walk(node.executedPlan())
-            return
-        if "QueryStage" in name:
-            yield from walk(node.plan())
-            return
-        for i in range(node.children().length()):
-            yield from walk(node.children().apply(i))
-
-    df.write.mode("overwrite").format("noop").save()
-    plan = df._jdf.queryExecution().executedPlan()
-    return sum(1 for n in walk(plan) if n == "Exchange")
+    """Exchange count of df's final adaptive plan (executes the df so
+    AQE finalizes) — lets a gate assert its promised shuffle shape.
+    Shared walker: ``flint_spark.plans.audit``."""
+    from flint_spark.plans.audit import count_exchanges as _ce
+    return _ce(df)

@@ -59,22 +59,47 @@ def _complete_group_batches(batches, gcols: Sequence[str]):
     (docs/BENCH_NOTES.md)."""
     import numpy as np
 
-    carry: pd.DataFrame | None = None
+    def _same_group(last_row, first_row):
+        for c in gcols:
+            a, b = last_row[c], first_row[c]
+            if pd.isna(a) and pd.isna(b):
+                continue
+            if pd.isna(a) or pd.isna(b) or a != b:
+                return False
+        return True
+
+    # the carried (possibly still-growing) trailing group accumulates
+    # as a LIST of chunks, concatenated once per emission — re-concat
+    # per batch would copy the whole carry every time, O(batches^2)
+    # elements when one group spans many Arrow batches (few hot keys)
+    carry: list[pd.DataFrame] = []
     for pdf in batches:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
         if len(pdf) == 0:
             continue
         bounds = _group_boundaries(np, pdf, gcols)
-        cut = int(bounds[-1])
-        if cut == 0:
-            carry = pdf
+        continues = bool(carry) and _same_group(carry[-1].iloc[-1],
+                                                pdf.iloc[0])
+        # boundary at 0 only counts when the batch STARTS a new group
+        eff = bounds if not continues else bounds[1:]
+        if len(eff) == 0:
+            carry.append(pdf)          # whole batch extends the carry
             continue
-        head, carry = pdf.iloc[:cut], pdf.iloc[cut:]
-        yield head
-    if carry is not None and len(carry):
-        yield carry
+        cut = int(eff[-1])
+        if continues:
+            # carry + head form one contiguous run ending at the last
+            # boundary; the continuing group stays whole
+            yield pd.concat(carry + ([pdf.iloc[:cut]] if cut else []),
+                            ignore_index=True)
+        else:
+            if carry:
+                yield pd.concat(carry, ignore_index=True) if len(carry) > 1 \
+                    else carry[0]
+            if cut:
+                yield pdf.iloc[:cut]
+        carry = [pdf.iloc[cut:]] if cut < len(pdf) else []
+    if carry:
+        yield pd.concat(carry, ignore_index=True) if len(carry) > 1 \
+            else carry[0]
 
 
 def summarize_cycles_udf(df: DataFrame, fn: Callable[[pd.DataFrame], Mapping],
@@ -196,7 +221,14 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
             f"bucket width {width} ns is smaller than the window span "
             f"{span} ns — a window would span more than two buckets")
     data_cols = list(df.columns)
-    d = df.withColumn("__tns", time_ns_expr(df))
+    tns = time_ns_expr(df)
+    # a null time would explode into a null bucket sequence and the
+    # row would SILENTLY vanish — fail loudly instead (the batch
+    # engine's time column is non-null by contract)
+    tns = F.when(tns.isNull(), F.raise_error(F.lit(
+        "summarize_windows_udf: null time value — the window engine "
+        "requires a non-null time column")).cast("long")).otherwise(tns)
+    d = df.withColumn("__tns", tns)
     own_b = floor_div(F.col("__tns"), width)
     serve_from = floor_div(F.col("__tns") - F.lit(int(hi)), width)
     serve_to = floor_div(F.col("__tns") - F.lit(int(lo)), width)

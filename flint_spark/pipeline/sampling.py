@@ -255,9 +255,13 @@ def mix_corpora(sources: Mapping[str, tuple[DataFrame, float]],
 def global_shuffle(df: DataFrame, seed: str = "epoch0", on: str = "doc_id",
                    shards: int = 64) -> DataFrame:
     """Deterministic global training-order shuffle: every row gets a
-    unique ``global_pos`` in [0, n) — the permutation induced by
-    sorting on ``md5(seed || ':' || id)`` — without ever planning a
-    single-partition global window.
+    unique ``global_pos`` in [0, n) — rows ordered by ``(shard,
+    md5-key)`` where both derive from ``md5(seed || ':' || id)`` —
+    without ever planning a single-partition global window. (The
+    order is NOT the plain md5 sort order: the shard — hash prefix
+    mod ``shards`` — is the major key. It is still a uniformly
+    pseudo-random, seed-keyed permutation, which is the property a
+    training shuffle needs.)
 
     Mechanics: ``shard`` = 28-bit hash of the sort key mod ``shards``;
     within-shard rank is one keyed window (ONE hash exchange);
@@ -281,6 +285,10 @@ def global_shuffle(df: DataFrame, seed: str = "epoch0", on: str = "doc_id",
     t = df.withColumn("__k", skey).withColumn("shard", shard)
     counts = {r["shard"]: r["c"] for r in
               t.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()}
+    if None in counts:
+        raise ValueError(
+            f"global_shuffle: {counts[None]} row(s) have a null {on!r} — "
+            "the id column must be non-null (it seeds the permutation)")
     offset, acc = {}, 0
     for s in sorted(counts):
         offset[s] = acc

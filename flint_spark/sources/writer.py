@@ -65,10 +65,20 @@ def write_bucketed(df: DataFrame, table: str, key: Sequence[str],
         from urllib.parse import urlparse
 
         spark = df.sparkSession
-        if not spark.catalog.tableExists(table):
+        # resolve the SAME qualified name both for the existence check
+        # and the location: an unqualified name means the CURRENT
+        # database, and a non-default db's managed location lives under
+        # <warehouse>/<db>.db/<tbl> — deriving the path from the bare
+        # table name would point into another table's directory
+        parts = table.lower().split(".")
+        db = parts[-2] if len(parts) >= 2 else \
+            spark.catalog.currentDatabase().lower()
+        tbl = parts[-1]
+        if not spark.catalog.tableExists(f"{db}.{tbl}"):
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path \
                 or spark.conf.get("spark.sql.warehouse.dir")
-            loc = os.path.join(wh, table.split(".")[-1].lower())
+            loc = os.path.join(wh, tbl) if db == "default" else \
+                os.path.join(wh, f"{db}.db", tbl)
             if os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)
     (df.write.mode(mode)

@@ -487,8 +487,12 @@ class TimeSeriesDataFrame:
         ``python/ts/flint/dataframe.py:1099-1240``)."""
         if isinstance(summarizer, Mapping):
             from .functions import summarize_windows_calls
+            # the bucketed mapInPandas plan returns rows hash-grouped
+            # by (key, bucket), not time-ordered — downgrade the flag
+            # like the summarize_cycles dict path
             return self._wrap(
-                summarize_windows_calls(self._df, window, summarizer, key))
+                summarize_windows_calls(self._df, window, summarizer, key),
+                is_sorted=False)
         from .operators.windows_ops import summarize_windows
         return self._wrap(summarize_windows(self._df, window, summarizer, key))
 

@@ -713,7 +713,7 @@ def test_rollup_multi_matches_individual_intervals(spark, sf_dir):
         pd.testing.assert_frame_equal(part, single[["time", "count"]])
     # one Expand-based aggregation: single exchange in the plan
     out = intervals.summarize_intervals_multi(ev, ["6h", "1d"], S.count())
-    out.write.mode("overwrite").format("noop").save()
+    out.collect()  # executes THIS QueryExecution -> AQE-final plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
 
@@ -753,8 +753,8 @@ def test_ewma_native_multi_column_single_window(spark):
         [2 * v for v in got["a_ewma"]])
     # the second series is free: one shuffle and <= 2 sorts total, same
     # as the single-column plan (Window nodes share the ordering)
-    from plan_audit import _walk
-    multi.write.mode("overwrite").format("noop").save()
+    from flint_spark.plans.audit import walk_plan as _walk
+    multi.collect()  # executes THIS QueryExecution -> AQE-final plan
     names = list(_walk(multi._jdf.queryExecution().executedPlan()))
     assert sum(1 for n in names if n == "Exchange") == 1
     assert sum(1 for n in names if n == "Sort") <= 2
@@ -772,7 +772,7 @@ def test_asof_cogroup_bucketed_elides_exchange(spark, tmp_path):
     from flint_spark.operators.asof import (future_left_join, left_join,
                                             left_join_cogroup)
     from flint_spark.sources.writer import write_bucketed
-    from plan_audit import _walk
+    from flint_spark.plans.audit import walk_plan as _walk
 
     random.seed(31)
     left = spark.createDataFrame(
@@ -790,7 +790,7 @@ def test_asof_cogroup_bucketed_elides_exchange(spark, tmp_path):
                                   key=["k"]))
 
     def n_exchanges(df):
-        df.write.mode("overwrite").format("noop").save()
+        df.collect()  # executes THIS QueryExecution -> AQE-final plan
         names = list(_walk(df._jdf.queryExecution().executedPlan()))
         return sum(1 for n in names if n == "Exchange")
 
@@ -864,7 +864,7 @@ def test_bucketed_layout_elides_aggregate_exchange(spark):
     plan ZERO exchanges too — one write-time range/bucket layout
     accelerates the whole keyed-operator family at 100 TB."""
     from flint_spark.sources.writer import write_bucketed
-    from plan_audit import _walk
+    from flint_spark.plans.audit import walk_plan as _walk
 
     df = spark.createDataFrame(
         [(i * 1000, i % 13, float(i % 7)) for i in range(5000)],
@@ -873,7 +873,7 @@ def test_bucketed_layout_elides_aggregate_exchange(spark):
     b = spark.table("agg_bucket_t")
 
     def n_exchanges(out):
-        out.write.mode("overwrite").format("noop").save()
+        out.collect()  # executes THIS QueryExecution -> AQE-final plan
         names = list(_walk(out._jdf.queryExecution().executedPlan()))
         return sum(1 for n in names if n == "Exchange")
 
@@ -944,8 +944,8 @@ def test_rolling_ols_multi_golden(spark):
         assert r2 == pytest.approx(exp_r2, abs=1e-9), (t, g)
     assert sum(1 for v in got.values() if v[1] is not None) > 150
 
-    from plan_audit import _walk
-    out.write.mode("overwrite").format("noop").save()
+    from flint_spark.plans.audit import walk_plan as _walk
+    out.collect()  # executes THIS QueryExecution -> AQE-final plan
     names = list(_walk(out._jdf.queryExecution().executedPlan()))
     assert sum(1 for n in names if n == "Exchange") == 1
     assert sum(1 for n in names if n.startswith("Window")) == 1
@@ -1033,7 +1033,7 @@ def test_keyless_ema_distributed_matches_single_group(spark):
     import numpy as np
 
     from flint_spark.operators import ema as E
-    from plan_audit import _walk
+    from flint_spark.plans.audit import walk_plan as _walk
 
     rng = np.random.default_rng(11)
     n = 4000
@@ -1535,7 +1535,7 @@ def test_ivf_assignment_is_map_only(spark, sf_dir):
     """Nearest-centroid assignment must stay a pure projection: no
     Exchange anywhere in ivf_assign_trained's plan (the pre-r4 shape
     shuffled the whole vector table through a row_number window)."""
-    from plan_audit import _walk
+    from flint_spark.plans.audit import walk_plan as _walk
 
     from flint_spark.pipeline import similarity as sim
 
@@ -1543,7 +1543,7 @@ def test_ivf_assignment_is_map_only(spark, sf_dir):
     cents = [[0.1 * i + 0.01 * j for j in range(8)] for i in range(4)]
     emb8 = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
     out = sim.ivf_assign_trained(emb8, cents)
-    out.write.mode("overwrite").format("noop").save()
+    out.collect()  # executes THIS QueryExecution -> AQE-final plan
     names = list(_walk(out._jdf.queryExecution().executedPlan()))
     assert not any("Exchange" in n for n in names), names
     # and the assignment is total: every vector got a centroid
@@ -2357,3 +2357,64 @@ def test_global_shuffle_is_layout_invariant_permutation(spark):
     assert sorted(c.global_pos) == list(range(257))
     assert a.set_index("doc_id").global_pos.to_dict() != \
         c.set_index("doc_id").global_pos.to_dict()
+
+
+def test_review3_fixes(spark, tmp_path):
+    """Round-5 self-review regression bundle: (1) write_bucketed
+    resolves the orphan location per-database — writing db.t never
+    touches default.t's data; (2) the summarize_windows udf-dict path
+    downgrades is_sorted like the cycles path; (3) a null time raises
+    instead of silently dropping the row from the bucketed window
+    engine; (4) global_shuffle reports null ids loudly."""
+    import os
+
+    import pytest
+
+    from flint_spark.functions import summarize_windows_udf, udf
+    from flint_spark.pipeline.sampling import global_shuffle
+    from flint_spark.sources.writer import write_bucketed
+    from flint_spark.timeseries import TimeSeriesDataFrame
+    from flint_spark.windows import past_absolute_time
+    from urllib.parse import urlparse
+
+    df = spark.createDataFrame(
+        [(i * 1000, i % 3, float(i)) for i in range(60)],
+        "time long, k int, v double")
+
+    # (1) cross-database safety + per-db orphan cleanup
+    spark.sql("CREATE DATABASE IF NOT EXISTS r5db")
+    write_bucketed(df, "xdb_t", ["k"], n_buckets=4)
+    write_bucketed(df, "r5db.xdb_t", ["k"], n_buckets=4)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path \
+        or spark.conf.get("spark.sql.warehouse.dir")
+    assert os.path.isdir(os.path.join(wh, "xdb_t")), \
+        "default.xdb_t data destroyed by r5db write"
+    assert spark.table("default.xdb_t").count() == 60
+    assert spark.table("r5db.xdb_t").count() == 60
+    orphan = os.path.join(wh, "r5db.db", "orphan_t")
+    os.makedirs(os.path.join(orphan, "junk"), exist_ok=True)
+    write_bucketed(df, "r5db.orphan_t", ["k"], n_buckets=4)
+    assert spark.table("r5db.orphan_t").count() == 60
+    for t in ("default.xdb_t", "r5db.xdb_t", "r5db.orphan_t"):
+        spark.sql(f"DROP TABLE {t}")
+
+    # (2) udf-dict summarize_windows downgrades the sort flag
+    ts = TimeSeriesDataFrame(df, is_sorted=True)
+    from pyspark.sql import types as T
+    mean_udf = udf(T.DoubleType())(lambda s: s.mean())
+    out = ts.summarize_windows(past_absolute_time("5000ns"),
+                               {"m": mean_udf(df["v"])}, key=["k"])
+    assert out.is_sorted is False
+
+    # (3) null time fails loudly in the bucketed window engine
+    bad = spark.createDataFrame([(None, 0, 1.0), (1000, 0, 2.0)],
+                                "time long, k int, v double")
+    with pytest.raises(Exception, match="null time"):
+        summarize_windows_udf(bad, past_absolute_time("5000ns"),
+                              lambda w: w["v"].sum(), "s",
+                              key=["k"]).collect()
+
+    # (4) null id fails loudly in global_shuffle
+    docs = spark.createDataFrame([("a",), (None,)], "doc_id string")
+    with pytest.raises(ValueError, match="null 'doc_id'"):
+        global_shuffle(docs, shards=4)
