@@ -945,3 +945,41 @@ def test_anomaly_stream_late_arrival_converges(spark, tmp_path):
     # the engineered spike at hour 10 must be flagged (it would be
     # missed if the late 30.0 corrupted the sorted buffer)
     assert got[late_ns][1] is True
+
+
+def test_chunking_stream_vs_duckdb(spark, con, tmp_path):
+    """chunk_documents is a pure projection + generator, so it runs
+    unchanged on a readStream (like the classifier/signature trio):
+    replay the documents table as a 3-chunk file stream and compare
+    the chunked sink against the batch chunk_docs oracle."""
+    import os as _os
+    import shutil as _shutil
+
+    from flint_spark.pipeline.text import chunk_documents
+
+    docs_b = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    out_dir = str(tmp_path / "docs")
+    _os.makedirs(out_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        part = docs_b.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = _os.path.join(out_dir, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        _shutil.move(_os.path.join(tmp, src),
+                     _os.path.join(out_dir, f"chunk_{i}.parquet"))
+        _shutil.rmtree(tmp)
+    stream = (spark.readStream.schema(docs_b.schema)
+              .option("maxFilesPerTrigger", 1).parquet(out_dir))
+
+    chunked = chunk_documents(stream, max_tokens=64, overlap=16) \
+        .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+    q = (chunked.writeStream.outputMode("append").format("memory")
+         .queryName("s_chunks").start())
+    q.processAllAvailable()
+    q.stop()
+
+    import __spark_entry__ as entry
+    ok, msg = compare("stream_chunks", spark.sql("SELECT * FROM s_chunks"),
+                      entry.extra_oracle_sql()["chunk_docs"], con)
+    assert ok, msg
