@@ -2106,11 +2106,14 @@ def q_chunk_docs(spark, sf):
 SQL_CHUNK_DOCS = """
   WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        c AS (SELECT doc_id, w, len(w) AS n,
-                    greatest(1, CAST(ceil((len(w) - 16) / 48.0) AS INT)) AS nc
+                    CASE WHEN w IS NULL THEN 1
+                         ELSE greatest(1, CAST(ceil((len(w) - 16) / 48.0)
+                                               AS INT)) END AS nc
              FROM t),
        e AS (SELECT doc_id, w, n, unnest(range(nc)) AS chunk_id FROM c)
   SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-         CAST(least(64, n - chunk_id*48) AS INT) AS chunk_tokens,
+         CAST(CASE WHEN w IS NULL THEN 0
+                   ELSE least(64, n - chunk_id*48) END AS INT) AS chunk_tokens,
          array_to_string(w[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
   FROM e
 """

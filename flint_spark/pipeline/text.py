@@ -500,7 +500,9 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
     chunks is ``max(1, ceil((n_tokens - overlap) / stride))``, so every
     token belongs to at least one chunk, consecutive chunks share
     ``overlap`` tokens, and an empty/short document still yields its
-    single (possibly short) chunk.
+    single (possibly short) chunk. A NULL text also yields one chunk
+    (null ``chunk_text``, 0 ``chunk_tokens``) — exploding a null
+    sequence would silently drop the row and its metadata.
 
     Scale: pure expression — split once, explode a ``sequence()`` of
     chunk ids, ``slice`` + ``array_join`` per chunk. Zero shuffles,
@@ -513,16 +515,19 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
     n = F.size(F.col("__w"))
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"))
+    n_chunks = F.when(F.col("__w").isNull(), F.lit(1)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")))
     start = F.col("chunk_id") * F.lit(stride)  # 0-based token offset
     return (docs
             .withColumn("__w", _words(text_col))
             .withColumn("chunk_id",
                         F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))))
             .withColumn("chunk_tokens",
-                        F.least(F.lit(max_tokens), F.size("__w") - start))
+                        F.when(F.col("__w").isNull(), F.lit(0)).otherwise(
+                            F.least(F.lit(max_tokens),
+                                    F.size("__w") - start)))
             .withColumn("chunk_text",
                         F.array_join(F.slice("__w", start + F.lit(1),
                                              F.lit(max_tokens)), " "))

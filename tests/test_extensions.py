@@ -2293,6 +2293,12 @@ def test_chunk_documents_contracts(spark):
     assert list(by["b"].chunk_tokens) == [1]
     assert list(by["c"].chunk_tokens) == [1]  # [""] — empty string token
 
+    # null text: row is KEPT (one chunk, null text, 0 tokens)
+    nulldoc = spark.createDataFrame([("n", None)], "doc_id string, text string")
+    nrow = chunk_documents(nulldoc, max_tokens=8, overlap=3).toPandas().iloc[0]
+    assert nrow.chunk_id == 0 and nrow.chunk_tokens == 0 \
+        and nrow.chunk_text is None
+
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=8, overlap=8)
 
