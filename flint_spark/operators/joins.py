@@ -125,7 +125,8 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     (``greatest(l.begin, r.begin)`` — covered by both sides whenever
     the overlap is non-empty, so no distinct pass is needed).
     Degenerate (end <= begin) intervals match nothing and are dropped
-    before the explode. ``key`` columns (present on both inputs under
+    before the explode; null begin/end fall out of the same predicate
+    (a null interval has no extent to overlap). ``key`` columns (present on both inputs under
     the same names) tighten the equi-join.
 
     Scale: shuffled rows per side ~ ``interval_length/bucket``; choose
