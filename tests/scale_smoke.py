@@ -408,6 +408,36 @@ def ann_scale(spark, n_vecs: int = 100_000):
     emb.unpersist()
 
 
+
+def shuffle_scale(spark, millions: float = 5.0):
+    """Deterministic global shuffle at panel scale: the ranked plan
+    holds exactly ONE data Exchange (the shard hash partitioning that
+    feeds the per-shard rank window), driver state is the shard-count
+    table (`shards` rows regardless of corpus size), and runtime is
+    dominated by that single shuffle — the property that lets an
+    epoch reshuffle run at 100 TB."""
+    import time as _time
+
+    from flint_spark.pipeline.sampling import global_shuffle
+    from flint_spark.plans.audit import plan_counts
+
+    n = int(millions * 1e6)
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    t0 = _time.perf_counter()
+    out = global_shuffle(df, seed="s", shards=64)  # runs the count pass
+    t_counts = _time.perf_counter() - t0
+    print(f"  {'shard counts (driver, 64 rows)':28s} {t_counts:7.2f}s")
+    timed("global_shuffle rank+offsets", out)
+    c = plan_counts(out, execute=False)
+    assert c["shuffles"] == 1, f"expected ONE data exchange, got {c}"
+    # chunking rides along: map-only, zero exchanges at any scale
+    docs = synth_corpus(spark, 200_000)
+    from flint_spark.pipeline.text import chunk_documents
+    ch = chunk_documents(docs, max_tokens=32, overlap=8)
+    timed("chunk_documents 200k docs", ch)
+    assert plan_counts(ch, execute=False)["shuffles"] == 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
@@ -421,6 +451,9 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "vocab":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
         vocab_scale(get_spark("scale_smoke"), n)
+    elif len(sys.argv) > 1 and sys.argv[1] == "shuffle":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
+        shuffle_scale(get_spark("scale_smoke"), m)
     elif len(sys.argv) > 1 and sys.argv[1] == "linearity":
         m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
         linearity_suite(get_spark("scale_smoke"), m)
