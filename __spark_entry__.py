@@ -195,6 +195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "overlap_join": q_overlap_join,
         "global_shuffle": q_global_shuffle,
+        "merge_intervals": q_merge_intervals,
     }
 
 
@@ -261,6 +262,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "chunk_docs": SQL_CHUNK_DOCS,
         "overlap_join": SQL_OVERLAP_JOIN,
         "global_shuffle": SQL_GLOBAL_SHUFFLE,
+        "merge_intervals": SQL_MERGE_INTERVALS,
     }
 
 

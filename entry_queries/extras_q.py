@@ -2189,3 +2189,42 @@ SQL_GLOBAL_SHUFFLE = """
               ORDER BY t.k, t.doc_id) - 1 AS BIGINT) AS global_pos
   FROM t JOIN o USING (shard)
 """
+
+
+def q_merge_intervals(spark, sf):
+    """Gaps-and-islands interval coalescing
+    (operators.intervals.merge_intervals): per-user 45-minute activity
+    intervals collapse into disjoint islands — ONE data exchange (the
+    island aggregation reuses the window's key partitioning). The
+    oracle replays the running-max island recipe in SQL."""
+    from flint_spark.operators.intervals import merge_intervals
+
+    ev = _events(spark, sf)
+    iv = (ev.filter(F.col("event_id") % 3 == 0)
+          .select("user_id", F.col(TIME_COLUMN).alias("ivb"),
+                  (F.col(TIME_COLUMN) + F.expr("INTERVAL 45 MINUTES"))
+                  .alias("ive")))
+    return (merge_intervals(iv, begin_col="ivb", end_col="ive",
+                            key=["user_id"])
+            .select("user_id", "ivb", "ive", "n_merged"))
+
+
+SQL_MERGE_INTERVALS = """
+  WITH iv AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS b,
+           CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+    FROM events WHERE event_id % 3 = 0),
+  m AS (
+    SELECT user_id, b, e,
+           max(e) OVER (PARTITION BY user_id ORDER BY b, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS pm
+    FROM iv),
+  isl AS (
+    SELECT *, sum(CASE WHEN pm IS NULL OR b > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY b, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+    FROM m)
+  SELECT user_id, min(b) AS ivb, max(e) AS ive, count(*) AS n_merged
+  FROM isl GROUP BY user_id, g
+"""

@@ -430,3 +430,44 @@ def rollup_finalize(rollup: DataFrame,
             .alias(f"{m}_std"),
         ]
     return rollup.select(*cols)
+
+
+def merge_intervals(df: DataFrame, begin_col: str = "begin",
+                    end_col: str = "end", key: Sequence[str] = (),
+                    merge_adjacent: bool = True) -> DataFrame:
+    """Coalesce overlapping (and, by default, touching) intervals per
+    key into disjoint islands — the classic gaps-and-islands reduce
+    (compacting session/activity/maintenance windows before an
+    :func:`~flint_spark.operators.joins.interval_overlap_join`).
+    Output: one row per island with ``begin_col`` = min begin,
+    ``end_col`` = max end, plus an ``n_merged`` count. Close-open
+    convention: with ``merge_adjacent=False``, ``[1,3)+[3,5)`` stay
+    separate (they share no instant); default merges them.
+    Degenerate (end <= begin) and null intervals are dropped.
+
+    Plan: ONE data exchange total. The running-max/island windows hash
+    on ``key`` and the final (key, island) aggregation's
+    ClusteredDistribution is already satisfied by that partitioning
+    (same-key rows are colocated), so Catalyst plans no second
+    exchange."""
+    from pyspark.sql import Window
+
+    key = list(key)
+    b = time_ns_expr(df, begin_col)
+    e = time_ns_expr(df, end_col)
+    t = (df.withColumn("__b", b).withColumn("__e", e)
+         .filter(F.col("__e") > F.col("__b")))
+    w = Window.partitionBy(*key).orderBy("__b", "__e") if key else \
+        Window.partitionBy(F.lit(1)).orderBy("__b", "__e")
+    prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    gap = (F.col("__b") > prev_max) if merge_adjacent else \
+        (F.col("__b") >= prev_max)
+    new_island = F.when(prev_max.isNull() | gap, 1).otherwise(0)
+    t = t.withColumn("__isl", F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    out_b = ns_to_time_expr(F.min("__b"), dict(df.dtypes)[begin_col])
+    out_e = ns_to_time_expr(F.max("__e"), dict(df.dtypes)[end_col])
+    return (t.groupBy(*key, "__isl")
+            .agg(out_b.alias(begin_col), out_e.alias(end_col),
+                 F.count(F.lit(1)).alias("n_merged"))
+            .drop("__isl"))

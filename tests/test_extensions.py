@@ -2424,3 +2424,34 @@ def test_review3_fixes(spark, tmp_path):
     docs = spark.createDataFrame([("a",), (None,)], "doc_id string")
     with pytest.raises(ValueError, match="null 'doc_id'"):
         global_shuffle(docs, shards=4)
+
+
+def test_merge_intervals_touching_and_modes(spark):
+    """Explicit gaps-and-islands semantics: touching [1,3)+[3,5) merge
+    only under merge_adjacent=True; overlaps always merge; degenerate
+    and null intervals drop; n_merged counts members."""
+    from flint_spark.operators.intervals import merge_intervals
+
+    rows = [
+        ("a", 1, 3), ("a", 3, 5),          # touching
+        ("a", 10, 20), ("a", 12, 15),      # contained
+        ("a", 25, 25), ("a", 30, 28),      # degenerate -> dropped
+        ("b", 1, 4), ("b", 2, 6), ("b", 8, 9),
+        ("b", None, 5), ("b", 5, None),    # null -> dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, begin long, end long")
+
+    adj = {(r.k, r.begin, r.end): r.n_merged
+           for r in merge_intervals(df, key=["k"]).collect()}
+    assert adj == {("a", 1, 5): 2, ("a", 10, 20): 2,
+                   ("b", 1, 6): 2, ("b", 8, 9): 1}
+
+    strict = {(r.k, r.begin, r.end): r.n_merged
+              for r in merge_intervals(df, key=["k"],
+                                       merge_adjacent=False).collect()}
+    assert strict == {("a", 1, 3): 1, ("a", 3, 5): 1, ("a", 10, 20): 2,
+                      ("b", 1, 6): 2, ("b", 8, 9): 1}
+
+    # plan contract: ONE data exchange (agg reuses window partitioning)
+    from flint_spark.plans.audit import plan_counts
+    assert plan_counts(merge_intervals(df, key=["k"]))["shuffles"] == 1
