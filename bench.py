@@ -65,6 +65,7 @@ HEADLINE = [
     "chunk_docs",
     "overlap_join",
     "global_shuffle",
+    "merge_intervals",
 ]
 
 

@@ -983,3 +983,36 @@ def test_chunking_stream_vs_duckdb(spark, con, tmp_path):
     ok, msg = compare("stream_chunks", spark.sql("SELECT * FROM s_chunks"),
                       entry.extra_oracle_sql()["chunk_docs"], con)
     assert ok, msg
+
+
+def test_interval_tagging_stream_vs_duckdb(spark, con, tmp_path):
+    """Stream-static point-in-interval tagging: streamed events join a
+    STATIC interval table through point_in_interval_join unchanged
+    (bucket explode on the static side, map-side bucket id on the
+    stream, stream-static equi-join + residual filter — all
+    append-mode-legal). Oracle: DuckDB runs the inequality join."""
+    from flint_spark.operators.joins import point_in_interval_join
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp")).drop("ts"))
+    iv = (ev.filter(F.col("event_id") % 97 == 0)
+          .select(F.col("event_id").alias("iv_id"),
+                  (F.col("time") - F.expr("INTERVAL 30 MINUTES")).alias("begin"),
+                  (F.col("time") + F.expr("INTERVAL 30 MINUTES")).alias("end")))
+    stream = _replay(spark, ev.select("time", "event_id", "value"),
+                     str(tmp_path / "pts"))
+    out = point_in_interval_join(stream, iv, bucket="1h") \
+        .select("event_id", "iv_id")
+    _run_to_table(out, "s_ivtag")
+
+    ok, msg = compare("stream_ivtag", spark.sql("SELECT * FROM s_ivtag"), """
+      WITH iv AS (
+        SELECT event_id AS iv_id,
+               CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS b,
+               CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+        FROM events WHERE event_id % 97 = 0)
+      SELECT p.event_id, iv.iv_id
+      FROM events p JOIN iv
+        ON CAST(p.ts AS TIMESTAMP) >= iv.b AND CAST(p.ts AS TIMESTAMP) < iv.e
+    """, con)
+    assert ok, msg
