@@ -196,6 +196,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "global_shuffle": q_global_shuffle,
         "merge_intervals": q_merge_intervals,
+        "interval_gaps": q_interval_gaps,
     }
 
 
@@ -263,6 +264,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "overlap_join": SQL_OVERLAP_JOIN,
         "global_shuffle": SQL_GLOBAL_SHUFFLE,
         "merge_intervals": SQL_MERGE_INTERVALS,
+        "interval_gaps": SQL_INTERVAL_GAPS,
     }
 
 

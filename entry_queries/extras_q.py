@@ -2228,3 +2228,38 @@ SQL_MERGE_INTERVALS = """
   SELECT user_id, min(b) AS ivb, max(e) AS ive, count(*) AS n_merged
   FROM isl GROUP BY user_id, g
 """
+
+
+def q_interval_gaps(spark, sf):
+    """Coverage-gap extraction (operators.intervals.interval_gaps):
+    per-user gaps between 45-minute activity intervals, emitted
+    exactly once from each island's last sorted row (running-max end
+    vs next begin) — ONE data exchange, no island materialization.
+    The oracle replays the cummax/lead recipe in SQL."""
+    from flint_spark.operators.intervals import interval_gaps
+
+    ev = _events(spark, sf)
+    iv = (ev.filter(F.col("event_id") % 3 == 0)
+          .select("user_id", F.col(TIME_COLUMN).alias("gb"),
+                  (F.col(TIME_COLUMN) + F.expr("INTERVAL 45 MINUTES"))
+                  .alias("ge")))
+    return (interval_gaps(iv, begin_col="gb", end_col="ge",
+                          key=["user_id"])
+            .select("user_id", "gb", "ge"))
+
+
+SQL_INTERVAL_GAPS = """
+  WITH iv AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS b,
+           CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+    FROM events WHERE event_id % 3 = 0),
+  m AS (
+    SELECT user_id,
+           max(e) OVER (PARTITION BY user_id ORDER BY b, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cov,
+           lead(b) OVER (PARTITION BY user_id ORDER BY b, e) AS nb
+    FROM iv)
+  SELECT user_id, cov AS gb, nb AS ge
+  FROM m WHERE nb > cov
+"""

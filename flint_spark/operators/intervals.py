@@ -471,3 +471,35 @@ def merge_intervals(df: DataFrame, begin_col: str = "begin",
             .agg(out_b.alias(begin_col), out_e.alias(end_col),
                  F.count(F.lit(1)).alias("n_merged"))
             .drop("__isl"))
+
+
+def interval_gaps(df: DataFrame, begin_col: str = "begin",
+                  end_col: str = "end",
+                  key: Sequence[str] = ()) -> DataFrame:
+    """Maximal uncovered gaps between a key's intervals — the
+    complement of :func:`merge_intervals` (downtime detection,
+    coverage holes). A gap ``[cummax_end, next_begin)`` is emitted
+    from the LAST row of each island (the only sorted row whose
+    running-max end is below the next row's begin), so each gap
+    appears exactly once without materializing the islands first.
+    Degenerate/null intervals are dropped; leading/trailing
+    unbounded regions are not gaps (no span is assumed).
+
+    Plan: ONE data exchange (the key-partitioned sort window); the
+    gap filter is a projection over lag/cummax."""
+    from pyspark.sql import Window
+
+    key = list(key)
+    b = time_ns_expr(df, begin_col)
+    e = time_ns_expr(df, end_col)
+    t = (df.withColumn("__b", b).withColumn("__e", e)
+         .filter(F.col("__e") > F.col("__b")))
+    w = Window.partitionBy(*key).orderBy("__b", "__e") if key else \
+        Window.partitionBy(F.lit(1)).orderBy("__b", "__e")
+    cover = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    nxt = F.lead("__b").over(w)
+    t = (t.withColumn("__cov", cover).withColumn("__nb", nxt)
+         .filter(F.col("__nb") > F.col("__cov")))
+    out_b = ns_to_time_expr(F.col("__cov"), dict(df.dtypes)[begin_col])
+    out_e = ns_to_time_expr(F.col("__nb"), dict(df.dtypes)[end_col])
+    return t.select(*key, out_b.alias(begin_col), out_e.alias(end_col))

@@ -2455,3 +2455,25 @@ def test_merge_intervals_touching_and_modes(spark):
     # plan contract: ONE data exchange (agg reuses window partitioning)
     from flint_spark.plans.audit import plan_counts
     assert plan_counts(merge_intervals(df, key=["k"]))["shuffles"] == 1
+
+
+def test_interval_gaps_semantics(spark):
+    """Gaps complement the islands: touching intervals leave no gap,
+    contained intervals leave no gap, each inter-island hole appears
+    exactly once, and the plan stays at one exchange."""
+    from flint_spark.operators.intervals import interval_gaps
+
+    rows = [
+        ("a", 1, 3), ("a", 3, 5),      # touching: no gap at 3
+        ("a", 10, 20), ("a", 12, 15),  # contained: no internal gap
+        ("a", 30, 31),                 # gaps: [5,10) and [20,30)
+        ("b", 1, 2), ("b", 4, 4),      # degenerate right side dropped
+        ("b", 5, 6),                   # gap: [2,5)
+    ]
+    df = spark.createDataFrame(rows, "k string, begin long, end long")
+    got = sorted((r.k, r.begin, r.end)
+                 for r in interval_gaps(df, key=["k"]).collect())
+    assert got == [("a", 5, 10), ("a", 20, 30), ("b", 2, 5)]
+
+    from flint_spark.plans.audit import plan_counts
+    assert plan_counts(interval_gaps(df, key=["k"]))["shuffles"] == 1
