@@ -529,3 +529,76 @@ def test_summarize_windows_udf_vs_brute_force(panel, lo, span, bucket):
                                      if len(sub) else -1.0)
     assert {k: sorted(v) for k, v in got.items()} \
         == {k: sorted(v) for k, v in exp.items()}
+
+
+@st.composite
+def interval_sets(draw, max_rows=30):
+    n = draw(st.integers(1, max_rows))
+    rows = []
+    for i in range(n):
+        b = draw(st.integers(0, 300))
+        d = draw(st.integers(-3, 60))  # includes degenerate/empty
+        k = draw(st.integers(0, 2))
+        rows.append((i, b, b + d, f"k{k}"))
+    return rows
+
+
+def _islands(rows, keyed, merge_adjacent=True):
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i, b, e, k in rows:
+        if e > b:
+            groups[k if keyed else 0].append((b, e))
+    out = {}
+    for k, l in groups.items():
+        l.sort()
+        isl = []
+        for b, e in l:
+            joined = isl and (b <= isl[-1][1] if merge_adjacent
+                              else b < isl[-1][1])
+            if joined:
+                isl[-1][1] = max(isl[-1][1], e)
+                isl[-1][2] += 1
+            else:
+                isl.append([b, e, 1])
+        out[k] = isl
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(rows=interval_sets(), adj=st.booleans(), bucket=st.integers(7, 97))
+def test_interval_family_vs_reference(rows, adj, bucket):
+    """merge_intervals == island scan; interval_gaps == island holes;
+    interval_overlap_join == brute-force overlap pairs — all under a
+    random bucket width (exactly-once emission must hold for ANY
+    width, that is the point of the overlap-start-bucket rule)."""
+    from flint_spark.operators.intervals import interval_gaps, merge_intervals
+    from flint_spark.operators.joins import interval_overlap_join
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "iid long, begin long, end long, k string")
+
+    ref = _islands(rows, True, adj)
+    got = sorted((r.k, r.begin, r.end, r.n_merged) for r in
+                 merge_intervals(df, key=["k"], merge_adjacent=adj).collect())
+    exp = sorted((k, b, e, c) for k, isl in ref.items() for b, e, c in isl)
+    assert got == exp
+
+    ref_adj = _islands(rows, True, True)
+    got_g = sorted((r.k, r.begin, r.end) for r in
+                   interval_gaps(df, key=["k"]).collect())
+    exp_g = sorted((k, a[1], b2[0]) for k, isl in ref_adj.items()
+                   for a, b2 in zip(isl, isl[1:]))
+    assert got_g == exp_g
+
+    rdf = spark.createDataFrame(
+        [(i + 1000, b, e, k) for i, b, e, k in rows],
+        "rid long, rbegin long, rend long, k string")
+    got_p = sorted((r.iid, r.rid) for r in interval_overlap_join(
+        df, rdf, bucket=bucket, key=["k"]).select("iid", "rid").collect())
+    exp_p = sorted((i, j + 1000)
+                   for i, b, e, k in rows if e > b
+                   for j, rb, re_, rk in rows
+                   if re_ > rb and rk == k and b < re_ and rb < e)
+    assert got_p == exp_p
