@@ -61,7 +61,7 @@ HEADLINE = [
     "rollup_incremental",
     # r5 additions: chunking (map-only generator), interval-overlap
     # bucketed join, deterministic global shuffle (keyed window +
-    # bounded driver offsets)
+    # bounded driver offsets), gaps-and-islands interval coalescing
     "chunk_docs",
     "overlap_join",
     "global_shuffle",

@@ -41,14 +41,17 @@ def walk_plan(node):
 
 def plan_counts(df: DataFrame, execute: bool = True) -> dict[str, int]:
     """(shuffles, broadcasts, python stages, broadcast-NLJ) of ``df``'s
-    plan. ``execute=True`` runs ``df.collect()`` first — the collect
-    executes df's OWN QueryExecution, so the inspected
+    plan. ``execute=True`` first runs ``queryExecution().toRdd().count()``
+    — an action on df's OWN QueryExecution, so the inspected
     AdaptiveSparkPlan is genuinely AQE-final (a side-channel action
     like a noop write builds a separate QueryExecution and leaves this
-    one un-finalized). Exchange nodes are counted bare — query stages
-    wrap them, and counting both would double-count every AQE shuffle."""
+    one un-finalized), and the count aggregates distributed — no
+    result rows reach the driver, so gates can audit plans whose
+    output would not fit there. Exchange nodes are counted bare —
+    query stages wrap them, and counting both would double-count
+    every AQE shuffle."""
     if execute:
-        df.collect()
+        df._jdf.queryExecution().toRdd().count()
     names = list(walk_plan(df._jdf.queryExecution().executedPlan()))
     return {
         "shuffles": sum(1 for n in names if n == "Exchange"),

@@ -428,14 +428,17 @@ def shuffle_scale(spark, millions: float = 5.0):
     t_counts = _time.perf_counter() - t0
     print(f"  {'shard counts (driver, 64 rows)':28s} {t_counts:7.2f}s")
     timed("global_shuffle rank+offsets", out)
-    c = plan_counts(out, execute=False)
+    # execute=True drives out's OWN QueryExecution (toRdd().count(),
+    # nothing collected) so this is the AQE-FINAL count, not the
+    # initial plan a side-channel write would leave behind
+    c = plan_counts(out)
     assert c["shuffles"] == 1, f"expected ONE data exchange, got {c}"
     # chunking rides along: map-only, zero exchanges at any scale
     docs = synth_corpus(spark, 200_000)
     from flint_spark.pipeline.text import chunk_documents
     ch = chunk_documents(docs, max_tokens=32, overlap=8)
     timed("chunk_documents 200k docs", ch)
-    assert plan_counts(ch, execute=False)["shuffles"] == 0
+    assert plan_counts(ch)["shuffles"] == 0
 
 
 if __name__ == "__main__":
