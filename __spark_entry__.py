@@ -197,6 +197,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "merge_intervals": q_merge_intervals,
         "interval_gaps": q_interval_gaps,
+        "asof_topk": q_asof_topk,
     }
 
 
@@ -265,6 +266,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "global_shuffle": SQL_GLOBAL_SHUFFLE,
         "merge_intervals": SQL_MERGE_INTERVALS,
         "interval_gaps": SQL_INTERVAL_GAPS,
+        "asof_topk": SQL_ASOF_TOPK,
     }
 
 

@@ -2263,3 +2263,40 @@ SQL_INTERVAL_GAPS = """
   SELECT user_id, cov AS gb, nb AS ge
   FROM m WHERE nb > cov
 """
+
+
+def q_asof_topk(spark, sf):
+    """Last-k as-of join (operators.asof.left_join_topk): the 3 most
+    recent orders in [t - 9000d, t] per user attached to every event,
+    most-recent-first; the cogroup Arrow merge (zero exchanges on
+    co-bucketed scans). Array elements project to scalar columns so
+    the value-hash compare stays array-free; the oracle computes the
+    same tail via a DESC-ordered list subquery."""
+    from flint_spark.operators.asof import left_join_topk
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id")
+    out = left_join_topk(ev, _orders_right(spark, sf), k=3,
+                         tolerance="9000d", key=["user_id"])
+    arr = F.col("o_totalprice_lastk")
+    return out.select(
+        "event_id", "user_id", "n_matched",
+        R(F.element_at(arr, 1), 4).alias("v1"),
+        R(F.element_at(arr, 2), 4).alias("v2"),
+        R(F.element_at(arr, 3), 4).alias("v3"))
+
+
+SQL_ASOF_TOPK = f"""
+  WITH r AS ({_ORDERS_RIGHT_SQL}),
+  l AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_id, user_id FROM events),
+  j AS (
+    SELECT l.event_id, l.user_id,
+           COALESCE((SELECT list(o_totalprice ORDER BY rt DESC) FROM r
+                     WHERE r.user_id = l.user_id AND r.rt <= l.t
+                       AND r.rt >= l.t - INTERVAL 9000 DAY), [])[1:3] AS lst
+    FROM l)
+  SELECT event_id, user_id, CAST(len(lst) AS INT) AS n_matched,
+         floor(lst[1] * 10000 + 0.5) / 10000 AS v1,
+         floor(lst[2] * 10000 + 0.5) / 10000 AS v2,
+         floor(lst[3] * 10000 + 0.5) / 10000 AS v3
+  FROM j
+"""

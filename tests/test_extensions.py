@@ -2477,3 +2477,43 @@ def test_interval_gaps_semantics(spark):
 
     from flint_spark.plans.audit import plan_counts
     assert plan_counts(interval_gaps(df, key=["k"]))["shuffles"] == 1
+
+
+def test_left_join_topk_matches_brute_force(spark):
+    """Last-k as-of join == per-row brute force (tail of the sorted
+    candidate run, reversed), k=1 agrees with left_join's max-struct
+    pick, left-only/right-only keys keep empty arrays."""
+    import random
+
+    from flint_spark.operators.asof import left_join, left_join_topk
+
+    random.seed(5)
+    L = [(1000 * random.randrange(0, 200), f"k{i % 4}", float(i))
+         for i in range(120)]
+    Rr = [(1000 * random.randrange(0, 200), f"k{i % 3}", float(100 + i))
+          for i in range(90)]  # k3 is left-only
+    ldf = spark.createDataFrame(L, "time long, k string, lv double")
+    rdf = spark.createDataFrame(Rr, "time long, k string, rv double")
+    tol = 50_000
+
+    out = left_join_topk(ldf, rdf, k=3, tolerance=tol, key=["k"])
+    got = {(r.time, r.k, r.lv): (list(r.rv_lastk), r.n_matched)
+           for r in out.collect()}
+    assert len(got) == len(L)
+    from collections import defaultdict
+    rg = defaultdict(list)
+    for t, k, v in Rr:
+        rg[k].append((t, v))
+    for (t, k, lv) in L:
+        cand = sorted((rt, rv) for rt, rv in rg[k] if t - tol <= rt <= t)
+        exp = [rv for rt, rv in cand[-3:]][::-1]
+        assert got[(t, k, lv)] == (exp, len(exp)), (t, k)
+
+    # k=1 head == the as-of match under the shared tie rule
+    rded = rdf.groupBy("time", "k").agg(F.max("rv").alias("rv"))
+    m1 = {(r.time, r.k, r.lv): r.rv for r in
+          left_join(ldf, rded, tolerance=tol, key=["k"]).collect()}
+    m2 = {(r.time, r.k, r.lv): (r.rv_lastk[0] if r.rv_lastk else None)
+          for r in left_join_topk(ldf, rded, k=1, tolerance=tol,
+                                  key=["k"]).collect()}
+    assert m1 == m2
