@@ -556,6 +556,16 @@ class TimeSeriesDataFrame:
         r = right._df if isinstance(right, TimeSeriesDataFrame) else right
         return self._wrap(nearest_join(self._df, r, tolerance, key, **kwargs))
 
+    def left_join_topk(self, right: "TimeSeriesDataFrame", k: int,
+                       tolerance: str | int = 0, key: Sequence[str] = ()
+                       ) -> "TimeSeriesDataFrame":
+        """Last-k as-of join (:func:`operators.asof.left_join_topk`):
+        the k most recent right rows per left row as arrays."""
+        from .operators.asof import left_join_topk
+        r = right._df if isinstance(right, TimeSeriesDataFrame) else right
+        return self._wrap(left_join_topk(self._df, r, k, tolerance, key),
+                          is_sorted=False)
+
     def resample(self, clock, value_col: str, key: Sequence[str] = (),
                  method: str = "ffill",
                  tolerance: str | int = "36500d") -> "TimeSeriesDataFrame":
