@@ -66,6 +66,7 @@ HEADLINE = [
     "overlap_join",
     "global_shuffle",
     "merge_intervals",
+    "asof_topk",
 ]
 
 
