@@ -549,3 +549,18 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
 
     return (l_ns.groupBy(*key).cogroup(r_ns.groupBy(*key))
             .applyInPandas(fold, out_schema))
+
+
+def left_join_topk_broadcast(left: DataFrame, right: DataFrame, k: int,
+                             tolerance: str | int = 0,
+                             key: Sequence[str] = ()) -> DataFrame:
+    """:func:`left_join_topk` against a SMALL right side with ZERO
+    shuffle of the left: per-key sorted arrays broadcast + the (n, k)
+    searchsorted gather map-side — the last-k analogue of
+    :func:`left_join_broadcast`. Shared implementation with the
+    streaming static-dim enrichment
+    (``streaming.ts_stream.topk_join_static``); parity with the
+    cogroup operator is test-pinned."""
+    from ..streaming.ts_stream import topk_join_static
+
+    return topk_join_static(left, right, k, tolerance, key)

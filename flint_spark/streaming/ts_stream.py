@@ -264,6 +264,102 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
     return with_ns.mapInPandas(lookup, out_schema)
 
 
+
+
+def topk_join_static(stream: DataFrame, right: DataFrame, k: int,
+                     tolerance: str | int = 0, key: Sequence[str] = (),
+                     time_column: str = TIME_COLUMN,
+                     right_time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming last-k enrichment against a STATIC right side: the
+    broadcast-table twin of ``operators.asof.left_join_topk`` — per
+    stream row, the k most recent static rows in [t - tolerance, t]
+    per key as most-recent-first arrays + ``n_matched``. Same
+    broadcast/searchsorted machinery as :func:`asof_join_static`
+    (map-only, no shuffle of the stream, no state store; identical on
+    a batch DataFrame, which the parity test pins against the cogroup
+    operator)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = list(key)
+    tol = parse_duration_ns(tolerance) if tolerance else 0
+    rdata = [c for c in right.columns
+             if c != right_time_column and c not in key]
+    out_names = {c: f"{c}_lastk" for c in rdata}
+    conflicts = (set(out_names.values()) | {"n_matched"}) \
+        & set(stream.columns)
+    if conflicts:
+        raise ValueError(f"conflicting output columns {sorted(conflicts)}")
+
+    rpdf = right.select(*key,
+                        time_ns_expr(right, right_time_column).alias("__rtns"),
+                        *rdata).toPandas()
+    rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
+    tables: dict = {}
+    if key:
+        for kv, grp in rpdf.groupby(key, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            tables[kv] = (grp["__rtns"].to_numpy(np.int64),
+                          {c: grp[c].to_numpy() for c in rdata})
+    else:
+        tables[()] = (rpdf["__rtns"].to_numpy(np.int64),
+                      {c: rpdf[c].to_numpy() for c in rdata})
+    b = stream.sparkSession.sparkContext.broadcast(tables)
+
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    rfields = {f.name: f.dataType for f in right.schema.fields}
+    out_schema = T.StructType(
+        list(stream.schema.fields)
+        + [T.StructField(out_names[c], T.ArrayType(rfields[c]))
+           for c in rdata]
+        + [T.StructField("n_matched", T.IntegerType())])
+    in_cols = list(stream.columns)
+
+    def lookup(batches):
+        tbl = b.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            res = {c: [[] for _ in range(n)] for c in rdata}
+            cnt = np.zeros(n, dtype=np.int32)
+            if key:
+                groups = pdf.groupby(key, sort=False).indices
+            else:
+                groups = {(): np.arange(n)}
+            tall = pdf["__tns"].to_numpy(np.int64)
+            for kv, idx in groups.items():
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                if kv not in tbl:
+                    continue
+                rt, rcols = tbl[kv]
+                t = tall[idx]
+                lo = np.searchsorted(rt, t - tol, side="left")
+                hi = np.searchsorted(rt, t, side="right")
+                im = hi[:, None] - 1 - np.arange(k)[None, :]
+                mask = im >= lo[:, None]
+                im = np.clip(im, 0, max(len(rt) - 1, 0))
+                for c in rdata:
+                    picked = rcols[c][im]
+                    lists = res[c]
+                    for j, i in enumerate(idx):
+                        lists[i] = picked[j][mask[j]].tolist()
+                cnt[idx] = mask.sum(axis=1)
+            out = pdf[in_cols].copy()
+            for c in rdata:
+                out[out_names[c]] = pd.Series(res[c], index=out.index,
+                                              dtype=object)
+            out["n_matched"] = cnt
+            yield out
+
+    return with_ns.mapInPandas(lookup, out_schema)
+
+
 def _sort_time_then_values(pdf, tcol, data_cols):
     """Time-sort with the batch engine's tie rule: duplicate timestamps
     order by the data-column tuple (Spark struct comparison, nulls

@@ -2517,3 +2517,32 @@ def test_left_join_topk_matches_brute_force(spark):
           for r in left_join_topk(ldf, rded, k=1, tolerance=tol,
                                   key=["k"]).collect()}
     assert m1 == m2
+
+
+def test_left_join_topk_broadcast_parity(spark):
+    """The broadcast last-k path (streaming twin) produces exactly the
+    cogroup operator's output, including empty-match arrays for
+    left-only keys and the zero-shuffle plan for the left side."""
+    import random
+
+    from flint_spark.operators.asof import (left_join_topk,
+                                            left_join_topk_broadcast)
+
+    random.seed(9)
+    L = [(1000 * random.randrange(0, 200), f"k{i % 4}", float(i))
+         for i in range(200)]
+    Rr = [(1000 * random.randrange(0, 200), f"k{i % 3}", float(100 + i))
+          for i in range(150)]
+    ldf = spark.createDataFrame(L, "time long, k string, lv double")
+    rdf = spark.createDataFrame(Rr, "time long, k string, rv double")
+    a = {(r.time, r.k, r.lv): (tuple(r.rv_lastk), r.n_matched)
+         for r in left_join_topk(ldf, rdf, k=3, tolerance=50_000,
+                                 key=["k"]).collect()}
+    b_out = left_join_topk_broadcast(ldf, rdf, k=3, tolerance=50_000,
+                                     key=["k"])
+    b = {(r.time, r.k, r.lv): (tuple(r.rv_lastk), r.n_matched)
+         for r in b_out.collect()}
+    assert a == b and len(a) == len(L)
+
+    from flint_spark.plans.audit import plan_counts
+    assert plan_counts(b_out)["shuffles"] == 0

@@ -1016,3 +1016,31 @@ def test_interval_tagging_stream_vs_duckdb(spark, con, tmp_path):
         ON CAST(p.ts AS TIMESTAMP) >= iv.b AND CAST(p.ts AS TIMESTAMP) < iv.e
     """, con)
     assert ok, msg
+
+
+def test_topk_join_static_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming last-k enrichment (topk_join_static): the events
+    stream picks up its 3 most recent orders per user map-side from
+    the broadcast static table; the sink matches the batch asof_topk
+    oracle (DESC-list subquery)."""
+    import __spark_entry__ as entry
+    from flint_spark.streaming.ts_stream import topk_join_static
+    from entry_queries.common import R, _orders_right
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp")).drop("ts")
+          .select("time", "event_id", "user_id"))
+    stream = _replay(spark, ev, str(tmp_path / "ev"))
+    out = topk_join_static(stream, _orders_right(spark, SF), k=3,
+                           tolerance="9000d", key=["user_id"])
+    arr = F.col("o_totalprice_lastk")
+    proj = out.select(
+        "event_id", "user_id", "n_matched",
+        R(F.element_at(arr, 1), 4).alias("v1"),
+        R(F.element_at(arr, 2), 4).alias("v2"),
+        R(F.element_at(arr, 3), 4).alias("v3"))
+    _run_to_table(proj, "s_topk")
+
+    ok, msg = compare("stream_topk", spark.sql("SELECT * FROM s_topk"),
+                      entry.extra_oracle_sql()["asof_topk"], con)
+    assert ok, msg
