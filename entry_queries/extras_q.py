@@ -2290,7 +2290,8 @@ SQL_ASOF_TOPK = f"""
   l AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_id, user_id FROM events),
   j AS (
     SELECT l.event_id, l.user_id,
-           COALESCE((SELECT list(o_totalprice ORDER BY rt DESC) FROM r
+           COALESCE((SELECT list(o_totalprice ORDER BY rt DESC, o_totalprice DESC)
+                     FROM r
                      WHERE r.user_id = l.user_id AND r.rt <= l.t
                        AND r.rt >= l.t - INTERVAL 9000 DAY), [])[1:3] AS lst
     FROM l)

@@ -492,7 +492,7 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..streaming.ts_stream import _sort_time_then_values
+    from ..streaming.ts_stream import _lastk_gather, _sort_time_then_values
 
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -531,13 +531,10 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
             return out
         rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
         rt = rpdf["__rtns"].to_numpy(np.int64)
-        lo = np.searchsorted(rt, t - tol, side="left")
-        hi = np.searchsorted(rt, t, side="right")
         # (n, k) gather: row i takes rt-indices hi-1, hi-2, ...,
         # masked below lo — the k-tail of the candidate run, reversed
-        idx = hi[:, None] - 1 - np.arange(k)[None, :]
-        mask = idx >= lo[:, None]
-        idx = np.clip(idx, 0, len(rt) - 1)
+        # (shared with the broadcast/streaming twin)
+        idx, mask = _lastk_gather(np, rt, t, tol, k)
         for c in rdata:
             rv = rpdf[c].to_numpy()
             picked = rv[idx]

@@ -432,6 +432,23 @@ def rollup_finalize(rollup: DataFrame,
     return rollup.select(*cols)
 
 
+
+def _sorted_intervals(df: DataFrame, begin_col: str, end_col: str,
+                      key: Sequence[str]):
+    """Shared prologue of the islands pair (:func:`merge_intervals` /
+    :func:`interval_gaps`): ns-normalized bounds, degenerate/null
+    intervals dropped, and the keyed begin/end sort window — ONE
+    definition so the complement pair cannot desynchronize."""
+    from pyspark.sql import Window
+
+    t = (df.withColumn("__b", time_ns_expr(df, begin_col))
+         .withColumn("__e", time_ns_expr(df, end_col))
+         .filter(F.col("__e") > F.col("__b")))
+    w = Window.partitionBy(*key).orderBy("__b", "__e") if key else \
+        Window.partitionBy(F.lit(1)).orderBy("__b", "__e")
+    return t, w
+
+
 def merge_intervals(df: DataFrame, begin_col: str = "begin",
                     end_col: str = "end", key: Sequence[str] = (),
                     merge_adjacent: bool = True) -> DataFrame:
@@ -453,12 +470,7 @@ def merge_intervals(df: DataFrame, begin_col: str = "begin",
     from pyspark.sql import Window
 
     key = list(key)
-    b = time_ns_expr(df, begin_col)
-    e = time_ns_expr(df, end_col)
-    t = (df.withColumn("__b", b).withColumn("__e", e)
-         .filter(F.col("__e") > F.col("__b")))
-    w = Window.partitionBy(*key).orderBy("__b", "__e") if key else \
-        Window.partitionBy(F.lit(1)).orderBy("__b", "__e")
+    t, w = _sorted_intervals(df, begin_col, end_col, key)
     prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     gap = (F.col("__b") > prev_max) if merge_adjacent else \
         (F.col("__b") >= prev_max)
@@ -490,12 +502,7 @@ def interval_gaps(df: DataFrame, begin_col: str = "begin",
     from pyspark.sql import Window
 
     key = list(key)
-    b = time_ns_expr(df, begin_col)
-    e = time_ns_expr(df, end_col)
-    t = (df.withColumn("__b", b).withColumn("__e", e)
-         .filter(F.col("__e") > F.col("__b")))
-    w = Window.partitionBy(*key).orderBy("__b", "__e") if key else \
-        Window.partitionBy(F.lit(1)).orderBy("__b", "__e")
+    t, w = _sorted_intervals(df, begin_col, end_col, key)
     cover = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, 0))
     nxt = F.lead("__b").over(w)
     t = (t.withColumn("__cov", cover).withColumn("__nb", nxt)

@@ -161,6 +161,28 @@ def dedup_stream(stream: DataFrame, subset: Sequence[str],
             .dropDuplicatesWithinWatermark(list(subset)))
 
 
+
+def _null_safe_key(pd, kv):
+    """Normalize a pandas group key tuple so null keys round-trip:
+    pandas renders missing keys as NaN/NaT whose dict identity is
+    unreliable (hash(float('nan')) is id-based) — map every missing
+    value to None so the broadcast-table lookup matches the way
+    Spark's window/cogroup plans group nulls together."""
+    return tuple(None if pd.isna(v) else v for v in kv)
+
+
+def _lastk_gather(np, rt, t, tol, k):
+    """(idx, mask) for the k-tail gather shared by the cogroup and
+    broadcast last-k joins: row i's candidates are rt in
+    [t_i - tol, t_i]; idx[i, j] addresses the j-th most recent, mask
+    marks real candidates (fewer than k available -> masked off)."""
+    lo = np.searchsorted(rt, t - tol, side="left")
+    hi = np.searchsorted(rt, t, side="right")
+    idx = hi[:, None] - 1 - np.arange(k)[None, :]
+    mask = idx >= lo[:, None]
+    return np.clip(idx, 0, max(len(rt) - 1, 0)), mask
+
+
 def asof_join_static(stream: DataFrame, right: DataFrame,
                      tolerance: str | int = 0, key: Sequence[str] = (),
                      time_column: str = TIME_COLUMN,
@@ -207,8 +229,8 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
     rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
     tables: dict = {}
     if key:
-        for kv, grp in rpdf.groupby(key, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
+        for kv, grp in rpdf.groupby(key, sort=False, dropna=False):
+            kv = _null_safe_key(pd, kv if isinstance(kv, tuple) else (kv,))
             tables[kv] = (grp["__rtns"].to_numpy(np.int64),
                           {c: grp[c].to_numpy() for c in rdata})
     else:
@@ -229,11 +251,11 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
                 continue
             res = {c: np.full(len(pdf), None, dtype=object) for c in rdata}
             if key:
-                groups = pdf.groupby(key, sort=False).indices
+                groups = pdf.groupby(key, sort=False, dropna=False).indices
             else:
                 groups = {(): np.arange(len(pdf))}
             for kv, idx in groups.items():
-                kv = kv if isinstance(kv, tuple) else (kv,)
+                kv = _null_safe_key(pd, kv if isinstance(kv, tuple) else (kv,))
                 if kv not in tbl:
                     continue
                 rt, rcols = tbl[kv]
@@ -302,8 +324,8 @@ def topk_join_static(stream: DataFrame, right: DataFrame, k: int,
     rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
     tables: dict = {}
     if key:
-        for kv, grp in rpdf.groupby(key, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
+        for kv, grp in rpdf.groupby(key, sort=False, dropna=False):
+            kv = _null_safe_key(pd, kv if isinstance(kv, tuple) else (kv,))
             tables[kv] = (grp["__rtns"].to_numpy(np.int64),
                           {c: grp[c].to_numpy() for c in rdata})
     else:
@@ -329,21 +351,17 @@ def topk_join_static(stream: DataFrame, right: DataFrame, k: int,
             res = {c: [[] for _ in range(n)] for c in rdata}
             cnt = np.zeros(n, dtype=np.int32)
             if key:
-                groups = pdf.groupby(key, sort=False).indices
+                groups = pdf.groupby(key, sort=False, dropna=False).indices
             else:
                 groups = {(): np.arange(n)}
             tall = pdf["__tns"].to_numpy(np.int64)
             for kv, idx in groups.items():
-                kv = kv if isinstance(kv, tuple) else (kv,)
+                kv = _null_safe_key(pd, kv if isinstance(kv, tuple) else (kv,))
                 if kv not in tbl:
                     continue
                 rt, rcols = tbl[kv]
                 t = tall[idx]
-                lo = np.searchsorted(rt, t - tol, side="left")
-                hi = np.searchsorted(rt, t, side="right")
-                im = hi[:, None] - 1 - np.arange(k)[None, :]
-                mask = im >= lo[:, None]
-                im = np.clip(im, 0, max(len(rt) - 1, 0))
+                im, mask = _lastk_gather(np, rt, t, tol, k)
                 for c in rdata:
                     picked = rcols[c][im]
                     lists = res[c]

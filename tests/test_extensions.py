@@ -2546,3 +2546,19 @@ def test_left_join_topk_broadcast_parity(spark):
 
     from flint_spark.plans.audit import plan_counts
     assert plan_counts(b_out)["shuffles"] == 0
+
+    # NULL keys must match null-keyed rights in BOTH paths (the
+    # broadcast path's pandas groupby drops NaN groups by default —
+    # regression for the null-safe key normalization)
+    lnull = spark.createDataFrame(
+        [(5000, None, 1.0), (5000, "k0", 2.0)],
+        "time long, k string, lv double")
+    rnull = spark.createDataFrame(
+        [(4000, None, 10.0), (4500, None, 11.0), (4600, "k0", 12.0)],
+        "time long, k string, rv double")
+    for fn in (left_join_topk, left_join_topk_broadcast):
+        rows = {(r.time, r.k, r.lv): (tuple(r.rv_lastk), r.n_matched)
+                for r in fn(lnull, rnull, k=3, tolerance=10_000,
+                            key=["k"]).collect()}
+        assert rows[(5000, None, 1.0)] == ((11.0, 10.0), 2), (fn, rows)
+        assert rows[(5000, "k0", 2.0)] == ((12.0,), 1), (fn, rows)
