@@ -602,3 +602,39 @@ def test_interval_family_vs_reference(rows, adj, bucket):
                    for j, rb, re_, rk in rows
                    if re_ > rb and rk == k and b < re_ and rb < e)
     assert got_p == exp_p
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left=panels(), right=panels(), tol=st.integers(0, 200),
+       k=st.integers(1, 4))
+def test_left_join_topk_vs_reference(left, right, tol, k):
+    """Last-k as-of join (both the cogroup and broadcast paths) ==
+    per-row reference: tail of the (time, value)-sorted candidate run,
+    reversed — for random frames, tolerances and k, including
+    duplicate timestamps (tie rule) and ids missing on either side."""
+    from flint_spark.operators.asof import (left_join_topk,
+                                            left_join_topk_broadcast)
+
+    spark = _spark()
+    right = right.rename(columns={"v": "rv"})
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+
+    def ref():
+        out = {}
+        for _, lr in left.iterrows():
+            cand = right[(right["id"] == lr["id"])
+                         & (right["time"] <= lr["time"])
+                         & (right["time"] >= lr["time"] - tol)]
+            cand = cand.sort_values(["time", "rv"])
+            out[(lr["time"], lr["id"], lr["v"])] = \
+                list(cand["rv"])[-k:][::-1]
+        return out
+
+    exp = ref()
+    for fn in (left_join_topk, left_join_topk_broadcast):
+        got = {(r.time, r.id, r.v): list(r.rv_lastk)
+               for r in fn(ldf, rdf, k=k, tolerance=tol,
+                           key=["id"]).collect()}
+        assert got == exp, fn.__name__
