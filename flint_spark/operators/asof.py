@@ -490,30 +490,18 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
     candidates."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import types as T
 
-    from ..streaming.ts_stream import _lastk_gather, _sort_time_then_values
+    from ..streaming.ts_stream import (_lastk_gather, _lastk_plan,
+                                       _sort_time_then_values)
 
-    if k < 1:
-        raise ValueError("k must be >= 1")
     key = list(key)
     if not key:
         raise ValueError("left_join_topk needs a join key")
     tol = parse_duration_ns(tolerance) if tolerance else 0
-    rdata = [c for c in right.columns
-             if c != TIME_COLUMN and c not in key]
-    out_names = {c: f"{c}_lastk" for c in rdata}
-    conflicts = (set(out_names.values()) | {"n_matched"}) & set(left.columns)
-    if conflicts:
-        raise ValueError(f"conflicting output columns {sorted(conflicts)}")
+    rdata, out_names, out_schema = _lastk_plan(
+        left.columns, left.schema.fields, right, key, TIME_COLUMN, k)
     l_ns = left.withColumn(_TNS, time_ns_expr(left))
     r_ns = right.select(*key, time_ns_expr(right).alias("__rtns"), *rdata)
-    rfields = {f.name: f.dataType for f in right.schema.fields}
-    out_schema = T.StructType(
-        list(left.schema.fields)
-        + [T.StructField(out_names[c], T.ArrayType(rfields[c]))
-           for c in rdata]
-        + [T.StructField("n_matched", T.IntegerType())])
     in_cols = list(left.columns)
 
     def fold(lpdf, rpdf):

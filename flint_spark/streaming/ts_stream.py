@@ -171,6 +171,29 @@ def _null_safe_key(pd, kv):
     return tuple(None if pd.isna(v) else v for v in kv)
 
 
+def _lastk_plan(left_cols, left_fields, right, key, right_time_column, k):
+    """Shared output contract of the last-k join pair: right data
+    columns, their ``<col>_lastk`` names, conflict check, and the
+    output schema (left fields ++ array fields ++ n_matched)."""
+    from pyspark.sql import types as T
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rdata = [c for c in right.columns
+             if c != right_time_column and c not in key]
+    out_names = {c: f"{c}_lastk" for c in rdata}
+    conflicts = (set(out_names.values()) | {"n_matched"}) & set(left_cols)
+    if conflicts:
+        raise ValueError(f"conflicting output columns {sorted(conflicts)}")
+    rfields = {f.name: f.dataType for f in right.schema.fields}
+    out_schema = T.StructType(
+        list(left_fields)
+        + [T.StructField(out_names[c], T.ArrayType(rfields[c]))
+           for c in rdata]
+        + [T.StructField("n_matched", T.IntegerType())])
+    return rdata, out_names, out_schema
+
+
 def _lastk_gather(np, rt, t, tol, k):
     """(idx, mask) for the k-tail gather shared by the cogroup and
     broadcast last-k joins: row i's candidates are rt in
@@ -302,21 +325,14 @@ def topk_join_static(stream: DataFrame, right: DataFrame, k: int,
     operator)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import types as T
 
     from ..timeseries import parse_duration_ns, time_ns_expr
 
-    if k < 1:
-        raise ValueError("k must be >= 1")
     key = list(key)
     tol = parse_duration_ns(tolerance) if tolerance else 0
-    rdata = [c for c in right.columns
-             if c != right_time_column and c not in key]
-    out_names = {c: f"{c}_lastk" for c in rdata}
-    conflicts = (set(out_names.values()) | {"n_matched"}) \
-        & set(stream.columns)
-    if conflicts:
-        raise ValueError(f"conflicting output columns {sorted(conflicts)}")
+    rdata, out_names, out_schema = _lastk_plan(
+        stream.columns, stream.schema.fields, right, key,
+        right_time_column, k)
 
     rpdf = right.select(*key,
                         time_ns_expr(right, right_time_column).alias("__rtns"),
@@ -334,12 +350,6 @@ def topk_join_static(stream: DataFrame, right: DataFrame, k: int,
     b = stream.sparkSession.sparkContext.broadcast(tables)
 
     with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
-    rfields = {f.name: f.dataType for f in right.schema.fields}
-    out_schema = T.StructType(
-        list(stream.schema.fields)
-        + [T.StructField(out_names[c], T.ArrayType(rfields[c]))
-           for c in rdata]
-        + [T.StructField("n_matched", T.IntegerType())])
     in_cols = list(stream.columns)
 
     def lookup(batches):

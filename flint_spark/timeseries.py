@@ -566,6 +566,17 @@ class TimeSeriesDataFrame:
         return self._wrap(left_join_topk(self._df, r, k, tolerance, key),
                           is_sorted=False)
 
+    def left_join_topk_broadcast(self, right: "TimeSeriesDataFrame",
+                                 k: int, tolerance: str | int = 0,
+                                 key: Sequence[str] = ()
+                                 ) -> "TimeSeriesDataFrame":
+        """Map-only last-k join against a small static right side
+        (:func:`operators.asof.left_join_topk_broadcast`)."""
+        from .operators.asof import left_join_topk_broadcast
+        r = right._df if isinstance(right, TimeSeriesDataFrame) else right
+        return self._wrap(left_join_topk_broadcast(self._df, r, k,
+                                                   tolerance, key))
+
     def resample(self, clock, value_col: str, key: Sequence[str] = (),
                  method: str = "ffill",
                  tolerance: str | int = "36500d") -> "TimeSeriesDataFrame":
