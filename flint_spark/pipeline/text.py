@@ -596,3 +596,46 @@ def token_distribution_shift(ref_docs: DataFrame, new_docs: DataFrame,
                     (p_ref * F.log(p_ref / p_new)).alias("kl_term"),
                     (p_new * F.log(p_new / p_ref)).alias("rev_kl_term"),
                     (F.abs(p_ref - p_new) / F.lit(2.0)).alias("tv_term")))
+
+
+def token_shift_reference(ref_docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          vocab_size: int = 10_000) -> DataFrame:
+    """Materialize the REFERENCE side of a drift comparison as a
+    bounded (K+1)-row frame: ``(w, rcnt, rtot, kk)`` for the top-K
+    vocabulary plus the pooled ``__OOV__`` bucket — the static half
+    that :func:`token_shift_finalize` (and the streaming monitor)
+    joins against. One corpus scan (persisted counts, as in
+    :func:`token_distribution_shift`)."""
+    tok = _token_stream(ref_docs, text_col, id_col)
+    rc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    vocab = (rc.orderBy(F.desc("cnt"), "w").limit(vocab_size)
+             .select("w", F.col("cnt").alias("rcnt")))
+    consts = (rc.agg(F.sum("cnt").alias("rtot"))
+              .crossJoin(vocab.agg(F.sum("rcnt").alias("rmass"),
+                                   F.count(F.lit(1)).alias("kk"))))
+    oov = consts.select(F.lit("__OOV__").alias("w"),
+                        (F.col("rtot") - F.col("rmass")).alias("rcnt"))
+    return (vocab.unionByName(oov)
+            .crossJoin(F.broadcast(consts.select("rtot", "kk"))))
+
+
+def token_shift_finalize(ref: DataFrame,
+                         bucket_counts: DataFrame) -> DataFrame:
+    """Combine a :func:`token_shift_reference` frame with observed
+    ``(w, ncnt)`` bucket counts (batch table or a streaming sink) into
+    the :func:`token_distribution_shift` output columns — identical
+    smoothing/KL math, so batch and streaming paths cannot drift."""
+    ntot = bucket_counts.agg(F.sum("ncnt").alias("ntot"))
+    j = (ref.join(bucket_counts, "w", "left")
+         .withColumn("ncnt", F.coalesce(F.col("ncnt"), F.lit(0)))
+         .crossJoin(F.broadcast(ntot)))
+    p_ref = ((F.col("rcnt") + F.lit(1)).cast("double")
+             / (F.col("rtot") + F.col("kk") + F.lit(1)))
+    p_new = ((F.col("ncnt") + F.lit(1)).cast("double")
+             / (F.col("ntot") + F.col("kk") + F.lit(1)))
+    return j.select("w",
+                    p_ref.alias("p_ref"), p_new.alias("p_new"),
+                    (p_ref * F.log(p_ref / p_new)).alias("kl_term"),
+                    (p_new * F.log(p_new / p_ref)).alias("rev_kl_term"),
+                    (F.abs(p_ref - p_new) / F.lit(2.0)).alias("tv_term"))

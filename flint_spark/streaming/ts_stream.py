@@ -1220,3 +1220,30 @@ def rolling_ols_multi_stream(stream: DataFrame, y: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def token_shift_stream(stream_docs: DataFrame, ref: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Bounded-state streaming corpus-drift monitor: the live document
+    stream's tokens bucket into a STATIC reference vocabulary
+    (``pipeline.text.token_shift_reference`` — top-K rows + pooled
+    ``__OOV__``) via a broadcast stream-static join, and a streaming
+    aggregation keeps one running count per bucket. State is K+1 rows
+    REGARDLESS of stream volume (out-of-vocab tokens pool map-side),
+    so the monitor runs forever on an unbounded crawl. Write with
+    ``outputMode('complete')`` and feed the sink through
+    ``pipeline.text.token_shift_finalize(ref, sink)`` for the
+    KL/total-variation columns — the identical math as the batch
+    :func:`~flint_spark.pipeline.text.token_distribution_shift`, which
+    the replay gate pins against the batch oracle."""
+    from pyspark.sql import functions as F
+
+    vocab = (ref.filter(F.col("w") != "__OOV__")
+             .select("w").withColumn("__v", F.lit(1)))
+    tok = stream_docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    tagged = tok.join(F.broadcast(vocab), "w", "left")
+    bucket = F.when(F.col("__v").isNotNull(), F.col("w")) \
+        .otherwise(F.lit("__OOV__"))
+    return (tagged.select(bucket.alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("ncnt")))

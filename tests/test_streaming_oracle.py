@@ -1044,3 +1044,54 @@ def test_topk_join_static_stream_vs_duckdb(spark, con, tmp_path):
     ok, msg = compare("stream_topk", spark.sql("SELECT * FROM s_topk"),
                       entry.extra_oracle_sql()["asof_topk"], con)
     assert ok, msg
+
+
+def test_token_shift_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming drift monitor: odd-id documents replay as a 3-chunk
+    stream against the even-id batch reference; the K+1-row running
+    bucket counts finalize through the SHARED probability/KL math and
+    match the batch token_shift oracle bitwise."""
+    import os as _os
+    import shutil as _shutil
+
+    import __spark_entry__ as entry
+    from entry_queries.common import R
+    from flint_spark.pipeline.text import (token_shift_finalize,
+                                           token_shift_reference)
+    from flint_spark.streaming.ts_stream import token_shift_stream
+
+    docs_b = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    ref = token_shift_reference(docs_b.filter(F.col("doc_id") % 2 == 0),
+                                vocab_size=12)
+
+    new_b = docs_b.filter(F.col("doc_id") % 2 == 1)
+    out_dir = str(tmp_path / "docs")
+    _os.makedirs(out_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        part = new_b.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = _os.path.join(out_dir, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        _shutil.move(_os.path.join(tmp, src),
+                     _os.path.join(out_dir, f"chunk_{i}.parquet"))
+        _shutil.rmtree(tmp)
+    stream = (spark.readStream.schema(new_b.schema)
+              .option("maxFilesPerTrigger", 1).parquet(out_dir))
+
+    counts = token_shift_stream(stream, ref)
+    q = (counts.writeStream.outputMode("complete").format("memory")
+         .queryName("s_drift").start())
+    q.processAllAvailable()
+    q.stop()
+
+    final = token_shift_finalize(ref, spark.sql("SELECT * FROM s_drift"))
+    proj = final.select("w",
+                        R("p_ref", 8).alias("p_ref"),
+                        R("p_new", 8).alias("p_new"),
+                        R("kl_term", 8).alias("kl_term"),
+                        R("rev_kl_term", 8).alias("rev_kl_term"),
+                        R("tv_term", 8).alias("tv_term"))
+    ok, msg = compare("stream_drift", proj,
+                      entry.extra_oracle_sql()["token_shift"], con)
+    assert ok, msg
