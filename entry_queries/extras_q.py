@@ -2332,7 +2332,8 @@ SQL_TOKEN_SHIFT = """
     WHERE doc_id % 2 = 1),
   rcnt AS (SELECT w, count(*) AS rcnt FROM rtok GROUP BY 1),
   ncnt AS (SELECT w, count(*) AS ncnt FROM ntok GROUP BY 1),
-  vocab AS (SELECT w, rcnt FROM rcnt ORDER BY rcnt DESC, w LIMIT 12),
+  vocab AS (SELECT w, rcnt FROM rcnt WHERE w <> '__OOV__'
+            ORDER BY rcnt DESC, w LIMIT 12),
   iv AS (SELECT v.w, v.rcnt, COALESCE(n.ncnt, 0) AS ncnt
          FROM vocab v LEFT JOIN ncnt n USING (w)),
   consts AS (

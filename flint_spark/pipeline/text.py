@@ -560,16 +560,25 @@ def token_distribution_shift(ref_docs: DataFrame, new_docs: DataFrame,
     and re-aggregated for totals/top-K/joins, so neither corpus is
     scanned twice; everything downstream is K-row-bounded and the
     K+1-row output never materializes an unbounded vocab."""
+    from ._cache import begin_op, keep
+
     def side_counts(docs):
         tok = _token_stream(docs, text_col, id_col)
         return tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
 
     def side_total(counts, name):
-        return counts.agg(F.sum("cnt").alias(name))
+        # coalesce: an EMPTY side must smooth to a proper distribution
+        # (p = 1/(0 + kk + 1)), not propagate NULL through every term
+        return counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias(name))
 
-    rc = side_counts(ref_docs).persist()
-    nc = side_counts(new_docs).persist()
-    vocab = (rc.orderBy(F.desc("cnt"), "w").limit(vocab_size)
+    begin_op()
+    rc = keep(side_counts(ref_docs))
+    nc = keep(side_counts(new_docs))
+    # the literal token "__OOV__" is excluded from the modeled vocab
+    # (its occurrences pool into the OOV bucket on BOTH sides) so the
+    # sentinel bucket can never collide with a real vocab row
+    vocab = (rc.filter(F.col("w") != "__OOV__")
+             .orderBy(F.desc("cnt"), "w").limit(vocab_size)
              .select("w", F.col("cnt").alias("rcnt")))
     invocab = (vocab.join(nc, "w", "left")
                .select("w", "rcnt",
@@ -579,7 +588,8 @@ def token_distribution_shift(ref_docs: DataFrame, new_docs: DataFrame,
     consts = (side_total(rc, "rtot")
               .crossJoin(side_total(nc, "ntot"))
               .crossJoin(invocab.agg(
-                  F.sum("rcnt").alias("rmass"), F.sum("ncnt").alias("nmass"),
+                  F.coalesce(F.sum("rcnt"), F.lit(0)).alias("rmass"),
+                  F.coalesce(F.sum("ncnt"), F.lit(0)).alias("nmass"),
                   F.count(F.lit(1)).alias("kk"))))
     oov = (consts.select(
         F.lit("__OOV__").alias("w"),
@@ -607,13 +617,18 @@ def token_shift_reference(ref_docs: DataFrame, text_col: str = "text",
     that :func:`token_shift_finalize` (and the streaming monitor)
     joins against. One corpus scan (persisted counts, as in
     :func:`token_distribution_shift`)."""
+    from ._cache import begin_op, keep
+
+    begin_op()
     tok = _token_stream(ref_docs, text_col, id_col)
-    rc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    vocab = (rc.orderBy(F.desc("cnt"), "w").limit(vocab_size)
+    rc = keep(tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    vocab = (rc.filter(F.col("w") != "__OOV__")
+             .orderBy(F.desc("cnt"), "w").limit(vocab_size)
              .select("w", F.col("cnt").alias("rcnt")))
-    consts = (rc.agg(F.sum("cnt").alias("rtot"))
-              .crossJoin(vocab.agg(F.sum("rcnt").alias("rmass"),
-                                   F.count(F.lit(1)).alias("kk"))))
+    consts = (rc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("rtot"))
+              .crossJoin(vocab.agg(
+                  F.coalesce(F.sum("rcnt"), F.lit(0)).alias("rmass"),
+                  F.count(F.lit(1)).alias("kk"))))
     oov = consts.select(F.lit("__OOV__").alias("w"),
                         (F.col("rtot") - F.col("rmass")).alias("rcnt"))
     return (vocab.unionByName(oov)
@@ -626,7 +641,8 @@ def token_shift_finalize(ref: DataFrame,
     ``(w, ncnt)`` bucket counts (batch table or a streaming sink) into
     the :func:`token_distribution_shift` output columns — identical
     smoothing/KL math, so batch and streaming paths cannot drift."""
-    ntot = bucket_counts.agg(F.sum("ncnt").alias("ntot"))
+    ntot = bucket_counts.agg(
+        F.coalesce(F.sum("ncnt"), F.lit(0)).alias("ntot"))
     j = (ref.join(bucket_counts, "w", "left")
          .withColumn("ncnt", F.coalesce(F.col("ncnt"), F.lit(0)))
          .crossJoin(F.broadcast(ntot)))

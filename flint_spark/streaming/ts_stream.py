@@ -167,7 +167,14 @@ def _null_safe_key(pd, kv):
     pandas renders missing keys as NaN/NaT whose dict identity is
     unreliable (hash(float('nan')) is id-based) — map every missing
     value to None so the broadcast-table lookup matches the way
-    Spark's window/cogroup plans group nulls together."""
+    Spark's window/cogroup plans group nulls together.
+
+    Known limit: for FLOAT key columns pandas renders Spark NULL and
+    Spark NaN identically (both NaN), so this path merges them into
+    one group where Spark's own grouping keeps them distinct. Float
+    keys holding actual NaN VALUES therefore break exact parity with
+    the window/cogroup plans — use non-float key columns (the normal
+    id/string case) when exact null-semantics parity matters."""
     return tuple(None if pd.isna(v) else v for v in kv)
 
 
@@ -282,6 +289,8 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
                 if kv not in tbl:
                     continue
                 rt, rcols = tbl[kv]
+                if len(rt) == 0:
+                    continue  # empty right buffer: keep nulls
                 t = pdf["__tns"].to_numpy(np.int64)[idx]
                 if direction == "backward":
                     pos = np.searchsorted(rt, t, side="right") - 1
@@ -370,6 +379,8 @@ def topk_join_static(stream: DataFrame, right: DataFrame, k: int,
                 if kv not in tbl:
                     continue
                 rt, rcols = tbl[kv]
+                if len(rt) == 0:
+                    continue  # empty right buffer: keep empty arrays
                 t = tall[idx]
                 im, mask = _lastk_gather(np, rt, t, tol, k)
                 for c in rdata:
@@ -1238,10 +1249,14 @@ def token_shift_stream(stream_docs: DataFrame, ref: DataFrame,
     the replay gate pins against the batch oracle."""
     from pyspark.sql import functions as F
 
+    from ..pipeline.text import _words
+
     vocab = (ref.filter(F.col("w") != "__OOV__")
              .select("w").withColumn("__v", F.lit(1)))
-    tok = stream_docs.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    # ONE tokenization definition (pipeline.text._words) — an inline
+    # re-implementation here would silently diverge from the batch
+    # operator the replay gate pins against (the shingles principle)
+    tok = stream_docs.select(F.explode(_words(text_col)).alias("w"))
     tagged = tok.join(F.broadcast(vocab), "w", "left")
     bucket = F.when(F.col("__v").isNotNull(), F.col("w")) \
         .otherwise(F.lit("__OOV__"))

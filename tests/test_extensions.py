@@ -2564,13 +2564,13 @@ def test_left_join_topk_broadcast_parity(spark):
         assert rows[(5000, "k0", 2.0)] == ((12.0,), 1), (fn, rows)
 
 
-def test_token_distribution_shift_properties(spark):
+def test_token_distribution_shift_properties(spark, sf_dir):
     """Self-comparison is exactly zero divergence; a shifted corpus
     has positive KL both ways; probabilities form a distribution
     (sum to 1 within FP) including the OOV bucket."""
     from flint_spark.pipeline.text import token_distribution_shift
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ref = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
 
@@ -2581,6 +2581,41 @@ def test_token_distribution_shift_properties(spark):
     diff = token_distribution_shift(ref, new, vocab_size=12).toPandas()
     assert "__OOV__" in set(diff.w)
     assert diff.kl_term.sum() > 0 and diff.rev_kl_term.sum() > 0
-    assert abs(diff.p_ref.sum() - 1.0) < 1e-9 or diff.p_ref.sum() < 1.0
+    # add-one smoothing over the kk+1 buckets sums to EXACTLY 1
+    assert abs(diff.p_ref.sum() - 1.0) < 1e-9
+    assert abs(diff.p_new.sum() - 1.0) < 1e-9
     # every bucket strictly positive on both sides (smoothing)
     assert (diff.p_ref > 0).all() and (diff.p_new > 0).all()
+
+    # an EMPTY new side smooths to the uniform 1/(kk+1) distribution
+    # instead of propagating NULL totals
+    empty = token_distribution_shift(
+        ref, new.filter(F.lit(False)), vocab_size=12).toPandas()
+    assert empty.p_new.notna().all() and (empty.p_new > 0).all()
+    assert abs(empty.p_new.sum() - 1.0) < 1e-9
+
+
+def test_broadcast_joins_empty_right_side(spark):
+    """An empty (or key-absent) static right side yields nulls/empty
+    arrays, not an executor IndexError — keyless and keyed, as-of and
+    last-k (review regression: clip into an empty buffer)."""
+    from flint_spark.operators.asof import (left_join_broadcast,
+                                            left_join_topk_broadcast)
+
+    ldf = spark.createDataFrame([(1000, "a", 1.0)],
+                                "time long, k string, lv double")
+    rempty = spark.createDataFrame([], "time long, k string, rv double")
+
+    r1 = left_join_broadcast(ldf, rempty, tolerance=10_000,
+                             key=["k"]).collect()
+    assert len(r1) == 1 and r1[0].rv is None
+    r2 = left_join_broadcast(ldf.drop("k"), rempty.drop("k"),
+                             tolerance=10_000).collect()
+    assert len(r2) == 1 and r2[0].rv is None
+    r3 = left_join_topk_broadcast(ldf, rempty, k=2, tolerance=10_000,
+                                  key=["k"]).collect()
+    assert len(r3) == 1 and list(r3[0].rv_lastk) == [] \
+        and r3[0].n_matched == 0
+    r4 = left_join_topk_broadcast(ldf.drop("k"), rempty.drop("k"), k=2,
+                                  tolerance=10_000).collect()
+    assert len(r4) == 1 and list(r4[0].rv_lastk) == []
