@@ -67,6 +67,7 @@ HEADLINE = [
     "global_shuffle",
     "merge_intervals",
     "asof_topk",
+    "token_shift",
 ]
 
 
