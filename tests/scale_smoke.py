@@ -218,6 +218,55 @@ def linearity_suite(spark, millions: float = 5.0):
 
     linearity("left_join_cogroup", cogroup_asof_lin, n_small, n_big)
 
+    # --- late-r5 operators -------------------------------------------
+    def overlap_join_lin(n):
+        from flint_spark.operators.joins import interval_overlap_join
+        # n intervals of width 5s on a 2000-key panel; 60s buckets
+        lhs = (spark.range(n)
+               .select(F.col("id").alias("lid"),
+                       F.pmod(F.col("id"), F.lit(2000)).alias("k"),
+                       (F.col("id") * 10**9).alias("begin"),
+                       (F.col("id") * 10**9 + 5 * 10**9).alias("end")))
+        rhs = (spark.range(n // 2)
+               .select(F.col("id").alias("rid"),
+                       F.pmod(F.col("id"), F.lit(2000)).alias("k"),
+                       (F.col("id") * 2 * 10**9 + 10**9).alias("rbegin"),
+                       (F.col("id") * 2 * 10**9 + 7 * 10**9).alias("rend")))
+        return interval_overlap_join(lhs, rhs, bucket="60s", key=["k"])
+
+    linearity("interval_overlap_join", overlap_join_lin, n_small, n_big)
+
+    def islands_lin(n):
+        from flint_spark.operators.intervals import merge_intervals
+        iv = (spark.range(n)
+              .select(F.pmod(F.col("id"), F.lit(2000)).alias("k"),
+                      (F.col("id") * 10**9).alias("begin"),
+                      (F.col("id") * 10**9
+                       + F.pmod(F.col("id"), F.lit(3)) * 10**9
+                       + 10**9).alias("end")))
+        return merge_intervals(iv, key=["k"])
+
+    linearity("merge_intervals islands", islands_lin, n_small, n_big)
+
+    def shuffle_lin(n):
+        from flint_spark.pipeline.sampling import global_shuffle
+        docs = spark.range(n).select(F.col("id").alias("doc_id"))
+        return global_shuffle(docs, seed="lin", shards=64)
+
+    linearity("global_shuffle", shuffle_lin, n_small, n_big)
+
+    def topk_lin(n):
+        from flint_spark.operators.asof import left_join_topk
+        left = keyed_panel(n)
+        right = (spark.range(n // 4)
+                 .select((F.col("id") * 4 * 10**9 + 500).alias("time"),
+                         F.pmod(F.col("id"), F.lit(2000)).alias("id"),
+                         (F.col("id") % 89).cast("double").alias("v")))
+        return left_join_topk(left, right, k=3, tolerance="100s",
+                              key=["id"])
+
+    linearity("left_join_topk", topk_lin, n_small, n_big)
+
 
 def synth_corpus(spark, n_docs: int, seed: int = 5):
     """Synthetic text corpus with realistic shingle overlap: each doc
