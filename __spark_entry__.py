@@ -199,6 +199,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_gaps": q_interval_gaps,
         "asof_topk": q_asof_topk,
         "token_shift": q_token_shift,
+        "ohlc_bars": q_ohlc_bars,
+        "max_drawdown": q_max_drawdown,
     }
 
 
@@ -269,6 +271,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "interval_gaps": SQL_INTERVAL_GAPS,
         "asof_topk": SQL_ASOF_TOPK,
         "token_shift": SQL_TOKEN_SHIFT,
+        "ohlc_bars": SQL_OHLC_BARS,
+        "max_drawdown": SQL_MAX_DRAWDOWN,
     }
 
 

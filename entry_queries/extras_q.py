@@ -2359,3 +2359,81 @@ SQL_TOKEN_SHIFT = """
          floor(abs(p_ref - p_new) / 2 * 1e8 + 0.5) / 1e8 AS tv_term
   FROM probs
 """
+
+
+def q_ohlc_bars(spark, sf):
+    """OHLC/VWAP/TWAP bars (operators.bars.ohlc_bars): per-event_type
+    daily bars over events, price=value, volume=JSON props.k,
+    event_id tie-break. ONE partial+final aggregation; the TWAP
+    holding-interval window partitions by (key, bucket) and its
+    exchange is reused by the bar aggregation."""
+    from flint_spark.operators.bars import ohlc_bars
+
+    ev = _events(spark, sf).withColumn(
+        "vol", F.get_json_object("props", "$.k").cast("double"))
+    out = ohlc_bars(ev, "1d", "value", key=["event_type"],
+                    volume_col="vol", tie_break=["event_id"], twap=True)
+    return out.select(
+        TIME_COLUMN, "event_type",
+        R("open", 4).alias("open"), R("high", 4).alias("high"),
+        R("low", 4).alias("low"), R("close", 4).alias("close"),
+        "n", R("volume", 4).alias("volume"),
+        R("vwap", 6).alias("vwap"), R("twap", 6).alias("twap"))
+
+
+SQL_OHLC_BARS = """
+  WITH e AS (
+    SELECT event_type, epoch_us(ts) AS tus, value, event_id,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol,
+           (epoch_us(ts) // 86400000000) * 86400000000 AS bucket
+    FROM events WHERE value IS NOT NULL),
+  h AS (
+    SELECT *, COALESCE(lead(tus) OVER (PARTITION BY event_type, bucket
+               ORDER BY tus, event_id, value),
+              bucket + 86400000000) - tus AS hold
+    FROM e)
+  SELECT make_timestamp(bucket) AS time, event_type,
+         floor(first(value ORDER BY tus, event_id, value) * 1e4 + 0.5) / 1e4 AS open,
+         floor(max(value) * 1e4 + 0.5) / 1e4 AS high,
+         floor(min(value) * 1e4 + 0.5) / 1e4 AS low,
+         floor(last(value ORDER BY tus, event_id, value) * 1e4 + 0.5) / 1e4 AS close,
+         count(*) AS n,
+         floor(sum(COALESCE(vol, 0)) * 1e4 + 0.5) / 1e4 AS volume,
+         CASE WHEN sum(COALESCE(vol, 0)) <> 0
+              THEN floor(sum(value * COALESCE(vol, 0)) / sum(COALESCE(vol, 0))
+                         * 1e6 + 0.5) / 1e6 END AS vwap,
+         floor(sum(value * hold) / sum(hold) * 1e6 + 0.5) / 1e6 AS twap
+  FROM h GROUP BY bucket, event_type
+"""
+
+
+def q_max_drawdown(spark, sf):
+    """Running-peak max drawdown (operators.bars.max_drawdown): per
+    user_id over the value series in time order, event_id tie-break.
+    One window + an aggregation that reuses its partitioning — one
+    exchange."""
+    from flint_spark.operators.bars import max_drawdown
+
+    ev = _events(spark, sf)
+    out = max_drawdown(ev, "value", key=["user_id"],
+                       tie_break=["event_id"])
+    return out.select("user_id", R("peak", 4).alias("peak"),
+                      R("max_drawdown", 8).alias("max_drawdown"), "n")
+
+
+SQL_MAX_DRAWDOWN = """
+  WITH p AS (
+    SELECT user_id, value,
+           max(value) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+    FROM events),
+  d AS (SELECT user_id, value, peak,
+               CASE WHEN peak > 0 THEN (peak - value) / peak END AS dd
+        FROM p)
+  SELECT user_id,
+         floor(max(value) * 1e4 + 0.5) / 1e4 AS peak,
+         floor(max(dd) * 1e8 + 0.5) / 1e8 AS max_drawdown,
+         count(value) AS n
+  FROM d GROUP BY user_id
+"""

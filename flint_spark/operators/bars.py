@@ -1,0 +1,141 @@
+"""Price-bar aggregation and drawdown analytics.
+
+The reference's users assemble OHLC bars by composing
+``summarizeIntervals`` with min/max/first/last summarizers
+(reference ``timeseries/TimeSeriesRDD.scala:1091-1126``,
+``Summarizers.scala`` first/last); this module packages the
+finance-standard bundle — open / high / low / close / volume /
+VWAP / TWAP — as one operator, the way the reference packages
+quantile or OLS.
+
+Scale design (100 TB posture):
+
+- ``ohlc_bars`` without TWAP is ONE partial+final hash aggregation —
+  open/close ride ``min_by``/``max_by`` over a deterministic
+  (time, tie_break..., price) order struct, so every bar column is a
+  mergeable monoid and the map side pre-aggregates before the single
+  shuffle.
+- With TWAP the holding-interval ``lead`` window partitions by
+  (key, bucket) — NOT a global or key-only window — so it scales
+  even keyless, and the following bar aggregation's
+  ClusteredDistribution on the same (key, bucket) is already
+  satisfied: still ONE data exchange total (the merge_intervals
+  partitioning-reuse recipe).
+- ``drawdown``/``max_drawdown`` are one running-max window per key
+  plus an aggregation that reuses the window's hash partitioning:
+  one exchange.
+
+Conventions (documented, oracle-pinned):
+
+- Buckets are epoch-aligned ``[k*width, (k+1)*width)`` (the rollup
+  family's inclusion=begin / rounding=begin convention); buckets with
+  no ticks produce no bar (no fill/carry across buckets).
+- Rows with a null price are dropped before bar math (a tick without
+  a price is not a trade); null volumes count 0 toward volume/VWAP.
+- TWAP holds each tick's price from its timestamp to the next tick
+  in the SAME bucket (ties broken by ``tie_break`` then price), the
+  last tick holding to bucket end. Equal-timestamp ties give the
+  earlier-ordered tick zero holding weight.
+- ``max_drawdown`` is ``max((peak - v) / peak)`` over the running
+  peak; null while the running peak is <= 0 (drawdown of a
+  non-positive equity curve is undefined).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..timeseries import (TIME_COLUMN, floor_div, ns_to_time_expr,
+                          parse_duration_ns, time_ns_expr)
+
+_BUCKET = "__bar_bucket"
+_HOLD = "__bar_hold"
+
+
+def _order_struct(tns: Column, tie_break: Sequence[str],
+                  price: Column) -> Column:
+    return F.struct(tns, *[F.col(c) for c in tie_break], price)
+
+
+def ohlc_bars(df: DataFrame, interval: str | int, price_col: str,
+              key: Sequence[str] = (), volume_col: str | None = None,
+              tie_break: Sequence[str] = (),
+              twap: bool = False) -> DataFrame:
+    """One row per (epoch-aligned ``interval`` bucket [, ``key``]) with
+    ``open high low close n`` plus ``volume``/``vwap`` when
+    ``volume_col`` is given and ``twap`` when requested. ``time`` is
+    the bucket begin."""
+    key = list(key)
+    width = parse_duration_ns(interval)
+    if width <= 0:
+        raise ValueError("interval must be positive")
+    dtype = dict(df.dtypes)[TIME_COLUMN]
+    price = F.col(price_col)
+    tns = time_ns_expr(df)
+    base = (df.filter(price.isNotNull())
+              .withColumn(_BUCKET, floor_div(tns, width) * F.lit(width)))
+    ord_ = _order_struct(time_ns_expr(base), tie_break, price)
+    aggs = [
+        F.min_by(price, ord_).alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max_by(price, ord_).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if volume_col is not None:
+        vol = F.coalesce(F.col(volume_col).cast("double"), F.lit(0.0))
+        sv = F.sum(vol)
+        aggs += [sv.alias("volume"),
+                 F.when(sv != 0, F.sum(price * vol) / sv).alias("vwap")]
+    if twap:
+        # holding weight: next tick in the SAME bucket (or bucket end).
+        # Equivalent to a global next-tick clipped to bucket end, but
+        # partitions by (key, bucket) so the window is bounded and the
+        # bar aggregation reuses its exchange.
+        w = Window.partitionBy(*key, _BUCKET).orderBy(
+            _order_struct(time_ns_expr(base), tie_break, price))
+        nxt = F.coalesce(F.lead(time_ns_expr(base)).over(w),
+                         F.col(_BUCKET) + F.lit(width))
+        base = base.withColumn(_HOLD, (nxt - time_ns_expr(base)).cast("double"))
+        aggs.append((F.sum(price * F.col(_HOLD)) / F.sum(_HOLD)).alias("twap"))
+    out = base.groupBy(_BUCKET, *key).agg(*aggs)
+    out = out.withColumn(TIME_COLUMN, ns_to_time_expr(F.col(_BUCKET), dtype))
+    names = [a for a in ("open", "high", "low", "close", "n", "volume",
+                         "vwap", "twap") if a in out.columns]
+    return out.select(TIME_COLUMN, *key, *names)
+
+
+def drawdown(df: DataFrame, value_col: str, key: Sequence[str] = (),
+             tie_break: Sequence[str] = ()) -> DataFrame:
+    """Per-row running peak and fractional drawdown of ``value_col``
+    over time (the cumulative ``addSummaryColumns`` shape): adds
+    ``peak`` and ``drawdown``. One window scan per key; null rows
+    pass through with null peak/drawdown contribution skipped by the
+    running max."""
+    key = list(key)
+    tns = time_ns_expr(df)
+    w = (Window.partitionBy(*key)
+               .orderBy(tns, *[F.col(c) for c in tie_break])
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    peak = F.max(F.col(value_col)).over(w)
+    dd = F.when(peak > 0, (peak - F.col(value_col)) / peak)
+    return df.withColumn("peak", peak).withColumn("drawdown", dd)
+
+
+def max_drawdown(df: DataFrame, value_col: str,
+                 key: Sequence[str] = (),
+                 tie_break: Sequence[str] = ()) -> DataFrame:
+    """Per ``key``: the peak value and the maximum fractional drawdown
+    of the series. The aggregation's ClusteredDistribution on ``key``
+    is satisfied by the window's partitioning — one exchange total.
+    Keyless input uses a single-partition window; callers at scale
+    pass a key (documented, same stance as the keyless EMA scan)."""
+    key = list(key)
+    per_row = drawdown(df, value_col, key, tie_break)
+    return (per_row.groupBy(*key)
+            .agg(F.max(F.col(value_col)).alias("peak"),
+                 F.max("drawdown").alias("max_drawdown"),
+                 F.count(F.col(value_col)).alias("n")))

@@ -633,6 +633,25 @@ class TimeSeriesDataFrame:
         from .operators.sessions import sessionize
         return self._wrap(sessionize(self._df, gap, key))
 
+    def ohlc_bars(self, interval: str | int, price_col: str,
+                  key: Sequence[str] = (), **kwargs
+                  ) -> "TimeSeriesDataFrame":
+        """OHLC/VWAP/TWAP bars per epoch-aligned interval
+        (:func:`operators.bars.ohlc_bars`); one exchange."""
+        from .operators.bars import ohlc_bars
+        return self._wrap(ohlc_bars(self._df, interval, price_col, key,
+                                    **kwargs), is_sorted=False)
+
+    def drawdown(self, value_col: str, key: Sequence[str] = (),
+                 **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.bars import drawdown
+        return self._wrap(drawdown(self._df, value_col, key, **kwargs))
+
+    def max_drawdown(self, value_col: str, key: Sequence[str] = (),
+                     **kwargs) -> DataFrame:
+        from .operators.bars import max_drawdown
+        return max_drawdown(self._df, value_col, key, **kwargs)
+
     def transform(self, fn: Callable[[DataFrame], DataFrame]) -> "TimeSeriesDataFrame":
         """Apply an arbitrary DataFrame transform, keeping the sortedness
         flag honest via plan analysis (the reference's Python wrapper

@@ -2619,3 +2619,88 @@ def test_broadcast_joins_empty_right_side(spark):
     r4 = left_join_topk_broadcast(ldf.drop("k"), rempty.drop("k"), k=2,
                                   tolerance=10_000).collect()
     assert len(r4) == 1 and list(r4[0].rv_lastk) == []
+
+
+def test_ohlc_bars_semantics(spark):
+    """Bar columns on a hand-computed fixture: deterministic open/close
+    tie rule (time, tie_break, price), null-price rows dropped,
+    zero-volume vwap null, TWAP holding weights (last tick holds to
+    bucket end; equal-time earlier tick holds zero), and the whole
+    thing in ONE exchange."""
+    import datetime as dt
+
+    from flint_spark.operators.bars import ohlc_bars
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # one 60s bucket, key "x": ticks at 0 (tie pair), 30, null@40
+        ("x", at(0), 1, 10.0, 5.0),
+        ("x", at(0), 2, 20.0, 0.0),   # same ts, larger id -> not open
+        ("x", at(30), 3, 40.0, 5.0),
+        ("x", at(40), 4, None, 99.0),  # null price: dropped entirely
+        # key "y": single tick, zero volume
+        ("y", at(10), 5, 7.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, time timestamp, event_id long, p double, v double")
+    out = {r.k: r for r in ohlc_bars(
+        df, "60s", "p", key=["k"], volume_col="v",
+        tie_break=["event_id"], twap=True).collect()}
+
+    x = out["x"]
+    assert (x.open, x.high, x.low, x.close, x.n) == (10.0, 40.0, 10.0, 40.0, 3)
+    assert x.volume == 10.0
+    assert abs(x.vwap - (10.0 * 5 + 20.0 * 0 + 40.0 * 5) / 10.0) < 1e-12
+    # holds: id1@0 -> 0s (tie), id2@0 -> 30s, id3@30 -> 30s (bucket end)
+    assert abs(x.twap - (20.0 * 30 + 40.0 * 30) / 60.0) < 1e-12
+    y = out["y"]
+    assert (y.open, y.close, y.n, y.volume) == (7.0, 7.0, 1, 0.0)
+    assert y.vwap is None          # zero total volume
+    assert abs(y.twap - 7.0) < 1e-12   # single tick holds to bucket end
+
+    from flint_spark.plans.audit import plan_counts
+    pc = plan_counts(ohlc_bars(df, "60s", "p", key=["k"], volume_col="v",
+                               tie_break=["event_id"], twap=True))
+    assert pc["shuffles"] == 1 and pc["python"] == 0
+    # keyless TWAP still partitions by bucket: no single-partition window
+    pc0 = plan_counts(ohlc_bars(df, "60s", "p", twap=True))
+    assert pc0["shuffles"] == 1
+
+
+def test_max_drawdown_semantics(spark):
+    """Running-peak drawdown: peak before any positive value -> null
+    contribution; recovery does not erase the max; one exchange."""
+    import datetime as dt
+
+    from flint_spark.operators.bars import drawdown, max_drawdown
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(seconds=s), i, v)
+            for i, (s, v) in enumerate(
+                [(0, 100.0), (1, 50.0), (2, 120.0), (3, 90.0), (4, None)])]
+    rows += [("b", t0, 99, -5.0)]   # non-positive peak: undefined dd
+    df = spark.createDataFrame(
+        rows, "k string, time timestamp, event_id long, v double")
+
+    per_row = {(r.k, r.event_id): r for r in
+               drawdown(df, "v", key=["k"], tie_break=["event_id"]).collect()}
+    assert per_row[("a", 1)].peak == 100.0
+    assert abs(per_row[("a", 1)].drawdown - 0.5) < 1e-12
+    assert per_row[("a", 3)].peak == 120.0
+    assert per_row[("a", 4)].drawdown is None          # null value row
+    assert per_row[("b", 99)].drawdown is None         # peak <= 0
+
+    md = {r.k: r for r in
+          max_drawdown(df, "v", key=["k"], tie_break=["event_id"]).collect()}
+    assert md["a"].peak == 120.0
+    assert abs(md["a"].max_drawdown - 0.5) < 1e-12     # the 100->50 leg
+    assert md["a"].n == 4                              # null value skipped
+    assert md["b"].max_drawdown is None
+
+    from flint_spark.plans.audit import plan_counts
+    assert plan_counts(
+        max_drawdown(df, "v", key=["k"], tie_break=["event_id"]))["shuffles"] == 1
