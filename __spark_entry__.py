@@ -37,7 +37,7 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_minhash_lsh, _sql_simhash,
                            _sql_simhash_pairs, _sql_text_stats,
                            _sql_cms_counts, _sql_zorder_key,
-                           _sql_logreg_quality)
+                           _sql_logreg_quality, _sql_bm25)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -201,6 +201,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shift": q_token_shift,
         "ohlc_bars": q_ohlc_bars,
         "max_drawdown": q_max_drawdown,
+        "bm25": q_bm25,
     }
 
 
@@ -273,6 +274,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "token_shift": SQL_TOKEN_SHIFT,
         "ohlc_bars": SQL_OHLC_BARS,
         "max_drawdown": SQL_MAX_DRAWDOWN,
+        "bm25": _sql_bm25(),
     }
 
 

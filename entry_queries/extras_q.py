@@ -2437,3 +2437,55 @@ SQL_MAX_DRAWDOWN = """
          count(value) AS n
   FROM d GROUP BY user_id
 """
+
+
+_BM25_TERMS = ["hash", "join", "vector"]
+_BM25_DF = {t: f"CAST(sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS BIGINT)"
+            for t in _BM25_TERMS}
+
+
+def q_bm25(spark, sf):
+    """BM25 retrieval (pipeline.text.bm25_topk): literal-query
+    map-side scoring — per-term tf from the once-split word array,
+    ONE 1-row broadcast stats aggregate (N, avgdl, per-term df),
+    zero data shuffles. Gated with k=None (every matching doc,
+    unranked) so the compare never rides a float-ordering knife
+    edge at the top-k cut; the cut itself is pinned by the unit
+    test on distinct scores."""
+    from flint_spark.pipeline.text import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    out = bm25_topk(docs, _BM25_TERMS, k=None)
+    return out.select("doc_id", R("bm25", 6).alias("bm25"), "n_terms")
+
+
+def _sql_bm25() -> str:
+    k1, b = 1.2, 0.75
+    dfs = ",\n           ".join(f"{expr} AS df{i}"
+                                for i, (t, expr) in enumerate(_BM25_DF.items()))
+    contribs = []
+    matched = []
+    for i, t in enumerate(_BM25_TERMS):
+        tf = f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        c = (f"CASE WHEN {tf} > 0 THEN {idf} * {tf} * {k1 + 1.0} / "
+             f"({tf} + {k1} * ({1.0 - b} + {b} * len(w) / avgdl)) "
+             f"ELSE 0.0 END")
+        contribs.append(c)
+        matched.append(f"CASE WHEN {tf} > 0 THEN 1 ELSE 0 END")
+    # sum in literal query order, left-associated like the Spark column
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = f"({score}) + ({c})"
+    return f"""
+  WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           avg(len(w)) AS avgdl,
+           {dfs}
+        FROM d)
+  SELECT doc_id,
+         floor(({score}) * 1e6 + 0.5) / 1e6 AS bm25,
+         CAST({' + '.join(matched)} AS INT) AS n_terms
+  FROM d, s
+  WHERE {' + '.join(matched)} > 0
+"""

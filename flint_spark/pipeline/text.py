@@ -655,3 +655,69 @@ def token_shift_finalize(ref: DataFrame,
                     (p_ref * F.log(p_ref / p_new)).alias("kl_term"),
                     (p_new * F.log(p_new / p_ref)).alias("rev_kl_term"),
                     (F.abs(p_ref - p_new) / F.lit(2.0)).alias("tv_term"))
+
+
+def bm25_topk(docs: DataFrame, query_terms: Sequence[str],
+              k: int | None = 10, k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 retrieval: score every document against a literal query
+    term set and keep the top-k (Robertson/Sparck Jones BM25 with the
+    ``ln(1 + (N - df + .5)/(df + .5))`` non-negative idf).
+
+    Scale design: the query terms are inlined as literals (the IVF
+    inlined-centroid recipe), so scoring is a pure map-side
+    projection — per-term tf is ``size(filter(words, = term))`` over
+    the once-split word array, no posting-list shuffle exists at all.
+    Corpus statistics (N, avgdl, one df per query term) are ONE 1-row
+    aggregate, broadcast. The only distributed movement is the top-k
+    itself, which ``orderBy().limit(k)`` plans as a
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    P*k rows — never a single-partition sort). ``k=None`` returns all
+    matching docs unranked, in which case nothing moves at all.
+
+    Per-doc cost is O(|query| * |words|); intended for the
+    few-term interactive/filter query shape. A thousand-term query
+    belongs to the tf-idf posting-join shape (``tfidf_top_terms``)
+    instead — documented boundary, same stance as ``ewma_native``'s
+    span guard.
+
+    Scores sum per-term contributions in the literal query order on
+    both engines, so the DuckDB oracle matches bitwise."""
+    terms = list(dict.fromkeys(query_terms))  # de-dup, keep order
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = _spread_docs(docs).withColumn("__w", _words(text_col))
+    w = F.col("__w")
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.avg(F.size(w)).alias("__avgdl"),
+        *[F.sum(F.array_contains(w, t).cast("long")).alias(f"__df_{i}")
+          for i, t in enumerate(terms)])
+    dl = F.size(w).cast("double")
+    score = F.lit(0.0)
+    n_matched = F.lit(0)
+    def _eq(term: str):
+        # closure factory: a default arg would change the HOF lambda's
+        # arity and make Spark pass the element INDEX into it
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(w, _eq(t))).cast("double")
+        idf = F.log(F.lit(1.0) + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+                    / (F.col(f"__df_{i}") + F.lit(0.5)))
+        contrib = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("__avgdl")))
+        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+        n_matched = n_matched + (tf > 0).cast("int")
+    scored = (base.crossJoin(F.broadcast(stats))
+              .select(F.col(id_col), score.alias("bm25"),
+                      n_matched.alias("n_terms"))
+              .filter(F.col("n_terms") > 0))
+    if k is None:
+        return scored
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+    # rank over the k surviving rows only (bounded, post-limit)
+    rw = Window.orderBy(F.desc("bm25"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(rw))

@@ -2704,3 +2704,52 @@ def test_max_drawdown_semantics(spark):
     from flint_spark.plans.audit import plan_counts
     assert plan_counts(
         max_drawdown(df, "v", key=["k"], tie_break=["event_id"]))["shuffles"] == 1
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 on a hand-sized corpus: tf counted per literal term (the
+    HOF closure, not the element index), higher-tf/shorter docs score
+    higher, top-k cut + rank on distinct scores, k=None emits every
+    matching doc with ZERO data shuffles, and the cut plans as a
+    distributed TakeOrderedAndProject (never a global sort)."""
+    import math
+
+    from flint_spark.pipeline.text import bm25_topk
+    from flint_spark.plans.audit import walk_plan
+
+    rows = [
+        (1, "cat dog cat"),        # tf(cat)=2, dl=3
+        (2, "cat fish fish fish"), # tf(cat)=1, dl=4
+        (3, "dog bird"),           # no query term
+        (4, "cat"),                # tf(cat)=1, dl=1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_topk(docs, ["cat"], k=None).collect()}
+    assert set(out) == {1, 2, 4}
+    assert all(r.n_terms == 1 for r in out.values())
+    # closed form: N=4, df=3, avgdl=2.5, k1=1.2, b=0.75
+    idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    def ref(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5))
+    assert abs(out[1].bm25 - ref(2, 3)) < 1e-12
+    assert abs(out[4].bm25 - ref(1, 1)) < 1e-12
+    # length normalization: the 1-word doc (2.2/1.66) outranks the
+    # tf=2 3-word doc (4.4/3.38); top-2 cut keeps 4 then 1
+    assert ref(1, 1) > ref(2, 3) > ref(1, 4)
+    ranked = bm25_topk(docs, ["cat"], k=2).collect()
+    assert [(r.doc_id, r.rank) for r in
+            sorted(ranked, key=lambda r: r.rank)] == [(4, 1), (1, 2)]
+
+    from flint_spark.plans.audit import plan_counts
+    pc = plan_counts(bm25_topk(docs, ["cat", "dog"], k=None))
+    # the only exchanges carry 1-row stats partials (and the small-scan
+    # spread repartition on few-split inputs) — document rows never
+    # hash-shuffle, there is no posting-list exchange
+    assert pc["shuffles"] <= 2 and pc["python"] == 0 and pc["broadcasts"] == 1
+    names = list(walk_plan(
+        bm25_topk(docs, ["cat"], k=2)._jdf.queryExecution().executedPlan()))
+    assert any("TakeOrderedAndProject" in n for n in names)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
