@@ -68,6 +68,11 @@ HEADLINE = [
     "merge_intervals",
     "asof_topk",
     "token_shift",
+    # continuation-session additions: OHLC/TWAP bars (one-exchange bar
+    # aggregation), running-peak drawdown, literal-query BM25 scoring
+    "ohlc_bars",
+    "max_drawdown",
+    "bm25",
 ]
 
 

@@ -60,6 +60,26 @@ def _order_struct(tns: Column, tie_break: Sequence[str],
     return F.struct(tns, *[F.col(c) for c in tie_break], price)
 
 
+def bar_aggs(price: Column, ord_: Column,
+             volume_col: str | None) -> list[Column]:
+    """The OHLCV aggregate list — every column a mergeable monoid
+    (min_by/max_by over the deterministic order struct), shared by the
+    batch operator and the streaming twin so the two can never drift."""
+    aggs = [
+        F.min_by(price, ord_).alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max_by(price, ord_).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if volume_col is not None:
+        vol = F.coalesce(F.col(volume_col).cast("double"), F.lit(0.0))
+        sv = F.sum(vol)
+        aggs += [sv.alias("volume"),
+                 F.when(sv != 0, F.sum(price * vol) / sv).alias("vwap")]
+    return aggs
+
+
 def ohlc_bars(df: DataFrame, interval: str | int, price_col: str,
               key: Sequence[str] = (), volume_col: str | None = None,
               tie_break: Sequence[str] = (),
@@ -77,19 +97,8 @@ def ohlc_bars(df: DataFrame, interval: str | int, price_col: str,
     tns = time_ns_expr(df)
     base = (df.filter(price.isNotNull())
               .withColumn(_BUCKET, floor_div(tns, width) * F.lit(width)))
-    ord_ = _order_struct(time_ns_expr(base), tie_break, price)
-    aggs = [
-        F.min_by(price, ord_).alias("open"),
-        F.max(price).alias("high"),
-        F.min(price).alias("low"),
-        F.max_by(price, ord_).alias("close"),
-        F.count(F.lit(1)).alias("n"),
-    ]
-    if volume_col is not None:
-        vol = F.coalesce(F.col(volume_col).cast("double"), F.lit(0.0))
-        sv = F.sum(vol)
-        aggs += [sv.alias("volume"),
-                 F.when(sv != 0, F.sum(price * vol) / sv).alias("vwap")]
+    aggs = bar_aggs(price, _order_struct(time_ns_expr(base), tie_break, price),
+                    volume_col)
     if twap:
         # holding weight: next tick in the SAME bucket (or bucket end).
         # Equivalent to a global next-tick clipped to bucket end, but

@@ -1262,3 +1262,33 @@ def token_shift_stream(stream_docs: DataFrame, ref: DataFrame,
         .otherwise(F.lit("__OOV__"))
     return (tagged.select(bucket.alias("w"))
             .groupBy("w").agg(F.count(F.lit(1)).alias("ncnt")))
+
+
+def ohlc_bars_stream(stream: DataFrame, frequency: str, price_col: str,
+                     key: Sequence[str] = (),
+                     volume_col: str | None = None,
+                     tie_break: Sequence[str] = (),
+                     watermark: str = "10 minutes",
+                     time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of :func:`operators.bars.ohlc_bars` (no TWAP —
+    the holding-interval ``lead`` is not expressible under streaming
+    aggregation): watermarked tumbling windows + the SAME
+    ``bar_aggs`` column list as the batch operator, so the two cannot
+    drift. Every bar column is a mergeable declarative aggregate
+    (min_by/max_by over the deterministic order struct), state is one
+    partial row per open (key, window)."""
+    from ..operators.bars import _order_struct, bar_aggs
+    from ..timeseries import time_ns_expr
+
+    key = list(key)
+    price = F.col(price_col)
+    base = stream.filter(price.isNotNull())
+    ord_ = _order_struct(time_ns_expr(base, time_column), tie_break, price)
+    win = F.window(F.col(time_column), frequency)
+    out = (base.withWatermark(time_column, watermark)
+           .groupBy(win.alias("interval"), *key)
+           .agg(*bar_aggs(price, ord_, volume_col)))
+    names = [c for c in ("open", "high", "low", "close", "n",
+                         "volume", "vwap") if c in out.columns]
+    return out.select(F.col("interval.start").alias(TIME_COLUMN), *key,
+                      *names)

@@ -1095,3 +1095,58 @@ def test_token_shift_stream_vs_duckdb(spark, con, tmp_path):
     ok, msg = compare("stream_drift", proj,
                       entry.extra_oracle_sql()["token_shift"], con)
     assert ok, msg
+
+
+def test_ohlc_bars_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming OHLCV bars replay (22nd gate) == the batch ohlc oracle:
+    tumbling 1-day windows + the shared ``bar_aggs`` list, sentinel
+    closes every real window. TWAP is batch-only (lead is not
+    expressible under streaming aggregation), so the compare covers
+    the OHLCV subset."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("vol", F.get_json_object("props", "$.k").cast("double"))
+          .select("time", "event_type", "event_id", "value", "vol"))
+    out_dir = str(tmp_path / "ohlc")
+    _time_split_files(ev, out_dir, _SPLITS)
+    _append_sentinel(
+        spark, ev, out_dir,
+        lambda t: ev.limit(1).select(
+            t.alias("time"), F.lit("zz_sentinel").alias("event_type"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(0.0).alias("value"), F.lit(0.0).alias("vol")))
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    bars = ts_stream.ohlc_bars_stream(
+        st, "1 day", "value", key=["event_type"], volume_col="vol",
+        tie_break=["event_id"], watermark="1 minute")
+    _run_to_table(bars, "so_ohlc")
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000
+    r6 = lambda c: F.floor(F.col(c) * 1000000 + 0.5) / 1000000
+    got = (spark.sql("SELECT * FROM so_ohlc")
+           .select("time", "event_type",
+                   r4("open").alias("open"), r4("high").alias("high"),
+                   r4("low").alias("low"), r4("close").alias("close"),
+                   "n", r4("volume").alias("volume"),
+                   r6("vwap").alias("vwap")))
+    sql = """
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS tus, value, event_id,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        FROM events WHERE value IS NOT NULL)
+      SELECT day AS time, event_type,
+             floor(first(value ORDER BY tus, event_id, value) * 1e4 + 0.5) / 1e4 AS open,
+             floor(max(value) * 1e4 + 0.5) / 1e4 AS high,
+             floor(min(value) * 1e4 + 0.5) / 1e4 AS low,
+             floor(last(value ORDER BY tus, event_id, value) * 1e4 + 0.5) / 1e4 AS close,
+             count(*) AS n,
+             floor(sum(COALESCE(vol, 0)) * 1e4 + 0.5) / 1e4 AS volume,
+             CASE WHEN sum(COALESCE(vol, 0)) <> 0
+                  THEN floor(sum(value * COALESCE(vol, 0))
+                             / sum(COALESCE(vol, 0)) * 1e6 + 0.5) / 1e6
+             END AS vwap
+      FROM e GROUP BY day, event_type
+    """
+    ok, msg = compare("so_ohlc", got, sql, con)
+    assert ok, msg
