@@ -483,11 +483,127 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
     Cardinality-preserving (unmatched rows keep empty arrays), unlike
     an interval join that multiplies rows.
 
-    Plan: the cogroup Arrow merge (one exchange per side; ZERO on
-    co-bucketed scans, like :func:`left_join_cogroup`); per-row
-    window bounds come from two vectorized searchsorteds, the k-tail
-    gather is a (n, k) index matrix — no per-row Python loop over
-    candidates."""
+    Plan: a tagged two-side union riding the complete-group Arrow
+    batch engine (``functions._complete_group_batches``) — ONE hash
+    repartition of the union + a within-partition key sort + a single
+    ``mapInPandas`` carrying MANY key groups per Arrow batch. The
+    first cut of this operator cogrouped per key, which pays the
+    JVM<->Arrow round-trip PER KEY twice (two frames); at 1.5k keys /
+    250k rows a NO-OP cogroup alone measured 14s where this engine's
+    whole join runs in ~1s (docs/BENCH_NOTES.md). Per-row window
+    bounds come from two vectorized searchsorteds, the k-tail gather
+    is a (n, k) index matrix — no per-row Python loop over
+    candidates. For a co-bucketed zero-exchange plan use
+    :func:`left_join_topk_cogroup`; for a small static right side use
+    :func:`left_join_topk_broadcast`."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import _complete_group_batches, _group_boundaries
+    from ..streaming.ts_stream import _lastk_plan
+
+    key = list(key)
+    if not key:
+        raise ValueError("left_join_topk needs a join key")
+    tol = parse_duration_ns(tolerance) if tolerance else 0
+    rdata, out_names, out_schema = _lastk_plan(
+        left.columns, left.schema.fields, right, key, TIME_COLUMN, k)
+    in_cols = list(left.columns)
+    lpay = [c for c in left.columns if c not in key]
+    pref = {c: f"__r_{i}" for i, c in enumerate(rdata)}
+
+    def _filler(dtype):
+        # integral/boolean nulls would flip the Arrow->pandas dtype to
+        # float64/object for the WHOLE column, silently corrupting
+        # int64 values above 2**53 on the side that actually carries
+        # them — fill the unused side with typed zeros instead (their
+        # values are never read; floats/strings/timestamps keep their
+        # dtype under nulls and stay None)
+        name = dtype.simpleString()
+        if name in ("tinyint", "smallint", "int", "bigint"):
+            return F.lit(0).cast(dtype)
+        if name == "boolean":
+            return F.lit(False)
+        return F.lit(None).cast(dtype)
+
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    l_ns = left.withColumn(_TNS, time_ns_expr(left))
+    u_l = l_ns.select(
+        *key, F.lit(1).alias("__side"), F.col(_TNS),
+        *lpay, F.lit(0).cast("long").alias("__rtns"),
+        *[_filler(rtypes[c]).alias(pref[c]) for c in rdata])
+    u_r = right.select(
+        *key, F.lit(0).alias("__side"),
+        F.lit(0).cast("long").alias(_TNS),
+        *[_filler(ltypes[c]).alias(c) for c in lpay],
+        time_ns_expr(right).alias("__rtns"),
+        *[F.col(c).alias(pref[c]) for c in rdata])
+    union = u_l.unionByName(u_r)
+
+    def run(batches):
+        from ..streaming.ts_stream import (_lastk_gather,
+                                           _sort_time_then_values)
+
+        for head in _complete_group_batches(batches, key):
+            head = head.reset_index(drop=True)
+            segs = _group_boundaries(np, head, key).tolist() + [len(head)]
+            outs = []
+            for s0, s1 in zip(segs, segs[1:]):
+                g = head.iloc[s0:s1]
+                side = g["__side"].to_numpy()
+                lpdf = g[side == 1]
+                if len(lpdf) == 0:
+                    continue
+                out = lpdf[in_cols].copy()
+                t = lpdf[_TNS].to_numpy(np.int64)
+                n = len(t)
+                rpdf = (g[side == 0]
+                        .rename(columns={v: c for c, v in pref.items()}))
+                if len(rpdf) == 0:
+                    for c in rdata:
+                        # dtype=object even when n == 0: an empty
+                        # default assignment makes a float64 column,
+                        # which Arrow refuses to cast to list<...>
+                        out[out_names[c]] = pd.Series(
+                            [[] for _ in range(n)], index=out.index,
+                            dtype=object)
+                    out["n_matched"] = np.zeros(n, dtype=np.int32)
+                    outs.append(out)
+                    continue
+                rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
+                rt = rpdf["__rtns"].to_numpy(np.int64)
+                # (n, k) gather: row i takes rt-indices hi-1, hi-2,
+                # ..., masked below lo — the k-tail of the candidate
+                # run, reversed (shared with the broadcast twin)
+                idx, mask = _lastk_gather(np, rt, t, tol, k)
+                for c in rdata:
+                    rv = rpdf[c].to_numpy()
+                    picked = rv[idx]
+                    out[out_names[c]] = pd.Series(
+                        [picked[i][mask[i]].tolist() for i in range(n)],
+                        index=out.index, dtype=object)
+                out["n_matched"] = mask.sum(axis=1).astype(np.int32)
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    arranged = (union.repartition(*[F.col(c) for c in key])
+                .sortWithinPartitions(*key))
+    return arranged.mapInPandas(run, out_schema)
+
+
+def left_join_topk_cogroup(left: DataFrame, right: DataFrame, k: int,
+                           tolerance: str | int = 0,
+                           key: Sequence[str] = ()) -> DataFrame:
+    """:func:`left_join_topk` via the cogroup Arrow merge: ZERO data
+    exchanges when both sides scan tables bucketed by ``key`` with
+    matching bucket counts (the :func:`left_join_cogroup` property —
+    the union engine cannot elide there because UnionExec reports
+    UnknownPartitioning). Pays the per-key JVM<->Arrow round-trip
+    twice, so on NON-bucketed inputs with many keys prefer the
+    default :func:`left_join_topk`; identical output (parity
+    test-pinned)."""
     import numpy as np
     import pandas as pd
 
@@ -496,7 +612,7 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
 
     key = list(key)
     if not key:
-        raise ValueError("left_join_topk needs a join key")
+        raise ValueError("left_join_topk_cogroup needs a join key")
     tol = parse_duration_ns(tolerance) if tolerance else 0
     rdata, out_names, out_schema = _lastk_plan(
         left.columns, left.schema.fields, right, key, TIME_COLUMN, k)
@@ -519,9 +635,6 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
             return out
         rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
         rt = rpdf["__rtns"].to_numpy(np.int64)
-        # (n, k) gather: row i takes rt-indices hi-1, hi-2, ...,
-        # masked below lo — the k-tail of the candidate run, reversed
-        # (shared with the broadcast/streaming twin)
         idx, mask = _lastk_gather(np, rt, t, tol, k)
         for c in rdata:
             rv = rpdf[c].to_numpy()
