@@ -202,6 +202,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": q_ohlc_bars,
         "max_drawdown": q_max_drawdown,
         "bm25": q_bm25,
+        "containment": q_containment,
+        "key_profile": q_key_profile,
+        "heavy_keys": q_heavy_keys,
     }
 
 
@@ -275,6 +278,9 @@ def extra_oracle_sql() -> dict[str, str]:
         "ohlc_bars": SQL_OHLC_BARS,
         "max_drawdown": SQL_MAX_DRAWDOWN,
         "bm25": _sql_bm25(),
+        "containment": SQL_CONTAINMENT,
+        "key_profile": SQL_KEY_PROFILE,
+        "heavy_keys": SQL_HEAVY_KEYS,
     }
 
 

@@ -2489,3 +2489,94 @@ def _sql_bm25() -> str:
   FROM d, s
   WHERE {' + '.join(matched)} > 0
 """
+
+
+def q_containment(spark, sf):
+    """Asymmetric n-gram containment pairs
+    (pipeline.dedup.ngram_containment_pairs): quote/subset-shaped
+    duplication that Jaccard misses — |A∩B|/|A| and |A∩B|/|B| for
+    rare-shingle-sharing pairs, either side >= 0.5. Plan shape is the
+    jaccard gate's (distinct-shingle equi-join, broadcast stop-shingle
+    anti-join), only the scoring projection differs."""
+    from flint_spark.pipeline.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf, "documents")
+    out = ngram_containment_pairs(docs, threshold=0.5, max_df=100)
+    return out.select("id_a", "id_b",
+                      R("containment_a", 6).alias("containment_a"),
+                      R("containment_b", 6).alias("containment_b"))
+
+
+SQL_CONTAINMENT = """
+  WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                 WHERE len(string_split(text, ' ')) >= 3),
+  sh0 AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 2),
+                        i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS shingle
+          FROM words),
+  rare AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 100),
+  sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+  sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+  SELECT id_a, id_b,
+         floor((i::DOUBLE / sa.nsh) * 1e6 + 0.5) / 1e6 AS containment_a,
+         floor((i::DOUBLE / sb.nsh) * 1e6 + 0.5) / 1e6 AS containment_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i::DOUBLE / sa.nsh >= 0.5 OR i::DOUBLE / sb.nsh >= 0.5
+"""
+
+
+def q_key_profile(spark, sf):
+    """Skew measurement (pipeline.profile.key_profile): one-row
+    distribution profile of events per user_id — the number that
+    decides whether a join on this key needs salting. Count-of-counts
+    shape: the only corpus-scale exchange is the first hash
+    aggregation."""
+    from flint_spark.pipeline.profile import key_profile
+
+    ev = _t(spark, sf, "events")
+    out = key_profile(ev, ["user_id"])
+    return out.select("n_rows", "n_keys", "max_cnt",
+                      R("avg_cnt", 6).alias("avg_cnt"),
+                      R("p50_cnt", 6).alias("p50_cnt"),
+                      R("p90_cnt", 6).alias("p90_cnt"),
+                      R("p99_cnt", 6).alias("p99_cnt"),
+                      R("skew", 6).alias("skew"))
+
+
+SQL_KEY_PROFILE = """
+  WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys,
+         max(cnt) AS max_cnt,
+         floor(avg(cnt) * 1e6 + 0.5) / 1e6 AS avg_cnt,
+         floor(quantile_cont(cnt, 0.5) * 1e6 + 0.5) / 1e6 AS p50_cnt,
+         floor(quantile_cont(cnt, 0.9) * 1e6 + 0.5) / 1e6 AS p90_cnt,
+         floor(quantile_cont(cnt, 0.99) * 1e6 + 0.5) / 1e6 AS p99_cnt,
+         floor(max(cnt) / avg(cnt) * 1e6 + 0.5) / 1e6 AS skew
+  FROM c
+"""
+
+
+def q_heavy_keys(spark, sf):
+    """Heavy-hitter keys (pipeline.profile.heavy_keys): top-10 user_ids
+    by event count with corpus share — deterministic (cnt desc, key)
+    cut, TakeOrderedAndProject plan, 1-row broadcast total."""
+    from flint_spark.pipeline.profile import heavy_keys
+
+    ev = _t(spark, sf, "events")
+    out = heavy_keys(ev, ["user_id"], k=10)
+    return out.select("user_id", "cnt", R("share", 8).alias("share"))
+
+
+SQL_HEAVY_KEYS = """
+  WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+  t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+  SELECT user_id, cnt,
+         floor(cnt::DOUBLE / total * 1e8 + 0.5) / 1e8 AS share
+  FROM c, t ORDER BY cnt DESC, user_id LIMIT 10
+"""

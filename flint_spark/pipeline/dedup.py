@@ -524,3 +524,49 @@ def dedup_corpus(docs: DataFrame, method: str = "minhash",
                          f"one of {sorted(finders)} or 'exact'")
     pairs = finders[method](docs, text_col, id_col, **kwargs)
     return dedup_keep_canonical(docs, pairs, id_col)
+
+
+def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            threshold: float = 0.8,
+                            max_df: int = 100) -> DataFrame:
+    """Asymmetric n-gram containment: for pairs sharing a rare shingle,
+    ``containment_a = |A∩B| / |A|`` (the fraction of a's shingles that
+    also occur in b) and symmetrically ``containment_b``; pairs kept
+    when EITHER side reaches ``threshold``. Jaccard misses
+    subset-shaped duplication — a short doc quoted wholesale inside a
+    long one has tiny Jaccard but containment ~1 — which is exactly
+    the quote/sub-document contamination shape; this is the
+    pair-exact complement to ``decontam``'s one-sided screen.
+
+    Plan shape is ``ngram_jaccard_pairs`` verbatim (distinct-shingle
+    equi-join with the broadcast stop-shingle anti-join and the
+    persisted two-stage cache policy); only the final scoring
+    projection differs, so the 100 TB posture is identical — never
+    all-pairs, skew-capped by ``max_df``."""
+    begin_op()
+    sh0 = keep(shingles(docs, text_col, id_col, k))
+    stop = (sh0.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df).select("shingle"))
+    sh = keep(sh0.join(F.broadcast(stop), "shingle", "left_anti"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    )
+    ca = F.col("inter").cast("double") / F.col("nsh_a")
+    cb = F.col("inter").cast("double") / F.col("nsh_b")
+    return (
+        inter
+        .join(sizes.select(F.col(id_col).alias("id_a"),
+                           F.col("nsh").alias("nsh_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("nsh").alias("nsh_b")), "id_b")
+        .select("id_a", "id_b", ca.alias("containment_a"),
+                cb.alias("containment_b"))
+        .filter((F.col("containment_a") >= threshold)
+                | (F.col("containment_b") >= threshold))
+    )

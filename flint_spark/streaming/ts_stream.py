@@ -1292,3 +1292,41 @@ def ohlc_bars_stream(stream: DataFrame, frequency: str, price_col: str,
                          "volume", "vwap") if c in out.columns]
     return out.select(F.col("interval.start").alias(TIME_COLUMN), *key,
                       *names)
+
+
+def cms_build_stream(stream: DataFrame, key_col: str,
+                     frequency: str = "1 day",
+                     width: int = 1024, depth: int = 4,
+                     salt: str = "cms",
+                     watermark: str = "10 minutes",
+                     time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming count-min ingestion: one (time, j, bucket, cnt) cell
+    row per closed tumbling window — the sketch analogue of
+    ``build_rollup_stream``'s partial table. State is bounded at
+    ``width x depth`` cells per open window REGARDLESS of stream
+    volume or key cardinality (the whole point of sketching a
+    stream); closed-window cell tables re-sum into the corpus sketch
+    with ``pipeline.sketches.cms_merge`` (drop ``time`` first), and
+    the merged table feeds ``cms_estimate`` unchanged — a live
+    heavy-hitters monitor over an unbounded stream.
+
+    Cell positions are the same md5 family as the batch build, so a
+    replayed stream's merged cells equal ``cms_build`` on the same
+    rows bit-for-bit (oracle-gated)."""
+    from ..pipeline.sketches import _pos
+
+    key = F.col(key_col).cast("string")
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _pos(key, j, width, salt).alias("bucket"))
+        for j in range(depth)
+    ])).alias("cell")
+    win = F.window(F.col(time_column), frequency)
+    out = (stream.filter(key.isNotNull())
+           .select(F.col(time_column), cells)
+           .select(time_column, "cell.j", "cell.bucket")
+           .withWatermark(time_column, watermark)
+           .groupBy(win.alias("interval"), "j", "bucket")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    return out.select(F.col("interval.start").alias(TIME_COLUMN),
+                      "j", "bucket", "cnt")

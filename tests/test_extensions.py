@@ -2753,3 +2753,49 @@ def test_bm25_topk_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment ~1
+    on the short side while Jaccard stays under a dedup threshold —
+    the subset shape the operator exists for. Pair emitted once with
+    id_a < id_b, sides assigned correctly."""
+    from flint_spark.pipeline.dedup import (ngram_containment_pairs,
+                                            ngram_jaccard_pairs)
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [(1, quote), (2, quote + " " + filler), (3, "totally different words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = ngram_containment_pairs(docs, threshold=0.9, max_df=100).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (1, 2)
+    assert p.containment_a == 1.0          # every shingle of 1 is in 2
+    assert p.containment_b < 0.9           # 2 is mostly filler
+    # same pair is invisible to a 0.6-jaccard dedup pass
+    assert ngram_jaccard_pairs(docs, threshold=0.6, max_df=100).count() == 0
+
+
+def test_key_profile_and_heavy_keys(spark):
+    """Hand-counted key distribution: quantiles over per-key counts,
+    skew = max/avg, null key COUNTED as a group (null keys are real
+    skew producers), heavy-key cut deterministic on (cnt desc, key)."""
+    from flint_spark.pipeline.profile import heavy_keys, key_profile
+    from flint_spark.plans.audit import walk_plan
+
+    rows = ([("a",)] * 6 + [("b",)] * 3 + [("c",)] * 2 + [(None,)] * 1)
+    df = spark.createDataFrame(rows, "k string")
+    prof = key_profile(df, ["k"], probabilities=(0.5,)).collect()[0]
+    assert (prof.n_rows, prof.n_keys, prof.max_cnt) == (12, 4, 6)
+    assert abs(prof.avg_cnt - 3.0) < 1e-12
+    assert abs(prof.p50_cnt - 2.5) < 1e-12     # R-7 over [1,2,3,6]
+    assert abs(prof.skew - 2.0) < 1e-12
+
+    hk = heavy_keys(df, ["k"], k=2).collect()
+    assert [(r.k, r.cnt) for r in hk] == [("a", 6), ("b", 3)]
+    assert abs(hk[0].share - 0.5) < 1e-12
+    names = list(walk_plan(heavy_keys(df, ["k"], k=2)
+                           ._jdf.queryExecution().executedPlan()))
+    assert any("TakeOrderedAndProject" in n for n in names)

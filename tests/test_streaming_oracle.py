@@ -1150,3 +1150,58 @@ def test_ohlc_bars_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_ohlc", got, sql, con)
     assert ok, msg
+
+
+def test_cms_build_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming count-min ingestion replay (23rd gate): per-day cell
+    partials == DuckDB replaying the md5 position family per day, and
+    the re-summed windows feed the BATCH estimator with estimates
+    equal to a batch-built sketch — mergeability across the
+    batch/stream boundary, value-for-value."""
+    from flint_spark.pipeline.sketches import (cms_build, cms_estimate,
+                                               _pos_sql)
+
+    W, D = 64, 3
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id"))
+    out_dir = str(tmp_path / "cms")
+    _time_split_files(ev, out_dir, _SPLITS)
+    # sentinel key must be NON-null: cms_build_stream filters null keys
+    # BEFORE the watermark node, and a filtered row cannot advance the
+    # watermark; -1 never occurs in the data and its far-future window
+    # never closes, so no sentinel cell is ever emitted
+    _append_sentinel(
+        spark, ev, out_dir,
+        lambda t: ev.limit(1).select(t.alias("time"),
+                                     F.lit(-1).cast("long")
+                                     .alias("user_id")))
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    cells = ts_stream.cms_build_stream(st, "user_id", "1 day",
+                                       width=W, depth=D,
+                                       watermark="1 minute")
+    _run_to_table(cells, "so_cms")
+    got = spark.sql("SELECT * FROM so_cms")
+    pos = lambda j: _pos_sql("CAST(user_id AS VARCHAR)", j, W, "cms")
+    unions = " UNION ALL ".join(
+        f"SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS time, "
+        f"{j} AS j, {pos(j)} AS bucket FROM events "
+        f"WHERE user_id IS NOT NULL" for j in range(D))
+    sql = (f"SELECT time, j, bucket, count(*) AS cnt FROM ({unions}) "
+           f"GROUP BY 1, 2, 3")
+    ok, msg = compare("so_cms", got, sql, con)
+    assert ok, msg
+
+    # sentinel's window never closed, so re-summed cells == batch build
+    merged = (got.groupBy("j", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    batch = cms_build(ev, "user_id", width=W, depth=D)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, batch.collect()))
+    probe = ev.select("user_id").distinct()
+    est_s = {r.user_id: r.est_count for r in cms_estimate(
+        probe, merged, "user_id", width=W, depth=D).collect()}
+    est_b = {r.user_id: r.est_count for r in cms_estimate(
+        probe, batch, "user_id", width=W, depth=D).collect()}
+    assert est_s == est_b
