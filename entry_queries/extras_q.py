@@ -2268,8 +2268,9 @@ SQL_INTERVAL_GAPS = """
 def q_asof_topk(spark, sf):
     """Last-k as-of join (operators.asof.left_join_topk): the 3 most
     recent orders in [t - 9000d, t] per user attached to every event,
-    most-recent-first; the cogroup Arrow merge (zero exchanges on
-    co-bucketed scans). Array elements project to scalar columns so
+    most-recent-first; the complete-group union engine (one exchange
+    per side; left_join_topk_cogroup keeps the zero-exchange
+    co-bucketed path). Array elements project to scalar columns so
     the value-hash compare stays array-free; the oracle computes the
     same tail via a DESC-ordered list subquery."""
     from flint_spark.operators.asof import left_join_topk

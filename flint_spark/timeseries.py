@@ -566,6 +566,20 @@ class TimeSeriesDataFrame:
         return self._wrap(left_join_topk(self._df, r, k, tolerance, key),
                           is_sorted=False)
 
+    def left_join_topk_bucketed(self, right: "TimeSeriesDataFrame",
+                                k: int, tolerance: str | int = 0,
+                                key: Sequence[str] = ()
+                                ) -> "TimeSeriesDataFrame":
+        """Last-k join via the cogroup merge: zero data exchanges on
+        co-bucketed scans (:func:`operators.asof
+        .left_join_topk_cogroup`); on non-bucketed inputs prefer
+        :meth:`left_join_topk`."""
+        from .operators.asof import left_join_topk_cogroup
+        r = right._df if isinstance(right, TimeSeriesDataFrame) else right
+        return self._wrap(left_join_topk_cogroup(self._df, r, k,
+                                                 tolerance, key),
+                          is_sorted=False)
+
     def left_join_topk_broadcast(self, right: "TimeSeriesDataFrame",
                                  k: int, tolerance: str | int = 0,
                                  key: Sequence[str] = ()
