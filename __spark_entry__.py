@@ -205,6 +205,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "key_profile": q_key_profile,
         "heavy_keys": q_heavy_keys,
+        "funnel": q_funnel,
     }
 
 
@@ -281,6 +282,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "containment": SQL_CONTAINMENT,
         "key_profile": SQL_KEY_PROFILE,
         "heavy_keys": SQL_HEAVY_KEYS,
+        "funnel": SQL_FUNNEL,
     }
 
 

@@ -2581,3 +2581,43 @@ SQL_HEAVY_KEYS = """
          floor(cnt::DOUBLE / total * 1e8 + 0.5) / 1e8 AS share
   FROM c, t ORDER BY cnt DESC, user_id LIMIT 10
 """
+
+
+def q_funnel(spark, sf):
+    """Strict-order funnel (operators.sessions.funnel): per-user
+    view -> click -> purchase earliest-completion walk as ONE
+    F.aggregate expression over a sorted per-key event array — one
+    exchange, zero Python; the oracle replays the greedy walk as
+    chained min-after CTEs (provably the same assignment without a
+    completion window)."""
+    from flint_spark.operators.sessions import funnel
+
+    ev = _events(spark, sf)
+    out = funnel(ev, ["view", "click", "purchase"], key=["user_id"])
+    return out.select("user_id", "step1_time", "step2_time",
+                      "step3_time", "n_steps", "converted")
+
+
+SQL_FUNNEL = """
+  WITH e AS (SELECT user_id, event_type AS ev, epoch_us(ts) AS t
+             FROM events WHERE ts IS NOT NULL),
+  s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE ev = 'view' GROUP BY 1),
+  s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+         WHERE ev = 'click' AND t > t1 GROUP BY 1),
+  s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+         WHERE ev = 'purchase' AND t > t2 GROUP BY 1),
+  u AS (SELECT DISTINCT user_id FROM e
+        WHERE ev IN ('view', 'click', 'purchase'))
+  SELECT u.user_id,
+         make_timestamp(t1) AS step1_time,
+         make_timestamp(t2) AS step2_time,
+         make_timestamp(t3) AS step3_time,
+         (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS n_steps,
+         t3 IS NOT NULL AS converted
+  FROM u
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+  LEFT JOIN s3 ON u.user_id = s3.user_id
+"""

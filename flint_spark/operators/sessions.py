@@ -45,3 +45,63 @@ def session_stats(df: DataFrame, gap: str | int = "30m",
             ((F.max(tns) - F.min(tns)) / F.lit(1_000_000_000.0)).alias("duration_s"),
         )
     )
+
+
+def funnel(df: DataFrame, steps: Sequence[str],
+           event_col: str = "event_type",
+           key: Sequence[str] = ("user_id",)) -> DataFrame:
+    """Strict-order funnel conversion: per ``key``, the earliest
+    completion path through ``steps`` — ``step<i>_time`` is the
+    earliest event matching ``steps[i]`` STRICTLY after the chosen
+    step i-1 (step 1 earliest overall), plus ``n_steps`` reached and
+    ``converted``. Without a completion window the greedy
+    earliest-first walk is optimal (taking any later candidate can
+    only delay later steps), so this IS the max-conversion assignment,
+    and the DuckDB oracle replays it as chained min-after CTEs.
+
+    Plan: rows not matching any step drop map-side, the per-key walk
+    is ONE hash aggregation whose collect_list holds only
+    step-matching events, and the walk itself is a pure
+    ``F.aggregate`` expression over the sorted struct array — one
+    exchange, zero Python. Equal-timestamp events process in step
+    order (sort_array ties on the step index); an event can satisfy
+    at most one step."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    key = list(key)
+    k = len(steps)
+    tns = time_ns_expr(df)
+    idx = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps))):
+        idx = F.when(F.col(event_col) == F.lit(s), F.lit(i)).otherwise(idx)
+    ev = (df.filter(F.col(event_col).isin(steps) & tns.isNotNull())
+          .select(*key, F.struct(tns.alias("t"),
+                                 idx.alias("i")).alias("e")))
+    seq = F.sort_array(F.collect_list("e"))
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def walk(state, e):
+        # fill state[e.i] when unfilled and the previous step's chosen
+        # time lies strictly before e.t (element_at is 1-based)
+        prev_ok = F.when(e["i"] == 0, F.lit(True)).otherwise(
+            F.element_at(state, e["i"]).isNotNull()
+            & (F.element_at(state, e["i"]) < e["t"]))
+        return F.transform(
+            state,
+            lambda s, j: F.when((j == e["i"]) & s.isNull() & prev_ok,
+                                e["t"]).otherwise(s))
+
+    g = (ev.groupBy(*key).agg(seq.alias("__seq"))
+         .withColumn("__ts", F.aggregate(F.col("__seq"), init, walk))
+         .drop("__seq"))
+    dtype = dict(df.dtypes)[TIME_COLUMN]
+    from ..timeseries import ns_to_time_expr
+
+    cols = [ns_to_time_expr(F.element_at("__ts", i + 1), dtype)
+            .alias(f"step{i + 1}_time") for i in range(k)]
+    n_steps = F.size(F.filter("__ts", lambda t: t.isNotNull()))
+    return g.select(*key, *cols, n_steps.alias("n_steps"),
+                    (n_steps == k).alias("converted"))

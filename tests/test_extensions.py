@@ -2799,3 +2799,44 @@ def test_key_profile_and_heavy_keys(spark):
     names = list(walk_plan(heavy_keys(df, ["k"], k=2)
                            ._jdf.queryExecution().executedPlan()))
     assert any("TakeOrderedAndProject" in n for n in names)
+
+
+def test_funnel_semantics(spark):
+    """Hand-walked funnel: strict-after ordering (equal timestamps do
+    NOT advance), pre-step-1 events of later steps ignored, greedy
+    earliest-first path, partial progress counted, one exchange and
+    zero Python."""
+    import datetime as dt
+
+    from flint_spark.operators.sessions import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1: B@1 before any A (ignored), A@2, B@2 (equal ts: strict,
+        # no), B@5 fills, C@4 < step2 time (ignored), C@9 converts
+        (1, at(1), "B"), (1, at(2), "A"), (1, at(2), "B"),
+        (1, at(5), "B"), (1, at(4), "C"), (1, at(9), "C"),
+        # u2: A then C only: stops at step 1
+        (2, at(1), "A"), (2, at(3), "C"),
+        # u3: no funnel events at all -> no output row
+        (3, at(1), "X"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, time timestamp, event_type string")
+    out = {r.user_id: r for r in
+           funnel(df, ["A", "B", "C"], key=["user_id"]).collect()}
+    assert set(out) == {1, 2}
+    u1 = out[1]
+    assert (u1.step1_time, u1.step2_time, u1.step3_time) == \
+        (at(2), at(5), at(9))
+    assert (u1.n_steps, u1.converted) == (3, True)
+    u2 = out[2]
+    assert u2.step1_time == at(1) and u2.step2_time is None
+    assert (u2.n_steps, u2.converted) == (1, False)
+
+    from flint_spark.plans.audit import plan_counts
+    pc = plan_counts(funnel(df, ["A", "B", "C"], key=["user_id"]))
+    assert pc["shuffles"] == 1 and pc["python"] == 0
