@@ -206,6 +206,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_profile": q_key_profile,
         "heavy_keys": q_heavy_keys,
         "funnel": q_funnel,
+        "weighted_take": q_weighted_take,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -283,6 +285,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "key_profile": SQL_KEY_PROFILE,
         "heavy_keys": SQL_HEAVY_KEYS,
         "funnel": SQL_FUNNEL,
+        "weighted_take": SQL_WEIGHTED_TAKE,
+        "cohort_retention": SQL_COHORT,
     }
 
 

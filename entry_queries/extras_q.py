@@ -2621,3 +2621,57 @@ SQL_FUNNEL = """
   LEFT JOIN s2 ON u.user_id = s2.user_id
   LEFT JOIN s3 ON u.user_id = s3.user_id
 """
+
+
+def q_weighted_take(spark, sf):
+    """Weight-proportional reservoir per key
+    (pipeline.sampling.weighted_take_per_key): 5 docs per lang,
+    weight = n_chars, exponential race -ln(u)/w on the md5 uniform —
+    the oracle replays the race and the (race, id) rank exactly."""
+    from flint_spark.pipeline.sampling import weighted_take_per_key
+
+    docs = _t(spark, sf, "documents")
+    out = weighted_take_per_key(docs, ["lang"], "n_chars", n=5)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+SQL_WEIGHTED_TAKE = """
+  WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+             WHERE n_chars IS NOT NULL AND n_chars > 0),
+  r AS (SELECT doc_id, lang, n_chars,
+               -ln((('0x' || substr(md5('wtake' || doc_id::VARCHAR), 1, 7))::BIGINT
+                    + 1) / 268435457.0) / n_chars AS race
+        FROM d),
+  k AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                     ORDER BY race, doc_id) AS rk FROM r)
+  SELECT doc_id, lang, n_chars FROM k WHERE rk <= 5
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Cohort retention matrix (operators.sessions.cohort_retention):
+    weekly first-activity cohorts of event users x activity-period
+    offsets; first-seen via a per-user window min (no user-table
+    join), cohort sizes broadcast by construction (#cohorts rows)."""
+    from flint_spark.operators.sessions import cohort_retention
+
+    ev = _events(spark, sf)
+    out = cohort_retention(ev, "7d", key=["user_id"])
+    return out.select("cohort_time", "period", "n_active", "n_cohort",
+                      R("retention", 8).alias("retention"))
+
+
+SQL_COHORT = """
+  WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+             WHERE ts IS NOT NULL),
+  f AS (SELECT user_id, min(t) AS ft FROM e GROUP BY 1),
+  a AS (SELECT DISTINCT e.user_id, (ft // 604800000000) AS coh,
+               (t // 604800000000) - (ft // 604800000000) AS period
+        FROM e JOIN f USING (user_id)),
+  c AS (SELECT coh, period, count(*) AS n_active FROM a GROUP BY 1, 2),
+  s AS (SELECT coh, n_active AS n_cohort FROM c WHERE period = 0)
+  SELECT make_timestamp(coh * 604800000000) AS cohort_time, period,
+         n_active, n_cohort,
+         floor(n_active::DOUBLE / n_cohort * 1e8 + 0.5) / 1e8 AS retention
+  FROM c JOIN s USING (coh)
+"""

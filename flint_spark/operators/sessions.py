@@ -105,3 +105,49 @@ def funnel(df: DataFrame, steps: Sequence[str],
     n_steps = F.size(F.filter("__ts", lambda t: t.isNotNull()))
     return g.select(*key, *cols, n_steps.alias("n_steps"),
                     (n_steps == k).alias("converted"))
+
+
+def cohort_retention(df: DataFrame, cohort_width: str | int = "7d",
+                     key: Sequence[str] = ("user_id",)) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    bucket (epoch-aligned ``cohort_width``), counted per activity
+    period offset — (cohort_time, period, n_active, n_cohort,
+    retention). ``period`` is whole buckets since the cohort bucket
+    (period 0 always has n_active == n_cohort by construction).
+
+    Plan: the first-seen time is a running min over the existing
+    per-key window partitioning (no user-table join); the distinct
+    (key, cohort, period) reduction and the (cohort, period) count
+    are two hash aggregations; the period-0 cohort sizes are a
+    #cohorts-row table — bounded by the time range over the width,
+    broadcastable BY CONSTRUCTION (unlike a per-user table). Null
+    times are dropped."""
+    key = list(key)
+    if not key:
+        raise ValueError("cohort_retention needs a user key")
+    width = parse_duration_ns(cohort_width)
+    if width <= 0:
+        raise ValueError("cohort_width must be positive")
+    from ..timeseries import floor_div, ns_to_time_expr
+
+    tns = time_ns_expr(df)
+    base = df.filter(tns.isNotNull())
+    tns = time_ns_expr(base)
+    first = F.min(tns).over(Window.partitionBy(*key))
+    bucket = floor_div(tns, width)
+    cohort = floor_div(first, width)
+    active = (base
+              .select(*key, (cohort * F.lit(width)).alias("__cns"),
+                      (bucket - cohort).cast("long").alias("period"))
+              .distinct())
+    counts = (active.groupBy("__cns", "period")
+              .agg(F.count(F.lit(1)).alias("n_active")))
+    sizes = (counts.filter(F.col("period") == 0)
+             .select("__cns", F.col("n_active").alias("n_cohort")))
+    dtype = dict(df.dtypes)[TIME_COLUMN]
+    out = counts.join(F.broadcast(sizes), "__cns")
+    return (out.select(ns_to_time_expr(F.col("__cns"), dtype)
+                       .alias("cohort_time"),
+                       "period", "n_active", "n_cohort",
+                       (F.col("n_active").cast("double")
+                        / F.col("n_cohort")).alias("retention")))

@@ -301,3 +301,37 @@ def global_shuffle(df: DataFrame, seed: str = "epoch0", on: str = "doc_id",
         Window.partitionBy("shard").orderBy("__k", on)) - F.lit(1)
     return (t.withColumn("global_pos", (off_expr + rank).cast("long"))
             .drop("__k"))
+
+
+def weighted_take_per_key(df: DataFrame, key: Sequence[str],
+                          weight_col, n: int, on: str = "doc_id",
+                          salt: str = "wtake") -> DataFrame:
+    """Weight-proportional k-per-key subsample WITHOUT replacement
+    (the exponential-race form of Efraimidis-Spirakis A-ES reservoir
+    sampling): each row draws a deterministic uniform
+    u = (md5_28(salt||id) + 1) / (2^28 + 1) and races with key
+    -ln(u) / weight — exponential with rate ``weight``, so the n
+    smallest are a weight-proportional sample. Deterministic and
+    engine-portable like every sampler here (a pure function of
+    (salt, id)): re-runs agree and appends never flip a surviving
+    row's draw. Rows with null or non-positive weight are dropped
+    (they can never win a race).
+
+    One keyed window exchange — identical plan shape to
+    :func:`take_per_key`, which is the uniform special case."""
+    if isinstance(weight_col, str):
+        weight_col = F.col(weight_col)
+    u = ((_bucket28(F.col(on), salt) + F.lit(1)).cast("double")
+         / F.lit(float(2 ** 28 + 1)))
+    race = -F.log(u) / weight_col
+    w = Window.partitionBy(*key).orderBy(race.asc(), F.col(on))
+    return (df.filter(weight_col.isNotNull() & (weight_col > 0))
+            .withColumn("__race", race)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n).drop("__rk", "__race"))
+
+
+def _bucket28(col: Column, salt: str) -> Column:
+    """Raw 28-bit hash (no modulus) — the race needs the full-width
+    uniform, not the 10k split buckets."""
+    return h28(F.concat(F.lit(salt), col.cast("string")))

@@ -2840,3 +2840,61 @@ def test_funnel_semantics(spark):
     from flint_spark.plans.audit import plan_counts
     pc = plan_counts(funnel(df, ["A", "B", "C"], key=["user_id"]))
     assert pc["shuffles"] == 1 and pc["python"] == 0
+
+
+def test_weighted_take_per_key_properties(spark):
+    """Exponential-race reservoir: layout-invariant and deterministic,
+    weight-proportional in aggregate (a 10x-weight class wins far more
+    slots than its row share), never exceeds n per key, non-positive
+    weights can never win."""
+    from flint_spark.pipeline.sampling import weighted_take_per_key
+
+    rows = [(i, "k", 10.0 if i % 5 == 0 else 1.0) for i in range(500)]
+    rows += [(900, "k", 0.0), (901, "k", -3.0), (902, "k", None)]
+    df = spark.createDataFrame(rows, "doc_id long, k string, w double")
+
+    got = weighted_take_per_key(df, ["k"], "w", n=100, on="doc_id")
+    ids = sorted(r.doc_id for r in got.collect())
+    assert len(ids) == 100
+    assert not {900, 901, 902} & set(ids)
+    heavy = sum(1 for i in ids if i % 5 == 0)
+    # heavy rows are 20% of the population at 10x weight -> expected
+    # share ~2/3 + without-replacement depletion; uniform would be ~20
+    assert heavy > 40
+    # deterministic under any layout
+    ids2 = sorted(r.doc_id for r in weighted_take_per_key(
+        df.repartition(7), ["k"], "w", n=100, on="doc_id").collect())
+    assert ids == ids2
+
+
+def test_cohort_retention_semantics(spark):
+    """Hand-built two-cohort fixture: period-0 identity, later-period
+    counts, users never leak across cohorts, retention fractions."""
+    import datetime as dt
+
+    from flint_spark.operators.sessions import cohort_retention
+
+    day = 86_400
+    t0 = dt.datetime(2024, 1, 1)   # epoch-aligned Monday-ish anchor
+
+    def at(d):
+        return t0 + dt.timedelta(days=d)
+
+    # width 7d; cohort A = users 1,2 first seen week 0; cohort B = user 3
+    rows = [
+        (1, at(0)), (1, at(8)),            # A, active weeks 0 and 1
+        (2, at(1)),                        # A, week 0 only
+        (3, at(7)), (3, at(20)), (3, at(21)),  # B, weeks 0 and ~2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, time timestamp")
+    out = {(r.cohort_time, r.period): r for r in
+           cohort_retention(df, "7d", key=["user_id"]).collect()}
+    weeks = sorted({ct for ct, _ in out})
+    assert len(weeks) == 2
+    a, b = weeks
+    assert out[(a, 0)].n_active == 2 and out[(a, 0)].n_cohort == 2
+    assert out[(a, 1)].n_active == 1
+    assert abs(out[(a, 1)].retention - 0.5) < 1e-12
+    assert out[(b, 0)].n_active == 1
+    assert out[(b, 2)].n_active == 1 and out[(b, 2)].n_cohort == 1
+    assert (a, 2) not in out and (b, 1) not in out
