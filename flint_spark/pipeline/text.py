@@ -693,22 +693,9 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str],
         F.avg(F.size(w)).alias("__avgdl"),
         *[F.sum(F.array_contains(w, t).cast("long")).alias(f"__df_{i}")
           for i, t in enumerate(terms)])
-    dl = F.size(w).cast("double")
-    score = F.lit(0.0)
-    n_matched = F.lit(0)
-    def _eq(term: str):
-        # closure factory: a default arg would change the HOF lambda's
-        # arity and make Spark pass the element INDEX into it
-        return lambda x: x == F.lit(term)
-
-    for i, t in enumerate(terms):
-        tf = F.size(F.filter(w, _eq(t))).cast("double")
-        idf = F.log(F.lit(1.0) + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
-                    / (F.col(f"__df_{i}") + F.lit(0.5)))
-        contrib = idf * tf * F.lit(k1 + 1.0) / (
-            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.col("__avgdl")))
-        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
-        n_matched = n_matched + (tf > 0).cast("int")
+    score, n_matched = _bm25_score_exprs(
+        w, terms, k1, b, F.col("__n"), F.col("__avgdl"),
+        [F.col(f"__df_{i}") for i in range(len(terms))])
     scored = (base.crossJoin(F.broadcast(stats))
               .select(F.col(id_col), score.alias("bm25"),
                       n_matched.alias("n_terms"))
@@ -721,3 +708,71 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str],
     # rank over the k surviving rows only (bounded, post-limit)
     rw = Window.orderBy(F.desc("bm25"), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(rw))
+
+
+def _bm25_score_exprs(w: Column, terms: Sequence[str], k1: float, b: float,
+                      n, avgdl, dfs) -> tuple[Column, Column]:
+    """(score, n_terms) column pair over a word-array column ``w`` —
+    shared by the batch operator (stats columns from the broadcast
+    1-row aggregate) and the streaming twin (stats inlined as
+    literals). Contributions sum in literal query order, so both
+    paths and the DuckDB oracle associate identically."""
+    dl = F.size(w).cast("double")
+
+    def _eq(term: str):
+        # closure factory: a default arg would change the HOF lambda's
+        # arity and make Spark pass the element INDEX into it
+        return lambda x: x == F.lit(term)
+
+    score = F.lit(0.0)
+    n_matched = F.lit(0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(w, _eq(t))).cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfs[i] + F.lit(0.5))
+                    / (dfs[i] + F.lit(0.5)))
+        contrib = idf * tf * F.lit(k1 + 1.0) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+        n_matched = n_matched + (tf > 0).cast("int")
+    return score, n_matched
+
+
+def bm25_corpus_stats(docs: DataFrame, query_terms: Sequence[str],
+                      text_col: str = "text") -> dict:
+    """Collect the BM25 corpus statistics (N, avgdl, one df per term)
+    as plain numbers — the batch half of the stream-static scoring
+    split: compute once over the corpus, inline into the map-only
+    streaming scorer. Driver state is 2 + |query| numbers."""
+    terms = list(dict.fromkeys(query_terms))
+    base = _spread_docs(docs).withColumn("__w", _words(text_col))
+    w = F.col("__w")
+    row = base.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(w)).alias("avgdl"),
+        *[F.sum(F.array_contains(w, t).cast("long")).alias(f"df_{i}")
+          for i, t in enumerate(terms)]).collect()[0]
+    return {"n": int(row["n"]), "avgdl": float(row["avgdl"]),
+            "dfs": [int(row[f"df_{i}"]) for i in range(len(terms))]}
+
+
+def bm25_score_static(docs: DataFrame, query_terms: Sequence[str],
+                      stats: dict, k1: float = 1.2, b: float = 0.75,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Map-only BM25 scoring against PRE-COMPUTED corpus statistics
+    (``bm25_corpus_stats``): zero exchanges, works unchanged on a
+    ``readStream`` (the streaming twin — score an incoming document
+    stream against yesterday's corpus model). Emits matching rows
+    only, like ``bm25_topk(k=None)``. The stats inline as float
+    literals, so scores are bitwise-identical to the batch operator's
+    (n/df enter the idf as doubles there too — a 1-row aggregate's
+    long column cast by the division)."""
+    terms = list(dict.fromkeys(query_terms))
+    w = _words(text_col)
+    score, n_matched = _bm25_score_exprs(
+        w, terms, k1, b, F.lit(float(stats["n"])),
+        F.lit(float(stats["avgdl"])),
+        [F.lit(float(d)) for d in stats["dfs"]])
+    return (docs.select(F.col(id_col), score.alias("bm25"),
+                        n_matched.alias("n_terms"))
+            .filter(F.col("n_terms") > 0))

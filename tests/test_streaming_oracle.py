@@ -1205,3 +1205,47 @@ def test_cms_build_stream_vs_duckdb(spark, con, tmp_path):
     est_b = {r.user_id: r.est_count for r in cms_estimate(
         probe, batch, "user_id", width=W, depth=D).collect()}
     assert est_s == est_b
+
+
+def test_bm25_score_stream_vs_duckdb(spark, con, tmp_path):
+    """Stream-static BM25 (24th gate): corpus statistics computed once
+    in batch (bm25_corpus_stats — 2 + |query| driver numbers), then a
+    replayed document stream scores map-only against the inlined
+    literals (bm25_score_static) — identical to the batch bm25 gate's
+    oracle because both paths share _bm25_score_exprs and the stats
+    enter the arithmetic as the same doubles."""
+    import os as _os
+    import shutil as _shutil
+
+    from flint_spark.pipeline.text import bm25_corpus_stats, bm25_score_static
+
+    terms = ["hash", "join", "vector"]
+    docs_b = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    stats = bm25_corpus_stats(docs_b, terms)
+    out_dir = str(tmp_path / "bm25docs")
+    _os.makedirs(out_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        part = docs_b.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = _os.path.join(out_dir, f"_tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        _shutil.move(_os.path.join(tmp, src),
+                     _os.path.join(out_dir, f"chunk_{i}.parquet"))
+        _shutil.rmtree(tmp)
+    stream = (spark.readStream.schema(docs_b.schema)
+              .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    scored = bm25_score_static(stream, terms, stats)
+    q = (scored.select("doc_id",
+                       (F.floor(F.col("bm25") * 1e6 + 0.5) / 1e6)
+                       .alias("bm25"), "n_terms")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("s_bm25").start())
+    q.processAllAvailable()
+    q.stop()
+
+    import __spark_entry__ as entry
+    bm25_sql = entry.extra_oracle_sql()["bm25"]
+    ok, msg = compare("stream_bm25",
+                      spark.sql("SELECT * FROM s_bm25"), bm25_sql, con)
+    assert ok, msg
