@@ -1330,3 +1330,80 @@ def cms_build_stream(stream: DataFrame, key_col: str,
            .agg(F.count(F.lit(1)).alias("cnt")))
     return out.select(F.col("interval.start").alias(TIME_COLUMN),
                       "j", "bucket", "cnt")
+
+
+def funnel_stream(stream: DataFrame, steps: Sequence[str],
+                  event_col: str = "event_type",
+                  key: Sequence[str] = ("user_id",),
+                  time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of :func:`operators.sessions.funnel`: per-key
+    funnel state advanced by ``applyInPandasWithState`` — state is
+    EXACTLY k nullable timestamps per key (the chosen step times),
+    bounded regardless of stream volume. Each trigger emits the key's
+    current (step times, n_steps, converted) row; the funnel is
+    monotone, so the final emission per key is its max-``n_steps``
+    row, and a fully in-order replay equals the batch walk (the
+    per-trigger chained-min pass is the same greedy assignment).
+    Out-of-order arrival across triggers follows the
+    ``ewma_stream`` contract: already-fixed earlier steps do not
+    reopen. Step times travel as epoch-ns longs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import time_ns_expr
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    key = list(key)
+    k = len(steps)
+    idx = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps))):
+        idx = F.when(F.col(event_col) == F.lit(s), F.lit(i)).otherwise(idx)
+    tns = time_ns_expr(stream, time_column)
+    ev = (stream.filter(F.col(event_col).isin(steps) & tns.isNotNull())
+          .select(*key, tns.alias("__tns"), idx.alias("__i")))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField(f"step{i + 1}_tns", T.LongType())
+           for i in range(k)]
+        + [T.StructField("n_steps", T.IntegerType()),
+           T.StructField("converted", T.BooleanType())])
+    state_schema = T.StructType(
+        [T.StructField(f"s{i}", T.LongType()) for i in range(k)])
+
+    def fold(key_vals, pdf_iter, state):
+        ts = list(state.get) if state.exists else [None] * k
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            t = pdf["__tns"].to_numpy(np.int64)
+            si = pdf["__i"].to_numpy(np.int64)
+            # chained-min pass in step order (min needs no row sort) —
+            # the same greedy assignment as the batch walk for the
+            # rows present; an unfilled step leaves every later step
+            # unfillable this trigger (checked via ts[i-1])
+            for i in range(k):
+                if ts[i] is not None:
+                    continue
+                if i == 0:
+                    cand = t[si == 0]
+                elif ts[i - 1] is None:
+                    break
+                else:
+                    cand = t[(si == i) & (t > ts[i - 1])]
+                if len(cand):
+                    ts[i] = int(cand.min())
+        state.update(tuple(ts))
+        n = sum(1 for v in ts if v is not None)
+        row = {c: [v] for c, v in zip(key, key_vals)}
+        for i in range(k):
+            row[f"step{i + 1}_tns"] = [ts[i]]
+        row["n_steps"] = np.array([n], dtype=np.int32)
+        row["converted"] = [n == k]
+        yield pd.DataFrame(row)
+
+    return (ev.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

@@ -1249,3 +1249,37 @@ def test_bm25_score_stream_vs_duckdb(spark, con, tmp_path):
     ok, msg = compare("stream_bm25",
                       spark.sql("SELECT * FROM s_bm25"), bm25_sql, con)
     assert ok, msg
+
+
+def test_funnel_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming funnel replay (25th gate): k-timestamp bounded state
+    per user; the monotone per-trigger emissions' max-n_steps row per
+    user equals the batch funnel (chained min-after oracle) under an
+    in-order replay."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "event_type"))
+    out_dir = str(tmp_path / "fun")
+    _time_split_files(ev, out_dir, _SPLITS)
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = ts_stream.funnel_stream(st, ["view", "click", "purchase"],
+                                  key=["user_id"])
+    _run_to_table(out, "so_funnel")
+    got = spark.sql("""
+      SELECT DISTINCT user_id, step1_tns, step2_tns, step3_tns,
+             n_steps, converted
+      FROM so_funnel
+      WHERE (user_id, n_steps) IN
+            (SELECT user_id, max(n_steps) FROM so_funnel GROUP BY user_id)
+    """)
+    import __spark_entry__ as entry
+    funnel_sql = entry.extra_oracle_sql()["funnel"]
+    sql = f"""
+      SELECT user_id, epoch_ns(step1_time) AS step1_tns,
+             epoch_ns(step2_time) AS step2_tns,
+             epoch_ns(step3_time) AS step3_tns, n_steps, converted
+      FROM ({funnel_sql})
+    """
+    ok, msg = compare("stream_funnel", got, sql, con)
+    assert ok, msg
