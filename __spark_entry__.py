@@ -208,6 +208,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "weighted_take": q_weighted_take,
         "cohort_retention": q_cohort_retention,
+        "winsorize": q_winsorize,
     }
 
 
@@ -287,6 +288,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "funnel": SQL_FUNNEL,
         "weighted_take": SQL_WEIGHTED_TAKE,
         "cohort_retention": SQL_COHORT,
+        "winsorize": SQL_WINSORIZE,
     }
 
 

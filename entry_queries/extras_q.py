@@ -2675,3 +2675,30 @@ SQL_COHORT = """
          floor(n_active::DOUBLE / n_cohort * 1e8 + 0.5) / 1e8 AS retention
   FROM c JOIN s USING (coh)
 """
+
+
+def q_winsorize(spark, sf):
+    """Per-key quantile clipping (pipeline.profile.winsorize): event
+    values clipped to each user's [p05, p95] — exact R-7 bounds, one
+    bounds row per key, AQE-decided join back."""
+    from flint_spark.pipeline.profile import winsorize
+
+    ev = _t(spark, sf, "events")
+    out = winsorize(ev, "value", key=["user_id"], p_lo=0.05, p_hi=0.95)
+    return out.select("event_id", "user_id",
+                      R("value", 4).alias("value"),
+                      R("value_winsorized", 4).alias("value_winsorized"))
+
+
+SQL_WINSORIZE = """
+  WITH b AS (SELECT user_id,
+                    quantile_cont(value, 0.05) AS lo,
+                    quantile_cont(value, 0.95) AS hi
+             FROM events GROUP BY 1)
+  SELECT event_id, e.user_id,
+         floor(value * 1e4 + 0.5) / 1e4 AS value,
+         CASE WHEN value IS NOT NULL
+              THEN floor(least(greatest(value, lo), hi) * 1e4 + 0.5) / 1e4
+         END AS value_winsorized
+  FROM events e LEFT JOIN b ON e.user_id = b.user_id
+"""

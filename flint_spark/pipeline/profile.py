@@ -66,3 +66,54 @@ def heavy_keys(df: DataFrame, key: Sequence[str], k: int = 10) -> DataFrame:
                     (F.col("cnt").cast("double") / F.col("__total"))
                     .alias("share"))
             .orderBy(F.desc("cnt"), *key).limit(k))
+
+
+def winsorize(df: DataFrame, value_col: str, key: Sequence[str] = (),
+              p_lo: float = 0.01, p_hi: float = 0.99,
+              mode: str = "clip", exact: bool = True,
+              accuracy: int = 10000) -> DataFrame:
+    """Quantile-based outlier handling per key: compute the
+    [``p_lo``, ``p_hi``] bounds of ``value_col`` and either ``clip``
+    values into them (adds ``<col>_winsorized``), ``filter`` rows
+    outside them, or ``flag`` them (adds ``<col>_outlier``). Null
+    values pass through untouched (null quantile contribution is
+    skipped in both engines).
+
+    ``exact=True`` uses R-7 quantiles (buffers each key group's values
+    in the aggregate — the ``summarizers.quantile`` memory bound);
+    ``exact=False`` switches to the mergeable ``percentile_approx``
+    sketch, the 100 TB default when key groups are unbounded. The
+    bounds table is one row per key; the join back is left to AQE
+    (broadcast when small, shuffle otherwise)."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    if mode not in ("clip", "filter", "flag"):
+        raise ValueError("mode must be clip|filter|flag")
+    key = list(key)
+    v = F.col(value_col)
+    if exact:
+        qlo = F.percentile(v, F.lit(p_lo))
+        qhi = F.percentile(v, F.lit(p_hi))
+    else:
+        qlo = F.percentile_approx(v, F.lit(p_lo), F.lit(accuracy))
+        qhi = F.percentile_approx(v, F.lit(p_hi), F.lit(accuracy))
+    bounds = df.groupBy(*key).agg(qlo.alias("__lo"), qhi.alias("__hi"))
+    if key:
+        joined = df.join(bounds, key, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    if mode == "clip":
+        # guard the null case explicitly: least/greatest IGNORE null
+        # arguments in both engines, so the raw expression would clip
+        # a null value to the lower bound instead of passing it through
+        out = joined.withColumn(
+            f"{value_col}_winsorized",
+            F.when(v.isNotNull(), F.least(F.greatest(v, lo), hi)))
+    elif mode == "filter":
+        out = joined.filter(v.isNull() | ((v >= lo) & (v <= hi)))
+    else:
+        out = joined.withColumn(f"{value_col}_outlier",
+                                F.when(v.isNotNull(),
+                                       (v < lo) | (v > hi)))
+    return out.drop("__lo", "__hi")

@@ -2898,3 +2898,29 @@ def test_cohort_retention_semantics(spark):
     assert out[(b, 0)].n_active == 1
     assert out[(b, 2)].n_active == 1 and out[(b, 2)].n_cohort == 1
     assert (a, 2) not in out and (b, 1) not in out
+
+
+def test_winsorize_modes(spark):
+    """Hand-computed per-key bounds: clip saturates at the R-7
+    quantiles, filter drops outside rows but keeps nulls, flag marks
+    them; null values pass through unclipped."""
+    from flint_spark.pipeline.profile import winsorize
+
+    vals = list(range(1, 101))           # p05 = 5.95, p95 = 95.05 (R-7)
+    rows = [("a", float(v)) for v in vals] + [("a", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    clip = winsorize(df, "v", key=["k"], p_lo=0.05, p_hi=0.95)
+    got = {r.v: r.v_winsorized for r in clip.collect()}
+    assert abs(got[1.0] - 5.95) < 1e-9 and abs(got[100.0] - 95.05) < 1e-9
+    assert got[50.0] == 50.0 and got[None] is None
+
+    filt = winsorize(df, "v", key=["k"], p_lo=0.05, p_hi=0.95,
+                     mode="filter")
+    kept = [r.v for r in filt.collect()]
+    assert None in kept and 1.0 not in kept and 50.0 in kept
+
+    flag = winsorize(df, "v", key=["k"], p_lo=0.05, p_hi=0.95,
+                     mode="flag")
+    f = {r.v: r.v_outlier for r in flag.collect()}
+    assert f[1.0] is True and f[50.0] is False and f[None] is None
