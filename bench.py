@@ -69,10 +69,16 @@ HEADLINE = [
     "asof_topk",
     "token_shift",
     # continuation-session additions: OHLC/TWAP bars (one-exchange bar
-    # aggregation), running-peak drawdown, literal-query BM25 scoring
+    # aggregation), running-peak drawdown, literal-query BM25 scoring,
+    # pure-expression funnel walk, shingle-containment pair join
+    # (key_profile/heavy_keys/cohort/weighted_take/winsorize share
+    # plan shapes already in the set — window + hash-agg + top-k —
+    # and stay pytest/oracle-only)
     "ohlc_bars",
     "max_drawdown",
     "bm25",
+    "funnel",
+    "containment",
 ]
 
 
