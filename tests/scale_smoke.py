@@ -490,8 +490,79 @@ def shuffle_scale(spark, millions: float = 5.0):
     assert plan_counts(ch)["shuffles"] == 0
 
 
+def analytics_scale(spark, millions: float = 5.0):
+    """Continuation-session operators at panel scale: one-exchange
+    OHLC/TWAP bars, the pure-expression funnel walk, the union-engine
+    last-k join (the cogroup fix — linearity is the proof the 7x at
+    sf0.1 holds at 50x), and map-side BM25 over a 1M-doc corpus."""
+    from flint_spark.operators.asof import left_join_topk
+    from flint_spark.operators.bars import ohlc_bars
+    from flint_spark.operators.sessions import funnel
+    from flint_spark.pipeline.text import bm25_topk
+    from flint_spark.plans.audit import plan_counts
+
+    n_big = int(millions * 1e6)
+    n_small = n_big // 2
+
+    def tick_panel(n):
+        return (spark.range(n)
+                .select((F.col("id") * 10**9).alias("time"),
+                        F.pmod(F.col("id"), F.lit(2000)).alias("k"),
+                        (F.col("id") % 97).cast("double").alias("p"),
+                        (F.col("id") % 11).cast("double").alias("v")))
+
+    linearity("ohlc+twap bars 1h/key",
+              lambda n: ohlc_bars(tick_panel(n), "1h", "p", key=["k"],
+                                  volume_col="v", twap=True),
+              n_small, n_big)
+    bars = ohlc_bars(tick_panel(n_big), "1h", "p", key=["k"],
+                     volume_col="v", twap=True)
+    assert plan_counts(bars)["shuffles"] == 1
+
+    def event_panel(n):
+        ev = F.element_at(F.array(F.lit("view"), F.lit("click"),
+                                  F.lit("buy"), F.lit("other")),
+                          (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"))
+        return (spark.range(n)
+                .select((F.col("id") * 10**9).alias("time"),
+                        F.pmod(F.col("id"), F.lit(100_000)).alias("user_id"),
+                        ev.alias("event_type")))
+
+    linearity("funnel 3-step/100k users",
+              lambda n: funnel(event_panel(n), ["view", "click", "buy"],
+                               key=["user_id"]),
+              n_small, n_big)
+    fun = funnel(event_panel(n_big), ["view", "click", "buy"],
+                 key=["user_id"])
+    c = plan_counts(fun)
+    assert c["shuffles"] == 1 and c["python"] == 0
+
+    def topk_pair(n):
+        left = (spark.range(n)
+                .select((F.col("id") * 10**9).alias("time"),
+                        F.pmod(F.col("id"), F.lit(5000)).alias("k"),
+                        F.col("id").alias("lid")))
+        right = (spark.range(n // 2)
+                 .select((F.col("id") * 2 * 10**9).alias("time"),
+                         F.pmod(F.col("id"), F.lit(5000)).alias("k"),
+                         (F.col("id") % 97).cast("double").alias("rv")))
+        return left_join_topk(left, right, k=3, tolerance=10**12,
+                              key=["k"])
+
+    linearity("last-k join union engine", topk_pair,
+              n_small // 5, n_big // 5)
+
+    docs = synth_corpus(spark, 1_000_000)
+    t = timed("bm25 3-term 1M docs", bm25_topk(docs, ["w1", "w2", "w3"],
+                                               k=100))
+    assert t < 300, "bm25 at 1M docs should be scan-bound"
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "pipeline":
+    if len(sys.argv) > 1 and sys.argv[1] == "analytics":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
+        analytics_scale(get_spark("scale_smoke"), m)
+    elif len(sys.argv) > 1 and sys.argv[1] == "pipeline":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
         pipeline_scale(get_spark("scale_smoke"), n)
     elif len(sys.argv) > 1 and sys.argv[1] == "ann":
