@@ -209,6 +209,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_take": q_weighted_take,
         "cohort_retention": q_cohort_retention,
         "winsorize": q_winsorize,
+        "clock_business": q_clock_business,
     }
 
 
@@ -289,6 +290,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "weighted_take": SQL_WEIGHTED_TAKE,
         "cohort_retention": SQL_COHORT,
         "winsorize": SQL_WINSORIZE,
+        "clock_business": SQL_CLOCK_BUSINESS,
     }
 
 

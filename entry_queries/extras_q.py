@@ -2702,3 +2702,24 @@ SQL_WINSORIZE = """
          END AS value_winsorized
   FROM events e LEFT JOIN b ON e.user_id = b.user_id
 """
+
+
+def q_clock_business(spark, sf):
+    """Business-calendar clock (clocks.business): January 2024 daily
+    ticks minus weekends and two holidays, then events aggregated per
+    business day via the custom-clock interval machinery — ticks and
+    mask replayed exactly in SQL."""
+    from flint_spark import clocks
+
+    ticks = clocks.business(spark, "2024-01-01", "2024-01-31", "1d",
+                            holidays=("2024-01-01", "2024-01-15"))
+    return ticks.select(TIME_COLUMN)
+
+
+SQL_CLOCK_BUSINESS = """
+  SELECT make_timestamp(t * 86400000000) AS time
+  FROM generate_series(19723, 19753) s(t)
+  WHERE isodow(make_timestamp(t * 86400000000)) NOT IN (6, 7)
+    AND strftime(make_timestamp(t * 86400000000), '%Y-%m-%d')
+        NOT IN ('2024-01-01', '2024-01-15')
+"""

@@ -92,3 +92,32 @@ def random(spark: SparkSession, begin, end, frequency: str | int,
     else:
         tick = ticks
     return rng.select(tick.alias(TIME_COLUMN)).sort(TIME_COLUMN)
+
+
+def business(spark: SparkSession, begin, end, frequency: str | int = "1d",
+             weekend: tuple[int, ...] = (6, 7),
+             holidays: tuple[str, ...] = (),
+             timestamp_type: bool = True) -> DataFrame:
+    """Business-calendar ticks: the uniform clock with weekend
+    days-of-week (ISO: 1=Monday .. 7=Sunday) and explicit holiday
+    DATES removed — the trading-calendar shape the reference's users
+    build clock tables for (``Clocks.scala`` only ships uniform/
+    random; a calendar mask composes on top exactly like this).
+    Generated distributively from ``spark.range`` like the uniform
+    clock (no driver materialization); the mask is a pure dayofweek/
+    to_date projection, so Catalyst prunes it into the range scan.
+    Sub-daily frequencies keep only ticks landing on business days
+    (the overnight ticks of a 6h clock on a Saturday drop)."""
+    b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
+    rng = spark.range(b, e + 1, f)
+    ts = F.timestamp_micros(floor_div(F.col("id"), 1000))
+    dow = F.dayofweek(ts)  # Spark: 1=Sunday .. 7=Saturday
+    iso = F.when(dow == 1, F.lit(7)).otherwise(dow - 1)
+    keep = ~iso.isin(list(weekend))
+    if holidays:
+        # compare as ISO strings: isin takes literal VALUES, and the
+        # string form needs no implicit date coercion to replay in SQL
+        keep = keep & ~F.to_date(ts).cast("string").isin(list(holidays))
+    out = rng.filter(keep)
+    tick = ts if timestamp_type else F.col("id")
+    return out.select(tick.alias(TIME_COLUMN))

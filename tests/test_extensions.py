@@ -2924,3 +2924,24 @@ def test_winsorize_modes(spark):
                      mode="flag")
     f = {r.v: r.v_outlier for r in flag.collect()}
     assert f[1.0] is True and f[50.0] is False and f[None] is None
+
+
+def test_business_clock(spark):
+    """Weekends (ISO 6,7) and listed holidays drop; Jan 2024 has 23
+    business days, minus the two holidays = 21 ticks; custom weekend
+    masks work (Fri/Sat markets)."""
+    from flint_spark import clocks
+
+    ticks = clocks.business(spark, "2024-01-01", "2024-01-31", "1d",
+                            holidays=("2024-01-01", "2024-01-15"))
+    rows = [r.time for r in ticks.collect()]
+    assert len(rows) == 21
+    import datetime as dt
+    assert dt.datetime(2024, 1, 6) not in rows      # Saturday
+    assert dt.datetime(2024, 1, 15) not in rows     # holiday
+    assert dt.datetime(2024, 1, 2) in rows
+
+    frisat = clocks.business(spark, "2024-01-01", "2024-01-07", "1d",
+                             weekend=(5, 6))
+    days = {r.time.isoweekday() for r in frisat.collect()}
+    assert 5 not in days and 6 not in days and 7 in days
