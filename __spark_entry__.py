@@ -37,7 +37,8 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_minhash_lsh, _sql_simhash,
                            _sql_simhash_pairs, _sql_text_stats,
                            _sql_cms_counts, _sql_zorder_key,
-                           _sql_logreg_quality, _sql_bm25)
+                           _sql_logreg_quality, _sql_bm25,
+                           _sql_pagerank)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -210,6 +211,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "winsorize": q_winsorize,
         "clock_business": q_clock_business,
+        "pagerank": q_pagerank,
     }
 
 
@@ -291,6 +293,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "cohort_retention": SQL_COHORT,
         "winsorize": SQL_WINSORIZE,
         "clock_business": SQL_CLOCK_BUSINESS,
+        "pagerank": _sql_pagerank(),
     }
 
 

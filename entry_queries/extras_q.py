@@ -2723,3 +2723,49 @@ SQL_CLOCK_BUSINESS = """
     AND strftime(make_timestamp(t * 86400000000), '%Y-%m-%d')
         NOT IN ('2024-01-01', '2024-01-15')
 """
+
+
+def q_pagerank(spark, sf):
+    """Weighted PageRank (pipeline.graph.pagerank) over the
+    customer->supplier purchase graph (orders x lineitem, edge weight
+    = line count; node ids namespaced 'c'/'s' because the key ranges
+    overlap numerically). Six power iterations, dangling mass
+    redistributed; the oracle unrolls every iteration in SQL — the
+    train_logreg/pca replay pattern for iterative algorithms."""
+    from flint_spark.pipeline.graph import pagerank
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double")
+                                        .alias("w")))
+    out = pagerank(edges, weight_col="w", iterations=6)
+    return out.select("node", R("rank", 10).alias("rank"))
+
+
+def _sql_pagerank(iterations: int = 6, damping: float = 0.85) -> str:
+    ctes = ["""e0 AS (SELECT 'c' || o_custkey AS s, 's' || l_suppkey AS d,
+              count(*)::DOUBLE AS w
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1, 2),
+  nodes AS (SELECT s AS node FROM e0 UNION SELECT d FROM e0),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+  ow AS (SELECT s, sum(w) AS tw FROM e0 GROUP BY 1),
+  en AS (SELECT e0.s, e0.d, w / tw AS p FROM e0 JOIN ow USING (s)),
+  r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""]
+    for i in range(iterations):
+        ctes.append(f"""dg{i} AS (SELECT COALESCE(sum(rank), 0) AS m FROM r{i}
+           WHERE node NOT IN (SELECT s FROM ow)),
+  cb{i} AS (SELECT en.d AS node, sum(p * rank) AS c
+           FROM en JOIN r{i} ON en.s = r{i}.node GROUP BY 1),
+  r{i + 1} AS (SELECT nodes.node,
+             (1.0 - {damping}) / n + {damping} * (COALESCE(c, 0) + m / n)
+               AS rank
+             FROM nodes LEFT JOIN cb{i} USING (node)
+             CROSS JOIN nn CROSS JOIN dg{i})""")
+    body = ",\n  ".join(ctes)
+    return (f"WITH {body}\n  SELECT node, "
+            f"floor(rank * 1e10 + 0.5) / 1e10 AS rank "
+            f"FROM r{iterations}")

@@ -2945,3 +2945,34 @@ def test_business_clock(spark):
                              weekend=(5, 6))
     days = {r.time.isoweekday() for r in frisat.collect()}
     assert 5 not in days and 6 not in days and 7 in days
+
+
+def test_pagerank_matches_scalar_reference(spark):
+    """PageRank on a hand-built weighted graph with a dangling node ==
+    a scalar transcription of the same recurrence; total rank stays 1
+    every iteration (the stochastic-completion invariant)."""
+    from flint_spark.pipeline.graph import pagerank
+
+    edges = [("a", "b", 1.0), ("a", "c", 3.0), ("b", "c", 1.0),
+             ("c", "d", 1.0)]  # d is dangling
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in
+           pagerank(df, weight_col="w", iterations=6).collect()}
+
+    nodes = ["a", "b", "c", "d"]
+    outw = {"a": 4.0, "b": 1.0, "c": 1.0}
+    p = {("a", "b"): 0.25, ("a", "c"): 0.75, ("b", "c"): 1.0,
+         ("c", "d"): 1.0}
+    d, n = 0.85, 4
+    r = {v: 1 / n for v in nodes}
+    for _ in range(6):
+        dang = sum(r[v] for v in nodes if v not in outw)
+        nxt = {}
+        for v in nodes:
+            c = sum(r[u] * p[(u, v)] for u in nodes if (u, v) in p)
+            nxt[v] = (1 - d) / n + d * (c + dang / n)
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["c"] > got["b"]        # c receives the 3x-weighted edge
