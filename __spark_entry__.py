@@ -212,6 +212,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "clock_business": q_clock_business,
         "pagerank": q_pagerank,
+        "merge_bars": q_merge_bars,
     }
 
 
@@ -294,6 +295,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "winsorize": SQL_WINSORIZE,
         "clock_business": SQL_CLOCK_BUSINESS,
         "pagerank": _sql_pagerank(),
+        "merge_bars": SQL_MERGE_BARS,
     }
 
 

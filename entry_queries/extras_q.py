@@ -2769,3 +2769,43 @@ def _sql_pagerank(iterations: int = 6, damping: float = 0.85) -> str:
     return (f"WITH {body}\n  SELECT node, "
             f"floor(rank * 1e10 + 0.5) / 1e10 AS rank "
             f"FROM r{iterations}")
+
+
+def q_merge_bars(spark, sf):
+    """Bar rollup (operators.bars.merge_bars): 6h bars merged from 1h
+    bars — the oracle computes 6h bars DIRECTLY from ticks, so the
+    gate pins the mergeable-partials invariant across granularities
+    (OHLC + n + volume + VWAP recombination)."""
+    from flint_spark.operators.bars import merge_bars, ohlc_bars
+
+    ev = _events(spark, sf).withColumn(
+        "vol", F.get_json_object("props", "$.k").cast("double"))
+    fine = ohlc_bars(ev, "1h", "value", key=["event_type"],
+                     volume_col="vol", tie_break=["event_id"])
+    out = merge_bars(fine, "6h", key=["event_type"])
+    return out.select(
+        TIME_COLUMN, "event_type",
+        R("open", 4).alias("open"), R("high", 4).alias("high"),
+        R("low", 4).alias("low"), R("close", 4).alias("close"),
+        "n", R("volume", 4).alias("volume"),
+        R("vwap", 6).alias("vwap"))
+
+
+SQL_MERGE_BARS = """
+  WITH e AS (
+    SELECT event_type, epoch_us(ts) AS tus, value, event_id,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS vol,
+           (epoch_us(ts) // 21600000000) * 21600000000 AS bucket
+    FROM events WHERE value IS NOT NULL)
+  SELECT make_timestamp(bucket) AS time, event_type,
+         floor(first(value ORDER BY tus, event_id, value) * 1e4 + 0.5) / 1e4 AS open,
+         floor(max(value) * 1e4 + 0.5) / 1e4 AS high,
+         floor(min(value) * 1e4 + 0.5) / 1e4 AS low,
+         floor(last(value ORDER BY tus, event_id, value) * 1e4 + 0.5) / 1e4 AS close,
+         count(*) AS n,
+         floor(sum(COALESCE(vol, 0)) * 1e4 + 0.5) / 1e4 AS volume,
+         CASE WHEN sum(COALESCE(vol, 0)) <> 0
+              THEN floor(sum(value * COALESCE(vol, 0)) / sum(COALESCE(vol, 0))
+                         * 1e6 + 0.5) / 1e6 END AS vwap
+  FROM e GROUP BY bucket, event_type
+"""

@@ -148,3 +148,47 @@ def max_drawdown(df: DataFrame, value_col: str,
             .agg(F.max(F.col(value_col)).alias("peak"),
                  F.max("drawdown").alias("max_drawdown"),
                  F.count(F.col(value_col)).alias("n")))
+
+
+def merge_bars(bars: DataFrame, interval: str | int,
+               key: Sequence[str] = ()) -> DataFrame:
+    """Re-aggregate fine bars into coarser epoch-aligned bars WITHOUT
+    rescanning raw ticks — the continuous-aggregate story for the bar
+    family (``build_rollup``'s mergeable-partials argument): open is
+    the earliest fine bar's open (min_by on bar time), close the
+    latest's, high/low/n/volume fold as max/min/sum, and VWAP
+    recombines EXACTLY as sum(vwap*volume)/sum(volume). The coarse
+    ``interval`` must be a whole multiple of the fine bars' spacing
+    for the bucketing to nest (the caller's contract, same as
+    ``rollup_to``). TWAP deliberately does not merge: a fine bar's
+    last tick holds only to the FINE bucket end, so recombining spans
+    disagrees with a direct coarse TWAP whenever an interior fine
+    bucket is empty — recompute from ticks when TWAP is needed
+    coarse. One partial+final aggregation."""
+    key = list(key)
+    width = parse_duration_ns(interval)
+    if width <= 0:
+        raise ValueError("interval must be positive")
+    dtype = dict(bars.dtypes)[TIME_COLUMN]
+    tns = time_ns_expr(bars)
+    b = bars.withColumn(_BUCKET, floor_div(tns, width) * F.lit(width))
+    ord_ = F.struct(time_ns_expr(b))
+    aggs = [
+        F.min_by(F.col("open"), ord_).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by(F.col("close"), ord_).alias("close"),
+        F.sum("n").alias("n"),
+    ]
+    if "volume" in bars.columns:
+        sv = F.sum("volume")
+        aggs.append(sv.alias("volume"))
+        if "vwap" in bars.columns:
+            aggs.append(F.when(sv != 0, F.sum(F.col("vwap")
+                                              * F.col("volume")) / sv)
+                        .alias("vwap"))
+    out = b.groupBy(_BUCKET, *key).agg(*aggs)
+    out = out.withColumn(TIME_COLUMN, ns_to_time_expr(F.col(_BUCKET), dtype))
+    names = [c for c in ("open", "high", "low", "close", "n",
+                         "volume", "vwap") if c in out.columns]
+    return out.select(TIME_COLUMN, *key, *names)

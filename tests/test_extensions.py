@@ -2976,3 +2976,34 @@ def test_pagerank_matches_scalar_reference(spark):
         assert abs(got[v] - r[v]) < 1e-12, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["c"] > got["b"]        # c receives the 3x-weighted edge
+
+
+def test_merge_bars_equals_direct_coarse(spark):
+    """Bar rollup invariant: 6h bars merged from 1h bars equal 6h bars
+    computed directly from ticks, column for column (OHLC + n +
+    volume + exact VWAP recombination), on real event data."""
+    from pyspark.sql import functions as F
+
+    import entry_queries.common as C
+    from flint_spark.operators.bars import merge_bars, ohlc_bars
+
+    ev = C._events(spark, "/root/testdata/sf0.001").withColumn(
+        "vol", F.get_json_object("props", "$.k").cast("double"))
+    fine = ohlc_bars(ev, "1h", "value", key=["event_type"],
+                     volume_col="vol", tie_break=["event_id"])
+    merged = merge_bars(fine, "6h", key=["event_type"])
+    direct = ohlc_bars(ev, "6h", "value", key=["event_type"],
+                       volume_col="vol", tie_break=["event_id"])
+    m = {(r.time, r.event_type): r for r in merged.collect()}
+    d = {(r.time, r.event_type): r for r in direct.collect()}
+    assert set(m) == set(d) and len(m) > 50
+    for k in m:
+        for c in ("open", "high", "low", "close", "n", "volume"):
+            assert m[k][c] == d[k][c], (k, c)
+        if d[k].vwap is None:
+            assert m[k].vwap is None
+        else:
+            assert abs(m[k].vwap - d[k].vwap) < 1e-9
+
+    from flint_spark.plans.audit import plan_counts
+    assert plan_counts(merge_bars(fine, "6h", key=["event_type"]))["shuffles"] == 2
