@@ -1407,3 +1407,71 @@ def funnel_stream(stream: DataFrame, steps: Sequence[str],
     return (ev.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def drawdown_stream(stream: DataFrame, column: str,
+                    key: Sequence[str] = (),
+                    time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of :func:`operators.bars.drawdown`: per-key
+    running peak + fractional drawdown via ``applyInPandasWithState``
+    — state is ONE double per key. Within a trigger rows process in
+    event-time order (vectorized ``maximum.accumulate``); null values
+    inherit the running peak with a null drawdown, exactly the batch
+    null-skip rule. In-order replay equals the batch operator
+    (the ``ewma_stream`` contract for late cross-trigger rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import time_ns_expr
+
+    key = list(key)
+    if not key:
+        raise ValueError("drawdown_stream needs a key")
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField("peak", T.DoubleType()),
+           T.StructField("drawdown", T.DoubleType())])
+    state_schema = T.StructType([T.StructField("peak", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        peak = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__tns", kind="stable")
+            v = pdf[column].to_numpy(np.float64)
+            filled = np.where(np.isnan(v),
+                              -np.inf if peak is None else peak, v)
+            if peak is not None:
+                filled = np.maximum(filled, peak)
+            peaks = np.maximum.accumulate(filled)
+            if peak is None:
+                # rows before the first non-null value have no peak
+                seen = np.cumsum(~np.isnan(v)) > 0
+                peaks = np.where(seen, peaks, np.nan)
+            out = pd.DataFrame({c: [kv] * len(pdf)
+                                for c, kv in zip(key, key_vals)})
+            out["__tns"] = pdf["__tns"].to_numpy(np.int64)
+            dd = np.where((peaks > 0) & ~np.isnan(v),
+                          (peaks - v) / peaks, np.nan)
+            # NaN -> None: Arrow keeps float NaN as NaN, but the batch
+            # operator emits SQL NULL (the anomaly-stream recipe)
+            import math as _math
+            for name, arr in ((column, v), ("peak", peaks),
+                              ("drawdown", dd)):
+                out[name] = [None if _math.isnan(x) else x for x in arr]
+            frames.append(out)
+            last = peaks[-1] if len(peaks) else np.nan
+            if not np.isnan(last):
+                peak = float(last)
+        state.update((peak,))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

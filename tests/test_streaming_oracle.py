@@ -1283,3 +1283,41 @@ def test_funnel_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("stream_funnel", got, sql, con)
     assert ok, msg
+
+
+def test_drawdown_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming running-peak drawdown replay (26th gate): one-double
+    state per user; in-order replay == the batch window oracle,
+    including null-value rows (peak inherited, drawdown null) and the
+    peak<=0 undefined rule."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "value"))
+    out_dir = str(tmp_path / "dd")
+    _time_split_files(ev, out_dir, _SPLITS)
+    st = (spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = ts_stream.drawdown_stream(st, "value", key=["user_id"])
+    _run_to_table(out, "so_dd")
+    r6 = lambda c: F.floor(F.col(c) * 1e6 + 0.5) / 1e6
+    got = (spark.sql("SELECT * FROM so_dd")
+           .select(F.col("__tns").alias("tns"), "user_id",
+                   r6("value").alias("value"), r6("peak").alias("peak"),
+                   r6("drawdown").alias("drawdown")))
+    sql = """
+      WITH p AS (
+        SELECT epoch_ns(CAST(ts AS TIMESTAMP)) AS tns, user_id, value,
+               max(value) OVER (PARTITION BY user_id
+                                ORDER BY ts ROWS UNBOUNDED PRECEDING)
+                 AS peak
+        FROM events)
+      SELECT tns, user_id,
+             floor(value * 1e6 + 0.5) / 1e6 AS value,
+             floor(peak * 1e6 + 0.5) / 1e6 AS peak,
+             CASE WHEN peak > 0
+                  THEN floor((peak - value) / peak * 1e6 + 0.5) / 1e6
+             END AS drawdown
+      FROM p
+    """
+    ok, msg = compare("stream_dd", got, sql, con)
+    assert ok, msg
