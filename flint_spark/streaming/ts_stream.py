@@ -123,13 +123,11 @@ def ewma_stream(stream: DataFrame, column: str, key: Sequence[str],
         # E_{-1} decayed through the cumulative decay of the batch
         last_tns, e = state.get if state.exists else (None, 0.0)
         frames = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
             n = len(x)
-            if n == 0:
-                continue
             steps = np.empty(n, dtype=np.float64)
             steps[0] = lam * (t[0] - last_tns) if last_tns is not None else 0.0
             steps[1:] = lam * np.diff(t).astype(np.float64)
@@ -160,6 +158,28 @@ def dedup_stream(stream: DataFrame, subset: Sequence[str],
     return (stream.withWatermark(time_column, watermark)
             .dropDuplicatesWithinWatermark(list(subset)))
 
+
+
+def _trigger_pdf(pd, pdf_iter, sort_col="__tns"):
+    """Materialize a group's ENTIRE trigger into one pandas frame,
+    sorted by event time.
+
+    ``applyInPandasWithState`` hands each group's micro-batch rows as
+    an ITERATOR of Arrow chunks (split at
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k) in
+    arbitrary post-shuffle order. Every fold in this module assumes
+    event-time order WITHIN the trigger — processing chunk-by-chunk
+    silently breaks batch parity the moment a group exceeds one chunk
+    (chunk 1 is scored/trimmed before chunk 2's possibly-earlier rows
+    exist). Memory is O(group rows per trigger) — the bound the batch
+    parity contract already implies, and no more than the Arrow
+    transfer itself."""
+    frames = [p for p in pdf_iter if len(p)]
+    if not frames:
+        return None
+    pdf = frames[0] if len(frames) == 1 else \
+        pd.concat(frames, ignore_index=True)
+    return pdf.sort_values(sort_col, kind="stable")
 
 
 def _null_safe_key(pd, kv):
@@ -537,10 +557,8 @@ def asof_join_stream(left: DataFrame, right: DataFrame,
             buf_v = {c: [] for c in rcols}
         frames = []
         max_t = int(buf_t[-1]) if len(buf_t) else None
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             r_new = pdf[pdf["__side"] == 1]
             # append new right rows, keep buffer sorted by (time, values)
             # — the batch max-struct tie rule for duplicate timestamps,
@@ -670,10 +688,8 @@ def asof_join_stream_future(left: DataFrame, right: DataFrame,
             buf_t = np.empty(0, dtype=np.int64)
             buf_v = {c: [] for c in rcols}
 
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             r_new = pdf[pdf["__side"] == 1]
             if len(r_new):
                 buf_t, buf_v = _merge_right_buffer(np, buf_t, buf_v,
@@ -780,10 +796,8 @@ def detect_anomalies_stream(stream: DataFrame, column: str,
         buf_t = np.asarray(buf_t or [], dtype=np.int64)
         buf_v = np.asarray(buf_v or [], dtype=np.float64)
         frames = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             t_new = pdf["__tns"].to_numpy(np.int64)
             v_new = pdf[column].to_numpy(np.float64)
             # baseline buffer: merged, NaN-free (nulls never contribute
@@ -878,13 +892,11 @@ def exponential_smoothing_stream(stream: DataFrame, column: str,
         prev_t, prev_x, e, a = state.get if state.exists \
             else (None, None, 0.0, 0.0)
         frames = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
             n = len(x)
-            if n == 0:
-                continue
             steps, c, aux_c = coeff_fn(t, x, prev_t, prev_x)
             with np.errstate(under="ignore"):
                 decay = np.exp(-np.cumsum(steps))
@@ -965,10 +977,8 @@ def summarize_windows_stream(stream: DataFrame, window, reducer,
             buf_t = np.empty(0, dtype=np.int64)
             buf_v = np.empty(0, dtype=np.float64)
         frames = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             t = pdf["__tns"].to_numpy(np.int64)
             x = pdf[value_col].to_numpy(np.float64)
             all_t = np.concatenate([buf_t, t])
@@ -1042,10 +1052,8 @@ def rolling_ols_stream(stream: DataFrame, y: str, x: str,
         bx = np.asarray(bx or [], dtype=np.float64)
         by = np.asarray(by or [], dtype=np.float64)
         frames = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             t_new = pdf["__tns"].to_numpy(np.int64)
             x_new = pdf[x].to_numpy(np.float64)
             y_new = pdf[y].to_numpy(np.float64)
@@ -1159,10 +1167,8 @@ def rolling_ols_multi_stream(stream: DataFrame, y: str,
             bx = [np.asarray([], dtype=np.float64) for _ in range(k)]
             by = np.asarray([], dtype=np.float64)
         frames = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             t_new = pdf["__tns"].to_numpy(np.int64)
             x_new = [pdf[c].to_numpy(np.float64) for c in xs]
             y_new = pdf[y].to_numpy(np.float64)
@@ -1375,9 +1381,12 @@ def funnel_stream(stream: DataFrame, steps: Sequence[str],
 
     def fold(key_vals, pdf_iter, state):
         ts = list(state.get) if state.exists else [None] * k
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
+        # whole trigger at once: the chained-min pass is monotone and
+        # never reopens earlier steps, so running it per Arrow CHUNK
+        # loses step-i events that arrive in a chunk before the chunk
+        # holding their step-(i-1) predecessor
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             t = pdf["__tns"].to_numpy(np.int64)
             si = pdf["__i"].to_numpy(np.int64)
             # chained-min pass in step order (min needs no row sort) —
@@ -1440,10 +1449,8 @@ def drawdown_stream(stream: DataFrame, column: str,
     def fold(key_vals, pdf_iter, state):
         peak = state.get[0] if state.exists else None
         frames = []
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("__tns", kind="stable")
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
             v = pdf[column].to_numpy(np.float64)
             filled = np.where(np.isnan(v),
                               -np.inf if peak is None else peak, v)

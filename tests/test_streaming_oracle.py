@@ -1321,3 +1321,83 @@ def test_drawdown_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("stream_dd", got, sql, con)
     assert ok, msg
+
+
+def _desc_order_replay(spark, pdf_rows, schema, out_dir):
+    """One trigger, one parquet file written in DESCENDING time order,
+    so a group split across Arrow chunks arrives newest-chunk-first —
+    the adversarial layout for any per-chunk fold."""
+    import pandas as pd
+
+    df = (spark.createDataFrame(pd.DataFrame(pdf_rows), schema=schema)
+          .orderBy(F.col("time").desc()))
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    return (spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 10).parquet(out_dir))
+
+
+def _collect_sorted(spark, name, cols):
+    return (spark.sql(f"SELECT {cols} FROM {name} ORDER BY 1, 2")
+            .toPandas())
+
+
+def test_multi_chunk_trigger_parity(spark, tmp_path):
+    """Chunk-invariance pin for the _trigger_pdf fix: a key whose
+    trigger rows exceed spark.sql.execution.arrow.maxRecordsPerBatch
+    reaches the stateful folds as SEVERAL chunks in file (here:
+    reverse-time) order. Every fold must assemble + time-sort the whole
+    trigger first — per-chunk processing applies running peaks, funnel
+    steps and EWMA decays in chunk order and diverges. Gate: the
+    7-row-chunk replay must equal the default (single-chunk) replay
+    bit-for-bit for drawdown, funnel and EWMA."""
+    import math
+
+    import pandas as pd
+
+    n = 60
+    base = pd.Timestamp("2024-01-01")
+    rows = {
+        "time": [base + pd.Timedelta(minutes=i) for i in range(n)],
+        "user_id": ["u1"] * (n - 5) + ["u2"] * 5,
+        "value": [100.0 + 30.0 * math.sin(i / 3.0) for i in range(n)],
+        "event_type": [
+            "view" if i == 2 else
+            "click" if i == 30 else
+            "purchase" if i == 50 else "other" for i in range(n)],
+    }
+    schema = "time timestamp, user_id string, value double, event_type string"
+
+    def run(tag, batch_rows):
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_rows))
+        try:
+            st = _desc_order_replay(spark, rows, schema,
+                                    str(tmp_path / f"src_{tag}"))
+            dd = ts_stream.drawdown_stream(st, "value", key=["user_id"])
+            _run_to_table(dd, f"mc_dd_{tag}")
+            st2 = _desc_order_replay(spark, rows, schema,
+                                     str(tmp_path / f"src2_{tag}"))
+            fu = ts_stream.funnel_stream(
+                st2, ["view", "click", "purchase"], key=["user_id"])
+            _run_to_table(fu, f"mc_fu_{tag}")
+            st3 = _desc_order_replay(spark, rows, schema,
+                                     str(tmp_path / f"src3_{tag}"))
+            ew = ts_stream.ewma_stream(st3, "value", key=["user_id"],
+                                       alpha=0.1, duration_per_period="1h")
+            _run_to_table(ew, f"mc_ew_{tag}")
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
+
+    run("one", 100000)   # whole trigger in one chunk: known-good path
+    run("many", 7)       # ~9 chunks for u1, newest chunk first
+    for prefix, cols in (
+            ("mc_dd", "user_id, __tns, value, peak, drawdown"),
+            ("mc_fu", "user_id, n_steps, step1_tns, step2_tns, "
+                      "step3_tns, converted"),
+            ("mc_ew", "user_id, __tns, value, value_ewma")):
+        a = _collect_sorted(spark, f"{prefix}_one", cols)
+        b = _collect_sorted(spark, f"{prefix}_many", cols)
+        pd.testing.assert_frame_equal(a, b, check_exact=True,
+                                      obj=prefix)
