@@ -558,7 +558,13 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
                 out = lpdf[in_cols].copy()
                 t = lpdf[_TNS].to_numpy(np.int64)
                 n = len(t)
-                rpdf = (g[side == 0]
+                # subset to the prefixed right columns BEFORE renaming:
+                # the group frame still carries the left payload
+                # columns (typed-zero fillers on right rows), so a
+                # right data column sharing a left payload name would
+                # otherwise rename into a duplicate pandas label
+                rpdf = (g.loc[side == 0,
+                              ["__rtns", *[pref[c] for c in rdata]]]
                         .rename(columns={v: c for c, v in pref.items()}))
                 if len(rpdf) == 0:
                     for c in rdata:

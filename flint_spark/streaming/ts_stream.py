@@ -212,6 +212,10 @@ def _lastk_plan(left_cols, left_fields, right, key, right_time_column, k):
     conflicts = (set(out_names.values()) | {"n_matched"}) & set(left_cols)
     if conflicts:
         raise ValueError(f"conflicting output columns {sorted(conflicts)}")
+    reserved = {"__side", "__rtns", "__tns"}
+    bad = reserved & (set(left_cols) | set(rdata))
+    if bad:
+        raise ValueError(f"reserved column names {sorted(bad)}")
     rfields = {f.name: f.dataType for f in right.schema.fields}
     out_schema = T.StructType(
         list(left_fields)

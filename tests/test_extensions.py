@@ -3007,3 +3007,38 @@ def test_merge_bars_equals_direct_coarse(spark):
 
     from flint_spark.plans.audit import plan_counts
     assert plan_counts(merge_bars(fine, "6h", key=["event_type"]))["shuffles"] == 2
+
+
+def test_left_join_topk_shared_payload_name(spark):
+    """A right data column named like a left payload column must work
+    through ALL THREE last-k engines (the union engine renames the
+    prefixed right columns inside pandas — regression: the rename
+    collided with the left filler column of the same name and raised
+    or corrupted the gather)."""
+    from flint_spark.operators.asof import (left_join_topk,
+                                            left_join_topk_broadcast,
+                                            left_join_topk_cogroup)
+
+    L = [(10_000, "a", 1.0), (20_000, "a", 2.0), (15_000, "b", 3.0)]
+    Rr = [(9_000, "a", 100.0), (9_500, "a", 101.0), (14_000, "b", 102.0)]
+    # both sides carry a data column literally named "v"
+    ldf = spark.createDataFrame(L, "time long, k string, v double")
+    rdf = spark.createDataFrame(Rr, "time long, k string, v double")
+    exp = {
+        (10_000, "a", 1.0): ([101.0, 100.0], 2),
+        (20_000, "a", 2.0): ([], 0),
+        (15_000, "b", 3.0): ([102.0], 1),
+    }
+    for fn in (left_join_topk, left_join_topk_cogroup,
+               left_join_topk_broadcast):
+        got = {(r.time, r.k, r.v): (list(r.v_lastk), r.n_matched)
+               for r in fn(ldf, rdf, k=2, tolerance=2_000,
+                           key=["k"]).collect()}
+        assert got == exp, fn.__name__
+
+    # reserved internal names fail loudly instead of corrupting
+    import pytest as _pytest
+
+    bad = ldf.withColumnRenamed("v", "__rtns")
+    with _pytest.raises(ValueError, match="reserved"):
+        left_join_topk(bad, rdf, k=1, tolerance=1_000, key=["k"])
