@@ -50,6 +50,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .distinct().persist())
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     # rename the aggregation key: outw derives from e, so joining the
     # two on a shared attribute name is a self-join whose column
@@ -67,9 +68,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     en.count()
     base = (1.0 - damping) / n
     r = nodes.withColumn("rank", F.lit(1.0 / n))
-    srcs = outw.select(F.col("__os").alias("node"))
+    # the DANGLING SET is iteration-invariant — materialize it once
+    # from the PERSISTED tables (outw's lineage reaches back through
+    # the raw edge aggregation, so anti-joining against it would
+    # re-run that scan every iteration just for one scalar)
+    dang_nodes = (nodes.join(en.select(F.col("__s").alias("node"))
+                             .distinct(),
+                             "node", "left_anti").persist())
     for _ in range(iterations):
-        dang = (r.join(srcs, "node", "left_anti")
+        dang = (r.join(dang_nodes, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0])
         contrib = (en.join(r, en["__s"] == r["node"])
                    .groupBy("__d")
@@ -81,6 +88,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       * (F.coalesce(F.col("__c"), F.lit(0.0))
                          + F.lit(dang / n))).alias("rank"))
              .localCheckpoint())
+    dang_nodes.unpersist()
     nodes.unpersist()
     en.unpersist()
     return r
