@@ -47,7 +47,11 @@ def key_profile(df: DataFrame, key: Sequence[str],
         F.avg("cnt").alias("avg_cnt"),
     ]
     for p in probabilities:
-        name = f"p{str(p)[2:].ljust(2, '0')}_cnt"
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probability out of range: {p}")
+        # pXX = percent, fractional percents with '_' (p99_9); the
+        # old string-slice mangled boundaries (1.0 -> 'p00')
+        name = "p" + f"{p * 100:g}".replace(".", "_") + "_cnt"
         aggs.append(F.percentile(F.col("cnt"), F.lit(p)).alias(name))
     out = counts.agg(*aggs)
     return out.withColumn(
@@ -56,8 +60,12 @@ def key_profile(df: DataFrame, key: Sequence[str],
 
 def heavy_keys(df: DataFrame, key: Sequence[str], k: int = 10) -> DataFrame:
     """The k heaviest key groups: (key..., cnt, share), ordered by
-    (cnt desc, key...) for a deterministic cut. The 1-row total is
-    broadcast; the cut is a distributed top-k."""
+    (cnt desc, key... NULLS LAST) for a deterministic cut — nulls
+    last explicitly, because Spark's ascending default is NULLS FIRST
+    while ANSI/DuckDB's is NULLS LAST, and a null key group tying at
+    the k boundary would otherwise make the two engines keep
+    different rows. The 1-row total is broadcast; the cut is a
+    distributed top-k."""
     key = list(key)
     counts = _key_counts(df, key)
     total = counts.agg(F.sum("cnt").alias("__total"))
@@ -65,7 +73,9 @@ def heavy_keys(df: DataFrame, key: Sequence[str], k: int = 10) -> DataFrame:
             .select(*key, "cnt",
                     (F.col("cnt").cast("double") / F.col("__total"))
                     .alias("share"))
-            .orderBy(F.desc("cnt"), *key).limit(k))
+            .orderBy(F.desc("cnt"),
+                     *[F.col(c).asc_nulls_last() for c in key])
+            .limit(k))
 
 
 def winsorize(df: DataFrame, value_col: str, key: Sequence[str] = (),

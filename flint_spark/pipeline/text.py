@@ -690,7 +690,9 @@ def bm25_topk(docs: DataFrame, query_terms: Sequence[str],
     w = F.col("__w")
     stats = base.agg(
         F.count("*").alias("__n"),
-        F.avg(F.size(w)).alias("__avgdl"),
+        # size(NULL) is -1 in Spark, but the null-skip avg is the
+        # DuckDB/ANSI semantics (len(NULL) -> NULL) — guard it
+        F.avg(F.when(w.isNotNull(), F.size(w))).alias("__avgdl"),
         *[F.sum(F.array_contains(w, t).cast("long")).alias(f"__df_{i}")
           for i, t in enumerate(terms)])
     score, n_matched = _bm25_score_exprs(
@@ -748,11 +750,16 @@ def bm25_corpus_stats(docs: DataFrame, query_terms: Sequence[str],
     w = F.col("__w")
     row = base.agg(
         F.count("*").alias("n"),
-        F.avg(F.size(w)).alias("avgdl"),
+        # null-skip like the batch scorer: size(NULL) = -1 in Spark
+        F.avg(F.when(w.isNotNull(), F.size(w))).alias("avgdl"),
         *[F.sum(F.array_contains(w, t).cast("long")).alias(f"df_{i}")
           for i, t in enumerate(terms)]).collect()[0]
-    return {"n": int(row["n"]), "avgdl": float(row["avgdl"]),
-            "dfs": [int(row[f"df_{i}"]) for i in range(len(terms))]}
+    # an empty corpus (or one whose every text is null) aggregates
+    # avgdl to NULL — surface it as 0.0 so the first-day-of-ingestion
+    # stream-static setup gets "no matches" instead of a TypeError
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+    return {"n": int(row["n"]), "avgdl": avgdl,
+            "dfs": [int(row[f"df_{i}"] or 0) for i in range(len(terms))]}
 
 
 def bm25_score_static(docs: DataFrame, query_terms: Sequence[str],
@@ -768,6 +775,13 @@ def bm25_score_static(docs: DataFrame, query_terms: Sequence[str],
     (n/df enter the idf as doubles there too — a 1-row aggregate's
     long column cast by the division)."""
     terms = list(dict.fromkeys(query_terms))
+    if stats["n"] == 0 or stats["avgdl"] <= 0.0:
+        # degenerate corpus model (empty, or only empty/null texts):
+        # BM25's length normalization is undefined, and no document
+        # can meaningfully match — empty result, stable schema
+        return (docs.select(F.col(id_col), F.lit(0.0).alias("bm25"),
+                            F.lit(0).alias("n_terms"))
+                .filter(F.lit(False)))
     w = _words(text_col)
     score, n_matched = _bm25_score_exprs(
         w, terms, k1, b, F.lit(float(stats["n"])),

@@ -3042,3 +3042,65 @@ def test_left_join_topk_shared_payload_name(spark):
     bad = ldf.withColumnRenamed("v", "__rtns")
     with _pytest.raises(ValueError, match="reserved"):
         left_join_topk(bad, rdf, k=1, tolerance=1_000, key=["k"])
+
+
+def test_profile_boundary_probabilities_and_null_tie(spark):
+    """key_profile boundary names (regression: p=1.0 sliced to
+    'p00_cnt') and the heavy-keys null-tie cut matching ANSI/DuckDB
+    NULLS LAST ordering."""
+    import duckdb
+
+    from flint_spark.pipeline.profile import heavy_keys, key_profile
+
+    rows = [("a",)] * 2 + [("b",)] * 2 + [(None,)] * 2 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    prof = key_profile(df, ["k"],
+                       probabilities=(0.0, 0.25, 0.999, 1.0)).collect()[0]
+    cols = set(prof.asDict())
+    assert {"p0_cnt", "p25_cnt", "p99_9_cnt", "p100_cnt"} <= cols
+    assert prof.p100_cnt == 5.0 and prof.p0_cnt == 2.0
+
+    # null group ties with a/b at cnt=2, k=3 cuts inside the tie run:
+    # both engines must keep the same rows (nulls last)
+    hk = [(r.k, r.cnt) for r in heavy_keys(df, ["k"], k=3).collect()]
+    oracle = duckdb.sql("""
+      WITH c AS (SELECT * FROM (VALUES ('a', 2), ('b', 2),
+                                       (NULL, 2), ('c', 5)) v(k, cnt))
+      SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT 3
+    """).fetchall()
+    assert hk == [(k, c) for k, c in oracle] == \
+        [("c", 5), ("a", 2), ("b", 2)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="probability"):
+        key_profile(df, ["k"], probabilities=(1.5,))
+
+
+def test_bm25_empty_corpus_stats(spark):
+    """First-day-of-ingestion contract: corpus stats over an empty (or
+    all-null-text) corpus return avgdl=0.0 instead of raising, and the
+    static scorer emits an empty, schema-stable result."""
+    from flint_spark.pipeline.text import (bm25_corpus_stats,
+                                           bm25_score_static)
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    st = bm25_corpus_stats(empty, ["alpha", "beta"])
+    assert st == {"n": 0, "avgdl": 0.0, "dfs": [0, 0]}
+    out = bm25_score_static(
+        spark.createDataFrame([("d1", "alpha beta")],
+                              "doc_id string, text string"),
+        ["alpha", "beta"], st)
+    assert out.columns == ["doc_id", "bm25", "n_terms"]
+    assert out.count() == 0
+
+    nulls = spark.createDataFrame([("d1", None)],
+                                  "doc_id string, text string")
+    st2 = bm25_corpus_stats(nulls, ["alpha"])
+    assert st2["avgdl"] == 0.0 and st2["n"] >= 0
+
+    # null-skip avgdl (DuckDB len(NULL)->NULL semantics): a null text
+    # must not contribute size(NULL) = -1 to the average
+    mixed = spark.createDataFrame([("d1", None), ("d2", "alpha beta gamma")],
+                                  "doc_id string, text string")
+    st3 = bm25_corpus_stats(mixed, ["alpha"])
+    assert st3 == {"n": 2, "avgdl": 3.0, "dfs": [1]}
