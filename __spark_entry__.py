@@ -213,6 +213,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clock_business": q_clock_business,
         "pagerank": q_pagerank,
         "merge_bars": q_merge_bars,
+        "ewm_vol": q_ewm_vol,
     }
 
 
@@ -296,6 +297,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "clock_business": SQL_CLOCK_BUSINESS,
         "pagerank": _sql_pagerank(),
         "merge_bars": SQL_MERGE_BARS,
+        "ewm_vol": SQL_EWM_VOL,
     }
 
 

@@ -2809,3 +2809,52 @@ SQL_MERGE_BARS = """
                          * 1e6 + 0.5) / 1e6 END AS vwap
   FROM e GROUP BY bucket, event_type
 """
+
+
+def q_ewm_vol(spark, sf):
+    """Time-decayed running volatility (operators.ema.ewm_volatility):
+    RiskMetrics-style exponentially weighted mean / population
+    variance / vol per row. Both decayed moments (x, x^2) ride ONE
+    pure-JVM WindowExec via ewma_native's multi-column path; the
+    combine is codegen expressions. Oracle replays the closed-form
+    exp-prefix-sum ratios (normalization factors cancel)."""
+    from flint_spark.operators.ema import ewm_volatility
+
+    ev = _events(spark, sf)
+    out = ewm_volatility(ev, "value", alpha=0.05,
+                         duration_per_period="1d", key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value_ewm_mean", 4).alias("ewm_mean"),
+                      R("value_ewm_var", 4).alias("ewm_var"),
+                      R("value_ewm_vol", 4).alias("ewm_vol"))
+
+
+_EWM_LAM = -__import__("math").log1p(-0.05) / 86_400e6
+
+SQL_EWM_VOL = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+           epoch_us(ts)::DOUBLE AS tus,
+           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base
+    FROM events
+  ),
+  s AS (
+    SELECT time, user_id,
+           exp(-(tus - base) * {lam}) * sum(value * exp((tus - base) * {lam}))
+             OVER w AS nume,
+           exp(-(tus - base) * {lam}) *
+             sum(value * value * exp((tus - base) * {lam})) OVER w AS numq,
+           exp(-(tus - base) * {lam}) * sum(exp((tus - base) * {lam}))
+             OVER w AS den
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  )
+  SELECT time, user_id,
+         floor((nume / den) * 1e4 + 0.5) / 1e4 AS ewm_mean,
+         floor(greatest(numq / den - (nume / den) * (nume / den), 0.0)
+               * 1e4 + 0.5) / 1e4 AS ewm_var,
+         floor(sqrt(greatest(numq / den - (nume / den) * (nume / den), 0.0))
+               * 1e4 + 0.5) / 1e4 AS ewm_vol
+  FROM s
+""".format(lam=_EWM_LAM)

@@ -652,3 +652,85 @@ def ema_half_life(df: DataFrame, column: str, half_life: str,
                                  interpolation=interpolation,
                                  convention=convention, key=key,
                                  distributed=distributed)
+
+
+def _ewm_moment_cols(df: DataFrame, column: str, mean_col, msq_col):
+    """(mean, var, vol) output columns from the two decayed moments —
+    shared by the running/windowed/streaming volatility variants so
+    the estimator is defined in exactly one place: time-decayed
+    population variance ``E_w[x^2] - E_w[x]^2``, clamped at zero
+    (FP cancellation can leave a tiny negative when vol << mean)."""
+    var = F.greatest(msq_col - mean_col * mean_col, F.lit(0.0))
+    return (df.withColumn(f"{column}_ewm_mean", mean_col)
+            .withColumn(f"{column}_ewm_var", var)
+            .withColumn(f"{column}_ewm_vol",
+                        F.sqrt(F.col(f"{column}_ewm_var"))))
+
+
+def ewm_volatility(df: DataFrame, column: str, alpha: float = 0.05,
+                   duration_per_period: str = "1d",
+                   key: Sequence[str] = (),
+                   engine: str = "native") -> DataFrame:
+    """Exponentially weighted running mean / variance / volatility per
+    row — the RiskMetrics-style time-decayed moment estimator: with
+    weights ``w_i = (1-alpha)^((t_n - t_i)/period)``,
+    ``mean = Σ w x / Σ w``, ``var = Σ w x² / Σ w - mean²`` (population
+    form), ``vol = sqrt(var)``. Adds ``<col>_ewm_mean``,
+    ``<col>_ewm_var``, ``<col>_ewm_vol``. Beyond the reference, whose
+    EMA family stops at the first moment (``Summarizers.ewma``).
+
+    Plan: BOTH decayed moments (x and x²) ride ONE pure-JVM window
+    pass — ``ewma_native``'s multi-column path shares a single
+    WindowExec sort — then combine as codegen expressions; zero
+    Python, zero extra exchanges beyond the one per-key sort every
+    running scan needs. ``engine='pandas'`` routes through the
+    block-renormalized Arrow scan instead (two passes) for exponent
+    spans beyond ``ewma_native``'s ~700 guard; same estimator.
+    """
+    if engine not in ("native", "pandas"):
+        raise ValueError("engine must be 'native' or 'pandas'")
+    key = list(key)
+    sq = f"__{column}_sq"
+    x = F.col(column).cast("double")
+    base = df.withColumn(sq, x * x)
+    if engine == "native":
+        o = ewma_native(base, [column, sq], alpha, duration_per_period,
+                        "core", key)
+    else:
+        o = ewma(base, column, alpha, duration_per_period, "core", key)
+        o = ewma(o, sq, alpha, duration_per_period, "core", key)
+    out = _ewm_moment_cols(o, column, F.col(f"{column}_ewma"),
+                           F.col(f"{sq}_ewma"))
+    return out.drop(sq, f"{column}_ewma", f"{sq}_ewma")
+
+
+def ewm_volatility_windowed(df: DataFrame, column: str, window,
+                            alpha: float = 0.05,
+                            duration_per_period: str = "1d",
+                            key: Sequence[str] = ()) -> DataFrame:
+    """Sliding-window variant of :func:`ewm_volatility`: the decayed
+    moments run over the ``window`` range frame instead of the full
+    history (``ewma_windowed``'s exp-prefix-sum trick — WindowExec
+    maintains range-frame sums incrementally, zero Python). Both
+    moment columns and the normalizer share one WindowSpec, so
+    Catalyst collapses them into a single WindowExec. Same ~700
+    exponent-span constraint as ``ewma_windowed`` (enforced)."""
+    from pyspark.sql import Window as W
+
+    from ..windows import TimeWindow
+
+    if not isinstance(window, TimeWindow):
+        raise TypeError("window must be a TimeWindow")
+    key = list(key)
+    lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
+    tns = time_ns_expr(df)
+    base = F.min(tns).over(W.partitionBy(*key))
+    frame = (W.partitionBy(*key).orderBy(tns)
+             .rangeBetween(*window.range_bounds()))
+    rel = (tns - base).cast("double") * F.lit(lam)
+    rel = _span_guard(rel, tns, key, lam, "ewm_volatility_windowed")
+    x = F.col(column).cast("double")
+    den = F.sum(F.exp(rel)).over(frame)
+    mean = F.sum(x * F.exp(rel)).over(frame) / den
+    msq = F.sum(x * x * F.exp(rel)).over(frame) / den
+    return _ewm_moment_cols(df, column, mean, msq)

@@ -1486,3 +1486,81 @@ def drawdown_stream(stream: DataFrame, column: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def ewm_volatility_stream(stream: DataFrame, column: str,
+                          key: Sequence[str],
+                          alpha: float = 0.05,
+                          duration_per_period: str = "1d",
+                          time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of :func:`operators.ema.ewm_volatility`: per-key
+    time-decayed mean / population variance / volatility via
+    ``applyInPandasWithState`` — state is FOUR doubles per key
+    (last event-time ns + the three decayed accumulators Σw·x, Σw·x²,
+    Σw). All three accumulators share the batch engine's vectorized
+    block-renormalized scan (``operators.ema._affine_scan``) over one
+    step vector, so an in-order replay reproduces the batch operator;
+    late cross-trigger rows follow the ``ewma_stream`` contract."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.ema import _affine_scan
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    key = list(key)
+    lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField(f"{column}_ewm_mean", T.DoubleType()),
+           T.StructField(f"{column}_ewm_var", T.DoubleType()),
+           T.StructField(f"{column}_ewm_vol", T.DoubleType())])
+    state_schema = T.StructType([T.StructField("last_tns", T.LongType()),
+                                 T.StructField("e", T.DoubleType()),
+                                 T.StructField("q", T.DoubleType()),
+                                 T.StructField("a", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        last_tns, e, q, a = state.get if state.exists \
+            else (None, 0.0, 0.0, 0.0)
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            n = len(x)
+            steps = np.empty(n, dtype=np.float64)
+            steps[0] = lam * (t[0] - last_tns) if last_tns is not None else 0.0
+            steps[1:] = lam * np.diff(t).astype(np.float64)
+            with np.errstate(under="ignore"):
+                decay = np.exp(-np.cumsum(steps))
+            E = _affine_scan(steps, x)
+            Q = _affine_scan(steps, x * x)
+            A = _affine_scan(steps, np.ones(n))
+            if last_tns is not None:
+                E = E + e * decay
+                Q = Q + q * decay
+                A = A + a * decay
+            e, q, a = float(E[-1]), float(Q[-1]), float(A[-1])
+            last_tns = int(t[-1])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = E / A
+                var = np.maximum(Q / A - mean * mean, 0.0)
+            res = pd.DataFrame({c: [v] * n for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[column] = x
+            res[f"{column}_ewm_mean"] = mean
+            res[f"{column}_ewm_var"] = var
+            res[f"{column}_ewm_vol"] = np.sqrt(var)
+            frames.append(res)
+        state.update((last_tns, float(e), float(q), float(a)))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

@@ -522,6 +522,17 @@ class TimeSeriesDataFrame:
         from .operators.ema import ema_half_life
         return self._wrap(ema_half_life(self._df, column, half_life, **kwargs))
 
+    def ewm_volatility(self, column: str, **kwargs
+                       ) -> "TimeSeriesDataFrame":
+        from .operators.ema import ewm_volatility
+        return self._wrap(ewm_volatility(self._df, column, **kwargs))
+
+    def ewm_volatility_windowed(self, column: str, window, **kwargs
+                                ) -> "TimeSeriesDataFrame":
+        from .operators.ema import ewm_volatility_windowed
+        return self._wrap(ewm_volatility_windowed(self._df, column,
+                                                  window, **kwargs))
+
     def ewma_windowed(self, column: str, window, **kwargs
                       ) -> "TimeSeriesDataFrame":
         from .operators.ema import ewma_windowed

@@ -3104,3 +3104,70 @@ def test_bm25_empty_corpus_stats(spark):
                                   "doc_id string, text string")
     st3 = bm25_corpus_stats(mixed, ["alpha"])
     assert st3 == {"n": 2, "avgdl": 3.0, "dfs": [1]}
+
+
+def test_ewm_volatility_matches_brute_force(spark):
+    """Decayed-moment volatility == per-row numpy brute force
+    (weights (1-a)^(dt/period)), native and pandas engines agree, and
+    the windowed variant restricts the weights to the frame."""
+    import math
+
+    import numpy as np
+
+    from flint_spark.operators.ema import (ewm_volatility,
+                                           ewm_volatility_windowed)
+    from flint_spark.windows import past_absolute_time
+
+    hour = 3_600 * 10 ** 9
+    rows = [(i * hour, "k1", float(v)) for i, v in
+            enumerate([10.0, 12.0, 9.0, 15.0, 11.0, 14.0, 8.0])]
+    rows += [(i * hour, "k2", 5.0) for i in range(3)]  # constant: vol 0
+    df = spark.createDataFrame(rows, "time long, k string, v double")
+    alpha, period = 0.2, "2h"
+    lam = -math.log1p(-alpha) / (2 * hour)
+
+    def brute(ts, xs, t_n, lo=None):
+        w = np.array([math.exp(-lam * (t_n - t)) for t in ts])
+        if lo is not None:
+            w = np.where(np.array(ts) >= lo, w, 0.0)
+        m = (w * xs).sum() / w.sum()
+        v = max((w * np.array(xs) ** 2).sum() / w.sum() - m * m, 0.0)
+        return m, v
+
+    for engine in ("native", "pandas"):
+        out = ewm_volatility(df, "v", alpha=alpha,
+                             duration_per_period=period, key=["k"],
+                             engine=engine)
+        got = {(r.k, r.time): (r.v_ewm_mean, r.v_ewm_var, r.v_ewm_vol)
+               for r in out.collect()}
+        series = {"k1": [r for r in rows if r[1] == "k1"],
+                  "k2": [r for r in rows if r[1] == "k2"]}
+        for k, srows in series.items():
+            ts = [r[0] for r in srows]
+            xs = [r[2] for r in srows]
+            for n in range(len(srows)):
+                m, v = brute(ts[:n + 1], np.array(xs[:n + 1]), ts[n])
+                gm, gv, gs = got[(k, ts[n])]
+                assert abs(gm - m) < 1e-9, (engine, k, n)
+                assert abs(gv - v) < 1e-9, (engine, k, n)
+                # sqrt amplifies the E[x^2]-E[x]^2 cancellation floor
+                # (~1e-15 in var) to ~1e-7 in vol — inherent to the
+                # estimator, not an engine defect
+                assert abs(gs - math.sqrt(v)) < 1e-6, (engine, k, n)
+        assert got[("k2", 2 * hour)][2] < 1e-6
+
+    # windowed: only rows inside [t - 3h, t] carry weight
+    w3 = past_absolute_time("3h")
+    outw = ewm_volatility_windowed(df, "v", w3, alpha=alpha,
+                                   duration_per_period=period, key=["k"])
+    gotw = {(r.k, r.time): (r.v_ewm_mean, r.v_ewm_var)
+            for r in outw.collect()}
+    ts = [r[0] for r in rows if r[1] == "k1"]
+    xs = [r[2] for r in rows if r[1] == "k1"]
+    for n in range(len(ts)):
+        lo = ts[n] - 3 * hour
+        sel = [i for i in range(n + 1) if ts[i] >= lo]
+        m, v = brute([ts[i] for i in sel],
+                     np.array([xs[i] for i in sel]), ts[n])
+        gm, gv = gotw[("k1", ts[n])]
+        assert abs(gm - m) < 1e-9 and abs(gv - v) < 1e-9, n

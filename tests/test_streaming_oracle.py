@@ -1401,3 +1401,54 @@ def test_multi_chunk_trigger_parity(spark, tmp_path):
         b = _collect_sorted(spark, f"{prefix}_many", cols)
         pd.testing.assert_frame_equal(a, b, check_exact=True,
                                       obj=prefix)
+
+
+def test_ewm_volatility_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming decayed-volatility replay (27th gate): four-double
+    state per key (last t, Σwx, Σwx², Σw); in-order replay == the
+    closed-form exp-prefix-sum ratios in DuckDB, rounded to 4 decimals
+    like the ewma gate (block renormalization at trigger boundaries
+    rules out bitwise)."""
+    import math
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "v"))
+    out = ts_stream.ewm_volatility_stream(st, "value", key=["user_id"],
+                                          alpha=0.05,
+                                          duration_per_period="1d")
+    _run_to_table(out, "so_ewmvol")
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000
+    got = (spark.sql("SELECT * FROM so_ewmvol")
+           .select(F.col("__tns").alias("tns"), "user_id",
+                   r4("value_ewm_mean").alias("ewm_mean"),
+                   r4("value_ewm_var").alias("ewm_var"),
+                   r4("value_ewm_vol").alias("ewm_vol")))
+    lam = -math.log1p(-0.05) / 86_400e6
+    sql = f"""
+      WITH e AS (
+        SELECT epoch_ns(ts) AS tns, user_id, value,
+               epoch_us(ts)::DOUBLE AS tus,
+               min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base
+        FROM events
+      ),
+      s AS (
+        SELECT tns, user_id,
+               sum(value * exp((tus - base) * {lam})) OVER w AS nume,
+               sum(value * value * exp((tus - base) * {lam})) OVER w AS numq,
+               sum(exp((tus - base) * {lam})) OVER w AS den
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tns
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      SELECT tns, user_id,
+             floor((nume / den) * 1e4 + 0.5) / 1e4 AS ewm_mean,
+             floor(greatest(numq / den - (nume / den) * (nume / den), 0.0)
+                   * 1e4 + 0.5) / 1e4 AS ewm_var,
+             floor(sqrt(greatest(numq / den - (nume / den) * (nume / den),
+                                 0.0)) * 1e4 + 0.5) / 1e4 AS ewm_vol
+      FROM s
+    """
+    ok, msg = compare("so_ewmvol", got, sql, con)
+    assert ok, msg
