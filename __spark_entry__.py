@@ -214,6 +214,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "merge_bars": q_merge_bars,
         "ewm_vol": q_ewm_vol,
+        "ewm_corr": q_ewm_corr,
     }
 
 
@@ -298,6 +299,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "merge_bars": SQL_MERGE_BARS,
         "ewm_vol": SQL_EWM_VOL,
+        "ewm_corr": SQL_EWM_CORR,
     }
 
 

@@ -2858,3 +2858,72 @@ SQL_EWM_VOL = """
                * 1e4 + 0.5) / 1e4 AS ewm_vol
   FROM s
 """.format(lam=_EWM_LAM)
+
+
+def q_ewm_corr(spark, sf):
+    """Time-decayed pairwise moments (operators.ema.ewm_corr): running
+    covariance / correlation / hedge-ratio beta of value against the
+    JSON props factor — all five decayed moments in ONE pure-JVM
+    WindowExec. Oracle replays the closed-form exp-prefix-sum ratios
+    with the identical clamp/guard expressions."""
+    from flint_spark.operators.ema import ewm_corr
+
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "event_id", "user_id", "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("xf"))
+    out = ewm_corr(ev.filter(F.col("xf").isNotNull()
+                             & F.col("value").isNotNull()),
+                   "value", "xf", alpha=0.05, duration_per_period="1d",
+                   key=["user_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id",
+                      R("value_xf_ewm_cov", 4).alias("ewm_cov"),
+                      R("value_xf_ewm_corr", 6).alias("ewm_corr"),
+                      R("value_xf_ewm_beta", 6).alias("ewm_beta"))
+
+
+SQL_EWM_CORR = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS xf,
+           epoch_us(ts)::DOUBLE AS tus
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND value IS NOT NULL
+  ),
+  b AS (
+    SELECT *, min(tus) OVER (PARTITION BY user_id) AS base FROM e
+  ),
+  s AS (
+    SELECT time, event_id, user_id,
+           exp(-(tus - base) * {lam}) * sum(value * exp((tus - base) * {lam}))
+             OVER w AS ex,
+           exp(-(tus - base) * {lam}) * sum(xf * exp((tus - base) * {lam}))
+             OVER w AS ey,
+           exp(-(tus - base) * {lam}) *
+             sum(value * value * exp((tus - base) * {lam})) OVER w AS exx,
+           exp(-(tus - base) * {lam}) *
+             sum(xf * xf * exp((tus - base) * {lam})) OVER w AS eyy,
+           exp(-(tus - base) * {lam}) *
+             sum(value * xf * exp((tus - base) * {lam})) OVER w AS exy,
+           exp(-(tus - base) * {lam}) * sum(exp((tus - base) * {lam}))
+             OVER w AS den
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ),
+  m AS (
+    SELECT time, event_id, user_id,
+           exy / den - (ex / den) * (ey / den) AS cov,
+           greatest(exx / den - (ex / den) * (ex / den), 0.0) AS vx,
+           greatest(eyy / den - (ey / den) * (ey / den), 0.0) AS vy
+    FROM s
+  )
+  SELECT time, event_id, user_id,
+         floor(cov * 1e4 + 0.5) / 1e4 AS ewm_cov,
+         CASE WHEN vx > 0 AND vy > 0
+              THEN floor(least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)
+                         * 1e6 + 0.5) / 1e6 END AS ewm_corr,
+         CASE WHEN vy > 0
+              THEN floor(cov / vy * 1e6 + 0.5) / 1e6 END AS ewm_beta
+  FROM m
+""".format(lam=_EWM_LAM)

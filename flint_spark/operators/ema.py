@@ -734,3 +734,55 @@ def ewm_volatility_windowed(df: DataFrame, column: str, window,
     mean = F.sum(x * F.exp(rel)).over(frame) / den
     msq = F.sum(x * x * F.exp(rel)).over(frame) / den
     return _ewm_moment_cols(df, column, mean, msq)
+
+
+def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
+             duration_per_period: str = "1d",
+             key: Sequence[str] = (),
+             engine: str = "native") -> DataFrame:
+    """Exponentially weighted running covariance / correlation / beta
+    between two series — the pairwise face of :func:`ewm_volatility`:
+    with the same time-decayed weights, ``cov = E_w[xy] - E_w[x]E_w[y]``
+    (population form), ``corr = cov / (vol_x * vol_y)`` clamped to
+    [-1, 1], ``beta = cov / var_y`` (the hedge ratio of ``x`` against
+    benchmark ``y``). Adds ``<x>_<y>_ewm_cov``, ``_ewm_corr``,
+    ``_ewm_beta``; corr/beta are null while the decayed variance of
+    either side is zero (constant or single-row history).
+
+    Plan: all FIVE decayed moments (x, y, x², y², xy) ride ONE
+    pure-JVM WindowExec (``ewma_native`` multi-column path — one
+    per-key sort total); combines are codegen expressions. Use
+    complete-pair inputs: a null on one side null-skips that
+    numerator only (the core-EWMA rule), which mixes weight sets
+    between the moments — filter half-null rows first when exact
+    pairwise semantics matter (the ``rolling_ols`` stance).
+    ``engine='pandas'`` runs the block-renormalized Arrow scan per
+    moment for unbounded exponent spans."""
+    if engine not in ("native", "pandas"):
+        raise ValueError("engine must be 'native' or 'pandas'")
+    key = list(key)
+    cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
+    aux = {f"__{x}_sqx": cx * cx, f"__{y}_sqy": cy * cy,
+           f"__{x}_{y}_xy": cx * cy}
+    base = df.withColumns(aux)
+    cols = [x, y, *aux]
+    if engine == "native":
+        o = ewma_native(base, cols, alpha, duration_per_period,
+                        "core", key)
+    else:
+        o = base
+        for c in cols:
+            o = ewma(o, c, alpha, duration_per_period, "core", key)
+    ex, ey = F.col(f"{x}_ewma"), F.col(f"{y}_ewma")
+    vx = F.greatest(F.col(f"__{x}_sqx_ewma") - ex * ex, F.lit(0.0))
+    vy = F.greatest(F.col(f"__{y}_sqy_ewma") - ey * ey, F.lit(0.0))
+    cov = F.col(f"__{x}_{y}_xy_ewma") - ex * ey
+    pfx = f"{x}_{y}"
+    corr = F.least(F.greatest(cov / F.sqrt(vx * vy), F.lit(-1.0)),
+                   F.lit(1.0))
+    out = (o.withColumn(f"{pfx}_ewm_cov", cov)
+           .withColumn(f"{pfx}_ewm_corr",
+                       F.when((vx > 0) & (vy > 0), corr))
+           .withColumn(f"{pfx}_ewm_beta",
+                       F.when(vy > 0, cov / vy)))
+    return out.drop(*aux, *[f"{c}_ewma" for c in cols])

@@ -527,6 +527,10 @@ class TimeSeriesDataFrame:
         from .operators.ema import ewm_volatility
         return self._wrap(ewm_volatility(self._df, column, **kwargs))
 
+    def ewm_corr(self, x: str, y: str, **kwargs) -> "TimeSeriesDataFrame":
+        from .operators.ema import ewm_corr
+        return self._wrap(ewm_corr(self._df, x, y, **kwargs))
+
     def ewm_volatility_windowed(self, column: str, window, **kwargs
                                 ) -> "TimeSeriesDataFrame":
         from .operators.ema import ewm_volatility_windowed

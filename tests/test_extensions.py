@@ -3171,3 +3171,62 @@ def test_ewm_volatility_matches_brute_force(spark):
                      np.array([xs[i] for i in sel]), ts[n])
         gm, gv = gotw[("k1", ts[n])]
         assert abs(gm - m) < 1e-9 and abs(gv - v) < 1e-9, n
+
+
+def test_ewm_corr_matches_brute_force(spark):
+    """Pairwise decayed moments == numpy brute force; perfectly
+    correlated series pin corr at 1 and beta at the scale factor;
+    native and pandas engines agree."""
+    import math
+
+    import numpy as np
+
+    from flint_spark.operators.ema import ewm_corr
+
+    hour = 3_600 * 10 ** 9
+    xs = [10.0, 12.0, 9.0, 15.0, 11.0]
+    rows = [(i * hour, "a", x, 0.5 * x + 3.0) for i, x in enumerate(xs)]
+    rows += [(i * hour, "b", x, [7.0, 3.0, 9.0, 1.0, 5.0][i])
+             for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "time long, k string, x double, y double")
+    alpha, lam = 0.2, -math.log1p(-0.2) / (2 * hour)
+
+    def brute(ts, xv, yv, t_n):
+        w = np.exp(-lam * (t_n - np.array(ts)))
+        s = w.sum()
+        ex, ey = (w * xv).sum() / s, (w * yv).sum() / s
+        cov = (w * xv * yv).sum() / s - ex * ey
+        vx = max((w * xv * xv).sum() / s - ex * ex, 0.0)
+        vy = max((w * yv * yv).sum() / s - ey * ey, 0.0)
+        corr = cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else None
+        beta = cov / vy if vy > 0 else None
+        return cov, corr, beta
+
+    for engine in ("native", "pandas"):
+        out = ewm_corr(df, "x", "y", alpha=alpha,
+                       duration_per_period="2h", key=["k"], engine=engine)
+        got = {(r.k, r.time): (r.x_y_ewm_cov, r.x_y_ewm_corr,
+                               r.x_y_ewm_beta) for r in out.collect()}
+        for k in ("a", "b"):
+            srows = [r for r in rows if r[1] == k]
+            ts = [r[0] for r in srows]
+            xv = np.array([r[2] for r in srows])
+            yv = np.array([r[3] for r in srows])
+            for n in range(len(srows)):
+                cov, corr, beta = brute(ts[:n + 1], xv[:n + 1],
+                                        yv[:n + 1], ts[n])
+                gc, gr, gb = got[(k, ts[n])]
+                assert abs(gc - cov) < 1e-9, (engine, k, n)
+                if corr is None:
+                    assert gr is None and gb is None, (engine, k, n)
+                else:
+                    assert abs(gr - corr) < 1e-7 and abs(gb - beta) < 1e-7
+        # y = 0.5x + 3 exactly: corr 1, beta = cov/var_y = 1/0.5
+        assert abs(got[("a", 4 * hour)][1] - 1.0) < 1e-7
+        assert abs(got[("a", 4 * hour)][2] - 2.0) < 1e-7
+    # single row: variances zero -> corr/beta null, cov zero
+    one = spark.createDataFrame([(0, "z", 1.0, 2.0)],
+                                "time long, k string, x double, y double")
+    r0 = ewm_corr(one, "x", "y", key=["k"]).collect()[0]
+    assert r0.x_y_ewm_corr is None and r0.x_y_ewm_beta is None \
+        and r0.x_y_ewm_cov == 0.0
