@@ -215,6 +215,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_bars": q_merge_bars,
         "ewm_vol": q_ewm_vol,
         "ewm_corr": q_ewm_corr,
+        "dema": q_dema,
     }
 
 
@@ -300,6 +301,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "merge_bars": SQL_MERGE_BARS,
         "ewm_vol": SQL_EWM_VOL,
         "ewm_corr": SQL_EWM_CORR,
+        "dema": SQL_DEMA,
     }
 
 

@@ -79,6 +79,11 @@ HEADLINE = [
     "bm25",
     "funnel",
     "containment",
+    # decayed-moment family: one multi-column WindowExec each; DEMA
+    # chains two WindowExecs over one sort
+    "ewm_vol",
+    "ewm_corr",
+    "dema",
 ]
 
 

@@ -2927,3 +2927,57 @@ SQL_EWM_CORR = """
               THEN floor(cov / vy * 1e6 + 0.5) / 1e6 END AS ewm_beta
   FROM m
 """.format(lam=_EWM_LAM)
+
+
+def q_dema(spark, sf):
+    """Brown double exponential smoothing
+    (operators.ema.brown_double_smoothing): trend-aware level/slope/
+    one-period forecast from two CHAINED core EWMAs sharing one
+    (key, time) sort — one exchange, zero Python. The oracle chains
+    the closed-form exp-prefix-sum ratio twice."""
+    from flint_spark.operators.ema import brown_double_smoothing
+
+    ev = _events(spark, sf)
+    out = brown_double_smoothing(ev, "value", alpha=0.05,
+                                 duration_per_period="1d",
+                                 key=["user_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("value_dema_level", 4).alias("dema_level"),
+                      R("value_dema_trend", 6).alias("dema_trend"),
+                      R("value_dema_fcst", 4).alias("dema_fcst"))
+
+
+SQL_DEMA = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, user_id, value,
+           epoch_us(ts)::DOUBLE AS tus,
+           min(epoch_us(ts)) OVER (PARTITION BY user_id)::DOUBLE AS base
+    FROM events
+  ),
+  s1 AS (
+    SELECT time, user_id, tus, base,
+           (exp(-(tus - base) * {lam}) *
+              sum(value * exp((tus - base) * {lam})) OVER w)
+           / (exp(-(tus - base) * {lam}) *
+              sum(exp((tus - base) * {lam})) OVER w) AS sv
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ),
+  s2 AS (
+    SELECT time, user_id, sv,
+           (exp(-(tus - base) * {lam}) *
+              sum(sv * exp((tus - base) * {lam})) OVER w)
+           / (exp(-(tus - base) * {lam}) *
+              sum(exp((tus - base) * {lam})) OVER w) AS svv
+    FROM s1
+    WINDOW w AS (PARTITION BY user_id ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  )
+  SELECT time, user_id,
+         floor((2.0 * sv - svv) * 1e4 + 0.5) / 1e4 AS dema_level,
+         floor(({ab}) * (sv - svv) * 1e6 + 0.5) / 1e6 AS dema_trend,
+         floor((2.0 * sv - svv + ({ab}) * (sv - svv)) * 1e4 + 0.5) / 1e4
+           AS dema_fcst
+  FROM s2
+""".format(lam=_EWM_LAM, ab=0.05 / 0.95)

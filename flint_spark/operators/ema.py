@@ -786,3 +786,48 @@ def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
            .withColumn(f"{pfx}_ewm_beta",
                        F.when(vy > 0, cov / vy)))
     return out.drop(*aux, *[f"{c}_ewma" for c in cols])
+
+
+def brown_double_smoothing(df: DataFrame, column: str,
+                           alpha: float = 0.05,
+                           duration_per_period: str = "1d",
+                           key: Sequence[str] = (),
+                           engine: str = "native") -> DataFrame:
+    """Brown's double exponential smoothing over event time — the
+    trend-aware step past :func:`ewm_volatility`'s moments: the
+    single smooth ``s1 = EWMA(x)``, the double ``s2 = EWMA(s1)``, and
+    the classic Brown estimates ``level = 2 s1 - s2``,
+    ``trend = alpha/(1-alpha) * (s1 - s2)`` (per-period slope),
+    ``forecast = level + trend`` (one period ahead). Core-convention
+    (normalized) EWMAs, so the zero-primed start converges like the
+    reference's ``exponentialSmoothing``; with time-decayed weights
+    the trend factor keeps its classic per-period reading. Adds
+    ``<col>_dema_level``, ``<col>_dema_trend``, ``<col>_dema_fcst``.
+
+    Plan: two chained WindowExecs over the SAME (key, time) sort —
+    the second reuses the first's exchange and ordering, so the whole
+    operator costs ONE exchange and zero Python. ``engine='pandas'``
+    chains two block-renormalized Arrow scans for exponent spans
+    beyond the native ~700 guard."""
+    if engine not in ("native", "pandas"):
+        raise ValueError("engine must be 'native' or 'pandas'")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    key = list(key)
+    s1 = f"__{column}_s1"
+    run = (lambda d, c: ewma_native(d, c, alpha, duration_per_period,
+                                    "core", key)) \
+        if engine == "native" else \
+        (lambda d, c: ewma(d, c, alpha, duration_per_period, "core", key))
+    o = run(df, column)
+    o = o.withColumnRenamed(f"{column}_ewma", s1)
+    o = run(o, s1)
+    c1, c2 = F.col(s1), F.col(f"{s1}_ewma")
+    level = 2.0 * c1 - c2
+    trend = F.lit(alpha / (1.0 - alpha)) * (c1 - c2)
+    return (o.withColumn(f"{column}_dema_level", level)
+            .withColumn(f"{column}_dema_trend", trend)
+            .withColumn(f"{column}_dema_fcst",
+                        F.col(f"{column}_dema_level")
+                        + F.col(f"{column}_dema_trend"))
+            .drop(s1, f"{s1}_ewma"))

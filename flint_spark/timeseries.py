@@ -531,6 +531,12 @@ class TimeSeriesDataFrame:
         from .operators.ema import ewm_corr
         return self._wrap(ewm_corr(self._df, x, y, **kwargs))
 
+    def brown_double_smoothing(self, column: str, **kwargs
+                               ) -> "TimeSeriesDataFrame":
+        from .operators.ema import brown_double_smoothing
+        return self._wrap(brown_double_smoothing(self._df, column,
+                                                 **kwargs))
+
     def ewm_volatility_windowed(self, column: str, window, **kwargs
                                 ) -> "TimeSeriesDataFrame":
         from .operators.ema import ewm_volatility_windowed

@@ -267,6 +267,19 @@ def linearity_suite(spark, millions: float = 5.0):
 
     linearity("left_join_topk", topk_lin, n_small, n_big)
 
+    def ewm_vol_lin(n):
+        from flint_spark.operators.ema import ewm_corr, ewm_volatility
+        p = keyed_panel(n).withColumn(
+            "x2", (F.col("x1") * 0.5 + F.pmod(F.col("time"), F.lit(11))
+                   .cast("double")))
+        return ewm_corr(ewm_volatility(p, "x1", alpha=0.1,
+                                       duration_per_period="100s",
+                                       key=["id"]),
+                        "x1", "x2", alpha=0.1,
+                        duration_per_period="100s", key=["id"])
+
+    linearity("ewm_vol + ewm_corr", ewm_vol_lin, n_small, n_big)
+
 
 def synth_corpus(spark, n_docs: int, seed: int = 5):
     """Synthetic text corpus with realistic shingle overlap: each doc

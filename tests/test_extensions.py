@@ -3230,3 +3230,72 @@ def test_ewm_corr_matches_brute_force(spark):
     r0 = ewm_corr(one, "x", "y", key=["k"]).collect()[0]
     assert r0.x_y_ewm_corr is None and r0.x_y_ewm_beta is None \
         and r0.x_y_ewm_cov == 0.0
+
+
+def test_brown_double_smoothing(spark):
+    """DEMA == chained brute-force core EWMAs; a linear series'
+    steady-state trend approaches the true per-period slope and the
+    one-step forecast tracks x; plan: ONE exchange, zero Python
+    (second WindowExec reuses the first's sort)."""
+    import math
+
+    import numpy as np
+
+    from flint_spark.operators.ema import brown_double_smoothing
+    from flint_spark.plans.audit import walk_plan
+
+    sec = 10 ** 9
+    n = 120
+    rows = [(i * 10 * sec, "k1", 5.0 + 2.0 * i) for i in range(n)]
+    df = spark.createDataFrame(rows, "time long, k string, v double")
+    alpha, period = 0.3, "10s"
+    lam = -math.log1p(-alpha) / (10 * sec)
+
+    out = brown_double_smoothing(df, "v", alpha=alpha,
+                                 duration_per_period=period, key=["k"])
+    got = {r.time: (r.v_dema_level, r.v_dema_trend, r.v_dema_fcst)
+           for r in out.collect()}
+
+    t = np.array([r[0] for r in rows], dtype=float)
+    x = np.array([r[2] for r in rows])
+
+    def core(ts, xs):
+        res = np.empty(len(ts))
+        for i in range(len(ts)):
+            w = np.exp(-lam * (ts[i] - ts[:i + 1]))
+            res[i] = (w * xs[:i + 1]).sum() / w.sum()
+        return res
+
+    s1 = core(t, x)
+    s2 = core(t, s1)
+    lev = 2 * s1 - s2
+    tr = alpha / (1 - alpha) * (s1 - s2)
+    for i in (0, 1, n // 2, n - 1):
+        gl, gt, gf = got[int(t[i])]
+        assert abs(gl - lev[i]) < 1e-9 and abs(gt - tr[i]) < 1e-9
+        assert abs(gf - (lev[i] + tr[i])) < 1e-9
+    # steady state on x = 5 + 2i: trend -> 2/period, forecast -> x_{+1}
+    assert abs(got[int(t[-1])][1] - 2.0) < 0.05
+    assert abs(got[int(t[-1])][2] - (5.0 + 2.0 * n)) < 0.2
+
+    names = list(walk_plan(out._jdf.queryExecution().executedPlan()))
+    ex = [x for x in names if "Exchange" in x and "Broadcast" not in x]
+    assert len(ex) == 1 and not any("Python" in x or "Arrow" in x
+                                    for x in names)
+
+    # pandas engine parity at a span the native guard would reject
+    year = 365 * 24 * 3600 * sec
+    big = spark.createDataFrame(
+        [(i * 80 * year, "k", float(i)) for i in range(4)],
+        "time long, k string, v double")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="span|exp"):
+        brown_double_smoothing(big, "v", alpha=0.3,
+                               duration_per_period="1d",
+                               key=["k"]).collect()
+    pr = brown_double_smoothing(big, "v", alpha=0.3,
+                                duration_per_period="1d",
+                                key=["k"], engine="pandas").collect()
+    # gaps >> memory horizon: level converges to the latest value
+    assert abs(sorted(pr, key=lambda r: r.time)[-1].v_dema_level
+               - 3.0) < 1e-6
