@@ -2883,11 +2883,14 @@ def q_ewm_corr(spark, sf):
 
 SQL_EWM_CORR = """
   WITH e AS (
+    -- TRY_CAST mirrors Spark's non-ANSI cast-to-null: a non-numeric
+    -- props.k must drop the row in BOTH engines, not crash the oracle
     SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
-           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS xf,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS xf,
            epoch_us(ts)::DOUBLE AS tus
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+            IS NOT NULL
       AND value IS NOT NULL
   ),
   b AS (

@@ -71,6 +71,14 @@ def _affine_scan(neg_log_decay_steps: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out
 
 
+def _check_alpha(alpha: float) -> None:
+    """Shared validation: alpha outside (0, 1) makes lam infinite or
+    zero and surfaces later as a misleading span-guard error (or a
+    silent unweighted mean) — fail at the API boundary instead."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+
+
 def _ewma_coeffs(alpha: float, duration_per_period_ns: float | None):
     """Coefficient builder for the EWMA recurrence E_i = d_i E_{i-1} + c_i.
 
@@ -91,7 +99,13 @@ def _ewma_coeffs(alpha: float, duration_per_period_ns: float | None):
             first_prev = (t_ns[0] if prev_t is None else prev_t) if n else 0
             dt = np.diff(t_ns, prepend=first_prev)
             steps = dt / duration_per_period_ns * lam
-        return steps, x.astype(np.float64), np.ones(n, dtype=np.float64)
+        # null values contribute NOTHING to the numerator but their
+        # row still decays state and (core) counts in the normalizer —
+        # the ewma_native semantics (F.sum null-skips); a raw NaN here
+        # would poison every later row of the key via the cumsum
+        xf = x.astype(np.float64)
+        xf = np.where(np.isnan(xf), 0.0, xf)
+        return steps, xf, np.ones(n, dtype=np.float64)
 
     return fn
 
@@ -392,6 +406,7 @@ def ewma(df: DataFrame, column: str, alpha: float = 0.05,
     ``distributed`` applies to keyless input only: True forces the
     two-phase partitioned prefix scan, False the single Arrow group,
     None (default) picks by estimated input size."""
+    _check_alpha(alpha)
     if convention not in ("core", "legacy"):
         raise ValueError("convention must be 'core' or 'legacy'")
     dur = None if duration_per_period.lower() == "constant" else float(
@@ -469,6 +484,7 @@ def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
     """
     from pyspark.sql import Window as W
 
+    _check_alpha(alpha)
     if convention not in ("core", "legacy"):
         raise ValueError("convention must be 'core' or 'legacy'")
     key = list(key)
@@ -515,6 +531,7 @@ def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,
 
     if not isinstance(window, TimeWindow):
         raise TypeError("window must be a TimeWindow (windows.past_absolute_time)")
+    _check_alpha(alpha)
     if convention not in ("core", "legacy"):
         raise ValueError("convention must be 'core' or 'legacy'")
     key = list(key)
@@ -689,6 +706,7 @@ def ewm_volatility(df: DataFrame, column: str, alpha: float = 0.05,
     """
     if engine not in ("native", "pandas"):
         raise ValueError("engine must be 'native' or 'pandas'")
+    _check_alpha(alpha)
     key = list(key)
     sq = f"__{column}_sq"
     x = F.col(column).cast("double")
@@ -721,6 +739,7 @@ def ewm_volatility_windowed(df: DataFrame, column: str, window,
 
     if not isinstance(window, TimeWindow):
         raise TypeError("window must be a TimeWindow")
+    _check_alpha(alpha)
     key = list(key)
     lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
     tns = time_ns_expr(df)
@@ -760,6 +779,7 @@ def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
     moment for unbounded exponent spans."""
     if engine not in ("native", "pandas"):
         raise ValueError("engine must be 'native' or 'pandas'")
+    _check_alpha(alpha)
     key = list(key)
     cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
     aux = {f"__{x}_sqx": cx * cx, f"__{y}_sqy": cy * cy,
@@ -811,8 +831,7 @@ def brown_double_smoothing(df: DataFrame, column: str,
     beyond the native ~700 guard."""
     if engine not in ("native", "pandas"):
         raise ValueError("engine must be 'native' or 'pandas'")
-    if not 0.0 < alpha < 1.0:
-        raise ValueError("alpha must be in (0, 1)")
+    _check_alpha(alpha)
     key = list(key)
     s1 = f"__{column}_s1"
     run = (lambda d, c: ewma_native(d, c, alpha, duration_per_period,

@@ -128,13 +128,8 @@ def ewma_stream(stream: DataFrame, column: str, key: Sequence[str],
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
             n = len(x)
-            steps = np.empty(n, dtype=np.float64)
-            steps[0] = lam * (t[0] - last_tns) if last_tns is not None else 0.0
-            steps[1:] = lam * np.diff(t).astype(np.float64)
-            out = _affine_scan(steps, x)
-            if last_tns is not None and e != 0.0:
-                with np.errstate(under="ignore"):
-                    out = out + e * np.exp(-np.cumsum(steps))
+            (out,) = _decayed_carry_scan(np, _affine_scan, lam,
+                                         last_tns, t, [x], [e])
             e = float(out[-1])
             last_tns = int(t[-1])
             res = pd.DataFrame({c: [v] * n for c, v in zip(key, key_vals)})
@@ -158,6 +153,33 @@ def dedup_stream(stream: DataFrame, subset: Sequence[str],
     return (stream.withWatermark(time_column, watermark)
             .dropDuplicatesWithinWatermark(list(subset)))
 
+
+
+def _decayed_carry_scan(np, affine_scan, lam, last_tns, t, arrays,
+                        carries):
+    """ONE definition of the step/decay/carry scan shared by the
+    stateful EWMA-family folds (the batch engine's `_affine_scan`
+    plus cross-trigger state): build the per-row decay steps from the
+    time gaps (boundary step decays from ``last_tns``), scan each
+    contribution vector, and add each carry through the cumulative
+    decay. NaN contributions are zeroed first — the ``ewma_native``
+    null-skip semantics (a null row decays state and counts in any
+    all-ones normalizer, but contributes nothing), and a raw NaN
+    would poison the key's state forever. Returns the per-row outputs
+    in ``arrays`` order."""
+    n = len(t)
+    steps = np.empty(n, dtype=np.float64)
+    steps[0] = lam * (t[0] - last_tns) if last_tns is not None else 0.0
+    steps[1:] = lam * np.diff(t).astype(np.float64)
+    with np.errstate(under="ignore"):
+        decay = np.exp(-np.cumsum(steps))
+    outs = []
+    for arr, c0 in zip(arrays, carries):
+        out = affine_scan(steps, np.where(np.isnan(arr), 0.0, arr))
+        if last_tns is not None and c0 != 0.0:
+            out = out + c0 * decay
+        outs.append(out)
+    return outs
 
 
 def _trigger_pdf(pd, pdf_iter, sort_col="__tns"):
@@ -1534,18 +1556,9 @@ def ewm_volatility_stream(stream: DataFrame, column: str,
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
             n = len(x)
-            steps = np.empty(n, dtype=np.float64)
-            steps[0] = lam * (t[0] - last_tns) if last_tns is not None else 0.0
-            steps[1:] = lam * np.diff(t).astype(np.float64)
-            with np.errstate(under="ignore"):
-                decay = np.exp(-np.cumsum(steps))
-            E = _affine_scan(steps, x)
-            Q = _affine_scan(steps, x * x)
-            A = _affine_scan(steps, np.ones(n))
-            if last_tns is not None:
-                E = E + e * decay
-                Q = Q + q * decay
-                A = A + a * decay
+            E, Q, A = _decayed_carry_scan(
+                np, _affine_scan, lam, last_tns, t,
+                [x, x * x, np.ones(n)], [e, q, a])
             e, q, a = float(E[-1]), float(Q[-1]), float(A[-1])
             last_tns = int(t[-1])
             with np.errstate(invalid="ignore", divide="ignore"):

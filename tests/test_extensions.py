@@ -3299,3 +3299,46 @@ def test_brown_double_smoothing(spark):
     # gaps >> memory horizon: level converges to the latest value
     assert abs(sorted(pr, key=lambda r: r.time)[-1].v_dema_level
                - 3.0) < 1e-6
+
+
+def test_ewma_null_skip_parity(spark):
+    """Null values must not poison the EWMA scans: the pandas engine
+    previously fed NaN into the cumulative sums (every later row of
+    the key became NaN) while ewma_native null-skips via F.sum — the
+    null-skip semantics is now the pinned contract on BOTH engines,
+    legacy and core, and alpha validation fails fast at the boundary."""
+    import pytest as _pytest
+
+    from flint_spark.operators.ema import ewm_volatility, ewma, ewma_native
+
+    sec = 10 ** 9
+    rows = [(0, "k", 1.0), (10 * sec, "k", None), (20 * sec, "k", 3.0),
+            (30 * sec, "k", None), (40 * sec, "k", 5.0)]
+    df = spark.createDataFrame(rows, "time long, k string, v double")
+    for conv in ("legacy", "core"):
+        nat = {r.time: r.v_ewma for r in
+               ewma_native(df, "v", alpha=0.2, duration_per_period="10s",
+                           convention=conv, key=["k"]).collect()}
+        pan = {r.time: r.v_ewma for r in
+               ewma(df, "v", alpha=0.2, duration_per_period="10s",
+                    convention=conv, key=["k"]).collect()}
+        assert set(nat) == set(pan)
+        for t in nat:
+            assert nat[t] is not None and pan[t] is not None, (conv, t)
+            assert abs(nat[t] - pan[t]) < 1e-12, (conv, t)
+        # the null rows themselves carry the decayed running value
+        assert nat[10 * sec] > 0
+
+    # volatility inherits the same rule through the shared engine
+    vol = {r.time: r.v_ewm_vol for r in
+           ewm_volatility(df, "v", alpha=0.2, duration_per_period="10s",
+                          key=["k"], engine="pandas").collect()}
+    assert all(v is not None for v in vol.values())
+
+    for bad in (0.0, 1.0, -0.5, 1.5):
+        with _pytest.raises(ValueError, match="alpha"):
+            ewma(df, "v", alpha=bad, key=["k"])
+        with _pytest.raises(ValueError, match="alpha"):
+            ewma_native(df, "v", alpha=bad, key=["k"])
+        with _pytest.raises(ValueError, match="alpha"):
+            ewm_volatility(df, "v", alpha=bad, key=["k"])

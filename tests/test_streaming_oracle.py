@@ -1452,3 +1452,60 @@ def test_ewm_volatility_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_ewmvol", got, sql, con)
     assert ok, msg
+
+
+def test_ewm_family_stream_null_skip(spark, tmp_path):
+    """A null value in the stream must not poison the key's state:
+    replay a series with interior nulls through ewma_stream and
+    ewm_volatility_stream and compare against the batch operators
+    (ewma_native null-skip contract, shared _decayed_carry_scan)."""
+    import pandas as pd
+
+    from flint_spark.operators.ema import ewm_volatility, ewma_native
+
+    rows = {
+        "time": [pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)
+                 for i in range(6)],
+        "user_id": ["u"] * 6,
+        "value": [1.0, None, 3.0, None, 5.0, 2.0],
+    }
+    schema = "time timestamp, user_id string, value double"
+    batch = spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+    src = str(tmp_path / "nulls")
+    batch.coalesce(1).write.mode("overwrite").parquet(src)
+    st = (spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+
+    out = ts_stream.ewma_stream(st, "value", key=["user_id"],
+                                alpha=0.2, duration_per_period="1h")
+    _run_to_table(out, "ns_ewma")
+    got = {r["__tns"]: r.value_ewma
+           for r in spark.sql("SELECT * FROM ns_ewma").collect()}
+    exp = {r.time: r.value_ewma for r in
+           ewma_native(batch.withColumn("time", F.unix_timestamp("time")
+                                        .cast("long") * 10 ** 9),
+                       "value", alpha=0.2, duration_per_period="1h",
+                       key=["user_id"]).collect()}
+    assert set(got) == set(exp) and len(got) == 6
+    for t in got:
+        assert got[t] is not None and abs(got[t] - exp[t]) < 1e-9, t
+
+    st2 = (spark.readStream.schema(batch.schema)
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    vout = ts_stream.ewm_volatility_stream(st2, "value", key=["user_id"],
+                                           alpha=0.2,
+                                           duration_per_period="1h")
+    _run_to_table(vout, "ns_vol")
+    gv = {r["__tns"]: (r.value_ewm_mean, r.value_ewm_vol)
+          for r in spark.sql("SELECT * FROM ns_vol").collect()}
+    ev = {r.time: (r.value_ewm_mean, r.value_ewm_vol) for r in
+          ewm_volatility(batch.withColumn("time",
+                                          F.unix_timestamp("time")
+                                          .cast("long") * 10 ** 9),
+                         "value", alpha=0.2, duration_per_period="1h",
+                         key=["user_id"]).collect()}
+    assert set(gv) == set(ev) and len(gv) == 6
+    for t in gv:
+        assert gv[t][0] is not None and gv[t][1] is not None, t
+        assert abs(gv[t][0] - ev[t][0]) < 1e-9, t
+        assert abs(gv[t][1] - ev[t][1]) < 1e-9, t
