@@ -1577,3 +1577,79 @@ def ewm_volatility_stream(stream: DataFrame, column: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def brown_double_smoothing_stream(stream: DataFrame, column: str,
+                                  key: Sequence[str],
+                                  alpha: float = 0.05,
+                                  duration_per_period: str = "1d",
+                                  time_column: str = TIME_COLUMN
+                                  ) -> DataFrame:
+    """Streaming twin of :func:`operators.ema.brown_double_smoothing`:
+    per-key DEMA level / per-period trend / one-period forecast via
+    ``applyInPandasWithState``. State is FOUR doubles (last t, Σw·x,
+    Σw, Σw·s1): the single smooth s1 resolves per row from the first
+    decayed scan, then the SAME step vector scans the s1 series for
+    the double smooth — both through the shared
+    ``_decayed_carry_scan`` (null-skip, block-renormalized), so an
+    in-order replay reproduces the batch operator."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.ema import _affine_scan, _check_alpha
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    _check_alpha(alpha)
+    key = list(key)
+    lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
+    ab = alpha / (1.0 - alpha)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField(f"{column}_dema_level", T.DoubleType()),
+           T.StructField(f"{column}_dema_trend", T.DoubleType()),
+           T.StructField(f"{column}_dema_fcst", T.DoubleType())])
+    state_schema = T.StructType([T.StructField("last_tns", T.LongType()),
+                                 T.StructField("e1", T.DoubleType()),
+                                 T.StructField("a", T.DoubleType()),
+                                 T.StructField("e2", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        last_tns, e1, a, e2 = state.get if state.exists \
+            else (None, 0.0, 0.0, 0.0)
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            n = len(x)
+            E1, A = _decayed_carry_scan(np, _affine_scan, lam, last_tns,
+                                        t, [x, np.ones(n)], [e1, a])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s1 = E1 / A
+            (E2,) = _decayed_carry_scan(np, _affine_scan, lam, last_tns,
+                                        t, [s1], [e2])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s2 = E2 / A
+            e1, a, e2 = float(E1[-1]), float(A[-1]), float(E2[-1])
+            last_tns = int(t[-1])
+            level = 2.0 * s1 - s2
+            trend = ab * (s1 - s2)
+            res = pd.DataFrame({c: [v] * n for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[column] = x
+            res[f"{column}_dema_level"] = level
+            res[f"{column}_dema_trend"] = trend
+            res[f"{column}_dema_fcst"] = level + trend
+            frames.append(res)
+        state.update((last_tns, float(e1), float(a), float(e2)))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

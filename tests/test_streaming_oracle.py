@@ -1509,3 +1509,30 @@ def test_ewm_family_stream_null_skip(spark, tmp_path):
         assert gv[t][0] is not None and gv[t][1] is not None, t
         assert abs(gv[t][0] - ev[t][0]) < 1e-9, t
         assert abs(gv[t][1] - ev[t][1]) < 1e-9, t
+
+
+def test_dema_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming Brown double smoothing replay (28th gate): four-double
+    state; the single smooth resolves per row, the same step vector
+    re-scans the s1 series for the double smooth. In-order replay ==
+    the chained closed-form oracle, rounded like the ewma gate."""
+    import __spark_entry__ as entry
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "d"))
+    out = ts_stream.brown_double_smoothing_stream(
+        st, "value", key=["user_id"], alpha=0.05,
+        duration_per_period="1d")
+    _run_to_table(out, "so_dema")
+    r4 = lambda c, n: F.floor(F.col(c) * 10 ** n + 0.5) / 10 ** n
+    got = (spark.sql("SELECT * FROM so_dema")
+           .select(F.col("__tns").alias("tns"), "user_id",
+                   r4("value_dema_level", 4).alias("dema_level"),
+                   r4("value_dema_trend", 6).alias("dema_trend"),
+                   r4("value_dema_fcst", 4).alias("dema_fcst")))
+    sql = (f"SELECT epoch_ns(time) AS tns, user_id, dema_level, "
+           f"dema_trend, dema_fcst FROM ({entry.extra_oracle_sql()['dema']})")
+    ok, msg = compare("so_dema", got, sql, con)
+    assert ok, msg
