@@ -850,3 +850,47 @@ def brown_double_smoothing(df: DataFrame, column: str,
                         F.col(f"{column}_dema_level")
                         + F.col(f"{column}_dema_trend"))
             .drop(s1, f"{s1}_ewma"))
+
+
+def ewm_corr_windowed(df: DataFrame, x: str, y: str, window,
+                      alpha: float = 0.05,
+                      duration_per_period: str = "1d",
+                      key: Sequence[str] = ()) -> DataFrame:
+    """Sliding-window variant of :func:`ewm_corr`: the five decayed
+    moments run over the ``window`` range frame (the
+    ``ewma_windowed`` exp-prefix-sum trick). All six frame sums share
+    one WindowSpec — a single WindowExec, zero Python. Same output
+    columns and zero-variance null guards as the running variant;
+    same ~700 exponent-span constraint (enforced)."""
+    from pyspark.sql import Window as W
+
+    from ..windows import TimeWindow
+
+    if not isinstance(window, TimeWindow):
+        raise TypeError("window must be a TimeWindow")
+    _check_alpha(alpha)
+    key = list(key)
+    lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
+    tns = time_ns_expr(df)
+    base = F.min(tns).over(W.partitionBy(*key))
+    frame = (W.partitionBy(*key).orderBy(tns)
+             .rangeBetween(*window.range_bounds()))
+    rel = (tns - base).cast("double") * F.lit(lam)
+    rel = _span_guard(rel, tns, key, lam, "ewm_corr_windowed")
+    cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
+    w = F.exp(rel)
+    den = F.sum(w).over(frame)
+    ex = F.sum(cx * w).over(frame) / den
+    ey = F.sum(cy * w).over(frame) / den
+    vx = F.greatest(F.sum(cx * cx * w).over(frame) / den - ex * ex,
+                    F.lit(0.0))
+    vy = F.greatest(F.sum(cy * cy * w).over(frame) / den - ey * ey,
+                    F.lit(0.0))
+    cov = F.sum(cx * cy * w).over(frame) / den - ex * ey
+    pfx = f"{x}_{y}"
+    corr = F.least(F.greatest(cov / F.sqrt(vx * vy), F.lit(-1.0)),
+                   F.lit(1.0))
+    return (df.withColumn(f"{pfx}_ewm_cov", cov)
+            .withColumn(f"{pfx}_ewm_corr",
+                        F.when((vx > 0) & (vy > 0), corr))
+            .withColumn(f"{pfx}_ewm_beta", F.when(vy > 0, cov / vy)))

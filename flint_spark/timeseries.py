@@ -531,6 +531,12 @@ class TimeSeriesDataFrame:
         from .operators.ema import ewm_corr
         return self._wrap(ewm_corr(self._df, x, y, **kwargs))
 
+    def ewm_corr_windowed(self, x: str, y: str, window, **kwargs
+                          ) -> "TimeSeriesDataFrame":
+        from .operators.ema import ewm_corr_windowed
+        return self._wrap(ewm_corr_windowed(self._df, x, y, window,
+                                            **kwargs))
+
     def brown_double_smoothing(self, column: str, **kwargs
                                ) -> "TimeSeriesDataFrame":
         from .operators.ema import brown_double_smoothing

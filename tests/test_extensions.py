@@ -3342,3 +3342,48 @@ def test_ewma_null_skip_parity(spark):
             ewma_native(df, "v", alpha=bad, key=["k"])
         with _pytest.raises(ValueError, match="alpha"):
             ewm_volatility(df, "v", alpha=bad, key=["k"])
+
+
+def test_ewm_corr_windowed_matches_brute_force(spark):
+    """Windowed pairwise decayed moments == numpy brute force over the
+    frame; one WindowExec, zero Python."""
+    import math
+
+    import numpy as np
+
+    from flint_spark.operators.ema import ewm_corr_windowed
+    from flint_spark.plans.audit import walk_plan
+    from flint_spark.windows import past_absolute_time
+
+    hour = 3_600 * 10 ** 9
+    xs = [10.0, 12.0, 9.0, 15.0, 11.0, 14.0]
+    ys = [7.0, 3.0, 9.0, 1.0, 5.0, 6.0]
+    rows = [(i * hour, "a", xs[i], ys[i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "time long, k string, x double, y double")
+    lam = -math.log1p(-0.2) / (2 * hour)
+    out = ewm_corr_windowed(df, "x", "y", past_absolute_time("3h"),
+                            alpha=0.2, duration_per_period="2h",
+                            key=["k"])
+    got = {r.time: (r.x_y_ewm_cov, r.x_y_ewm_corr, r.x_y_ewm_beta)
+           for r in out.collect()}
+    t_all = np.array([r[0] for r in rows], dtype=float)
+    for n in range(6):
+        sel = (t_all >= t_all[n] - 3 * hour) & (t_all <= t_all[n])
+        ts, xv, yv = t_all[sel], np.array(xs)[sel], np.array(ys)[sel]
+        w = np.exp(-lam * (t_all[n] - ts))
+        s = w.sum()
+        ex, ey = (w * xv).sum() / s, (w * yv).sum() / s
+        cov = (w * xv * yv).sum() / s - ex * ey
+        vx = max((w * xv * xv).sum() / s - ex * ex, 0.0)
+        vy = max((w * yv * yv).sum() / s - ey * ey, 0.0)
+        gc, gr, gb = got[int(t_all[n])]
+        assert abs(gc - cov) < 1e-9, n
+        if vx > 0 and vy > 0:
+            assert abs(gr - cov / math.sqrt(vx * vy)) < 1e-7, n
+            assert abs(gb - cov / vy) < 1e-7, n
+        else:
+            assert gr is None, n
+    names = list(walk_plan(out._jdf.queryExecution().executedPlan()))
+    wx = [x_ for x_ in names if x_.startswith("Window")]
+    ex_ = [x_ for x_ in names if "Exchange" in x_ and "Broadcast" not in x_]
+    assert len(ex_) <= 2 and not any("Python" in x_ for x_ in names)
