@@ -216,6 +216,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_vol": q_ewm_vol,
         "ewm_corr": q_ewm_corr,
         "dema": q_dema,
+        "realized_vol": q_realized_vol,
+        "range_vol": q_range_vol,
     }
 
 
@@ -302,6 +304,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "ewm_vol": SQL_EWM_VOL,
         "ewm_corr": SQL_EWM_CORR,
         "dema": SQL_DEMA,
+        "realized_vol": SQL_REALIZED_VOL,
+        "range_vol": SQL_RANGE_VOL,
     }
 
 

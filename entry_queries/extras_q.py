@@ -2984,3 +2984,77 @@ SQL_DEMA = """
            AS dema_fcst
   FROM s2
 """.format(lam=_EWM_LAM, ab=0.05 / 0.95)
+
+
+def q_realized_vol(spark, sf):
+    """Per-bucket realized volatility (operators.bars
+    .realized_volatility): per-user tick log-returns charged to the
+    later tick's daily bucket, rv = sum(r^2). One lag window whose key
+    partitioning satisfies the bucket aggregation — one exchange."""
+    from flint_spark.operators.bars import realized_volatility
+
+    ev = _events(spark, sf)
+    out = realized_volatility(ev, "1d", "value", key=["user_id"],
+                              tie_break=["event_id"])
+    return out.select(TIME_COLUMN, "user_id",
+                      R("rv", 8).alias("rv"), R("vol", 6).alias("vol"),
+                      "n_returns")
+
+
+SQL_REALIZED_VOL = """
+  WITH e AS (
+    SELECT user_id, value, event_id, epoch_us(ts) AS tus,
+           (epoch_us(ts) // 86400000000) * 86400000000 AS bucket
+    FROM events WHERE value IS NOT NULL AND value > 0),
+  r AS (
+    SELECT user_id, bucket,
+           ln(value / lag(value) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id, value)) AS lr
+    FROM e)
+  SELECT make_timestamp(bucket) AS time, user_id,
+         floor(sum(lr * lr) * 1e8 + 0.5) / 1e8 AS rv,
+         floor(sqrt(sum(lr * lr)) * 1e6 + 0.5) / 1e6 AS vol,
+         count(*) AS n_returns
+  FROM r WHERE lr IS NOT NULL
+  GROUP BY bucket, user_id
+"""
+
+
+def q_range_vol(spark, sf):
+    """Range-based bar volatility (operators.bars
+    .bar_range_volatility): Parkinson + Garman-Klass per daily
+    OHLC bar — a map-only composition over ohlc_bars output, no
+    rescan of ticks."""
+    from flint_spark.operators.bars import bar_range_volatility, ohlc_bars
+
+    ev = _events(spark, sf)
+    bars = ohlc_bars(ev, "1d", "value", key=["event_type"],
+                     tie_break=["event_id"])
+    out = bar_range_volatility(bars)
+    return out.select(TIME_COLUMN, "event_type", "n",
+                      R("parkinson", 8).alias("parkinson"),
+                      R("garman_klass", 8).alias("garman_klass"))
+
+
+SQL_RANGE_VOL = """
+  WITH e AS (
+    SELECT event_type, epoch_us(ts) AS tus, value, event_id,
+           (epoch_us(ts) // 86400000000) * 86400000000 AS bucket
+    FROM events WHERE value IS NOT NULL),
+  b AS (
+    SELECT bucket, event_type,
+           first(value ORDER BY tus, event_id, value) AS o,
+           max(value) AS h, min(value) AS l,
+           last(value ORDER BY tus, event_id, value) AS c,
+           count(*) AS n
+    FROM e GROUP BY bucket, event_type)
+  SELECT make_timestamp(bucket) AS time, event_type, n,
+         CASE WHEN o > 0 AND h > 0 AND l > 0 AND c > 0
+              THEN floor(ln(h / l) * ln(h / l) / (4 * ln(2))
+                         * 1e8 + 0.5) / 1e8 END AS parkinson,
+         CASE WHEN o > 0 AND h > 0 AND l > 0 AND c > 0
+              THEN floor((0.5 * ln(h / l) * ln(h / l)
+                          - (2 * ln(2) - 1) * ln(c / o) * ln(c / o))
+                         * 1e8 + 0.5) / 1e8 END AS garman_klass
+  FROM b
+"""

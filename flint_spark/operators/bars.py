@@ -192,3 +192,71 @@ def merge_bars(bars: DataFrame, interval: str | int,
     names = [c for c in ("open", "high", "low", "close", "n",
                          "volume", "vwap") if c in out.columns]
     return out.select(TIME_COLUMN, *key, *names)
+
+
+def realized_volatility(df: DataFrame, interval: str | int,
+                        price_col: str, key: Sequence[str] = (),
+                        tie_break: Sequence[str] = ()) -> DataFrame:
+    """Per-bucket realized variance/volatility from tick log-returns:
+    ``r_i = ln(p_i / p_{i-1})`` over the per-key tick sequence, then
+    per epoch-aligned bucket ``rv = Σ r², vol = sqrt(rv), n_returns``
+    — the high-frequency RV estimator (returns crossing a bucket
+    boundary are charged to the bucket of their LATER tick, the
+    standard convention; annualization is the caller's scaling).
+
+    Conventions: null or non-positive prices are dropped before
+    return math (ln undefined); each key's first tick yields no
+    return; buckets with no returns produce no row.
+
+    Plan: one ``lag`` window per key + the bucket aggregation whose
+    ClusteredDistribution on (key, bucket) is satisfied by the
+    window's key partitioning — ONE data exchange total (the
+    ``ohlc_bars`` TWAP recipe). Keyless input uses a single-partition
+    window: pass a key at scale (documented, the drawdown stance)."""
+    key = list(key)
+    width = parse_duration_ns(interval)
+    if width <= 0:
+        raise ValueError("interval must be positive")
+    dtype = dict(df.dtypes)[TIME_COLUMN]
+    price = F.col(price_col)
+    tns = time_ns_expr(df)
+    base = df.filter(price.isNotNull() & (price > 0))
+    w = Window.partitionBy(*key).orderBy(
+        _order_struct(time_ns_expr(base), tie_break, price))
+    r = F.log(price / F.lag(price).over(w))
+    base = (base.withColumn("__r", r)
+            .withColumn(_BUCKET,
+                        floor_div(time_ns_expr(base), width)
+                        * F.lit(width))
+            .filter(F.col("__r").isNotNull()))
+    out = (base.groupBy(_BUCKET, *key)
+           .agg(F.sum(F.col("__r") * F.col("__r")).alias("rv"),
+                F.count(F.lit(1)).alias("n_returns")))
+    out = (out.withColumn("vol", F.sqrt(F.col("rv")))
+           .withColumn(TIME_COLUMN, ns_to_time_expr(F.col(_BUCKET), dtype)))
+    return out.select(TIME_COLUMN, *key, "rv", "vol", "n_returns")
+
+
+def bar_range_volatility(bars: DataFrame) -> DataFrame:
+    """Range-based per-bar volatility estimators from OHLC columns
+    (map-only over :func:`ohlc_bars`/:func:`merge_bars` output —
+    composition, not rescan): Parkinson ``ln(H/L)² / (4 ln 2)`` and
+    Garman-Klass ``0.5 ln(H/L)² - (2 ln 2 - 1) ln(C/O)²``, both
+    per-bar VARIANCE estimates (sqrt for vol, scale by bars/period to
+    annualize). Null when the bar's range is degenerate (any of
+    O/H/L/C non-positive — both estimators assume positive prices);
+    single-tick bars legitimately yield 0. Adds ``parkinson``,
+    ``garman_klass``."""
+    import math as _math
+
+    for c in ("open", "high", "low", "close"):
+        if c not in bars.columns:
+            raise ValueError(f"bars must carry '{c}' (ohlc_bars output)")
+    o, h, l, c = (F.col(n) for n in ("open", "high", "low", "close"))
+    ok = (o > 0) & (h > 0) & (l > 0) & (c > 0)
+    hl = F.log(h / l)
+    co = F.log(c / o)
+    park = hl * hl / F.lit(4.0 * _math.log(2.0))
+    gk = F.lit(0.5) * hl * hl - F.lit(2.0 * _math.log(2.0) - 1.0) * co * co
+    return (bars.withColumn("parkinson", F.when(ok, park))
+            .withColumn("garman_klass", F.when(ok, gk)))

@@ -683,6 +683,20 @@ class TimeSeriesDataFrame:
         return self._wrap(ohlc_bars(self._df, interval, price_col, key,
                                     **kwargs), is_sorted=False)
 
+    def realized_volatility(self, interval: str | int, price_col: str,
+                            key: Sequence[str] = (), **kwargs
+                            ) -> "TimeSeriesDataFrame":
+        """Per-bucket realized variance/vol from tick log-returns
+        (:func:`operators.bars.realized_volatility`); one exchange."""
+        from .operators.bars import realized_volatility
+        return self._wrap(realized_volatility(self._df, interval,
+                                              price_col, key, **kwargs),
+                          is_sorted=False)
+
+    def bar_range_volatility(self) -> "TimeSeriesDataFrame":
+        from .operators.bars import bar_range_volatility
+        return self._wrap(bar_range_volatility(self._df))
+
     def drawdown(self, value_col: str, key: Sequence[str] = (),
                  **kwargs) -> "TimeSeriesDataFrame":
         from .operators.bars import drawdown

@@ -3387,3 +3387,51 @@ def test_ewm_corr_windowed_matches_brute_force(spark):
     wx = [x_ for x_ in names if x_.startswith("Window")]
     ex_ = [x_ for x_ in names if "Exchange" in x_ and "Broadcast" not in x_]
     assert len(ex_) <= 2 and not any("Python" in x_ for x_ in names)
+
+
+def test_realized_and_range_volatility_semantics(spark):
+    """Hand-computed RV: boundary-crossing return charged to the LATER
+    tick's bucket, first tick yields no return, non-positive prices
+    dropped; Parkinson/Garman-Klass match the closed forms and guard
+    non-positive bars; one data exchange each."""
+    import math
+
+    from flint_spark.operators.bars import (bar_range_volatility,
+                                            ohlc_bars,
+                                            realized_volatility)
+    from flint_spark.plans.audit import walk_plan
+
+    sec = 10 ** 9
+    rows = [(0, "k", 100.0), (10 * sec, "k", 110.0),
+            (70 * sec, "k", 99.0),   # crosses the 60s boundary
+            (80 * sec, "k", -5.0),   # dropped: non-positive
+            (90 * sec, "k", 121.0)]
+    df = spark.createDataFrame(rows, "time long, k string, v double")
+    out = realized_volatility(df, "60s", "v", key=["k"])
+    got = {r.time: (r.rv, r.n_returns) for r in out.collect()}
+    r1 = math.log(110.0 / 100.0)
+    r2 = math.log(99.0 / 110.0)     # charged to bucket 60
+    r3 = math.log(121.0 / 99.0)     # -5 dropped: prev is 99
+    assert abs(got[0][0] - r1 * r1) < 1e-12 and got[0][1] == 1
+    assert abs(got[60 * sec][0] - (r2 * r2 + r3 * r3)) < 1e-12
+    assert got[60 * sec][1] == 2
+    names = list(walk_plan(out._jdf.queryExecution().executedPlan()))
+    assert sum(1 for n in names
+               if "Exchange" in n and "Broadcast" not in n) == 1
+
+    bars = ohlc_bars(df.filter(F.col("v") > 0), "60s", "v", key=["k"])
+    rng = {r.time: (r.parkinson, r.garman_klass)
+           for r in bar_range_volatility(bars).collect()}
+    hl1 = math.log(110.0 / 100.0)
+    co1 = math.log(110.0 / 100.0)   # open 100, close 110
+    assert abs(rng[0][0] - hl1 * hl1 / (4 * math.log(2))) < 1e-12
+    assert abs(rng[0][1] - (0.5 * hl1 * hl1
+                            - (2 * math.log(2) - 1) * co1 * co1)) < 1e-12
+
+    # non-positive bar -> null estimators
+    neg = spark.createDataFrame(
+        [(0, "k", -1.0, 2.0, -1.5, 1.0, 2)],
+        "time long, k string, open double, high double, "
+        "low double, close double, n int")
+    r0 = bar_range_volatility(neg).collect()[0]
+    assert r0.parkinson is None and r0.garman_klass is None
