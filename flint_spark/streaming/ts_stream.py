@@ -1653,3 +1653,85 @@ def brown_double_smoothing_stream(stream: DataFrame, column: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def log_returns_stream(stream: DataFrame, price_col: str,
+                       key: Sequence[str],
+                       time_column: str = TIME_COLUMN) -> DataFrame:
+    """Stateful per-key log-return chain — the streaming front half of
+    :func:`operators.bars.realized_volatility`: state is TWO numbers
+    per key (last event-time ns, last positive price). Non-positive /
+    null prices drop BEFORE the chain exactly like the batch filter
+    (they neither emit nor break the chain); each key's first positive
+    tick emits no return. Emits (key..., __tns, price, ``<col>_logret``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import time_ns_expr
+
+    key = list(key)
+    with_ns = (stream.filter(F.col(price_col).isNotNull()
+                             & (F.col(price_col) > 0))
+               .withColumn("__tns", time_ns_expr(stream, time_column)))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(price_col, T.DoubleType()),
+           T.StructField(f"{price_col}_logret", T.DoubleType())])
+    state_schema = T.StructType([T.StructField("last_tns", T.LongType()),
+                                 T.StructField("last_p", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        last_tns, last_p = state.get if state.exists else (None, None)
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            t = pdf["__tns"].to_numpy(np.int64)
+            p = pdf[price_col].to_numpy(np.float64)
+            prev = np.concatenate(
+                [[np.nan if last_p is None else last_p], p[:-1]])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = np.log(p / prev)
+            res = pd.DataFrame({c: [v] * len(t)
+                                for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[price_col] = p
+            res[f"{price_col}_logret"] = [
+                None if np.isnan(v) else float(v) for v in r]
+            frames.append(res)
+            last_tns = int(t[-1])
+            last_p = float(p[-1])
+        state.update((last_tns, last_p))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))
+
+
+def realized_volatility_stream(stream: DataFrame, interval: str,
+                               price_col: str, key: Sequence[str],
+                               watermark: str = "10 minutes",
+                               time_column: str = TIME_COLUMN
+                               ) -> DataFrame:
+    """Streaming twin of :func:`operators.bars.realized_volatility`:
+    the stateful log-return chain above feeds Spark's OWN watermarked
+    tumbling-window aggregation (sum of squared returns is a plain
+    mergeable monoid — no custom state needed past the two-number
+    chain). Returns (time = bucket begin, key..., rv, vol,
+    n_returns); boundary-crossing returns land in the later tick's
+    bucket, matching the batch convention by construction."""
+    rets = log_returns_stream(stream, price_col, key,
+                              time_column=time_column)
+    r = F.col(f"{price_col}_logret")
+    tcol = F.timestamp_micros((F.col("__tns") / 1000).cast("long"))
+    return (rets.filter(r.isNotNull())
+            .withColumn("__t", tcol)
+            .withWatermark("__t", watermark)
+            .groupBy(F.window("__t", interval).alias("__w"), *key)
+            .agg(F.sum(r * r).alias("rv"),
+                 F.count(F.lit(1)).alias("n_returns"))
+            .select(F.col("__w.start").alias(time_column), *key,
+                    "rv", F.sqrt(F.col("rv")).alias("vol"),
+                    "n_returns"))

@@ -1536,3 +1536,30 @@ def test_dema_stream_vs_duckdb(spark, con, tmp_path):
            f"dema_trend, dema_fcst FROM ({entry.extra_oracle_sql()['dema']})")
     ok, msg = compare("so_dema", got, sql, con)
     assert ok, msg
+
+
+def test_realized_volatility_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming realized volatility replay (29th gate): two-number
+    log-return chain state + Spark's own watermarked tumbling-window
+    aggregation; complete-mode sink == the batch RV oracle."""
+    import __spark_entry__ as entry
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "event_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "rv"))
+    out = ts_stream.realized_volatility_stream(
+        st, "1 day", "value", key=["user_id"], watermark="400 days")
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName("so_rv").start())
+    q.processAllAvailable()
+    q.stop()
+    r = lambda c, n: F.floor(F.col(c) * 10 ** n + 0.5) / 10 ** n
+    got = (spark.sql("SELECT * FROM so_rv")
+           .select(F.unix_timestamp("time").alias("tsec"), "user_id",
+                   r("rv", 8).alias("rv"), r("vol", 6).alias("vol"),
+                   "n_returns"))
+    sql = (f"SELECT CAST(epoch(time) AS BIGINT) AS tsec, user_id, rv, vol, n_returns "
+           f"FROM ({entry.extra_oracle_sql()['realized_vol']})")
+    ok, msg = compare("so_rv", got, sql, con)
+    assert ok, msg
