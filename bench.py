@@ -84,6 +84,10 @@ HEADLINE = [
     "ewm_vol",
     "ewm_corr",
     "dema",
+    # realized-vol family: lag-window RV (one exchange) + map-only
+    # range estimators over the bar aggregation
+    "realized_vol",
+    "range_vol",
 ]
 
 
