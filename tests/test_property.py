@@ -640,3 +640,46 @@ def test_left_join_topk_vs_reference(left, right, tol, k):
                for r in fn(ldf, rdf, k=k, tolerance=tol,
                            key=["id"]).collect()}
         assert got == exp, fn.__name__
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(max_rows=30),
+       scale=st.floats(0.5, 4.0), shift=st.floats(-50.0, 50.0))
+def test_ewm_moments_affine_invariance(panel, scale, shift):
+    """Estimator laws for the decayed-moment family on random panels:
+    mean(a·x + b) = a·mean(x) + b, var(a·x + b) = a²·var(x),
+    vol scales by |a|, and corr(x, a·x + b) pins at 1 wherever
+    defined (a > 0). Catches any weight/normalizer asymmetry between
+    the moment columns that pointwise goldens could miss."""
+    from pyspark.sql import functions as F
+
+    from flint_spark.operators.ema import ewm_corr, ewm_volatility
+
+    spark = _spark()
+    pdf = panel.copy()
+    pdf["time"] = pdf["time"] * 10 ** 9
+    df = spark.createDataFrame(pdf)
+    a, b = float(scale), float(shift)
+    base = ewm_volatility(df, "v", alpha=0.2, duration_per_period="100s",
+                          key=["id"])
+    tx = ewm_volatility(df.withColumn("v", F.col("v") * a + b),
+                        "v", alpha=0.2, duration_per_period="100s",
+                        key=["id"])
+    kb = {(r.id, r.time): (r.v_ewm_mean, r.v_ewm_var)
+          for r in base.collect()}
+    kt = {(r.id, r.time): (r.v_ewm_mean, r.v_ewm_var)
+          for r in tx.collect()}
+    assert set(kb) == set(kt)
+    for kk in kb:
+        m0, v0 = kb[kk]
+        m1, v1 = kt[kk]
+        assert abs(m1 - (a * m0 + b)) < 1e-6 * (1 + abs(m0) + abs(b))
+        assert abs(v1 - a * a * v0) < 1e-6 * (1 + v0)
+
+    cdf = ewm_corr(df.withColumn("y", F.col("v") * a + b), "v", "y",
+                   alpha=0.2, duration_per_period="100s", key=["id"])
+    for r in cdf.collect():
+        if r.v_y_ewm_corr is not None:
+            assert abs(r.v_y_ewm_corr - 1.0) < 1e-6
+            assert abs(r.v_y_ewm_beta - 1.0 / a) < 1e-4 * (1 + 1 / a)
