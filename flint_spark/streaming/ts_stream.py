@@ -1735,3 +1735,85 @@ def realized_volatility_stream(stream: DataFrame, interval: str,
             .select(F.col("__w.start").alias(time_column), *key,
                     "rv", F.sqrt(F.col("rv")).alias("vol"),
                     "n_returns"))
+
+
+def ewm_corr_stream(stream: DataFrame, x: str, y: str,
+                    key: Sequence[str],
+                    alpha: float = 0.05,
+                    duration_per_period: str = "1d",
+                    time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of :func:`operators.ema.ewm_corr`: per-key
+    time-decayed covariance / correlation / hedge-beta via
+    ``applyInPandasWithState`` — state is SEVEN numbers (last t + the
+    six decayed sums Σw·x, Σw·y, Σw·x², Σw·y², Σw·xy, Σw). All six
+    ride the shared carry scan over one step vector; combine math and
+    clamps match the batch operator expression-for-expression. Rows
+    with either side null keep the complete-pair caveat documented on
+    the batch operator (each numerator null-skips independently)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.ema import _affine_scan, _check_alpha
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    _check_alpha(alpha)
+    key = list(key)
+    lam = -math.log1p(-alpha) / parse_duration_ns(duration_per_period)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    pfx = f"{x}_{y}"
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(x, T.DoubleType()),
+           T.StructField(y, T.DoubleType()),
+           T.StructField(f"{pfx}_ewm_cov", T.DoubleType()),
+           T.StructField(f"{pfx}_ewm_corr", T.DoubleType()),
+           T.StructField(f"{pfx}_ewm_beta", T.DoubleType())])
+    state_schema = T.StructType(
+        [T.StructField("last_tns", T.LongType())]
+        + [T.StructField(n, T.DoubleType())
+           for n in ("sx", "sy", "sxx", "syy", "sxy", "sw")])
+
+    def fold(key_vals, pdf_iter, state):
+        st = state.get if state.exists else (None,) + (0.0,) * 6
+        last_tns, carries = st[0], list(st[1:])
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            xv = pdf[x].to_numpy(dtype=np.float64)
+            yv = pdf[y].to_numpy(dtype=np.float64)
+            n = len(t)
+            arrays = [xv, yv, xv * xv, yv * yv, xv * yv, np.ones(n)]
+            outs = _decayed_carry_scan(np, _affine_scan, lam, last_tns,
+                                       t, arrays, carries)
+            carries = [float(o[-1]) for o in outs]
+            last_tns = int(t[-1])
+            SX, SY, SXX, SYY, SXY, SW = outs
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ex, ey = SX / SW, SY / SW
+                cov = SXY / SW - ex * ey
+                vx = np.maximum(SXX / SW - ex * ex, 0.0)
+                vy = np.maximum(SYY / SW - ey * ey, 0.0)
+                corr = np.clip(cov / np.sqrt(vx * vy), -1.0, 1.0)
+                beta = cov / vy
+            res = pd.DataFrame({c: [v] * n for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[x] = xv
+            res[y] = yv
+            fin = lambda arr, okm: [
+                None if (not o) or np.isnan(v) else float(v)
+                for v, o in zip(arr, okm)]
+            res[f"{pfx}_ewm_cov"] = cov
+            res[f"{pfx}_ewm_corr"] = fin(corr, (vx > 0) & (vy > 0))
+            res[f"{pfx}_ewm_beta"] = fin(beta, vy > 0)
+            frames.append(res)
+        state.update((last_tns, *carries))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

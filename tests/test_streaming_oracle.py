@@ -1563,3 +1563,31 @@ def test_realized_volatility_stream_vs_duckdb(spark, con, tmp_path):
            f"FROM ({entry.extra_oracle_sql()['realized_vol']})")
     ok, msg = compare("so_rv", got, sql, con)
     assert ok, msg
+
+
+def test_ewm_corr_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming pairwise decayed moments replay (30th gate):
+    seven-number state; in-order replay == the batch ewm_corr oracle
+    (closed-form ratios, identical clamps), 4-6 decimal rounding."""
+    import __spark_entry__ as entry
+
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("xf", F.get_json_object(F.col("props"), "$.k")
+                      .cast("double"))
+          .filter(F.col("xf").isNotNull() & F.col("value").isNotNull())
+          .select("time", "event_id", "user_id", "value", "xf"))
+    st = _replay(spark, ev, str(tmp_path / "c"))
+    out = ts_stream.ewm_corr_stream(st, "value", "xf", key=["user_id"],
+                                    alpha=0.05, duration_per_period="1d")
+    _run_to_table(out, "so_ewmcorr")
+    r = lambda c, n: F.floor(F.col(c) * 10 ** n + 0.5) / 10 ** n
+    got = (spark.sql("SELECT * FROM so_ewmcorr")
+           .select(F.col("__tns").alias("tns"), "user_id",
+                   r("value_xf_ewm_cov", 4).alias("ewm_cov"),
+                   r("value_xf_ewm_corr", 6).alias("ewm_corr"),
+                   r("value_xf_ewm_beta", 6).alias("ewm_beta")))
+    sql = (f"SELECT epoch_ns(time) AS tns, user_id, ewm_cov, ewm_corr, "
+           f"ewm_beta FROM ({entry.extra_oracle_sql()['ewm_corr']})")
+    ok, msg = compare("so_ewmcorr", got, sql, con)
+    assert ok, msg
