@@ -272,11 +272,14 @@ def linearity_suite(spark, millions: float = 5.0):
         p = keyed_panel(n).withColumn(
             "x2", (F.col("x1") * 0.5 + F.pmod(F.col("time"), F.lit(11))
                    .cast("double")))
+        # period sized so the per-key exponent span stays inside the
+        # native ~700 guard at the BIG n (the guard firing is correct
+        # behavior, verified by unit test — not what we measure here)
         return ewm_corr(ewm_volatility(p, "x1", alpha=0.1,
-                                       duration_per_period="100s",
+                                       duration_per_period="2000s",
                                        key=["id"]),
                         "x1", "x2", alpha=0.1,
-                        duration_per_period="100s", key=["id"])
+                        duration_per_period="2000s", key=["id"])
 
     linearity("ewm_vol + ewm_corr", ewm_vol_lin, n_small, n_big)
 
