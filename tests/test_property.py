@@ -683,3 +683,93 @@ def test_ewm_moments_affine_invariance(panel, scale, shift):
         if r.v_y_ewm_corr is not None:
             assert abs(r.v_y_ewm_corr - 1.0) < 1e-6
             assert abs(r.v_y_ewm_beta - 1.0 / a) < 1e-4 * (1 + 1 / a)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(max_rows=24), n_splits=st.integers(1, 3),
+       data=st.data())
+def test_ewm_stream_batch_differential(panel, n_splits, data):
+    """In-order replay differential on random panels: ewma_stream and
+    ewm_volatility_stream replayed over 1-3 time-ordered trigger files
+    must match the batch engines at 1e-9 — pins the cross-trigger
+    carry/renormalization math (state enters as E·exp(-Σsteps)) on
+    arbitrary gaps, duplicate timestamps and key mixes."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flint_spark.operators.ema import ewm_volatility, ewma_native
+    from flint_spark.streaming import ts_stream
+
+    spark = _spark()
+    pdf = panel.copy()
+    # dedupe (id, time) — duplicate timestamps make the stream's
+    # stable sort order nondeterministic vs the batch tie rule for
+    # the running value; the tie RULE itself is pinned elsewhere
+    pdf = pdf.drop_duplicates(["id", "time"]).reset_index(drop=True)
+    pdf["time"] = pdf["time"] * 10 ** 9
+    df = spark.createDataFrame(pdf)
+
+    cuts = sorted(data.draw(st.lists(
+        st.integers(0, 500 * 10 ** 9), min_size=n_splits - 1,
+        max_size=n_splits - 1, unique=True)))
+    with tempfile.TemporaryDirectory() as d:
+        bounds = [None, *cuts, None]
+        wrote = 0
+        for i in range(len(bounds) - 1):
+            part = df
+            if bounds[i] is not None:
+                part = part.filter(F.col("time") >= bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.col("time") < bounds[i + 1])
+            if part.count() == 0:
+                continue
+            part.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"tmp{i}"))
+            src = next(f for f in os.listdir(os.path.join(d, f"tmp{i}"))
+                       if f.endswith(".parquet"))
+            os.rename(os.path.join(d, f"tmp{i}", src),
+                      os.path.join(d, f"chunk_{i}.parquet"))
+            wrote += 1
+        assert wrote > 0
+        st_df = (spark.readStream.schema(df.schema)
+                 .option("maxFilesPerTrigger", 1).parquet(d))
+        out = ts_stream.ewma_stream(st_df, "v", key=["id"], alpha=0.3,
+                                    duration_per_period="100s",
+                                    time_column="time")
+        q = (out.writeStream.outputMode("append").format("memory")
+             .queryName("pdiff_ewma").start())
+        q.processAllAvailable()
+        q.stop()
+        st2 = (spark.readStream.schema(df.schema)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        out2 = ts_stream.ewm_volatility_stream(
+            st2, "v", key=["id"], alpha=0.3, duration_per_period="100s",
+            time_column="time")
+        q2 = (out2.writeStream.outputMode("append").format("memory")
+              .queryName("pdiff_vol").start())
+        q2.processAllAvailable()
+        q2.stop()
+
+    got_e = {(r.id, r["__tns"]): r.v_ewma
+             for r in spark.sql("SELECT * FROM pdiff_ewma").collect()}
+    exp_e = {(r.id, r.time): r.v_ewma
+             for r in ewma_native(df, "v", alpha=0.3,
+                                  duration_per_period="100s",
+                                  key=["id"]).collect()}
+    assert set(got_e) == set(exp_e)
+    for kk in exp_e:
+        assert abs(got_e[kk] - exp_e[kk]) < 1e-9, kk
+
+    got_v = {(r.id, r["__tns"]): (r.v_ewm_mean, r.v_ewm_var)
+             for r in spark.sql("SELECT * FROM pdiff_vol").collect()}
+    exp_v = {(r.id, r.time): (r.v_ewm_mean, r.v_ewm_var)
+             for r in ewm_volatility(df, "v", alpha=0.3,
+                                     duration_per_period="100s",
+                                     key=["id"]).collect()}
+    assert set(got_v) == set(exp_v)
+    for kk in exp_v:
+        assert abs(got_v[kk][0] - exp_v[kk][0]) < 1e-9, kk
+        assert abs(got_v[kk][1] - exp_v[kk][1]) < 1e-9, kk
