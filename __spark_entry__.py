@@ -218,6 +218,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dema": q_dema,
         "realized_vol": q_realized_vol,
         "range_vol": q_range_vol,
+        "ewm_corr_w": q_ewm_corr_w,
     }
 
 
@@ -306,6 +307,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dema": SQL_DEMA,
         "realized_vol": SQL_REALIZED_VOL,
         "range_vol": SQL_RANGE_VOL,
+        "ewm_corr_w": SQL_EWM_CORR_W,
     }
 
 

@@ -3058,3 +3058,68 @@ SQL_RANGE_VOL = """
                          * 1e8 + 0.5) / 1e8 END AS garman_klass
   FROM b
 """
+
+
+def q_ewm_corr_w(spark, sf):
+    """Sliding-window pairwise decayed moments
+    (operators.ema.ewm_corr_windowed): cov/corr/beta of value vs the
+    JSON props factor over the trailing 7d frame — six frame sums on
+    ONE WindowSpec, zero Python. Oracle replays the identical ratio /
+    clamp expressions over a DuckDB RANGE frame on epoch-µs."""
+    from flint_spark import windows as W
+    from flint_spark.operators.ema import ewm_corr_windowed
+
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "event_id", "user_id", "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("xf"))
+    out = ewm_corr_windowed(
+        ev.filter(F.col("xf").isNotNull() & F.col("value").isNotNull()),
+        "value", "xf", W.past_absolute_time("7d"), alpha=0.05,
+        duration_per_period="1d", key=["user_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id",
+                      R("value_xf_ewm_cov", 6).alias("ewm_cov"),
+                      R("value_xf_ewm_corr", 6).alias("ewm_corr"),
+                      R("value_xf_ewm_beta", 6).alias("ewm_beta"))
+
+
+SQL_EWM_CORR_W = """
+  WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS xf,
+           epoch_us(ts)::DOUBLE AS tus
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+            IS NOT NULL
+      AND value IS NOT NULL
+  ),
+  b AS (
+    SELECT *, min(tus) OVER (PARTITION BY user_id) AS base FROM e
+  ),
+  s AS (
+    SELECT time, event_id, user_id,
+           sum(value * exp((tus - base) * {lam})) OVER w AS ex,
+           sum(xf * exp((tus - base) * {lam})) OVER w AS ey,
+           sum(value * value * exp((tus - base) * {lam})) OVER w AS exx,
+           sum(xf * xf * exp((tus - base) * {lam})) OVER w AS eyy,
+           sum(value * xf * exp((tus - base) * {lam})) OVER w AS exy,
+           sum(exp((tus - base) * {lam})) OVER w AS den
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+  ),
+  m AS (
+    SELECT time, event_id, user_id,
+           exy / den - (ex / den) * (ey / den) AS cov,
+           greatest(exx / den - (ex / den) * (ex / den), 0.0) AS vx,
+           greatest(eyy / den - (ey / den) * (ey / den), 0.0) AS vy
+    FROM s
+  )
+  SELECT time, event_id, user_id,
+         floor(cov * 1e6 + 0.5) / 1e6 AS ewm_cov,
+         CASE WHEN vx > 0 AND vy > 0
+              THEN floor(least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)
+                         * 1e6 + 0.5) / 1e6 END AS ewm_corr,
+         CASE WHEN vy > 0
+              THEN floor(cov / vy * 1e6 + 0.5) / 1e6 END AS ewm_beta
+  FROM m
+""".format(lam=_EWM_LAM)

@@ -219,8 +219,11 @@ def realized_volatility(df: DataFrame, interval: str | int,
         raise ValueError("interval must be positive")
     dtype = dict(df.dtypes)[TIME_COLUMN]
     price = F.col(price_col)
-    tns = time_ns_expr(df)
-    base = df.filter(price.isNotNull() & (price > 0))
+    # NaN > 0 is TRUE in Spark — without the isnan guard one NaN tick
+    # poisons its bucket's rv to NaN (and diverges from the streaming
+    # twin, which drops the NaN returns)
+    base = df.filter(price.isNotNull() & (price > 0)
+                     & ~F.isnan(price.cast("double")))
     w = Window.partitionBy(*key).orderBy(
         _order_struct(time_ns_expr(base), tie_break, price))
     r = F.log(price / F.lag(price).over(w))

@@ -499,8 +499,15 @@ def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
     outs = {}
     for c in cols:
         # every column shares the same WindowSpec, so Catalyst plans ONE
-        # WindowExec (one sort) regardless of how many series are smoothed
-        num = F.sum(F.col(c) * F.exp(rel)).over(frame) * F.exp(-rel)
+        # WindowExec (one sort) regardless of how many series are smoothed.
+        # The coalesce pins the LEADING-NULL contract across engines:
+        # rows before a key's first non-null value carry the decayed
+        # zero-primed state (0.0) — the same zero prime every scan
+        # engine and convention uses — not SQL NULL (a bare F.sum over
+        # an all-null frame would yield NULL here while the pandas and
+        # streaming scans yield 0.0)
+        num = F.coalesce(F.sum(F.col(c) * F.exp(rel)).over(frame),
+                         F.lit(0.0)) * F.exp(-rel)
         if convention == "legacy":
             outs[f"{c}_ewma"] = num
         else:
@@ -749,10 +756,18 @@ def ewm_volatility_windowed(df: DataFrame, column: str, window,
     rel = (tns - base).cast("double") * F.lit(lam)
     rel = _span_guard(rel, tns, key, lam, "ewm_volatility_windowed")
     x = F.col(column).cast("double")
-    den = F.sum(F.exp(rel)).over(frame)
-    mean = F.sum(x * F.exp(rel)).over(frame) / den
-    msq = F.sum(x * x * F.exp(rel)).over(frame) / den
-    return _ewm_moment_cols(df, column, mean, msq)
+    # ALL frame sums in ONE projection: window expressions embedded in
+    # separate withColumn trees extract into separate Window nodes that
+    # the min-base window interleaves (CollapseWindow only merges
+    # adjacent same-spec nodes) — materializing them together plans a
+    # single WindowExec for the whole moment set (test-pinned)
+    sums = {"__vw_sx": F.sum(x * F.exp(rel)).over(frame),
+            "__vw_sxx": F.sum(x * x * F.exp(rel)).over(frame),
+            "__vw_den": F.sum(F.exp(rel)).over(frame)}
+    o = df.withColumns(sums)
+    mean = F.col("__vw_sx") / F.col("__vw_den")
+    msq = F.col("__vw_sxx") / F.col("__vw_den")
+    return _ewm_moment_cols(o, column, mean, msq).drop(*sums)
 
 
 def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
@@ -879,18 +894,26 @@ def ewm_corr_windowed(df: DataFrame, x: str, y: str, window,
     rel = _span_guard(rel, tns, key, lam, "ewm_corr_windowed")
     cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
     w = F.exp(rel)
-    den = F.sum(w).over(frame)
-    ex = F.sum(cx * w).over(frame) / den
-    ey = F.sum(cy * w).over(frame) / den
-    vx = F.greatest(F.sum(cx * cx * w).over(frame) / den - ex * ex,
-                    F.lit(0.0))
-    vy = F.greatest(F.sum(cy * cy * w).over(frame) / den - ey * ey,
-                    F.lit(0.0))
-    cov = F.sum(cx * cy * w).over(frame) / den - ex * ey
+    # one projection for ALL six frame sums -> ONE WindowExec (see
+    # ewm_volatility_windowed: separate withColumn trees extract into
+    # six Window nodes the min-base spec keeps from collapsing)
+    sums = {"__cw_sx": F.sum(cx * w).over(frame),
+            "__cw_sy": F.sum(cy * w).over(frame),
+            "__cw_sxx": F.sum(cx * cx * w).over(frame),
+            "__cw_syy": F.sum(cy * cy * w).over(frame),
+            "__cw_sxy": F.sum(cx * cy * w).over(frame),
+            "__cw_den": F.sum(w).over(frame)}
+    o = df.withColumns(sums)
+    den = F.col("__cw_den")
+    ex, ey = F.col("__cw_sx") / den, F.col("__cw_sy") / den
+    vx = F.greatest(F.col("__cw_sxx") / den - ex * ex, F.lit(0.0))
+    vy = F.greatest(F.col("__cw_syy") / den - ey * ey, F.lit(0.0))
+    cov = F.col("__cw_sxy") / den - ex * ey
     pfx = f"{x}_{y}"
     corr = F.least(F.greatest(cov / F.sqrt(vx * vy), F.lit(-1.0)),
                    F.lit(1.0))
-    return (df.withColumn(f"{pfx}_ewm_cov", cov)
+    return (o.withColumn(f"{pfx}_ewm_cov", cov)
             .withColumn(f"{pfx}_ewm_corr",
                         F.when((vx > 0) & (vy > 0), corr))
-            .withColumn(f"{pfx}_ewm_beta", F.when(vy > 0, cov / vy)))
+            .withColumn(f"{pfx}_ewm_beta", F.when(vy > 0, cov / vy))
+            .drop(*sums))

@@ -1657,13 +1657,18 @@ def brown_double_smoothing_stream(stream: DataFrame, column: str,
 
 def log_returns_stream(stream: DataFrame, price_col: str,
                        key: Sequence[str],
+                       tie_break: Sequence[str] = (),
                        time_column: str = TIME_COLUMN) -> DataFrame:
     """Stateful per-key log-return chain — the streaming front half of
     :func:`operators.bars.realized_volatility`: state is TWO numbers
     per key (last event-time ns, last positive price). Non-positive /
-    null prices drop BEFORE the chain exactly like the batch filter
-    (they neither emit nor break the chain); each key's first positive
-    tick emits no return. Emits (key..., __tns, price, ``<col>_logret``)."""
+    null / NaN prices drop BEFORE the chain exactly like the batch
+    filter (they neither emit nor break the chain); each key's first
+    positive tick emits no return. Duplicate timestamps chain in
+    (time, tie_break..., price) order — the batch ``_order_struct``
+    rule — so the squared returns match the batch operator; pass the
+    same ``tie_break`` columns to both. Emits (key..., __tns, price,
+    ``<col>_logret``)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1671,8 +1676,10 @@ def log_returns_stream(stream: DataFrame, price_col: str,
     from ..timeseries import time_ns_expr
 
     key = list(key)
-    with_ns = (stream.filter(F.col(price_col).isNotNull()
-                             & (F.col(price_col) > 0))
+    tie_break = list(tie_break)
+    p0 = F.col(price_col)
+    with_ns = (stream.filter(p0.isNotNull() & (p0 > 0)
+                             & ~F.isnan(p0.cast("double")))
                .withColumn("__tns", time_ns_expr(stream, time_column)))
     out_schema = T.StructType(
         [stream.schema[c] for c in key]
@@ -1687,6 +1694,10 @@ def log_returns_stream(stream: DataFrame, price_col: str,
         frames = []
         pdf = _trigger_pdf(pd, pdf_iter)
         if pdf is not None:
+            # duplicate timestamps: chain in the batch _order_struct
+            # order (time, tie_break..., price), not arrival order
+            pdf = pdf.sort_values(["__tns", *tie_break, price_col],
+                                  kind="stable")
             t = pdf["__tns"].to_numpy(np.int64)
             p = pdf[price_col].to_numpy(np.float64)
             prev = np.concatenate(
@@ -1710,8 +1721,9 @@ def log_returns_stream(stream: DataFrame, price_col: str,
                                     "append", "NoTimeout"))
 
 
-def realized_volatility_stream(stream: DataFrame, interval: str,
+def realized_volatility_stream(stream: DataFrame, interval: str | int,
                                price_col: str, key: Sequence[str],
+                               tie_break: Sequence[str] = (),
                                watermark: str = "10 minutes",
                                time_column: str = TIME_COLUMN
                                ) -> DataFrame:
@@ -1719,17 +1731,32 @@ def realized_volatility_stream(stream: DataFrame, interval: str,
     the stateful log-return chain above feeds Spark's OWN watermarked
     tumbling-window aggregation (sum of squared returns is a plain
     mergeable monoid — no custom state needed past the two-number
-    chain). Returns (time = bucket begin, key..., rv, vol,
+    chain). ``interval`` uses the SAME duration grammar as the batch
+    operator ("1d"/"6h"/int ns — converted to milliseconds for
+    ``F.window``). Returns (time = bucket begin, key..., rv, vol,
     n_returns); boundary-crossing returns land in the later tick's
     bucket, matching the batch convention by construction."""
+    from ..timeseries import floor_div, parse_duration_ns
+
+    width_ns = parse_duration_ns(interval)
+    if width_ns <= 0 or width_ns % 1_000_000:
+        raise ValueError("interval must be a positive whole number "
+                         "of milliseconds")
     rets = log_returns_stream(stream, price_col, key,
+                              tie_break=tie_break,
                               time_column=time_column)
     r = F.col(f"{price_col}_logret")
-    tcol = F.timestamp_micros((F.col("__tns") / 1000).cast("long"))
+    # exact integer ns -> µs: (ns / 1000).cast(long) detours through a
+    # double whose 53-bit mantissa cannot hold epoch-ns (~1.7e18) —
+    # half of all µs-granular timestamps would land 1µs early and the
+    # first tick of a bucket would fall into the previous window
+    tcol = F.timestamp_micros(floor_div(F.col("__tns"), 1000))
     return (rets.filter(r.isNotNull())
             .withColumn("__t", tcol)
             .withWatermark("__t", watermark)
-            .groupBy(F.window("__t", interval).alias("__w"), *key)
+            .groupBy(F.window("__t",
+                              f"{width_ns // 1_000_000} milliseconds")
+                     .alias("__w"), *key)
             .agg(F.sum(r * r).alias("rv"),
                  F.count(F.lit(1)).alias("n_returns"))
             .select(F.col("__w.start").alias(time_column), *key,

@@ -3312,25 +3312,32 @@ def test_ewma_null_skip_parity(spark):
     from flint_spark.operators.ema import ewm_volatility, ewma, ewma_native
 
     sec = 10 ** 9
+    # key "k" has interior nulls; key "z" STARTS with nulls — rows
+    # before the first non-null value must carry the decayed
+    # zero-primed state (0.0) on every engine, not NULL on one of them
     rows = [(0, "k", 1.0), (10 * sec, "k", None), (20 * sec, "k", 3.0),
-            (30 * sec, "k", None), (40 * sec, "k", 5.0)]
+            (30 * sec, "k", None), (40 * sec, "k", 5.0),
+            (0, "z", None), (10 * sec, "z", None), (20 * sec, "z", 7.0)]
     df = spark.createDataFrame(rows, "time long, k string, v double")
     for conv in ("legacy", "core"):
-        nat = {r.time: r.v_ewma for r in
+        nat = {(r.k, r.time): r.v_ewma for r in
                ewma_native(df, "v", alpha=0.2, duration_per_period="10s",
                            convention=conv, key=["k"]).collect()}
-        pan = {r.time: r.v_ewma for r in
+        pan = {(r.k, r.time): r.v_ewma for r in
                ewma(df, "v", alpha=0.2, duration_per_period="10s",
                     convention=conv, key=["k"]).collect()}
         assert set(nat) == set(pan)
-        for t in nat:
-            assert nat[t] is not None and pan[t] is not None, (conv, t)
-            assert abs(nat[t] - pan[t]) < 1e-12, (conv, t)
+        for kk in nat:
+            assert nat[kk] is not None and pan[kk] is not None, (conv, kk)
+            assert abs(nat[kk] - pan[kk]) < 1e-12, (conv, kk)
         # the null rows themselves carry the decayed running value
-        assert nat[10 * sec] > 0
+        assert nat[("k", 10 * sec)] > 0
+        # leading nulls: decayed ZERO state, identically on both engines
+        assert nat[("z", 0)] == pan[("z", 0)] == 0.0
+        assert nat[("z", 20 * sec)] > 0
 
     # volatility inherits the same rule through the shared engine
-    vol = {r.time: r.v_ewm_vol for r in
+    vol = {(r.k, r.time): r.v_ewm_vol for r in
            ewm_volatility(df, "v", alpha=0.2, duration_per_period="10s",
                           key=["k"], engine="pandas").collect()}
     assert all(v is not None for v in vol.values())
@@ -3386,6 +3393,9 @@ def test_ewm_corr_windowed_matches_brute_force(spark):
     names = list(walk_plan(out._jdf.queryExecution().executedPlan()))
     wx = [x_ for x_ in names if x_.startswith("Window")]
     ex_ = [x_ for x_ in names if "Exchange" in x_ and "Broadcast" not in x_]
+    # the six frame sums share one WindowSpec -> exactly ONE windowed
+    # frame node beyond the per-key base-min window
+    assert len(wx) <= 2, wx
     assert len(ex_) <= 2 and not any("Python" in x_ for x_ in names)
 
 
@@ -3435,3 +3445,21 @@ def test_realized_and_range_volatility_semantics(spark):
         "low double, close double, n int")
     r0 = bar_range_volatility(neg).collect()[0]
     assert r0.parkinson is None and r0.garman_klass is None
+
+
+def test_realized_volatility_nan_price_guard(spark):
+    """NaN > 0 is TRUE in Spark: a NaN tick must be dropped like a
+    non-positive price (it would otherwise poison its bucket's rv),
+    identically in batch and in the streaming chain's filter."""
+    import math
+
+    from flint_spark.operators.bars import realized_volatility
+
+    sec = 10 ** 9
+    rows = [(0, "k", 100.0), (10 * sec, "k", float("nan")),
+            (20 * sec, "k", 110.0)]
+    df = spark.createDataFrame(rows, "time long, k string, v double")
+    out = realized_volatility(df, "60s", "v", key=["k"]).collect()
+    assert len(out) == 1
+    r = math.log(110.0 / 100.0)
+    assert abs(out[0].rv - r * r) < 1e-12 and out[0].n_returns == 1

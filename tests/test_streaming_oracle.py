@@ -1549,7 +1549,8 @@ def test_realized_volatility_stream_vs_duckdb(spark, con, tmp_path):
           .select("time", "user_id", "event_id", "value"))
     st = _replay(spark, ev, str(tmp_path / "rv"))
     out = ts_stream.realized_volatility_stream(
-        st, "1 day", "value", key=["user_id"], watermark="400 days")
+        st, "1d", "value", key=["user_id"], tie_break=["event_id"],
+        watermark="400 days")
     q = (out.writeStream.outputMode("complete").format("memory")
          .queryName("so_rv").start())
     q.processAllAvailable()
