@@ -219,6 +219,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realized_vol": q_realized_vol,
         "range_vol": q_range_vol,
         "ewm_corr_w": q_ewm_corr_w,
+        "cusum": q_cusum,
     }
 
 
@@ -308,6 +309,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "realized_vol": SQL_REALIZED_VOL,
         "range_vol": SQL_RANGE_VOL,
         "ewm_corr_w": SQL_EWM_CORR_W,
+        "cusum": SQL_CUSUM,
     }
 
 

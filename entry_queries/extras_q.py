@@ -3123,3 +3123,58 @@ SQL_EWM_CORR_W = """
               THEN floor(cov / vy * 1e6 + 0.5) / 1e6 END AS ewm_beta
   FROM m
 """.format(lam=_EWM_LAM)
+
+
+def q_cusum(spark, sf):
+    """Two-sided CUSUM drift detection (operators.changepoint.cusum):
+    per-user standardized Page CUSUM via the prefix-sum-minus-running-min
+    identity — two chained running windows over ONE keyed sort, zero
+    Python. mu/sigma estimated per key over an unbounded frame on the
+    same partitioning (no extra exchange). The oracle replays the
+    identity with the identical chained windows; null values carry the
+    detector state unchanged and score null (the EWMA-family null-skip
+    contract)."""
+    from flint_spark.operators.changepoint import cusum
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id", "value")
+    out = cusum(ev, "value", k=0.5, h=4.0, key=["user_id"],
+                tie_break=["event_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id",
+                      R("value_cusum_pos", 6).alias("s_pos"),
+                      R("value_cusum_neg", 6).alias("s_neg"),
+                      F.col("value_alarm").alias("alarm"))
+
+
+SQL_CUSUM = """
+  WITH base AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           avg(value) OVER (PARTITION BY user_id) AS mu,
+           stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+    FROM events
+  ),
+  z AS (
+    SELECT *, CASE WHEN sd > 0 THEN (value - mu) / sd END AS zz FROM base
+  ),
+  c AS (
+    SELECT *, sum(coalesce(zz - 0.5, 0.0)) OVER w AS cup,
+              sum(coalesce(-zz - 0.5, 0.0)) OVER w AS cdn
+    FROM z
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(time), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ),
+  m AS (
+    SELECT *, least(0.0, min(cup) OVER w) AS mup,
+              least(0.0, min(cdn) OVER w) AS mdn
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(time), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  )
+  SELECT time, event_id, user_id,
+         CASE WHEN zz IS NOT NULL
+              THEN floor((cup - mup) * 1e6 + 0.5) / 1e6 END AS s_pos,
+         CASE WHEN zz IS NOT NULL
+              THEN floor((cdn - mdn) * 1e6 + 0.5) / 1e6 END AS s_neg,
+         CASE WHEN zz IS NOT NULL
+              THEN (cup - mup > 4.0 OR cdn - mdn > 4.0) END AS alarm
+  FROM m
+"""

@@ -3463,3 +3463,59 @@ def test_realized_volatility_nan_price_guard(spark):
     assert len(out) == 1
     r = math.log(110.0 / 100.0)
     assert abs(out[0].rv - r * r) < 1e-12 and out[0].n_returns == 1
+
+
+def test_cusum_semantics(spark):
+    """Page CUSUM on a hand-computed fixture: the prefix-sum-minus-
+    running-min identity equals the textbook reset recursion, nulls
+    freeze the detector state (null-skip contract) and score null,
+    degenerate sigma keys score all-null, alarms fire exactly past h,
+    and the whole plan is one exchange / zero Python."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flint_spark.operators.changepoint import cusum
+    from flint_spark.plans.audit import plan_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    # key "a": drift up; key "c": constant (sigma = 0)
+    vals = [0.0, 1.0, None, 2.0, 3.0, 4.0, 5.0, 6.0]
+    rows = [(t0 + dt.timedelta(minutes=i), "a", v)
+            for i, v in enumerate(vals)]
+    rows += [(t0 + dt.timedelta(minutes=i), "c", 7.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "time timestamp, id string, v double")
+
+    out = cusum(df, "v", k=0.5, h=1.0, mu=1.0, sigma=2.0, key=["id"])
+    assert plan_counts(out) == {"shuffles": 1, "broadcasts": 0,
+                                "python": 0, "bnlj": 0}
+    got = (out.orderBy("id", "time").toPandas())
+
+    # textbook recursion with supplied mu/sigma
+    sp = sn = 0.0
+    exp = []
+    for v in vals:
+        if v is None:
+            exp.append((None, None, None))
+            continue
+        z = (v - 1.0) / 2.0
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        exp.append((sp, sn, sp > 1.0 or sn > 1.0))
+    ga = got[got["id"] == "a"]
+    for (esp, esn, eal), (_, r) in zip(exp, ga.iterrows()):
+        if esp is None:
+            assert pd.isna(r["v_cusum_pos"]) and pd.isna(r["v_alarm"])
+        else:
+            assert abs(r["v_cusum_pos"] - esp) < 1e-12
+            assert abs(r["v_cusum_neg"] - esn) < 1e-12
+            assert bool(r["v_alarm"]) == bool(eal)
+    # at least one alarm fired on the drift
+    assert bool(ga["v_alarm"].iloc[-1])
+
+    # estimated mode: constant key has sigma 0 -> all null scores
+    est = cusum(df, "v", key=["id"]).orderBy("id", "time").toPandas()
+    gc = est[est["id"] == "c"]
+    assert gc["v_cusum_pos"].isna().all() and gc["v_alarm"].isna().all()
+    # estimated mode still scores the drifting key
+    assert est[est["id"] == "a"]["v_cusum_pos"].notna().sum() == 7
