@@ -38,7 +38,7 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_simhash_pairs, _sql_text_stats,
                            _sql_cms_counts, _sql_zorder_key,
                            _sql_logreg_quality, _sql_bm25,
-                           _sql_pagerank)
+                           _sql_pagerank, _sql_lead_lag)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -220,6 +220,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_vol": q_range_vol,
         "ewm_corr_w": q_ewm_corr_w,
         "cusum": q_cusum,
+        "lead_lag": q_lead_lag,
     }
 
 
@@ -310,6 +311,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "range_vol": SQL_RANGE_VOL,
         "ewm_corr_w": SQL_EWM_CORR_W,
         "cusum": SQL_CUSUM,
+        "lead_lag": _sql_lead_lag(),
     }
 
 

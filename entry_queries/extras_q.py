@@ -3178,3 +3178,42 @@ SQL_CUSUM = """
               THEN (cup - mup > 4.0 OR cdn - mdn > 4.0) END AS alarm
   FROM m
 """
+
+
+def q_lead_lag(spark, sf):
+    """Lead-lag cross-correlation (operators.regression.lead_lag_corr):
+    corr(value_t, factor_{t+L}) per user for row offsets L in [-2, 3] —
+    all shifted series in ONE Window node, all per-lag correlations in
+    ONE hash-aggregate reusing the window's key partitioning (one data
+    exchange total, zero Python). The oracle unions per-lag lead/lag
+    branches with the identical (time, event_id) scan order."""
+    from flint_spark.operators.regression import lead_lag_corr
+
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "event_id", "user_id", "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("xf"))
+    out = lead_lag_corr(ev, "value", "xf", lags=[-2, -1, 0, 1, 2, 3],
+                        key=["user_id"], tie_break=["event_id"])
+    return out.select("user_id", "lag",
+                      R("xy_corr", 6).alias("xy_corr"), "n_pairs")
+
+
+def _sql_lead_lag() -> str:
+    branches = []
+    for lag in [-2, -1, 0, 1, 2, 3]:
+        shift = (f"lead(xf, {lag}) OVER w" if lag >= 0
+                 else f"lag(xf, {-lag}) OVER w")
+        branches.append(f"""
+  SELECT user_id, {lag} AS lag,
+         floor(corr(value, yl) * 1e6 + 0.5) / 1e6 AS xy_corr,
+         count(CASE WHEN value IS NOT NULL AND yl IS NOT NULL
+                    THEN 1 END) AS n_pairs
+  FROM (
+    SELECT user_id, value, {shift} AS yl
+    FROM (SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+                 TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                   AS xf
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+  ) GROUP BY user_id""")
+    return " UNION ALL ".join(branches)

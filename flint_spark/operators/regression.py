@@ -351,3 +351,64 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
             .withColumn("beta", F.col("__ols.beta"))
             .withColumn("r2", F.col("__ols.r2"))
             .drop("__ols"))
+
+
+def lead_lag_corr(df: DataFrame, x_col: str, y_col: str,
+                  lags: Sequence[int] = (-3, -2, -1, 0, 1, 2, 3),
+                  key: Sequence[str] = (),
+                  tie_break: Sequence[str] = ()) -> DataFrame:
+    """Lead-lag cross-correlation: ``corr(x_t, y_{t+L})`` per key for
+    each row offset L in ``lags`` (x = y gives the autocorrelation
+    function). The signal-discovery primitive behind "does x lead y by
+    k ticks?".
+
+    Plan: every shifted series is materialized in ONE projection — all
+    lead/lag expressions share a single WindowSpec so Catalyst collapses
+    them into one Window node over one keyed sort — then a single
+    hash-aggregate computes all per-lag Pearson correlations with
+    map-side partials. The aggregation's ClusteredDistribution on the
+    key is already satisfied by the window's HashPartitioning, so the
+    whole operator is ONE data exchange, zero Python; the tiny per-key
+    result explodes into (key, lag, xy_corr, n_pairs) rows afterwards.
+
+    Pairs with a null on either side are skipped (Pearson
+    pairwise-complete, Spark/SQL ``corr`` semantics); a lag whose
+    shifted partner falls off the series end contributes no pair.
+    Degenerate correlations (zero variance, < 2 pairs) are null.
+    Keyless use sorts on a single task — intended per-instrument
+    (keyed), like the reference's summarizer family.
+    """
+    from pyspark.sql import Window
+
+    from ..timeseries import time_ns_expr
+
+    keyc = [F.col(c) for c in key]
+    order = [time_ns_expr(df)] + [F.col(c) for c in tie_break]
+    w = Window.partitionBy(*keyc).orderBy(*order)
+    y = F.col(y_col)
+    shifted = {
+        f"__y_{i}": (F.lead(y, lag).over(w) if lag >= 0
+                     else F.lag(y, -lag).over(w))
+        for i, lag in enumerate(lags)
+    }
+    d = df.withColumns(shifted)
+
+    x = F.col(x_col)
+    aggs = []
+    for i, lag in enumerate(lags):
+        yl = F.col(f"__y_{i}")
+        c = F.corr(x, yl)
+        aggs.append(F.when(~F.isnan(c), c).alias(f"__c_{i}"))
+        aggs.append(F.count(F.when(x.isNotNull() & yl.isNotNull(), 1))
+                    .alias(f"__n_{i}"))
+    g = d.groupBy(*keyc).agg(*aggs)
+
+    pairs = F.array(*[
+        F.struct(F.lit(int(lag)).alias("lag"),
+                 F.col(f"__c_{i}").alias("xy_corr"),
+                 F.col(f"__n_{i}").alias("n_pairs"))
+        for i, lag in enumerate(lags)])
+    return (g.select(*[F.col(c) for c in key],
+                     F.explode(pairs).alias("__p"))
+            .select(*[F.col(c) for c in key], "__p.lag", "__p.xy_corr",
+                    "__p.n_pairs"))

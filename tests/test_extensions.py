@@ -3519,3 +3519,49 @@ def test_cusum_semantics(spark):
     assert gc["v_cusum_pos"].isna().all() and gc["v_alarm"].isna().all()
     # estimated mode still scores the drifting key
     assert est[est["id"] == "a"]["v_cusum_pos"].notna().sum() == 7
+
+
+def test_lead_lag_corr_recovers_planted_lag(spark):
+    """Cross-correlation on a synthetic pair where y trails x by
+    exactly 2 rows: the L=+2 correlation dominates every other lag,
+    n_pairs reflects pairwise-complete null/edge handling, and the
+    plan is one exchange (the aggregation reuses the window's key
+    partitioning), zero Python."""
+    import numpy as np
+    import pandas as pd
+
+    from flint_spark.operators.regression import lead_lag_corr
+    from flint_spark.plans.audit import plan_counts
+
+    rng = np.random.RandomState(3)
+    n = 300
+    t = pd.date_range("2024-01-01", periods=n, freq="min")
+    base = rng.normal(0, 1, n)
+    x = base + rng.normal(0, 0.3, n)
+    y = np.roll(base, 2) + rng.normal(0, 0.3, n)
+    y[:2] = rng.normal(0, 1, 2)
+    x[10] = np.nan
+    pdf = pd.DataFrame({"time": t, "id": ["a"] * 150 + ["b"] * 150,
+                        "x": x, "y": y})
+    df = spark.createDataFrame(pdf)
+
+    lags = [-2, -1, 0, 1, 2, 3]
+    out = lead_lag_corr(df, "x", "y", lags=lags, key=["id"],
+                        tie_break=[])
+    assert plan_counts(out) == {"shuffles": 1, "broadcasts": 0,
+                                "python": 0, "bnlj": 0}
+    res = out.toPandas()
+    assert len(res) == 2 * len(lags)
+
+    for kid, g in pdf.groupby("id"):
+        g = g.sort_values("time").reset_index(drop=True)
+        for lag in lags:
+            ys = g["y"].shift(-lag)
+            mask = g["x"].notna() & ys.notna()
+            row = res[(res["id"] == kid) & (res["lag"] == lag)].iloc[0]
+            assert row["n_pairs"] == mask.sum()
+            exp = g["x"][mask].corr(ys[mask])
+            assert abs(row["xy_corr"] - exp) < 1e-9
+        # planted relationship: +2 is the argmax for every key
+        gk = res[res["id"] == kid].set_index("lag")["xy_corr"]
+        assert gk.idxmax() == 2 and gk[2] > 0.8
