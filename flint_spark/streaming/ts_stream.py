@@ -1844,3 +1844,80 @@ def ewm_corr_stream(stream: DataFrame, x: str, y: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def cusum_stream(stream: DataFrame, column: str, key: Sequence[str],
+                 k: float = 0.5, h: float = 5.0, *, mu: float,
+                 sigma: float,
+                 time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of ``operators.changepoint.cusum`` for the
+    classical monitoring setup (known in-control ``mu``/``sigma`` —
+    the estimated mode needs the whole series and is batch-only).
+
+    State is four doubles per key: the two prefix sums and their
+    running minima — the exact quantities the batch identity
+    ``s = c - min(0, running_min(c))`` tracks, so in-order replay
+    reproduces the batch operator bitwise. Null values freeze the
+    detector (zero contribution) and score null, the EWMA-family
+    null-skip contract; duplicate timestamps fold in the batch
+    engine's time-then-value order.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import time_ns_expr
+
+    if not sigma > 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+    key = list(key)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField(f"{column}_cusum_pos", T.DoubleType()),
+           T.StructField(f"{column}_cusum_neg", T.DoubleType()),
+           T.StructField(f"{column}_alarm", T.BooleanType())])
+    state_schema = T.StructType([
+        T.StructField("c_up", T.DoubleType()),
+        T.StructField("c_dn", T.DoubleType()),
+        T.StructField("m_up", T.DoubleType()),
+        T.StructField("m_dn", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        c_up, c_dn, m_up, m_dn = state.get if state.exists \
+            else (0.0, 0.0, np.inf, np.inf)
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            pdf = _sort_time_then_values(pdf, "__tns", [column])
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            obs = ~np.isnan(x)
+            z = np.where(obs, (x - mu) / sigma, 0.0)
+            cup = c_up + np.cumsum(np.where(obs, z - k, 0.0))
+            cdn = c_dn + np.cumsum(np.where(obs, -z - k, 0.0))
+            mup = np.minimum(m_up, np.minimum.accumulate(cup))
+            mdn = np.minimum(m_dn, np.minimum.accumulate(cdn))
+            s_pos = cup - np.minimum(0.0, mup)
+            s_neg = cdn - np.minimum(0.0, mdn)
+            n = len(x)
+            c_up, c_dn = float(cup[-1]), float(cdn[-1])
+            m_up, m_dn = float(mup[-1]), float(mdn[-1])
+            res = pd.DataFrame({c: [v] * n for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[column] = x
+            res[f"{column}_cusum_pos"] = np.where(obs, s_pos, np.nan)
+            res[f"{column}_cusum_neg"] = np.where(obs, s_neg, np.nan)
+            res[f"{column}_alarm"] = pd.Series(
+                [bool(p > h or q > h) if o else None
+                 for p, q, o in zip(s_pos, s_neg, obs)],
+                index=res.index, dtype=object)
+            frames.append(res)
+        state.update((float(c_up), float(c_dn), float(m_up), float(m_dn)))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

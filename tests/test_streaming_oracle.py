@@ -1592,3 +1592,60 @@ def test_ewm_corr_stream_vs_duckdb(spark, con, tmp_path):
            f"ewm_beta FROM ({entry.extra_oracle_sql()['ewm_corr']})")
     ok, msg = compare("so_ewmcorr", got, sql, con)
     assert ok, msg
+
+
+def test_cusum_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming CUSUM replay == DuckDB running the batch
+    prefix-sum-minus-running-min identity with the same in-control
+    targets. Every 7th value is nulled on BOTH sides, pinning the
+    null-skip contract (nulls freeze the four-number state and score
+    null); four doubles of state per key carry the detector across
+    the three triggers."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("value", F.when(F.col("event_id") % 7 != 0,
+                                      F.col("value")))
+          .select("time", "event_id", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "cu"))
+    out = ts_stream.cusum_stream(st, "value", key=["user_id"],
+                                 k=0.5, h=4.0, mu=50.0, sigma=47.0)
+    _run_to_table(out, "so_cusum")
+    r6 = lambda c: (F.floor(F.col(c) * 1000000 + 0.5) / 1000000)  # noqa: E731
+    got = (spark.sql("SELECT * FROM so_cusum")
+           .select(F.col("__tns").alias("tns"), "user_id", "value",
+                   r6("value_cusum_pos").alias("s_pos"),
+                   r6("value_cusum_neg").alias("s_neg"),
+                   F.col("value_alarm").alias("alarm")))
+    sql = """
+      WITH ev AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns,
+               epoch_us(ts) AS tus, user_id,
+               CASE WHEN event_id % 7 <> 0 THEN value END AS value
+        FROM events
+      ),
+      z AS (SELECT *, (value - 50.0) / 47.0 AS zz FROM ev),
+      c AS (
+        SELECT *, sum(coalesce(zz - 0.5, 0.0)) OVER w AS cup,
+                  sum(coalesce(-zz - 0.5, 0.0)) OVER w AS cdn
+        FROM z
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ),
+      m AS (
+        SELECT *, least(0.0, min(cup) OVER w) AS mup,
+                  least(0.0, min(cdn) OVER w) AS mdn
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, value
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      SELECT tns, user_id, value,
+             CASE WHEN zz IS NOT NULL
+                  THEN floor((cup - mup) * 1e6 + 0.5) / 1e6 END AS s_pos,
+             CASE WHEN zz IS NOT NULL
+                  THEN floor((cdn - mdn) * 1e6 + 0.5) / 1e6 END AS s_neg,
+             CASE WHEN zz IS NOT NULL
+                  THEN (cup - mup > 4.0 OR cdn - mdn > 4.0) END AS alarm
+      FROM m
+    """
+    ok, msg = compare("so_cusum", got, sql, con)
+    assert ok, msg
