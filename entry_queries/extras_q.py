@@ -3293,3 +3293,62 @@ def _sql_pq_topk() -> str:
              ORDER BY adc, vec_id) AS rank
     FROM scores) WHERE rank <= 10
 """
+
+
+def q_bpe_tokens(spark, sf):
+    """Distributed BPE vocabulary training (pipeline.bpe): 6 merges
+    trained on the distinct-word table (pair counting = one projection
+    + one hash-agg + a ONE-ROW collect per iteration; driver holds only
+    the merge list), then corpus token frequencies under the trained
+    tokenizer — the merge chain is a zero-shuffle replace() projection.
+    The oracle unrolls all six training iterations in SQL: the
+    bracketed-segmentation encoding makes BPE's greedy left-to-right
+    merge exactly ANSI replace()."""
+    from flint_spark.pipeline import bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = bpe.bpe_train(docs, num_merges=6)
+    out = bpe.bpe_token_counts(docs, merges)
+    return out.orderBy(F.desc("cnt"), "token").limit(25) \
+              .select("token", "cnt")
+
+
+def _sql_bpe_tokens() -> str:
+    pairs = "list_transform(range(1, len(toks)), j -> [toks[j], toks[j+1]])"
+
+    def it(n):
+        return f"""
+  t{n} AS (SELECT freq,
+                  string_split(substr(seg, 2, length(seg) - 2), '][') AS toks
+           FROM s{n-1}),
+  p{n} AS (SELECT pr[1] AS a, pr[2] AS b, sum(freq) AS c
+           FROM (SELECT freq, unnest({pairs}) AS pr FROM t{n})
+           GROUP BY 1, 2),
+  b{n} AS (SELECT a, b FROM p{n} ORDER BY c DESC, a, b LIMIT 1),
+  s{n} AS (SELECT freq,
+                  CASE WHEN b{n}.a IS NULL THEN seg
+                       ELSE replace(seg,
+                                    '[' || b{n}.a || '][' || b{n}.b || ']',
+                                    '[' || b{n}.a || b{n}.b || ']') END AS seg
+           FROM s{n-1} LEFT JOIN b{n} ON TRUE)"""
+
+    its = ",".join(it(n) for n in range(1, 7))
+    return f"""
+  WITH words AS (
+    SELECT w AS word, count(*)::BIGINT AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> '' AND w NOT LIKE '%[%' AND w NOT LIKE '%]%'
+    GROUP BY 1),
+  s0 AS (
+    SELECT freq,
+           '[' || array_to_string(string_split(word, ''), '][') || ']' AS seg
+    FROM words),
+  {its},
+  final AS (
+    SELECT freq,
+           unnest(string_split(substr(seg, 2, length(seg) - 2),
+                               '][')) AS token
+    FROM s6)
+  SELECT token, sum(freq)::BIGINT AS cnt
+  FROM final GROUP BY 1 ORDER BY cnt DESC, token LIMIT 25
+"""

@@ -1,0 +1,113 @@
+"""Distributed byte-pair-encoding vocabulary training.
+
+The tokenizer-building step of an LLM data pipeline, Spark-first. The
+classic trainer (Sennrich et al. 2016) is word-level: count the corpus
+vocabulary once, then repeatedly (1) count adjacent symbol pairs across
+the segmented vocabulary weighted by word frequency, (2) merge the most
+frequent pair everywhere. Both steps map onto DataFrame ops:
+
+- The working set is the DISTINCT-word table (Heaps-law-bounded), never
+  the corpus: one corpus-scale explode+hash-agg builds (word, freq),
+  and every training iteration touches only that table — at 100 TB the
+  vocabulary table is orders of magnitude smaller than the text.
+- A word's segmentation is a STRING of bracketed symbols
+  (``[l][ow][e][r]``), because BPE's merge step — replace every
+  adjacent (a, b) left-to-right, non-overlapping — is EXACTLY the
+  semantics of ``replace(seg, '[a][b]', '[ab]')``: ``[a][a][a]`` with
+  merge (a,a) yields ``[aa][a]``, the greedy BPE scan. The bracket
+  delimiters make token boundaries unambiguous (no token can bleed into
+  its neighbour), and the same ``replace`` exists verbatim in ANSI SQL,
+  so the whole trainer unrolls into a DuckDB oracle.
+- Per iteration: one pure-projection pair explode + one hash aggregate
+  + a ONE-ROW collect (the argmax pair). Driver state is the merge
+  list — ``num_merges`` pairs, nothing else.
+
+Ties break deterministically: (count DESC, left ASC, right ASC).
+Words containing the bracket delimiters are dropped loudly rather than
+silently mis-segmented.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "bpe_apply_merges", "bpe_token_counts"]
+
+
+def _word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over whitespace tokens; the ONE corpus-scale pass."""
+    w = F.col("word")
+    return (docs
+            .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+            .filter((w != "") & ~w.contains("[") & ~w.contains("]"))
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def _seg0(word: Column) -> Column:
+    """Character-level start segmentation: 'low' -> '[l][o][w]'."""
+    return F.concat(F.lit("["),
+                    F.array_join(F.split(word, "(?!$)"), "]["),
+                    F.lit("]"))
+
+
+def _pairs(seg: Column) -> Column:
+    """Adjacent symbol pairs of a segmentation as (a, b) structs —
+    zip of the token list with itself shifted by one (slice length 0
+    for single-symbol words, so no guard branch)."""
+    toks = F.split(F.substring(seg, 2, F.length(seg) - 2), r"\]\[")
+    n = F.size(toks)
+    return F.zip_with(F.slice(toks, 1, n - 1),
+                      F.slice(toks, 2, n - 1),
+                      lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+
+
+def bpe_train(docs: DataFrame, num_merges: int = 8,
+              text_col: str = "text") -> list[tuple[str, str, int]]:
+    """Train ``num_merges`` BPE merges; returns [(left, right, count)]
+    in merge order. Stops early when no adjacent pair remains."""
+    vocab = _word_table(docs, text_col) \
+        .withColumn("seg", _seg0(F.col("word"))).persist()
+    vocab.count()  # materialize once; iterations re-derive only `seg`
+    merges: list[tuple[str, str, int]] = []
+    seg = F.col("seg")
+    try:
+        for _ in range(num_merges):
+            best = (vocab.withColumn("seg", seg)
+                    .select("freq", F.explode(_pairs(F.col("seg"))).alias("p"))
+                    .groupBy("p.a", "p.b").agg(F.sum("freq").alias("c"))
+                    .orderBy(F.desc("c"), "a", "b").limit(1).collect())
+            if not best:
+                break
+            a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+            merges.append((a, b, c))
+            seg = F.replace(seg, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_apply_merges(seg: Column,
+                     merges: Sequence[tuple[str, str, int]]) -> Column:
+    """The trained tokenizer as a PURE EXPRESSION: chain of left-to-
+    right greedy replaces in merge order (how BPE inference applies a
+    merge table)."""
+    for a, b, _ in merges:
+        seg = F.replace(seg, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+    return seg
+
+
+def bpe_token_counts(docs: DataFrame,
+                     merges: Sequence[tuple[str, str, int]],
+                     text_col: str = "text") -> DataFrame:
+    """Corpus token frequencies under a trained merge table:
+    (token, cnt). Tokenization runs on the distinct-word table and
+    re-weights by word frequency — two hash aggregates total, and the
+    merge chain itself is a zero-shuffle projection."""
+    vocab = _word_table(docs, text_col)
+    seg = bpe_apply_merges(_seg0(F.col("word")), merges)
+    toks = F.split(F.substring(seg, 2, F.length(seg) - 2), r"\]\[")
+    return (vocab.select("freq", F.explode(toks).alias("token"))
+            .groupBy("token").agg(F.sum("freq").alias("cnt")))

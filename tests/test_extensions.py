@@ -3623,3 +3623,62 @@ def test_pq_pipeline_properties(spark):
         return err
     books1 = sim.pq_train(emb, m=4, ksub=1, iters=2, seed=7, quantize=9)
     assert recon_err(books, 8) < 0.25 * recon_err(books1, 1)
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """BPE merges + token counts equal a pure-Python Sennrich trainer
+    on a corpus engineered to exercise the greedy overlap rule
+    ('a a a' + merge (a,a) -> [aa][a], left-to-right non-overlapping)
+    and deterministic tie-breaks."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from flint_spark.pipeline import bpe
+
+    texts = ["aaa aaa banana low lower lowest",
+             "aaa banana bandana newest newest widest",
+             "low low lower newest banana aaa"]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = bpe.bpe_train(docs, num_merges=8)
+
+    freq = collections.Counter(w for t in texts for w in t.split())
+    segs = {w: list(w) for w in freq}
+    ref = []
+    for _ in range(8):
+        pc = collections.Counter()
+        for w, f in freq.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(),
+                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        ref.append((a, b, c))
+        for w in segs:  # greedy left-to-right merge
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    assert merges == ref
+
+    tok = collections.Counter()
+    for w, f in freq.items():
+        for t in segs[w]:
+            tok[t] += f
+    got = {r["token"]: r["cnt"]
+           for r in bpe.bpe_token_counts(docs, merges).collect()}
+    assert got == dict(tok)
+
+    # the merge chain is a pure projection: no exchange beyond the
+    # vocabulary aggregation
+    from flint_spark.plans.audit import plan_counts
+    counts = bpe.bpe_token_counts(docs, merges)
+    assert plan_counts(counts)["python"] == 0
+    assert plan_counts(counts)["shuffles"] == 2  # word agg + token agg
