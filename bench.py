@@ -88,6 +88,15 @@ HEADLINE = [
     # range estimators over the bar aggregation
     "realized_vol",
     "range_vol",
+    # round-5 continuation: CUSUM changepoint (two chained running
+    # windows, one sort), lead-lag cross-correlation (one Window node +
+    # one hash-agg), product-quantization ANN (train + encode + ADC
+    # search over codes), distributed BPE training (per-merge pair agg
+    # on the distinct-word table)
+    "cusum",
+    "lead_lag",
+    "pq_topk",
+    "bpe_tokens",
 ]
 
 
