@@ -39,7 +39,7 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_cms_counts, _sql_zorder_key,
                            _sql_logreg_quality, _sql_bm25,
                            _sql_pagerank, _sql_lead_lag,
-                           _sql_pq_topk, _sql_bpe_tokens)
+                           _sql_pq_topk, _sql_bpe_tokens, _sql_dsir)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -224,6 +224,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_lag": q_lead_lag,
         "pq_topk": q_pq_topk,
         "bpe_tokens": q_bpe_tokens,
+        "dsir": q_dsir,
     }
 
 
@@ -317,6 +318,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "lead_lag": _sql_lead_lag(),
         "pq_topk": _sql_pq_topk(),
         "bpe_tokens": _sql_bpe_tokens(),
+        "dsir": _sql_dsir(),
     }
 
 

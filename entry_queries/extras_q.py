@@ -3352,3 +3352,61 @@ def _sql_bpe_tokens() -> str:
   SELECT token, sum(freq)::BIGINT AS cnt
   FROM final GROUP BY 1 ORDER BY cnt DESC, token LIMIT 25
 """
+
+
+def q_dsir(spark, sf):
+    """DSIR importance resampling (pipeline.sampling.dsir_select):
+    hashed unigram+bigram log importance ratios (target = every 31st
+    doc) inline as ONE literal array, each document scores map-side
+    (zero exchanges), and Gumbel-top-k selection flags the winners via
+    a distributed TakeOrderedAndProject threshold — never a global
+    sort. The oracle rebuilds distributions, ratios, scores and the
+    md5-Gumbel selection in SQL."""
+    from flint_spark.pipeline import sampling as smp
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 31 == 0)
+    out = smp.dsir_select(docs, target, k=40, n_buckets=256)
+    return out.select("doc_id", R("logw", 6).alias("logw"), "selected")
+
+
+def _sql_dsir() -> str:
+    from flint_spark.pipeline.hashing import h28_sql
+    hf = h28_sql("f")
+    hg = h28_sql("'dsir' || doc_id::VARCHAR")
+    return f"""
+  WITH ws AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+    FROM documents),
+  feats AS (
+    SELECT doc_id,
+           unnest(w || list_transform(range(1, len(w)),
+                                      j -> w[j] || ' ' || w[j+1])) AS f
+    FROM ws WHERE w IS NOT NULL),
+  bf AS (SELECT doc_id, {hf} % 256 AS b FROM feats),
+  rc AS (SELECT b, count(*) AS c FROM bf GROUP BY 1),
+  tc AS (SELECT b, count(*) AS c FROM bf WHERE doc_id % 31 = 0 GROUP BY 1),
+  tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM tc) + 256.0 AS tt,
+                 (SELECT coalesce(sum(c), 0) FROM rc) + 256.0 AS rt),
+  ratio AS (
+    SELECT g.b,
+           ln((coalesce(tc.c, 0) + 1.0) / tot.tt)
+             - ln((coalesce(rc.c, 0) + 1.0) / tot.rt) AS lr
+    FROM range(0, 256) g(b)
+    LEFT JOIN tc ON tc.b = g.b
+    LEFT JOIN rc ON rc.b = g.b
+    CROSS JOIN tot),
+  lw AS (
+    SELECT d.doc_id, coalesce(s.lw, 0.0) AS logw
+    FROM documents d LEFT JOIN (
+      SELECT bf.doc_id, sum(r.lr) AS lw
+      FROM bf JOIN ratio r ON r.b = bf.b GROUP BY 1) s
+    USING (doc_id)),
+  keyed AS (
+    SELECT doc_id, logw,
+           logw - ln(-ln(({hg} + 0.5) / 268435456.0)) AS gk
+    FROM lw)
+  SELECT doc_id, floor(logw * 1e6 + 0.5) / 1e6 AS logw,
+         row_number() OVER (ORDER BY gk DESC, doc_id) <= 40 AS selected
+  FROM keyed
+"""

@@ -335,3 +335,96 @@ def _bucket28(col: Column, salt: str) -> Column:
     """Raw 28-bit hash (no modulus) — the race needs the full-width
     uniform, not the 10k split buckets."""
     return h28(F.concat(F.lit(salt), col.cast("string")))
+
+
+# ----------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ----------------------------------------------------------------------
+
+def _dsir_feats(text: Column) -> Column:
+    """Hashed-n-gram feature stream: word unigrams + adjacent word
+    bigrams (the DSIR feature space). Null text yields an empty
+    feature list (neutral weight), never a dropped row."""
+    ws = F.filter(F.split(text, " "), lambda w: w != "")
+    n = F.size(ws)
+    bigrams = F.zip_with(F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.coalesce(F.concat(ws, bigrams),
+                      F.array().cast("array<string>"))
+
+
+def dsir_log_ratios(raw: DataFrame, target: DataFrame,
+                    text_col: str = "text", n_buckets: int = 256,
+                    alpha: float = 1.0) -> list[float]:
+    """Per-bucket log importance ratios log(p_target / q_raw) over the
+    hashed unigram+bigram feature space, Laplace-smoothed. Two
+    corpus-scale explode+hash-agg passes; the driver holds exactly
+    ``n_buckets`` counts per corpus — bounded by construction, never
+    by data."""
+    import math
+
+    def counts(df):
+        b = F.pmod(h28(F.col("f")), F.lit(n_buckets)).alias("b")
+        rows = (df.select(F.explode(_dsir_feats(F.col(text_col))).alias("f"))
+                .select(b).groupBy("b").agg(F.count("*").alias("c"))
+                .collect())
+        out = [0] * n_buckets
+        for r in rows:
+            out[r["b"]] = r["c"]
+        return out
+
+    t, r = counts(target), counts(raw)
+    t_tot, r_tot = sum(t) + alpha * n_buckets, sum(r) + alpha * n_buckets
+    return [math.log((t[i] + alpha) / t_tot) -
+            math.log((r[i] + alpha) / r_tot) for i in range(n_buckets)]
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 256, alpha: float = 1.0,
+                seed: str = "dsir", gumbel: bool = True) -> DataFrame:
+    """DSIR data selection: score every raw document with its log
+    importance weight under the hashed-bigram target/raw ratio model,
+    then take the k Gumbel-top-k winners (deterministic md5-derived
+    Gumbel noise — reproducible resampling, the paper's sampler) or
+    the plain top-k when ``gumbel=False``.
+
+    Scoring is a MAP-ONLY projection: the n_buckets log-ratios inline
+    as one literal array and each document folds
+    ``element_at(ratios, h28(feat) % B + 1)`` over its own feature
+    list — zero exchanges beyond the two bounded distribution
+    aggregates; the only other exchange is the top-k cut. Adds
+    ``logw`` and ``selected``. Documents with no features score 0
+    (neutral), matching the empty-product convention."""
+    if n_buckets > 4096:
+        raise ValueError(
+            f"n_buckets={n_buckets} inlines as {n_buckets} literals; "
+            f"cap is 4096 (use a coarser feature space)")
+    ratios = dsir_log_ratios(raw, target, text_col, n_buckets, alpha)
+    lit_r = F.array(*[F.lit(v) for v in ratios])
+    feats = _dsir_feats(F.col(text_col))
+    logw = F.aggregate(
+        F.transform(feats, lambda f: F.element_at(
+            lit_r, (F.pmod(h28(f), F.lit(n_buckets)) + F.lit(1))
+            .cast("int"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = raw.withColumn("logw", logw)
+    if gumbel:
+        u = ((h28(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+              .cast("double") + F.lit(0.5)) / F.lit(float(2 ** 28)))
+        scored = scored.withColumn("__key", F.col("logw") - F.log(-F.log(u)))
+    else:
+        scored = scored.withColumn("__key", F.col("logw"))
+    # distributed top-k: TakeOrderedAndProject finds the kth (key, id)
+    # pair (1-row collect), then selection is a map-only flag — no
+    # global sort, no single-task window, order-of-k driver state
+    kth = (scored.select("__key", F.col(id_col).alias("__id"))
+           .orderBy(F.desc("__key"), "__id").limit(k)
+           .orderBy("__key", F.desc("__id")).limit(1).collect())
+    if kth:
+        kk, ki = kth[0]["__key"], kth[0]["__id"]
+        sel = (F.col("__key") > kk) | \
+              ((F.col("__key") == kk) & (F.col(id_col) <= ki))
+    else:
+        sel = F.lit(False)
+    return scored.withColumn("selected", sel).drop("__key")

@@ -3682,3 +3682,45 @@ def test_bpe_train_matches_reference_trainer(spark):
     counts = bpe.bpe_token_counts(docs, merges)
     assert plan_counts(counts)["python"] == 0
     assert plan_counts(counts)["shuffles"] == 2  # word agg + token agg
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """DSIR on a two-vocabulary corpus: docs written in the target's
+    vocabulary score strictly higher log importance weights than
+    off-distribution docs, Gumbel-top-k picks (mostly) from the target
+    vocabulary, k >= n selects everything, and the scoring path is a
+    zero-exchange projection."""
+    import numpy as np
+
+    from flint_spark.pipeline import sampling as smp
+    from flint_spark.plans.audit import plan_counts
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    va = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    vb = ["one", "two", "three", "four", "five"]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab, 12))
+
+    rows = [(i, doc(va), "a") for i in range(40)] + \
+           [(100 + i, doc(vb), "b") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, v string")
+    target = docs.filter((F.col("v") == "a") & (F.col("doc_id") < 10)) \
+                 .select("doc_id", "text")
+
+    out = smp.dsir_select(docs.select("doc_id", "text"), target, k=20,
+                          n_buckets=128)
+    assert plan_counts(out.select("doc_id", "logw")) == {
+        "shuffles": 0, "broadcasts": 0, "python": 0, "bnlj": 0}
+    res = out.toPandas().merge(
+        docs.select("doc_id", "v").toPandas(), on="doc_id")
+    assert res["logw"][res["v"] == "a"].min() > \
+        res["logw"][res["v"] == "b"].max()
+    sel = res[res["selected"]]
+    assert len(sel) == 20 and (sel["v"] == "a").all()
+
+    # k >= n: everything selected
+    all_sel = smp.dsir_select(docs.select("doc_id", "text"), target,
+                              k=1000, n_buckets=128).toPandas()
+    assert all_sel["selected"].all()
