@@ -225,6 +225,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "bpe_tokens": q_bpe_tokens,
         "dsir": q_dsir,
+        "spearman": q_spearman,
     }
 
 
@@ -319,6 +320,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "pq_topk": _sql_pq_topk(),
         "bpe_tokens": _sql_bpe_tokens(),
         "dsir": _sql_dsir(),
+        "spearman": SQL_SPEARMAN,
     }
 
 

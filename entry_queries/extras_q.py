@@ -3410,3 +3410,43 @@ def _sql_dsir() -> str:
          row_number() OVER (ORDER BY gk DESC, doc_id) <= 40 AS selected
   FROM keyed
 """
+
+
+def q_spearman(spark, sf):
+    """Spearman rank correlation (operators.regression.spearman_corr):
+    per-user monotone association of value vs the JSON props factor —
+    tie-averaged ranks from rank() + tie-group counts, Pearson on the
+    ranks, one exchange. The oracle computes the identical
+    average-rank algebra."""
+    from flint_spark.operators.regression import spearman_corr
+
+    ev = _events(spark, sf).select(
+        "user_id", "value",
+        F.get_json_object(F.col("props"), "$.k").cast("double").alias("xf"))
+    out = spearman_corr(ev, "value", "xf", key=["user_id"])
+    return out.select("user_id", R("spearman", 6).alias("spearman"), "n")
+
+
+SQL_SPEARMAN = """
+  WITH base AS (
+    SELECT user_id, value,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS xf
+    FROM events
+    WHERE value IS NOT NULL
+      AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+  ),
+  ranked AS (
+    SELECT user_id,
+           rank() OVER (PARTITION BY user_id ORDER BY value)
+             + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0
+             AS rx,
+           rank() OVER (PARTITION BY user_id ORDER BY xf)
+             + (count(*) OVER (PARTITION BY user_id, xf) - 1) / 2.0
+             AS ry
+    FROM base
+  )
+  SELECT user_id,
+         floor(corr(rx, ry) * 1e6 + 0.5) / 1e6 AS spearman,
+         count(*) AS n
+  FROM ranked GROUP BY user_id
+"""

@@ -412,3 +412,35 @@ def lead_lag_corr(df: DataFrame, x_col: str, y_col: str,
                      F.explode(pairs).alias("__p"))
             .select(*[F.col(c) for c in key], "__p.lag", "__p.xy_corr",
                     "__p.n_pairs"))
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  key: Sequence[str] = ()) -> DataFrame:
+    """Spearman rank correlation per key: Pearson correlation of
+    tie-averaged ranks — the robust (monotone-invariant) complement to
+    ``corr``'s linear coefficient.
+
+    Pairwise-complete: rows with a null on either side are excluded
+    BEFORE ranking (they would shift everyone else's rank). Tie groups
+    get the textbook average rank, computed from rank() + the tie-group
+    size without a second pass. Plan: one hash exchange on the key,
+    two in-partition sorts (one per rank order), and a final aggregate
+    that reuses the partitioning — zero Python. Returns
+    (key..., spearman, n)."""
+    from pyspark.sql import Window
+
+    keyc = [F.col(c) for c in key]
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def avg_rank(col: str) -> Column:
+        w = Window.partitionBy(*keyc).orderBy(F.col(col))
+        ties = Window.partitionBy(*keyc, F.col(col))
+        return (F.rank().over(w).cast("double")
+                + (F.count("*").over(ties) - F.lit(1)) / F.lit(2.0))
+
+    ranked = base.withColumns({"__rx": avg_rank(x_col),
+                               "__ry": avg_rank(y_col)})
+    c = F.corr("__rx", "__ry")
+    return (ranked.groupBy(*keyc)
+            .agg(F.when(~F.isnan(c), c).alias("spearman"),
+                 F.count("*").alias("n")))

@@ -3724,3 +3724,41 @@ def test_dsir_selects_target_like_documents(spark):
     all_sel = smp.dsir_select(docs.select("doc_id", "text"), target,
                               k=1000, n_buckets=128).toPandas()
     assert all_sel["selected"].all()
+
+
+def test_spearman_semantics(spark):
+    """Spearman equals Pearson-on-average-ranks (pandas reference),
+    is exactly 1.0 under any strictly monotone transform, handles tie
+    groups with textbook average ranks, excludes null pairs before
+    ranking, and plans one exchange / zero Python."""
+    import numpy as np
+    import pandas as pd
+
+    from flint_spark.operators.regression import spearman_corr
+    from flint_spark.plans.audit import plan_counts
+
+    rng = np.random.RandomState(2)
+    n = 200
+    x = rng.normal(0, 1, n)
+    y = np.exp(x) + rng.normal(0, 0.2, n)
+    x[5] = np.nan
+    y[7] = np.nan
+    x[10] = x[11] = x[12]  # tie group
+    pdf = pd.DataFrame({"id": ["a"] * 100 + ["b"] * 100, "x": x, "y": y})
+    df = spark.createDataFrame(pdf)
+
+    out = spearman_corr(df, "x", "y", key=["id"])
+    assert plan_counts(out) == {"shuffles": 1, "broadcasts": 0,
+                                "python": 0, "bnlj": 0}
+    res = {r["id"]: (r["spearman"], r["n"]) for r in out.collect()}
+    for k, g in pdf.groupby("id"):
+        m = g.dropna(subset=["x", "y"])
+        exp = m["x"].rank(method="average").corr(m["y"].rank(method="average"))
+        got, nn = res[k]
+        assert abs(got - exp) < 1e-12 and nn == len(m)
+
+    # monotone invariance: spearman(x, x^3) == 1 exactly
+    mono = spark.createDataFrame(
+        pd.DataFrame({"x": x[:50], "y": x[:50] ** 3}).dropna())
+    r = spearman_corr(mono, "x", "y").collect()[0]
+    assert r["spearman"] == 1.0
