@@ -3203,9 +3203,19 @@ def _sql_lead_lag() -> str:
     for lag in [-2, -1, 0, 1, 2, 3]:
         shift = (f"lead(xf, {lag}) OVER w" if lag >= 0
                  else f"lag(xf, {-lag}) OVER w")
+        # NaN mirror of the Spark guard: DuckDB corr() ERRORS if a NaN
+        # enters the aggregate (Spark yields NaN, which the operator
+        # nulls), so NaN pairs are nulled out of corr's inputs and the
+        # result is nulled whenever such a pair existed
+        nan_pair = ("value IS NOT NULL AND yl IS NOT NULL "
+                    "AND (isnan(value) OR isnan(yl))")
+        clean = "NOT isnan(coalesce(value, 0)) AND NOT isnan(coalesce(yl, 0))"
         branches.append(f"""
   SELECT user_id, {lag} AS lag,
-         floor(corr(value, yl) * 1e6 + 0.5) / 1e6 AS xy_corr,
+         CASE WHEN count(CASE WHEN {nan_pair} THEN 1 END) > 0 THEN NULL
+              ELSE floor(corr(CASE WHEN {clean} THEN value END,
+                              CASE WHEN {clean} THEN yl END)
+                         * 1e6 + 0.5) / 1e6 END AS xy_corr,
          count(CASE WHEN value IS NOT NULL AND yl IS NOT NULL
                     THEN 1 END) AS n_pairs
   FROM (
@@ -3251,8 +3261,12 @@ def _sql_pq_topk() -> str:
     SELECT s, code, i, avg(sv[i]) AS mn
     FROM a{n} CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
   c{n} AS (
-    SELECT s, code, list(floor(mn * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
-    FROM m{n} GROUP BY 1, 2)"""
+    -- a code with no members keeps its previous centroid, exactly
+    -- like pq_train's `if got:` branch (empty-cluster parity)
+    SELECT p.s, p.code, coalesce(nw.cv, p.cv) AS cv
+    FROM c{n-1} p LEFT JOIN (
+      SELECT s, code, list(floor(mn * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
+      FROM m{n} GROUP BY 1, 2) nw ON nw.s = p.s AND nw.code = p.code)"""
 
     return f"""
   WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -63,7 +63,11 @@ def cusum(df: DataFrame, column: str, k: float = 0.5, h: float = 5.0,
     w_run = (Window.partitionBy(*keyc).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    x = F.col(column)
+    # NaN guard FIRST: NaN is not null, survives coalesce, poisons the
+    # prefix sums AND the estimated mean/stddev forever, and compares
+    # greater than h (alarm stuck True). Treat NaN exactly like null —
+    # frozen state, null score — matching cusum_stream's ~isnan rule.
+    x = F.when(~F.isnan(F.col(column).cast("double")), F.col(column))
     if mu is None or sigma is None:
         # materialize the per-key stats ONCE (a single unbounded-frame
         # Window node); building z from raw window expressions would

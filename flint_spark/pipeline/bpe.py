@@ -23,8 +23,10 @@ frequent pair everywhere. Both steps map onto DataFrame ops:
   list — ``num_merges`` pairs, nothing else.
 
 Ties break deterministically: (count DESC, left ASC, right ASC).
-Words containing the bracket delimiters are dropped loudly rather than
-silently mis-segmented.
+Words containing the bracket delimiter characters are EXCLUDED from
+the vocabulary (they would make token boundaries ambiguous) — a
+documented contract of this encoding, mirrored in the SQL oracle;
+pre-escape such corpora upstream if those characters matter.
 """
 
 from __future__ import annotations

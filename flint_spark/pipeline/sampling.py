@@ -346,8 +346,10 @@ def _dsir_feats(text: Column) -> Column:
     bigrams (the DSIR feature space). Null text yields an empty
     feature list (neutral weight), never a dropped row."""
     ws = F.filter(F.split(text, " "), lambda w: w != "")
-    n = F.size(ws)
-    bigrams = F.zip_with(F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1),
+    # clamp: an empty/whitespace-only doc has size 0 and slice would
+    # reject length -1 at runtime (aborting the job, not the row)
+    n1 = F.greatest(F.size(ws) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(F.slice(ws, 1, n1), F.slice(ws, 2, n1),
                          lambda a, b: F.concat(a, F.lit(" "), b))
     return F.coalesce(F.concat(ws, bigrams),
                       F.array().cast("array<string>"))
@@ -415,6 +417,11 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
         scored = scored.withColumn("__key", F.col("logw") - F.log(-F.log(u)))
     else:
         scored = scored.withColumn("__key", F.col("logw"))
+    # cache the scored table: the md5+literal-lookup fold over every
+    # document is the dominant cost, and it is needed twice — for the
+    # kth-threshold pass below and for the returned DataFrame (left
+    # persisted; evictable, and the caller may unpersist after use)
+    scored = scored.persist()
     # distributed top-k: TakeOrderedAndProject finds the kth (key, id)
     # pair (1-row collect), then selection is a map-only flag — no
     # global sort, no single-task window, order-of-k driver state

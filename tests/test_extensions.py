@@ -3479,8 +3479,11 @@ def test_cusum_semantics(spark):
     from flint_spark.plans.audit import plan_counts
 
     t0 = dt.datetime(2024, 1, 1)
-    # key "a": drift up; key "c": constant (sigma = 0)
-    vals = [0.0, 1.0, None, 2.0, 3.0, 4.0, 5.0, 6.0]
+    # key "a": drift up; key "c": constant (sigma = 0); a NaN value
+    # must behave exactly like null (frozen state, null score) — NaN
+    # is not null and would otherwise poison both prefix sums and pin
+    # the alarm True forever
+    vals = [0.0, 1.0, None, 2.0, float("nan"), 3.0, 4.0, 5.0, 6.0]
     rows = [(t0 + dt.timedelta(minutes=i), "a", v)
             for i, v in enumerate(vals)]
     rows += [(t0 + dt.timedelta(minutes=i), "c", 7.0) for i in range(3)]
@@ -3495,7 +3498,7 @@ def test_cusum_semantics(spark):
     sp = sn = 0.0
     exp = []
     for v in vals:
-        if v is None:
+        if v is None or v != v:
             exp.append((None, None, None))
             continue
         z = (v - 1.0) / 2.0
@@ -3513,11 +3516,12 @@ def test_cusum_semantics(spark):
     # at least one alarm fired on the drift
     assert bool(ga["v_alarm"].iloc[-1])
 
-    # estimated mode: constant key has sigma 0 -> all null scores
+    # estimated mode: constant key has sigma 0 -> all null scores,
+    # and the NaN row must not poison the estimated mean/stddev
     est = cusum(df, "v", key=["id"]).orderBy("id", "time").toPandas()
     gc = est[est["id"] == "c"]
     assert gc["v_cusum_pos"].isna().all() and gc["v_alarm"].isna().all()
-    # estimated mode still scores the drifting key
+    # estimated mode still scores the drifting key (7 observed rows)
     assert est[est["id"] == "a"]["v_cusum_pos"].notna().sum() == 7
 
 
@@ -3704,7 +3708,8 @@ def test_dsir_selects_target_like_documents(spark):
         return " ".join(rng.choice(vocab, 12))
 
     rows = [(i, doc(va), "a") for i in range(40)] + \
-           [(100 + i, doc(vb), "b") for i in range(40)]
+           [(100 + i, doc(vb), "b") for i in range(40)] + \
+           [(500, "", "b"), (501, "   ", "b"), (502, None, "b")]
     docs = spark.createDataFrame(rows, "doc_id long, text string, v string")
     target = docs.filter((F.col("v") == "a") & (F.col("doc_id") < 10)) \
                  .select("doc_id", "text")
@@ -3715,10 +3720,16 @@ def test_dsir_selects_target_like_documents(spark):
         "shuffles": 0, "broadcasts": 0, "python": 0, "bnlj": 0}
     res = out.toPandas().merge(
         docs.select("doc_id", "v").toPandas(), on="doc_id")
-    assert res["logw"][res["v"] == "a"].min() > \
-        res["logw"][res["v"] == "b"].max()
+    # empty / whitespace-only / null text scores the neutral 0 weight
+    # (no features) instead of crashing the slice
+    degenerate = res[res["doc_id"] >= 500]
+    assert (degenerate["logw"] == 0.0).all()
+    body = res[res["doc_id"] < 500]
+    assert body["logw"][body["v"] == "a"].min() > \
+        body["logw"][body["v"] == "b"].max()
     sel = res[res["selected"]]
     assert len(sel) == 20 and (sel["v"] == "a").all()
+    assert not degenerate["selected"].any()
 
     # k >= n: everything selected
     all_sel = smp.dsir_select(docs.select("doc_id", "text"), target,
