@@ -97,6 +97,8 @@ HEADLINE = [
     "lead_lag",
     "pq_topk",
     "bpe_tokens",
+    "dsir",
+    "spearman",
 ]
 
 
