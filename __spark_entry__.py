@@ -226,6 +226,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "dsir": q_dsir,
         "spearman": q_spearman,
+        "kalman": q_kalman,
     }
 
 
@@ -321,6 +322,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bpe_tokens": _sql_bpe_tokens(),
         "dsir": _sql_dsir(),
         "spearman": SQL_SPEARMAN,
+        "kalman": SQL_KALMAN,
     }
 
 

@@ -3464,3 +3464,46 @@ SQL_SPEARMAN = """
          count(*) AS n
   FROM ranked GROUP BY user_id
 """
+
+
+def q_kalman(spark, sf):
+    """Kalman local-level filter (operators.kalman.kalman_local_level):
+    gap-adaptive posterior level per user (q=4/day process diffusion,
+    r=25 observation variance, p0=100 prior). The gain/variance
+    recursion is rational in P — no window-algebra form — so the
+    oracle replays it EXACTLY as a DuckDB recursive CTE stepping
+    row-by-row (the seed must be ::DOUBLE: a bare 100.0 literal is
+    DECIMAL(4,1) and silently rounds the variance every step)."""
+    from flint_spark.operators.kalman import kalman_local_level
+
+    ev = (_events(spark, sf)
+          .select(TIME_COLUMN, "event_id", "user_id", "value")
+          .filter(F.col("value").isNotNull() & ~F.isnan(F.col("value"))))
+    out = kalman_local_level(ev, "value", q=4.0, r=25.0, period="1d",
+                             p0=100.0, key=["user_id"])
+    return out.select("event_id", "user_id",
+                      R("value_kf", 6).alias("kf"))
+
+
+SQL_KALMAN = """
+  WITH RECURSIVE base AS (
+    SELECT user_id, event_id, epoch_us(ts)::DOUBLE AS tus, value AS x,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), value, event_id) AS rn
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  ),
+  kf AS (
+    SELECT user_id, event_id, rn, tus, x, x AS l, 100.0::DOUBLE AS P
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b.user_id, b.event_id, b.rn, b.tus, b.x,
+           kf.l + ((kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0)
+                   / (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0
+                      + 25.0)) * (b.x - kf.l) AS l,
+           (1.0 - (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0)
+                / (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0 + 25.0))
+             * (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0) AS P
+    FROM kf JOIN base b ON b.user_id = kf.user_id AND b.rn = kf.rn + 1
+  )
+  SELECT event_id, user_id, floor(l * 1e6 + 0.5) / 1e6 AS kf FROM kf
+"""

@@ -1921,3 +1921,60 @@ def cusum_stream(stream: DataFrame, column: str, key: Sequence[str],
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def kalman_stream(stream: DataFrame, column: str, key: Sequence[str],
+                  q: float, r: float, period: str | int = "1d",
+                  p0: float | None = None,
+                  time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of ``operators.kalman.kalman_local_level``: the
+    (last observed time, level, variance) triple is the ENTIRE filter
+    state, carried across triggers through the same scan the batch
+    engine runs — in-order replay reproduces the batch levels bitwise.
+    Null/NaN observations score null and leave the state untouched
+    (diffusion measured from the last observed row)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.kalman import _kf_scan_factory
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    if not q >= 0 or not r > 0:
+        raise ValueError(f"need q >= 0 and r > 0, got q={q} r={r}")
+    p0 = float(r) if p0 is None else float(p0)
+    scan = _kf_scan_factory(float(q), float(r), p0,
+                            float(parse_duration_ns(period)))
+    key = list(key)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType()),
+           T.StructField(f"{column}_kf", T.DoubleType())])
+    state_schema = T.StructType([
+        T.StructField("last_t", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("var", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        st = state.get if state.exists else (None, 0.0, 0.0)
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            pdf = _sort_time_then_values(pdf, "__tns", [column])
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            out, st = scan(t, x, st)
+            res = pd.DataFrame({c: [v] * len(x)
+                                for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[column] = x
+            res[f"{column}_kf"] = out
+            frames.append(res)
+        state.update(st)
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

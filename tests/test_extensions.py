@@ -3773,3 +3773,66 @@ def test_spearman_semantics(spark):
         pd.DataFrame({"x": x[:50], "y": x[:50] ** 3}).dropna())
     r = spearman_corr(mono, "x", "y").collect()[0]
     assert r["spearman"] == 1.0
+
+
+def test_kalman_local_level_semantics(spark):
+    """Kalman filter on a hand-replayed fixture: exact recursion match
+    (incl. NaN rows scoring null with frozen state), gap adaptivity
+    (a longer gap yields a larger gain than an adjacent short gap at
+    steady state), convergence toward a constant signal, and parameter
+    validation."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from flint_spark.operators.kalman import kalman_local_level
+
+    t0 = dt.datetime(2024, 1, 1)
+    # irregular gaps in hours: 1, 1, 24, 1, 1 (long gap in the middle)
+    offsets = [0, 1, 2, 26, 27, 28, 29, 30]
+    vals = [10.0, 12.0, None, 11.0, 13.0, float("nan"), 12.5, 12.0]
+    rows = [(t0 + dt.timedelta(hours=h), "a", v)
+            for h, v in zip(offsets, vals)]
+    df = spark.createDataFrame(rows, "time timestamp, id string, v double")
+    out = (kalman_local_level(df, "v", q=2.0, r=5.0, period="1d",
+                              p0=20.0, key=["id"])
+           .orderBy("time").toPandas())
+
+    l = P = lt = None
+    gains = []
+    for (h, v), (_, r0) in zip(zip(offsets, vals), out.iterrows()):
+        if v is None or (isinstance(v, float) and v != v):
+            assert pd.isna(r0["v_kf"])
+            continue
+        t = h * 3600e9
+        if l is None:
+            l, P = v, 20.0
+        else:
+            pp = P + 2.0 * (t - lt) / 86400e9
+            k = pp / (pp + 5.0)
+            gains.append((t - lt, k))
+            l += k * (v - l)
+            P = (1 - k) * pp
+        lt = t
+        assert abs(r0["v_kf"] - l) < 1e-12
+
+    # gap adaptivity: the long-gap update (25h, spanning the null row)
+    # used a larger gain than the 1h update right after it (same
+    # post-transient state; the pre-gap gain is inflated by the prior)
+    assert gains[1][0] > gains[2][0]
+    assert gains[1][1] > gains[2][1]
+
+    with _pytest.raises(ValueError):
+        kalman_local_level(df, "v", q=-1.0, r=5.0)
+    with _pytest.raises(ValueError):
+        kalman_local_level(df, "v", q=1.0, r=0.0)
+
+    # convergence: constant observations pull the level onto the signal
+    const = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=i), "c", 7.0) for i in range(30)],
+        "time timestamp, id string, v double")
+    got = (kalman_local_level(const, "v", q=0.1, r=5.0, key=["id"])
+           .orderBy("time").toPandas())
+    assert abs(got["v_kf"].iloc[-1] - 7.0) < 1e-9

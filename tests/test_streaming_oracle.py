@@ -1649,3 +1649,55 @@ def test_cusum_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_cusum", got, sql, con)
     assert ok, msg
+
+
+def test_kalman_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming Kalman local-level replay == DuckDB's recursive-CTE
+    replay of the exact gain/variance recursion (q=4/day, r=25,
+    p0=100). Every 7th value is nulled on BOTH sides: null observations
+    score null and leave the (last_t, level, var) state untouched, so
+    diffusion spans the gap to the next observed row."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("value", F.when(F.col("event_id") % 7 != 0,
+                                      F.col("value")))
+          .select("time", "event_id", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "kf"))
+    out = ts_stream.kalman_stream(st, "value", key=["user_id"],
+                                  q=4.0, r=25.0, period="1d", p0=100.0)
+    _run_to_table(out, "so_kalman")
+    got = (spark.sql("SELECT * FROM so_kalman")
+           .filter(F.col("value_kf").isNotNull())
+           .select(F.col("__tns").alias("tns"), "user_id", "value",
+                   (F.floor(F.col("value_kf") * 1000000 + 0.5)
+                    / 1000000).alias("kf")))
+    sql = """
+      WITH RECURSIVE base AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns,
+               epoch_us(ts)::DOUBLE AS tus, value AS x,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), value, event_id) AS rn
+        FROM events
+        WHERE event_id % 7 <> 0 AND value IS NOT NULL
+      ),
+      kf AS (
+        SELECT user_id, tns, rn, tus, x, x AS l, 100.0::DOUBLE AS P
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.tns, b.rn, b.tus, b.x,
+               kf.l + ((kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0)
+                       / (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0
+                          + 25.0)) * (b.x - kf.l) AS l,
+               (1.0 - (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0)
+                    / (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0
+                       + 25.0))
+                 * (kf.P + 4.0 * (b.tus - kf.tus) / 86400000000.0) AS P
+        FROM kf JOIN base b ON b.user_id = kf.user_id
+                           AND b.rn = kf.rn + 1
+      )
+      SELECT tns, user_id, x AS value,
+             floor(l * 1e6 + 0.5) / 1e6 AS kf
+      FROM kf
+    """
+    ok, msg = compare("so_kalman", got, sql, con)
+    assert ok, msg
