@@ -99,6 +99,7 @@ HEADLINE = [
     "bpe_tokens",
     "dsir",
     "spearman",
+    "kalman",
 ]
 
 

@@ -574,8 +574,67 @@ def analytics_scale(spark, millions: float = 5.0):
     assert t < 300, "bm25 at 1M docs should be scan-bound"
 
 
+def r5ops_scale(spark, millions: float = 2.0):
+    """Round-5 continuation operators at scale: CUSUM (pure window
+    scan), Kalman (complete-group Arrow engine), DSIR scoring
+    (map-only literal-array fold over 1M docs), PQ encode (pure
+    projection over 200k vectors), and one BPE merge iteration over a
+    1M-doc vocabulary — each with a linearity or wall-bound check
+    and a plan pin."""
+    from flint_spark.operators.changepoint import cusum
+    from flint_spark.operators.kalman import kalman_local_level
+    from flint_spark.pipeline import bpe
+    from flint_spark.pipeline import sampling as smp
+    from flint_spark.pipeline import similarity as sim
+    from flint_spark.plans.audit import plan_counts
+
+    n_big = int(millions * 1e6)
+    n_small = n_big // 2
+
+    def series(n):
+        return (spark.range(n)
+                .select((F.col("id") * 10**9).alias("time"),
+                        F.pmod(F.col("id"), F.lit(2000)).alias("k"),
+                        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 100.0)
+                        .alias("v")))
+
+    linearity("cusum 2k keys",
+              lambda n: cusum(series(n), "v", mu=5.0, sigma=3.0,
+                              key=["k"]),
+              n_small, n_big)
+    assert plan_counts(cusum(series(n_big), "v", mu=5.0, sigma=3.0,
+                             key=["k"]))["shuffles"] == 1
+
+    linearity("kalman 2k keys",
+              lambda n: kalman_local_level(series(n), "v", q=1.0,
+                                           r=4.0, key=["k"]),
+              n_small, n_big)
+
+    docs = synth_corpus(spark, 1_000_000)
+    target = docs.filter(F.pmod(F.col("doc_id"), F.lit(31)) == 0)
+    t = timed("dsir select 1M docs",
+              smp.dsir_select(docs, target, k=10_000, n_buckets=256))
+    assert t < 300, "dsir scoring should be scan-bound"
+
+    emb = synth_embeddings(spark, 200_000, dim=16)
+    books = sim.pq_train(emb, m=4, ksub=8, iters=1)
+    enc = sim.pq_encode(emb, books)
+    assert plan_counts(enc) == {"shuffles": 0, "broadcasts": 0,
+                                "python": 0, "bnlj": 0}
+    t = timed("pq encode 200k x 16d", enc)
+    assert t < 120
+
+    t = timed("bpe 1 merge over 1M-doc vocab",
+              spark.createDataFrame(bpe.bpe_train(docs, num_merges=1),
+                                    "a string, b string, c long"))
+    assert t < 300
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "analytics":
+    if len(sys.argv) > 1 and sys.argv[1] == "r5ops":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+        r5ops_scale(get_spark("scale_smoke"), m)
+    elif len(sys.argv) > 1 and sys.argv[1] == "analytics":
         m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
         analytics_scale(get_spark("scale_smoke"), m)
     elif len(sys.argv) > 1 and sys.argv[1] == "pipeline":
