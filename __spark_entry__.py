@@ -227,6 +227,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "spearman": q_spearman,
         "kalman": q_kalman,
+        "seasonal": q_seasonal,
     }
 
 
@@ -323,6 +324,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "dsir": _sql_dsir(),
         "spearman": SQL_SPEARMAN,
         "kalman": SQL_KALMAN,
+        "seasonal": SQL_SEASONAL,
     }
 
 

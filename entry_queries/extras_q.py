@@ -3507,3 +3507,58 @@ SQL_KALMAN = """
   )
   SELECT event_id, user_id, floor(l * 1e6 + 0.5) / 1e6 AS kf FROM kf
 """
+
+
+def q_seasonal(spark, sf):
+    """Classical additive seasonal decomposition
+    (operators.seasonal.seasonal_decompose): per-user day-of-week cycle
+    (period=7, unit=1d) — centered time-window trend, zero-centered
+    per-phase seasonals, residual. One keyed exchange drives the trend
+    window AND the (key, phase) aggregation; the period-bounded phase
+    table joins back broadcast. The oracle replays the identical
+    algebra."""
+    from flint_spark.operators.seasonal import seasonal_decompose
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id",
+                                   "value")
+    out = seasonal_decompose(ev, "value", period=7, unit="1d",
+                             key=["user_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id",
+                      R("value_trend", 6).alias("trend"),
+                      R("value_seasonal", 6).alias("seasonal"),
+                      R("value_resid", 6).alias("resid"))
+
+
+SQL_SEASONAL = """
+  WITH base AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+           epoch_us(ts) AS tus,
+           (floor(epoch_us(ts) * 1000 / 86400000000000.0)::BIGINT % 7
+            + 7) % 7 AS phase
+    FROM events
+  ),
+  tr AS (
+    SELECT *, avg(value) OVER (
+      PARTITION BY user_id ORDER BY tus
+      RANGE BETWEEN 259200000000 PRECEDING AND 259200000000 FOLLOWING)
+      AS trend
+    FROM base
+  ),
+  pm AS (
+    SELECT user_id, phase, avg(value - trend) AS pmean
+    FROM tr GROUP BY 1, 2
+  ),
+  sm AS (
+    SELECT user_id, phase,
+           pmean - avg(pmean) OVER (PARTITION BY user_id) AS seasonal
+    FROM pm
+  )
+  SELECT t.time, t.event_id, t.user_id,
+         floor(t.trend * 1e6 + 0.5) / 1e6 AS trend,
+         CASE WHEN t.value IS NOT NULL
+              THEN floor(s.seasonal * 1e6 + 0.5) / 1e6 END AS seasonal,
+         CASE WHEN t.value IS NOT NULL
+              THEN floor((t.value - t.trend - s.seasonal) * 1e6 + 0.5)
+                   / 1e6 END AS resid
+  FROM tr t LEFT JOIN sm s ON s.user_id = t.user_id AND s.phase = t.phase
+"""
