@@ -381,6 +381,24 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame,
             math.log((r[i] + alpha) / r_tot) for i in range(n_buckets)]
 
 
+
+def dsir_score(df: DataFrame, ratios: Sequence[float],
+               text_col: str = "text") -> DataFrame:
+    """Score documents against a TRAINED ratio table: adds ``logw`` as
+    a map-only fold over one literal array — stateless, zero
+    exchanges, and therefore runs unchanged on ``readStream`` (the
+    online face of DSIR: score arriving documents against a
+    batch-built target model)."""
+    n_buckets = len(ratios)
+    lit_r = F.array(*[F.lit(float(v)) for v in ratios])
+    feats = _dsir_feats(F.col(text_col))
+    logw = F.aggregate(
+        F.transform(feats, lambda f: F.element_at(
+            lit_r, (F.pmod(h28(f), F.lit(n_buckets)) + F.lit(1))
+            .cast("int"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return df.withColumn("logw", logw)
+
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 256, alpha: float = 1.0,
@@ -403,14 +421,7 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
             f"n_buckets={n_buckets} inlines as {n_buckets} literals; "
             f"cap is 4096 (use a coarser feature space)")
     ratios = dsir_log_ratios(raw, target, text_col, n_buckets, alpha)
-    lit_r = F.array(*[F.lit(v) for v in ratios])
-    feats = _dsir_feats(F.col(text_col))
-    logw = F.aggregate(
-        F.transform(feats, lambda f: F.element_at(
-            lit_r, (F.pmod(h28(f), F.lit(n_buckets)) + F.lit(1))
-            .cast("int"))),
-        F.lit(0.0), lambda acc, v: acc + v)
-    scored = raw.withColumn("logw", logw)
+    scored = dsir_score(raw, ratios, text_col)
     if gumbel:
         u = ((h28(F.concat(F.lit(seed), F.col(id_col).cast("string")))
               .cast("double") + F.lit(0.5)) / F.lit(float(2 ** 28)))

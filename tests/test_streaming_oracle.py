@@ -1701,3 +1701,50 @@ def test_kalman_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_kalman", got, sql, con)
     assert ok, msg
+
+
+def test_dsir_score_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming DSIR scoring: a batch-trained hashed-bigram ratio
+    model scores a replayed document stream map-side (dsir_score is a
+    stateless projection, so it runs unchanged on readStream — the
+    online data-selection face), compared against the batch oracle's
+    distribution + scoring SQL. Docs replay split on doc_id (documents
+    have no event time)."""
+    import os
+    import shutil
+
+    from flint_spark.pipeline import sampling as smp
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text"))
+    target = docs.filter(F.col("doc_id") % 31 == 0)
+    ratios = smp.dsir_log_ratios(docs, target, n_buckets=256)
+
+    out_dir = str(tmp_path / "dsir")
+    os.makedirs(out_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        tmp = os.path.join(out_dir, f"_tmp{i}")
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, src),
+                    os.path.join(out_dir, f"chunk_{i}.parquet"))
+        shutil.rmtree(tmp)
+    st = (spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = smp.dsir_score(st, ratios)
+    _run_to_table(out.select("doc_id",
+                             (F.floor(F.col("logw") * 1000000 + 0.5)
+                              / 1000000).alias("logw")), "so_dsir")
+    got = spark.sql("SELECT * FROM so_dsir")
+
+    import __spark_entry__ as entry
+    # reuse the batch oracle's CTE chain up to logw (drop the
+    # selection tail: scoring is the streamed part)
+    full = entry.extra_oracle_sql()["dsir"]
+    head = full[:full.index("keyed AS (")]
+    sql = head.rstrip().rstrip(",") + """
+  SELECT doc_id, floor(logw * 1e6 + 0.5) / 1e6 AS logw FROM lw
+"""
+    ok, msg = compare("so_dsir", got, sql, con)
+    assert ok, msg
