@@ -100,6 +100,9 @@ HEADLINE = [
     "dsir",
     "spearman",
     "kalman",
+    "seasonal",
+    "robust_zscore",
+    "holt_winters",
 ]
 
 

@@ -3531,7 +3531,8 @@ def q_seasonal(spark, sf):
 
 SQL_SEASONAL = """
   WITH base AS (
-    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id,
+           CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
            epoch_us(ts) AS tus,
            (floor(epoch_us(ts) * 1000 / 86400000000000.0)::BIGINT % 7
             + 7) % 7 AS phase
@@ -3581,18 +3582,25 @@ def q_robust_zscore(spark, sf):
 
 
 SQL_ROBUST_ZSCORE = """
-  WITH med AS (
-    SELECT user_id, median(value) AS med FROM events GROUP BY 1
+  WITH ev AS (
+    -- NaN == null mirror of the engine contract (DuckDB medians would
+    -- otherwise treat NaN as the greatest real value)
+    SELECT event_id, user_id,
+           CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+    FROM events
+  ),
+  med AS (
+    SELECT user_id, median(value) AS med FROM ev GROUP BY 1
   ),
   mad AS (
     SELECT e.user_id, median(abs(e.value - m.med)) AS mad
-    FROM events e JOIN med m USING (user_id) GROUP BY 1
+    FROM ev e JOIN med m USING (user_id) GROUP BY 1
   ),
   scored AS (
     SELECT e.event_id, e.user_id, e.value,
            CASE WHEN d.mad > 0
                 THEN 0.6745 * (e.value - m.med) / d.mad END AS rz
-    FROM events e JOIN med m USING (user_id) JOIN mad d USING (user_id)
+    FROM ev e JOIN med m USING (user_id) JOIN mad d USING (user_id)
   )
   SELECT event_id, user_id, value,
          floor(rz * 1e6 + 0.5) / 1e6 AS rz

@@ -180,24 +180,38 @@ def _scan_values(coeff_fn, divide: bool):
     return fn
 
 
-def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str],
-                   fn) -> DataFrame:
-    """Keyed (or, for tests, single-group) Arrow grouped-map scan."""
+def _apply_per_key(df: DataFrame, column: str, out_name, key: Sequence[str],
+                   fn, tie_break: Sequence[str] = ()) -> DataFrame:
+    """Keyed (or, for tests, single-group) Arrow grouped-map scan.
+
+    ``out_name`` may be one name (``fn`` returns one array) or a list
+    of names (``fn`` returns a matching tuple of arrays — the
+    Holt-Winters / multi-output form). ``tie_break`` appends extra
+    sort columns AFTER the family's (time, value) tie rule for callers
+    whose oracle pins duplicate (time, value) rows to a specific id."""
     key = list(key)
+    names = [out_name] if isinstance(out_name, str) else list(out_name)
+    multi = not isinstance(out_name, str)
+    tie = list(tie_break)
     with_ns = df.withColumn("__tns", time_ns_expr(df))
     schema = T.StructType(list(df.schema.fields) +
-                          [T.StructField(out_name, T.DoubleType())])
+                          [T.StructField(n, T.DoubleType()) for n in names])
     in_cols = list(df.columns)
+
+    def outputs(t, x):
+        vals = fn(t, x)
+        return vals if multi else (vals,)
 
     def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         # (time, value) tie order: same max-struct rule as the keyless
         # distributed scan, so both paths are layout-independent and agree
         # bitwise on inputs with duplicate timestamps.
-        pdf = pdf.sort_values(["__tns", column], kind="stable")
+        pdf = pdf.sort_values(["__tns", column, *tie], kind="stable")
         t = pdf["__tns"].to_numpy(dtype=np.int64)
         x = pdf[column].to_numpy(dtype=np.float64)
-        pdf[out_name] = fn(t, x)
-        return pdf[in_cols + [out_name]]
+        for n, v in zip(names, outputs(t, x)):
+            pdf[n] = v
+        return pdf[in_cols + names]
 
     if key:
         # many key groups per Arrow batch (functions.
@@ -215,19 +229,24 @@ def _apply_per_key(df: DataFrame, column: str, out_name: str, key: Sequence[str]
                 head = head.reset_index(drop=True)
                 t_all = head["__tns"].to_numpy(np.int64)
                 x_all = head[column].to_numpy(np.float64)
-                outv = np.empty(len(head), dtype=np.float64)
+                outv = [np.empty(len(head), dtype=np.float64)
+                        for _ in names]
                 segs = _group_boundaries(np, head, key).tolist() \
                     + [len(head)]
                 for s0, s1 in zip(segs, segs[1:]):
-                    outv[s0:s1] = fn(t_all[s0:s1], x_all[s0:s1])
+                    for o, v in zip(outv,
+                                    outputs(t_all[s0:s1], x_all[s0:s1])):
+                        o[s0:s1] = v
                 res = head[in_cols].copy()
-                res[out_name] = outv
+                for n, o in zip(names, outv):
+                    res[n] = o
                 yield res
 
         arranged = (with_ns.repartition(*[F.col(k) for k in key])
                     .sortWithinPartitions(
                         *key, F.col("__tns").asc_nulls_last(),
-                        F.col(column).asc_nulls_last()))
+                        F.col(column).asc_nulls_last(),
+                        *[F.col(c).asc_nulls_last() for c in tie]))
         return arranged.mapInPandas(run, schema)
     return with_ns.groupBy().applyInPandas(compute, schema)
 

@@ -27,12 +27,9 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from ..timeseries import parse_duration_ns, time_ns_expr
+from ..timeseries import parse_duration_ns
 
 __all__ = ["holt_winters"]
 
@@ -70,64 +67,40 @@ def _hw_scan_factory(alpha: float, beta: float, gamma: float,
     return scan
 
 
-def holt_winters(df: DataFrame, column: str, period: int,
-                 alpha: float = 0.3, beta: float = 0.1,
-                 gamma: float = 0.1, unit: str | int = "1d",
-                 key: Sequence[str] = ()) -> DataFrame:
-    """Adds ``<column>_hw_level``, ``<column>_hw_trend`` and
-    ``<column>_hw`` (level + the just-updated seasonal of the row's
-    phase — the in-sample fit; forecast h steps with
-    ``level + h*trend + seas[phase(t+h)]`` downstream). One keyed
-    exchange; (time, value) tie order matches the EMA engines."""
+def _validate(alpha: float, beta: float, gamma: float,
+              period: int) -> None:
+    """Shared by the batch operator and the streaming twin."""
     for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"{name}={v} outside [0, 1]")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
+
+
+def holt_winters(df: DataFrame, column: str, period: int,
+                 alpha: float = 0.3, beta: float = 0.1,
+                 gamma: float = 0.1, unit: str | int = "1d",
+                 key: Sequence[str] = (),
+                 tie_break: Sequence[str] = ()) -> DataFrame:
+    """Adds ``<column>_hw_level``, ``<column>_hw_trend`` and
+    ``<column>_hw`` (level + the just-updated seasonal of the row's
+    phase — the in-sample fit; forecast h steps with
+    ``level + h*trend + seas[phase(t+h)]`` downstream). One keyed
+    exchange on the shared complete-group engine
+    (`ema._apply_per_key`); (time, value) tie order matches the EMA
+    engines, with ``tie_break`` columns appended for inputs that can
+    tie on both."""
+    _validate(alpha, beta, gamma, period)
     unit_ns = parse_duration_ns(unit)
     scan = _hw_scan_factory(float(alpha), float(beta), float(gamma),
                             int(period), unit_ns)
-    key = list(key)
-    with_ns = df.withColumn("__tns", time_ns_expr(df))
-    in_cols = list(df.columns)
-    schema = T.StructType(list(df.schema.fields) + [
-        T.StructField(f"{column}_hw_level", T.DoubleType()),
-        T.StructField(f"{column}_hw_trend", T.DoubleType()),
-        T.StructField(f"{column}_hw", T.DoubleType())])
+
+    from .ema import _apply_per_key
+
+    def fn(t, x):
+        vals, _ = scan(t, x)
+        return vals
+
     names = [f"{column}_hw_level", f"{column}_hw_trend", f"{column}_hw"]
-
-    if key:
-        from ..functions import _complete_group_batches, _group_boundaries
-
-        def run(batches):
-            for head in _complete_group_batches(batches, key):
-                head = head.reset_index(drop=True)
-                t_all = head["__tns"].to_numpy(np.int64)
-                x_all = head[column].to_numpy(np.float64)
-                outs = [np.empty(len(head)) for _ in range(3)]
-                segs = _group_boundaries(np, head, key).tolist() \
-                    + [len(head)]
-                for s0, s1 in zip(segs, segs[1:]):
-                    vals, _ = scan(t_all[s0:s1], x_all[s0:s1])
-                    for o, v in zip(outs, vals):
-                        o[s0:s1] = v
-                res = head[in_cols].copy()
-                for nm, o in zip(names, outs):
-                    res[nm] = o
-                yield res
-
-        arranged = (with_ns.repartition(*[F.col(k) for k in key])
-                    .sortWithinPartitions(
-                        *key, F.col("__tns").asc_nulls_last(),
-                        F.col(column).asc_nulls_last()))
-        return arranged.mapInPandas(run, schema)
-
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__tns", column], kind="stable")
-        (ol, ob, of), _ = scan(pdf["__tns"].to_numpy(np.int64),
-                               pdf[column].to_numpy(np.float64))
-        for nm, o in zip(names, (ol, ob, of)):
-            pdf[nm] = o
-        return pdf[in_cols + names]
-
-    return with_ns.groupBy().applyInPandas(compute, schema)
+    return _apply_per_key(df, column, names, list(key), fn,
+                          tie_break=tie_break)

@@ -65,7 +65,8 @@ def _kf_scan_factory(q: float, r: float, p0: float, period_ns: float):
 
 def kalman_local_level(df: DataFrame, column: str, q: float, r: float,
                        period: str | int = "1d", p0: float | None = None,
-                       key: Sequence[str] = ()) -> DataFrame:
+                       key: Sequence[str] = (),
+                       tie_break: Sequence[str] = ()) -> DataFrame:
     """Kalman local-level filter per key: adds ``<column>_kf``, the
     posterior level estimate after each observation.
 
@@ -89,4 +90,5 @@ def kalman_local_level(df: DataFrame, column: str, q: float, r: float,
         out, _ = scan(t, x)
         return out
 
-    return _apply_per_key(df, column, f"{column}_kf", list(key), fn)
+    return _apply_per_key(df, column, f"{column}_kf", list(key), fn,
+                          tie_break=tie_break)

@@ -390,6 +390,10 @@ def dsir_score(df: DataFrame, ratios: Sequence[float],
     online face of DSIR: score arriving documents against a
     batch-built target model)."""
     n_buckets = len(ratios)
+    if n_buckets > 4096:
+        raise ValueError(
+            f"{n_buckets} ratios inline as {n_buckets} literals; "
+            f"cap is 4096 (use a coarser feature space)")
     lit_r = F.array(*[F.lit(float(v)) for v in ratios])
     feats = _dsir_feats(F.col(text_col))
     logw = F.aggregate(

@@ -1958,7 +1958,7 @@ def kalman_stream(stream: DataFrame, column: str, key: Sequence[str],
         T.StructField("var", T.DoubleType())])
 
     def fold(key_vals, pdf_iter, state):
-        st = state.get if state.exists else (None, 0.0, 0.0)
+        st = state.get if state.exists else None
         frames = []
         pdf = _trigger_pdf(pd, pdf_iter)
         if pdf is not None:
@@ -1972,7 +1972,10 @@ def kalman_stream(stream: DataFrame, column: str, key: Sequence[str],
             res[column] = x
             res[f"{column}_kf"] = out
             frames.append(res)
-        state.update(st)
+        if st is not None:
+            # never persist a spurious never-observed state for a key
+            # whose trigger delivered no rows
+            state.update(st)
         yield from frames
 
     return (with_ns.groupBy(*key)
@@ -1994,9 +1997,10 @@ def holt_winters_stream(stream: DataFrame, column: str,
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..operators.holtwinters import _hw_scan_factory
+    from ..operators.holtwinters import _hw_scan_factory, _validate
     from ..timeseries import parse_duration_ns, time_ns_expr
 
+    _validate(alpha, beta, gamma, period)
     scan = _hw_scan_factory(float(alpha), float(beta), float(gamma),
                             int(period), parse_duration_ns(unit))
     key = list(key)

@@ -3964,7 +3964,9 @@ def test_holt_winters_semantics(spark):
         if v != v:
             assert pd.isna(r0["v_hw"])
             continue
-        p = int(((t0 + dt.timedelta(days=i)).timestamp() * 1e9
+        # pd.Timestamp(naive).value is wall-clock-as-UTC, matching the
+        # session's pinned UTC timezone regardless of the OS TZ
+        p = int((pd.Timestamp(t0 + dt.timedelta(days=i)).value
                  // 86400e9) % 7)
         if not init:
             init, level, trend = True, v, 0.0
