@@ -773,3 +773,97 @@ def test_ewm_stream_batch_differential(panel, n_splits, data):
     for kk in exp_v:
         assert abs(got_v[kk][0] - exp_v[kk][0]) < 1e-9, kk
         assert abs(got_v[kk][1] - exp_v[kk][1]) < 1e-9, kk
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(max_rows=24), n_splits=st.integers(1, 3),
+       data=st.data())
+def test_kalman_hw_stream_batch_differential(panel, n_splits, data):
+    """In-order replay differential for the recursion engines:
+    kalman_stream and holt_winters_stream over 1-3 time-ordered
+    trigger files must match the batch operators at 1e-9 on random
+    panels — pins the cross-trigger state carry ((last_t, level, var)
+    and the (init, level, trend, seas[period]) vector) on arbitrary
+    gaps and key mixes."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flint_spark.operators.holtwinters import holt_winters
+    from flint_spark.operators.kalman import kalman_local_level
+    from flint_spark.streaming import ts_stream
+
+    spark = _spark()
+    pdf = panel.copy()
+    pdf = pdf.drop_duplicates(["id", "time"]).reset_index(drop=True)
+    pdf["time"] = pdf["time"] * 10 ** 9
+    df = spark.createDataFrame(pdf)
+
+    cuts = sorted(data.draw(st.lists(
+        st.integers(0, 500 * 10 ** 9), min_size=n_splits - 1,
+        max_size=n_splits - 1, unique=True)))
+    with tempfile.TemporaryDirectory() as d:
+        bounds = [None, *cuts, None]
+        wrote = 0
+        for i in range(len(bounds) - 1):
+            part = df
+            if bounds[i] is not None:
+                part = part.filter(F.col("time") >= bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.col("time") < bounds[i + 1])
+            if part.count() == 0:
+                continue
+            part.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"tmp{i}"))
+            src = next(f for f in os.listdir(os.path.join(d, f"tmp{i}"))
+                       if f.endswith(".parquet"))
+            os.rename(os.path.join(d, f"tmp{i}", src),
+                      os.path.join(d, f"chunk_{i}.parquet"))
+            wrote += 1
+        assert wrote > 0
+        for name, stream_fn, kwargs in [
+            ("pdiff_kf",
+             lambda s: ts_stream.kalman_stream(
+                 s, "v", key=["id"], q=2.0, r=5.0, period="100s",
+                 p0=10.0, time_column="time"), {}),
+            ("pdiff_hw",
+             lambda s: ts_stream.holt_winters_stream(
+                 s, "v", key=["id"], period=3, alpha=0.4, beta=0.2,
+                 gamma=0.3, unit="100s", time_column="time"), {}),
+        ]:
+            st_df = (spark.readStream.schema(df.schema)
+                     .option("maxFilesPerTrigger", 1).parquet(d))
+            q = (stream_fn(st_df).writeStream.outputMode("append")
+                 .format("memory").queryName(name).start())
+            q.processAllAvailable()
+            q.stop()
+
+    got_kf = {(r.id, r["__tns"]): r.v_kf
+              for r in spark.sql("SELECT * FROM pdiff_kf").collect()}
+    exp_kf = {(r.id, r.time): r.v_kf
+              for r in kalman_local_level(
+                  df, "v", q=2.0, r=5.0, period="100s", p0=10.0,
+                  key=["id"]).collect()}
+    assert set(got_kf) == set(exp_kf)
+    for kk, e in exp_kf.items():
+        g = got_kf[kk]
+        if e is None or g is None:
+            assert e is None and g is None
+        else:
+            assert abs(g - e) < 1e-9 * (1 + abs(e))
+
+    got_hw = {(r.id, r["__tns"]): (r.v_hw_level, r.v_hw_trend, r.v_hw)
+              for r in spark.sql("SELECT * FROM pdiff_hw").collect()}
+    exp_hw = {(r.id, r.time): (r.v_hw_level, r.v_hw_trend, r.v_hw)
+              for r in holt_winters(
+                  df, "v", period=3, alpha=0.4, beta=0.2, gamma=0.3,
+                  unit="100s", key=["id"]).collect()}
+    assert set(got_hw) == set(exp_hw)
+    for kk, es in exp_hw.items():
+        for g, e in zip(got_hw[kk], es):
+            if e is None or g is None:
+                assert e is None and g is None
+            else:
+                assert abs(g - e) < 1e-9 * (1 + abs(e))
