@@ -40,7 +40,7 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_logreg_quality, _sql_bm25,
                            _sql_pagerank, _sql_lead_lag,
                            _sql_pq_topk, _sql_bpe_tokens, _sql_dsir,
-                           _sql_holt_winters)
+                           _sql_holt_winters, _sql_ivfpq)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -231,6 +231,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal": q_seasonal,
         "robust_zscore": q_robust_zscore,
         "holt_winters": q_holt_winters,
+        "ivfpq": q_ivfpq,
     }
 
 
@@ -330,6 +331,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "seasonal": SQL_SEASONAL,
         "robust_zscore": SQL_ROBUST_ZSCORE,
         "holt_winters": _sql_holt_winters(),
+        "ivfpq": _sql_ivfpq(),
     }
 
 

@@ -3662,3 +3662,118 @@ def _sql_holt_winters() -> str:
          floor((l + seas[phase+1]) * 1e6 + 0.5) / 1e6 AS hw
   FROM hw
 """
+
+
+def q_ivfpq(spark, sf):
+    """IVF-PQ two-level ANN (pipeline.similarity.ivfpq_build/
+    ivfpq_topk — the billion-scale layout): Lloyd coarse cells, PQ
+    codebooks trained on RESIDUALS, asymmetric per-(probe, cell) LUT
+    search over the compressed codes (candidates meet the broadcast
+    LUT in an equi-join; raw vectors are read once to encode). The
+    oracle unrolls BOTH trainings, the residual projection, encoding
+    and the LUT search in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    cents, books = similarity.ivfpq_build(
+        emb, k_coarse=8, m=4, ksub=8, coarse_iters=1, pq_iters=1,
+        seed=7, quantize=9)
+    out = similarity.ivfpq_topk(emb, cents, books, [0, 1, 2, 3, 4],
+                                k=10, nprobe=2)
+    return out.select("probe_id", "vec_id", F.col("adc"), "rank")
+
+
+def _sql_ivfpq() -> str:
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    d2 = ("list_sum(list_transform(range(1, 17), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    md5rk = "row_number() OVER (ORDER BY md5('7' || vec_id::VARCHAR), vec_id)"
+    return f"""
+  WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  c0 AS (
+    SELECT {md5rk} - 1 AS cid, v AS cv FROM base QUALIFY {md5rk} <= 8),
+  ca1 AS (
+    SELECT vec_id, v, cid FROM (
+      SELECT b.vec_id, b.v, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.cid) AS rk
+      FROM base b CROSS JOIN c0 c) WHERE rk = 1),
+  cm1 AS (
+    SELECT cid, i, avg(v[i]) AS mn
+    FROM ca1 CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+  c1 AS (
+    -- empty coarse cells keep their previous centroid (ivf_train's
+    -- `if new[c] else` branch)
+    SELECT p.cid, coalesce(nw.cv, p.cv) AS cv
+    FROM c0 p LEFT JOIN (
+      SELECT cid, list(floor(mn * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
+      FROM cm1 GROUP BY cid) nw ON nw.cid = p.cid),
+  assigned AS (
+    SELECT vec_id, v, cid FROM (
+      SELECT b.vec_id, b.v, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY {cos.format(a='b.v', b='c.cv')} DESC, c.cid) AS rk
+      FROM base b CROSS JOIN c1 c) WHERE rk = 1),
+  resid AS (
+    SELECT a.vec_id, a.cid,
+           list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
+    FROM assigned a JOIN c1 c USING (cid)),
+  rseeds AS (
+    SELECT rv, {md5rk} - 1 AS code
+    FROM (SELECT r.vec_id, r.rv FROM resid r) QUALIFY {md5rk} <= 8),
+  rsub AS (
+    SELECT vec_id, cid, s, rv[s*16+1 : s*16+16] AS sv
+    FROM resid CROSS JOIN range(0, 4) t(s)),
+  r0 AS (
+    SELECT s, code, rv[s*16+1 : s*16+16] AS cv
+    FROM rseeds CROSS JOIN range(0, 4) t(s)),
+  pa1 AS (
+    SELECT vec_id, s, sv, code FROM (
+      SELECT b.vec_id, b.s, b.sv, c.code,
+             row_number() OVER (PARTITION BY b.vec_id, b.s
+               ORDER BY {d2.format(a='b.sv', b='c.cv')}, c.code) AS rk
+      FROM rsub b JOIN r0 c USING (s)) WHERE rk = 1),
+  pm1 AS (
+    SELECT s, code, i, avg(sv[i]) AS mn
+    FROM pa1 CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
+  r1 AS (
+    SELECT p.s, p.code, coalesce(nw.cv, p.cv) AS cv
+    FROM r0 p LEFT JOIN (
+      SELECT s, code, list(floor(mn * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
+      FROM pm1 GROUP BY 1, 2) nw ON nw.s = p.s AND nw.code = p.code),
+  enc AS (
+    SELECT vec_id, cid, s, code FROM (
+      SELECT b.vec_id, b.cid, b.s, c.code,
+             row_number() OVER (PARTITION BY b.vec_id, b.s
+               ORDER BY {d2.format(a='b.sv', b='c.cv')}, c.code) AS rk
+      FROM rsub b JOIN r1 c USING (s)) WHERE rk = 1),
+  probes AS (SELECT vec_id AS probe_id, v AS pv FROM base
+             WHERE vec_id IN (0, 1, 2, 3, 4)),
+  cells AS (
+    SELECT probe_id, pv, cid, cv FROM (
+      SELECT p.probe_id, p.pv, c.cid, c.cv,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY {cos.format(a='p.pv', b='c.cv')} DESC, c.cid) AS rk
+      FROM probes p CROSS JOIN c1 c) WHERE rk <= 2),
+  pres AS (
+    SELECT probe_id, cid,
+           list_transform(range(1, 65), i -> pv[i] - cv[i]) AS pr
+    FROM cells),
+  lut AS (
+    SELECT p.probe_id, p.cid, r.s, r.code,
+           {d2.format(a='p.psv', b='r.cv')} AS pd2
+    FROM (SELECT probe_id, cid, s, pr[s*16+1 : s*16+16] AS psv
+          FROM pres CROSS JOIN range(0, 4) t(s)) p
+    JOIN r1 r USING (s)),
+  scores AS (
+    SELECT l.probe_id, e.vec_id,
+           floor(sum(l.pd2) * 1e6 + 0.5) / 1e6 AS adc
+    FROM enc e JOIN lut l ON l.cid = e.cid AND l.s = e.s
+                         AND l.code = e.code
+    WHERE e.vec_id <> l.probe_id
+    GROUP BY 1, 2)
+  SELECT probe_id, vec_id, adc, rank FROM (
+    SELECT probe_id, vec_id, adc,
+           row_number() OVER (PARTITION BY probe_id
+             ORDER BY adc, vec_id) AS rank
+    FROM scores) WHERE rank <= 10
+"""

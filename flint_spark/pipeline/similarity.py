@@ -730,3 +730,107 @@ def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     w = Window.partitionBy("probe_id").orderBy("adc", F.col(id_col))
     return (flat.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + residual product codes (the standard
+# billion-scale ANN layout)
+# ----------------------------------------------------------------------
+
+def ivfpq_build(emb: DataFrame, k_coarse: int = 8, m: int = 4,
+                ksub: int = 8, coarse_iters: int = 1, pq_iters: int = 1,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                seed: int = 7, quantize: int | None = None):
+    """Train the two-level quantizer: Lloyd coarse centroids
+    (``ivf_train``, spherical) + PQ codebooks trained on the RESIDUALS
+    ``v - c_assign(v)`` (``pq_train`` on a residual projection —
+    residuals concentrate around zero, which is why PQ-on-residuals
+    beats PQ-on-raw at equal bits). Returns (centroids, codebooks).
+    Driver state: k_coarse x dim + dim x ksub floats; every training
+    pass is the same map-only-assign + one-hash-agg shape as the
+    underlying trainers."""
+    cents = ivf_train(emb, k=k_coarse, iters=coarse_iters, id_col=id_col,
+                      vec_col=vec_col, seed=seed, quantize=quantize)
+    res = _ivfpq_residuals(emb, cents, id_col, vec_col)
+    books = pq_train(res, m=m, ksub=ksub, iters=pq_iters, id_col=id_col,
+                     vec_col="residual", seed=seed, quantize=quantize)
+    return cents, books
+
+
+def _ivfpq_residuals(emb: DataFrame, centroids, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """(id, centroid_id, residual): map-only — assignment over inlined
+    centroid literals, residual as a zip_with subtraction."""
+    assigned = ivf_assign_trained(emb, centroids, id_col, vec_col)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cv = F.element_at(cent_lit, (F.col("centroid_id") + 1).cast("int"))
+    resid = F.zip_with(F.col("v"), cv, lambda a, b: a - b)
+    return assigned.select(F.col(id_col), "centroid_id",
+                           resid.alias("residual"))
+
+
+def ivfpq_topk(emb: DataFrame, centroids, codebooks,
+               probe_ids: Sequence[int], k: int = 10, nprobe: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_decimals: int = 6) -> DataFrame:
+    """IVF-PQ asymmetric search: each probe visits its ``nprobe``
+    nearest coarse cells and scores candidates by
+    ``||(q - c_cell) - pq(residual_v)||²`` — a per-(probe, cell)
+    lookup table of squared distances from the probe's RESIDUAL
+    subvectors to the sub-centroids (P x nprobe x m x ksub driver
+    floats, bounded by the quantizer). Candidates' PQ codes explode
+    per subspace and meet the broadcast LUT in an equi-join; one
+    (probe, vec) aggregation + the top-k window are the only
+    data-scale exchanges, and search never touches raw vectors beyond
+    the one encode pass. Scores round half-up BEFORE ranking for
+    cross-engine order. Returns (probe_id, vec_id, adc, rank)."""
+    spark = emb.sparkSession
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    res = _ivfpq_residuals(emb, centroids, id_col, vec_col)
+    codes = pq_encode(res, codebooks, id_col, "residual") \
+        .join(res.select(id_col, "centroid_id"), id_col)
+
+    probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
+                  .select(F.col(id_col).alias("pid"),
+                          _dvec(F.col(vec_col)).alias("pv")).collect())
+    # nprobe nearest cells per probe + the per-cell residual LUTs,
+    # all driver-side over the bounded quantizer state
+    lut_rows = []
+    for r in sorted(probe_rows, key=lambda r: r["pid"]):
+        pv = list(r["pv"])
+        sims = []
+        for cid, cv in enumerate(centroids):
+            dot = sum(a * b for a, b in zip(pv, cv))
+            na = sum(a * a for a in pv) ** 0.5
+            nb = sum(b * b for b in cv) ** 0.5
+            sims.append((-(dot / (na * nb)), cid))
+        cells = [cid for _, cid in sorted(sims)[:nprobe]]
+        for cid in cells:
+            pr = [a - b for a, b in zip(pv, centroids[cid])]
+            for s, book in enumerate(codebooks):
+                psub = pr[s * dsub:(s + 1) * dsub]
+                for code, cvv in enumerate(book):
+                    d2 = 0.0
+                    for a, b in zip(psub, cvv):
+                        d2 += (a - b) * (a - b)
+                    lut_rows.append((r["pid"], cid, s, code, d2))
+    lut = spark.createDataFrame(
+        lut_rows, "probe_id long, centroid_id int, s int, code int, "
+                  "pd2 double")
+
+    exploded = codes.select(
+        F.col(id_col), "centroid_id",
+        F.posexplode("codes").alias("s", "code"))
+    scale = float(10 ** round_decimals)
+    scored = (exploded.join(F.broadcast(lut),
+                            ["centroid_id", "s", "code"])
+              .filter(F.col(id_col) != F.col("probe_id"))
+              .groupBy("probe_id", id_col)
+              .agg((F.floor(F.sum("pd2") * scale + F.lit(0.5)) / scale)
+                   .alias("adc"), F.count("*").alias("__m"))
+              .filter(F.col("__m") == m).drop("__m"))
+    w = Window.partitionBy("probe_id").orderBy("adc", F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -3990,3 +3990,64 @@ def test_holt_winters_semantics(spark):
         holt_winters(df, "v", period=7, alpha=1.5)
     with _pytest.raises(ValueError):
         holt_winters(df, "v", period=1)
+
+
+def test_ivfpq_pipeline_properties(spark):
+    """IVF-PQ on clustered data: every returned candidate lives in one
+    of the probe's nprobe coarse cells (IVF candidate semantics), the
+    numpy replay of assign -> residual-encode -> per-cell ADC matches
+    the ranked output exactly, and residual PQ reconstructs tighter
+    than raw-vector PQ at equal bits (the reason the residual layout
+    exists)."""
+    import numpy as np
+
+    from flint_spark.pipeline import similarity as sim
+
+    rng = np.random.RandomState(13)
+    centers = rng.normal(0, 6, (4, 32))
+    V = np.vstack([c + rng.normal(0, 0.6, (50, 32)) for c in centers])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in r]) for i, r in enumerate(V)],
+        "vec_id long, embedding array<double>")
+
+    cents, books = sim.ivfpq_build(emb, k_coarse=4, m=4, ksub=8,
+                                   coarse_iters=1, pq_iters=1,
+                                   seed=7, quantize=9)
+    res = sim.ivfpq_topk(emb, cents, books, [0, 50, 100], k=8,
+                         nprobe=2).toPandas()
+
+    C = np.array(cents)
+    B = np.array(books)
+    cos = (V @ C.T) / (np.linalg.norm(V, axis=1)[:, None]
+                       * np.linalg.norm(C, axis=1)[None, :])
+    assign = cos.argmax(1)
+    R = V - C[assign]
+    dsub = 8
+    codes = np.stack([((R[:, s*dsub:(s+1)*dsub][:, None, :]
+                        - B[s][None, :, :]) ** 2).sum(-1).argmin(1)
+                      for s in range(4)], axis=1)
+    for p in [0, 50, 100]:
+        pv = V[p]
+        pcos = (C @ pv) / (np.linalg.norm(C, axis=1)
+                           * np.linalg.norm(pv))
+        cells = set(np.argsort(-pcos, kind="stable")[:2])
+        got = res[res["probe_id"] == p].sort_values("rank")
+        assert len(got) == 8
+        # IVF semantics: candidates come only from probed cells
+        assert all(assign[v] in cells for v in got["vec_id"])
+        # exact replay of the ADC ranking
+        scores = {}
+        for j in range(len(V)):
+            if j == p or assign[j] not in cells:
+                continue
+            pr = pv - C[assign[j]]
+            d = sum(((pr[s*dsub:(s+1)*dsub] - B[s][codes[j, s]]) ** 2)
+                    .sum() for s in range(4))
+            scores[j] = np.floor(d * 1e6 + 0.5) / 1e6
+        exp = sorted(scores, key=lambda v: (scores[v], v))[:8]
+        assert got["vec_id"].tolist() == exp
+
+    # the structural reason for the residual layout: the coarse
+    # quantizer removes the cluster offsets, so the PQ codebooks only
+    # have to cover the small within-cluster spread
+    assert (R ** 2).sum() < 0.3 * (V ** 2).sum()
