@@ -464,8 +464,12 @@ def _sql_ivf_ann_trained() -> str:
     SELECT cid, i, avg(v[i]) AS m
     FROM a{n} CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
   c{n} AS (
-    SELECT cid, list(floor(m * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
-    FROM m{n} GROUP BY cid)"""
+    -- an empty cluster keeps its previous centroid, exactly like
+    -- ivf_train's `if new[c] else` branch (stale-centroid parity)
+    SELECT p.cid, coalesce(nw.cv, p.cv) AS cv
+    FROM c{n-1} p LEFT JOIN (
+      SELECT cid, list(floor(m * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
+      FROM m{n} GROUP BY cid) nw ON nw.cid = p.cid)"""
 
     return f"""
   WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
