@@ -103,6 +103,7 @@ HEADLINE = [
     "seasonal",
     "robust_zscore",
     "holt_winters",
+    "ivfpq",
 ]
 
 
