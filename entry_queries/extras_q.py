@@ -466,7 +466,10 @@ def _sql_ivf_ann_trained() -> str:
   c{n} AS (
     -- an empty cluster keeps its previous centroid, exactly like
     -- ivf_train's `if new[c] else` branch (stale-centroid parity)
-    SELECT p.cid, coalesce(nw.cv, p.cv) AS cv
+    SELECT p.cid,
+           coalesce(nw.cv,
+                    list_transform(p.cv,
+                                   x -> floor(x * 1e9 + 0.5) / 1e9)) AS cv
     FROM c{n-1} p LEFT JOIN (
       SELECT cid, list(floor(m * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
       FROM m{n} GROUP BY cid) nw ON nw.cid = p.cid)"""
@@ -3267,7 +3270,12 @@ def _sql_pq_topk() -> str:
   c{n} AS (
     -- a code with no members keeps its previous centroid, exactly
     -- like pq_train's `if got:` branch (empty-cluster parity)
-    SELECT p.s, p.code, coalesce(nw.cv, p.cv) AS cv
+    -- the fallback is quantized too: pq_train applies `quantize` to
+    -- ALL books each iteration, including the stale branch
+    SELECT p.s, p.code,
+           coalesce(nw.cv,
+                    list_transform(p.cv,
+                                   x -> floor(x * 1e9 + 0.5) / 1e9)) AS cv
     FROM c{n-1} p LEFT JOIN (
       SELECT s, code, list(floor(mn * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
       FROM m{n} GROUP BY 1, 2) nw ON nw.s = p.s AND nw.code = p.code)"""
@@ -3707,7 +3715,10 @@ def _sql_ivfpq() -> str:
   c1 AS (
     -- empty coarse cells keep their previous centroid (ivf_train's
     -- `if new[c] else` branch)
-    SELECT p.cid, coalesce(nw.cv, p.cv) AS cv
+    SELECT p.cid,
+           coalesce(nw.cv,
+                    list_transform(p.cv,
+                                   x -> floor(x * 1e9 + 0.5) / 1e9)) AS cv
     FROM c0 p LEFT JOIN (
       SELECT cid, list(floor(mn * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
       FROM cm1 GROUP BY cid) nw ON nw.cid = p.cid),
@@ -3740,7 +3751,10 @@ def _sql_ivfpq() -> str:
     SELECT s, code, i, avg(sv[i]) AS mn
     FROM pa1 CROSS JOIN range(1, 17) t(i) GROUP BY 1, 2, 3),
   r1 AS (
-    SELECT p.s, p.code, coalesce(nw.cv, p.cv) AS cv
+    SELECT p.s, p.code,
+           coalesce(nw.cv,
+                    list_transform(p.cv,
+                                   x -> floor(x * 1e9 + 0.5) / 1e9)) AS cv
     FROM r0 p LEFT JOIN (
       SELECT s, code, list(floor(mn * 1e9 + 0.5) / 1e9 ORDER BY i) AS cv
       FROM pm1 GROUP BY 1, 2) nw ON nw.s = p.s AND nw.code = p.code),

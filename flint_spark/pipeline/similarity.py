@@ -659,12 +659,15 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
 
 
 def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """PQ encode: (id, codes array<int>) — each vector compressed to m
-    sub-centroid codes, a PURE PROJECTION over inlined codebook
-    literals (zero exchanges; the 100 TB path stores the codes table at
-    dim*8/m-fold compression and never rescans raw vectors)."""
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep: Sequence[str] = ()) -> DataFrame:
+    """PQ encode: (id, [keep...,] codes array<int>) — each vector
+    compressed to m sub-centroid codes, a PURE PROJECTION over inlined
+    codebook literals (zero exchanges; the 100 TB path stores the
+    codes table at dim*8/m-fold compression and never rescans raw
+    vectors). ``keep`` carries extra columns through the projection
+    (e.g. the coarse cell id in IVF-PQ) so callers never need a
+    re-join."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = F.array(*[
@@ -672,7 +675,27 @@ def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
                         codebooks[s])["code"]
         for s in range(m)])
     return (emb.withColumn("__pqv", _dvec(F.col(vec_col)))
-            .select(F.col(id_col), codes.alias("codes")))
+            .select(F.col(id_col), *[F.col(c) for c in keep],
+                    codes.alias("codes")))
+
+
+def _sub_lut(pv: Sequence[float],
+             codebooks: Sequence[Sequence[Sequence[float]]]):
+    """[m][ksub] squared-L2 table from a (residualized) probe vector to
+    every sub-centroid — plain left-to-right Python sums, shared by
+    pq_topk and ivfpq_topk so the fold order cannot drift apart."""
+    dsub = len(codebooks[0][0])
+    lut = []
+    for s, book in enumerate(codebooks):
+        psub = pv[s * dsub:(s + 1) * dsub]
+        row = []
+        for cv in book:
+            d2 = 0.0
+            for a, b in zip(psub, cv):
+                d2 += (a - b) * (a - b)
+            row.append(d2)
+        lut.append(row)
+    return lut
 
 
 def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
@@ -698,21 +721,8 @@ def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
                   .select(F.col(id_col).alias("pid"),
                           _dvec(F.col(vec_col)).alias("pv")).collect())
-    dsub = len(codebooks[0][0])
-    luts = []  # (probe_id, [m][ksub] distances)
-    for r in sorted(probe_rows, key=lambda r: r["pid"]):
-        pv = list(r["pv"])
-        lut = []
-        for s, book in enumerate(codebooks):
-            psub = pv[s * dsub:(s + 1) * dsub]
-            row = []
-            for cv in book:
-                d2 = 0.0
-                for x, y in zip(psub, cv):
-                    d2 += (x - y) * (x - y)
-                row.append(d2)
-            lut.append(row)
-        luts.append((r["pid"], lut))
+    luts = [(r["pid"], _sub_lut(list(r["pv"]), codebooks))
+            for r in sorted(probe_rows, key=lambda r: r["pid"])]
 
     scale = float(10 ** round_decimals)
     scored = F.array(*[
@@ -786,11 +796,11 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
     the one encode pass. Scores round half-up BEFORE ranking for
     cross-engine order. Returns (probe_id, vec_id, adc, rank)."""
     spark = emb.sparkSession
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     res = _ivfpq_residuals(emb, centroids, id_col, vec_col)
-    codes = pq_encode(res, codebooks, id_col, "residual") \
-        .join(res.select(id_col, "centroid_id"), id_col)
+    # cell id rides the encode projection — no re-join, no second
+    # scan of the assign/residual subtree
+    codes = pq_encode(res, codebooks, id_col, "residual",
+                      keep=["centroid_id"])
 
     probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
                   .select(F.col(id_col).alias("pid"),
@@ -805,16 +815,15 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
             dot = sum(a * b for a, b in zip(pv, cv))
             na = sum(a * a for a in pv) ** 0.5
             nb = sum(b * b for b in cv) ** 0.5
-            sims.append((-(dot / (na * nb)), cid))
+            den = na * nb
+            # degenerate all-zero vector/centroid: rank last instead
+            # of crashing (Spark-side paths yield NaN and keep going)
+            sims.append((-(dot / den) if den > 0 else float("inf"), cid))
         cells = [cid for _, cid in sorted(sims)[:nprobe]]
         for cid in cells:
             pr = [a - b for a, b in zip(pv, centroids[cid])]
-            for s, book in enumerate(codebooks):
-                psub = pr[s * dsub:(s + 1) * dsub]
-                for code, cvv in enumerate(book):
-                    d2 = 0.0
-                    for a, b in zip(psub, cvv):
-                        d2 += (a - b) * (a - b)
+            for s, row_d in enumerate(_sub_lut(pr, codebooks)):
+                for code, d2 in enumerate(row_d):
                     lut_rows.append((r["pid"], cid, s, code, d2))
     lut = spark.createDataFrame(
         lut_rows, "probe_id long, centroid_id int, s int, code int, "
@@ -824,13 +833,15 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
         F.col(id_col), "centroid_id",
         F.posexplode("codes").alias("s", "code"))
     scale = float(10 ** round_decimals)
+    # the LUT is complete (every (s, code) pair per probed cell), so
+    # the inner join yields exactly m rows per candidate — no
+    # completeness bookkeeping needed
     scored = (exploded.join(F.broadcast(lut),
                             ["centroid_id", "s", "code"])
               .filter(F.col(id_col) != F.col("probe_id"))
               .groupBy("probe_id", id_col)
               .agg((F.floor(F.sum("pd2") * scale + F.lit(0.5)) / scale)
-                   .alias("adc"), F.count("*").alias("__m"))
-              .filter(F.col("__m") == m).drop("__m"))
+                   .alias("adc")))
     w = Window.partitionBy("probe_id").orderBy("adc", F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -823,15 +823,15 @@ def test_kalman_hw_stream_batch_differential(panel, n_splits, data):
                       os.path.join(d, f"chunk_{i}.parquet"))
             wrote += 1
         assert wrote > 0
-        for name, stream_fn, kwargs in [
+        for name, stream_fn in [
             ("pdiff_kf",
              lambda s: ts_stream.kalman_stream(
                  s, "v", key=["id"], q=2.0, r=5.0, period="100s",
-                 p0=10.0, time_column="time"), {}),
+                 p0=10.0, time_column="time")),
             ("pdiff_hw",
              lambda s: ts_stream.holt_winters_stream(
                  s, "v", key=["id"], period=3, alpha=0.4, beta=0.2,
-                 gamma=0.3, unit="100s", time_column="time"), {}),
+                 gamma=0.3, unit="100s", time_column="time")),
         ]:
             st_df = (spark.readStream.schema(df.schema)
                      .option("maxFilesPerTrigger", 1).parquet(d))
