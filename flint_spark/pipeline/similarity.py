@@ -670,13 +670,21 @@ def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     re-join."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = F.array(*[
-        _argmin_subcode(F.slice(F.col("__pqv"), s * dsub + 1, dsub),
-                        codebooks[s])["code"]
-        for s in range(m)])
-    return (emb.withColumn("__pqv", _dvec(F.col(vec_col)))
-            .select(F.col(id_col), *[F.col(c) for c in keep],
-                    codes.alias("codes")))
+
+    # bind the (possibly expression-backed — IVF-PQ residuals) input
+    # vector to a lambda variable: CollapseProject would otherwise
+    # inline the producing expression into EVERY per-code distance
+    # fold (m x ksub evaluations per row instead of one)
+    def _codes(rv):
+        return F.array(*[
+            _argmin_subcode(F.slice(rv, s * dsub + 1, dsub),
+                            codebooks[s])["code"]
+            for s in range(m)])
+
+    codes = F.element_at(
+        F.transform(F.array(_dvec(F.col(vec_col))), _codes), 1)
+    return emb.select(F.col(id_col), *[F.col(c) for c in keep],
+                      codes.alias("codes"))
 
 
 def _sub_lut(pv: Sequence[float],
@@ -716,8 +724,15 @@ def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     estimate of true distance (quantization error), which is the PQ
     trade — rank fidelity vs the exact scan is property-tested, not
     assumed. Returns (probe_id, vec_id, adc, rank)."""
+    from ._cache import begin_op, keep
+
     m = len(codebooks)
-    codes = pq_encode(emb, codebooks, id_col, vec_col)
+    begin_op()
+    # the codes table is the stored artifact at scale; in-session it is
+    # cached so the per-probe ADC projections scan codes, never the
+    # raw vectors (CollapseProject would otherwise inline one encode
+    # per probe reference)
+    codes = keep(pq_encode(emb, codebooks, id_col, vec_col))
     probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
                   .select(F.col(id_col).alias("pid"),
                           _dvec(F.col(vec_col)).alias("pv")).collect())
@@ -795,12 +810,16 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
     data-scale exchanges, and search never touches raw vectors beyond
     the one encode pass. Scores round half-up BEFORE ranking for
     cross-engine order. Returns (probe_id, vec_id, adc, rank)."""
+    from ._cache import begin_op, keep
+
     spark = emb.sparkSession
+    begin_op()
     res = _ivfpq_residuals(emb, centroids, id_col, vec_col)
     # cell id rides the encode projection — no re-join, no second
-    # scan of the assign/residual subtree
-    codes = pq_encode(res, codebooks, id_col, "residual",
-                      keep=["centroid_id"])
+    # scan of the assign/residual subtree; the cached codes table is
+    # the stored artifact (search scans codes, never raw vectors)
+    codes = keep(pq_encode(res, codebooks, id_col, "residual",
+                           keep=["centroid_id"]))
 
     probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
                   .select(F.col(id_col).alias("pid"),
