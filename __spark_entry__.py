@@ -232,6 +232,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_zscore": q_robust_zscore,
         "holt_winters": q_holt_winters,
         "ivfpq": q_ivfpq,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -332,6 +333,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "robust_zscore": SQL_ROBUST_ZSCORE,
         "holt_winters": _sql_holt_winters(),
         "ivfpq": _sql_ivfpq(),
+        "bigram_lm": SQL_BIGRAM_LM,
     }
 
 

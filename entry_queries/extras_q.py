@@ -3795,3 +3795,57 @@ def _sql_ivfpq() -> str:
              ORDER BY adc, vec_id) AS rank
     FROM scores) WHERE rank <= 10
 """
+
+
+def q_bigram_lm(spark, sf):
+    """Interpolated bigram LM quality (pipeline.text.bigram_logprob):
+    per-doc mean transition NLL under lam*P_ML(w2|w1) +
+    (1-lam)*P_uni(w2), both model tables capped by construction
+    (vocab 12 / bigrams 20 so the backoff and OOV branches are
+    oracle-exercised). The oracle replays the identical cuts and
+    interpolation."""
+    docs = _t(spark, sf, "documents")
+    out = text_ops.bigram_logprob(docs, vocab_size=12, bigram_size=20,
+                                  lam=0.7)
+    return out.select("doc_id", R("nll", 6).alias("nll"), "n_pairs")
+
+
+SQL_BIGRAM_LM = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ),
+  counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+  vocab AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 12),
+  tot AS (SELECT sum(cnt) AS total FROM counts),
+  vm AS (SELECT sum(cnt) AS vmass FROM vocab),
+  ws AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS w
+    FROM documents
+  ),
+  pairs AS (
+    SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)),
+                                       j -> [w[j], w[j+1]])) AS pr
+          FROM ws WHERE w IS NOT NULL)
+  ),
+  bcounts AS (SELECT w1, w2, count(*) AS bcnt FROM pairs GROUP BY 1, 2),
+  bvocab AS (SELECT w1, w2, bcnt FROM bcounts
+             ORDER BY bcnt DESC, w1, w2 LIMIT 20)
+  SELECT doc_id,
+         floor(avg(-ln(
+           0.7 * (CASE WHEN b.bcnt IS NOT NULL AND u1.cnt IS NOT NULL
+                       THEN b.bcnt::DOUBLE / u1.cnt ELSE 0.0 END)
+           + 0.3 * ((CASE WHEN u2.cnt IS NOT NULL THEN u2.cnt
+                          ELSE greatest(total - vmass, 1) END)::DOUBLE
+                    / total)))
+           * 1000000 + 0.5) / 1000000 AS nll,
+         count(*) AS n_pairs
+  FROM pairs p
+  LEFT JOIN bvocab b USING (w1, w2)
+  LEFT JOIN vocab u1 ON u1.w = p.w1
+  LEFT JOIN vocab u2 ON u2.w = p.w2
+  CROSS JOIN tot CROSS JOIN vm
+  GROUP BY 1
+"""

@@ -790,3 +790,81 @@ def bm25_score_static(docs: DataFrame, query_terms: Sequence[str],
     return (docs.select(F.col(id_col), score.alias("bm25"),
                         n_matched.alias("n_terms"))
             .filter(F.col("n_terms") > 0))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   vocab_size: int | None = 100_000,
+                   bigram_size: int | None = 100_000,
+                   lam: float = 0.7) -> DataFrame:
+    """Interpolated bigram LM quality score — the order-2 upgrade of
+    :func:`unigram_logprob`: per document, the mean negative log
+    probability of its adjacent-token transitions under
+
+        P(w2 | w1) = lam * c(w1 w2)/c(w1)  +  (1 - lam) * P_uni(w2)
+
+    with BOTH model tables capped by construction (top ``bigram_size``
+    bigrams / top ``vocab_size`` unigrams by count, ties on the
+    tokens). An unmodeled bigram or out-of-vocab context contributes
+    zero to the first term — interpolation IS the backoff — and
+    ``P_uni`` carries the same constant OOV tail mass as the unigram
+    operator. Catches what a unigram score cannot: shuffled-word salad
+    has perfect unigram stats but improbable transitions.
+
+    Output: (id, nll, n_pairs) for documents with >= 1 transition
+    (single-token and empty docs have no order-2 evidence and are
+    omitted — score those with the unigram operator).
+
+    Plan: one map-side pair explosion feeding the bigram count
+    aggregation + the same capped-unigram build as
+    ``unigram_logprob``; both cuts are distributed
+    ``TakeOrderedAndProject`` and broadcast back onto the pair stream;
+    one per-doc aggregation. Three corpus-scale exchanges total,
+    broadcast sides bounded by the caps."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam={lam} outside (0, 1)")
+    w = F.filter(_words(text_col), lambda x: x != "")
+    n1 = F.greatest(F.size(w) - F.lit(1), F.lit(0))
+    pair = F.zip_with(F.slice(w, 1, n1), F.slice(w, 2, n1),
+                      lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    pairs = (_spread_docs(docs)
+             .select(F.col(id_col), F.explode(pair).alias("p"))
+             .select(id_col, "p.w1", "p.w2"))
+
+    tok = _token_stream(docs, text_col, id_col)
+    ucounts = tok.groupBy("w").agg(F.count("*").alias("ucnt"))
+    total = docs.agg(F.sum(F.size(_words(text_col))).alias("total"))
+    if vocab_size is not None:
+        uvocab = ucounts.orderBy(F.desc("ucnt"), "w").limit(vocab_size)
+    else:
+        uvocab = ucounts
+    consts = total.crossJoin(uvocab.agg(F.sum("ucnt").alias("vmass")))
+
+    bcounts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    if bigram_size is not None:
+        bvocab = bcounts.orderBy(F.desc("bcnt"), "w1", "w2") \
+                        .limit(bigram_size)
+    else:
+        bvocab = bcounts
+
+    p_uni = (F.when(F.col("u2.ucnt").isNotNull(), F.col("u2.ucnt"))
+             .otherwise(F.greatest(F.col("total") - F.col("vmass"),
+                                   F.lit(1)))
+             .cast("double") / F.col("total"))
+    p_big = F.when(
+        F.col("bcnt").isNotNull() & F.col("u1.ucnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("u1.ucnt")).otherwise(0.0)
+    nll = -F.log(F.lit(float(lam)) * p_big
+                 + F.lit(1.0 - float(lam)) * p_uni)
+    u1 = uvocab.select(F.col("w").alias("w1"),
+                       F.col("ucnt")).alias("u1")
+    u2 = uvocab.select(F.col("w").alias("w2"),
+                       F.col("ucnt")).alias("u2")
+    return (pairs
+            .join(F.broadcast(bvocab), ["w1", "w2"], "left")
+            .join(F.broadcast(u1), "w1", "left")
+            .join(F.broadcast(u2), "w2", "left")
+            .crossJoin(F.broadcast(consts))
+            .groupBy(id_col)
+            .agg(F.avg(nll).alias("nll"),
+                 F.count("*").alias("n_pairs")))

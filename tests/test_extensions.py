@@ -4051,3 +4051,78 @@ def test_ivfpq_pipeline_properties(spark):
     # quantizer removes the cluster offsets, so the PQ codebooks only
     # have to cover the small within-cluster spread
     assert (R ** 2).sum() < 0.3 * (V ** 2).sum()
+
+
+def test_bigram_lm_detects_shuffled_word_salad(spark):
+    """The order-2 claim: documents with identical unigram statistics
+    but shuffled word order score strictly worse (higher transition
+    NLL) than the natural-order corpus they were shuffled from — a
+    unigram model cannot separate them (verified: its scores are
+    identical). Plus exact python replay incl. OOV/backoff branches
+    and the lam validation."""
+    import math
+    import collections
+
+    import numpy as np
+    import pytest as _pytest
+
+    from flint_spark.pipeline import text as T
+
+    rng = np.random.RandomState(8)
+    # natural corpus: strong transition structure (a->b->c->d cycles)
+    cycle = ["alpha", "beta", "gamma", "delta"]
+    naturals = [" ".join(cycle * 6) for _ in range(20)]
+    shuffled = []
+    for t in naturals:
+        ws = t.split(" ")
+        rng.shuffle(ws)
+        shuffled.append(" ".join(ws))
+    rows = [(i, t) for i, t in enumerate(naturals)] + \
+           [(100 + i, t) for i, t in enumerate(shuffled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = T.bigram_logprob(docs, vocab_size=4, bigram_size=8,
+                           lam=0.7).toPandas()
+    nat = out[out["doc_id"] < 100]["nll"]
+    shuf = out[out["doc_id"] >= 100]["nll"]
+    assert nat.max() < shuf.min() - 0.1
+
+    uni = T.unigram_logprob(docs, vocab_size=4).toPandas()
+    un = uni[uni["doc_id"] < 100]["nll"].mean()
+    us = uni[uni["doc_id"] >= 100]["nll"].mean()
+    assert abs(un - us) < 1e-9  # unigram is blind to word order
+
+    with _pytest.raises(ValueError):
+        T.bigram_logprob(docs, lam=1.0)
+
+    # exact replay on a corpus whose cuts force OOV + unmodeled
+    # bigrams
+    texts = ["a b a b c", "c c q z", "a q b"]
+    d2 = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["nll"], r["n_pairs"])
+           for r in T.bigram_logprob(d2, vocab_size=3, bigram_size=2,
+                                     lam=0.6).collect()}
+    uc = collections.Counter(w for t in texts for w in t.split(" "))
+    total = sum(uc.values())
+    vocab = dict(sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    vmass = sum(vocab.values())
+    bc = collections.Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] += 1
+    bv = dict(sorted(bc.items(),
+                     key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:2])
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        prs = list(zip(ws, ws[1:]))
+        s = 0.0
+        for a, b in prs:
+            pu = (vocab[b] if b in vocab else max(total - vmass, 1)) \
+                / total
+            pb = bv[(a, b)] / vocab[a] if (a, b) in bv and a in vocab \
+                else 0.0
+            s += -math.log(0.6 * pb + 0.4 * pu)
+        exp = s / len(prs)
+        assert abs(got[i][0] - exp) < 1e-12 and got[i][1] == len(prs)
