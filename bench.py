@@ -104,6 +104,7 @@ HEADLINE = [
     "robust_zscore",
     "holt_winters",
     "ivfpq",
+    "bigram_lm",
 ]
 
 
