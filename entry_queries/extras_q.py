@@ -3812,7 +3812,10 @@ def q_bigram_lm(spark, sf):
 
 SQL_BIGRAM_LM = """
   WITH tok AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    -- SAME tokens that form pairs: empty strings excluded
+    SELECT doc_id, w FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents) WHERE w <> ''
   ),
   counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
   vocab AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w LIMIT 12),
@@ -3837,7 +3840,7 @@ SQL_BIGRAM_LM = """
          floor(avg(-ln(
            0.7 * (CASE WHEN b.bcnt IS NOT NULL AND u1.cnt IS NOT NULL
                        THEN b.bcnt::DOUBLE / u1.cnt ELSE 0.0 END)
-           + 0.3 * ((CASE WHEN u2.cnt IS NOT NULL THEN u2.cnt
+           + (1.0 - 0.7) * ((CASE WHEN u2.cnt IS NOT NULL THEN u2.cnt
                           ELSE greatest(total - vmass, 1) END)::DOUBLE
                     / total)))
            * 1000000 + 0.5) / 1000000 AS nll,

@@ -228,26 +228,46 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     model with NO forced broadcast — AQE picks the join strategy —
     for callers who know their vocab is small."""
     tok = _token_stream(docs, text_col, id_col)
-    counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = docs.agg(F.sum(F.size(_words(text_col))).alias("total"))
+    counts, vocab, consts = _capped_vocab(tok, vocab_size)
     if vocab_size is None:
         nll = -F.log(F.col("cnt").cast("double") / F.col("total"))
         return (tok.join(counts, "w")
-                .crossJoin(F.broadcast(total))
+                .crossJoin(F.broadcast(consts))
                 .groupBy(id_col)
                 .agg(F.avg(nll).alias("nll"),
                      F.count("*").alias("n_tokens")))
-    vocab = counts.orderBy(F.desc("cnt"), "w").limit(vocab_size)
-    consts = total.crossJoin(vocab.agg(F.sum("cnt").alias("vmass")))
-    p = (F.when(F.col("cnt").isNotNull(), F.col("cnt"))
-         .otherwise(F.greatest(F.col("total") - F.col("vmass"), F.lit(1)))
-         .cast("double"))
-    nll = -F.log(p / F.col("total"))
+    nll = -F.log(_p_uni("cnt") / F.col("total"))
     return (tok.join(F.broadcast(vocab), "w", "left")
             .crossJoin(F.broadcast(consts))
             .groupBy(id_col)
             .agg(F.avg(nll).alias("nll"),
                  F.count("*").alias("n_tokens")))
+
+
+def _capped_vocab(tok: DataFrame, vocab_size: int | None):
+    """Shared capped-unigram model build (unigram_logprob /
+    bigram_logprob): (counts, vocab-or-None, consts) from a token
+    stream. ``total`` is derived from the counts aggregate — NOT a
+    second corpus scan, and immune to ``F.size(NULL) = -1`` on
+    null-text rows (the oracle computes tot from counts the same
+    way)."""
+    counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    if vocab_size is None:
+        return counts, None, total
+    vocab = counts.orderBy(F.desc("cnt"), "w").limit(vocab_size)
+    consts = total.crossJoin(vocab.agg(F.sum("cnt").alias("vmass")))
+    return counts, vocab, consts
+
+
+def _p_uni(cnt_col: str):
+    """The capped model's token probability numerator: in-vocab count,
+    or the constant OOV tail mass max(total - vmass, 1) — ONE
+    definition shared by both LM operators."""
+    return (F.when(F.col(cnt_col).isNotNull(), F.col(cnt_col))
+            .otherwise(F.greatest(F.col("total") - F.col("vmass"),
+                                  F.lit(1)))
+            .cast("double"))
 
 
 def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
@@ -831,14 +851,19 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
              .select(F.col(id_col), F.explode(pair).alias("p"))
              .select(id_col, "p.w1", "p.w2"))
 
-    tok = _token_stream(docs, text_col, id_col)
-    ucounts = tok.groupBy("w").agg(F.count("*").alias("ucnt"))
-    total = docs.agg(F.sum(F.size(_words(text_col))).alias("total"))
-    if vocab_size is not None:
-        uvocab = ucounts.orderBy(F.desc("ucnt"), "w").limit(vocab_size)
-    else:
+    # the unigram model counts the SAME tokens that form pairs (empty
+    # strings from repeated/trailing spaces are excluded — they would
+    # occupy vocab slots and inflate total/vmass for every real token)
+    tok = (_spread_docs(docs)
+           .select(F.col(id_col), F.explode(w).alias("w")))
+    ucounts, uvocab, consts = _capped_vocab(tok, vocab_size)
+    if uvocab is None:
         uvocab = ucounts
-    consts = total.crossJoin(uvocab.agg(F.sum("ucnt").alias("vmass")))
+
+    def bounded(df, capped):
+        # forced broadcast ONLY when bounded by construction; the
+        # uncapped mode lets AQE pick (the unigram_logprob convention)
+        return F.broadcast(df) if capped else df
 
     bcounts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
     if bigram_size is not None:
@@ -847,23 +872,24 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     else:
         bvocab = bcounts
 
-    p_uni = (F.when(F.col("u2.ucnt").isNotNull(), F.col("u2.ucnt"))
-             .otherwise(F.greatest(F.col("total") - F.col("vmass"),
-                                   F.lit(1)))
-             .cast("double") / F.col("total"))
+    one_minus = 1.0 - float(lam)  # same double on both engines
+    p_uni_num = (F.when(F.col("u2.cnt").isNotNull(), F.col("u2.cnt"))
+                 .otherwise(F.greatest(F.col("total") - F.col("vmass"),
+                                       F.lit(1)))
+                 .cast("double")) if vocab_size is not None else         F.col("u2.cnt").cast("double")
+    p_uni = p_uni_num / F.col("total")
     p_big = F.when(
-        F.col("bcnt").isNotNull() & F.col("u1.ucnt").isNotNull(),
-        F.col("bcnt").cast("double") / F.col("u1.ucnt")).otherwise(0.0)
-    nll = -F.log(F.lit(float(lam)) * p_big
-                 + F.lit(1.0 - float(lam)) * p_uni)
-    u1 = uvocab.select(F.col("w").alias("w1"),
-                       F.col("ucnt")).alias("u1")
-    u2 = uvocab.select(F.col("w").alias("w2"),
-                       F.col("ucnt")).alias("u2")
+        F.col("bcnt").isNotNull() & F.col("u1.cnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("u1.cnt")).otherwise(0.0)
+    nll = -F.log(F.lit(float(lam)) * p_big + F.lit(one_minus) * p_uni)
+    u1 = uvocab.select(F.col("w").alias("w1"), F.col("cnt")).alias("u1")
+    u2 = uvocab.select(F.col("w").alias("w2"), F.col("cnt")).alias("u2")
+    capped_u = vocab_size is not None
     return (pairs
-            .join(F.broadcast(bvocab), ["w1", "w2"], "left")
-            .join(F.broadcast(u1), "w1", "left")
-            .join(F.broadcast(u2), "w2", "left")
+            .join(bounded(bvocab, bigram_size is not None),
+                  ["w1", "w2"], "left")
+            .join(bounded(u1, capped_u), "w1", "left")
+            .join(bounded(u2, capped_u), "w2", "left")
             .crossJoin(F.broadcast(consts))
             .groupBy(id_col)
             .agg(F.avg(nll).alias("nll"),

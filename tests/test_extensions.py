@@ -4103,7 +4103,8 @@ def test_bigram_lm_detects_shuffled_word_salad(spark):
     got = {r["doc_id"]: (r["nll"], r["n_pairs"])
            for r in T.bigram_logprob(d2, vocab_size=3, bigram_size=2,
                                      lam=0.6).collect()}
-    uc = collections.Counter(w for t in texts for w in t.split(" "))
+    uc = collections.Counter(w for t in texts for w in t.split(" ")
+                             if w != "")
     total = sum(uc.values())
     vocab = dict(sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
     vmass = sum(vocab.values())
