@@ -40,7 +40,8 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_logreg_quality, _sql_bm25,
                            _sql_pagerank, _sql_lead_lag,
                            _sql_pq_topk, _sql_bpe_tokens, _sql_dsir,
-                           _sql_holt_winters, _sql_ivfpq)
+                           _sql_holt_winters, _sql_ivfpq,
+                           _sql_kmv_distinct)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -233,6 +234,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "ivfpq": q_ivfpq,
         "bigram_lm": q_bigram_lm,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -334,6 +336,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "holt_winters": _sql_holt_winters(),
         "ivfpq": _sql_ivfpq(),
         "bigram_lm": SQL_BIGRAM_LM,
+        "kmv_distinct": _sql_kmv_distinct(),
     }
 
 

@@ -3852,3 +3852,92 @@ SQL_BIGRAM_LM = """
   CROSS JOIN tot CROSS JOIN vm
   GROUP BY 1
 """
+
+
+def q_kmv_distinct(spark, sf):
+    """KMV/theta distinct sketches (pipeline.sketches.kmv_sketch /
+    kmv_union / kmv_intersect_est): per-event-type distinct-user
+    estimates from the 64 smallest md5 hashes, plus union and
+    intersection estimates for click+view computed from the k-row
+    summaries alone. md5-deterministic, so the oracle replays sketch,
+    merge rule (k smallest of the union = k smallest of merged
+    samples) and the theta intersection estimator exactly."""
+    from flint_spark.pipeline import sketches as SK
+
+    ev = _events(spark, sf)
+    sk = SK.kmv_sketch(ev, "user_id", k=64, key=["event_type"])
+    per_type = sk.select(F.col("event_type").alias("tag"), "m",
+                         R("est_distinct", 6).alias("est"))
+    a = sk.filter(F.col("event_type") == "click").drop("event_type")
+    b = sk.filter(F.col("event_type") == "view").drop("event_type")
+    u = (SK.kmv_union(a, b, k=64)
+         .select(F.lit("union:click+view").alias("tag"), "m",
+                 R("est_distinct", 6).alias("est")))
+    i = (SK.kmv_intersect_est(a, b)
+         .select(F.lit("intersect:click+view").alias("tag"),
+                 F.col("common").alias("m"),
+                 R("est_distinct", 6).alias("est")))
+    return per_type.unionByName(u).unionByName(i)
+
+
+def _sql_kmv_distinct() -> str:
+    from flint_spark.pipeline.hashing import h28_sql
+    h = ("(" + h28_sql("'kmv:' || user_id::VARCHAR")
+         + " + 0.5) / 268435456.0")
+    return f"""
+  WITH d AS (
+    SELECT DISTINCT event_type, {h} AS h
+    FROM events WHERE user_id IS NOT NULL
+  ),
+  kept AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM d
+  ),
+  sk AS (
+    SELECT event_type, max(h) AS kth, count(*) AS m
+    FROM kept WHERE rk <= 64 GROUP BY 1
+  ),
+  per_type AS (
+    SELECT event_type AS tag, m,
+           floor((CASE WHEN m >= 64 THEN 63.0 / kth
+                       ELSE m::DOUBLE END) * 1e6 + 0.5) / 1e6 AS est
+    FROM sk
+  ),
+  ud AS (
+    SELECT DISTINCT h FROM d WHERE event_type IN ('click', 'view')
+  ),
+  ukept AS (
+    SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ud
+  ),
+  usk AS (
+    SELECT max(h) AS kth, count(*) AS m FROM ukept WHERE rk <= 64
+  ),
+  u AS (
+    SELECT 'union:click+view' AS tag, m,
+           floor((CASE WHEN m >= 64 THEN 63.0 / kth
+                       ELSE m::DOUBLE END) * 1e6 + 0.5) / 1e6 AS est
+    FROM usk
+  ),
+  th AS (
+    SELECT least(
+      (SELECT CASE WHEN m >= 64 THEN kth ELSE 1.0 END FROM sk
+       WHERE event_type = 'click'),
+      (SELECT CASE WHEN m >= 64 THEN kth ELSE 1.0 END FROM sk
+       WHERE event_type = 'view')) AS theta
+  ),
+  common AS (
+    SELECT count(*) AS c FROM (
+      SELECT h FROM kept WHERE event_type = 'click' AND rk <= 64
+      INTERSECT
+      SELECT h FROM kept WHERE event_type = 'view' AND rk <= 64
+    ) x CROSS JOIN th WHERE x.h < th.theta
+  ),
+  i AS (
+    SELECT 'intersect:click+view' AS tag, c AS m,
+           floor((c::DOUBLE / theta) * 1e6 + 0.5) / 1e6 AS est
+    FROM common CROSS JOIN th
+  )
+  SELECT * FROM per_type UNION ALL SELECT * FROM u
+  UNION ALL SELECT * FROM i
+"""

@@ -107,3 +107,101 @@ def cms_sql(corpus_key_sql: str, probe_key: str = "w",
              for j in range(depth)]
     est = f"least({', '.join(parts)})"
     return cte, est
+
+
+# ----------------------------------------------------------------------
+# KMV / theta sketch: mergeable distinct counting WITH set operations
+# ----------------------------------------------------------------------
+
+#: hash domain size for the KMV normalization (28-bit md5 prefix)
+_KMV_DOMAIN = float(2 ** 28)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64,
+               key: Sequence[str] = (),
+               salt: str = "kmv") -> DataFrame:
+    """K-minimum-values (theta) sketch per key: the ``k`` smallest
+    distinct normalized hashes of ``col``. Returns
+    (key..., hashes array<double>, theta, m, est_distinct) where
+    ``est_distinct`` = (k-1)/theta when the stream held >= k distinct
+    values, else the EXACT distinct count m (the sketch saw
+    everything). Unlike HLL, theta sketches support set OPERATIONS
+    (:func:`kmv_union`, :func:`kmv_intersect_est`) — union/intersection
+    distinct estimates across corpora from the k-row summaries alone.
+
+    md5-deterministic: the sketch (and therefore every estimate) is a
+    pure function of the value set — layout-independent, mergeable,
+    and bit-replayable in SQL. Plan: one distinct aggregation on
+    (key, hash) + one k-cut window on the distinct table (cardinality-
+    bounded, never raw rows); the sketch itself is k doubles per key.
+    Null values are excluded (SQL COUNT DISTINCT convention)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keyc = [F.col(c) for c in key]
+    h = ((h28(F.concat(F.lit(salt + ":"),
+                       F.col(col).cast("string"))).cast("double")
+          + F.lit(0.5)) / F.lit(_KMV_DOMAIN))
+    distinct = (df.filter(F.col(col).isNotNull())
+                .select(*keyc, h.alias("__h")).distinct())
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keyc).orderBy("__h")
+    kept = (distinct.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k))
+    ag = (kept.groupBy(*keyc)
+          .agg(F.sort_array(F.collect_list("__h")).alias("hashes"),
+               F.max("__h").alias("__kth"), F.count("*").alias("m")))
+    theta = F.when(F.col("m") >= k, F.col("__kth")).otherwise(F.lit(1.0))
+    est = F.when(F.col("m") >= k,
+                 (F.lit(float(k - 1)) / F.col("__kth")))\
+        .otherwise(F.col("m").cast("double"))
+    return ag.select(*keyc, "hashes", theta.alias("theta"), "m",
+                     est.alias("est_distinct"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int,
+              key: Sequence[str] = ()) -> DataFrame:
+    """Union estimate from two sketch tables (FULL outer on the key):
+    merge the hash samples, keep the k smallest distinct, re-estimate.
+    Works purely on the k-row summaries — the corpora are never
+    rescanned."""
+    keyl = list(key)
+    av = a.select(*keyl, F.col("hashes").alias("__ha"))
+    bv = b.select(*keyl, F.col("hashes").alias("__hb"))
+    j = av.join(bv, keyl, "full") if keyl else av.crossJoin(bv)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(F.col("__ha"), F.array().cast("array<double>")),
+            F.coalesce(F.col("__hb"), F.array().cast("array<double>"))))),
+        1, k)
+    m = F.size(merged)
+    kth = F.element_at(merged, -1)
+    est = F.when(m >= k, F.lit(float(k - 1)) / kth) \
+        .otherwise(m.cast("double"))
+    return j.select(*keyl, merged.alias("hashes"),
+                    F.when(m >= k, kth).otherwise(F.lit(1.0))
+                    .alias("theta"), m.alias("m"),
+                    est.alias("est_distinct"))
+
+
+def kmv_intersect_est(a: DataFrame, b: DataFrame,
+                      key: Sequence[str] = ()) -> DataFrame:
+    """Intersection distinct estimate (theta-sketch rule): with
+    theta = min(theta_a, theta_b), every common hash below theta is a
+    uniform sample of the intersection at rate theta, so
+    ``est = |common < theta| / theta``. Exact when both sketches saw
+    everything (theta = 1)."""
+    keyl = list(key)
+    av = a.select(*keyl, F.col("hashes").alias("__ha"),
+                  F.col("theta").alias("__ta"))
+    bv = b.select(*keyl, F.col("hashes").alias("__hb"),
+                  F.col("theta").alias("__tb"))
+    j = av.join(bv, keyl, "inner") if keyl else av.crossJoin(bv)
+    th = F.least(F.col("__ta"), F.col("__tb"))
+    common = F.filter(
+        F.array_intersect(F.col("__ha"), F.col("__hb")),
+        lambda x: x < th)
+    return j.select(*keyl,
+                    (F.size(common).cast("double") / th)
+                    .alias("est_distinct"),
+                    F.size(common).alias("common"),
+                    th.alias("theta"))

@@ -4127,3 +4127,53 @@ def test_bigram_lm_detects_shuffled_word_salad(spark):
             s += -math.log(0.6 * pb + 0.4 * pu)
         exp = s / len(prs)
         assert abs(got[i][0] - exp) < 1e-12 and got[i][1] == len(prs)
+
+
+def test_kmv_sketch_properties(spark):
+    """Theta-sketch laws on synthetic sets: exact below k (theta = 1,
+    est = m = true distinct), ~1/sqrt(k) accuracy above k, the merge
+    rule (union of k-sketches == k-sketch of the union, EXACTLY — the
+    k smallest of A∪B live in A_k ∪ B_k), intersection estimate within
+    tolerance, layout invariance (estimates are pure functions of the
+    value set), and null exclusion."""
+    import numpy as np
+
+    from flint_spark.pipeline import sketches as SK
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    a_vals = [f"u{i}" for i in range(2000)]
+    b_vals = [f"u{i}" for i in range(1500, 3000)]  # 500 overlap
+    rows = [(v, "A") for v in a_vals] + [(v, "B") for v in b_vals] \
+        + [(None, "A")] * 5
+    df = spark.createDataFrame(rows, "uid string, grp string")
+
+    sk = SK.kmv_sketch(df, "uid", k=256, key=["grp"])
+    res = {r["grp"]: r for r in sk.collect()}
+    assert abs(res["A"]["est_distinct"] - 2000) < 2000 * 3 / 16  # 3/sqrt(256)
+    assert abs(res["B"]["est_distinct"] - 1500) < 1500 * 3 / 16
+
+    # below-k exactness
+    small = spark.createDataFrame([(f"x{i % 10}",) for i in range(100)],
+                                  "uid string")
+    r0 = SK.kmv_sketch(small, "uid", k=64).collect()[0]
+    assert r0["m"] == 10 and r0["est_distinct"] == 10.0 \
+        and r0["theta"] == 1.0
+
+    # merge rule: union of sketches equals the sketch of the union
+    a = sk.filter(F.col("grp") == "A").drop("grp")
+    b = sk.filter(F.col("grp") == "B").drop("grp")
+    u = SK.kmv_union(a, b, k=256).collect()[0]
+    direct = SK.kmv_sketch(df.select("uid"), "uid", k=256).collect()[0]
+    assert u["hashes"] == direct["hashes"]
+    assert u["est_distinct"] == direct["est_distinct"]
+    assert abs(u["est_distinct"] - 3000) < 3000 * 3 / 16
+
+    inter = SK.kmv_intersect_est(a, b).collect()[0]
+    assert abs(inter["est_distinct"] - 500) < 300  # coarse but unbiased
+
+    # layout invariance
+    re = SK.kmv_sketch(df.repartition(17, "uid"), "uid", k=256,
+                       key=["grp"]).collect()
+    assert {r["grp"]: r["est_distinct"] for r in re} == \
+        {g: r["est_distinct"] for g, r in res.items()}
