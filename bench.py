@@ -105,6 +105,7 @@ HEADLINE = [
     "holt_winters",
     "ivfpq",
     "bigram_lm",
+    "kmv_distinct",
 ]
 
 
