@@ -2042,3 +2042,64 @@ def holt_winters_stream(stream: DataFrame, column: str,
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def kmv_stream(stream: DataFrame, col: str, key: Sequence[str],
+               k: int = 64, salt: str = "kmv",
+               time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming KMV/theta distinct counting — the sketch's
+    mergeability IS the streaming story: state per key is the k
+    smallest hashes seen so far; each trigger's distinct hashes merge
+    in (k smallest of old ∪ new), exactly ``pipeline.sketches
+    .kmv_union``'s rule, so after any replay the state equals the
+    batch sketch of everything ingested. Emits one row per trigger per
+    key with the running (m, theta, est_distinct)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..pipeline.sketches import _KMV_DOMAIN
+    from ..timeseries import time_ns_expr
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    key = list(key)
+    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("last_tns", T.LongType()),
+           T.StructField("m", T.IntegerType()),
+           T.StructField("theta", T.DoubleType()),
+           T.StructField("est_distinct", T.DoubleType())])
+    state_schema = T.StructType([
+        T.StructField("hashes", T.ArrayType(T.DoubleType()))])
+
+    def fold(key_vals, pdf_iter, state):
+        hashes = list(state.get[0]) if state.exists else []
+        frames = []
+        pdf = _trigger_pdf(pd, pdf_iter)
+        if pdf is not None:
+            vals = pdf[col].dropna()
+            new = {
+                (int(hashlib.md5(f"{salt}:{v}".encode())
+                     .hexdigest()[:7], 16) + 0.5) / _KMV_DOMAIN
+                for v in vals.astype(str)
+            }
+            hashes = sorted(set(hashes) | new)[:k]
+            m = len(hashes)
+            theta = hashes[-1] if m >= k else 1.0
+            est = (k - 1) / theta if m >= k else float(m)
+            res = pd.DataFrame({c: [v] for c, v in zip(key, key_vals)})
+            res["last_tns"] = np.int64(pdf["__tns"].max())
+            res["m"] = np.int32(m)
+            res["theta"] = theta
+            res["est_distinct"] = est
+            frames.append(res)
+            state.update(([float(h) for h in hashes],))
+        yield from frames
+
+    return (with_ns.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

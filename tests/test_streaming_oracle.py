@@ -1806,3 +1806,64 @@ def test_holt_winters_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_hw", got, sql, con)
     assert ok, msg
+
+
+def test_kmv_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming KMV replay: after EVERY trigger the per-key running
+    sketch equals DuckDB's batch sketch of the cumulative prefix — the
+    merge rule (k smallest of old ∪ new) is exactly the batch union
+    rule, so state is history-independent. One emitted row per
+    (key, trigger-with-rows); the oracle computes the sketch per
+    (key, chunk prefix) for chunks where the key has rows, using the
+    replay's known split bounds."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "event_type"))
+    st = _replay(spark, ev, str(tmp_path / "kmv"))
+    out = ts_stream.kmv_stream(st, "user_id", key=["event_type"], k=16)
+    _run_to_table(out, "so_kmv")
+    got = (spark.sql("SELECT * FROM so_kmv")
+           .select("event_type", "m",
+                   (F.floor(F.col("est_distinct") * 1000000 + 0.5)
+                    / 1000000).alias("est")))
+    sql = """
+      WITH chunks AS (
+        SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-10'),
+          (2, TIMESTAMP '2024-01-20'),
+          (3, TIMESTAMP '9999-01-01')) t(cid, bound)
+      ),
+      tagged AS (
+        SELECT event_type, user_id, CAST(ts AS TIMESTAMP) AS time,
+               CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 1
+                    WHEN ts < TIMESTAMP '2024-01-20' THEN 2
+                    ELSE 3 END AS cid
+        FROM events WHERE user_id IS NOT NULL
+      ),
+      live AS (SELECT DISTINCT event_type, cid FROM tagged),
+      prefix AS (
+        SELECT l.event_type, l.cid,
+               (('0x' || substr(md5('kmv:' || t.user_id::VARCHAR),
+                                1, 7))::BIGINT + 0.5) / 268435456.0
+                 AS h
+        FROM live l
+        JOIN chunks c ON c.cid = l.cid
+        JOIN tagged t ON t.event_type = l.event_type
+                     AND t.time < c.bound
+        GROUP BY 1, 2, 3
+      ),
+      kept AS (
+        SELECT event_type, cid, h,
+               row_number() OVER (PARTITION BY event_type, cid
+                                  ORDER BY h) AS rk
+        FROM prefix
+      )
+      SELECT event_type,
+             count(*)::INT AS m,
+             floor((CASE WHEN count(*) >= 16 THEN 15.0 / max(h)
+                         ELSE count(*)::DOUBLE END) * 1e6 + 0.5) / 1e6
+               AS est
+      FROM kept WHERE rk <= 16 GROUP BY event_type, cid
+    """
+    ok, msg = compare("so_kmv", got, sql, con)
+    assert ok, msg
