@@ -235,6 +235,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq": q_ivfpq,
         "bigram_lm": q_bigram_lm,
         "kmv_distinct": q_kmv_distinct,
+        "rolling_quantile": q_rolling_quantile,
     }
 
 
@@ -337,6 +338,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "ivfpq": _sql_ivfpq(),
         "bigram_lm": SQL_BIGRAM_LM,
         "kmv_distinct": _sql_kmv_distinct(),
+        "rolling_quantile": SQL_ROLLING_QUANTILE,
     }
 
 

@@ -3941,3 +3941,33 @@ def _sql_kmv_distinct() -> str:
   SELECT * FROM per_type UNION ALL SELECT * FROM u
   UNION ALL SELECT * FROM i
 """
+
+
+def q_rolling_quantile(spark, sf):
+    """Rolling time-window quantiles (operators.windows_ops
+    .rolling_quantile): per-user 7d rolling median and p25 of value —
+    pandas skiplist scans on the complete-group Arrow engine with SQL
+    peer semantics. The oracle runs DuckDB quantile_cont over the
+    identical inclusive RANGE frame (NOT DuckDB's windowed median,
+    which is the discrete lower-median)."""
+    from flint_spark.operators.windows_ops import rolling_quantile
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id",
+                                   "value")
+    out = rolling_quantile(ev, "value", "7d", 0.5, key=["user_id"])
+    out = rolling_quantile(out, "value", "7d", 0.25, key=["user_id"])
+    return out.select(TIME_COLUMN, "event_id", "user_id",
+                      R("value_q50", 6).alias("q50"),
+                      R("value_q25", 6).alias("q25"))
+
+
+SQL_ROLLING_QUANTILE = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id,
+         floor(quantile_cont(value, 0.5) OVER w * 1e6 + 0.5) / 1e6
+           AS q50,
+         floor(quantile_cont(value, 0.25) OVER w * 1e6 + 0.5) / 1e6
+           AS q25
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""

@@ -156,3 +156,41 @@ def robust_zscore(df: DataFrame, column: str, k: float = 3.5,
                         F.coalesce(F.abs(rz) > F.lit(float(k)),
                                    F.lit(False)))
             .drop("__med", "__mad"))
+
+
+def rolling_quantile(df: DataFrame, column: str, window: str | int,
+                     q: float, key: Sequence[str] = (),
+                     out_name: str | None = None) -> DataFrame:
+    """Rolling time-window quantile (R-7 linear interpolation) — the
+    robust rolling baseline a windowed mean cannot give: one wild tick
+    saturates a rolling mean for the whole window but moves a rolling
+    median by one rank. Window is the inclusive time range
+    [t - window, t] with SQL peer semantics (equal-timestamp rows all
+    see the full peer group, matching a RANGE ... CURRENT ROW frame).
+
+    No subtractable-aggregate form exists for quantiles, so the
+    per-key scan runs pandas' skiplist rolling quantile
+    (O(n log w), flat memory) on the complete-group Arrow engine —
+    never the O(n·w) collect_list materialization. NaN/null values
+    are skipped (SQL aggregate semantics); rows whose window holds no
+    observed value yield null."""
+    import pandas as pd
+
+    from ..timeseries import parse_duration_ns
+    from .ema import _apply_per_key
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q={q} outside [0, 1]")
+    w_ns = parse_duration_ns(window)
+    name = out_name or f"{column}_q{int(q * 100)}"
+
+    def fn(t, x):
+        s = pd.Series(x, index=pd.to_datetime(t))
+        out = (s.rolling(pd.Timedelta(w_ns, "ns"), closed="both",
+                         min_periods=1)
+               .quantile(q, interpolation="linear"))
+        # SQL peer semantics: every row of a tied timestamp sees the
+        # whole peer group (pandas windows end at the physical row)
+        return out.groupby(level=0).transform("last").to_numpy()
+
+    return _apply_per_key(df, column, name, list(key), fn)

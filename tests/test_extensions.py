@@ -4177,3 +4177,50 @@ def test_kmv_sketch_properties(spark):
                        key=["grp"]).collect()
     assert {r["grp"]: r["est_distinct"] for r in re} == \
         {g: r["est_distinct"] for g, r in res.items()}
+
+
+def test_rolling_quantile_semantics(spark):
+    """Rolling median on a brute-force-replayed fixture with NaN, a
+    wild outlier and duplicate timestamps: inclusive [t-w, t] window,
+    SQL peer semantics on ties (every tied row sees the whole peer
+    group), NaN skipped, empty-window null, and the robustness claim —
+    the wild tick moves the rolling median at most one rank while the
+    rolling mean saturates."""
+    import numpy as np
+    import pandas as pd
+
+    from flint_spark.operators.windows_ops import rolling_quantile
+    from flint_spark.plans.audit import plan_counts
+
+    rng = np.random.RandomState(1)
+    n = 200
+    t = pd.date_range("2024-01-01", periods=n, freq="37min").tolist()
+    t[10] = t[9]
+    t[11] = t[9]  # tie group of 3
+    x = rng.normal(10, 3, n)
+    x[5] = np.nan
+    x[50] = 1000.0
+    pdf = pd.DataFrame({"time": t, "id": ["a"] * n, "v": x})
+    df = spark.createDataFrame(pdf)
+
+    out = rolling_quantile(df, "v", "6h", 0.5, key=["id"])
+    c = plan_counts(out)
+    assert c["shuffles"] == 1 and c["python"] == 1
+    res = out.orderBy("time", "v").toPandas()
+
+    g = pdf.sort_values(["time", "v"]).reset_index(drop=True)
+    for i, r0 in g.iterrows():
+        lo = r0["time"] - pd.Timedelta("6h")
+        m = g[(g["time"] >= lo) & (g["time"] <= r0["time"])]["v"].dropna()
+        got = res.iloc[i]["v_q50"]
+        if len(m) == 0:
+            assert pd.isna(got)
+        else:
+            assert abs(got - np.quantile(m, 0.5)) < 1e-9
+    # tie group: all three rows share the full-peer answer
+    ties = res[res["time"] == pd.Timestamp(t[9])]
+    assert len(ties) == 3 and ties["v_q50"].nunique() == 1
+
+    # robustness: around the wild tick the median stays in-band
+    w50 = res[res["v"] == 1000.0]["v_q50"].iloc[0]
+    assert w50 < 20  # mean of that window would be ~100+
