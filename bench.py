@@ -106,6 +106,7 @@ HEADLINE = [
     "ivfpq",
     "bigram_lm",
     "kmv_distinct",
+    "rolling_quantile",
 ]
 
 
