@@ -110,6 +110,37 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark, n_iter: int = 5) -> float:
+    """Fixed synthetic probe timed in the SAME session as the queries:
+    a 50M-row range -> project -> shuffle(sort) -> hash-agg, pure JVM,
+    independent of SF_DIR and of any repo code path. Its runtime
+    measures the BOX (cpu contention, JIT state, shuffle disk), not the
+    repo, so ``legacy17_subtotal / calibration_sec`` is comparable
+    across rounds even when the shared box drifts 2-4x within a day
+    (r5 adjudication: unchanged plans ran 1.5-2.3x slower on a slow
+    box; the raw-seconds bar measured the box, not the code)."""
+    from pyspark.sql import functions as F
+
+    def probe():
+        return (spark.range(50_000_000)
+                .select((F.col("id") % 9973).alias("k"),
+                        (F.col("id") * 2654435761 % 104729).alias("v"))
+                .repartition(32, "k")
+                .sortWithinPartitions("k", "v")
+                .groupBy("k")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("c"),
+                     F.avg("v").alias("m")))
+
+    probe().write.mode("overwrite").format("noop").save()  # JIT warm
+    samples = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        probe().write.mode("overwrite").format("noop").save()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from flint_spark import get_spark
@@ -163,6 +194,11 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     legacy = [timings[q] for q in HEADLINE[:LEGACY_17]]
+    # box-speed probe AFTER the queries (same session, same JIT/disk
+    # state); the normalized ratio is the drift-proof number BASELINE.md
+    # records alongside raw seconds
+    calibration = _calibrate(spark)
+    legacy17 = round(sum(legacy), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -171,7 +207,9 @@ def main() -> None:
         "sf": sf_val,
         "estimator": f"median_of_{n_iter}",
         "min_max": spreads,
-        "legacy17_subtotal": round(sum(legacy), 3),
+        "legacy17_subtotal": legacy17,
+        "calibration_sec": round(calibration, 3),
+        "legacy17_normalized": round(legacy17 / calibration, 3),
     }))
 
 

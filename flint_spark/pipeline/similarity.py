@@ -827,6 +827,7 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
     # nprobe nearest cells per probe + the per-cell residual LUTs,
     # all driver-side over the bounded quantizer state
     lut_rows = []
+    probed_cells = set()
     for r in sorted(probe_rows, key=lambda r: r["pid"]):
         pv = list(r["pv"])
         sims = []
@@ -839,6 +840,7 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
             # of crashing (Spark-side paths yield NaN and keep going)
             sims.append((-(dot / den) if den > 0 else float("inf"), cid))
         cells = [cid for _, cid in sorted(sims)[:nprobe]]
+        probed_cells.update(cells)
         for cid in cells:
             pr = [a - b for a, b in zip(pv, centroids[cid])]
             for s, row_d in enumerate(_sub_lut(pr, codebooks)):
@@ -848,9 +850,16 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
         lut_rows, "probe_id long, centroid_id int, s int, code int, "
                   "pd2 double")
 
-    exploded = codes.select(
-        F.col(id_col), "centroid_id",
-        F.posexplode("codes").alias("s", "code"))
+    # IVF's whole point: scan only the probed cells. The probed set is
+    # known driver-side (built in the LUT loop), so the prune is a
+    # pushable IN-filter on the codes scan — without it, posexplode
+    # runs m× over 100% of the corpus before the LUT join discards
+    # un-probed cells. On a table bucketed/partitioned by centroid_id
+    # this same predicate becomes partition pruning on disk.
+    exploded = (codes
+                .filter(F.col("centroid_id").isin(sorted(probed_cells)))
+                .select(F.col(id_col), "centroid_id",
+                        F.posexplode("codes").alias("s", "code")))
     scale = float(10 ** round_decimals)
     # the LUT is complete (every (s, code) pair per probed cell), so
     # the inner join yields exactly m rows per candidate — no
