@@ -236,6 +236,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "kmv_distinct": q_kmv_distinct,
         "rolling_quantile": q_rolling_quantile,
+        "rolling_quantile_keyless": q_rolling_quantile_keyless,
     }
 
 
@@ -339,6 +340,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "bigram_lm": SQL_BIGRAM_LM,
         "kmv_distinct": _sql_kmv_distinct(),
         "rolling_quantile": SQL_ROLLING_QUANTILE,
+        "rolling_quantile_keyless": SQL_ROLLING_QUANTILE_KEYLESS,
     }
 
 

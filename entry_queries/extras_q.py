@@ -3971,3 +3971,35 @@ SQL_ROLLING_QUANTILE = """
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_rolling_quantile_keyless(spark, sf):
+    """KEYLESS rolling time-window quantile — the whole-table series
+    with no partition key. Routed through the bucketed segment-scan
+    engine (``functions._bucketed_window_apply`` ``segment_compute``
+    form): rows land in window-span-wide time buckets, replicate into
+    the neighbouring bucket they can serve, and pandas' O(n log w)
+    skiplist scan runs once per bucket — ONE hash exchange, >1 task,
+    never the single-group ``groupBy().applyInPandas`` funnel. The
+    fractional percentile also pins the q=0.999 -> ``_q99_9`` output
+    naming (no collision with q=0.99)."""
+    from flint_spark.operators.windows_ops import rolling_quantile
+
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "value")
+    out = rolling_quantile(ev, "value", "3d", 0.5)
+    out = rolling_quantile(out, "value", "3d", 0.999)
+    return out.select(TIME_COLUMN, "event_id",
+                      R("value_q50", 6).alias("q50"),
+                      R("value_q99_9", 6).alias("q999"))
+
+
+SQL_ROLLING_QUANTILE_KEYLESS = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, event_id,
+         floor(quantile_cont(value, 0.5) OVER w * 1e6 + 0.5) / 1e6
+           AS q50,
+         floor(quantile_cont(value, 0.999) OVER w * 1e6 + 0.5) / 1e6
+           AS q999
+  FROM events
+  WINDOW w AS (ORDER BY epoch_us(ts)
+               RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+"""

@@ -202,14 +202,23 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
                            key: Sequence[str],
                            bucket: str | int | None,
                            new_fields: Sequence[T.StructField],
-                           compute) -> DataFrame:
+                           compute, segment_compute=None) -> DataFrame:
     """Shared engine for per-row custom window aggregation (the
     bucketed mapInPandas plan described in
     :func:`summarize_windows_udf`). ``compute(ctx, starts, ends)``
     receives the complete-group frame (input columns, time order) and
     the per-target window slice bounds, and returns
     ``{out_name: list-of-values}`` for every field in
-    ``new_fields``."""
+    ``new_fields``.
+
+    ``segment_compute(np, ctx_seg, t_seg)``, when given, replaces the
+    per-target slicing with ONE vectorized scan per (key, bucket)
+    segment — for window functions with a sublinear-per-row streaming
+    form (pandas' O(n log w) skiplist rolling quantile) where slicing
+    each target's window and recomputing would be O(n·w). It returns
+    ``{out_name: full-segment array}``; the engine keeps only the
+    target rows' values (context rows replicated from neighbouring
+    buckets are evaluated but not emitted)."""
     from .timeseries import floor_div, parse_duration_ns, time_ns_expr
 
     key = list(key)
@@ -249,9 +258,23 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
         ctx = pdf[data_cols]
         t = pdf["__tns"].to_numpy(np.int64)
         tgt = pdf["__tgt"].to_numpy(bool)
+        segs = _group_boundaries(np, pdf, gcols).tolist() + [len(t)]
+        res = pdf.loc[tgt, data_cols].copy()
+        if segment_compute is not None:
+            # double-typed outputs only (the streaming-scan users are
+            # numeric); float64 keeps the Arrow column typed — an
+            # object column would round-trip through python objects
+            full = {f.name: np.empty(len(t), dtype=np.float64)
+                    for f in new_fields}
+            for s0, s1 in zip(segs, segs[1:]):
+                for name, vals in segment_compute(
+                        np, ctx.iloc[s0:s1], t[s0:s1]).items():
+                    full[name][s0:s1] = vals
+            for name, vals in full.items():
+                res[name] = vals[tgt]
+            return res[out_cols]
         starts = np.empty(len(t), dtype=np.int64)
         ends = np.empty(len(t), dtype=np.int64)
-        segs = _group_boundaries(np, pdf, gcols).tolist() + [len(t)]
         for s0, s1 in zip(segs, segs[1:]):
             tt = t[s0:s1]
             m = tgt[s0:s1]
@@ -259,7 +282,6 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
                                                     side="left")
             ends[s0:s1][m] = s0 + np.searchsorted(tt, tt[m] + hi_i,
                                                   side="right")
-        res = pdf.loc[tgt, data_cols].copy()
         for name, vals in compute(ctx, starts[tgt], ends[tgt]).items():
             res[name] = vals
         return res[out_cols]

@@ -173,7 +173,17 @@ def rolling_quantile(df: DataFrame, column: str, window: str | int,
     (O(n log w), flat memory) on the complete-group Arrow engine —
     never the O(n·w) collect_list materialization. NaN/null values
     are skipped (SQL aggregate semantics); rows whose window holds no
-    observed value yield null."""
+    observed value yield null.
+
+    KEYLESS input does not fall back to a single-task group (the EWMA
+    family's affine-composition trick has no quantile analogue):
+    rows land in fixed-width time buckets >= the window span, each
+    row replicates into the neighbouring bucket it can serve, and the
+    same skiplist scan runs per bucket with the replicated context —
+    one hash exchange, every task bounded by rows-per-bucket, >1 task
+    for any multi-bucket span (the ``_bucketed_window_apply`` engine,
+    ``segment_compute`` form — one O(n log w) scan per bucket, never
+    per-target window recompute)."""
     import pandas as pd
 
     from ..timeseries import parse_duration_ns
@@ -182,9 +192,11 @@ def rolling_quantile(df: DataFrame, column: str, window: str | int,
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q={q} outside [0, 1]")
     w_ns = parse_duration_ns(window)
-    name = out_name or f"{column}_q{int(q * 100)}"
+    # %g keeps fractional percentiles distinct: q=0.999 -> "_q99_9",
+    # never colliding with q=0.99's "_q99"
+    name = out_name or f"{column}_q{f'{q * 100:g}'.replace('.', '_')}"
 
-    def fn(t, x):
+    def _scan(t, x):
         s = pd.Series(x, index=pd.to_datetime(t))
         out = (s.rolling(pd.Timedelta(w_ns, "ns"), closed="both",
                          min_periods=1)
@@ -193,4 +205,19 @@ def rolling_quantile(df: DataFrame, column: str, window: str | int,
         # whole peer group (pandas windows end at the physical row)
         return out.groupby(level=0).transform("last").to_numpy()
 
-    return _apply_per_key(df, column, name, list(key), fn)
+    if key:
+        return _apply_per_key(df, column, name, list(key), _scan)
+
+    import pyspark.sql.types as T
+
+    from ..functions import _bucketed_window_apply
+    from ..windows import past_absolute_time
+
+    def seg(np, ctx_seg, t_seg):
+        return {name: _scan(t_seg,
+                            ctx_seg[column].to_numpy(np.float64))}
+
+    return _bucketed_window_apply(
+        df, past_absolute_time(window), [], None,
+        [T.StructField(name, T.DoubleType())], None,
+        segment_compute=seg)

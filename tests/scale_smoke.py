@@ -630,8 +630,39 @@ def r5ops_scale(spark, millions: float = 2.0):
     assert t < 300
 
 
+def r6ops_scale(spark, millions: float = 5.0):
+    """Round-6: KEYLESS rolling quantile through the bucketed
+    segment-scan engine — linearity at 5M rows (1s ticks, 3600s
+    window -> ~1.4k buckets) plus pins that the plan is ONE exchange
+    and genuinely multi-task (the r5 version funnelled the whole
+    table into a single ``groupBy().applyInPandas`` task)."""
+    from flint_spark.operators.windows_ops import rolling_quantile
+    from flint_spark.plans.audit import plan_counts
+
+    n_big = int(millions * 1e6)
+    n_small = n_big // 2
+
+    def series(n):
+        return (spark.range(n)
+                .select((F.col("id") * 10**9).alias("time"),
+                        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 100.0)
+                        .alias("v")))
+
+    linearity("keyless rolling quantile",
+              lambda n: rolling_quantile(series(n), "v", "3600s", 0.5),
+              n_small, n_big)
+    out = rolling_quantile(series(n_big), "v", "3600s", 0.5)
+    assert plan_counts(out)["shuffles"] == 1
+    ntasks = out.rdd.getNumPartitions()
+    assert ntasks > 1, f"keyless quantile still single-task ({ntasks})"
+    print(f"  keyless rolling quantile: {ntasks} tasks, 1 exchange OK")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r5ops":
+    if len(sys.argv) > 1 and sys.argv[1] == "r6ops":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
+        r6ops_scale(get_spark("scale_smoke"), m)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r5ops":
         m = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
         r5ops_scale(get_spark("scale_smoke"), m)
     elif len(sys.argv) > 1 and sys.argv[1] == "analytics":
