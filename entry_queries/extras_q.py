@@ -3881,9 +3881,9 @@ def q_kmv_distinct(spark, sf):
 
 
 def _sql_kmv_distinct() -> str:
-    from flint_spark.pipeline.hashing import h28_sql
-    h = ("(" + h28_sql("'kmv:' || user_id::VARCHAR")
-         + " + 0.5) / 268435456.0")
+    from flint_spark.pipeline.hashing import h52_sql
+    h = ("(" + h52_sql("'kmv:' || user_id::VARCHAR")
+         + " + 0.5) / 4503599627370496.0")
     return f"""
   WITH d AS (
     SELECT DISTINCT event_type, {h} AS h

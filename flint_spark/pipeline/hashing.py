@@ -30,6 +30,21 @@ def h28_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
 
 
+def h52(col: Column) -> Column:
+    """52-bit md5-prefix hash (13 hex digits). Still exactly
+    representable in a double, so normalized hashes stay bit-identical
+    across Spark/DuckDB/pandas — used where 28 bits would bias a
+    billion-scale estimator (KMV: collisions undercount ~n/2^bits and
+    the estimate saturates near the domain; 2^52 pushes both past any
+    realistic cardinality)."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def h52_sql(expr: str) -> str:
+    """Same hash as ``h52`` as a DuckDB SQL fragment."""
+    return f"(('0x' || substr(md5({expr}), 1, 13))::BIGINT)"
+
+
 def h32(col: Column) -> Column:
     """32-bit md5-prefix hash (for SimHash bit sampling)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
@@ -59,3 +74,14 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 11) -> list[list[float]]:
     rng = random.Random(seed)
     return [[round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
             for _ in range(n_planes)]
+
+
+def kmv_hash_expr(col: Column, salt: str = "kmv") -> Column:
+    """Normalized KMV hash in (0, 1): the shared Spark expression for
+    BOTH the batch sketch and the streaming fold — the hash family is
+    part of the replay contract, and computing it Spark-side everywhere
+    means the streaming path can never diverge on value stringification
+    (Python ``str(True)`` = 'True' vs Spark's 'true'; '1e+20' vs
+    '1.0E20')."""
+    return ((h52(F.concat(F.lit(salt + ":"), col.cast("string")))
+             .cast("double") + F.lit(0.5)) / F.lit(float(2 ** 52)))

@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import h28, h28_sql
+from .hashing import h28, h28_sql, h52, kmv_hash_expr
 
 DEFAULT_WIDTH = 1024
 DEFAULT_DEPTH = 4
@@ -113,8 +113,11 @@ def cms_sql(corpus_key_sql: str, probe_key: str = "w",
 # KMV / theta sketch: mergeable distinct counting WITH set operations
 # ----------------------------------------------------------------------
 
-#: hash domain size for the KMV normalization (28-bit md5 prefix)
-_KMV_DOMAIN = float(2 ** 28)
+#: hash domain size for the KMV normalization (52-bit md5 prefix —
+#: exact in a double; 28 bits collided at ~4% relative undercount by
+#: 10M distinct and saturated near 2^28, biasing the billion-row
+#: estimates this module targets)
+_KMV_DOMAIN = float(2 ** 52)
 
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 64,
@@ -138,9 +141,7 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 64,
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     keyc = [F.col(c) for c in key]
-    h = ((h28(F.concat(F.lit(salt + ":"),
-                       F.col(col).cast("string"))).cast("double")
-          + F.lit(0.5)) / F.lit(_KMV_DOMAIN))
+    h = kmv_hash_expr(F.col(col), salt)
     distinct = (df.filter(F.col(col).isNotNull())
                 .select(*keyc, h.alias("__h")).distinct())
     from pyspark.sql import Window

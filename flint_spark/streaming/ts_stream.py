@@ -204,6 +204,41 @@ def _trigger_pdf(pd, pdf_iter, sort_col="__tns"):
     return pdf.sort_values(sort_col, kind="stable")
 
 
+#: driver/broadcast budget for the stream-static dim table — the
+#: static-right pattern collects the WHOLE right side to the driver,
+#: which is fine for a dim table and fatal for a fact table; refuse
+#: loudly instead of OOMing the driver mid-stream
+_STATIC_RIGHT_MAX_BYTES = 256 << 20
+
+#: Catalyst reports ~Long.Max for plans with no stats
+_STATS_UNKNOWN = 1 << 60
+
+
+def _collect_static_right(right: DataFrame, cols) -> "pd.DataFrame":
+    """Guarded ``toPandas()`` of the static right side (the
+    ``pack_documents``/EMA ``_estimated_bytes`` recipe): refuse when
+    Catalyst's size estimate exceeds the driver budget, warn when the
+    estimate is unavailable."""
+    from ..operators.ema import _estimated_bytes
+
+    projected = right.select(*cols)
+    est = _estimated_bytes(projected)
+    if _STATS_UNKNOWN > est > _STATIC_RIGHT_MAX_BYTES:
+        raise ValueError(
+            f"stream-static join collects the entire right side to the "
+            f"driver; its estimate {est} bytes exceeds the "
+            f"{_STATIC_RIGHT_MAX_BYTES}-byte budget. Pre-aggregate or "
+            f"filter the right side to dim-table size, or use the "
+            f"stateful stream-stream as-of instead.")
+    if est >= _STATS_UNKNOWN:
+        import warnings
+        warnings.warn(
+            "stream-static join: right-side size unknown to Catalyst; "
+            "it is collected to the driver in full — ensure it is "
+            "dim-table sized.", stacklevel=3)
+    return projected.toPandas()
+
+
 def _null_safe_key(pd, kv):
     """Normalize a pandas group key tuple so null keys round-trip:
     pandas renders missing keys as NaN/NaT whose dict identity is
@@ -297,9 +332,10 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
     tol = parse_duration_ns(tolerance) if tolerance else 0
     rdata = [c for c in right.columns if c != right_time_column and c not in key]
 
-    rpdf = right.select(*key,
-                        time_ns_expr(right, right_time_column).alias("__rtns"),
-                        *rdata).toPandas()
+    rpdf = _collect_static_right(
+        right, [*key,
+                time_ns_expr(right, right_time_column).alias("__rtns"),
+                *rdata])
     # batch tie rule: duplicate (key, time) rights resolve to the
     # max-struct row, so sort by (time, values) — last of a group wins
     rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
@@ -389,9 +425,10 @@ def topk_join_static(stream: DataFrame, right: DataFrame, k: int,
         stream.columns, stream.schema.fields, right, key,
         right_time_column, k)
 
-    rpdf = right.select(*key,
-                        time_ns_expr(right, right_time_column).alias("__rtns"),
-                        *rdata).toPandas()
+    rpdf = _collect_static_right(
+        right, [*key,
+                time_ns_expr(right, right_time_column).alias("__rtns"),
+                *rdata])
     rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
     tables: dict = {}
     if key:
@@ -1553,6 +1590,10 @@ def ewm_volatility_stream(stream: DataFrame, column: str,
         frames = []
         pdf = _trigger_pdf(pd, pdf_iter)
         if pdf is not None:
+            # (time, value) tie rule: same pin as cusum/kalman and the
+            # batch engine — per-row outputs on duplicate timestamps
+            # must match a batch replay regardless of arrival order
+            pdf = _sort_time_then_values(pdf, "__tns", [column])
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
             n = len(x)
@@ -1625,6 +1666,8 @@ def brown_double_smoothing_stream(stream: DataFrame, column: str,
         frames = []
         pdf = _trigger_pdf(pd, pdf_iter)
         if pdf is not None:
+            # (time, value) tie pin — see ewm_volatility_stream
+            pdf = _sort_time_then_values(pdf, "__tns", [column])
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             x = pdf[column].to_numpy(dtype=np.float64)
             n = len(x)
@@ -1810,6 +1853,8 @@ def ewm_corr_stream(stream: DataFrame, x: str, y: str,
         frames = []
         pdf = _trigger_pdf(pd, pdf_iter)
         if pdf is not None:
+            # (time, x, y) tie pin — see ewm_volatility_stream
+            pdf = _sort_time_then_values(pdf, "__tns", [x, y])
             t = pdf["__tns"].to_numpy(dtype=np.int64)
             xv = pdf[x].to_numpy(dtype=np.float64)
             yv = pdf[y].to_numpy(dtype=np.float64)
@@ -2053,20 +2098,30 @@ def kmv_stream(stream: DataFrame, col: str, key: Sequence[str],
     in (k smallest of old ∪ new), exactly ``pipeline.sketches
     .kmv_union``'s rule, so after any replay the state equals the
     batch sketch of everything ingested. Emits one row per trigger per
-    key with the running (m, theta, est_distinct)."""
-    import hashlib
+    key with the running (m, theta, est_distinct).
 
+    The normalized hash is computed IN SPARK before the stateful fold
+    (the shared ``kmv_hash_expr``), so the streaming sketch and the
+    batch sketch hash the exact same bytes — a Python-side
+    ``str(value)`` would diverge from Spark's ``cast('string')`` on
+    booleans ('True' vs 'true') and scientific-notation doubles,
+    silently breaking the history-independence contract for
+    non-string columns."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..pipeline.sketches import _KMV_DOMAIN
+    from ..pipeline.hashing import kmv_hash_expr
     from ..timeseries import time_ns_expr
 
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     key = list(key)
-    with_ns = stream.withColumn("__tns", time_ns_expr(stream, time_column))
+    with_ns = (stream
+               .withColumn("__tns", time_ns_expr(stream, time_column))
+               .withColumn("__kh", F.when(
+                   F.col(col).isNotNull(),
+                   kmv_hash_expr(F.col(col), salt))))
     out_schema = T.StructType(
         [stream.schema[c] for c in key]
         + [T.StructField("last_tns", T.LongType()),
@@ -2081,12 +2136,7 @@ def kmv_stream(stream: DataFrame, col: str, key: Sequence[str],
         frames = []
         pdf = _trigger_pdf(pd, pdf_iter)
         if pdf is not None:
-            vals = pdf[col].dropna()
-            new = {
-                (int(hashlib.md5(f"{salt}:{v}".encode())
-                     .hexdigest()[:7], 16) + 0.5) / _KMV_DOMAIN
-                for v in vals.astype(str)
-            }
+            new = set(pdf["__kh"].dropna().astype(float))
             hashes = sorted(set(hashes) | new)[:k]
             m = len(hashes)
             theta = hashes[-1] if m >= k else 1.0

@@ -597,6 +597,31 @@ def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path):
         check_dtype=False)
 
 
+def test_static_right_size_guard(spark, sf_dir):
+    """The stream-static joins collect the whole right side to the
+    driver — dim-table pattern by design, so an obviously-oversized
+    right must be REFUSED up front (Catalyst size estimate vs the
+    module budget), not discovered as a driver OOM mid-stream."""
+    import pytest
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .select("time", "user_id", "event_id"))
+    # ~20M rows x (long + string) — Catalyst estimates this far above
+    # the 256 MiB budget without executing anything
+    big_right = (spark.range(20_000_000)
+                 .select(F.col("id").alias("user_id"),
+                         F.timestamp_seconds(F.col("id")).alias("time"),
+                         F.concat(F.lit("payload-"), F.col("id"))
+                         .alias("ref")))
+    with pytest.raises(ValueError, match="dim-table|budget"):
+        ts_stream.asof_join_static(ev, big_right, tolerance="12h",
+                                   key=["user_id"])
+    with pytest.raises(ValueError, match="dim-table|budget"):
+        ts_stream.topk_join_static(ev, big_right, k=3,
+                                   tolerance="12h", key=["user_id"])
+
+
 def test_streaming_asof_stream_stream_matches_batch(spark, sf_dir, tmp_path):
     """asof_join_stream over time-ordered micro-batches (two time-split
     files, maxFilesPerTrigger=1) == batch union-window left_join."""

@@ -1844,7 +1844,8 @@ def test_kmv_stream_vs_duckdb(spark, con, tmp_path):
       prefix AS (
         SELECT l.event_type, l.cid,
                (('0x' || substr(md5('kmv:' || t.user_id::VARCHAR),
-                                1, 7))::BIGINT + 0.5) / 268435456.0
+                                1, 13))::BIGINT + 0.5)
+                 / 4503599627370496.0
                  AS h
         FROM live l
         JOIN chunks c ON c.cid = l.cid
