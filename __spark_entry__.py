@@ -237,6 +237,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "rolling_quantile": q_rolling_quantile,
         "rolling_quantile_keyless": q_rolling_quantile_keyless,
+        "clock_tz": q_clock_tz,
+        "camel_api": q_camel_api,
     }
 
 
@@ -341,6 +343,8 @@ def extra_oracle_sql() -> dict[str, str]:
         "kmv_distinct": _sql_kmv_distinct(),
         "rolling_quantile": SQL_ROLLING_QUANTILE,
         "rolling_quantile_keyless": SQL_ROLLING_QUANTILE_KEYLESS,
+        "clock_tz": SQL_CLOCK_TZ,
+        "camel_api": SQL_CAMEL_API,
     }
 
 

@@ -4003,3 +4003,73 @@ SQL_ROLLING_QUANTILE_KEYLESS = """
   WINDOW w AS (ORDER BY epoch_us(ts)
                RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_clock_tz(spark, sf):
+    """Time-zone-aware business clock (clocks.business with tz=): a
+    6-hourly America/New_York trading calendar — begin/end parse in NY
+    and the weekend/holiday masks evaluate on NY wall time, whose UTC
+    boundaries sit 4-5h later (EST/EDT; the January range pins EST).
+    The oracle replays the mask with DuckDB AT TIME ZONE."""
+    from flint_spark import clocks
+
+    ticks = clocks.business(spark, "2024-01-01", "2024-01-31", "6h",
+                            holidays=("2024-01-01", "2024-01-15"),
+                            tz="America/New_York")
+    return ticks.select(TIME_COLUMN)
+
+
+# 2024-01-01 00:00 America/New_York = 2024-01-01 05:00 UTC =
+# 1704085200 epoch-s; Jan 1 -> Jan 31 spans 30 days of 6h ticks,
+# end-inclusive = 121 ticks
+SQL_CLOCK_TZ = """
+  WITH t AS (
+    SELECT make_timestamp(1704085200000000 + s.i * 21600000000) AS time
+    FROM (SELECT unnest(range(121)) AS i) s
+  ),
+  loc AS (
+    SELECT time,
+           (time AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
+             AS ny
+    FROM t
+  )
+  SELECT time FROM loc
+  WHERE isodow(ny) NOT IN (6, 7)
+    AND strftime(ny, '%Y-%m-%d') NOT IN ('2024-01-01', '2024-01-15')
+"""
+
+
+def q_camel_api(spark, sf):
+    """Reference camelCase API shim (flint_spark.compat / the ts.flint
+    namespace mirror): the reference quickstart shape — FlintContext
+    .read.dataframe, leftJoin with a str key + right_alias,
+    summarizeCycles — run verbatim through the aliases; the oracle is
+    the same GROUP BY + as-of the snake_case gates replay."""
+    from ts.flint import FlintContext, summarizers
+
+    fc = FlintContext(spark)
+    ev = fc.read.dataframe(_events(spark, sf))
+    daily = ev.summarizeCycles(summarizers.mean("value"),
+                               key="event_type")
+    joined = ev.leftJoin(daily, tolerance="30d", key="event_type",
+                         right_alias="cyc")
+    return joined.to_df().select(
+        TIME_COLUMN, "event_id", "event_type",
+        R("cyc_value_mean", 6).alias("cyc_mean"))
+
+
+SQL_CAMEL_API = """
+  WITH daily AS (
+    SELECT CAST(ts AS TIMESTAMP) AS time, event_type,
+           avg(value) AS value_mean
+    FROM events GROUP BY 1, 2
+  )
+  SELECT CAST(e.ts AS TIMESTAMP) AS time, e.event_id, e.event_type,
+         CASE WHEN d.time >= CAST(e.ts AS TIMESTAMP)
+                             - INTERVAL 30 DAYS
+              THEN floor(d.value_mean * 1e6 + 0.5) / 1e6
+         END AS cyc_mean
+  FROM events e
+  ASOF LEFT JOIN daily d
+    ON d.event_type = e.event_type AND d.time <= CAST(e.ts AS TIMESTAMP)
+"""

@@ -9,6 +9,7 @@ analysis, multimodal columns).
 """
 
 from . import clocks, summarizers, windows
+from . import compat  # noqa: F401 — installs the camelCase reference aliases
 from .context import FlintContext
 from .session import get_spark
 from .timeseries import TimeSeriesDataFrame, canonize, parse_duration_ns, time_ns_expr

@@ -19,18 +19,31 @@ from pyspark.sql import functions as F
 from .timeseries import TIME_COLUMN, floor_div, parse_duration_ns
 
 
-def _to_ns(value) -> int:
-    """Accept int ns, ISO date string, or datetime -> epoch ns."""
+def _zone(tz: str | None):
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(tz) if tz else timezone.utc
+
+
+def _to_ns(value, tz: str | None = None) -> int:
+    """Accept int ns, ISO date string, or datetime -> epoch ns.
+
+    Naive datetimes and strings parse in ``tz`` (IANA name; default
+    UTC) — the reference's ``timeZone`` parameter
+    (``timeseries/Clocks.scala:38-83``): a clock built for an
+    exchange calendar in ``America/New_York`` must tick at NY
+    midnights, not silently-shifted UTC ones. Aware datetimes and raw
+    ns ints are absolute already and ignore ``tz``."""
     if isinstance(value, int):
         return value
     if isinstance(value, datetime):
         if value.tzinfo is None:
-            value = value.replace(tzinfo=timezone.utc)
+            value = value.replace(tzinfo=_zone(tz))
         return int(value.timestamp() * 1_000_000_000)
     if isinstance(value, str):
         for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y%m%d"):
             try:
-                dt = datetime.strptime(value, fmt).replace(tzinfo=timezone.utc)
+                dt = datetime.strptime(value, fmt).replace(tzinfo=_zone(tz))
                 return int(dt.timestamp() * 1_000_000_000)
             except ValueError:
                 continue
@@ -62,10 +75,11 @@ class UniformClock:
 
 
 def uniform(begin, end, frequency: str | int, offset: str | int = 0,
-            end_inclusive: bool = True, timestamp_type: bool = True) -> UniformClock:
+            end_inclusive: bool = True, timestamp_type: bool = True,
+            tz: str | None = None) -> UniformClock:
     return UniformClock(
-        begin_ns=_to_ns(begin),
-        end_ns=_to_ns(end),
+        begin_ns=_to_ns(begin, tz),
+        end_ns=_to_ns(end, tz),
         frequency_ns=parse_duration_ns(frequency),
         offset_ns=parse_duration_ns(offset) if offset else 0,
         end_inclusive=end_inclusive,
@@ -74,7 +88,8 @@ def uniform(begin, end, frequency: str | int, offset: str | int = 0,
 
 
 def random(spark: SparkSession, begin, end, frequency: str | int,
-           seed: int = 42, timestamp_type: bool = True) -> DataFrame:
+           seed: int = 42, timestamp_type: bool = True,
+           tz: str | None = None) -> DataFrame:
     """Random ticks: one tick uniformly placed in each frequency bucket
     (reference ``timeseries/clock/Clock.scala``). Deterministic per seed.
 
@@ -82,7 +97,7 @@ def random(spark: SparkSession, begin, end, frequency: str | int,
     ``F.rand(seed)``, whose output depends on the physical partition
     layout and so differs across cluster sizes. This form is identical
     on any layout and replayable in ANSI SQL (DuckDB oracle)."""
-    b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
+    b, e, f = _to_ns(begin, tz), _to_ns(end, tz), parse_duration_ns(frequency)
     rng = spark.range(b, e, f)
     h = F.conv(F.substring(F.md5(F.concat(
         F.lit(f"ck{seed}:"), F.col("id").cast("string"))), 1, 12), 16, 10)
@@ -97,7 +112,8 @@ def random(spark: SparkSession, begin, end, frequency: str | int,
 def business(spark: SparkSession, begin, end, frequency: str | int = "1d",
              weekend: tuple[int, ...] = (6, 7),
              holidays: tuple[str, ...] = (),
-             timestamp_type: bool = True) -> DataFrame:
+             timestamp_type: bool = True,
+             tz: str | None = None) -> DataFrame:
     """Business-calendar ticks: the uniform clock with weekend
     days-of-week (ISO: 1=Monday .. 7=Sunday) and explicit holiday
     DATES removed — the trading-calendar shape the reference's users
@@ -107,17 +123,26 @@ def business(spark: SparkSession, begin, end, frequency: str | int = "1d",
     clock (no driver materialization); the mask is a pure dayofweek/
     to_date projection, so Catalyst prunes it into the range scan.
     Sub-daily frequencies keep only ticks landing on business days
-    (the overnight ticks of a 6h clock on a Saturday drop)."""
-    b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
+    (the overnight ticks of a 6h clock on a Saturday drop).
+
+    ``tz`` (IANA name) parses begin/end AND evaluates the weekend /
+    holiday masks in that zone — an ``America/New_York`` trading
+    calendar drops NY Saturdays, whose UTC boundaries sit 4-5h later
+    (the r5 gap: masks pinned to UTC silently shifted every
+    exchange-calendar clock)."""
+    b, e, f = _to_ns(begin, tz), _to_ns(end, tz), parse_duration_ns(frequency)
     rng = spark.range(b, e + 1, f)
     ts = F.timestamp_micros(floor_div(F.col("id"), 1000))
-    dow = F.dayofweek(ts)  # Spark: 1=Sunday .. 7=Saturday
+    # wall-clock time in the clock's zone (session TZ is UTC, so `ts`
+    # is the UTC instant; from_utc_timestamp shifts to local wall time)
+    local = F.from_utc_timestamp(ts, tz) if tz else ts
+    dow = F.dayofweek(local)  # Spark: 1=Sunday .. 7=Saturday
     iso = F.when(dow == 1, F.lit(7)).otherwise(dow - 1)
     keep = ~iso.isin(list(weekend))
     if holidays:
         # compare as ISO strings: isin takes literal VALUES, and the
         # string form needs no implicit date coercion to replay in SQL
-        keep = keep & ~F.to_date(ts).cast("string").isin(list(holidays))
+        keep = keep & ~F.to_date(local).cast("string").isin(list(holidays))
     out = rng.filter(keep)
     tick = ts if timestamp_type else F.col("id")
     return out.select(tick.alias(TIME_COLUMN))

@@ -23,7 +23,9 @@ from .sources.readbuilder import TSRead
 
 class FlintContext:
     def __init__(self, spark: SparkSession):
-        self._spark = spark
+        # the reference is constructed over a SQLContext
+        # (``context.py:32``) — accept anything carrying a session
+        self._spark = getattr(spark, "sparkSession", spark)
 
     @property
     def spark(self) -> SparkSession:

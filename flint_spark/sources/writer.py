@@ -51,6 +51,32 @@ def read_time_partitioned(spark, path: str, begin: str | None = None,
     return df.drop(PARTITION_COL)
 
 
+def _location_owner(spark, loc: str) -> str | None:
+    """Return the qualified name of any catalog table whose resolved
+    Location is ``loc``, or None if no table claims it. The scan is
+    bounded by catalog size (local metastores hold a handful of
+    tables), and it is the safety check that keeps orphan cleanup from
+    deleting a LIVE table's data under a name/location collision."""
+    import os
+    from urllib.parse import urlparse
+
+    norm = os.path.normpath(loc)
+    for d in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(d.name):
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED "
+                    f"`{d.name}`.`{t.name}`").collect()
+            except Exception:  # noqa: BLE001 — temp views etc.
+                continue
+            for r in rows:
+                if r.col_name == "Location":
+                    p = urlparse(r.data_type).path or r.data_type
+                    if os.path.normpath(p) == norm:
+                        return f"{d.name}.{t.name}"
+    return None
+
+
 def write_bucketed(df: DataFrame, table: str, key: Sequence[str],
                    n_buckets: int = 64, mode: str = "overwrite") -> None:
     """Bucket by join/window key: downstream operators partitioned on
@@ -58,7 +84,12 @@ def write_bucketed(df: DataFrame, table: str, key: Sequence[str],
     ``mode='overwrite'`` also clears an ORPHANED managed-table
     location (a previous session's warehouse directory whose catalog
     entry died with that session) — otherwise saveAsTable fails with
-    LOCATION_ALREADY_EXISTS even though the catalog has no table."""
+    LOCATION_ALREADY_EXISTS even though the catalog has no table.
+    Cleanup is defensive twice over: the directory is only touched if
+    NO table in any database resolves to it (:func:`_location_owner`
+    — a case-mismatched or external table registered elsewhere would
+    otherwise lose its data), and it is renamed aside, never deleted,
+    so a wrong resolution is recoverable."""
     if mode == "overwrite":
         import os
         import shutil
@@ -80,7 +111,16 @@ def write_bucketed(df: DataFrame, table: str, key: Sequence[str],
             loc = os.path.join(wh, tbl) if db == "default" else \
                 os.path.join(wh, f"{db}.db", tbl)
             if os.path.isdir(loc):
-                shutil.rmtree(loc, ignore_errors=True)
+                owner = _location_owner(spark, loc)
+                if owner is not None:
+                    raise ValueError(
+                        f"refusing orphan cleanup of {loc}: it is the "
+                        f"live location of catalog table {owner} "
+                        f"(write_bucketed target was {db}.{tbl})")
+                aside = f"{loc}.orphaned"
+                while os.path.exists(aside):
+                    aside += ".x"
+                shutil.move(loc, aside)
     (df.write.mode(mode)
        .bucketBy(n_buckets, *key)
        .sortBy(*key, TIME_COLUMN)
