@@ -100,11 +100,56 @@ def _finish(unioned: DataFrame, key, left_data, right_data, left_out, right_out,
     return unioned.filter(F.col(_SRC) == 1).select(*out_cols)
 
 
+#: combined size estimate above which a keyless (or hot-key-guarded)
+#: as-of auto-routes through the time-bucketed engine instead of
+#: funnelling both tables through ONE window task
+_KEYLESS_ASOF_MAX_BYTES = 64 << 20
+
+
+def _hot_key_fraction(df: DataFrame, key: Sequence[str]) -> float:
+    """Largest single key's share of rows — one count aggregation over
+    the key columns (column-pruned scan; the ``key_profile`` probe)."""
+    row = (df.groupBy(*key).count()
+           .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+           .first())
+    return (row["mx"] / row["n"]) if row and row["n"] else 0.0
+
+
 def left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
               key: Sequence[str] = (), left_alias: str | None = None,
-              right_alias: str | None = None) -> DataFrame:
+              right_alias: str | None = None,
+              distributed: bool | None = None,
+              hot_key_guard: float | None = None,
+              bucket: str = "7d") -> DataFrame:
     """As-of backward join: most recent right row with time in
-    [t - tolerance, t] (inclusive both ends), per key."""
+    [t - tolerance, t] (inclusive both ends), per key.
+
+    KEYLESS calls auto-route through :func:`asof_keyless_bucketed`
+    when the combined Catalyst size estimate exceeds the single-task
+    budget (``distributed=None``; force with True/False) — an empty
+    key means the union-window engine would sort BOTH tables in one
+    task. ``hot_key_guard=f`` additionally runs one count-by-key probe
+    on the left and takes the bucketed route with the composite
+    (bucket, key) when a single key holds more than fraction ``f`` of
+    the rows — the skew shape where per-key ordering degenerates to
+    the keyless case. The probe is opt-in because it costs a scan;
+    at 100 TB callers pay it once, not per join. Both routes are
+    output-identical (property-pinned), differing only in plan shape."""
+    key = list(key)
+    if key and hot_key_guard is not None \
+            and _hot_key_fraction(left, key) > hot_key_guard:
+        return asof_keyless_bucketed(
+            left, right, tolerance, bucket=bucket, key=key,
+            left_alias=left_alias, right_alias=right_alias)
+    if not key:
+        if distributed is None:
+            from .ema import _estimated_bytes
+            distributed = (_estimated_bytes(left) + _estimated_bytes(right)
+                           ) > _KEYLESS_ASOF_MAX_BYTES
+        if distributed:
+            return asof_keyless_bucketed(
+                left, right, tolerance, bucket=bucket,
+                left_alias=left_alias, right_alias=right_alias)
     tol = parse_duration_ns(tolerance)
     key, left_data, right_data, left_out, right_out, l, r = _prepare(
         left, right, key, left_alias, right_alias)

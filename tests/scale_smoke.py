@@ -657,6 +657,40 @@ def r6ops_scale(spark, millions: float = 5.0):
     assert ntasks > 1, f"keyless quantile still single-task ({ntasks})"
     print(f"  keyless rolling quantile: {ntasks} tasks, 1 exchange OK")
 
+    # keyless as-of AUTO-ROUTE: distributed=None must pick the bucketed
+    # engine above the size budget (these frames estimate ~80MB+) and
+    # scale linearly; a single-task union-window would go superlinear
+    # on sort memory and show 1 task
+    from flint_spark.operators import asof
+
+    def asof_pair(n):
+        # 3 cols so the combined estimate clears the 64MB auto budget
+        left = series(n).withColumn(
+            "k", F.pmod(F.col("time"), F.lit(2000)))
+        right = (series(n // 10)
+                 .select((F.col("time") + F.lit(500_000_000)).alias("time"),
+                         F.col("v").alias("rv")))
+        return left, right
+
+    def asof_bucketed(n):
+        left, right = asof_pair(n)
+        return asof.left_join(left, right, tolerance="7200s",
+                              bucket="43200s", distributed=True)
+
+    linearity("keyless asof bucketed", asof_bucketed, n_small, n_big)
+    # AUTO pin: distributed=None must pick the bucketed engine for
+    # these frames (combined estimate ~130MB > the 64MB budget) — the
+    # window partitions on the time bucket, where the single-task plan
+    # has an empty partition spec
+    left, right = asof_pair(n_big)
+    routed = asof.left_join(left, right, tolerance="7200s",
+                            bucket="43200s")
+    assert "__bucket" not in routed.columns
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(__bucket" in plan or "__bucket" in plan, \
+        "keyless asof did not auto-route to the bucketed engine"
+    print("  keyless asof auto-route: bucketed window plan OK")
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r6ops":

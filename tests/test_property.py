@@ -867,3 +867,50 @@ def test_kalman_hw_stream_batch_differential(panel, n_splits, data):
                 assert e is None and g is None
             else:
                 assert abs(g - e) < 1e-9 * (1 + abs(e))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left=panels(), right=panels(), tol=st.integers(0, 200))
+def test_keyless_asof_routes_identical(left, right, tol):
+    """Auto-routing pin: the keyless union-window engine and the
+    time-bucketed engine (what ``distributed=None`` picks at scale)
+    must be output-identical — including a bucket width SMALLER than
+    the data span so matches genuinely cross bucket boundaries."""
+    right = (right.groupby("time", as_index=False).agg(rv=("v", "max")))
+    spark = _spark()
+    ldf = spark.createDataFrame(left[["time", "v"]],
+                                "time long, v double")
+    rdf = spark.createDataFrame(right[["time", "rv"]],
+                                "time long, rv double")
+    single = (asof.left_join(ldf, rdf, tolerance=tol, distributed=False)
+              .toPandas().sort_values(["time", "v"], ignore_index=True))
+    bucketed = (asof.left_join(ldf, rdf, tolerance=tol, distributed=True,
+                               bucket=max(tol, 97))
+                .toPandas().sort_values(["time", "v"], ignore_index=True))
+    pd.testing.assert_frame_equal(single, bucketed[single.columns.tolist()],
+                                  check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left=panels(), right=panels(), tol=st.integers(0, 200))
+def test_hot_key_guard_routes_identical(left, right, tol):
+    """hot_key_guard pin: with every row on ONE key (fraction 1.0 >
+    guard 0.5), the probe must fire and the bucketed composite-key
+    route must equal the plain keyed route."""
+    left = left.assign(id=1)
+    right = (right.assign(id=1)
+             .groupby(["time", "id"], as_index=False).agg(rv=("v", "max")))
+    spark = _spark()
+    ldf = spark.createDataFrame(left, "time long, id int, v double")
+    rdf = spark.createDataFrame(right, "time long, id int, rv double")
+    plain = (asof.left_join(ldf, rdf, tolerance=tol, key=["id"])
+             .toPandas().sort_values(["time", "id", "v"],
+                                     ignore_index=True))
+    guarded = (asof.left_join(ldf, rdf, tolerance=tol, key=["id"],
+                              hot_key_guard=0.5, bucket=max(tol, 97))
+               .toPandas().sort_values(["time", "id", "v"],
+                                       ignore_index=True))
+    pd.testing.assert_frame_equal(plain, guarded[plain.columns.tolist()],
+                                  check_dtype=False)
