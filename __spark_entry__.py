@@ -239,6 +239,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_quantile_keyless": q_rolling_quantile_keyless,
         "clock_tz": q_clock_tz,
         "camel_api": q_camel_api,
+        "ivfpq_table": q_ivfpq_table,
     }
 
 
@@ -345,6 +346,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "rolling_quantile_keyless": SQL_ROLLING_QUANTILE_KEYLESS,
         "clock_tz": SQL_CLOCK_TZ,
         "camel_api": SQL_CAMEL_API,
+        "ivfpq_table": _sql_ivfpq(),
     }
 
 

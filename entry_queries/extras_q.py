@@ -4073,3 +4073,26 @@ SQL_CAMEL_API = """
   ASOF LEFT JOIN daily d
     ON d.event_type = e.event_type AND d.time <= CAST(e.ts AS TIMESTAMP)
 """
+
+
+def q_ivfpq_table(spark, sf):
+    """IVF-PQ search over the PERSISTED codes artifact
+    (similarity.ivfpq_save_codes / ivfpq_topk_table): codes written
+    partitioned by centroid_id, so the probed-cell IN-filter becomes
+    parquet PARTITION PRUNING — the serving plan reads only
+    nprobe/k_coarse of the corpus directories and never touches raw
+    vectors (probes excepted). Same quantizers and scoring as the
+    `ivfpq` gate, so the oracle is shared; the pruned-scan shape is
+    additionally pinned by a PartitionFilters assertion in pytest."""
+    import os
+
+    emb = _t(spark, sf, "embeddings")
+    cents, books = similarity.ivfpq_build(
+        emb, k_coarse=8, m=4, ksub=8, coarse_iters=1, pq_iters=1,
+        seed=7, quantize=9)
+    path = (f"/tmp/flint_ivfpq_{os.getpid()}_"
+            + sf.strip("/").replace("/", "_"))
+    similarity.ivfpq_save_codes(emb, cents, books, path)
+    out = similarity.ivfpq_topk_table(spark, path, emb, cents, books,
+                                      [0, 1, 2, 3, 4], k=10, nprobe=2)
+    return out.select("probe_id", "vec_id", F.col("adc"), "rank")

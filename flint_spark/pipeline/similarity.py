@@ -812,7 +812,6 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
     cross-engine order. Returns (probe_id, vec_id, adc, rank)."""
     from ._cache import begin_op, keep
 
-    spark = emb.sparkSession
     begin_op()
     res = _ivfpq_residuals(emb, centroids, id_col, vec_col)
     # cell id rides the encode projection — no re-join, no second
@@ -820,10 +819,57 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
     # the stored artifact (search scans codes, never raw vectors)
     codes = keep(pq_encode(res, codebooks, id_col, "residual",
                            keep=["centroid_id"]))
-
     probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
                   .select(F.col(id_col).alias("pid"),
                           _dvec(F.col(vec_col)).alias("pv")).collect())
+    return _ivfpq_search(codes, probe_rows, centroids, codebooks, k,
+                         nprobe, id_col, round_decimals)
+
+
+def ivfpq_save_codes(emb: DataFrame, centroids, codebooks, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Persist the IVF-PQ codes table PARTITIONED BY ``centroid_id`` —
+    the billion-scale serving layout: each coarse cell is its own
+    directory, so the search's probed-cell IN-filter becomes
+    PARTITION PRUNING on disk (only ``nprobe/k_coarse`` of the corpus
+    is ever read, with zero exchanges before the LUT join). Encode is
+    the usual map-only projection; the write's partitionBy is the one
+    exchange, paid once at build time."""
+    res = _ivfpq_residuals(emb, centroids, id_col, vec_col)
+    codes = pq_encode(res, codebooks, id_col, "residual",
+                      keep=["centroid_id"])
+    (codes.write.mode("overwrite").partitionBy("centroid_id")
+     .parquet(path))
+
+
+def ivfpq_topk_table(spark, path: str, emb: DataFrame, centroids,
+                     codebooks, probe_ids: Sequence[int], k: int = 10,
+                     nprobe: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_decimals: int = 6) -> DataFrame:
+    """IVF-PQ search over a PERSISTED codes table
+    (:func:`ivfpq_save_codes`): identical scoring to
+    :func:`ivfpq_topk`, but the probed-cell filter prunes parquet
+    partitions instead of filtering a scan — the plan reads only the
+    probed cells' directories and needs no cache of the encode
+    subtree (raw vectors are touched only to look up the probes)."""
+    codes = spark.read.parquet(path)
+    probe_rows = (emb.filter(F.col(id_col).isin(list(probe_ids)))
+                  .select(F.col(id_col).alias("pid"),
+                          _dvec(F.col(vec_col)).alias("pv")).collect())
+    return _ivfpq_search(codes, probe_rows, centroids, codebooks, k,
+                         nprobe, id_col, round_decimals)
+
+
+def _ivfpq_search(codes: DataFrame, probe_rows, centroids, codebooks,
+                  k: int, nprobe: int, id_col: str,
+                  round_decimals: int) -> DataFrame:
+    """Shared ADC search over a codes table (in-session cached or read
+    back from the partitioned artifact): driver-side probe LUTs over
+    the bounded quantizer state, probed-cell pruning, one broadcast
+    equi-join + one (probe, vec) aggregation + the top-k window."""
+    spark = codes.sparkSession
     # nprobe nearest cells per probe + the per-cell residual LUTs,
     # all driver-side over the bounded quantizer state
     lut_rows = []
@@ -852,10 +898,11 @@ def ivfpq_topk(emb: DataFrame, centroids, codebooks,
 
     # IVF's whole point: scan only the probed cells. The probed set is
     # known driver-side (built in the LUT loop), so the prune is a
-    # pushable IN-filter on the codes scan — without it, posexplode
-    # runs m× over 100% of the corpus before the LUT join discards
-    # un-probed cells. On a table bucketed/partitioned by centroid_id
-    # this same predicate becomes partition pruning on disk.
+    # pushable IN-filter on the codes scan — partition pruning when
+    # codes are persisted partitioned by centroid_id
+    # (ivfpq_save_codes), a pushed filter otherwise; without it,
+    # posexplode runs m× over 100% of the corpus before the LUT join
+    # discards un-probed cells.
     exploded = (codes
                 .filter(F.col("centroid_id").isin(sorted(probed_cells)))
                 .select(F.col(id_col), "centroid_id",

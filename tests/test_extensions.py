@@ -4249,3 +4249,37 @@ def test_rolling_quantile_semantics(spark):
     # robustness: around the wild tick the median stays in-band
     w50 = res[res["v"] == 1000.0]["v_q50"].iloc[0]
     assert w50 < 20  # mean of that window would be ~100+
+
+
+def test_ivfpq_table_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ codes layout must turn the probed-cell
+    IN-filter into parquet PARTITION PRUNING (PartitionFilters on the
+    scan node) — the billion-scale serving contract: only
+    nprobe/k_coarse of the corpus directories are read — and the
+    table search must return exactly what the in-session search does."""
+    from flint_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents, books = similarity.ivfpq_build(
+        emb, k_coarse=8, m=4, ksub=8, coarse_iters=1, pq_iters=1,
+        seed=7, quantize=9)
+    path = str(tmp_path / "codes")
+    similarity.ivfpq_save_codes(emb, cents, books, path)
+
+    out = similarity.ivfpq_topk_table(spark, path, emb, cents, books,
+                                      [0, 1], k=5, nprobe=1)
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(fmt)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "centroid_id" in pf[0] and " IN (" in pf[0], \
+        f"probed-cell filter not pushed to partition pruning: {pf}"
+
+    insession = similarity.ivfpq_topk(emb, cents, books, [0, 1],
+                                      k=5, nprobe=1)
+    got = out.toPandas().sort_values(["probe_id", "rank"],
+                                     ignore_index=True)
+    exp = insession.toPandas().sort_values(["probe_id", "rank"],
+                                           ignore_index=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
