@@ -4007,35 +4007,31 @@ SQL_ROLLING_QUANTILE_KEYLESS = """
 
 def q_clock_tz(spark, sf):
     """Time-zone-aware business clock (clocks.business with tz=): a
-    6-hourly America/New_York trading calendar — begin/end parse in NY
-    and the weekend/holiday masks evaluate on NY wall time, whose UTC
-    boundaries sit 4-5h later (EST/EDT; the January range pins EST).
-    The oracle replays the mask with DuckDB AT TIME ZONE."""
+    6-hourly America/New_York trading calendar spanning the 2024-03-10
+    spring-forward — the tick grid steps in NY WALL time (masks
+    evaluate on wall time; only the emitted instants convert to UTC,
+    so the UTC offset flips -5h -> -4h mid-range). The oracle replays
+    the wall grid and the conversion with DuckDB AT TIME ZONE."""
     from flint_spark import clocks
 
-    ticks = clocks.business(spark, "2024-01-01", "2024-01-31", "6h",
-                            holidays=("2024-01-01", "2024-01-15"),
+    ticks = clocks.business(spark, "2024-03-01", "2024-03-31", "6h",
+                            holidays=("2024-03-29",),
                             tz="America/New_York")
     return ticks.select(TIME_COLUMN)
 
 
-# 2024-01-01 00:00 America/New_York = 2024-01-01 05:00 UTC =
-# 1704085200 epoch-s; Jan 1 -> Jan 31 spans 30 days of 6h ticks,
-# end-inclusive = 121 ticks
+# wall grid: 2024-03-01 00:00 .. 2024-03-31 00:00 local, 6h steps,
+# end-inclusive = 121 wall ticks; 2024-03-01 00:00 wall = epoch-s
+# 1709251200 treated as naive; instants = wall AT TIME ZONE NY -> UTC
 SQL_CLOCK_TZ = """
-  WITH t AS (
-    SELECT make_timestamp(1704085200000000 + s.i * 21600000000) AS time
+  WITH w AS (
+    SELECT make_timestamp(1709251200000000 + s.i * 21600000000) AS wall
     FROM (SELECT unnest(range(121)) AS i) s
-  ),
-  loc AS (
-    SELECT time,
-           (time AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York'
-             AS ny
-    FROM t
   )
-  SELECT time FROM loc
-  WHERE isodow(ny) NOT IN (6, 7)
-    AND strftime(ny, '%Y-%m-%d') NOT IN ('2024-01-01', '2024-01-15')
+  SELECT timezone('UTC', wall AT TIME ZONE 'America/New_York') AS time
+  FROM w
+  WHERE isodow(wall) NOT IN (6, 7)
+    AND strftime(wall, '%Y-%m-%d') NOT IN ('2024-03-29')
 """
 
 
@@ -4084,14 +4080,13 @@ def q_ivfpq_table(spark, sf):
     vectors (probes excepted). Same quantizers and scoring as the
     `ivfpq` gate, so the oracle is shared; the pruned-scan shape is
     additionally pinned by a PartitionFilters assertion in pytest."""
-    import os
-
     emb = _t(spark, sf, "embeddings")
     cents, books = similarity.ivfpq_build(
         emb, k_coarse=8, m=4, ksub=8, coarse_iters=1, pq_iters=1,
         seed=7, quantize=9)
-    path = (f"/tmp/flint_ivfpq_{os.getpid()}_"
-            + sf.strip("/").replace("/", "_"))
+    # FIXED per-sf path (no pid): mode='overwrite' reclaims prior runs
+    # instead of leaking a directory per process
+    path = "/tmp/flint_ivfpq_codes_" + sf.strip("/").replace("/", "_")
     similarity.ivfpq_save_codes(emb, cents, books, path)
     out = similarity.ivfpq_topk_table(spark, path, emb, cents, books,
                                       [0, 1, 2, 3, 4], k=10, nprobe=2)

@@ -125,24 +125,33 @@ def business(spark: SparkSession, begin, end, frequency: str | int = "1d",
     Sub-daily frequencies keep only ticks landing on business days
     (the overnight ticks of a 6h clock on a Saturday drop).
 
-    ``tz`` (IANA name) parses begin/end AND evaluates the weekend /
-    holiday masks in that zone — an ``America/New_York`` trading
-    calendar drops NY Saturdays, whose UTC boundaries sit 4-5h later
-    (the r5 gap: masks pinned to UTC silently shifted every
-    exchange-calendar clock)."""
-    b, e, f = _to_ns(begin, tz), _to_ns(end, tz), parse_duration_ns(frequency)
+    ``tz`` (IANA name) makes the whole clock LOCAL: the tick grid
+    steps by ``frequency`` in the zone's WALL time (a daily NY clock
+    ticks every NY midnight — 23h or 25h of absolute time across DST
+    transitions, the actual trading-calendar contract), weekend /
+    holiday masks evaluate on that wall time, and only the final
+    emitted instants convert to UTC. Evaluating masks on a FIXED-UTC
+    grid instead would misclassify every tick after a fall-back
+    transition (a 24h-UTC step lands at 23:00 of the previous local
+    day, so Mondays drop as 'Sunday' and holidays slip a day)."""
+    # grid arithmetic and masks run on NAIVE local wall-clock ns
+    # (tz-independent); the tz enters only in the final wall->instant
+    # conversion, so there is no drift for the grid to accumulate
+    b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
     rng = spark.range(b, e + 1, f)
-    ts = F.timestamp_micros(floor_div(F.col("id"), 1000))
-    # wall-clock time in the clock's zone (session TZ is UTC, so `ts`
-    # is the UTC instant; from_utc_timestamp shifts to local wall time)
-    local = F.from_utc_timestamp(ts, tz) if tz else ts
-    dow = F.dayofweek(local)  # Spark: 1=Sunday .. 7=Saturday
+    wall = F.timestamp_micros(floor_div(F.col("id"), 1000))
+    dow = F.dayofweek(wall)  # Spark: 1=Sunday .. 7=Saturday
     iso = F.when(dow == 1, F.lit(7)).otherwise(dow - 1)
     keep = ~iso.isin(list(weekend))
     if holidays:
         # compare as ISO strings: isin takes literal VALUES, and the
         # string form needs no implicit date coercion to replay in SQL
-        keep = keep & ~F.to_date(local).cast("string").isin(list(holidays))
+        keep = keep & ~F.to_date(wall).cast("string").isin(list(holidays))
     out = rng.filter(keep)
-    tick = ts if timestamp_type else F.col("id")
+    instant = F.to_utc_timestamp(wall, tz) if tz else wall
+    if timestamp_type:
+        tick = instant
+    else:
+        tick = (F.unix_micros(instant) * F.lit(1000)) if tz \
+            else F.col("id")
     return out.select(tick.alias(TIME_COLUMN))

@@ -23,6 +23,11 @@ runs verbatim.
 from __future__ import annotations
 
 from .context import FlintContext  # noqa: F401 — re-export (ts.flint)
+from .summarizers import (  # noqa: F401 — re-exports (ts.flint)
+    OlsSummarizerSpec,
+    ema_halflife,
+    linear_regression,
+)
 from .timeseries import TIME_COLUMN, TimeSeriesDataFrame
 
 
@@ -99,7 +104,10 @@ def _install() -> None:
     T.shiftTime = (lambda self, shift, *, backwards=False:
                    self.shift(shift, backward=backwards))
     T.toPandas = lambda self: self.to_pandas()
-    T.toDF = lambda self, sort=False: self.to_df(sort)
+    # reference TimeSeriesDataFrame IS a DataFrame, so its toDF(*cols)
+    # renames columns — preserve that; bare toDF() unwraps
+    T.toDF = (lambda self, *cols:
+              self.to_df().toDF(*cols) if cols else self.to_df())
     T.groupBy = lambda self, *cols: self.group_by(*cols)
     T.groupby = lambda self, *cols: self.group_by(*cols)
     T.keepRows = lambda self, condition: self.filter(condition)
@@ -108,22 +116,6 @@ def _install() -> None:
     T.deleteColumns = lambda self, *cols: self.delete_columns(*cols)
     T.renameColumns = lambda self, mapping: self.rename_columns(mapping)
     T.setTime = lambda self, expr: self.set_time(expr)
-
-
-class OlsSummarizerSpec:
-    """Marker returned by the compat ``summarizers.linear_regression``
-    (reference ``python/ts/flint/summarizers.py:337``): OLS is not a
-    frame aggregate here, so ``summarize`` routes this marker to the
-    Gramian engine (``operators.regression.ols_regression`` — one hash
-    aggregation + per-group numpy solve, same 15 output fields)."""
-
-    def __init__(self, y, xs, weight=None, use_intercept=True,
-                 ignore_constants=False):
-        self.y = y
-        self.xs = [xs] if isinstance(xs, str) else list(xs)
-        self.weight = weight
-        self.use_intercept = use_intercept
-        self.ignore_constants = ignore_constants
 
 
 def _summarize_camel_aware(orig_summarize):
@@ -144,38 +136,13 @@ def _summarize_camel_aware(orig_summarize):
             # summaries) — match it so ported code sees the same shape
             zero = ns_to_time_expr(F.lit(0).cast("long"),
                                    dict(self.df.dtypes)[TIME_COLUMN])
-            return out.select(zero.alias(TIME_COLUMN), "*")
+            # wrap like every other summarize branch — ported code
+            # chains TSDF methods off the result
+            return self._wrap(out.select(zero.alias(TIME_COLUMN), "*"),
+                              is_sorted=False)
         return orig_summarize(self, summarizer, k)
 
     return summarize
-
-
-def linear_regression(y_column, x_columns, weight_column=None, *,
-                      use_intercept=True, ignore_constants=False):
-    """Reference ``summarizers.linear_regression``
-    (``python/ts/flint/summarizers.py:337``): returns a marker that
-    ``summarize`` routes to the distributed Gramian OLS."""
-    return OlsSummarizerSpec(y_column, x_columns, weight_column,
-                             use_intercept, ignore_constants)
-
-
-def ema_halflife(column, halflife_duration, time_column="time",
-                 interpolation="previous", convention="legacy"):
-    """Reference ``summarizers.ema_halflife``
-    (``python/ts/flint/summarizers.py:236``): EMA with alpha=0.5 and
-    one period per half-life (``Summarizers.scala:623-663``), for use
-    in ``summarizeWindows`` — the running form is
-    ``TimeSeriesDataFrame.ema_half_life``."""
-    from . import summarizers as S
-
-    if convention == "legacy" and interpolation == "previous":
-        return S.ewma(column, alpha=0.5,
-                      duration_per_period=halflife_duration,
-                      convention="legacy")
-    return S.exponential_smoothing(
-        column, alpha=0.5, priming_periods=0.0,
-        duration_per_period=halflife_duration,
-        interpolation=interpolation, convention=convention)
 
 
 _install()

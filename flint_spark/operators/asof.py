@@ -136,7 +136,9 @@ def left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
     at 100 TB callers pay it once, not per join. Both routes are
     output-identical (property-pinned), differing only in plan shape."""
     key = list(key)
-    if key and hot_key_guard is not None \
+    # distributed=False pins the single-window plan unconditionally —
+    # it must also suppress the hot-key probe job, not just the route
+    if key and hot_key_guard is not None and distributed is not False \
             and _hot_key_fraction(left, key) > hot_key_guard:
         return asof_keyless_bucketed(
             left, right, tolerance, bucket=bucket, key=key,

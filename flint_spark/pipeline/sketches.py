@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import h28, h28_sql, h52, kmv_hash_expr
+from .hashing import h28, h28_sql, kmv_hash_expr
 
 DEFAULT_WIDTH = 1024
 DEFAULT_DEPTH = 4
@@ -112,13 +112,6 @@ def cms_sql(corpus_key_sql: str, probe_key: str = "w",
 # ----------------------------------------------------------------------
 # KMV / theta sketch: mergeable distinct counting WITH set operations
 # ----------------------------------------------------------------------
-
-#: hash domain size for the KMV normalization (52-bit md5 prefix —
-#: exact in a double; 28 bits collided at ~4% relative undercount by
-#: 10M distinct and saturated near 2^28, biasing the billion-row
-#: estimates this module targets)
-_KMV_DOMAIN = float(2 ** 52)
-
 
 def kmv_sketch(df: DataFrame, col: str, k: int = 64,
                key: Sequence[str] = (),

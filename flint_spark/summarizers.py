@@ -500,3 +500,48 @@ def histogram(column: str, bins: Sequence[float]) -> Summarizer:
                   lambda df, m, o:
                   o(F.count(F.when(m(F.col(column)) >= bins[-1], 1)))))
     return Summarizer(items)
+
+
+class OlsSummarizerSpec:
+    """Marker returned by :func:`linear_regression` (reference
+    ``python/ts/flint/summarizers.py:337``): OLS is not a frame
+    aggregate in this engine, so ``TimeSeriesDataFrame.summarize``
+    routes this marker to the Gramian engine
+    (``operators.regression.ols_regression`` — one hash aggregation +
+    per-group numpy solve, same 15 output fields)."""
+
+    def __init__(self, y, xs, weight=None, use_intercept=True,
+                 ignore_constants=False):
+        self.y = y
+        self.xs = [xs] if isinstance(xs, str) else list(xs)
+        self.weight = weight
+        self.use_intercept = use_intercept
+        self.ignore_constants = ignore_constants
+
+
+def linear_regression(y_column, x_columns, weight_column=None, *,
+                      use_intercept=True, ignore_constants=False):
+    """Reference ``summarizers.linear_regression``
+    (``python/ts/flint/summarizers.py:337``): returns a marker that
+    ``summarize`` routes to the distributed Gramian OLS."""
+    return OlsSummarizerSpec(y_column, x_columns, weight_column,
+                             use_intercept, ignore_constants)
+
+
+def ema_halflife(column: str, halflife_duration: str,
+                 time_column: str = "time",
+                 interpolation: str = "previous",
+                 convention: str = "legacy"):
+    """Reference ``summarizers.ema_halflife``
+    (``python/ts/flint/summarizers.py:236``): EMA with alpha=0.5 and
+    one period per half-life (``Summarizers.scala:623-663``), for use
+    in ``summarize_windows`` — the running form is
+    ``TimeSeriesDataFrame.ema_half_life``."""
+    if convention == "legacy" and interpolation == "previous":
+        return ewma(column, alpha=0.5,
+                    duration_per_period=halflife_duration,
+                    convention="legacy")
+    return exponential_smoothing(
+        column, alpha=0.5, priming_periods=0.0,
+        duration_per_period=halflife_duration,
+        interpolation=interpolation, convention=convention)

@@ -398,10 +398,14 @@ class TimeSeriesDataFrame:
 
     def left_join(self, right: "TimeSeriesDataFrame", tolerance: str | int = 0,
                   key: Sequence[str] = (), left_alias: str | None = None,
-                  right_alias: str | None = None) -> "TimeSeriesDataFrame":
+                  right_alias: str | None = None,
+                  distributed: bool | None = None,
+                  hot_key_guard: float | None = None) -> "TimeSeriesDataFrame":
         from .operators.asof import left_join
         return self._wrap(left_join(self._df, right._df, tolerance, key,
-                                    left_alias, right_alias))
+                                    left_alias, right_alias,
+                                    distributed=distributed,
+                                    hot_key_guard=hot_key_guard))
 
     def future_left_join(self, right: "TimeSeriesDataFrame", tolerance: str | int = 0,
                          key: Sequence[str] = (), left_alias: str | None = None,

@@ -687,7 +687,7 @@ def r6ops_scale(spark, millions: float = 5.0):
                             bucket="43200s")
     assert "__bucket" not in routed.columns
     plan = routed._jdf.queryExecution().optimizedPlan().toString()
-    assert "windowspecdefinition(__bucket" in plan or "__bucket" in plan, \
+    assert "windowspecdefinition(__bucket" in plan, \
         "keyless asof did not auto-route to the bucketed engine"
     print("  keyless asof auto-route: bucketed window plan OK")
 

@@ -16,19 +16,13 @@ The camelCase method surface is installed by ``flint_spark.compat``
 """
 
 from flint_spark import clocks, summarizers, windows  # noqa: F401
-from flint_spark.compat import (  # noqa: F401
-    FlintContext,
+from flint_spark.compat import FlintContext  # noqa: F401
+from flint_spark.functions import udf  # noqa: F401
+from flint_spark.summarizers import (  # noqa: F401
     ema_halflife,
     linear_regression,
 )
-from flint_spark.functions import udf  # noqa: F401
 from flint_spark.timeseries import TimeSeriesDataFrame  # noqa: F401
-
-# the reference also hangs linear_regression / ema_halflife off its
-# summarizers module — patch the compat factories in so
-# `summarizers.linear_regression(...)` resolves like it does there
-summarizers.linear_regression = linear_regression
-summarizers.ema_halflife = ema_halflife
 
 __all__ = [
     "FlintContext",
