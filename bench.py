@@ -107,6 +107,14 @@ HEADLINE = [
     "bigram_lm",
     "kmv_distinct",
     "rolling_quantile",
+    # round-6: distributed keyless quantile (bucketed segment scan),
+    # partition-pruned IVF-PQ serving from the persisted codes table
+    # (includes the build+write; the search itself reads nprobe/k_coarse
+    # of the directories), camelCase-shim as-of (alias overhead must be
+    # plan-invisible)
+    "rolling_quantile_keyless",
+    "ivfpq_table",
+    "camel_api",
 ]
 
 
