@@ -32,6 +32,7 @@ class TSRead:
         self._end = None
         self._time_column = TIME_COLUMN
         self._time_unit: str | None = None
+        self._timezone: str | None = None
         self._columns = None
         self._expand_begin = 0
         self._expand_end = 0
@@ -44,10 +45,15 @@ class TSRead:
         self._options.update(kv)
         return self
 
-    def range(self, begin, end) -> "TSRead":
+    def range(self, begin, end, timezone: str | None = None) -> "TSRead":
         """[begin, end) time pruning, begin-inclusive end-exclusive
-        (reference ``DFBetween``, ``TimeSeriesRDD.scala:199-232``)."""
+        (reference ``DFBetween``, ``TimeSeriesRDD.scala:199-232``).
+        ``timezone`` (IANA name) parses naive begin/end strings or
+        datetimes in that zone (reference ``readwriter.py:118``
+        ``range(begin, end, timezone='UTC')``); bounds stay literal, so
+        the prune still pushes to the scan."""
         self._begin, self._end = begin, end
+        self._timezone = timezone
         return self
 
     def expand(self, begin: str | int | None = None,
@@ -77,11 +83,19 @@ class TSRead:
             # long time columns hold epoch-ns: convert date strings/datetimes
             dtype = dict(df.dtypes).get(self._time_column, "")
             is_long = dtype in ("bigint", "long", "int")
+            tz = self._timezone
             if isinstance(value, int) and shift_ns == 0:
                 return F.lit(value)
             if is_long:
-                ns = value if isinstance(value, int) else clocks_mod._to_ns(value)
+                ns = value if isinstance(value, int) \
+                    else clocks_mod._to_ns(value, tz)
                 return F.lit(ns + shift_ns)
+            if tz and not isinstance(value, int):
+                # non-UTC zone: resolve to the absolute instant driver-side
+                # (session TZ is UTC, so timestamp_micros IS the instant);
+                # still a literal, still pushed
+                us = (clocks_mod._to_ns(value, tz) + shift_ns) // 1000
+                return F.timestamp_micros(F.lit(us))
             if shift_ns == 0:
                 return F.lit(value)
             # native timestamp/date bound: shift the unshifted literal by a

@@ -4283,3 +4283,26 @@ def test_ivfpq_table_partition_pruning(spark, sf_dir, tmp_path):
                                            ignore_index=True)
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
                                   check_dtype=False)
+
+
+def test_read_range_timezone(spark, sf_dir):
+    """TSRead.range(begin, end, timezone=...) parses naive bounds in
+    the given zone (reference readwriter.py:118) and keeps the prune
+    pushed: a [Jan 10, Jan 20) NY window shifts 5h later in UTC, so
+    events between Jan 10 00:00 UTC and 05:00 UTC fall OUTSIDE it."""
+    from flint_spark.sources.readbuilder import TSRead
+
+    utc = (TSRead(spark).time_column("ts")
+           .range("2024-01-10", "2024-01-20")
+           .parquet(f"{sf_dir}/events.parquet").to_df())
+    ny = (TSRead(spark).time_column("ts")
+          .range("2024-01-10", "2024-01-20", timezone="America/New_York")
+          .parquet(f"{sf_dir}/events.parquet").to_df())
+    n_utc, n_ny = utc.count(), ny.count()
+    assert n_utc != n_ny  # the 5h shift must move some boundary events
+    lo, hi = ny.agg(F.min("time"), F.max("time")).first()
+    assert str(lo) >= "2024-01-10 05:00:00"
+    assert str(hi) < "2024-01-20 05:00:00"
+    # prune still pushed to the scan (filter lands on the raw ts column)
+    plan = ny._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan
