@@ -121,8 +121,11 @@ class TSRead:
         return TimeSeriesDataFrame.from_df(df, time_column=self._time_column,
                                            time_unit=self._time_unit)
 
-    def parquet(self, path: str) -> TimeSeriesDataFrame:
-        return self._finish(self._spark.read.options(**self._options).parquet(path))
+    def parquet(self, *paths: str) -> TimeSeriesDataFrame:
+        """Accepts multiple paths like the reference
+        (``readwriter.py:366`` ``parquet(*paths)``)."""
+        return self._finish(
+            self._spark.read.options(**self._options).parquet(*paths))
 
     def csv(self, path: str, schema=None, header: bool = True) -> TimeSeriesDataFrame:
         reader = self._spark.read.options(header=header, **self._options)
@@ -141,10 +144,21 @@ class TSRead:
         return self._finish(self._spark.createDataFrame(pdf))
 
     def clock(self, frequency: str, begin=None, end=None,
-              end_inclusive: bool = True) -> TimeSeriesDataFrame:
+              end_inclusive: bool = True,
+              offset=None) -> TimeSeriesDataFrame:
+        """Uniform clock over the reader's range. Also accepts the
+        reference call shape ``clock('uniform', '30s', offset,
+        end_inclusive)`` (``readwriter.py:199`` — name first); the
+        range's ``timezone`` applies to the begin/end parse."""
+        if isinstance(frequency, str) and frequency == "uniform":
+            # reference shape: (name, frequency, offset, end_inclusive)
+            frequency, offset = begin, end
+            begin = end = None
         b = begin if begin is not None else self._begin
         e = end if end is not None else self._end
         if b is None or e is None:
             raise ValueError("clock() needs a range: .range(begin, end)")
-        ck = clocks_mod.uniform(b, e, frequency, end_inclusive=end_inclusive)
+        ck = clocks_mod.uniform(b, e, frequency, offset or 0,
+                                end_inclusive=end_inclusive,
+                                tz=self._timezone)
         return TimeSeriesDataFrame(ck.ticks_df(self._spark))
