@@ -41,7 +41,8 @@ from entry_queries import (R, _ensure_session_confs, _events, _orders_right,
                            _sql_pagerank, _sql_lead_lag,
                            _sql_pq_topk, _sql_bpe_tokens, _sql_dsir,
                            _sql_holt_winters, _sql_ivfpq,
-                           _sql_kmv_distinct)
+                           _sql_kmv_distinct,
+                           _sql_corpus_pipeline)
 
 # ----------------------------------------------------------------------
 # flagship
@@ -240,6 +241,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clock_tz": q_clock_tz,
         "camel_api": q_camel_api,
         "ivfpq_table": q_ivfpq_table,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -347,6 +349,7 @@ def extra_oracle_sql() -> dict[str, str]:
         "clock_tz": SQL_CLOCK_TZ,
         "camel_api": SQL_CAMEL_API,
         "ivfpq_table": _sql_ivfpq(),
+        "corpus_pipeline": _sql_corpus_pipeline(),
     }
 
 

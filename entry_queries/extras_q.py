@@ -4091,3 +4091,85 @@ def q_ivfpq_table(spark, sf):
     out = similarity.ivfpq_topk_table(spark, path, emb, cents, books,
                                       [0, 1, 2, 3, 4], k=10, nprobe=2)
     return out.select("probe_id", "vec_id", F.col("adc"), "rank")
+
+
+def q_corpus_pipeline(spark, sf):
+    """END-TO-END training-data pipeline composite: the corpus (plus a
+    salted duplicate of every 7th doc so dedup has real work) flows
+    quality scoring -> language-ID -> filter (quality >= 0.45 AND
+    lang_pred = 'en') -> exact dedup (min-doc_id canonical per text
+    md5) -> overlapping 64/16 token chunking -> per-source rollup of
+    surviving docs / chunks / tokens. Every stage is an existing
+    oracle-gated operator (pipeline.text.quality_score / language_id /
+    chunk_documents, the dedup canonical rule) — this gate pins that
+    they COMPOSE in one declarative plan: scan -> map-only scoring ->
+    one dedup exchange -> chunk explode -> one rollup exchange. The
+    quality threshold compares the 1e-6-quantized score so the cut
+    can never straddle engine FP noise."""
+    from flint_spark.pipeline import text as T
+
+    docs = _t(spark, sf, "documents")
+    salted = (docs.filter(F.col("doc_id") % 7 == 0)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    corpus = docs.unionByName(salted).filter(F.col("text").isNotNull())
+    scored = corpus.select(
+        "doc_id", "text", "source",
+        R(T.quality_score("text"), 6).alias("q"),
+        T.language_id("text").alias("lp"))
+    kept = scored.filter((F.col("q") >= 0.45) & (F.col("lp") == "en"))
+    canon = (kept.groupBy(F.md5("text").alias("h"))
+             .agg(F.min("doc_id").alias("doc_id")))
+    dd = kept.join(canon.select("doc_id"), ["doc_id"], "leftsemi")
+    chunks = T.chunk_documents(dd, max_tokens=64, overlap=16)
+    return (chunks.groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("chunk_tokens").cast("long").alias("tok_sum")))
+
+
+def _sql_corpus_pipeline() -> str:
+    from flint_spark.pipeline import text as text_ops
+
+    sw = {lang: ", ".join(f"'{w}'" for w in ws)
+          for lang, ws in text_ops.LANG_STOPWORDS.items()}
+    scores = {lang: (f"(len(list_filter(w, x -> list_contains([{words}],"
+                     f" x)))::DOUBLE / len(w))")
+              for lang, words in sw.items()}
+    langs = list(text_ops.LANG_STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{scores[lang]} >= {scores[other]}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    quality = ("(0.4 * least(len(w)::DOUBLE / 64.0, 1.0)"
+               " + 0.4 * (len(list_distinct(w))::DOUBLE / len(w))"
+               " + 0.2 * (1.0 - least(abs((length(text) - (len(w) - 1))"
+               "::DOUBLE / len(w) - 5.0) / 5.0, 1.0)))")
+    return f"""
+  WITH corpus AS (
+    SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL
+    UNION ALL
+    SELECT doc_id + 10000000, text, source FROM documents
+    WHERE doc_id % 7 = 0 AND text IS NOT NULL
+  ),
+  scored AS (
+    SELECT doc_id, text, source,
+           floor({quality} * 1e6 + 0.5) / 1e6 AS q,
+           {lang_case} AS lp
+    FROM (SELECT doc_id, text, source, string_split(text, ' ') AS w
+          FROM corpus)
+  ),
+  kept AS (SELECT * FROM scored WHERE q >= 0.45 AND lp = 'en'),
+  canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+  dd AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)),
+  c AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n,
+               greatest(1, CAST(ceil((len(string_split(text, ' ')) - 16)
+                                     / 48.0) AS INT)) AS nc
+        FROM dd),
+  e AS (SELECT doc_id, source, n, unnest(range(nc)) AS chunk_id FROM c)
+  SELECT source, count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_chunks,
+         sum(least(64, n - chunk_id * 48))::BIGINT AS tok_sum
+  FROM e GROUP BY 1
+"""
