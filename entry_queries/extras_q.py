@@ -4173,3 +4173,50 @@ def _sql_corpus_pipeline() -> str:
          sum(least(64, n - chunk_id * 48))::BIGINT AS tok_sum
   FROM e GROUP BY 1
 """
+
+
+def q_back_adjust(spark, sf):
+    """Corporate-action back-adjustment (operators.adjust.back_adjust):
+    every 149th event becomes a 'split' with an md5-chosen binary
+    factor (0.5 / 2 / 0.25 / 4 — exact in doubles, so the suffix
+    products replay bitwise); each price row's value multiplies by the
+    product of all factors strictly after its time per event_type.
+    Plan: one desc window over the tiny actions table + the standard
+    single-exchange strict forward as-of. The oracle computes the same
+    suffix product as a correlated product() subquery."""
+    from flint_spark.operators import adjust
+    from flint_spark.pipeline.hashing import h28
+
+    ev = _events(spark, sf)
+    px = ev.select(TIME_COLUMN, "event_id", "event_type", "value")
+    factor = F.element_at(
+        F.array(F.lit(0.5), F.lit(2.0), F.lit(0.25), F.lit(4.0)),
+        (F.pmod(h28(F.concat(F.lit("sp:"),
+                             F.col("event_id").cast("string"))),
+                F.lit(4)) + 1).cast("int"))
+    splits = (ev.filter(F.col("event_id") % 149 == 0)
+              .select(TIME_COLUMN, "event_type", factor.alias("factor")))
+    out = adjust.back_adjust(px, splits, ["value"], key=["event_type"])
+    return out.select(TIME_COLUMN, "event_id", "event_type",
+                      R("value_adj", 6).alias("value_adj"))
+
+
+def _sql_back_adjust() -> str:
+    from flint_spark.pipeline.hashing import h28_sql
+
+    h = h28_sql("'sp:' || event_id::VARCHAR")
+    return f"""
+  WITH sp AS (
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+           CASE ({h} % 4) WHEN 0 THEN 0.5 WHEN 1 THEN 2.0
+                          WHEN 2 THEN 0.25 ELSE 4.0 END AS f
+    FROM events WHERE event_id % 149 = 0
+  )
+  SELECT CAST(e.ts AS TIMESTAMP) AS time, e.event_id, e.event_type,
+         floor(e.value * coalesce(
+           (SELECT product(f) FROM sp a
+            WHERE a.event_type = e.event_type
+              AND a.t > CAST(e.ts AS TIMESTAMP)), 1.0) * 1e6 + 0.5) / 1e6
+           AS value_adj
+  FROM events e
+"""

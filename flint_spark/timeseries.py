@@ -526,6 +526,16 @@ class TimeSeriesDataFrame:
         from .operators.ema import ema_half_life
         return self._wrap(ema_half_life(self._df, column, half_life, **kwargs))
 
+    def back_adjust(self, actions: "TimeSeriesDataFrame",
+                    price_cols: Sequence[str], **kwargs
+                    ) -> "TimeSeriesDataFrame":
+        """Split/dividend back-adjustment: multiply each price column
+        by the product of action factors strictly after the row's time
+        (``operators.adjust.back_adjust``)."""
+        from .operators.adjust import back_adjust
+        return self._wrap(back_adjust(self._df, actions._df, price_cols,
+                                      **kwargs))
+
     def ewm_volatility(self, column: str, **kwargs
                        ) -> "TimeSeriesDataFrame":
         from .operators.ema import ewm_volatility

@@ -4306,3 +4306,25 @@ def test_read_range_timezone(spark, sf_dir):
     # prune still pushed to the scan (filter lands on the raw ts column)
     plan = ny._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+def test_back_adjust_hand_case(spark):
+    """Hand-computed back-adjustment: factors compound strictly after
+    each row, same-instant actions multiply together, a price row AT
+    an action time is NOT adjusted by that action, and rows after the
+    last action pass through unadjusted."""
+    from flint_spark.operators.adjust import back_adjust
+
+    px = spark.createDataFrame(
+        [(1, 100.0), (5, 200.0), (10, 400.0), (15, 800.0)],
+        "time long, px double")
+    acts = spark.createDataFrame(
+        # two actions at t=10 (0.5 * 0.5 = 0.25 together), one at t=12
+        [(10, 0.5), (10, 0.5), (12, 2.0)],
+        "time long, factor double")
+    got = {r["time"]: r["px_adj"]
+           for r in back_adjust(px, acts, ["px"]).collect()}
+    assert got[1] == 100.0 * 0.25 * 2.0
+    assert got[5] == 200.0 * 0.25 * 2.0
+    assert got[10] == 400.0 * 2.0      # its own instant excluded
+    assert got[15] == 800.0            # no later action
