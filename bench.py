@@ -115,6 +115,11 @@ HEADLINE = [
     "rolling_quantile_keyless",
     "ivfpq_table",
     "camel_api",
+    # composite corpus pipeline (scoring -> dedup -> chunk -> rollup,
+    # 3 exchanges end-to-end) and the suffix-product back-adjustment
+    # (desc window + strict forward as-of)
+    "corpus_pipeline",
+    "back_adjust",
 ]
 
 

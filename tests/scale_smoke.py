@@ -678,6 +678,29 @@ def r6ops_scale(spark, millions: float = 5.0):
                               bucket="43200s", distributed=True)
 
     linearity("keyless asof bucketed", asof_bucketed, n_small, n_big)
+
+    # composite corpus pipeline (score -> filter -> dedup -> chunk ->
+    # rollup): every stage map-only or one exchange; must stay linear
+    # when the corpus actually grows (the sf fixtures are 500 docs)
+    from flint_spark.pipeline import text as T
+
+    def corpus_pipe(n):
+        docs = synth_corpus(spark, n).withColumn(
+            "source", F.pmod(F.col("doc_id"), F.lit(20)).cast("string"))
+        scored = docs.select(
+            "doc_id", "text", "source",
+            T.quality_score("text").alias("q"),
+            T.language_id("text").alias("lp"))
+        kept = scored.filter(F.col("q") >= 0.2)
+        canon = (kept.groupBy(F.md5("text").alias("h"))
+                 .agg(F.min("doc_id").alias("doc_id")))
+        dd = kept.join(canon.select("doc_id"), ["doc_id"], "leftsemi")
+        chunks = T.chunk_documents(dd, max_tokens=24, overlap=8)
+        return (chunks.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_chunks"),
+                     F.sum("chunk_tokens").alias("tok")))
+
+    linearity("corpus pipeline", corpus_pipe, 500_000, 1_000_000)
     # AUTO pin: distributed=None must pick the bucketed engine for
     # these frames (combined estimate ~130MB > the 64MB budget) — the
     # window partitions on the time bucket, where the single-task plan
