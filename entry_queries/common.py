@@ -83,3 +83,35 @@ def count_exchanges(df) -> int:
     Shared walker: ``flint_spark.plans.audit``."""
     from flint_spark.plans.audit import count_exchanges as _ce
     return _ce(df)
+
+
+def lang_scores_sql(w: str = "w") -> dict[str, str]:
+    """Per-language stopword-ratio DuckDB fragments — the SQL mirror of
+    ``pipeline.text._stopword_ratio``, built from the same
+    LANG_STOPWORDS constant so Spark and oracle can never drift."""
+    return {lang: (f"(len(list_filter({w}, x -> list_contains(["
+                   + ", ".join(f"'{word}'" for word in words)
+                   + f"], x)))::DOUBLE / len({w}))")
+            for lang, words in text_ops.LANG_STOPWORDS.items()}
+
+
+def lang_case_sql(w: str = "w") -> str:
+    """Fold-order argmax language CASE (first language in key order
+    achieving the max) — mirrors ``pipeline.text._language_id``."""
+    scores = lang_scores_sql(w)
+    langs = list(text_ops.LANG_STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{scores[lang]} >= {scores[other]}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+
+
+def quality_sql(text: str = "text", w: str = "w") -> str:
+    """Document-quality formula fragment — mirrors
+    ``pipeline.text._quality`` term for term."""
+    return (f"(0.4 * least(len({w})::DOUBLE / 64.0, 1.0)"
+            f" + 0.4 * (len(list_distinct({w}))::DOUBLE / len({w}))"
+            f" + 0.2 * (1.0 - least(abs((length({text}) - (len({w}) - 1))"
+            f"::DOUBLE / len({w}) - 5.0) / 5.0, 1.0)))")

@@ -4117,9 +4117,13 @@ def q_corpus_pipeline(spark, sf):
         R(T.quality_score("text"), 6).alias("q"),
         T.language_id("text").alias("lp"))
     kept = scored.filter((F.col("q") >= 0.45) & (F.col("lp") == "en"))
-    canon = (kept.groupBy(F.md5("text").alias("h"))
-             .agg(F.min("doc_id").alias("doc_id")))
-    dd = kept.join(canon.select("doc_id"), ["doc_id"], "leftsemi")
+    # canonical via a window min over the text hash: ONE scoring pass
+    # (the agg + semi-join form re-evaluates the quality/lang-ID map
+    # stage on both join sides), same single dedup exchange
+    from pyspark.sql import Window as _W
+    canon_id = F.min("doc_id").over(_W.partitionBy(F.md5("text")))
+    dd = (kept.withColumn("__canon", canon_id)
+          .filter(F.col("doc_id") == F.col("__canon")).drop("__canon"))
     chunks = T.chunk_documents(dd, max_tokens=64, overlap=16)
     return (chunks.groupBy("source")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
@@ -4128,24 +4132,8 @@ def q_corpus_pipeline(spark, sf):
 
 
 def _sql_corpus_pipeline() -> str:
-    from flint_spark.pipeline import text as text_ops
+    from .common import lang_case_sql, quality_sql
 
-    sw = {lang: ", ".join(f"'{w}'" for w in ws)
-          for lang, ws in text_ops.LANG_STOPWORDS.items()}
-    scores = {lang: (f"(len(list_filter(w, x -> list_contains([{words}],"
-                     f" x)))::DOUBLE / len(w))")
-              for lang, words in sw.items()}
-    langs = list(text_ops.LANG_STOPWORDS)
-    cases = []
-    for i, lang in enumerate(langs[:-1]):
-        conds = " AND ".join(f"{scores[lang]} >= {scores[other]}"
-                             for other in langs[i + 1:])
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    lang_case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
-    quality = ("(0.4 * least(len(w)::DOUBLE / 64.0, 1.0)"
-               " + 0.4 * (len(list_distinct(w))::DOUBLE / len(w))"
-               " + 0.2 * (1.0 - least(abs((length(text) - (len(w) - 1))"
-               "::DOUBLE / len(w) - 5.0) / 5.0, 1.0)))")
     return f"""
   WITH corpus AS (
     SELECT doc_id, text, source FROM documents WHERE text IS NOT NULL
@@ -4155,14 +4143,16 @@ def _sql_corpus_pipeline() -> str:
   ),
   scored AS (
     SELECT doc_id, text, source,
-           floor({quality} * 1e6 + 0.5) / 1e6 AS q,
-           {lang_case} AS lp
+           floor({quality_sql()} * 1e6 + 0.5) / 1e6 AS q,
+           {lang_case_sql()} AS lp
     FROM (SELECT doc_id, text, source, string_split(text, ' ') AS w
           FROM corpus)
   ),
   kept AS (SELECT * FROM scored WHERE q >= 0.45 AND lp = 'en'),
-  canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
-  dd AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)),
+  dd AS (SELECT * FROM (
+           SELECT k.*, min(doc_id) OVER (PARTITION BY md5(text))
+                         AS canon_id
+           FROM kept k) WHERE doc_id = canon_id),
   c AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n,
                greatest(1, CAST(ceil((len(string_split(text, ' ')) - 16)
                                      / 48.0) AS INT)) AS nc

@@ -245,19 +245,10 @@ def q_text_stats(spark, sf):
 
 
 def _sql_text_stats() -> str:
-    sw = {lang: ", ".join(f"'{w}'" for w in ws)
-          for lang, ws in text_ops.LANG_STOPWORDS.items()}
-    scores = {lang: (f"(len(list_filter(w, x -> list_contains([{words}], x)))"
-                     f"::DOUBLE / len(w))")
-              for lang, words in sw.items()}
-    # fold-order argmax: first language (en,de,fr,es) achieving the max
-    langs = list(text_ops.LANG_STOPWORDS)
-    cases = []
-    for i, lang in enumerate(langs[:-1]):
-        conds = " AND ".join(f"{scores[lang]} >= {scores[other]}"
-                             for other in langs[i + 1:])
-        cases.append(f"WHEN {conds} THEN '{lang}'")
-    lang_case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    from .common import lang_case_sql, lang_scores_sql, quality_sql
+
+    scores = lang_scores_sql()
+    lang_case = lang_case_sql()
     return f"""
   WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
   SELECT doc_id,
@@ -267,10 +258,7 @@ def _sql_text_stats() -> str:
          floor(((length(text) - (len(w) - 1))::DOUBLE / len(w)) * 1000000 + 0.5) / 1000000 AS avg_word_len,
          floor((len(list_distinct(w))::DOUBLE / len(w)) * 1000000 + 0.5) / 1000000 AS distinct_ratio,
          floor(({scores['en']}) * 1000000 + 0.5) / 1000000 AS stopword_ratio_en,
-         floor((0.4 * least(len(w)::DOUBLE / 64.0, 1.0)
-               + 0.4 * (len(list_distinct(w))::DOUBLE / len(w))
-               + 0.2 * (1.0 - least(abs((length(text) - (len(w) - 1))::DOUBLE
-                                        / len(w) - 5.0) / 5.0, 1.0))) * 1000000 + 0.5) / 1000000 AS quality,
+         floor({quality_sql()} * 1000000 + 0.5) / 1000000 AS quality,
          {lang_case} AS lang_pred,
          list_reduce(list_transform(w,
              x -> (('0x' || substr(md5(x), 1, 7))::BIGINT)),

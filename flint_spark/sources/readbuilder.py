@@ -90,10 +90,14 @@ class TSRead:
                 ns = value if isinstance(value, int) \
                     else clocks_mod._to_ns(value, tz)
                 return F.lit(ns + shift_ns)
-            if tz and not isinstance(value, int):
+            if tz and not isinstance(value, int) and dtype != "date":
                 # non-UTC zone: resolve to the absolute instant driver-side
                 # (session TZ is UTC, so timestamp_micros IS the instant);
-                # still a literal, still pushed
+                # still a literal, still pushed. DATE columns skip this:
+                # a date has no intra-day resolution, so the zone cannot
+                # move day membership — the plain date literal keeps the
+                # filter pushed as a date predicate (a timestamp bound
+                # would force a column cast and drop day-boundary rows)
                 us = (clocks_mod._to_ns(value, tz) + shift_ns) // 1000
                 return F.timestamp_micros(F.lit(us))
             if shift_ns == 0:
@@ -143,21 +147,28 @@ class TSRead:
     def pandas(self, pdf) -> TimeSeriesDataFrame:
         return self._finish(self._spark.createDataFrame(pdf))
 
-    def clock(self, frequency: str, begin=None, end=None,
-              end_inclusive: bool = True,
-              offset=None) -> TimeSeriesDataFrame:
-        """Uniform clock over the reader's range. Also accepts the
-        reference call shape ``clock('uniform', '30s', offset,
-        end_inclusive)`` (``readwriter.py:199`` — name first); the
+    def clock(self, kind, frequency=None, offset=None,
+              end_inclusive: bool = True, begin=None, end=None,
+              seed: int = 42) -> TimeSeriesDataFrame:
+        """Clock over the reader's range: ``clock('uniform', '30s',
+        offset, end_inclusive)`` — the reference call shape, kind
+        first (``readwriter.py:199``) — or the one-arg shorthand
+        ``clock('30s')`` (kind defaults to uniform). Kinds:
+        ``uniform`` | ``random`` (md5-jittered, ``seed=``). The
         range's ``timezone`` applies to the begin/end parse."""
-        if isinstance(frequency, str) and frequency == "uniform":
-            # reference shape: (name, frequency, offset, end_inclusive)
-            frequency, offset = begin, end
-            begin = end = None
+        if frequency is None:
+            kind, frequency = "uniform", kind
+        if kind not in ("uniform", "random"):
+            raise ValueError(f"unknown clock kind {kind!r} "
+                             f"(supported: uniform, random)")
         b = begin if begin is not None else self._begin
         e = end if end is not None else self._end
         if b is None or e is None:
             raise ValueError("clock() needs a range: .range(begin, end)")
+        if kind == "random":
+            ticks = clocks_mod.random(self._spark, b, e, frequency,
+                                      seed=seed, tz=self._timezone)
+            return TimeSeriesDataFrame(ticks)
         ck = clocks_mod.uniform(b, e, frequency, offset or 0,
                                 end_inclusive=end_inclusive,
                                 tz=self._timezone)
