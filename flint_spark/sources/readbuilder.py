@@ -91,13 +91,15 @@ class TSRead:
                     else clocks_mod._to_ns(value, tz)
                 return F.lit(ns + shift_ns)
             if tz and not isinstance(value, int) and dtype != "date":
-                # non-UTC zone: resolve to the absolute instant driver-side
-                # (session TZ is UTC, so timestamp_micros IS the instant);
-                # still a literal, still pushed. DATE columns skip this:
-                # a date has no intra-day resolution, so the zone cannot
-                # move day membership — the plain date literal keeps the
-                # filter pushed as a date predicate (a timestamp bound
-                # would force a column cast and drop day-boundary rows)
+                # non-UTC zone: resolve to the absolute instant
+                # driver-side (engine convention: session TZ is UTC and
+                # every timestamp — NTZ included — denotes a UTC
+                # instant, so timestamp_micros IS the bound); still a
+                # literal, still pushed. DATE columns skip this: a date
+                # has no intra-day resolution, so the zone cannot move
+                # day membership — the plain date literal keeps the
+                # filter pushed as a date predicate (an instant bound
+                # would force a cast and drop day-boundary rows)
                 us = (clocks_mod._to_ns(value, tz) + shift_ns) // 1000
                 return F.timestamp_micros(F.lit(us))
             if shift_ns == 0:

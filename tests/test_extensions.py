@@ -4328,3 +4328,28 @@ def test_back_adjust_hand_case(spark):
     assert got[5] == 200.0 * 0.25 * 2.0
     assert got[10] == 400.0 * 2.0      # its own instant excluded
     assert got[15] == 800.0            # no later action
+
+
+def test_read_range_timezone_date_column(spark, tmp_path):
+    """timezone= must NOT shift bounds for DATE columns (a date has no
+    intra-day resolution, so the zone cannot move day membership): the
+    row set is identical with and without the zone, the boundary date
+    stays included, and the filter stays pushed as a date predicate."""
+    from flint_spark.sources.readbuilder import TSRead
+
+    path = str(tmp_path / "dates")
+    (spark.range(1, 29)
+     .selectExpr("id", "make_date(2024, 1, id) AS d")
+     .write.parquet(path))
+
+    def load(**kw):
+        return (TSRead(spark).time_column("d")
+                .range("2024-01-10", "2024-01-20", **kw)
+                .parquet(path).to_df())
+
+    plain, ny = load(), load(timezone="America/New_York")
+    assert plain.count() == ny.count() == 10
+    lo = ny.agg(F.min("time")).first()[0]
+    assert str(lo)[:10] == "2024-01-10"  # boundary day kept
+    scan = ny._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(d" in scan  # pushed on the date column
