@@ -120,6 +120,7 @@ HEADLINE = [
     # (desc window + strict forward as-of)
     "corpus_pipeline",
     "back_adjust",
+    "volume_bars",
 ]
 
 

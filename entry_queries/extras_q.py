@@ -4210,3 +4210,52 @@ def _sql_back_adjust() -> str:
            AS value_adj
   FROM events e
 """
+
+
+def q_volume_bars(spark, sf):
+    """Volume-clock bars (operators.bars.volume_bars): per event_type,
+    a bar closes once 250 units of volume (JSON props.k) accumulate —
+    the information-driven bar family (dollar bars = price*volume as
+    the volume column). One running-sum window + the OHLCV aggregation
+    reusing its exchange; the exclusive prefix sum and the shared
+    (time, event_id, price) fold order make bar boundaries replay
+    bitwise in SQL."""
+    from flint_spark.operators.bars import volume_bars
+
+    ev = _events(spark, sf).withColumn(
+        "vol", F.get_json_object("props", "$.k").cast("double"))
+    out = volume_bars(ev, 250.0, "value", "vol", key=["event_type"],
+                      tie_break=["event_id"])
+    return out.select(
+        TIME_COLUMN, "event_type", "bar_seq",
+        R("open", 4).alias("open"), R("high", 4).alias("high"),
+        R("low", 4).alias("low"), R("close", 4).alias("close"),
+        "n", R("volume", 4).alias("volume"), R("vwap", 6).alias("vwap"))
+
+
+SQL_VOLUME_BARS = """
+  WITH e AS (
+    SELECT event_type, epoch_us(ts) AS tus, value, event_id,
+           COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                    0) AS vol
+    FROM events WHERE value IS NOT NULL),
+  b AS (
+    SELECT *, sum(vol) OVER (PARTITION BY event_type
+              ORDER BY tus, event_id, value
+              ROWS UNBOUNDED PRECEDING) - vol AS bef
+    FROM e),
+  g AS (SELECT *, CAST(floor(bef / 250.0) AS BIGINT) AS bar FROM b)
+  SELECT make_timestamp(min(tus)) AS time, event_type, bar AS bar_seq,
+         floor(first(value ORDER BY tus, event_id, value) * 1e4 + 0.5)
+           / 1e4 AS open,
+         floor(max(value) * 1e4 + 0.5) / 1e4 AS high,
+         floor(min(value) * 1e4 + 0.5) / 1e4 AS low,
+         floor(last(value ORDER BY tus, event_id, value) * 1e4 + 0.5)
+           / 1e4 AS close,
+         count(*) AS n,
+         floor(sum(vol) * 1e4 + 0.5) / 1e4 AS volume,
+         CASE WHEN sum(vol) <> 0
+              THEN floor(sum(value * vol) / sum(vol) * 1e6 + 0.5) / 1e6
+         END AS vwap
+  FROM g GROUP BY event_type, bar
+"""

@@ -263,3 +263,47 @@ def bar_range_volatility(bars: DataFrame) -> DataFrame:
     gk = F.lit(0.5) * hl * hl - F.lit(2.0 * _math.log(2.0) - 1.0) * co * co
     return (bars.withColumn("parkinson", F.when(ok, park))
             .withColumn("garman_klass", F.when(ok, gk)))
+
+
+def volume_bars(df: DataFrame, threshold: float, price_col: str,
+                volume_col: str, key: Sequence[str] = (),
+                tie_break: Sequence[str] = ()) -> DataFrame:
+    """Information-driven bars on the VOLUME clock: per key in time
+    order, ``bar_seq = floor(cumulative volume BEFORE the row /
+    threshold)`` — a bar closes as soon as accumulated volume reaches
+    ``threshold``, so active periods produce many bars and quiet
+    periods few (the volume/dollar-bar family; pass a
+    ``price*volume`` column as ``volume_col`` for dollar bars).
+
+    Plan: ONE running-sum window per key + the OHLCV aggregation on
+    (key, bar_seq), whose ClusteredDistribution is satisfied by the
+    window's HashPartitioning — one data exchange total (the
+    merge_intervals partitioning-reuse recipe). The exclusive prefix
+    sum (``sum - current``) makes the FIRST row of every key open bar
+    0 regardless of its own volume, and both engines fold the same
+    (time, tie_break, price) order left-to-right, so bar boundaries
+    replay bitwise. Null prices are dropped (not trades); null
+    volumes count 0 but the tick still lands in a bar. ``time`` is
+    the bar's first tick time."""
+    key = list(key)
+    if not float(threshold) > 0:
+        raise ValueError("threshold must be positive")
+    dtype = dict(df.dtypes)[TIME_COLUMN]
+    price = F.col(price_col)
+    base = df.filter(price.isNotNull())
+    tns = time_ns_expr(base)
+    ord_ = _order_struct(tns, tie_break, price)
+    vol = F.coalesce(F.col(volume_col).cast("double"), F.lit(0.0))
+    w = (Window.partitionBy(*key).orderBy(ord_)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = F.sum(vol).over(w) - vol
+    base = base.withColumn(
+        "__bar", F.floor(before / F.lit(float(threshold))).cast("long"))
+    out = (base.groupBy(*key, "__bar")
+           .agg(F.min(tns).alias("__tns"),
+                *bar_aggs(price, ord_, volume_col)))
+    return (out.select(ns_to_time_expr(F.col("__tns"), dtype)
+                       .alias(TIME_COLUMN),
+                       *key, F.col("__bar").alias("bar_seq"),
+                       "open", "high", "low", "close", "n",
+                       "volume", "vwap"))

@@ -4353,3 +4353,24 @@ def test_read_range_timezone_date_column(spark, tmp_path):
     assert str(lo)[:10] == "2024-01-10"  # boundary day kept
     scan = ny._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(d" in scan  # pushed on the date column
+
+
+def test_volume_bars_hand_case(spark):
+    """Hand-computed volume bars: threshold 10, exclusive prefix —
+    a bar closes once accumulated volume reaches the threshold; an
+    oversized tick still lands in the bar its PRECEDING volume put it
+    in (bars are >= threshold, never split a tick)."""
+    from flint_spark.operators.bars import volume_bars
+
+    rows = [(1, 10.0, 4.0), (2, 11.0, 4.0), (3, 12.0, 4.0),
+            (4, 13.0, 25.0), (5, 14.0, 1.0)]
+    df = spark.createDataFrame(rows, "time long, px double, v double")
+    got = {r["bar_seq"]: r for r in
+           volume_bars(df, 10.0, "px", "v").collect()}
+    # before-volumes: 0, 4, 8, 12, 37 -> bars 0, 0, 0, 1, 3
+    assert sorted(got) == [0, 1, 3]
+    assert (got[0]["open"], got[0]["close"], got[0]["n"]) == (10.0, 12.0, 3)
+    assert got[0]["volume"] == 12.0
+    assert (got[1]["open"], got[1]["n"], got[1]["volume"]) == (13.0, 1, 25.0)
+    assert (got[3]["open"], got[3]["n"]) == (14.0, 1)
+    assert got[0]["time"] == 1 and got[1]["time"] == 4
