@@ -2153,3 +2153,112 @@ def kmv_stream(stream: DataFrame, col: str, key: Sequence[str],
     return (with_ns.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def volume_bars_stream(stream: DataFrame, threshold: float,
+                       price_col: str, volume_col: str,
+                       key: Sequence[str],
+                       tie_break: Sequence[str] = (),
+                       time_column: str = TIME_COLUMN) -> DataFrame:
+    """Streaming twin of :func:`operators.bars.volume_bars`: per-key
+    state is the running volume total plus the OPEN bar's partial
+    OHLCV — a bar is emitted exactly once, when it CLOSES (a later
+    tick lands in a higher ``bar_seq``); the still-open bar is never
+    emitted, so an in-order replay equals the batch operator minus
+    each key's final (incomplete) bar. The per-trigger scan computes
+    the same exclusive volume prefix left-to-right over the same
+    (time, tie_break, price) order as batch, so bar boundaries and
+    every bar column replay bitwise. Volumes must be non-negative
+    (bar ids are then nondecreasing in time; same contract as any
+    volume clock); null volumes count 0, null prices are dropped.
+    ``tns`` is the bar's first tick time in epoch ns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import time_ns_expr
+
+    if not float(threshold) > 0:
+        raise ValueError("threshold must be positive")
+    key = list(key)
+    thr = float(threshold)
+    price = F.col(price_col)
+    base = (stream.filter(price.isNotNull())
+            .withColumn("__tns", time_ns_expr(stream, time_column))
+            .withColumn("__vol", F.coalesce(
+                F.col(volume_col).cast("double"), F.lit(0.0))))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [T.StructField("bar_seq", T.LongType()),
+           T.StructField("tns", T.LongType()),
+           T.StructField("open", T.DoubleType()),
+           T.StructField("high", T.DoubleType()),
+           T.StructField("low", T.DoubleType()),
+           T.StructField("close", T.DoubleType()),
+           T.StructField("n", T.LongType()),
+           T.StructField("volume", T.DoubleType()),
+           T.StructField("pv", T.DoubleType())])
+    # state: running volume + the open bar's partials
+    state_schema = T.StructType([
+        T.StructField("cum", T.DoubleType()),
+        T.StructField("bar", T.LongType()),
+        T.StructField("tns", T.LongType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("vol", T.DoubleType()),
+        T.StructField("pv", T.DoubleType())])
+
+    def fold(key_vals, pdf_iter, state):
+        cum = state.get[0] if state.exists else 0.0
+        open_bar = list(state.get[1:]) if state.exists else None
+        pdf = _trigger_pdf(pd, pdf_iter)
+        closed = []
+        if pdf is not None and len(pdf):
+            pdf = _sort_time_then_values(
+                pdf, "__tns", [*tie_break, price_col])
+            v = pdf["__vol"].to_numpy(np.float64)
+            px = pdf[price_col].to_numpy(np.float64)
+            t = pdf["__tns"].to_numpy(np.int64)
+            before = cum + np.cumsum(v) - v
+            bars = np.floor(before / thr).astype(np.int64)
+            cum = float(before[-1] + v[-1])
+            starts = np.flatnonzero(np.r_[True, bars[1:] != bars[:-1]])
+            bounds = np.r_[starts, len(bars)]
+            for s0, s1 in zip(bounds, bounds[1:]):
+                seg = [int(bars[s0]), int(t[s0]), float(px[s0]),
+                       float(px[s0:s1].max()), float(px[s0:s1].min()),
+                       float(px[s1 - 1]), int(s1 - s0),
+                       float(v[s0:s1].sum()),
+                       float((px[s0:s1] * v[s0:s1]).sum())]
+                if open_bar is not None and seg[0] == open_bar[0]:
+                    # merge into the open bar (open px/tns keep)
+                    open_bar = [open_bar[0], open_bar[1], open_bar[2],
+                                max(open_bar[3], seg[3]),
+                                min(open_bar[4], seg[4]), seg[5],
+                                open_bar[6] + seg[6],
+                                open_bar[7] + seg[7],
+                                open_bar[8] + seg[8]]
+                else:
+                    if open_bar is not None:
+                        closed.append(open_bar)  # a later bar started
+                    open_bar = seg
+        frames = []
+        if closed:
+            res = pd.DataFrame(
+                closed, columns=["bar_seq", "tns", "open", "high",
+                                 "low", "close", "n", "volume", "pv"])
+            for c, val in zip(key, key_vals):
+                res.insert(0, c, val)
+            frames.append(res[[f.name for f in out_schema.fields]])
+        if open_bar is not None:
+            state.update((cum, *open_bar))
+        yield from frames
+
+    out = (base.groupBy(*key)
+           .applyInPandasWithState(fold, out_schema, state_schema,
+                                   "append", "NoTimeout"))
+    vwap = F.when(F.col("volume") != 0, F.col("pv") / F.col("volume"))
+    return out.withColumn("vwap", vwap).drop("pv")

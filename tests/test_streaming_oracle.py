@@ -1868,3 +1868,63 @@ def test_kmv_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_kmv", got, sql, con)
     assert ok, msg
+
+
+def test_volume_bars_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming volume-clock bars: an in-order replay emits exactly
+    the batch operator's CLOSED bars (every bar except each key's
+    final open one), bit-for-bit — the per-trigger exclusive volume
+    prefix continues from state and folds the same (time, event_id,
+    price) order as batch. The oracle is the batch bar SQL with each
+    key's max bar_seq dropped."""
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("time", F.col("ts").cast("timestamp"))
+          .withColumn("vol", F.get_json_object("props", "$.k")
+                      .cast("double"))
+          .select("time", "event_type", "event_id", "value", "vol"))
+    st = _replay(spark, ev, str(tmp_path / "vbars"))
+    out = ts_stream.volume_bars_stream(st, 250.0, "value", "vol",
+                                       key=["event_type"],
+                                       tie_break=["event_id"])
+    _run_to_table(out, "so_vbars")
+    got = (spark.sql("SELECT * FROM so_vbars")
+           .select("event_type", "bar_seq", "tns",
+                   (F.floor(F.col("open") * 1e4 + 0.5) / 1e4).alias("open"),
+                   (F.floor(F.col("high") * 1e4 + 0.5) / 1e4).alias("high"),
+                   (F.floor(F.col("low") * 1e4 + 0.5) / 1e4).alias("low"),
+                   (F.floor(F.col("close") * 1e4 + 0.5) / 1e4).alias("close"),
+                   "n",
+                   (F.floor(F.col("volume") * 1e4 + 0.5) / 1e4).alias("volume"),
+                   (F.floor(F.col("vwap") * 1e6 + 0.5) / 1e6).alias("vwap")))
+    sql = """
+      WITH e AS (
+        SELECT event_type, epoch_us(ts) AS tus, value, event_id,
+               COALESCE(CAST(json_extract_string(props, '$.k')
+                             AS DOUBLE), 0) AS vol
+        FROM events WHERE value IS NOT NULL),
+      b AS (
+        SELECT *, sum(vol) OVER (PARTITION BY event_type
+                  ORDER BY tus, event_id, value
+                  ROWS UNBOUNDED PRECEDING) - vol AS bef
+        FROM e),
+      g AS (SELECT *, CAST(floor(bef / 250.0) AS BIGINT) AS bar FROM b),
+      bars AS (
+        SELECT event_type, bar AS bar_seq,
+               min(tus) * 1000 AS tns,
+               floor(first(value ORDER BY tus, event_id, value)
+                     * 1e4 + 0.5) / 1e4 AS open,
+               floor(max(value) * 1e4 + 0.5) / 1e4 AS high,
+               floor(min(value) * 1e4 + 0.5) / 1e4 AS low,
+               floor(last(value ORDER BY tus, event_id, value)
+                     * 1e4 + 0.5) / 1e4 AS close,
+               count(*) AS n,
+               floor(sum(vol) * 1e4 + 0.5) / 1e4 AS volume,
+               CASE WHEN sum(vol) <> 0
+                    THEN floor(sum(value * vol) / sum(vol) * 1e6 + 0.5)
+                         / 1e6 END AS vwap
+        FROM g GROUP BY event_type, bar)
+      SELECT * FROM bars
+      QUALIFY bar_seq < max(bar_seq) OVER (PARTITION BY event_type)
+    """
+    ok, msg = compare("so_vbars", got, sql, con)
+    assert ok, msg
