@@ -1928,3 +1928,43 @@ def test_volume_bars_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_vbars", got, sql, con)
     assert ok, msg
+
+
+def test_volume_bars_stream_chunk_invariance(spark, tmp_path):
+    """Chunk-invariance pin for volume_bars_stream: a reverse-time
+    multi-chunk trigger must produce exactly the single-chunk bars —
+    the fold assembles + (time, tie, price)-sorts the whole trigger
+    before the volume prefix scan, so chunk boundaries cannot move
+    bar boundaries."""
+    import pandas as pd
+
+    n = 60
+    base = pd.Timestamp("2024-01-01")
+    rows = {
+        "time": [base + pd.Timedelta(minutes=i) for i in range(n)],
+        "user_id": ["u1"] * (n - 10) + ["u2"] * 10,
+        "value": [100.0 + (i % 13) for i in range(n)],
+        "vol": [float(1 + (i % 3)) for i in range(n)],
+    }
+    schema = "time timestamp, user_id string, value double, vol double"
+
+    def run(tag, batch_rows):
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(batch_rows))
+        try:
+            st = _desc_order_replay(spark, rows, schema,
+                                    str(tmp_path / f"vb_{tag}"))
+            out = ts_stream.volume_bars_stream(st, 7.0, "value", "vol",
+                                               key=["user_id"])
+            _run_to_table(out, f"mc_vb_{tag}")
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                           old)
+
+    run("one", 100000)
+    run("many", 7)
+    cols = "user_id, bar_seq, tns, open, high, low, close, n, volume, vwap"
+    a = _collect_sorted(spark, "mc_vb_one", cols)
+    b = _collect_sorted(spark, "mc_vb_many", cols)
+    pd.testing.assert_frame_equal(a, b, check_exact=True, obj="mc_vb")
