@@ -61,6 +61,18 @@ class UniformClock:
     end_inclusive: bool = True
     timestamp_type: bool = True  # emit TimestampType (µs) vs Long ns
 
+    def __post_init__(self):
+        # reference semantics: an offset larger than the frequency
+        # wraps (offset % frequency) instead of dropping leading ticks
+        # (``timeseries/Clocks.scala`` documents the modulo behavior;
+        # r6 advice). Normalized HERE so every consumer — ticks_df and
+        # the interval operators' arithmetic bucketing on
+        # (begin_ns + offset_ns) — sees the same grid.
+        if self.frequency_ns > 0 and not (
+                0 <= self.offset_ns < self.frequency_ns):
+            object.__setattr__(self, "offset_ns",
+                               self.offset_ns % self.frequency_ns)
+
     def ticks_df(self, spark: SparkSession) -> DataFrame:
         start = self.begin_ns + self.offset_ns
         stop = self.end_ns + (1 if self.end_inclusive else 0)
@@ -136,7 +148,19 @@ def business(spark: SparkSession, begin, end, frequency: str | int = "1d",
     day, so Mondays drop as 'Sunday' and holidays slip a day)."""
     # grid arithmetic and masks run on NAIVE local wall-clock ns
     # (tz-independent); the tz enters only in the final wall->instant
-    # conversion, so there is no drift for the grid to accumulate
+    # conversion, so there is no drift for the grid to accumulate.
+    # Absolute bounds (aware datetimes, raw epoch ns) would silently
+    # shift by the UTC offset when reinterpreted as wall time — reject
+    # them rather than guess (r6 advice)
+    if tz:
+        for v in (begin, end):
+            if isinstance(v, int) or (isinstance(v, datetime)
+                                      and v.tzinfo is not None):
+                raise ValueError(
+                    "business(tz=...) interprets begin/end as LOCAL "
+                    "wall time; pass a naive datetime or a date string "
+                    "(an aware datetime / raw epoch-ns is an absolute "
+                    "instant and would shift by the UTC offset)")
     b, e, f = _to_ns(begin), _to_ns(end), parse_duration_ns(frequency)
     rng = spark.range(b, e + 1, f)
     wall = F.timestamp_micros(floor_div(F.col("id"), 1000))

@@ -56,14 +56,55 @@ def summarize_state(df: DataFrame, summarizer: Summarizer,
 
 
 def add_summary_columns(df: DataFrame, summarizer: Summarizer,
-                        key: Sequence[str] = ()) -> DataFrame:
-    """Cumulative aggregate ordered by time; stable tie-break by an
-    input-order row id within equal timestamps (reference processes rows
-    in partition order at equal times)."""
+                        key: Sequence[str] = (),
+                        distributed: bool | None = None,
+                        tie_break: Sequence[str] = ()) -> DataFrame:
+    """Cumulative aggregate ordered by time; stable tie-break by
+    ``tie_break`` columns then an input-order row id within equal
+    timestamps (reference processes rows in partition order at equal
+    times, ``Summarizations.scala:51-122``).
+
+    KEYED input is one window exchange on the key — already
+    distributed. KEYLESS input auto-routes through the two-phase
+    partition-partials engine (:func:`operators.prefix.keyless_cumulative`
+    — the reference ``addSummaryColumns``'s partial-state plan) when the
+    Catalyst size estimate exceeds the single-task budget and the
+    summarizer carries mergeable cumulative state (``has_cum``; exact
+    quantiles don't — their value buffer has no monoid merge).
+    ``distributed=True`` forces the engine (raising for non-mergeable
+    summarizers), ``False`` pins the single-window plan."""
     key = list(key)
+    if not key and distributed is not False:
+        from .ema import _KEYLESS_SINGLE_GROUP_MAX_BYTES, _estimated_bytes
+        if distributed is True and not summarizer.has_cum:
+            raise ValueError(
+                "distributed=True needs a summarizer with mergeable "
+                "cumulative state (has_cum); this one buffers values")
+        auto = (distributed is None and summarizer.has_cum and
+                _estimated_bytes(df) > _KEYLESS_SINGLE_GROUP_MAX_BYTES)
+        if distributed is True or auto:
+            return _keyless_distributed_cumulative(df, summarizer, tie_break)
     w = (
         Window.partitionBy(*key)
-        .orderBy(time_ns_expr(df), F.monotonically_increasing_id())
+        .orderBy(time_ns_expr(df), *[F.col(c) for c in tie_break],
+                 F.monotonically_increasing_id())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumns(dict(summarizer.over_exprs(df, w)))
+
+
+def _keyless_distributed_cumulative(df: DataFrame, summarizer: Summarizer,
+                                    tie_break: Sequence[str] = ()) -> DataFrame:
+    """Adapter from the Summarizer cum spec to the prefix engine: bind
+    the summarizer's mask into each state accumulator and alias the
+    rendered outputs with the summarizer's (prefixed) names."""
+    from .prefix import keyless_cumulative
+
+    items = [(n, (lambda d, o, fn=fn: fn(d, summarizer._mask, o)), kind)
+             for n, fn, kind in summarizer._cum_items]
+
+    def render(state):
+        cols = summarizer._cum_render(df, state)
+        return dict(zip(summarizer.names, cols))
+
+    return keyless_cumulative(df, items, render, tie_break=tie_break)

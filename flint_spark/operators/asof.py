@@ -105,14 +105,58 @@ def _finish(unioned: DataFrame, key, left_data, right_data, left_out, right_out,
 #: funnelling both tables through ONE window task
 _KEYLESS_ASOF_MAX_BYTES = 64 << 20
 
+#: right-side size estimate below which ``left_join``/``future_left_join``
+#: auto-route through the zero-exchange broadcast engine — the dim-table
+#: as-of is the most common call shape, and the union plan would shuffle
+#: the BIG side just to probe a KB-scale table
+_ASOF_BROADCAST_MAX_BYTES = 64 << 20
+
+# probe memo keyed on the plan's semantic hash: repeated joins against
+# the same frame pay the count-by-key scan once per session, not per call
+_HOT_KEY_CACHE: dict = {}
+_HOT_KEY_CACHE_MAX = 64
+
 
 def _hot_key_fraction(df: DataFrame, key: Sequence[str]) -> float:
     """Largest single key's share of rows — one count aggregation over
-    the key columns (column-pruned scan; the ``key_profile`` probe)."""
+    the key columns (column-pruned scan; the ``key_profile`` probe),
+    memoized on the input plan's semantic hash so N joins on one frame
+    cost one probe job."""
+    try:
+        ck = (df.semanticHash(), tuple(key))
+    except Exception:  # noqa: BLE001 — hashing is a cache key only
+        ck = None
+    if ck is not None and ck in _HOT_KEY_CACHE:
+        return _HOT_KEY_CACHE[ck]
     row = (df.groupBy(*key).count()
            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
            .first())
-    return (row["mx"] / row["n"]) if row and row["n"] else 0.0
+    frac = (row["mx"] / row["n"]) if row and row["n"] else 0.0
+    if ck is not None:
+        if len(_HOT_KEY_CACHE) >= _HOT_KEY_CACHE_MAX:
+            _HOT_KEY_CACHE.clear()
+        _HOT_KEY_CACHE[ck] = frac
+    return frac
+
+
+def _broadcast_route_ok(left: DataFrame, right: DataFrame,
+                        key: Sequence[str], distributed: bool | None,
+                        left_alias: str | None,
+                        right_alias: str | None) -> bool:
+    """Auto-broadcast eligibility: default routing only (explicit
+    ``distributed`` pins the union/bucketed family), no aliases (the
+    broadcast engine appends right columns verbatim), disjoint payload
+    names (a conflict must keep raising through the union path's
+    loud error), and a right side whose Catalyst estimate fits the
+    broadcast budget (unknown stats report ~8 EB and never route)."""
+    if distributed is not None or left_alias is not None \
+            or right_alias is not None:
+        return False
+    shared = set(left.columns) & set(right.columns)
+    if shared - ({TIME_COLUMN} | set(key)):
+        return False
+    from .ema import _estimated_bytes
+    return _estimated_bytes(right) <= _ASOF_BROADCAST_MAX_BYTES
 
 
 def left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
@@ -132,10 +176,18 @@ def left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
     on the left and takes the bucketed route with the composite
     (bucket, key) when a single key holds more than fraction ``f`` of
     the rows — the skew shape where per-key ordering degenerates to
-    the keyless case. The probe is opt-in because it costs a scan;
-    at 100 TB callers pay it once, not per join. Both routes are
-    output-identical (property-pinned), differing only in plan shape."""
+    the keyless case. The probe is opt-in because it costs a scan
+    (memoized per input plan, so repeated joins on one frame pay once).
+    A SMALL right side (Catalyst estimate within the broadcast budget)
+    auto-routes through :func:`left_join_broadcast` first — zero
+    exchanges of the big side, the plan a dim-table as-of wants. All
+    routes are output-identical (property-pinned), differing only in
+    plan shape."""
     key = list(key)
+    if _broadcast_route_ok(left, right, key, distributed,
+                           left_alias, right_alias):
+        return left_join_broadcast(left, right, tolerance, key,
+                                   direction="backward")
     # distributed=False pins the single-window plan unconditionally —
     # it must also suppress the hot-key probe job, not just the route
     if key and hot_key_guard is not None and distributed is not False \
@@ -174,9 +226,18 @@ def left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
 def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0,
                      key: Sequence[str] = (), left_alias: str | None = None,
                      right_alias: str | None = None,
-                     strict_lookahead: bool = False) -> DataFrame:
+                     strict_lookahead: bool = False,
+                     distributed: bool | None = None) -> DataFrame:
     """As-of forward join: closest future right row in [t, t + tolerance]
-    (or (t, t + tolerance] when strict)."""
+    (or (t, t + tolerance] when strict). A small right side auto-routes
+    through the zero-exchange broadcast engine like :func:`left_join`
+    (``distributed=False``/``True`` pins the union-window plan)."""
+    key = list(key)
+    if _broadcast_route_ok(left, right, key, distributed,
+                           left_alias, right_alias):
+        return left_join_broadcast(left, right, tolerance, key,
+                                   direction="forward",
+                                   strict_lookahead=strict_lookahead)
     tol = parse_duration_ns(tolerance)
     key, left_data, right_data, left_out, right_out, l, r = _prepare(
         left, right, key, left_alias, right_alias)
@@ -489,7 +550,8 @@ def merge(left: DataFrame, right: DataFrame,
 
 def asof_keyless_bucketed(left: DataFrame, right: DataFrame,
                           tolerance: str | int, bucket: str = "7d",
-                          key: Sequence[str] = (), **kwargs) -> DataFrame:
+                          key: Sequence[str] = (), min_buckets: int = 4,
+                          **kwargs) -> DataFrame:
     """Scale path for keyless OR hot-key as-of joins: assign both sides
     to coarse time buckets, replicate right rows into the *next* bucket
     so matches can cross the boundary (requires bucket >= tolerance,
@@ -497,18 +559,39 @@ def asof_keyless_bucketed(left: DataFrame, right: DataFrame,
     (bucket, *key) as the composite key. The window shuffle becomes
     parallel in time — the mitigation when one key holds an entire
     table's rows (keyless series are the extreme case) and per-key
-    ordering would otherwise funnel through one task."""
+    ordering would otherwise funnel through one task.
+
+    DEGENERACY GUARD (r6 advice): the bucket width clamps UP to the
+    tolerance, so a tolerance near the data span would put every row
+    in bucket 0 — one task PLUS a doubled right side, strictly worse
+    than the single-window plan it replaces. A cheap min/max probe of
+    the left's time range falls back to the plain join when fewer than
+    ``min_buckets`` buckets would result."""
     tol = parse_duration_ns(tolerance)
     bucket_ns = parse_duration_ns(bucket)
     if bucket_ns < tol:
         bucket_ns = tol
     key = list(key)
+    rng = left.select(F.min(time_ns_expr(left)).alias("lo"),
+                      F.max(time_ns_expr(left)).alias("hi")).first()
+    if rng is None or rng["lo"] is None \
+            or (rng["hi"] - rng["lo"]) // bucket_ns + 1 < min_buckets:
+        import warnings
+        warnings.warn(
+            "asof_keyless_bucketed: bucket width covers the whole time "
+            "range — falling back to the single-window plan (tolerance "
+            "close to the data span cannot be time-parallelized)",
+            stacklevel=2)
+        return left_join(left, right, tolerance, key=key,
+                         distributed=False, **kwargs)
     left_b = left.withColumn("__bucket", floor_div(time_ns_expr(left), bucket_ns))
     right_b = right.withColumn("__bucket", floor_div(time_ns_expr(right), bucket_ns))
     # replicate right rows into the following bucket (boundary lookback)
     right_rep = right_b.unionByName(right_b.withColumn("__bucket", F.col("__bucket") + 1))
+    # distributed=False pins the keyed union-window engine — THIS plan
+    # is the bucketed route; re-routing inside would defeat its pins
     joined = left_join(left_b, right_rep, tolerance, key=["__bucket"] + key,
-                       **kwargs)
+                       distributed=False, **kwargs)
     return joined.drop("__bucket")
 
 

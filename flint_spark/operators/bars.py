@@ -117,14 +117,38 @@ def ohlc_bars(df: DataFrame, interval: str | int, price_col: str,
     return out.select(TIME_COLUMN, *key, *names)
 
 
+def _keyless_auto(df: DataFrame, distributed: bool | None) -> bool:
+    """Shared keyless route policy (the ``left_join`` shape): None =
+    route by Catalyst size estimate vs the single-task budget."""
+    if distributed is not None:
+        return distributed
+    from .ema import _KEYLESS_SINGLE_GROUP_MAX_BYTES, _estimated_bytes
+    return _estimated_bytes(df) > _KEYLESS_SINGLE_GROUP_MAX_BYTES
+
+
 def drawdown(df: DataFrame, value_col: str, key: Sequence[str] = (),
-             tie_break: Sequence[str] = ()) -> DataFrame:
+             tie_break: Sequence[str] = (),
+             distributed: bool | None = None) -> DataFrame:
     """Per-row running peak and fractional drawdown of ``value_col``
     over time (the cumulative ``addSummaryColumns`` shape): adds
     ``peak`` and ``drawdown``. One window scan per key; null rows
     pass through with null peak/drawdown contribution skipped by the
-    running max."""
+    running max. KEYLESS input auto-routes through the distributed
+    prefix engine (running max is a mergeable monoid —
+    ``operators.prefix``) instead of a single-partition window;
+    ``distributed`` as in ``left_join``."""
     key = list(key)
+    if not key and _keyless_auto(df, distributed):
+        from .prefix import keyless_cumulative
+
+        def render(st):
+            peak = st["peak"]
+            dd = F.when(peak > 0, (peak - F.col(value_col)) / peak)
+            return {"peak": peak, "drawdown": dd}
+
+        return keyless_cumulative(
+            df, [("peak", lambda d, o: o(F.max(F.col(value_col))), "max")],
+            render, tie_break=tie_break)
     tns = time_ns_expr(df)
     w = (Window.partitionBy(*key)
                .orderBy(tns, *[F.col(c) for c in tie_break])
@@ -136,14 +160,15 @@ def drawdown(df: DataFrame, value_col: str, key: Sequence[str] = (),
 
 def max_drawdown(df: DataFrame, value_col: str,
                  key: Sequence[str] = (),
-                 tie_break: Sequence[str] = ()) -> DataFrame:
+                 tie_break: Sequence[str] = (),
+                 distributed: bool | None = None) -> DataFrame:
     """Per ``key``: the peak value and the maximum fractional drawdown
     of the series. The aggregation's ClusteredDistribution on ``key``
     is satisfied by the window's partitioning — one exchange total.
-    Keyless input uses a single-partition window; callers at scale
-    pass a key (documented, same stance as the keyless EMA scan)."""
+    Keyless input rides :func:`drawdown`'s distributed prefix route
+    plus one partial+final aggregation."""
     key = list(key)
-    per_row = drawdown(df, value_col, key, tie_break)
+    per_row = drawdown(df, value_col, key, tie_break, distributed=distributed)
     return (per_row.groupBy(*key)
             .agg(F.max(F.col(value_col)).alias("peak"),
                  F.max("drawdown").alias("max_drawdown"),
@@ -267,7 +292,8 @@ def bar_range_volatility(bars: DataFrame) -> DataFrame:
 
 def volume_bars(df: DataFrame, threshold: float, price_col: str,
                 volume_col: str, key: Sequence[str] = (),
-                tie_break: Sequence[str] = ()) -> DataFrame:
+                tie_break: Sequence[str] = (),
+                distributed: bool | None = None) -> DataFrame:
     """Information-driven bars on the VOLUME clock: per key in time
     order, ``bar_seq = floor(cumulative volume BEFORE the row /
     threshold)`` — a bar closes as soon as accumulated volume reaches
@@ -284,7 +310,10 @@ def volume_bars(df: DataFrame, threshold: float, price_col: str,
     (time, tie_break, price) order left-to-right, so bar boundaries
     replay bitwise. Null prices are dropped (not trades); null
     volumes count 0 but the tick still lands in a bar. ``time`` is
-    the bar's first tick time."""
+    the bar's first tick time. KEYLESS input auto-routes the running
+    volume sum through the distributed prefix engine (``distributed``
+    as in ``left_join``) — same (time, tie_break, price) fold order,
+    then the same bar aggregation."""
     key = list(key)
     if not float(threshold) > 0:
         raise ValueError("threshold must be positive")
@@ -294,11 +323,21 @@ def volume_bars(df: DataFrame, threshold: float, price_col: str,
     tns = time_ns_expr(base)
     ord_ = _order_struct(tns, tie_break, price)
     vol = F.coalesce(F.col(volume_col).cast("double"), F.lit(0.0))
-    w = (Window.partitionBy(*key).orderBy(ord_)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    before = F.sum(vol).over(w) - vol
-    base = base.withColumn(
-        "__bar", F.floor(before / F.lit(float(threshold))).cast("long"))
+    if not key and _keyless_auto(base, distributed):
+        from .prefix import keyless_cumulative
+
+        base = keyless_cumulative(
+            base, [("cumv", lambda d, o: o(F.sum(vol)), "sum")],
+            lambda st: {"__bar": F.floor((st["cumv"] - vol)
+                                         / F.lit(float(threshold)))
+                        .cast("long")},
+            tie_break=[*tie_break, price_col])
+    else:
+        w = (Window.partitionBy(*key).orderBy(ord_)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        before = F.sum(vol).over(w) - vol
+        base = base.withColumn(
+            "__bar", F.floor(before / F.lit(float(threshold))).cast("long"))
     out = (base.groupBy(*key, "__bar")
            .agg(F.min(tns).alias("__tns"),
                 *bar_aggs(price, ord_, volume_col)))

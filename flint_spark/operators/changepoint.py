@@ -33,10 +33,70 @@ from ..timeseries import time_ns_expr
 __all__ = ["cusum"]
 
 
+def _keyless_auto(df: DataFrame, distributed: bool | None) -> bool:
+    if distributed is not None:
+        return distributed
+    from .ema import _KEYLESS_SINGLE_GROUP_MAX_BYTES, _estimated_bytes
+    return _estimated_bytes(df) > _KEYLESS_SINGLE_GROUP_MAX_BYTES
+
+
+def _cusum_keyless_distributed(df: DataFrame, column: str, k: float,
+                               h: float, mu: float | None,
+                               sigma: float | None,
+                               tie_break: Sequence[str]) -> DataFrame:
+    """Distributed keyless CUSUM: the prefix-sum-minus-running-min
+    identity split across two :func:`~.prefix.keyless_cumulative`
+    passes that share ONE range shuffle (pass 2 reuses pass 1's
+    ``keep_layout`` partitioning — only another P-row partials job)."""
+    from .prefix import keyless_cumulative
+
+    x = F.when(~F.isnan(F.col(column).cast("double")), F.col(column))
+    if mu is None or sigma is None:
+        stats = df.select(F.avg(x).alias("mu"),
+                          F.stddev_samp(x).alias("sd")).first()
+        mu_v = float(mu) if mu is not None else stats["mu"]
+        sd_v = float(sigma) if sigma is not None else stats["sd"]
+    else:
+        mu_v, sd_v = float(mu), float(sigma)
+    mu_e = F.lit(mu_v) if mu_v is not None else F.lit(None).cast("double")
+    sd_e = F.lit(sd_v) if sd_v is not None and sd_v > 0 \
+        else F.lit(None).cast("double")
+    z = (x - mu_e) / sd_e
+    up_step = F.coalesce(z - F.lit(float(k)), F.lit(0.0))
+    dn_step = F.coalesce(-z - F.lit(float(k)), F.lit(0.0))
+
+    p1 = keyless_cumulative(
+        df,
+        [("cup", lambda d, o: o(F.sum(up_step)), "sum"),
+         ("cdn", lambda d, o: o(F.sum(dn_step)), "sum")],
+        lambda st: {"__cz": z, "__cup": st["cup"], "__cdn": st["cdn"]},
+        tie_break=tie_break, keep_layout=True)
+
+    cup, cdn = F.col("__cup"), F.col("__cdn")
+
+    def render(st):
+        s_pos = cup - F.least(F.lit(0.0), st["mup"])
+        s_neg = cdn - F.least(F.lit(0.0), st["mdn"])
+        guard = F.col("__cz").isNotNull()
+        return {
+            f"{column}_cusum_pos": F.when(guard, s_pos),
+            f"{column}_cusum_neg": F.when(guard, s_neg),
+            f"{column}_alarm": F.when(
+                guard, (s_pos > float(h)) | (s_neg > float(h))),
+        }
+
+    return keyless_cumulative(
+        p1,
+        [("mup", lambda d, o: o(F.min(cup)), "min"),
+         ("mdn", lambda d, o: o(F.min(cdn)), "min")],
+        render, tie_break=tie_break)
+
+
 def cusum(df: DataFrame, column: str, k: float = 0.5, h: float = 5.0,
           mu: float | None = None, sigma: float | None = None,
           key: Sequence[str] = (),
-          tie_break: Sequence[str] = ()) -> DataFrame:
+          tie_break: Sequence[str] = (),
+          distributed: bool | None = None) -> DataFrame:
     """Two-sided tabular CUSUM drift detector (Page 1954).
 
     Standardizes ``column`` to ``z = (x - mu) / sigma`` and maintains
@@ -57,7 +117,18 @@ def cusum(df: DataFrame, column: str, k: float = 0.5, h: float = 5.0,
     ``k`` is the slack and ``h`` the alarm threshold, both in sigma
     units (textbook defaults 0.5 / 5). ``tie_break`` columns make the
     scan order deterministic under equal timestamps.
+
+    KEYLESS input auto-routes through the distributed prefix engine
+    (``distributed`` as in ``left_join``): both prefix sums run as one
+    two-phase partition-partials pass and the running min of each
+    prefix sum as a second pass over the SAME shuffle (the engine's
+    ``keep_layout`` reuse — zero extra data exchanges); estimated
+    mu/sigma come from one partial+final aggregation instead of an
+    unbounded single-task window.
     """
+    if not list(key) and _keyless_auto(df, distributed):
+        return _cusum_keyless_distributed(df, column, k, h, mu, sigma,
+                                          tie_break)
     keyc = [F.col(c) for c in key]
     order = [time_ns_expr(df)] + [F.col(c) for c in tie_break]
     w_run = (Window.partitionBy(*keyc).orderBy(*order)

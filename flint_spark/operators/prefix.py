@@ -1,0 +1,197 @@
+"""Distributed keyless cumulative (prefix) aggregation.
+
+The reference's ``addSummaryColumns`` is explicitly distributed — per
+partition it computes a partial summarizer state, prefix-combines the
+partials on the driver, and rescans each partition with its carry-in
+(``rdd/function/summarize/Summarizations.scala:51-122``). A keyless
+``Window.orderBy(time).rowsBetween(unboundedPreceding, currentRow)``
+funnels the whole table through ONE task instead, which is the last
+systematic scale-killer a 100 TB deployment would hit (r6 verdict).
+
+This module is the Spark-expression analogue of that two-phase plan,
+generalized over MERGEABLE STATE rather than one hard-coded recurrence
+(the affine-EWMA twin lives in ``ema._keyless_distributed``):
+
+1. range-partition by time + sort within partitions (ONE data shuffle,
+   persisted so every later job sees an identical physical order);
+2. every state accumulator evaluates as a within-partition cumulative
+   window expression — one WindowExec, no cross-partition traffic;
+3. a tiny per-partition aggregate extracts each partition's FINAL state
+   row (P rows total), and the carry-in for partition p is the
+   merge-combine of partitions < p — computed as a window over the
+   P-row table itself (one task over P rows, the driver-side
+   prefix-combine of the reference without leaving SQL);
+4. a broadcast join + pure-JVM merge expressions produce the global
+   cumulative state per row, and the caller's ``render`` turns state
+   into output columns.
+
+Exchange budget: 1 range shuffle of the data + 1 tiny (P-row)
+aggregate + 1 broadcast join — vs the single-task plan's one exchange
+INTO one partition. Every merge kind below is a commutative-monoid
+combine, so per-partition parallelism never changes results (up to
+the usual float fold association, which tests compare rounded).
+
+Merge kinds: ``sum`` (count/sum — type-preserving, null = empty),
+``min``/``max`` (null-skipping least/greatest), ``product``, ``last``
+(latest non-null wins; partition order = (time, tie_break) so the
+carry is the previous partitions' last), ``concat`` (ordered array
+concatenation, earlier partitions first).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..timeseries import time_ns_expr
+
+__all__ = ["keyless_cumulative", "release_prefix_caches"]
+
+#: (name, builder(df, over) -> Column, merge_kind)
+CumItem = tuple[str, Callable[[DataFrame, Callable[[Column], Column]], Column], str]
+
+_KINDS = ("sum", "min", "max", "product", "last", "concat")
+
+# one cached shuffled/sorted subtree, released on the next engine call
+# (the ema._SCAN_CACHE policy: bounded retention of exactly one frame)
+_PREFIX_CACHE: list = []
+
+
+def _release_prior() -> None:
+    while _PREFIX_CACHE:
+        try:
+            _PREFIX_CACHE.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+
+
+def release_prefix_caches() -> None:
+    """Unpersist the subtree cached by the most recent
+    :func:`keyless_cumulative` call."""
+    _release_prior()
+
+
+def _carry_agg(kind: str, c: Column) -> Column:
+    """Combine per-partition FINAL states into the carry for the NEXT
+    partition — evaluated over the P-row partials table ordered by
+    partition id, frame = strictly-preceding partitions."""
+    if kind == "sum":
+        return F.sum(c)
+    if kind == "min":
+        return F.min(c)
+    if kind == "max":
+        return F.max(c)
+    if kind == "product":
+        return F.product(c)
+    if kind == "last":
+        return F.last(c, ignorenulls=True)
+    if kind == "concat":
+        # collect_list skips null partials (all-null partitions carry
+        # nothing); flatten preserves partition order
+        return F.flatten(F.collect_list(c))
+    raise ValueError(f"unknown merge kind {kind!r} (one of {_KINDS})")
+
+
+def _merge(kind: str, cs: Column, carry: Column) -> Column:
+    """Global cumulative state = merge(carry from earlier partitions,
+    within-partition cumulative). Null = empty state on either side;
+    expressions stay type-preserving (no literal zero that would
+    widen a long sum to double)."""
+    if kind in ("sum", "product"):
+        return (F.when(cs.isNull(), carry)
+                .when(carry.isNull(), cs)
+                .otherwise((cs + carry) if kind == "sum" else cs * carry))
+    if kind == "min":
+        return F.least(cs, carry)    # least/greatest skip nulls
+    if kind == "max":
+        return F.greatest(cs, carry)
+    if kind == "last":
+        return F.coalesce(cs, carry)  # current partition's latest wins
+    if kind == "concat":
+        return (F.when(carry.isNull(), cs)
+                .when(cs.isNull(), carry)
+                .otherwise(F.concat(carry, cs)))
+    raise ValueError(f"unknown merge kind {kind!r} (one of {_KINDS})")
+
+
+def keyless_cumulative(
+        df: DataFrame,
+        items: Sequence[CumItem],
+        render: Callable[[dict[str, Column]], dict[str, Column]],
+        tie_break: Sequence[str] = (),
+        num_partitions: int | None = None,
+        keep_layout: bool = False) -> DataFrame:
+    """Distributed running aggregate over a KEYLESS time-ordered table.
+
+    ``items`` are state accumulators ``(name, builder, kind)``; each
+    ``builder(df, over)`` must return the accumulator with every
+    aggregate call wrapped by ``over`` (the summarizer-builder
+    convention). ``render(state)`` maps the merged cumulative state
+    columns to the output columns ``{out_name: Column}``.
+
+    Row order is (time, *tie_break, arrival) — equal sort keys keep a
+    fixed (persisted) physical order, the same contract as the keyed
+    window path's ``monotonically_increasing_id`` tie-break. Equal
+    timestamps never straddle range partitions (range partitioner
+    boundaries are key values), so a tie group is always merged by one
+    within-partition window.
+
+    ``keep_layout=True`` returns the engine's layout columns
+    (``__tns``/``__pid``/``__mid``) alongside the outputs so a second
+    pass (e.g. the running-min-of-prefix-sum stage of keyless CUSUM)
+    can reuse the SAME shuffle: a frame that still carries ``__pid``
+    skips repartitioning entirely — its second pass costs one more
+    tiny partials job, zero data exchanges.
+    """
+    for _, _, kind in items:
+        if kind not in _KINDS:
+            raise ValueError(f"unknown merge kind {kind!r} (one of {_KINDS})")
+    reuse = "__pid" in df.columns
+    data_cols = [c for c in df.columns if not c.startswith("__")]
+    layout_cols = ["__tns", "__pid", "__mid"]
+    if reuse:
+        sdf = df
+    else:
+        spark = df.sparkSession
+        p = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        _release_prior()
+        sdf = (df.withColumn("__tns", time_ns_expr(df))
+                 .repartitionByRange(p, F.col("__tns"))
+                 .sortWithinPartitions(
+                     "__tns", *[F.col(c) for c in tie_break])
+                 .withColumn("__pid", F.spark_partition_id())
+                 # per-partition increasing AFTER the sort: the window
+                 # order and the partial-extraction key agree even
+                 # under duplicate (time, tie_break)
+                 .withColumn("__mid", F.monotonically_increasing_id())
+                 .persist())
+        _PREFIX_CACHE.append(sdf)
+
+    w_in = (Window.partitionBy("__pid")
+            .orderBy("__tns", *[F.col(c) for c in tie_break], "__mid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    over = lambda c: c.over(w_in)  # noqa: E731
+    # ONE withColumns projection -> one WindowExec for every state col
+    stated = sdf.withColumns(
+        {f"__cs_{n}": fn(df, over) for n, fn, _ in items})
+
+    # P-row partials: each partition's state at its FINAL row
+    partials = (stated.groupBy("__pid")
+                .agg(*[F.max_by(F.col(f"__cs_{n}"), F.col("__mid"))
+                       .alias(f"__cs_{n}") for n, _, _ in items]))
+    w_prev = (Window.orderBy("__pid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    carry = partials.select(
+        "__pid",
+        *[_carry_agg(k, F.col(f"__cs_{n}")).over(w_prev)
+          .alias(f"__carry_{n}") for n, _, k in items])
+
+    joined = stated.join(F.broadcast(carry), "__pid", "left")
+    state = {n: _merge(k, F.col(f"__cs_{n}"), F.col(f"__carry_{n}"))
+             for n, _, k in items}
+    outs = render(state)
+    keep = data_cols + (layout_cols if keep_layout else [])
+    return joined.select(*keep, *[c.alias(n) for n, c in outs.items()])

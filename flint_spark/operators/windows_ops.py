@@ -32,8 +32,64 @@ def _range_window(df: DataFrame, window: TimeWindow, key: Sequence[str]):
     )
 
 
+#: keyless bucketed route needs at least this many time buckets to beat
+#: the single-window plan (fewer buckets = the replication overhead
+#: without the parallelism — the asof_keyless_bucketed degeneracy rule)
+_MIN_KEYLESS_BUCKETS = 4
+
+
+def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
+                             exprs_fn) -> DataFrame | None:
+    """Distributed keyless per-row time-window aggregation, all JVM.
+
+    A keyless ``Window.orderBy(time).rangeBetween(lo, hi)`` funnels the
+    table through ONE task. But the frame is TIME-BOUNDED, so rows can
+    be hash-distributed into fixed-width time buckets (width >= the
+    window span) with each row replicated into every bucket whose
+    targets it can serve (<= 2 copies + its own bucket — the
+    ``_bucketed_window_apply`` shipping rule, here feeding a plain
+    WindowExec instead of pandas): correctness holds because a target
+    t in bucket floor(t/B) needs context s in [t+lo, t+hi], and s is
+    shipped to all buckets in [floor((s-hi)/B), floor((s-lo)/B)], an
+    interval that always contains floor(t/B). One hash exchange,
+    every task bounded by rows-per-bucket, built-in aggregates stay in
+    whole-stage codegen.
+
+    Returns None when the probed time span yields fewer than
+    ``_MIN_KEYLESS_BUCKETS`` buckets — replication without parallelism
+    is strictly worse than the single window (the caller falls back)."""
+    from ..timeseries import floor_div
+
+    lo, hi = window.range_bounds()
+    span = max(int(hi) - int(lo), 1)
+    tns = time_ns_expr(df)
+    # tiny column-pruned probe: the data span decides bucket viability
+    row = df.select(F.min(tns).alias("lo"), F.max(tns).alias("hi")).first()
+    if row is None or row["lo"] is None:
+        return None
+    if (row["hi"] - row["lo"]) // span + 1 < _MIN_KEYLESS_BUCKETS:
+        return None
+    data_cols = list(df.columns)
+    d = df.withColumn("__tns", tns)
+    own_b = floor_div(F.col("__tns"), span)
+    serve_from = floor_div(F.col("__tns") - F.lit(int(hi)), span)
+    serve_to = floor_div(F.col("__tns") - F.lit(int(lo)), span)
+    exploded = (d.withColumn("__ob", own_b)
+                .withColumn("__b", F.explode(F.sequence(
+                    F.least(serve_from, F.col("__ob")),
+                    F.greatest(serve_to, F.col("__ob")))))
+                .withColumn("__tgt", F.col("__b") == F.col("__ob")))
+    w = (Window.partitionBy("__b").orderBy(F.col("__tns"))
+         .rangeBetween(lo, hi))
+    pairs = list(exprs_fn(w))
+    out = exploded.withColumns(dict(pairs))
+    return out.filter(F.col("__tgt")).select(
+        *data_cols, *[n for n, _ in pairs])
+
+
 def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
-                      key: Sequence[str] = ()) -> DataFrame:
+                      key: Sequence[str] = (),
+                      distributed: bool | None = None) -> DataFrame:
     from ..summarizers import EmaWindowSummarizer
 
     if isinstance(summarizer, EmaWindowSummarizer):
@@ -44,16 +100,49 @@ def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
             else exponential_smoothing_windowed
         return fn(df, summarizer.column, window, key=key,
                   **summarizer.kwargs)
-    w = _range_window(df, window, list(key))
+    key = list(key)
+    if not key and _keyless_window_auto(df, distributed):
+        routed = _keyless_bucketed_window(
+            df, window, lambda w: summarizer.over_exprs(df, w))
+        if routed is not None:
+            return routed
+    w = _range_window(df, window, key)
     return df.withColumns(dict(summarizer.over_exprs(df, w)))
 
 
-def add_windows(df: DataFrame, window: TimeWindow, key: Sequence[str] = ()) -> DataFrame:
+def _keyless_window_auto(df: DataFrame, distributed: bool | None) -> bool:
+    """The keyless family's shared route policy (same shape as
+    ``left_join``'s ``distributed=None``): None = by Catalyst size
+    estimate against the single-task budget."""
+    if distributed is not None:
+        return distributed
+    from .ema import _KEYLESS_SINGLE_GROUP_MAX_BYTES, _estimated_bytes
+    return _estimated_bytes(df) > _KEYLESS_SINGLE_GROUP_MAX_BYTES
+
+
+def add_windows(df: DataFrame, window: TimeWindow, key: Sequence[str] = (),
+                distributed: bool | None = None) -> DataFrame:
     """Adds ``window_<name>`` = array of member-row structs
-    (reference emits Array[Struct] of the rows in each row's window)."""
-    w = _range_window(df, window, list(key))
-    members = F.collect_list(F.struct(*[F.col(c) for c in df.columns])).over(w)
-    return df.withColumn(f"window_{window.name}", members)
+    (reference emits Array[Struct] of the rows in each row's window).
+    Keyless input auto-routes through the bucketed window engine
+    (``distributed`` as in :func:`summarize_windows`); member arrays
+    are emitted in deterministic (sorted-struct) order on both routes
+    so the plans are interchangeable."""
+    key = list(key)
+    name = f"window_{window.name}"
+    data_cols = list(df.columns)
+
+    def exprs(w):
+        members = F.collect_list(
+            F.struct(*[F.col(c) for c in data_cols])).over(w)
+        return [(name, F.sort_array(members))]
+
+    if not key and _keyless_window_auto(df, distributed):
+        routed = _keyless_bucketed_window(df, window, exprs)
+        if routed is not None:
+            return routed
+    w = _range_window(df, window, key)
+    return df.withColumns(dict(exprs(w)))
 
 
 def summarize_windows_overlap(df: DataFrame, window: TimeWindow,

@@ -157,9 +157,29 @@ class TSRead:
         first (``readwriter.py:199``) — or the one-arg shorthand
         ``clock('30s')`` (kind defaults to uniform). Kinds:
         ``uniform`` | ``random`` (md5-jittered, ``seed=``). The
-        range's ``timezone`` applies to the begin/end parse."""
+        range's ``timezone`` applies to the begin/end parse.
+
+        The pre-r6 positional shape ``clock('30s', begin, end)`` is
+        still accepted: a duration-like first argument with more
+        positionals shifts them into (begin, end) — the r6 reorder
+        (kind first, matching the reference) was otherwise a silent
+        API break for existing callers (r6 advice)."""
         if frequency is None:
             kind, frequency = "uniform", kind
+        elif kind not in ("uniform", "random"):
+            from ..timeseries import parse_duration_ns
+            try:
+                parse_duration_ns(kind)
+            except (ValueError, TypeError):
+                raise ValueError(f"unknown clock kind {kind!r} "
+                                 f"(supported: uniform, random)") from None
+            # legacy shape: clock(frequency, begin, end)
+            legacy_begin, legacy_end = frequency, offset
+            kind, frequency, offset = "uniform", kind, None
+            if begin is None:
+                begin = legacy_begin
+            if end is None:
+                end = legacy_end
         if kind not in ("uniform", "random"):
             raise ValueError(f"unknown clock kind {kind!r} "
                              f"(supported: uniform, random)")

@@ -2222,29 +2222,42 @@ def volume_bars_stream(stream: DataFrame, threshold: float,
             v = pdf["__vol"].to_numpy(np.float64)
             px = pdf[price_col].to_numpy(np.float64)
             t = pdf["__tns"].to_numpy(np.int64)
-            before = cum + np.cumsum(v) - v
+            pv = px * v
+            # EVERY float fold below is a SEEDED SEQUENTIAL cumsum
+            # (np.cumsum accumulates left-to-right, no pairwise
+            # splits), so prefixes and per-bar volume/pv reproduce
+            # Spark's F.sum fold bit-for-bit across any chunking —
+            # `cum + np.cumsum(v)` or `.sum()` would drift in the
+            # last ulp on long bars (r6 advice)
+            # batch shape is `F.sum(vol).over(frame) - vol`: the
+            # INCLUSIVE sequential prefix minus the current row —
+            # subtract the same way, never a rearranged exclusive fold
+            pre = np.cumsum(np.r_[cum, v])
+            before = pre[1:] - v
             bars = np.floor(before / thr).astype(np.int64)
-            cum = float(before[-1] + v[-1])
+            cum = float(pre[-1])
             starts = np.flatnonzero(np.r_[True, bars[1:] != bars[:-1]])
             bounds = np.r_[starts, len(bars)]
             for s0, s1 in zip(bounds, bounds[1:]):
-                seg = [int(bars[s0]), int(t[s0]), float(px[s0]),
-                       float(px[s0:s1].max()), float(px[s0:s1].min()),
-                       float(px[s1 - 1]), int(s1 - s0),
-                       float(v[s0:s1].sum()),
-                       float((px[s0:s1] * v[s0:s1]).sum())]
-                if open_bar is not None and seg[0] == open_bar[0]:
-                    # merge into the open bar (open px/tns keep)
-                    open_bar = [open_bar[0], open_bar[1], open_bar[2],
-                                max(open_bar[3], seg[3]),
-                                min(open_bar[4], seg[4]), seg[5],
-                                open_bar[6] + seg[6],
-                                open_bar[7] + seg[7],
-                                open_bar[8] + seg[8]]
+                if open_bar is not None and int(bars[s0]) == open_bar[0]:
+                    # extend the open bar: seed the folds with its
+                    # partials (open px/tns keep)
+                    open_bar = [
+                        open_bar[0], open_bar[1], open_bar[2],
+                        max(open_bar[3], float(px[s0:s1].max())),
+                        min(open_bar[4], float(px[s0:s1].min())),
+                        float(px[s1 - 1]), open_bar[6] + int(s1 - s0),
+                        float(np.cumsum(np.r_[open_bar[7], v[s0:s1]])[-1]),
+                        float(np.cumsum(np.r_[open_bar[8], pv[s0:s1]])[-1])]
                 else:
                     if open_bar is not None:
                         closed.append(open_bar)  # a later bar started
-                    open_bar = seg
+                    open_bar = [int(bars[s0]), int(t[s0]), float(px[s0]),
+                                float(px[s0:s1].max()),
+                                float(px[s0:s1].min()),
+                                float(px[s1 - 1]), int(s1 - s0),
+                                float(np.cumsum(v[s0:s1])[-1]),
+                                float(np.cumsum(pv[s0:s1])[-1])]
         frames = []
         if closed:
             res = pd.DataFrame(

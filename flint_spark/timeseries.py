@@ -479,12 +479,14 @@ class TimeSeriesDataFrame:
 
     groupby = group_by
 
-    def add_summary_columns(self, summarizer, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+    def add_summary_columns(self, summarizer, key: Sequence[str] = (),
+                            **kwargs) -> "TimeSeriesDataFrame":
         from .operators.aggregate import add_summary_columns
-        return self._wrap(add_summary_columns(self._df, summarizer, key))
+        return self._wrap(add_summary_columns(self._df, summarizer, key,
+                                              **kwargs))
 
-    def summarize_windows(self, window, summarizer, key: Sequence[str] = ()
-                          ) -> "TimeSeriesDataFrame":
+    def summarize_windows(self, window, summarizer, key: Sequence[str] = (),
+                          **kwargs) -> "TimeSeriesDataFrame":
         """Summarizer object, or a reference-style udf dict
         (``{'mean': udf(...)(self['v'])}`` — dispatches to
         ``functions.summarize_windows_calls``, matching
@@ -498,11 +500,13 @@ class TimeSeriesDataFrame:
                 summarize_windows_calls(self._df, window, summarizer, key),
                 is_sorted=False)
         from .operators.windows_ops import summarize_windows
-        return self._wrap(summarize_windows(self._df, window, summarizer, key))
+        return self._wrap(summarize_windows(self._df, window, summarizer, key,
+                                            **kwargs))
 
-    def add_windows(self, window, key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
+    def add_windows(self, window, key: Sequence[str] = (),
+                    **kwargs) -> "TimeSeriesDataFrame":
         from .operators.windows_ops import add_windows
-        return self._wrap(add_windows(self._df, window, key))
+        return self._wrap(add_windows(self._df, window, key, **kwargs))
 
     def summarize_windows_overlap(self, window, overlap, summarizer,
                                   key: Sequence[str] = ()) -> "TimeSeriesDataFrame":
