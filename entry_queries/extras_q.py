@@ -4259,3 +4259,163 @@ SQL_VOLUME_BARS = """
          END AS vwap
   FROM g GROUP BY event_type, bar
 """
+
+
+def q_keyless_cumulative(spark, sf):
+    """KEYLESS running aggregate on the DISTRIBUTED prefix engine
+    (operators/prefix.py, forced distributed=True so the gate pins the
+    two-phase partition-partials plan, not the single-window fallback):
+    count / cumulative sum / running min / running max over the whole
+    events table ordered by (time, event_id). The r6 verdict's last
+    systematic scale gap — every other cumulative gate passes a key, so
+    the keyless path was never oracle-exercised. Sum rounded at 1e-4:
+    prefix sums of 2-decimal inputs sit on 1e-2 grid points, far from
+    any half-up boundary, so the carry fold's ulp noise cannot flip."""
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "value")
+    summ = S.compose(S.count(), S.sum_("value"), S.min_("value"),
+                     S.max_("value"))
+    out = agg_ops.add_summary_columns(ev, summ, distributed=True,
+                                      tie_break=["event_id"])
+    return out.select(TIME_COLUMN, "event_id", "value",
+                      F.col("count").alias("cum_n"),
+                      R("value_sum", 4).alias("cum_sum"),
+                      F.col("value_min").alias("cum_min"),
+                      F.col("value_max").alias("cum_max"))
+
+
+SQL_KEYLESS_CUMULATIVE = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, value,
+         count(*) OVER w AS cum_n,
+         floor((sum(value) OVER w) * 10000 + 0.5) / 10000 AS cum_sum,
+         min(value) OVER w AS cum_min,
+         max(value) OVER w AS cum_max
+  FROM events
+  WINDOW w AS (ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_keyless_window(spark, sf):
+    """KEYLESS per-row time-window aggregation on the bucketed
+    replication engine (windows_ops._keyless_bucketed_window, forced
+    distributed=True): rows hash into window-span time buckets with
+    <=2 neighbor copies and the SAME JVM window expressions run per
+    bucket — one exchange, >1 task, instead of the whole table in one
+    keyless WindowExec. Range frames are peer-based so duplicate
+    timestamps need no tie rule."""
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "value")
+    summ = S.compose(S.count(), S.sum_("value"), S.min_("value"),
+                     S.max_("value"))
+    out = windows_ops.summarize_windows(
+        ev, W.past_absolute_time("1h"), summ, distributed=True)
+    return out.select(TIME_COLUMN, "event_id", "value",
+                      F.col("count").alias("w_n"),
+                      R("value_sum", 4).alias("w_sum"),
+                      F.col("value_min").alias("w_min"),
+                      F.col("value_max").alias("w_max"))
+
+
+SQL_KEYLESS_WINDOW = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, value,
+         count(*) OVER w AS w_n,
+         floor((sum(value) OVER w) * 10000 + 0.5) / 10000 AS w_sum,
+         min(value) OVER w AS w_min,
+         max(value) OVER w AS w_max
+  FROM events
+  WINDOW w AS (ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_keyless_volume_bars(spark, sf):
+    """KEYLESS volume-clock bars: the running volume prefix rides the
+    distributed prefix engine (forced distributed=True) instead of a
+    single-task window. Volumes are FLOORED TO INTEGERS so every
+    prefix sum is exact in doubles — bar boundaries are then bitwise
+    identical across any fold grouping (single window, partition
+    partials, SQL), the same determinism trick as back_adjust's binary
+    factors."""
+    from flint_spark.operators.bars import volume_bars
+
+    ev = _events(spark, sf).withColumn(
+        "vol", F.floor(F.get_json_object("props", "$.k").cast("double"))
+        .cast("double"))
+    out = volume_bars(ev, 500.0, "value", "vol",
+                      tie_break=["event_id"], distributed=True)
+    return out.select(
+        TIME_COLUMN, "bar_seq",
+        R("open", 4).alias("open"), R("high", 4).alias("high"),
+        R("low", 4).alias("low"), R("close", 4).alias("close"),
+        "n", R("volume", 4).alias("volume"), R("vwap", 6).alias("vwap"))
+
+
+SQL_KEYLESS_VOLUME_BARS = """
+  WITH e AS (
+    SELECT epoch_us(ts) AS tus, value, event_id,
+           COALESCE(floor(CAST(json_extract_string(props, '$.k')
+                               AS DOUBLE)), 0) AS vol
+    FROM events WHERE value IS NOT NULL),
+  b AS (
+    SELECT *, sum(vol) OVER (ORDER BY tus, event_id, value
+              ROWS UNBOUNDED PRECEDING) - vol AS bef
+    FROM e),
+  g AS (SELECT *, CAST(floor(bef / 500.0) AS BIGINT) AS bar FROM b)
+  SELECT make_timestamp(min(tus)) AS time, bar AS bar_seq,
+         floor(first(value ORDER BY tus, event_id, value) * 1e4 + 0.5)
+           / 1e4 AS open,
+         floor(max(value) * 1e4 + 0.5) / 1e4 AS high,
+         floor(min(value) * 1e4 + 0.5) / 1e4 AS low,
+         floor(last(value ORDER BY tus, event_id, value) * 1e4 + 0.5)
+           / 1e4 AS close,
+         count(*) AS n,
+         floor(sum(vol) * 1e4 + 0.5) / 1e4 AS volume,
+         CASE WHEN sum(vol) <> 0
+              THEN floor(sum(value * vol) / sum(vol) * 1e6 + 0.5) / 1e6
+         END AS vwap
+  FROM g GROUP BY bar
+"""
+
+
+def q_correlation_cross(spark, sf):
+    """Two-list correlation form (reference ``correlation(xCols,
+    yCols)``, ``Summarizers.scala:226-261``): 2x2 column sets -> 4
+    (r, tStat) pairs per key, NOT the 6 the all-pairs matrix would
+    emit. Derived deterministic columns exercise distinct
+    correlations; the aggregation is one partial+final hash agg."""
+    from flint_spark.operators.aggregate import summarize
+
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "event_type", "value",
+        (F.col("event_id") % 97).cast("double").alias("m97"),
+        F.sqrt(F.abs(F.col("value"))).alias("rootv"),
+        (F.col("event_id") % 13).cast("double").alias("m13"))
+    summ = S.correlation(["value", "m97"], ["rootv", "m13"])
+    out = summarize(ev, summ, key=["event_type"])
+    sel = [F.col("event_type")]
+    for x in ("value", "m97"):
+        for y in ("rootv", "m13"):
+            sel.append(R(f"{x}_{y}_correlation", 6).alias(f"r_{x}_{y}"))
+            sel.append(R(f"{x}_{y}_correlationTStat", 4)
+                       .alias(f"t_{x}_{y}"))
+    return out.select(*sel).orderBy("event_type")
+
+
+def _sql_correlation_cross() -> str:
+    pair = """
+      floor(corr({x}, {y}) * 1e6 + 0.5) / 1e6 AS r_{x}_{y},
+      floor(corr({x}, {y}) * sqrt((count(CASE WHEN {x} IS NOT NULL
+                AND {y} IS NOT NULL THEN 1 END) - 2)
+              / (1 - corr({x}, {y}) * corr({x}, {y})))
+            * 1e4 + 0.5) / 1e4 AS t_{x}_{y}"""
+    pairs = ",".join(pair.format(x=x, y=y)
+                     for x in ("value", "m97") for y in ("rootv", "m13"))
+    return f"""
+      WITH e AS (
+        SELECT event_type, value,
+               CAST(event_id % 97 AS DOUBLE) AS m97,
+               sqrt(abs(value)) AS rootv,
+               CAST(event_id % 13 AS DOUBLE) AS m13
+        FROM events)
+      SELECT event_type, {pairs}
+      FROM e GROUP BY event_type ORDER BY event_type
+    """

@@ -4374,3 +4374,190 @@ def test_volume_bars_hand_case(spark):
     assert (got[1]["open"], got[1]["n"], got[1]["volume"]) == (13.0, 1, 25.0)
     assert (got[3]["open"], got[3]["n"]) == (14.0, 1)
     assert got[0]["time"] == 1 and got[1]["time"] == 4
+
+
+# ---------------------------------------------------------------------
+# r7: keyless distributed-family plan pins + API fixes
+# ---------------------------------------------------------------------
+
+def _opt_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_keyless_cumulative_distributed_plan(spark):
+    """The forced-distributed cumulative must carry the two-phase
+    shape: a window PARTITIONED by __pid (the executedPlan truncates
+    field lists, the logical string keeps the window spec) and NO
+    empty-partition window over the data; the single-window plan is
+    the reverse."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "time long, v double")
+    summ = S.compose(S.count(), S.sum_("v"))
+    dist = agg_ops.add_summary_columns(df, summ, distributed=True)
+    assert "windowspecdefinition(__pid" in _opt_plan(dist)
+    single = agg_ops.add_summary_columns(df, summ, distributed=False)
+    assert "windowspecdefinition(__pid" not in _opt_plan(single)
+    # route refuses loudly for non-mergeable summarizers
+    with pytest.raises(ValueError, match="mergeable"):
+        agg_ops.add_summary_columns(df, S.quantile("v", [0.5]),
+                                    distributed=True)
+
+
+def test_keyless_cumulative_auto_policy(spark, sf_dir):
+    """auto (distributed=None): a tiny PARQUET input (known Catalyst
+    stats under the 64 MB budget) stays on the single-window plan; a
+    stats-less local relation reports ~8 EB and correctly takes the
+    distributed route ('can't tell' must never fall into one task)."""
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumnRenamed("ts", "time").select("time", "value"))
+    summ = S.compose(S.count(), S.sum_("value"))
+    assert "windowspecdefinition(__pid" not in \
+        _opt_plan(agg_ops.add_summary_columns(ev, summ))
+    local = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                  "time long, value double")
+    assert "windowspecdefinition(__pid" in \
+        _opt_plan(agg_ops.add_summary_columns(local, summ))
+
+
+def test_keyless_window_distributed_plan(spark):
+    from flint_spark.operators import windows_ops
+
+    df = spark.createDataFrame(
+        [(i * 10, float(i % 7)) for i in range(200)], "time long, v double")
+    summ = S.compose(S.count(), S.sum_("v"))
+    dist = windows_ops.summarize_windows(
+        df, W.past_absolute_time(50), summ, distributed=True)
+    assert "windowspecdefinition(__b" in _opt_plan(dist)
+    # degenerate span (window >= data span -> <4 buckets): falls back
+    wide = windows_ops.summarize_windows(
+        df, W.past_absolute_time(10_000), summ, distributed=True)
+    assert "windowspecdefinition(__b" not in _opt_plan(wide)
+
+
+def test_asof_small_right_auto_broadcast_zero_exchanges(spark):
+    """r6 verdict item 2: a dim-table as-of must not shuffle the big
+    side. The auto route (distributed=None) on a small right side
+    plans ZERO exchanges; distributed=False pins the union-window
+    plan (>=1 exchange)."""
+    from entry_queries.common import count_exchanges
+    from flint_spark.operators import asof
+    from flint_spark.operators.asof import _broadcast_route_ok
+    from flint_spark.timeseries import as_time_expr
+
+    # parquet-backed frames carry REAL Catalyst stats (a local
+    # relation reports ~8 EB 'unknown' and must never auto-broadcast)
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    left = (ev.withColumn("time", as_time_expr(ev, "ts", "timestamp"))
+            .select("time", "user_id", "value"))
+    right = (left.groupBy("user_id", "time")
+             .agg(F.max("value").alias("rv")))
+    assert _broadcast_route_ok(left, right, ["user_id"], None, None, None)
+    auto = asof.left_join(left, right, tolerance="2h", key=["user_id"])
+    assert count_exchanges(auto) == 0
+    local = spark.createDataFrame([(1, 1, 1.0)],
+                                  "time long, user_id int, rv double")
+    assert not _broadcast_route_ok(left, local, ["user_id"], None,
+                                   None, None)
+    pinned = asof.left_join(left, right, tolerance="2h", key=["user_id"],
+                            distributed=False)
+    assert count_exchanges(pinned) >= 1
+    a = auto.toPandas().sort_values(["time", "user_id", "value"],
+                                    ignore_index=True)
+    b = pinned.toPandas().sort_values(["time", "user_id", "value"],
+                                      ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
+                                  check_dtype=False)
+
+
+def test_asof_keyless_bucketed_degenerate_fallback(spark):
+    """r6 advice: a tolerance near the data span puts every row in
+    bucket 0 — the engine must fall back to the single-window plan
+    (with a warning) instead of silently degenerating to one task
+    plus a doubled right side."""
+    from flint_spark.operators.asof import asof_keyless_bucketed, left_join
+
+    left = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                 "time long, v double")
+    right = spark.createDataFrame([(i * 2, float(i)) for i in range(25)],
+                                  "time long, rv double")
+    with pytest.warns(UserWarning, match="whole time range"):
+        out = asof_keyless_bucketed(left, right, tolerance=1000)
+    exp = left_join(left, right, tolerance=1000, distributed=False)
+    a = out.toPandas().sort_values(["time", "v"], ignore_index=True)
+    b = exp.toPandas().sort_values(["time", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)],
+                                  check_dtype=False)
+
+
+def test_uniform_clock_offset_wraps_modulo_frequency(spark):
+    """r6 advice: reference clock semantics — offset > frequency wraps
+    (offset % frequency) instead of dropping leading ticks."""
+    from flint_spark import clocks
+
+    big = clocks.uniform(0, 10_000, 1_000, offset=3_500,
+                         timestamp_type=False)
+    small = clocks.uniform(0, 10_000, 1_000, offset=500,
+                           timestamp_type=False)
+    assert big.offset_ns == 500
+    assert [r.time for r in big.ticks_df(spark).collect()] == \
+           [r.time for r in small.ticks_df(spark).collect()]
+
+
+def test_tsread_clock_legacy_positional_shape(spark):
+    """r6 advice: pre-r6 callers used clock(frequency, begin, end);
+    the r6 reference-shape reorder (kind first) must keep accepting a
+    duration-like first positional."""
+    from flint_spark.sources.readbuilder import TSRead
+
+    legacy = TSRead(spark).clock("6h", "2024-01-01", "2024-01-02")
+    modern = (TSRead(spark).range("2024-01-01", "2024-01-02")
+              .clock("uniform", "6h"))
+    assert [r.time for r in legacy.df.collect()] == \
+           [r.time for r in modern.df.collect()]
+
+
+def test_business_clock_tz_rejects_absolute_bounds(spark):
+    """r6 advice: business(tz=) treats begin/end as LOCAL wall time;
+    an aware datetime or raw epoch-ns bound would silently shift by
+    the UTC offset — reject loudly."""
+    from datetime import datetime, timezone
+
+    from flint_spark import clocks
+
+    with pytest.raises(ValueError, match="LOCAL wall time"):
+        clocks.business(spark, 0, 10 ** 15, tz="America/New_York")
+    with pytest.raises(ValueError, match="LOCAL wall time"):
+        clocks.business(spark, datetime(2024, 1, 1, tzinfo=timezone.utc),
+                        "2024-02-01", tz="America/New_York")
+    # naive datetime / string bounds stay accepted (Jan 1..15 2024
+    # spans 11 weekdays: Mon 1st .. Mon 15th inclusive)
+    assert clocks.business(spark, "2024-01-01", "2024-01-15",
+                           tz="America/New_York").count() == 11
+
+
+def test_correlation_list_shapes(spark):
+    """Reference call shapes: correlation([cols]) == all-pairs matrix,
+    correlation([xs], [ys]) == cross form (|xs| * |ys| pairs),
+    overlapping sets rejected."""
+    df = spark.createDataFrame(
+        [(i, float(i), float(i * i % 17), float((i * 3) % 11))
+         for i in range(1, 40)], "time long, a double, b double, c double")
+    m = S.correlation(["a", "b", "c"])
+    assert len(m.names) == 6  # 3 unordered pairs x (r, tstat)
+    x = S.correlation(["a", "b"], ["c"])
+    assert x.names == ["a_c_correlation", "a_c_correlationTStat",
+                       "b_c_correlation", "b_c_correlationTStat"]
+    row = df.groupBy().agg(*x.exprs(df)).first()
+    import math
+    got = row["a_c_correlation"]
+    pdf = df.toPandas()
+    exp = pdf["a"].corr(pdf["c"])
+    assert abs(got - exp) < 1e-9
+    n = len(pdf)
+    exp_t = exp * math.sqrt((n - 2) / (1 - exp * exp))
+    assert abs(row["a_c_correlationTStat"] - exp_t) < 1e-9
+    with pytest.raises(ValueError, match="overlap"):
+        S.correlation(["a", "b"], ["b", "c"])
+    # cross form distributes as a keyless cumulative too
+    assert x.has_cum

@@ -914,3 +914,174 @@ def test_hot_key_guard_routes_identical(left, right, tol):
                                        ignore_index=True))
     pd.testing.assert_frame_equal(plain, guarded[plain.columns.tolist()],
                                   check_dtype=False)
+
+
+# ---------------------------------------------------------------------
+# r7: keyless distributed routes must be output-identical to the
+# single-window plans they replace — duplicate timestamps included
+# (range partitioning may cut right at a tie group; equal keys never
+# straddle, which these tests would catch if violated).
+# ---------------------------------------------------------------------
+
+def _route_pair(fn):
+    """Run fn(distributed) for both routes, sorted + column-sorted."""
+    a = fn(False)
+    b = fn(True)
+    a = a[sorted(a.columns)].reset_index(drop=True)
+    b = b[sorted(b.columns)].reset_index(drop=True)
+    return a, b
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels())
+def test_keyless_cumulative_routes_identical(panel):
+    panel = panel.assign(uid=range(len(panel)))
+    spark = _spark()
+    df = spark.createDataFrame(panel, "time long, id int, v double, uid long")
+    summ = S.compose(S.count(), S.sum_("v"), S.mean("v"), S.min_("v"),
+                     S.max_("v"), S.stddev("v"))
+
+    def run(dist):
+        return (agg_ops.add_summary_columns(df, summ, distributed=dist,
+                                            tie_break=["uid"])
+                .toPandas().sort_values(["time", "uid"]))
+
+    a, b = _route_pair(run)
+    # integer-valued doubles: count/sum/min/max fold exactly on every
+    # grouping; mean/stddev renders divide the same exact sums but the
+    # single-window stddev is Welford -> compare with tolerance
+    for c in ("count", "v_sum", "v_min", "v_max"):
+        assert (a[c].fillna(-1e18) == b[c].fillna(-1e18)).all(), c
+    for c in ("v_mean", "v_stddev"):
+        av, bv = a[c].to_numpy(float), b[c].to_numpy(float)
+        assert (np.isnan(av) == np.isnan(bv)).all(), c
+        assert np.allclose(np.nan_to_num(av), np.nan_to_num(bv),
+                           rtol=1e-9, atol=1e-12), c
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), w=st.integers(1, 120))
+def test_keyless_window_routes_identical(panel, w):
+    from flint_spark.operators import windows_ops
+    from flint_spark.windows import past_absolute_time
+
+    spark = _spark()
+    df = spark.createDataFrame(panel[["time", "v"]], "time long, v double")
+    summ = S.compose(S.count(), S.sum_("v"), S.min_("v"), S.max_("v"))
+
+    def run(dist):
+        return (windows_ops.summarize_windows(
+            df, past_absolute_time(w), summ, distributed=dist)
+            .toPandas().sort_values(["time", "v"]))
+
+    a, b = _route_pair(run)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), thr=st.integers(1, 50))
+def test_keyless_volume_bars_routes_identical(panel, thr):
+    from flint_spark.operators.bars import volume_bars
+
+    panel = panel.assign(vol=(panel["v"].abs() % 7).astype(float),
+                         uid=range(len(panel)))
+    spark = _spark()
+    df = spark.createDataFrame(
+        panel[["time", "v", "vol", "uid"]],
+        "time long, v double, vol double, uid long")
+
+    def run(dist):
+        return (volume_bars(df, float(thr), "v", "vol",
+                            tie_break=["uid"], distributed=dist)
+                .toPandas().sort_values(["bar_seq"]))
+
+    a, b = _route_pair(run)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels())
+def test_keyless_cusum_routes_identical(panel):
+    from flint_spark.operators.changepoint import cusum
+
+    panel = panel.assign(uid=range(len(panel)))
+    spark = _spark()
+    df = spark.createDataFrame(panel, "time long, id int, v double, uid long")
+
+    def run(dist):
+        return (cusum(df, "v", mu=0.0, sigma=10.0, distributed=dist,
+                      tie_break=["uid"])
+                .toPandas().sort_values(["time", "uid"]))
+
+    a, b = _route_pair(run)
+    for c in ("v_cusum_pos", "v_cusum_neg"):
+        av, bv = a[c].to_numpy(float), b[c].to_numpy(float)
+        assert (np.isnan(av) == np.isnan(bv)).all(), c
+        assert np.allclose(np.nan_to_num(av), np.nan_to_num(bv),
+                           rtol=1e-9, atol=1e-12), c
+    assert (a["v_alarm"].fillna(False) == b["v_alarm"].fillna(False)).all()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels())
+def test_keyless_drawdown_routes_identical(panel):
+    from flint_spark.operators.bars import drawdown
+
+    panel = panel.assign(uid=range(len(panel)))
+    spark = _spark()
+    df = spark.createDataFrame(panel, "time long, id int, v double, uid long")
+
+    def run(dist):
+        return (drawdown(df, "v", tie_break=["uid"], distributed=dist)
+                .toPandas().sort_values(["time", "uid"]))
+
+    a, b = _route_pair(run)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(left=panels(), right=panels(), tol=st.integers(0, 200),
+       mode=st.sampled_from(["backward", "forward", "strict"]))
+def test_asof_broadcast_route_identical(left, right, tol, mode):
+    """r7 auto-broadcast pin: the broadcast as-of engine (what a
+    small stats-known right side now routes to by default) must equal
+    the pinned union-window plan across backward/forward/strict —
+    DUPLICATE (key, time) rights included (panels generate ties; both
+    engines must resolve them to the max-struct row). The engines are
+    invoked directly: local relations report unknown Catalyst stats,
+    so the distributed=None trigger itself is pinned separately on
+    parquet frames (test_extensions)."""
+    spark = _spark()
+    ldf = spark.createDataFrame(left, "time long, id int, v double")
+    # keep duplicate (id, time) rights on purpose — rv duplicates too
+    rdf = spark.createDataFrame(
+        right.rename(columns={"v": "rv"}), "time long, id int, rv double")
+
+    def call(broadcast):
+        if broadcast:
+            return asof.left_join_broadcast(
+                ldf, rdf, tolerance=tol, key=["id"],
+                direction="backward" if mode == "backward" else "forward",
+                strict_lookahead=(mode == "strict"))
+        if mode == "backward":
+            return asof.left_join(ldf, rdf, tolerance=tol, key=["id"],
+                                  distributed=False)
+        return asof.future_left_join(
+            ldf, rdf, tolerance=tol, key=["id"],
+            strict_lookahead=(mode == "strict"), distributed=False)
+
+    cols = None
+    outs = []
+    for broadcast in (False, True):
+        out = call(broadcast).toPandas()
+        out = out[sorted(out.columns)].sort_values(
+            ["time", "id", "v"], ignore_index=True)
+        cols = cols or out.columns.tolist()
+        outs.append(out[cols])
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
