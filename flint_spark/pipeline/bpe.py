@@ -66,28 +66,96 @@ def _pairs(seg: Column) -> Column:
                       lambda a, b: F.struct(a.alias("a"), b.alias("b")))
 
 
+#: rounds (= Spark jobs) of the most recent ``bpe_train`` call —
+#: read by the batching tests and the scale_smoke job-count section
+last_train_rounds: int = 0
+
+
+def _select_batch(rows, top_k: int, remaining: int):
+    """Maximal SEQUENTIAL-EQUIVALENT merge batch from the sorted
+    (count DESC, a, b) pair list. The rule:
+
+    1. take the maximal PREFIX whose pairs have pairwise-disjoint
+       token sets (stop at the first conflict, do not skip it);
+    2. trim to counts STRICTLY above the bound = the stop pair's
+       count (or the last collected count when the list was cut at
+       ``top_k`` — uncollected pairs rank below it).
+
+    Why this equals one-merge-at-a-time training exactly: merging
+    p_1 leaves every token-disjoint pair's count unchanged, only
+    DECREASES counts of token-sharing pairs, and any NEWLY CREATED
+    pair (x, p_1's merged token) inherits count <= the old count of
+    (x, left(p_1)) — a token-sharing pair, which by the prefix rule
+    ranks at/after the stop, i.e. <= bound. So after each batched
+    merge every candidate outside the batch stays strictly below the
+    remaining batch members, whose own counts are untouched: the
+    sequential argmax selects exactly the batch, in batch order. The
+    strict trim kills the one ambiguity (a created pair TYING a
+    selected count and winning the (a, b) tie-break). Disjoint
+    replaces also commute on the segmentation strings, so applying
+    the batch in one pass is order-independent."""
+    used: set[str] = set()
+    selected = []
+    bound = None
+    for r in rows:
+        toks = {r["a"], r["b"]}
+        if used & toks:
+            bound = int(r["c"])
+            break
+        selected.append(r)
+        used |= toks
+    else:
+        if len(rows) == top_k:
+            bound = int(rows[-1]["c"])
+    if bound is not None:
+        selected = [r for r in selected if int(r["c"]) > bound]
+    if not selected:
+        selected = rows[:1]   # sequential step — always sound
+    return selected[:remaining]
+
+
 def bpe_train(docs: DataFrame, num_merges: int = 8,
-              text_col: str = "text") -> list[tuple[str, str, int]]:
+              text_col: str = "text", batch: bool = True,
+              top_k: int = 64) -> list[tuple[str, str, int]]:
     """Train ``num_merges`` BPE merges; returns [(left, right, count)]
-    in merge order. Stops early when no adjacent pair remains."""
+    in merge order. Stops early when no adjacent pair remains.
+
+    ``batch=True`` (default) applies SEVERAL merges per Spark job —
+    per round, the top pairs with pairwise-disjoint tokens and counts
+    strictly above the first conflict (see :func:`_select_batch` for
+    the exact-equivalence proof) — cutting driver round-trips 10-100x
+    on Zipfian corpora: one job per merge made a real 30k-merge
+    tokenizer run infeasible (r6 verdict item 4). The merge list is
+    IDENTICAL to ``batch=False`` (property-pinned), so the SQL oracle
+    that unrolls merges needs no change. ``last_train_rounds`` records
+    the job count of the latest call."""
+    global last_train_rounds
     vocab = _word_table(docs, text_col) \
         .withColumn("seg", _seg0(F.col("word"))).persist()
     vocab.count()  # materialize once; iterations re-derive only `seg`
     merges: list[tuple[str, str, int]] = []
     seg = F.col("seg")
+    rounds = 0
+    k = top_k if batch else 1
     try:
-        for _ in range(num_merges):
-            best = (vocab.withColumn("seg", seg)
+        while len(merges) < num_merges:
+            rows = (vocab.withColumn("seg", seg)
                     .select("freq", F.explode(_pairs(F.col("seg"))).alias("p"))
                     .groupBy("p.a", "p.b").agg(F.sum("freq").alias("c"))
-                    .orderBy(F.desc("c"), "a", "b").limit(1).collect())
-            if not best:
+                    .orderBy(F.desc("c"), "a", "b").limit(k).collect())
+            rounds += 1
+            if not rows:
                 break
-            a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
-            merges.append((a, b, c))
-            seg = F.replace(seg, F.lit(f"[{a}][{b}]"), F.lit(f"[{a}{b}]"))
+            chosen = _select_batch(rows, k, num_merges - len(merges)) \
+                if batch else rows[:1]
+            for r in chosen:
+                a, b, c = r["a"], r["b"], int(r["c"])
+                merges.append((a, b, c))
+                seg = F.replace(seg, F.lit(f"[{a}][{b}]"),
+                                F.lit(f"[{a}{b}]"))
     finally:
         vocab.unpersist()
+    last_train_rounds = rounds
     return merges
 
 

@@ -4561,3 +4561,106 @@ def test_correlation_list_shapes(spark):
         S.correlation(["a", "b"], ["b", "c"])
     # cross form distributes as a keyless cumulative too
     assert x.has_cum
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """r6 verdict item 4: batched merge selection (several merges per
+    pair-count job) must produce the IDENTICAL merge list — counts
+    included — as one-merge-per-job training, on a random Zipf-ish
+    corpus AND an adversarial overlap corpus where most top pairs
+    share tokens (the case the disjoint-prefix rule exists for)."""
+    import random
+
+    from flint_spark.pipeline import bpe
+
+    random.seed(23)
+    words = ["low", "lower", "lowest", "newer", "newest", "wide",
+             "wider", "widest", "new", "west", "strange", "strand"]
+    rows = [(i, " ".join(random.choices(words,
+                                        weights=range(len(words), 0, -1),
+                                        k=12))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    seq = bpe.bpe_train(docs, num_merges=12, batch=False)
+    seq_rounds = bpe.last_train_rounds
+    bat = bpe.bpe_train(docs, num_merges=12, batch=True)
+    bat_rounds = bpe.last_train_rounds
+    assert bat == seq
+    assert bat_rounds < seq_rounds  # actually batched something
+
+    # adversarial: heavy token sharing — 'aaaa...' chains force the
+    # prefix rule to stop early and stay sequential where required
+    rows2 = [(i, " ".join(random.choices(
+        ["aaaa", "aaab", "abab", "bbaa", "abba", "baba", "ab", "ba"],
+        k=15))) for i in range(120)]
+    docs2 = spark.createDataFrame(rows2, "id long, text string")
+    seq2 = bpe.bpe_train(docs2, num_merges=10, batch=False)
+    bat2 = bpe.bpe_train(docs2, num_merges=10, batch=True)
+    assert bat2 == seq2
+
+
+def test_stream_static_collect_guard_measures_statless_input(spark, monkeypatch):
+    """r6 verdict item 8: a stats-less right side (local relation —
+    Catalyst reports ~Long.Max) must be PRICED with a count + sampled
+    row size before the driver collect, and refused over the budget —
+    the old behavior warned and collected in full anyway."""
+    from flint_spark.streaming import ts_stream
+
+    big = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(5000)],
+        "time long, id int, rv double")
+    monkeypatch.setattr(ts_stream, "_STATIC_RIGHT_MAX_BYTES", 10_000)
+    left = spark.createDataFrame([(1, 1, 1.0)],
+                                 "time long, id int, v double")
+    with pytest.raises(ValueError, match="exceeds the"):
+        ts_stream.asof_join_static(left, big, tolerance=10, key=["id"])
+    # under the budget the same stats-less shape still works
+    small = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(20)],
+        "time long, id int, rv double")
+    out = ts_stream.asof_join_static(left, small, tolerance=10, key=["id"])
+    assert out.count() == 1
+
+
+def test_package_builds_and_imports_from_artifact(tmp_path):
+    """r6 verdict item 5 (packaging): the engine must be installable
+    outside this repo tree. Builds an sdist with the pyproject
+    metadata (this container ships setuptools but not the `wheel`
+    backend, so the artifact under test is the sdist — the same
+    package-discovery path a wheel build walks), then imports
+    `flint_spark` and `ts.flint` from the EXTRACTED artifact in a
+    subprocess whose sys.path excludes the repo."""
+    import subprocess
+    import sys
+    import tarfile
+
+    out = subprocess.run(
+        [sys.executable, "setup.py", "sdist", "-d", str(tmp_path)],
+        cwd="/root/repo", capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    arts = list(tmp_path.glob("flint*spark-*.tar.gz"))
+    assert len(arts) == 1, list(tmp_path.iterdir())
+    with tarfile.open(arts[0]) as tf:
+        names = tf.getnames()
+        root = names[0].split("/")[0]
+        assert f"{root}/flint_spark/operators/asof.py" in names
+        assert f"{root}/flint_spark/streaming/ts_stream.py" in names
+        assert f"{root}/ts/flint/__init__.py" in names
+        # gate infrastructure is NOT part of the distribution
+        assert not any("/entry_queries/" in n for n in names)
+        assert not any("/tests/" in n for n in names)
+        tf.extractall(tmp_path)
+    pkg_root = tmp_path / root
+    probe = (
+        "import sys; sys.path = [p for p in sys.path if p not in "
+        "('', '/root/repo')]; sys.path.insert(0, r'%s');\n"
+        "import flint_spark, flint_spark.summarizers, ts.flint\n"
+        "assert flint_spark.__file__.startswith(r'%s'), flint_spark.__file__\n"
+        "from ts.flint import summarizers\n"
+        "s = summarizers.correlation(['a', 'b'], ['c'])\n"
+        "print('PKG_OK', len(s.names))\n" % (pkg_root, pkg_root))
+    res = subprocess.run([sys.executable, "-c", probe], cwd=str(tmp_path),
+                         capture_output=True, text=True,
+                         env={"PATH": "/usr/bin:/bin",
+                              "HOME": "/root"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PKG_OK 4" in res.stdout
