@@ -704,8 +704,13 @@ def r6ops_scale(spark, millions: float = 5.0):
     # AUTO pin: distributed=None must pick the bucketed engine for
     # these frames (combined estimate ~130MB > the 64MB budget) — the
     # window partitions on the time bucket, where the single-task plan
-    # has an empty partition spec
-    left, right = asof_pair(n_big)
+    # has an empty partition spec. The RIGHT side must itself exceed
+    # the 64MB broadcast budget (r7 auto-broadcast preempts otherwise
+    # — correctly: a 500k-row right is a dim table at this scale)
+    left, _ = asof_pair(n_big)
+    right = (series(n_big)
+             .select((F.col("time") + F.lit(500_000_000)).alias("time"),
+                     F.col("v").alias("rv"), (F.col("v") * 2).alias("rv2")))
     routed = asof.left_join(left, right, tolerance="7200s",
                             bucket="43200s")
     assert "__bucket" not in routed.columns
@@ -715,8 +720,91 @@ def r6ops_scale(spark, millions: float = 5.0):
     print("  keyless asof auto-route: bucketed window plan OK")
 
 
+def r7ops_scale(spark, millions: float = 5.0):
+    """Round-7: the keyless distributed family (r6 verdict item 1) at
+    5M rows — linearity + multi-task/plan pins for the two-phase
+    prefix engine (add_summary_columns, volume_bars, CUSUM) and the
+    bucketed JVM window engine (summarize_windows), plus the batched
+    BPE trainer's job-count bound (verdict item 4)."""
+    from flint_spark.operators import windows_ops
+    from flint_spark.operators.aggregate import add_summary_columns
+    from flint_spark.operators.bars import volume_bars
+    from flint_spark.operators.changepoint import cusum
+    from flint_spark.plans.audit import plan_counts
+
+    n_big = int(millions * 1e6)
+    n_small = n_big // 2
+
+    def series(n):
+        return (spark.range(n)
+                .select((F.col("id") * 10**9).alias("time"),
+                        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 100.0)
+                        .alias("v")))
+
+    summ = S.compose(S.count(), S.sum_("v"), S.mean("v"), S.stddev("v"),
+                     S.min_("v"), S.max_("v"))
+
+    def cum(n):
+        return add_summary_columns(series(n), summ, distributed=True)
+
+    linearity("keyless cumulative (prefix engine)", cum, n_small, n_big)
+    out = cum(n_big)
+    assert "windowspecdefinition(__pid" in \
+        out._jdf.queryExecution().optimizedPlan().toString()
+    ntasks = out.rdd.getNumPartitions()
+    assert ntasks > 1, f"keyless cumulative single-task ({ntasks})"
+    print(f"  keyless cumulative: {ntasks} tasks, __pid window plan OK")
+
+    def kwin(n):
+        return windows_ops.summarize_windows(
+            series(n), W.past_absolute_time("3600s"),
+            S.compose(S.count(), S.sum_("v")), distributed=True)
+
+    linearity("keyless window (bucketed JVM)", kwin, n_small, n_big)
+    wout = kwin(n_big)
+    assert "windowspecdefinition(__b" in \
+        wout._jdf.queryExecution().optimizedPlan().toString()
+    counts = plan_counts(wout)
+    print(f"  keyless window: {counts['shuffles']} shuffle(s), "
+          f"__b window plan OK")
+
+    def vbars(n):
+        d = series(n).withColumn("vol", F.floor(F.col("v")).cast("double"))
+        return volume_bars(d, 5000.0, "v", "vol", distributed=True)
+
+    linearity("keyless volume bars", vbars, n_small, n_big)
+
+    def kcusum(n):
+        return cusum(series(n), "v", mu=5.0, sigma=3.0, distributed=True)
+
+    linearity("keyless cusum (2-pass, shared shuffle)", kcusum,
+              n_small, n_big)
+    # the second pass must NOT add a data exchange beyond pass 1's
+    c1 = plan_counts(cum(n_big))["shuffles"]
+    c2 = plan_counts(kcusum(n_big))["shuffles"]
+    print(f"  cusum shuffles {c2} vs cumulative {c1}")
+    assert c2 <= c1 + 1  # + the tiny P-row partials join at most
+
+    # batched BPE: 100 merges in <= merges/10 driver rounds (verdict
+    # item 4's bar) on a Heaps-bounded synthetic vocabulary
+    from flint_spark.pipeline import bpe
+
+    docs = synth_corpus(spark, 50_000)
+    t0 = time.perf_counter()
+    merges = bpe.bpe_train(docs, num_merges=100, batch=True)
+    dt = time.perf_counter() - t0
+    rounds = bpe.last_train_rounds
+    print(f"  bpe 100 merges: {rounds} rounds (sequential would be "
+          f"100), {dt:.1f}s")
+    assert len(merges) == 100
+    assert rounds <= 10, f"batched BPE used {rounds} rounds for 100 merges"
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r6ops":
+    if len(sys.argv) > 1 and sys.argv[1] == "r7ops":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
+        r7ops_scale(get_spark("scale_smoke"), m)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r6ops":
         m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
         r6ops_scale(get_spark("scale_smoke"), m)
     elif len(sys.argv) > 1 and sys.argv[1] == "r5ops":
