@@ -39,7 +39,8 @@ _MIN_KEYLESS_BUCKETS = 4
 
 
 def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
-                             exprs_fn) -> DataFrame | None:
+                             exprs_fn, ship: tuple[int, int] | None = None
+                             ) -> DataFrame | None:
     """Distributed keyless per-row time-window aggregation, all JVM.
 
     A keyless ``Window.orderBy(time).rangeBetween(lo, hi)`` funnels the
@@ -57,10 +58,19 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
 
     Returns None when the probed time span yields fewer than
     ``_MIN_KEYLESS_BUCKETS`` buckets — replication without parallelism
-    is strictly worse than the single window (the caller falls back)."""
+    is strictly worse than the single window (the caller falls back).
+
+    ``ship`` widens the context-SHIPPING bounds beyond the window
+    itself (overlappable windows evaluate a second, outward-extended
+    frame over the same ordering): every frame ``exprs_fn`` builds
+    must sit inside [ship_lo, ship_hi]. ``exprs_fn(frame)`` receives a
+    frame FACTORY ``frame(lo, hi) -> WindowSpec`` over the bucket
+    partitioning and returns (name, Column) pairs."""
     from ..timeseries import floor_div
 
     lo, hi = window.range_bounds()
+    if ship is not None:
+        lo, hi = min(int(lo), int(ship[0])), max(int(hi), int(ship[1]))
     span = max(int(hi) - int(lo), 1)
     tns = time_ns_expr(df)
     # tiny column-pruned probe: the data span decides bucket viability
@@ -79,9 +89,13 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
                     F.least(serve_from, F.col("__ob")),
                     F.greatest(serve_to, F.col("__ob")))))
                 .withColumn("__tgt", F.col("__b") == F.col("__ob")))
-    w = (Window.partitionBy("__b").orderBy(F.col("__tns"))
-         .rangeBetween(lo, hi))
-    pairs = list(exprs_fn(w))
+
+    def frame(flo, fhi):
+        assert lo <= flo and fhi <= hi, "frame outside shipped context"
+        return (Window.partitionBy("__b").orderBy(F.col("__tns"))
+                .rangeBetween(flo, fhi))
+
+    pairs = list(exprs_fn(frame))
     out = exploded.withColumns(dict(pairs))
     return out.filter(F.col("__tgt")).select(
         *data_cols, *[n for n, _ in pairs])
@@ -102,8 +116,10 @@ def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
                   **summarizer.kwargs)
     key = list(key)
     if not key and _keyless_window_auto(df, distributed):
+        lo, hi = window.range_bounds()
         routed = _keyless_bucketed_window(
-            df, window, lambda w: summarizer.over_exprs(df, w))
+            df, window,
+            lambda frame: summarizer.over_exprs(df, frame(lo, hi)))
         if routed is not None:
             return routed
     w = _range_window(df, window, key)
@@ -131,6 +147,7 @@ def add_windows(df: DataFrame, window: TimeWindow, key: Sequence[str] = (),
     key = list(key)
     name = f"window_{window.name}"
     data_cols = list(df.columns)
+    lo, hi = window.range_bounds()
 
     def exprs(w):
         members = F.collect_list(
@@ -138,7 +155,8 @@ def add_windows(df: DataFrame, window: TimeWindow, key: Sequence[str] = (),
         return [(name, F.sort_array(members))]
 
     if not key and _keyless_window_auto(df, distributed):
-        routed = _keyless_bucketed_window(df, window, exprs)
+        routed = _keyless_bucketed_window(
+            df, window, lambda frame: exprs(frame(lo, hi)))
         if routed is not None:
             return routed
     w = _range_window(df, window, key)
@@ -147,7 +165,8 @@ def add_windows(df: DataFrame, window: TimeWindow, key: Sequence[str] = (),
 
 def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
                               overlap: str | int, summarizer: Summarizer,
-                              key: Sequence[str] = ()) -> DataFrame:
+                              key: Sequence[str] = (),
+                              distributed: bool | None = None) -> DataFrame:
     """Overlappable-window aggregation (reference OverlappableSummarizer,
     ``rdd/function/summarize/summarizer/overlappable/LagSumSummarizer.scala``:
     state = (sum over the core window, lagSum over the overlapped
@@ -170,12 +189,27 @@ def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
     # only exact because the orderBy key is time_ns_expr (epoch ns). A
     # µs-ordered frame would silently off-by-one (r2 advice).
     assert ons >= 1, "overlap must be at least 1ns"
+    if lo < 0 or hi == 0:   # past window: overlap precedes [t+lo, t+hi]
+        lag_lo, lag_hi = lo - ons, lo - 1
+    else:                   # future window: overlap follows
+        lag_lo, lag_hi = hi + 1, hi + ons
+    if not key and _keyless_window_auto(df, distributed):
+        # both frames inside widened shipping bounds, one bucket pass
+        def pairs(frame):
+            core = summarizer.over_exprs(df, frame(lo, hi))
+            lag = [(f"lag_{n}", c)
+                   for n, c in summarizer.over_exprs(df, frame(lag_lo,
+                                                               lag_hi))]
+            return core + lag
+
+        routed = _keyless_bucketed_window(
+            df, window, pairs,
+            ship=(min(lo, lag_lo), max(hi, lag_hi)))
+        if routed is not None:
+            return routed
     base = Window.partitionBy(*[F.col(k) for k in key]).orderBy(tns)
     w_core = base.rangeBetween(lo, hi)
-    if lo < 0 or hi == 0:   # past window: overlap precedes [t+lo, t+hi]
-        w_lag = base.rangeBetween(lo - ons, lo - 1)
-    else:                   # future window: overlap follows
-        w_lag = base.rangeBetween(hi + 1, hi + ons)
+    w_lag = base.rangeBetween(lag_lo, lag_hi)
     out = df.withColumns(dict(summarizer.over_exprs(df, w_core)))
     lag_cols = {f"lag_{n}": c for n, c in summarizer.over_exprs(df, w_lag)}
     return out.withColumns(lag_cols)
@@ -183,7 +217,8 @@ def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
 
 def detect_anomalies(df: DataFrame, column: str, window: str | int = "1d",
                      k: float = 3.0, key: Sequence[str] = (),
-                     min_baseline: int = 5) -> DataFrame:
+                     min_baseline: int = 5,
+                     distributed: bool | None = None) -> DataFrame:
     """Rolling z-score anomaly flag: each row scored against the
     TRAILING window [t - window, t) — the current point is excluded so
     an extreme value cannot inflate its own baseline. Adds
@@ -196,18 +231,32 @@ def detect_anomalies(df: DataFrame, column: str, window: str | int = "1d",
 
     w_ns = parse_duration_ns(window)
     key = list(key)
+    c = F.col(column)
+
+    def pairs(w):
+        mu = F.avg(c).over(w)
+        sd = F.stddev_samp(c).over(w)
+        n = F.count(c).over(w)
+        z = F.when((n >= min_baseline) & (sd > 0), (c - mu) / sd)
+        return [(f"{column}_zscore", z),
+                (f"{column}_anomaly",
+                 F.coalesce(F.abs(z) > F.lit(k), F.lit(False)))]
+
+    if not key and _keyless_window_auto(df, distributed):
+        # keyless route: the trailing [-w, -1) frame rides the bucketed
+        # engine (ship covers the exclusive bound's gap to 0)
+        from ..windows import past_absolute_time
+
+        routed = _keyless_bucketed_window(
+            df, past_absolute_time(w_ns), lambda f: pairs(f(-w_ns, -1)),
+            ship=(-w_ns, 0))
+        if routed is not None:
+            return routed
     # exclusive right bound: up to 1 ns before the current row
-    w = (Window.partitionBy(*[F.col(c) for c in key])
+    w = (Window.partitionBy(*[F.col(cc) for cc in key])
          .orderBy(time_ns_expr(df))
          .rangeBetween(-w_ns, -1))
-    c = F.col(column)
-    mu = F.avg(c).over(w)
-    sd = F.stddev_samp(c).over(w)
-    n = F.count(c).over(w)
-    z = F.when((n >= min_baseline) & (sd > 0), (c - mu) / sd)
-    return (df.withColumn(f"{column}_zscore", z)
-            .withColumn(f"{column}_anomaly",
-                        F.coalesce(F.abs(z) > F.lit(k), F.lit(False))))
+    return df.withColumns(dict(pairs(w)))
 
 
 def robust_zscore(df: DataFrame, column: str, k: float = 3.5,

@@ -779,11 +779,19 @@ def r7ops_scale(spark, millions: float = 5.0):
 
     linearity("keyless cusum (2-pass, shared shuffle)", kcusum,
               n_small, n_big)
-    # the second pass must NOT add a data exchange beyond pass 1's
-    c1 = plan_counts(cum(n_big))["shuffles"]
-    c2 = plan_counts(kcusum(n_big))["shuffles"]
-    print(f"  cusum shuffles {c2} vs cumulative {c1}")
-    assert c2 <= c1 + 1  # + the tiny P-row partials join at most
+    # the second pass must NOT re-sort the DATA into one task: every
+    # data-scale window in the two-pass plan partitions by __pid (the
+    # shared persisted range layout), and no empty-partition window
+    # over __tns exists (that would be the single-task shape). The
+    # tiny carry windows order by __pid over P rows — also not __tns.
+    import re
+
+    plan = (kcusum(n_big)._jdf.queryExecution().optimizedPlan()
+            .toString())
+    assert "windowspecdefinition(__pid" in plan
+    assert not re.search(r"windowspecdefinition\(__tns#\d+L ASC", plan), \
+        "cusum pass fell back to an empty-partition data window"
+    print("  cusum two-pass plan: all data windows partition by __pid OK")
 
     # batched BPE: 100 merges in <= merges/10 driver rounds (verdict
     # item 4's bar) on a Heaps-bounded synthetic vocabulary

@@ -4664,3 +4664,36 @@ def test_package_builds_and_imports_from_artifact(tmp_path):
                               "HOME": "/root"})
     assert res.returncode == 0, res.stderr[-2000:]
     assert "PKG_OK 4" in res.stdout
+
+
+def test_keyless_overlap_and_anomaly_routes_identical(spark):
+    """r7: the remaining keyless time-bounded windows — overlappable
+    lag windows (two frames, widened shipping bounds) and the
+    trailing exclusive-bound anomaly baseline — ride the bucketed
+    engine and must equal the single-window plan."""
+    import random
+
+    from flint_spark.operators.windows_ops import (detect_anomalies,
+                                                   summarize_windows_overlap)
+
+    random.seed(3)
+    rows = [(random.randint(0, 3000), float(random.randint(-40, 90)) / 4)
+            for _ in range(800)]
+    df = spark.createDataFrame(rows, "time long, v double")
+
+    def both(fn):
+        a = fn(False).toPandas().sort_values(["time", "v"],
+                                             ignore_index=True)
+        b = fn(True).toPandas().sort_values(["time", "v"],
+                                            ignore_index=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)],
+                                      check_dtype=False, rtol=1e-9)
+
+    for win in (W.past_absolute_time(100), W.future_absolute_time(80)):
+        both(lambda d, w=win: summarize_windows_overlap(
+            df, w, 50, S.sum_("v"), distributed=d))
+    both(lambda d: detect_anomalies(df, "v", window=200, distributed=d))
+    plan = (detect_anomalies(df, "v", window=200, distributed=True)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "windowspecdefinition(__b" in plan
