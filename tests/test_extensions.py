@@ -4434,33 +4434,54 @@ def test_keyless_window_distributed_plan(spark):
     assert "windowspecdefinition(__b" not in _opt_plan(wide)
 
 
-def test_asof_small_right_auto_broadcast_zero_exchanges(spark):
-    """r6 verdict item 2: a dim-table as-of must not shuffle the big
-    side. The auto route (distributed=None) on a small right side
-    plans ZERO exchanges; distributed=False pins the union-window
-    plan (>=1 exchange)."""
+def test_asof_small_right_auto_broadcast_zero_exchanges(spark, tmp_path):
+    """r6 verdict item 2 + r7 verdict item 1: a DIM-table as-of must
+    not shuffle the big side — and only a dim-table as-of may take the
+    broadcast route. The auto route (distributed=None) on a genuinely
+    dim right (file-backed, left estimate >= 8x right) plans ZERO
+    probe-side exchanges (the one Exchange it does plan folds the DIM
+    side into broadcast arrays); a right side comparable to the left —
+    the r7 bench regression shape — must NOT route; distributed=False
+    pins the union-window plan (>=1 probe exchange)."""
     from entry_queries.common import count_exchanges
     from flint_spark.operators import asof
     from flint_spark.operators.asof import _broadcast_route_ok
+    from flint_spark.plans.audit import count_probe_exchanges, plan_counts
     from flint_spark.timeseries import as_time_expr
 
     # parquet-backed frames carry REAL Catalyst stats (a local
     # relation reports ~8 EB 'unknown' and must never auto-broadcast)
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     ev = spark.read.parquet(f"{sf}/events.parquet")
     left = (ev.withColumn("time", as_time_expr(ev, "ts", "timestamp"))
             .select("time", "user_id", "value"))
-    right = (left.groupBy("user_id", "time")
-             .agg(F.max("value").alias("rv")))
+    # genuinely dim right: ~60 rows written to parquet so Catalyst sees
+    # a KB-scale file estimate (size-only stats don't shrink through a
+    # groupBy, so a derived aggregate of the left would NOT qualify)
+    dim_path = str(tmp_path / "dim.parquet")
+    (left.groupBy("user_id").agg(F.max("time").alias("time"),
+                                 F.avg("value").alias("rv"))
+     .select("time", "user_id", "rv").coalesce(1)
+     .write.mode("overwrite").parquet(dim_path))
+    right = spark.read.parquet(dim_path)
     assert _broadcast_route_ok(left, right, ["user_id"], None, None, None)
-    auto = asof.left_join(left, right, tolerance="2h", key=["user_id"])
-    assert count_exchanges(auto) == 0
+    auto = asof.left_join(left, right, tolerance="2000d", key=["user_id"])
+    assert count_probe_exchanges(auto) == 0
+    pc = plan_counts(auto)
+    assert pc["python"] == 0 and pc["bnlj"] == 0  # pure-JVM engine
+    assert pc["broadcasts"] == 1
+    # a right side comparable to the left (the r7 regression: orders at
+    # sf0.1 was BIGGER than events) must stay on the union-window plan
+    peer = (left.groupBy("user_id", "time")
+            .agg(F.max("value").alias("rv")))
+    assert not _broadcast_route_ok(left, peer, ["user_id"], None,
+                                   None, None)
     local = spark.createDataFrame([(1, 1, 1.0)],
                                   "time long, user_id int, rv double")
     assert not _broadcast_route_ok(left, local, ["user_id"], None,
                                    None, None)
-    pinned = asof.left_join(left, right, tolerance="2h", key=["user_id"],
-                            distributed=False)
+    pinned = asof.left_join(left, right, tolerance="2000d",
+                            key=["user_id"], distributed=False)
     assert count_exchanges(pinned) >= 1
     a = auto.toPandas().sort_values(["time", "user_id", "value"],
                                     ignore_index=True)
