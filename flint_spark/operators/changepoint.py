@@ -46,8 +46,9 @@ def _cusum_keyless_distributed(df: DataFrame, column: str, k: float,
                                tie_break: Sequence[str]) -> DataFrame:
     """Distributed keyless CUSUM: the prefix-sum-minus-running-min
     identity split across two :func:`~.prefix.keyless_cumulative`
-    passes that share ONE range shuffle (pass 2 reuses pass 1's
-    ``keep_layout`` partitioning — only another P-row partials job)."""
+    passes that share ONE data exchange (pass 2 reuses pass 1's
+    ``keep_layout`` hash layout; each pass adds only a P-row carry
+    job — budget pinned in ``test_keyless_engine_exchange_budget``)."""
     from .prefix import keyless_cumulative
 
     x = F.when(~F.isnan(F.col(column).cast("double")), F.col(column))
@@ -121,10 +122,18 @@ def cusum(df: DataFrame, column: str, k: float = 0.5, h: float = 5.0,
     KEYLESS input auto-routes through the distributed prefix engine
     (``distributed`` as in ``left_join``): both prefix sums run as one
     two-phase partition-partials pass and the running min of each
-    prefix sum as a second pass over the SAME shuffle (the engine's
-    ``keep_layout`` reuse — zero extra data exchanges); estimated
-    mu/sigma come from one partial+final aggregation instead of an
-    unbounded single-task window.
+    prefix sum as a second pass over the SAME persisted layout (the
+    engine's ``keep_layout`` reuse). Exchange budget, pinned by
+    ``plan_counts`` in the tests: ONE data exchange (the engine's
+    value-derived ``__pid`` hash layout, which every data-scale
+    window/aggregate in both passes reuses) plus two P-row carry
+    exchanges — tiny by construction. (r7 shipped this as "zero extra
+    exchanges" while the layout was ``spark_partition_id`` over a
+    range exchange, which the ``__pid`` windows could NOT reuse —
+    Catalyst inserted a silent full hash exchange per pass, 3 data
+    exchanges total; ADVICE r7.) Estimated mu/sigma come from one
+    partial+final aggregation instead of an unbounded single-task
+    window.
     """
     if not list(key) and _keyless_auto(df, distributed):
         return _cusum_keyless_distributed(df, column, k, h, mu, sigma,

@@ -12,8 +12,17 @@ This module is the Spark-expression analogue of that two-phase plan,
 generalized over MERGEABLE STATE rather than one hard-coded recurrence
 (the affine-EWMA twin lives in ``ema._keyless_distributed``):
 
-1. range-partition by time + sort within partitions (ONE data shuffle,
-   persisted so every later job sees an identical physical order);
+1. bucket rows into time-quantile partitions: approx-quantile
+   boundaries (one sampling pass) + an in-JVM binary-search ``__pid``
+   expression, then ONE hash exchange on ``__pid`` + sort within
+   partitions, persisted so every later job sees an identical
+   physical order. ``__pid`` being VALUE-derived (not
+   ``spark_partition_id`` over a range exchange) is load-bearing:
+   HashPartitioning(__pid) is exactly the ClusteredDistribution every
+   later window/aggregate requires, so they all reuse this one
+   exchange — the r7 layout's range partitioning satisfied none of
+   them and Catalyst silently re-shuffled the full data per pass
+   (ADVICE r7);
 2. every state accumulator evaluates as a within-partition cumulative
    window expression — one WindowExec, no cross-partition traffic;
 3. a tiny per-partition aggregate extracts each partition's FINAL state
@@ -25,9 +34,10 @@ generalized over MERGEABLE STATE rather than one hard-coded recurrence
    cumulative state per row, and the caller's ``render`` turns state
    into output columns.
 
-Exchange budget: 1 range shuffle of the data + 1 tiny (P-row)
-aggregate + 1 broadcast join — vs the single-task plan's one exchange
-INTO one partition. Every merge kind below is a commutative-monoid
+Exchange budget (pinned by ``test_keyless_engine_exchange_budget``):
+ONE data exchange (the ``__pid`` hash layout) + 1 tiny P-row carry
+exchange + 1 broadcast — vs the single-task plan's one exchange INTO
+one partition. Every merge kind below is a commutative-monoid
 combine, so per-partition parallelism never changes results (up to
 the usual float fold association, which tests compare rounded).
 
@@ -40,6 +50,8 @@ concatenation, earlier partitions first).
 
 from __future__ import annotations
 
+import threading
+import weakref
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -54,23 +66,67 @@ CumItem = tuple[str, Callable[[DataFrame, Callable[[Column], Column]], Column], 
 
 _KINDS = ("sum", "min", "max", "product", "last", "concat")
 
-# one cached shuffled/sorted subtree, released on the next engine call
-# (the ema._SCAN_CACHE policy: bounded retention of exactly one frame)
-_PREFIX_CACHE: list = []
+# Persisted-layout lifetime (ADVICE r7): the engine's determinism
+# contract REQUIRES the range-shuffled/sorted subtree to stay persisted
+# for as long as any returned frame might still evaluate — equal
+# (time, tie_break) keys resolve by the persisted physical order, and a
+# recompute could feed the window and partials subtrees of a pending
+# frame two different orders, silently corrupting tied-row state. So
+# instead of a single slot evicted on the next call, each persisted
+# layout is REFCOUNTED by the result frames built on it: a pin on every
+# returned DataFrame (propagated through keep_layout reuse) holds the
+# layout; when the last pinned result is garbage-collected, the layout
+# unpersists. A lock guards the registry (the module is callable from
+# multiple threads).
+_PIN_LOCK = threading.Lock()
+_LIVE_PINS: "weakref.WeakSet" = weakref.WeakSet()
 
 
-def _release_prior() -> None:
-    while _PREFIX_CACHE:
-        try:
-            _PREFIX_CACHE.pop().unpersist()
-        except Exception:  # noqa: BLE001 — session may already be stopped
-            pass
+class _LayoutPin:
+    """Refcount for one persisted engine layout."""
+
+    def __init__(self, sdf: DataFrame):
+        self.sdf = sdf
+        self.count = 0
+
+    def release(self) -> None:
+        sdf, self.sdf = self.sdf, None
+        if sdf is not None:
+            try:
+                sdf.unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopped
+                pass
+
+
+def _unpin(pin: _LayoutPin) -> None:
+    with _PIN_LOCK:
+        pin.count -= 1
+        if pin.count <= 0:
+            pin.release()
+
+
+def _attach_pin(result: DataFrame, pin: _LayoutPin) -> DataFrame:
+    with _PIN_LOCK:
+        if pin.sdf is None:   # already force-released: nothing to hold
+            return result
+        pin.count += 1
+        _LIVE_PINS.add(pin)
+    # the strong attribute ref lets keep_layout chains propagate the
+    # pin to second-pass results; the finalizer drops the refcount when
+    # this result frame is garbage-collected
+    result._flint_prefix_pin = pin
+    weakref.finalize(result, _unpin, pin)
+    return result
 
 
 def release_prefix_caches() -> None:
-    """Unpersist the subtree cached by the most recent
-    :func:`keyless_cumulative` call."""
-    _release_prior()
+    """Force-unpersist EVERY live engine layout now (test/reset hook).
+    Frames still holding a pin will recompute if evaluated afterwards —
+    their tied-row order is then no longer pinned; normal code should
+    simply drop its references and let the refcounts do this."""
+    with _PIN_LOCK:
+        for pin in list(_LIVE_PINS):
+            pin.release()
 
 
 def _carry_agg(kind: str, c: Column) -> Column:
@@ -134,8 +190,8 @@ def keyless_cumulative(
     Row order is (time, *tie_break, arrival) — equal sort keys keep a
     fixed (persisted) physical order, the same contract as the keyed
     window path's ``monotonically_increasing_id`` tie-break. Equal
-    timestamps never straddle range partitions (range partitioner
-    boundaries are key values), so a tie group is always merged by one
+    timestamps never straddle partitions (``__pid`` is a pure function
+    of the time value), so a tie group is always merged by one
     within-partition window.
 
     ``keep_layout=True`` returns the engine's layout columns
@@ -143,7 +199,10 @@ def keyless_cumulative(
     pass (e.g. the running-min-of-prefix-sum stage of keyless CUSUM)
     can reuse the SAME shuffle: a frame that still carries ``__pid``
     skips repartitioning entirely — its second pass costs one more
-    tiny partials job, zero data exchanges.
+    tiny partials job, zero data exchanges. The persisted layout stays
+    alive (refcounted) as long as ANY returned frame built on it is
+    reachable — interleaved engine calls never evict each other's
+    pending layouts (ADVICE r7).
     """
     for _, _, kind in items:
         if kind not in _KINDS:
@@ -153,22 +212,43 @@ def keyless_cumulative(
     layout_cols = ["__tns", "__pid", "__mid"]
     if reuse:
         sdf = df
+        pin = getattr(df, "_flint_prefix_pin", None)
     else:
         spark = df.sparkSession
         p = num_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
-        _release_prior()
-        sdf = (df.withColumn("__tns", time_ns_expr(df))
-                 .repartitionByRange(p, F.col("__tns"))
+        # __pid is a VALUE-derived time bucket (quantile boundaries +
+        # in-JVM binary search), not spark_partition_id() over a range
+        # exchange: RangePartitioning(__tns) does not satisfy the
+        # window's ClusteredDistribution(__pid), so the old layout paid
+        # a SECOND full hash exchange Catalyst inserted silently
+        # (ADVICE r7 — the "1 range shuffle" budget was wrong). A
+        # hash repartition on an expression-derived __pid is the
+        # window's exact required distribution: ONE data exchange,
+        # verified by the plan_counts pins. Equal timestamps share a
+        # bucket by construction (the boundary predicate is a function
+        # of the time value), preserving the tie-merge contract.
+        from .asof import upper_bound_expr
+
+        tns = time_ns_expr(df)
+        err = 1.0 / max(p * 8, 64)
+        bounds = (df.select(tns.alias("__tns"))
+                  .approxQuantile("__tns", [i / p for i in range(1, p)],
+                                  err))
+        bounds = sorted(set(bounds))
+        pid = (upper_bound_expr(F.lit(bounds), F.col("__tns"))
+               .cast("int") if bounds else F.lit(0))
+        sdf = (df.withColumn("__tns", tns)
+                 .withColumn("__pid", pid)
+                 .repartition(len(bounds) + 1, "__pid")
                  .sortWithinPartitions(
                      "__tns", *[F.col(c) for c in tie_break])
-                 .withColumn("__pid", F.spark_partition_id())
                  # per-partition increasing AFTER the sort: the window
                  # order and the partial-extraction key agree even
                  # under duplicate (time, tie_break)
                  .withColumn("__mid", F.monotonically_increasing_id())
                  .persist())
-        _PREFIX_CACHE.append(sdf)
+        pin = _LayoutPin(sdf)
 
     w_in = (Window.partitionBy("__pid")
             .orderBy("__tns", *[F.col(c) for c in tie_break], "__mid")
@@ -194,4 +274,5 @@ def keyless_cumulative(
              for n, _, k in items}
     outs = render(state)
     keep = data_cols + (layout_cols if keep_layout else [])
-    return joined.select(*keep, *[c.alias(n) for n, c in outs.items()])
+    result = joined.select(*keep, *[c.alias(n) for n, c in outs.items()])
+    return _attach_pin(result, pin) if pin is not None else result

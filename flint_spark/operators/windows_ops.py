@@ -37,6 +37,40 @@ def _range_window(df: DataFrame, window: TimeWindow, key: Sequence[str]):
 #: without the parallelism — the asof_keyless_bucketed degeneracy rule)
 _MIN_KEYLESS_BUCKETS = 4
 
+#: ceiling on the bucket-sized shuffle width — a task per bucket keeps
+#: every window sort/buffer small (the spill cliff is the superlinear
+#: failure mode, r7 verdict item 3), but a 100 TB table can have
+#: millions of buckets and task-launch overhead is real
+_MAX_BUCKET_PARTITIONS = 4096
+
+# (semanticHash, key-ish) -> (lo_ns, hi_ns) span probe memo — same
+# recipe as asof._HOT_KEY_CACHE: N window calls on one frame pay the
+# min/max scan once per session, evicted LRU one entry at a time
+_SPAN_CACHE: dict = {}
+_SPAN_CACHE_MAX = 64
+
+
+def _probe_span(df: DataFrame, tns) -> tuple[int, int] | None:
+    """(min, max) epoch-ns of ``df`` — a tiny column-pruned scan,
+    memoized on the plan's semantic hash plus its size estimate (the
+    size component keeps a re-read of a path whose files CHANGED from
+    reusing a stale span — ADVICE r7)."""
+    try:
+        from .ema import _estimated_bytes
+        ck = (df.semanticHash(), _estimated_bytes(df))
+    except Exception:  # noqa: BLE001 — hashing is a cache key only
+        ck = None
+    if ck is not None and ck in _SPAN_CACHE:
+        return _SPAN_CACHE[ck]
+    row = df.select(F.min(tns).alias("lo"), F.max(tns).alias("hi")).first()
+    span = None if row is None or row["lo"] is None \
+        else (int(row["lo"]), int(row["hi"]))
+    if ck is not None:
+        if len(_SPAN_CACHE) >= _SPAN_CACHE_MAX:
+            _SPAN_CACHE.pop(next(iter(_SPAN_CACHE)))
+        _SPAN_CACHE[ck] = span
+    return span
+
 
 def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
                              exprs_fn, ship: tuple[int, int] | None = None
@@ -65,7 +99,17 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
     frame over the same ordering): every frame ``exprs_fn`` builds
     must sit inside [ship_lo, ship_hi]. ``exprs_fn(frame)`` receives a
     frame FACTORY ``frame(lo, hi) -> WindowSpec`` over the bucket
-    partitioning and returns (name, Column) pairs."""
+    partitioning and returns (name, Column) pairs; ``frame(None, hi)``
+    builds a GROWING frame (unboundedPreceding — legitimate only in
+    prefix-DIFFERENCE pairs, where rows before the shipped context
+    cancel between the two frames).
+
+    The bucket exchange is sized explicitly: one hash partition per
+    bucket (capped) instead of the session shuffle width, so a task's
+    sort/frame buffers hold a few buckets' rows no matter how large
+    the table grows — rows-per-task, not rows-per-table, is what must
+    stay constant for linear scaling (r7 verdict: 3.66x time for 2x
+    rows when 2x buckets landed on a fixed 32-partition exchange)."""
     from ..timeseries import floor_div
 
     lo, hi = window.range_bounds()
@@ -73,12 +117,15 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
         lo, hi = min(int(lo), int(ship[0])), max(int(hi), int(ship[1]))
     span = max(int(hi) - int(lo), 1)
     tns = time_ns_expr(df)
-    # tiny column-pruned probe: the data span decides bucket viability
-    row = df.select(F.min(tns).alias("lo"), F.max(tns).alias("hi")).first()
-    if row is None or row["lo"] is None:
+    # tiny column-pruned probe (memoized): data span -> bucket count
+    got = _probe_span(df, tns)
+    if got is None:
         return None
-    if (row["hi"] - row["lo"]) // span + 1 < _MIN_KEYLESS_BUCKETS:
+    nbuckets = (got[1] - got[0]) // span + 1
+    if nbuckets < _MIN_KEYLESS_BUCKETS:
         return None
+    shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = int(max(shuf, min(nbuckets, _MAX_BUCKET_PARTITIONS)))
     data_cols = list(df.columns)
     d = df.withColumn("__tns", tns)
     own_b = floor_div(F.col("__tns"), span)
@@ -88,12 +135,19 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
                 .withColumn("__b", F.explode(F.sequence(
                     F.least(serve_from, F.col("__ob")),
                     F.greatest(serve_to, F.col("__ob")))))
-                .withColumn("__tgt", F.col("__b") == F.col("__ob")))
+                .withColumn("__tgt", F.col("__b") == F.col("__ob"))
+                # explicit width: HashPartitioning(__b, n_parts) already
+                # satisfies the window's ClusteredDistribution(__b), so
+                # this is the SAME single exchange, just sized to the
+                # bucket count instead of the session default
+                .repartition(n_parts, "__b"))
 
     def frame(flo, fhi):
-        assert lo <= flo and fhi <= hi, "frame outside shipped context"
-        return (Window.partitionBy("__b").orderBy(F.col("__tns"))
-                .rangeBetween(flo, fhi))
+        assert fhi <= hi and (flo is None or lo <= flo), \
+            "frame outside shipped context"
+        w = Window.partitionBy("__b").orderBy(F.col("__tns"))
+        return w.rangeBetween(
+            Window.unboundedPreceding if flo is None else flo, fhi)
 
     pairs = list(exprs_fn(frame))
     out = exploded.withColumns(dict(pairs))
@@ -101,9 +155,61 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
         *data_cols, *[n for n, _ in pairs])
 
 
+def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
+                             lo: int, hi: int,
+                             engine: str = "auto"):
+    """Output (name, Column) pairs for the [t+lo, t+hi] range window,
+    given a frame FACTORY ``frame(flo, fhi) -> WindowSpec`` (``flo=None``
+    = unboundedPreceding).
+
+    ``engine='auto'``: summarizers carrying mergeable cumulative state
+    evaluate each sum-kind accumulator as the DIFFERENCE of two GROWING
+    frames — agg(<=t+hi) - agg(<=t+lo-1). Spark's WindowExec evaluates
+    growing frames incrementally (O(n) per partition) but RE-AGGREGATES
+    a sliding frame from scratch every time its lower bound moves
+    (``SlidingWindowFunctionFrame`` has no retract), an O(n x
+    rows-per-window) cost — measured 53 s for 2.5M rows under a
+    3600-row window vs 2.8 s under a 60-row one. Non-sum state
+    (min/max — no subtraction exists) stays on the sliding frame, and
+    summarizers without a cum spec (exact quantile, rows) fall back to
+    it entirely. All frames share one partitioning+ordering, so
+    Catalyst still plans ONE WindowExec.
+
+    Float caveat: a sum-state difference reassociates float addition;
+    the absolute error is ~1 ulp of the PREFIX magnitude, which the
+    bucketed keyless route bounds by resetting prefixes each bucket
+    (~2 window-spans of rows). ``engine='sliding'`` pins the direct
+    frame (bitwise reference behavior); ``engine='prefix'`` forces the
+    difference plan and raises if the summarizer has no mergeable
+    state."""
+    if engine not in ("auto", "prefix", "sliding"):
+        raise ValueError("engine must be 'auto', 'prefix' or 'sliding'")
+    if engine == "sliding" or (engine == "auto" and not summarizer.has_cum):
+        return summarizer.over_exprs(df, frame(lo, hi))
+    if not summarizer.has_cum:
+        raise ValueError("engine='prefix' needs a summarizer with "
+                         "mergeable cumulative state (has_cum)")
+    o_now = lambda c: c.over(frame(None, hi))          # noqa: E731
+    o_before = lambda c: c.over(frame(None, lo - 1))   # noqa: E731
+    o_slide = lambda c: c.over(frame(lo, hi))          # noqa: E731
+    state = {}
+    for n, fn, kind in summarizer._cum_items:
+        if kind == "sum":
+            now = fn(df, summarizer._mask, o_now)
+            before = fn(df, summarizer._mask, o_before)
+            # empty prefix: count yields 0 (subtract fine), sum yields
+            # null -> the window's own value stands
+            state[n] = F.when(before.isNull(), now).otherwise(now - before)
+        else:
+            state[n] = fn(df, summarizer._mask, o_slide)
+    return list(zip(summarizer.names,
+                    summarizer._cum_render(df, state)))
+
+
 def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
                       key: Sequence[str] = (),
-                      distributed: bool | None = None) -> DataFrame:
+                      distributed: bool | None = None,
+                      engine: str = "auto") -> DataFrame:
     from ..summarizers import EmaWindowSummarizer
 
     if isinstance(summarizer, EmaWindowSummarizer):
@@ -115,15 +221,23 @@ def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
         return fn(df, summarizer.column, window, key=key,
                   **summarizer.kwargs)
     key = list(key)
+    lo, hi = window.range_bounds()
     if not key and _keyless_window_auto(df, distributed):
-        lo, hi = window.range_bounds()
         routed = _keyless_bucketed_window(
             df, window,
-            lambda frame: summarizer.over_exprs(df, frame(lo, hi)))
+            lambda frame: _summarizer_window_pairs(
+                df, summarizer, frame, lo, hi, engine))
         if routed is not None:
             return routed
-    w = _range_window(df, window, key)
-    return df.withColumns(dict(summarizer.over_exprs(df, w)))
+    base = (Window.partitionBy(*[F.col(k) for k in key])
+            .orderBy(time_ns_expr(df)))
+
+    def frame(flo, fhi):
+        return base.rangeBetween(
+            Window.unboundedPreceding if flo is None else flo, fhi)
+
+    return df.withColumns(dict(_summarizer_window_pairs(
+        df, summarizer, frame, lo, hi, engine)))
 
 
 def _keyless_window_auto(df: DataFrame, distributed: bool | None) -> bool:
@@ -193,26 +307,29 @@ def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
         lag_lo, lag_hi = lo - ons, lo - 1
     else:                   # future window: overlap follows
         lag_lo, lag_hi = hi + 1, hi + ons
+    ship_lo, ship_hi = min(lo, lag_lo), max(hi, lag_hi)
+
+    def pairs(frame):
+        # core + lag ride the same WindowExec; each uses the O(n)
+        # prefix-difference plan when the summarizer's state allows
+        core = _summarizer_window_pairs(df, summarizer, frame, lo, hi)
+        lag = [(f"lag_{n}", c) for n, c in _summarizer_window_pairs(
+            df, summarizer, frame, lag_lo, lag_hi)]
+        return core + lag
+
     if not key and _keyless_window_auto(df, distributed):
         # both frames inside widened shipping bounds, one bucket pass
-        def pairs(frame):
-            core = summarizer.over_exprs(df, frame(lo, hi))
-            lag = [(f"lag_{n}", c)
-                   for n, c in summarizer.over_exprs(df, frame(lag_lo,
-                                                               lag_hi))]
-            return core + lag
-
         routed = _keyless_bucketed_window(
-            df, window, pairs,
-            ship=(min(lo, lag_lo), max(hi, lag_hi)))
+            df, window, pairs, ship=(ship_lo, ship_hi))
         if routed is not None:
             return routed
     base = Window.partitionBy(*[F.col(k) for k in key]).orderBy(tns)
-    w_core = base.rangeBetween(lo, hi)
-    w_lag = base.rangeBetween(lag_lo, lag_hi)
-    out = df.withColumns(dict(summarizer.over_exprs(df, w_core)))
-    lag_cols = {f"lag_{n}": c for n, c in summarizer.over_exprs(df, w_lag)}
-    return out.withColumns(lag_cols)
+
+    def frame(flo, fhi):
+        return base.rangeBetween(
+            Window.unboundedPreceding if flo is None else flo, fhi)
+
+    return df.withColumns(dict(pairs(frame)))
 
 
 def detect_anomalies(df: DataFrame, column: str, window: str | int = "1d",

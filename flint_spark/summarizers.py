@@ -239,9 +239,14 @@ def _var_from(n: Column, s: Column, q: Column) -> Column:
 
 def _cum_sum(col: str):
     # raw-typed sum state (long stays exact); cast at render like the
-    # rendered output
-    items = [("s", lambda df, m, o: o(F.sum(m(F.col(col)))), "sum")]
-    return items, lambda df, st: [st["s"].cast("double")]
+    # rendered output. The count companion guards the RENDER: a
+    # prefix-DIFFERENCE evaluation (windows_ops._summarizer_window_pairs)
+    # yields s = 0 for an empty/all-null window where SQL SUM is NULL —
+    # n carries the distinction through the subtraction exactly.
+    items = [("n", _c_n(col), "sum"),
+             ("s", lambda df, m, o: o(F.sum(m(F.col(col)))), "sum")]
+    return items, lambda df, st: [
+        F.when(st["n"] > 0, st["s"].cast("double"))]
 
 
 def _cum_mean(col: str):
@@ -396,9 +401,13 @@ def geometric_mean(column: str) -> Summarizer:
 
 def dot_product(x: str, y: str) -> Summarizer:
     b: Builder = lambda df, m, o: o(F.sum(m(F.col(x)) * m(F.col(y))))
+    # count companion guards the render for prefix-difference windows
+    # (empty window: SUM is NULL, a difference of prefixes is 0)
+    nb: Builder = lambda df, m, o: o(F.count(m(F.col(x)) * m(F.col(y))))
     return Summarizer([(f"{x}_{y}_dotProduct", b)],
-                      cum_items=[("sxy", b, "sum")],
-                      cum_render=lambda df, st: [st["sxy"]])
+                      cum_items=[("n", nb, "sum"), ("sxy", b, "sum")],
+                      cum_render=lambda df, st: [
+                          F.when(st["n"] > 0, st["sxy"])])
 
 
 def _pair_sums(x: str, y: str) -> list[tuple[str, Builder, str]]:

@@ -760,7 +760,13 @@ def r7ops_scale(spark, millions: float = 5.0):
             series(n), W.past_absolute_time("3600s"),
             S.compose(S.count(), S.sum_("v")), distributed=True)
 
-    linearity("keyless window (bucketed JVM)", kwin, n_small, n_big)
+    # r8: slack tightened 2.5 -> 1.25 for this family (r7 verdict item
+    # 3) — the prefix-difference frames + bucket-sized exchange make
+    # the route genuinely O(n) (measured 1.38x for 2x rows; the old
+    # sliding-frame plan measured 3.66x), so a future quadratic or
+    # spill cliff fails loudly
+    linearity("keyless window (bucketed JVM)", kwin, n_small, n_big,
+              slack=1.25)
     wout = kwin(n_big)
     assert "windowspecdefinition(__b" in \
         wout._jdf.queryExecution().optimizedPlan().toString()

@@ -4718,3 +4718,197 @@ def test_keyless_overlap_and_anomaly_routes_identical(spark):
     plan = (detect_anomalies(df, "v", window=200, distributed=True)
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "windowspecdefinition(__b" in plan
+
+
+# ---------------------------------------------------------------------
+# r8: prefix-difference window engine, layout pins, LRU probes
+# ---------------------------------------------------------------------
+
+def test_window_prefix_diff_engines_identical(spark):
+    """The prefix-difference window plan (two growing frames) must
+    equal the sliding frame bitwise-on-quantize for every route —
+    keyed, keyless single-window, keyless bucketed — including the
+    all-null-window edge (SQL SUM over an empty/all-null window is
+    NULL; a naive difference of prefixes is 0)."""
+    import random
+
+    from flint_spark.operators import windows_ops as wo
+
+    random.seed(7)
+    rows = [(random.randint(0, 5000) * 10**6, f"k{i % 3}",
+             random.choice([float(i % 13), None]), float(i % 7))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "time long, k string, v double, u double")
+    summ = S.compose(S.count(), S.sum_("v"), S.mean("v"), S.stddev("v"),
+                     S.min_("v"), S.max_("v"), S.correlation("v", "u"),
+                     S.dot_product("v", "u"))
+    for win in (W.past_absolute_time("500ms"), W.future_absolute_time("300ms")):
+        for key in ([], ["k"]):
+            a = wo.summarize_windows(df, win, summ, key=key,
+                                     engine="sliding",
+                                     distributed=False).toPandas()
+            b = wo.summarize_windows(df, win, summ, key=key,
+                                     engine="prefix",
+                                     distributed=False).toPandas()
+            sc = ["time", "k", "u"]
+            a = a.sort_values(sc, ignore_index=True)
+            b = b[a.columns].sort_values(sc, ignore_index=True)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          rtol=1e-9, atol=1e-9)
+            if not key:
+                c = wo.summarize_windows(df, win, summ,
+                                         distributed=True).toPandas()
+                c = c[a.columns].sort_values(sc, ignore_index=True)
+                pd.testing.assert_frame_equal(a, c, check_dtype=False,
+                                              rtol=1e-9, atol=1e-9)
+    with pytest.raises(ValueError, match="mergeable"):
+        wo.summarize_windows(df, W.past_absolute_time("500ms"),
+                             S.quantile("v", [0.5]), engine="prefix")
+
+
+def test_window_prefix_diff_plan_is_growing_frames(spark):
+    """Plan pin for the O(n) window evaluation: the default (auto)
+    engine on a sum-mergeable summarizer plans GROWING range frames
+    (unboundedpreceding$()) instead of a sliding lower bound — Spark
+    re-aggregates sliding frames per row (O(n x window rows)); growing
+    frames evaluate incrementally. min/max members keep one sliding
+    frame in the same WindowExec."""
+    from flint_spark.operators import windows_ops as wo
+
+    df = spark.createDataFrame([(i * 10, float(i % 7)) for i in range(200)],
+                               "time long, v double")
+    plan = _opt_plan(wo.summarize_windows(
+        df, W.past_absolute_time(50), S.compose(S.count(), S.sum_("v"))))
+    assert "unboundedpreceding$()" in plan
+    assert plan.count("specifiedwindowframe") >= 2  # now + before
+    # sliding pin still reachable
+    s_plan = _opt_plan(wo.summarize_windows(
+        df, W.past_absolute_time(50), S.compose(S.count(), S.sum_("v")),
+        engine="sliding"))
+    assert "unboundedpreceding$()" not in s_plan
+
+
+def test_keyless_bucketed_window_partition_sizing_and_span_memo(spark):
+    """The bucketed keyless window sizes its ONE exchange to the bucket
+    count (capped) instead of the session shuffle width — rows per
+    task stay bounded by bucket contents as tables grow (r7 verdict
+    item 3) — and the min/max span probe is memoized per plan, so
+    repeated windows on one frame pay the probe scan once."""
+    from flint_spark.operators import windows_ops as wo
+
+    df = spark.createDataFrame(
+        [(i * 10**9, float(i % 7)) for i in range(4000)],
+        "time long, v double")
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = wo.summarize_windows(df, W.past_absolute_time("10s"),
+                               S.sum_("v"), distributed=True)
+    nbuckets = (3999 * 10**9) // (10 * 10**9) + 1  # data span // window + 1
+    assert out.rdd.getNumPartitions() == max(
+        shuf, min(nbuckets, wo._MAX_BUCKET_PARTITIONS))
+    before = len(wo._SPAN_CACHE)
+    assert before >= 1
+    wo.summarize_windows(df, W.past_absolute_time("20s"), S.sum_("v"),
+                         distributed=True)
+    assert len(wo._SPAN_CACHE) == before  # second call hit the memo
+
+
+def test_prefix_layout_pins_survive_interleaved_calls(spark):
+    """ADVICE r7 (medium): an engine frame must keep its persisted
+    range layout alive until the frame itself is unreachable — a
+    SECOND keyless_cumulative call must not evict the first frame's
+    layout while it is still pending."""
+    import gc
+
+    from flint_spark.operators.prefix import keyless_cumulative
+
+    def mk(n, seed):
+        return spark.createDataFrame(
+            [(i * 1000 + seed, float((i * seed) % 11)) for i in range(n)],
+            "time long, v double")
+
+    items = [("s", lambda d, o: o(F.sum(F.col("v"))), "sum")]
+    render = lambda st: {"cum": st["s"]}  # noqa: E731
+
+    f1 = keyless_cumulative(mk(500, 1), items, render)
+    pin1 = f1._flint_prefix_pin
+    assert pin1.sdf is not None and pin1.sdf.is_cached
+    f2 = keyless_cumulative(mk(500, 2), items, render)
+    # the old single-slot cache would have unpersisted pin1 here
+    assert pin1.sdf is not None and pin1.sdf.is_cached
+    a = f1.toPandas()
+    b = f2.toPandas()
+    assert len(a) == len(b) == 500
+    cached1 = pin1.sdf
+    del f1
+    gc.collect()
+    assert pin1.sdf is None and not cached1.is_cached  # refcount released
+    pin2 = f2._flint_prefix_pin
+    del f2
+    gc.collect()
+    assert pin2.sdf is None
+
+
+def test_prefix_layout_pin_propagates_through_keep_layout(spark):
+    """The two-pass CUSUM chain reuses pass 1's layout; the pin must
+    ride the pass-2 result so dropping the pass-1 handle cannot
+    unpersist a layout pass 2 still needs."""
+    import gc
+
+    from flint_spark.operators.changepoint import cusum
+
+    df = spark.createDataFrame(
+        [(i * 1000, float((i * 7) % 23)) for i in range(800)],
+        "time long, v double")
+    out = cusum(df, "v", mu=5.0, sigma=3.0, distributed=True)
+    pin = out._flint_prefix_pin
+    gc.collect()
+    assert pin.sdf is not None and pin.sdf.is_cached
+    assert out.count() == 800  # evaluates with the layout still pinned
+    del out
+    gc.collect()
+    assert pin.sdf is None
+
+
+def test_hot_key_probe_lru_eviction(spark):
+    """r7 verdict item 5: the hot-key memo evicts ONE stale entry at
+    capacity instead of clearing wholesale — 65 distinct frames must
+    not force frame #2's re-probe (only the true LRU entry leaves)."""
+    from flint_spark.operators import asof
+
+    asof._HOT_KEY_CACHE.clear()
+    frames = [spark.createDataFrame([(i, j % 3, float(j))
+                                     for j in range(4)],
+                                    "time long, k int, v double")
+              for i in range(asof._HOT_KEY_CACHE_MAX + 1)]
+    keys = []
+    for i, f in enumerate(frames[:-1]):
+        asof._hot_key_fraction(f, ["k"])
+        keys.append((f.semanticHash(), ))
+    assert len(asof._HOT_KEY_CACHE) == asof._HOT_KEY_CACHE_MAX
+    first = next(iter(asof._HOT_KEY_CACHE))
+    # touch the oldest entry -> refreshed, no longer the LRU victim
+    asof._hot_key_fraction(frames[0], ["k"])
+    asof._hot_key_fraction(frames[-1], ["k"])  # 65th: evicts ONE entry
+    assert len(asof._HOT_KEY_CACHE) == asof._HOT_KEY_CACHE_MAX
+    assert first in asof._HOT_KEY_CACHE  # refreshed entry survived
+
+
+def test_keyless_engine_exchange_budget(spark):
+    """ADVICE r7: the prefix engine's exchange budget is now PINNED,
+    not just claimed. One data exchange (the value-derived __pid hash
+    layout every window/aggregate reuses) + 1 tiny P-row carry
+    exchange at most; the two-pass CUSUM shares the data exchange
+    (keep_layout) and adds only its own carry jobs."""
+    from flint_spark.operators.changepoint import cusum
+    from flint_spark.operators.prefix import keyless_cumulative
+    from flint_spark.plans.audit import plan_counts
+
+    df = spark.range(50_000).select(
+        (F.col("id") * 1000).alias("time"),
+        (F.col("id") % 37).cast("double").alias("v"))
+    items = [("s", lambda d, o: o(F.sum(F.col("v"))), "sum")]
+    out = keyless_cumulative(df, items, lambda st: {"cum": st["s"]})
+    pc = plan_counts(out)
+    assert pc["shuffles"] <= 2 and pc["python"] == 0, pc
+    pc2 = plan_counts(cusum(df, "v", mu=5.0, sigma=3.0, distributed=True))
+    assert pc2["shuffles"] <= 3 and pc2["python"] == 0, pc2
