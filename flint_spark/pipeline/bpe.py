@@ -93,17 +93,29 @@ def _select_batch(rows, top_k: int, remaining: int):
     strict trim kills the one ambiguity (a created pair TYING a
     selected count and winning the (a, b) tie-break). Disjoint
     replaces also commute on the segmentation strings, so applying
-    the batch in one pass is order-independent."""
+    the batch in one pass is order-independent.
+
+    ALIASING guard (ADVICE r7): "token-disjoint" alone is not enough
+    in the flat string representation — a pair's MERGED token can
+    spell the same string as a token another pair touches (e.g.
+    ('ab','c') creates 'abc' while ('x','abc') holds it), in which
+    case the merge CHANGES that "disjoint" pair's count and the
+    argument above breaks. A pair therefore also CONFLICTS when its
+    merged string equals a selected pair's token, or a selected
+    pair's merged string equals one of its tokens."""
     used: set[str] = set()
+    concats: set[str] = set()
     selected = []
     bound = None
     for r in rows:
         toks = {r["a"], r["b"]}
-        if used & toks:
+        merged = r["a"] + r["b"]
+        if (used & toks) or merged in used or (concats & toks):
             bound = int(r["c"])
             break
         selected.append(r)
         used |= toks
+        concats.add(merged)
     else:
         if len(rows) == top_k:
             bound = int(rows[-1]["c"])
