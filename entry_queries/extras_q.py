@@ -1811,14 +1811,26 @@ SQL_ROLLING_OLS = """
     FROM e
   ),
   s AS (
+    -- r8: the operator evaluates every windowed sum as the DIFFERENCE
+    -- of two GROWING frames (regression._diff_window_sums — Spark
+    -- re-aggregates sliding frames per row); the oracle mirrors that
+    -- algebra so float association matches term for term
     SELECT time, event_id, user_id,
-           count(mx) OVER w AS n,
-           sum(mx) OVER w AS sx, sum(my) OVER w AS sy,
-           sum(mx * mx) OVER w AS sxx, sum(my * my) OVER w AS syy,
-           sum(mx * my) OVER w AS sxy
+           count(mx) OVER wn - count(mx) OVER wb AS n,
+           sum(mx) OVER wn - COALESCE(sum(mx) OVER wb, 0) AS sx,
+           sum(my) OVER wn - COALESCE(sum(my) OVER wb, 0) AS sy,
+           sum(mx * mx) OVER wn
+             - COALESCE(sum(mx * mx) OVER wb, 0) AS sxx,
+           sum(my * my) OVER wn
+             - COALESCE(sum(my * my) OVER wb, 0) AS syy,
+           sum(mx * my) OVER wn
+             - COALESCE(sum(mx * my) OVER wb, 0) AS sxy
     FROM m
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(time)
-                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    WINDOW wn AS (PARTITION BY user_id ORDER BY epoch_us(time)
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wb AS (PARTITION BY user_id ORDER BY epoch_us(time)
+                  RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 604800000001 PRECEDING)
   )
   SELECT time, event_id, user_id,
          floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5)
@@ -3954,8 +3966,10 @@ def q_rolling_quantile(spark, sf):
 
     ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id",
                                    "value")
-    out = rolling_quantile(ev, "value", "7d", 0.5, key=["user_id"])
-    out = rolling_quantile(out, "value", "7d", 0.25, key=["user_id"])
+    # r8: one complete-group Arrow pass computes both quantiles (the
+    # list-q form shares the skiplist window state)
+    out = rolling_quantile(ev, "value", "7d", [0.5, 0.25],
+                           key=["user_id"])
     return out.select(TIME_COLUMN, "event_id", "user_id",
                       R("value_q50", 6).alias("q50"),
                       R("value_q25", 6).alias("q25"))
@@ -3986,8 +4000,10 @@ def q_rolling_quantile_keyless(spark, sf):
     from flint_spark.operators.windows_ops import rolling_quantile
 
     ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "value")
-    out = rolling_quantile(ev, "value", "3d", 0.5)
-    out = rolling_quantile(out, "value", "3d", 0.999)
+    # r8: both quantiles ride ONE segment-scan pass (list-q form) —
+    # one exchange + one Arrow round-trip instead of one engine pass
+    # per quantile
+    out = rolling_quantile(ev, "value", "3d", [0.5, 0.999])
     return out.select(TIME_COLUMN, "event_id",
                       R("value_q50", 6).alias("q50"),
                       R("value_q99_9", 6).alias("q999"))

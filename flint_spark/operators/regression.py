@@ -197,6 +197,29 @@ def ols_regression(df: DataFrame, y: str, xs: Sequence[str],
     return grouped.mapInPandas(solve, out_schema)
 
 
+def _diff_window_sums(key: Sequence[str], tns, lo: int, hi: int):
+    """(wsum, wcount) builders for [t+lo, t+hi] range-window sums as
+    differences of two GROWING frames over one (key, time) ordering —
+    O(n) per partition where a sliding frame re-aggregates per row.
+    Both frames land in ONE WindowExec. wsum yields 0 (not null) for
+    an empty window when earlier rows exist — callers must consume it
+    under an n-guard (both rolling-OLS shapes do)."""
+    from pyspark.sql import Window as W
+
+    base = W.partitionBy(*[F.col(k) for k in key]).orderBy(tns)
+    w_now = base.rangeBetween(W.unboundedPreceding, hi)
+    w_before = base.rangeBetween(W.unboundedPreceding, lo - 1)
+
+    def wsum(e):
+        now, before = F.sum(e).over(w_now), F.sum(e).over(w_before)
+        return F.when(before.isNull(), now).otherwise(now - before)
+
+    def wcount(e):
+        return F.count(e).over(w_now) - F.count(e).over(w_before)
+
+    return wsum, wcount
+
+
 def rolling_ols(df: DataFrame, y: str, x: str, window,
                 key: Sequence[str] = (),
                 min_samples: int = 3) -> DataFrame:
@@ -204,15 +227,17 @@ def rolling_ols(df: DataFrame, y: str, x: str, window,
     rolling-beta shape): adds ``beta`` (slope), ``alpha`` (intercept)
     and ``r2``, computed in closed form from windowed sums —
     ``beta = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` — so the whole
-    operator is ONE keyed exchange of O(n) incremental range frames,
-    zero Python. The multi-regressor path
-    (:func:`ols_regression`) needs a Gramian solve and stays a
-    whole-group aggregate; for one regressor the solve is this
-    algebraic identity. Rows whose window holds fewer than
-    ``min_samples`` points or a degenerate x (zero variance) get
-    nulls."""
-    from pyspark.sql import Window as W
-
+    operator is ONE keyed exchange of O(n) window sums, zero Python.
+    Each windowed sum evaluates as the difference of two GROWING
+    frames (``_diff_window_sums``): Spark re-aggregates a SLIDING
+    frame per row (O(n x rows-per-window) — the r8 windows_ops
+    finding), growing frames are maintained incrementally. The
+    multi-regressor path (:func:`ols_regression`) needs a Gramian
+    solve and stays a whole-group aggregate; for one regressor the
+    solve is this algebraic identity. Rows whose window holds fewer
+    than ``min_samples`` points or a degenerate x (zero variance) get
+    nulls (every sum is consumed under those guards, so the
+    difference form's 0-for-empty never surfaces)."""
     from ..timeseries import time_ns_expr
     from ..windows import TimeWindow
 
@@ -220,20 +245,19 @@ def rolling_ols(df: DataFrame, y: str, x: str, window,
         raise TypeError("window must be a TimeWindow "
                         "(windows.past_absolute_time(...))")
     lo, hi = window.range_bounds()
-    w = (W.partitionBy(*[F.col(k) for k in key])
-         .orderBy(time_ns_expr(df)).rangeBetween(lo, hi))
+    wsum, wcount = _diff_window_sums(key, time_ns_expr(df), lo, hi)
     xc, yc = F.col(x), F.col(y)
     # null-pair masking: a row where EITHER side is null contributes to
     # no sum (matching the whole-table OLS null-skip rule)
     both = xc.isNotNull() & yc.isNotNull()
     mx = F.when(both, xc)
     my = F.when(both, yc)
-    n = F.count(mx).over(w).cast("double")
-    sx = F.sum(mx).over(w)
-    sy = F.sum(my).over(w)
-    sxx = F.sum(mx * mx).over(w)
-    syy = F.sum(my * my).over(w)
-    sxy = F.sum(mx * my).over(w)
+    n = wcount(mx).cast("double")
+    sx = wsum(mx)
+    sy = wsum(my)
+    sxx = wsum(mx * mx)
+    syy = wsum(my * my)
+    sxy = wsum(mx * my)
     det = n * sxx - sx * sx
     beta = F.when((n >= min_samples) & (det > 0),
                   (n * sxy - sx * sy) / det)
@@ -259,9 +283,10 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
 
     Plan: the whole-table :func:`ols_regression` Gramian recipe
     applied per frame — every sufficient statistic
-    (n, Σt_i·t_j over terms [1, x1..xk, y]) is an incrementally-
-    maintained ``rangeBetween`` window sum sharing ONE WindowExec
-    (one keyed exchange, O(n) total), and the (k+1)x(k+1) solves run
+    (n, Σt_i·t_j over terms [1, x1..xk, y]) is a prefix-DIFFERENCE
+    window sum (``_diff_window_sums`` — two growing frames, O(n),
+    where a sliding frame re-aggregates per row) sharing ONE
+    WindowExec (one keyed exchange), and the (k+1)x(k+1) solves run
     batched (``np.linalg.solve`` over stacked matrices) in ONE
     Arrow-batched pandas stage — no per-row Python, no driver.
 
@@ -270,8 +295,6 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
     :func:`rolling_ols` generalized). Windows with fewer than
     ``min_samples`` complete rows (default ``k + 2``), a singular
     design, or zero response variance get nulls."""
-    from pyspark.sql import Window as W
-
     from ..timeseries import time_ns_expr
     from ..windows import TimeWindow
 
@@ -285,8 +308,7 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
     if min_samples is None:
         min_samples = k + 2
     lo, hi = window.range_bounds()
-    w = (W.partitionBy(*[F.col(c) for c in key])
-         .orderBy(time_ns_expr(df)).rangeBetween(lo, hi))
+    wsum, _ = _diff_window_sums(key, time_ns_expr(df), lo, hi)
     complete = F.col(y).isNotNull()
     for x in xs:
         complete = complete & F.col(x).isNotNull()
@@ -296,7 +318,7 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
     sums = []
     for i in range(m):
         for j in range(i, m):
-            sums.append(F.sum(masked[i] * masked[j]).over(w))
+            sums.append(wsum(masked[i] * masked[j]))
     packed = F.array(*sums)
     tri = [(i, j) for i in range(m) for j in range(i, m)]
     p = k + 1 if fit_intercept else k

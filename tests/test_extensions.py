@@ -4965,3 +4965,46 @@ def test_package_builds_wheel_when_backend_available(tmp_path):
                          env={"PATH": "/usr/bin:/bin", "HOME": "/root"})
     assert res.returncode == 0, res.stderr[-2000:]
     assert "WHL_OK 4" in res.stdout
+
+
+def test_rolling_quantile_multi_q_single_pass(spark):
+    """The list-q form equals sequential single-q calls bitwise and
+    runs ONE Arrow stage / ONE exchange instead of one engine pass
+    per quantile (keyed and keyless-bucketed routes)."""
+    import random
+
+    from flint_spark.operators.windows_ops import rolling_quantile
+    from flint_spark.plans.audit import plan_counts
+
+    random.seed(11)
+    rows = [(random.randint(0, 4000) * 10**6, f"k{i % 4}",
+             random.choice([float(i % 17), None])) for i in range(1500)]
+    df = spark.createDataFrame(rows, "time long, k string, v double")
+
+    one = rolling_quantile(
+        rolling_quantile(df, "v", "300ms", 0.5, key=["k"]),
+        "v", "300ms", 0.9, key=["k"]).toPandas()
+    both = rolling_quantile(df, "v", "300ms", [0.5, 0.9],
+                            key=["k"]).toPandas()
+    sc = ["time", "k", "v"]
+    pd.testing.assert_frame_equal(
+        one.sort_values(sc, ignore_index=True),
+        both[one.columns].sort_values(sc, ignore_index=True),
+        check_dtype=False)
+    multi = rolling_quantile(df, "v", "300ms", [0.5, 0.9], key=["k"])
+    pc = plan_counts(multi)
+    assert pc["python"] == 1 and pc["shuffles"] == 1, pc
+
+    kone = rolling_quantile(
+        rolling_quantile(df.drop("k"), "v", "300ms", 0.5),
+        "v", "300ms", 0.9).toPandas()
+    kboth = rolling_quantile(df.drop("k"), "v", "300ms",
+                             [0.5, 0.9]).toPandas()
+    sck = ["time", "v"]
+    pd.testing.assert_frame_equal(
+        kone.sort_values(sck, ignore_index=True),
+        kboth[kone.columns].sort_values(sck, ignore_index=True),
+        check_dtype=False)
+    with pytest.raises(ValueError, match="length must match"):
+        rolling_quantile(df, "v", "300ms", [0.5, 0.9], key=["k"],
+                         out_name="only_one")
