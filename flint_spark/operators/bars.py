@@ -348,8 +348,14 @@ def volume_bars(df: DataFrame, threshold: float, price_col: str,
     out = (base.groupBy(*key, "__bar")
            .agg(F.min(tns).alias("__tns"),
                 *bar_aggs(price, ord_, volume_col)))
-    return (out.select(ns_to_time_expr(F.col("__tns"), dtype)
-                       .alias(TIME_COLUMN),
-                       *key, F.col("__bar").alias("bar_seq"),
-                       "open", "high", "low", "close", "n",
-                       "volume", "vwap"))
+    out = (out.select(ns_to_time_expr(F.col("__tns"), dtype)
+                      .alias(TIME_COLUMN),
+                      *key, F.col("__bar").alias("bar_seq"),
+                      "open", "high", "low", "close", "n",
+                      "volume", "vwap"))
+    # the keyless engine frame is a local here — carry its layout pin
+    # onto the returned frame or the persisted order unpersists before
+    # the caller evaluates (r8 review finding)
+    from .prefix import propagate_pin
+
+    return propagate_pin(base, out)

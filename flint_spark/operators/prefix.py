@@ -66,20 +66,50 @@ CumItem = tuple[str, Callable[[DataFrame, Callable[[Column], Column]], Column], 
 
 _KINDS = ("sum", "min", "max", "product", "last", "concat")
 
-# Persisted-layout lifetime (ADVICE r7): the engine's determinism
-# contract REQUIRES the range-shuffled/sorted subtree to stay persisted
-# for as long as any returned frame might still evaluate — equal
-# (time, tie_break) keys resolve by the persisted physical order, and a
-# recompute could feed the window and partials subtrees of a pending
-# frame two different orders, silently corrupting tied-row state. So
-# instead of a single slot evicted on the next call, each persisted
-# layout is REFCOUNTED by the result frames built on it: a pin on every
-# returned DataFrame (propagated through keep_layout reuse) holds the
-# layout; when the last pinned result is garbage-collected, the layout
-# unpersists. A lock guards the registry (the module is callable from
-# multiple threads).
+# Persisted-layout lifetime (ADVICE r7, rebuilt in r8): correctness
+# does NOT depend on the persist — the layout sorts on a TOTAL order
+# (time, tie_break, every orderable data column), so a recompute
+# reproduces the same multiset of (row, __mid) assignments and the
+# window/partials subtrees can never diverge on tied rows; identical
+# full rows are interchangeable by definition. The persist exists to
+# EXECUTE the layout once instead of once per consuming subtree, and
+# two mechanisms keep it warm: (1) each returned frame carries a
+# refcounted pin releasing the layout when the last result is
+# garbage-collected; (2) a small strong-ref LRU registry retains
+# recent layouts even when callers immediately derive new frames
+# (``result.select(...)`` drops Python attributes, so pins alone die
+# too early — the r8 review's volume_bars finding generalized). A
+# lock guards both (the module is callable from multiple threads).
 _PIN_LOCK = threading.Lock()
 _LIVE_PINS: "weakref.WeakSet" = weakref.WeakSet()
+
+#: strong refs to the most recent layouts — eviction merely costs a
+#: recompute (see determinism note above), never correctness
+_KEEP_MAX = 4
+_KEEP: list = []
+
+
+def _keep_layout(sdf: DataFrame) -> None:
+    with _PIN_LOCK:
+        _KEEP.append(sdf)
+        while len(_KEEP) > _KEEP_MAX:
+            old = _KEEP.pop(0)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopped
+                pass
+
+# Per-layout plan salt: Spark's CacheManager keys entries on the
+# ANALYZED plan's canonical form, so two engine calls over an
+# EQUIVALENT input would share ONE cache entry — and releasing either
+# frame's pin unpersists the shared entry out from under the other,
+# silently reopening the recompute hazard. A trivially-true filter on
+# a unique literal makes every layout's analyzed plan distinct (its
+# own entry) while the optimizer constant-folds the filter away before
+# execution — zero runtime cost.
+import itertools
+
+_LAYOUT_SEQ = itertools.count()
 
 
 class _LayoutPin:
@@ -102,7 +132,10 @@ def _unpin(pin: _LayoutPin) -> None:
     with _PIN_LOCK:
         pin.count -= 1
         if pin.count <= 0:
-            pin.release()
+            if pin.sdf is not None and any(pin.sdf is k for k in _KEEP):
+                pin.sdf = None  # the LRU registry owns retention now
+            else:
+                pin.release()
 
 
 def _attach_pin(result: DataFrame, pin: _LayoutPin) -> DataFrame:
@@ -119,14 +152,32 @@ def _attach_pin(result: DataFrame, pin: _LayoutPin) -> DataFrame:
     return result
 
 
+def propagate_pin(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Carry ``src``'s layout pin onto ``dst`` — for operators that
+    POST-PROCESS an engine frame (e.g. ``volume_bars``' bar
+    aggregation) and return a derived DataFrame. Without this the
+    engine frame is a function local whose pin dies at return, and the
+    persisted layout unpersists before the caller ever evaluates the
+    result — reopening the tied-row recompute hazard the pins exist to
+    close. No-op when ``src`` carries no pin."""
+    pin = getattr(src, "_flint_prefix_pin", None)
+    return _attach_pin(dst, pin) if pin is not None else dst
+
+
 def release_prefix_caches() -> None:
     """Force-unpersist EVERY live engine layout now (test/reset hook).
-    Frames still holding a pin will recompute if evaluated afterwards —
-    their tied-row order is then no longer pinned; normal code should
-    simply drop its references and let the refcounts do this."""
+    Frames evaluated afterwards recompute the layout — identical
+    results (the layout sorts on a total order), just slower; normal
+    code should simply drop its references and let the refcounts and
+    the LRU registry manage retention."""
     with _PIN_LOCK:
         for pin in list(_LIVE_PINS):
             pin.release()
+        while _KEEP:
+            try:
+                _KEEP.pop().unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopped
+                pass
 
 
 def _carry_agg(kind: str, c: Column) -> Column:
@@ -187,22 +238,25 @@ def keyless_cumulative(
     convention). ``render(state)`` maps the merged cumulative state
     columns to the output columns ``{out_name: Column}``.
 
-    Row order is (time, *tie_break, arrival) — equal sort keys keep a
-    fixed (persisted) physical order, the same contract as the keyed
-    window path's ``monotonically_increasing_id`` tie-break. Equal
-    timestamps never straddle partitions (``__pid`` is a pure function
-    of the time value), so a tie group is always merged by one
-    within-partition window.
+    Row order is the TOTAL order (time, *tie_break, remaining
+    orderable columns) — rows tying on it are identical rows, so the
+    scan order (and therefore every output) is a pure function of the
+    DATA, independent of physical layout or cache state; the keyed
+    window path's value-struct tie-break, applied to the engine
+    itself. Equal timestamps never straddle partitions (``__pid`` is
+    a pure function of the time value), so a tie group is always
+    merged by one within-partition window.
 
     ``keep_layout=True`` returns the engine's layout columns
     (``__tns``/``__pid``/``__mid``) alongside the outputs so a second
     pass (e.g. the running-min-of-prefix-sum stage of keyless CUSUM)
     can reuse the SAME shuffle: a frame that still carries ``__pid``
     skips repartitioning entirely — its second pass costs one more
-    tiny partials job, zero data exchanges. The persisted layout stays
-    alive (refcounted) as long as ANY returned frame built on it is
-    reachable — interleaved engine calls never evict each other's
-    pending layouts (ADVICE r7).
+    tiny partials job, zero data exchanges. The persisted layout is
+    retained by result-frame refcounts plus a small LRU registry
+    (interleaved engine calls never evict each other's pending
+    layouts, ADVICE r7); retention is purely a perf matter — see the
+    determinism note above.
     """
     for _, _, kind in items:
         if kind not in _KINDS:
@@ -232,22 +286,55 @@ def keyless_cumulative(
 
         tns = time_ns_expr(df)
         err = 1.0 / max(p * 8, 64)
-        bounds = (df.select(tns.alias("__tns"))
-                  .approxQuantile("__tns", [i / p for i in range(1, p)],
-                                  err))
-        bounds = sorted(set(bounds))
+        # p <= 1: no boundaries — approxQuantile rejects an empty
+        # probability list (r8 review: NPE under shuffle.partitions=1)
+        bounds = [] if p <= 1 else sorted(set(
+            df.select(tns.alias("__tns"))
+            .approxQuantile("__tns", [i / p for i in range(1, p)], err)))
         pid = (upper_bound_expr(F.lit(bounds), F.col("__tns"))
                .cast("int") if bounds else F.lit(0))
-        sdf = (df.withColumn("__tns", tns)
+        # 4x partitions per distinct pid: hashing ~P pid values into P
+        # partitions pigeonholes ~1/e of tasks empty and piles 2-4
+        # buckets on others; the wider exchange keeps max-load ~1 and
+        # every downstream window still reuses HashPartitioning(__pid).
+        #
+        # __mid is row_number() over a TOTAL order — (__tns, tie_break,
+        # then every orderable data column), NOT
+        # monotonically_increasing_id(). Two reasons (r8 review):
+        # 1. DETERMINISM BY CONSTRUCTION: rows equal on the full sort
+        #    key are identical rows, so any recompute reproduces the
+        #    same (row, __mid) multiset — the window and partials
+        #    subtrees can never diverge on ties even with the cache
+        #    cold, and layout eviction is purely a perf event. The
+        #    engine-wide max-struct philosophy (sort by time THEN
+        #    values), applied to the layout itself.
+        # 2. CACHE SUBSTITUTION: the window and partials subtrees form
+        #    a self-join over this layout; Spark's self-join
+        #    deduplication clones one branch, and a nondeterministic
+        #    expression canonicalizes as never-equal after cloning, so
+        #    the cache manager refused to substitute the persisted
+        #    layout — BOTH branches silently recomputed the full
+        #    repartition+sort from the scan (observed: two layout
+        #    exchanges, zero InMemoryTableScans).
+        # Map-typed columns are unorderable and excluded; rows equal up
+        # to map values then tie arbitrarily, which only reorders
+        # 'last'/'concat' state among rows identical on every orderable
+        # column.
+        extra = [c for c, t in df.dtypes
+                 if c in data_cols and c not in tie_break
+                 and "map<" not in t]
+        order_cols = ["__tns", *tie_break, *extra]
+        w_mid = (Window.partitionBy("__pid")
+                 .orderBy(*[F.col(c) for c in order_cols]))
+        salt = next(_LAYOUT_SEQ)
+        sdf = (df.where(F.lit(salt).isNotNull())  # plan salt, folds away
+                 .withColumn("__tns", tns)
                  .withColumn("__pid", pid)
-                 .repartition(len(bounds) + 1, "__pid")
-                 .sortWithinPartitions(
-                     "__tns", *[F.col(c) for c in tie_break])
-                 # per-partition increasing AFTER the sort: the window
-                 # order and the partial-extraction key agree even
-                 # under duplicate (time, tie_break)
-                 .withColumn("__mid", F.monotonically_increasing_id())
+                 .repartition(4 * (len(bounds) + 1), "__pid")
+                 .sortWithinPartitions(*[F.col(c) for c in order_cols])
+                 .withColumn("__mid", F.row_number().over(w_mid))
                  .persist())
+        _keep_layout(sdf)
         pin = _LayoutPin(sdf)
 
     w_in = (Window.partitionBy("__pid")

@@ -61,7 +61,8 @@ def _probe_span(df: DataFrame, tns) -> tuple[int, int] | None:
     except Exception:  # noqa: BLE001 — hashing is a cache key only
         ck = None
     if ck is not None and ck in _SPAN_CACHE:
-        return _SPAN_CACHE[ck]
+        span = _SPAN_CACHE[ck] = _SPAN_CACHE.pop(ck)  # refresh LRU
+        return span
     row = df.select(F.min(tns).alias("lo"), F.max(tns).alias("hi")).first()
     span = None if row is None or row["lo"] is None \
         else (int(row["lo"]), int(row["hi"]))
@@ -176,12 +177,20 @@ def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
     Catalyst still plans ONE WindowExec.
 
     Float caveat: a sum-state difference reassociates float addition;
-    the absolute error is ~1 ulp of the PREFIX magnitude, which the
-    bucketed keyless route bounds by resetting prefixes each bucket
-    (~2 window-spans of rows). ``engine='sliding'`` pins the direct
-    frame (bitwise reference behavior); ``engine='prefix'`` forces the
-    difference plan and raises if the summarizer has no mergeable
-    state."""
+    the absolute error is ~1 ulp of the PREFIX magnitude. The bucketed
+    keyless route bounds that by construction (prefixes reset each
+    bucket, ~2 window-spans of rows); on the KEYED route the prefix
+    spans the key's full history, so a window whose true sum is tiny
+    relative to the running total can lose relative precision — the
+    same error profile as the reference's own windowed engine
+    (``LeftSubtractableSummarizer``: running state with rows
+    SUBTRACTED as they leave, ``rdd/function/summarize/summarizer/
+    subtractable/``), which is why it is an acceptable default here.
+    ``engine='sliding'`` pins the per-window re-aggregating frame —
+    exact at any magnitude, O(n x window rows) — for series whose
+    running magnitudes dwarf their window sums; ``engine='prefix'``
+    forces the difference plan and raises if the summarizer has no
+    mergeable state."""
     if engine not in ("auto", "prefix", "sliding"):
         raise ValueError("engine must be 'auto', 'prefix' or 'sliding'")
     if engine == "sliding" or (engine == "auto" and not summarizer.has_cum):

@@ -71,7 +71,7 @@ def _pairs(seg: Column) -> Column:
 last_train_rounds: int = 0
 
 
-def _select_batch(rows, top_k: int, remaining: int):
+def _select_batch(rows, top_k: int, remaining: int, created=None):
     """Maximal SEQUENTIAL-EQUIVALENT merge batch from the sorted
     (count DESC, a, b) pair list. The rule:
 
@@ -95,14 +95,23 @@ def _select_batch(rows, top_k: int, remaining: int):
     replaces also commute on the segmentation strings, so applying
     the batch in one pass is order-independent.
 
-    ALIASING guard (ADVICE r7): "token-disjoint" alone is not enough
-    in the flat string representation — a pair's MERGED token can
-    spell the same string as a token another pair touches (e.g.
-    ('ab','c') creates 'abc' while ('x','abc') holds it), in which
-    case the merge CHANGES that "disjoint" pair's count and the
-    argument above breaks. A pair therefore also CONFLICTS when its
-    merged string equals a selected pair's token, or a selected
-    pair's merged string equals one of its tokens."""
+    ALIASING guard (ADVICE r7 + r8 review): "token-disjoint" alone is
+    not enough in the flat string representation — a pair's MERGED
+    token can spell the same string as a token another pair touches
+    (e.g. ('ab','c') creates 'abc' while ('x','abc') holds it), in
+    which case the merge INCREASES that "disjoint" pair's count and
+    the argument above breaks — including for pairs BELOW the
+    selection stop or outside the collected top-k entirely, which the
+    prefix scan never sees. The complete rule exploits that every
+    multi-char token in the corpus is the concatenation of a
+    PREVIOUSLY APPLIED merge (``created``, maintained by the trainer
+    across rounds): a pair CONFLICTS when its merged string already
+    exists as a token anywhere (``created``), matches another
+    selected pair's merged string or token, or one of its own tokens
+    is another selected pair's merged string. Batch concats are then
+    NOVEL strings no existing pair can contain, so no candidate's
+    count increases and the sequential argument stands."""
+    created = set() if created is None else created
     used: set[str] = set()
     concats: set[str] = set()
     selected = []
@@ -110,7 +119,8 @@ def _select_batch(rows, top_k: int, remaining: int):
     for r in rows:
         toks = {r["a"], r["b"]}
         merged = r["a"] + r["b"]
-        if (used & toks) or merged in used or (concats & toks):
+        if (used & toks) or merged in used or (concats & toks) \
+                or merged in concats or merged in created:
             bound = int(r["c"])
             break
         selected.append(r)
@@ -146,6 +156,10 @@ def bpe_train(docs: DataFrame, num_merges: int = 8,
         .withColumn("seg", _seg0(F.col("word"))).persist()
     vocab.count()  # materialize once; iterations re-derive only `seg`
     merges: list[tuple[str, str, int]] = []
+    # every multi-char token in any segmentation is the concat of an
+    # APPLIED merge — this set is the exact alias universe the batch
+    # selector must avoid recreating (see _select_batch)
+    created: set[str] = set()
     seg = F.col("seg")
     rounds = 0
     k = top_k if batch else 1
@@ -158,11 +172,12 @@ def bpe_train(docs: DataFrame, num_merges: int = 8,
             rounds += 1
             if not rows:
                 break
-            chosen = _select_batch(rows, k, num_merges - len(merges)) \
-                if batch else rows[:1]
+            chosen = _select_batch(rows, k, num_merges - len(merges),
+                                   created) if batch else rows[:1]
             for r in chosen:
                 a, b, c = r["a"], r["b"], int(r["c"])
                 merges.append((a, b, c))
+                created.add(a + b)
                 seg = F.replace(seg, F.lit(f"[{a}][{b}]"),
                                 F.lit(f"[{a}{b}]"))
     finally:

@@ -22,21 +22,10 @@ def walk_plan(node):
     """Yield every node name in the final physical plan, following AQE
     wrappers and query stages but NOT re-entering cached subtrees (an
     InMemoryTableScan's cached plan executes once, not per consumer —
-    string-counting the printed plan double-counts it)."""
-    name = node.nodeName()
-    yield name
-    if name.startswith("InMemoryTableScan"):
-        return
-    if name.startswith("AdaptiveSparkPlan"):
-        yield from walk_plan(node.executedPlan())
-        return
-    if "QueryStage" in name:
-        yield from walk_plan(node.plan())
-        return
-    if name.startswith("ReusedExchange"):
-        return
-    for i in range(node.children().length()):
-        yield from walk_plan(node.children().apply(i))
+    string-counting the printed plan double-counts it). Delegates to
+    :func:`walk_plan_flagged` — ONE traversal to maintain."""
+    for name, _ in walk_plan_flagged(node):
+        yield name
 
 
 def walk_plan_flagged(node, under_broadcast=False):

@@ -811,7 +811,15 @@ def r7ops_scale(spark, millions: float = 5.0):
     print(f"  bpe 100 merges: {rounds} rounds (sequential would be "
           f"100), {dt:.1f}s")
     assert len(merges) == 100
-    assert rounds <= 10, f"batched BPE used {rounds} rounds for 100 merges"
+    # r8: bar loosened 10 -> 60. The r7 batching hit <=10 rounds only
+    # because its conflict rule ignored merged-token ALIASING (a merge
+    # spelling an existing token can RAISE other pairs' counts), which
+    # could diverge from sequential training; the sound guard stops
+    # batches at any alias with a previously-created token, and this
+    # small-alphabet synthetic corpus aliases often (measured 44
+    # rounds). Exactness beats job count; still >2x fewer jobs than
+    # sequential, and richer real alphabets alias later.
+    assert rounds <= 60, f"batched BPE used {rounds} rounds for 100 merges"
 
 
 if __name__ == "__main__":

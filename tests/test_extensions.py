@@ -4762,7 +4762,9 @@ def test_window_prefix_diff_engines_identical(spark):
             b = wo.summarize_windows(df, win, summ, key=key,
                                      engine="prefix",
                                      distributed=False).toPandas()
-            sc = ["time", "k", "u"]
+            # v included: (time, k, u) alone is not a unique row key,
+            # and tied rows may arrive plan-ordered (r8 review)
+            sc = ["time", "k", "u", "v"]
             a = a.sort_values(sc, ignore_index=True)
             b = b[a.columns].sort_values(sc, ignore_index=True)
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
@@ -4853,11 +4855,17 @@ def test_prefix_layout_pins_survive_interleaved_calls(spark):
     cached1 = pin1.sdf
     del f1
     gc.collect()
-    assert pin1.sdf is None and not cached1.is_cached  # refcount released
+    # pin released; the LRU registry now owns retention (derived
+    # frames like result.select() drop Python attributes, so the
+    # cache must outlive the exact returned object)
+    assert pin1.sdf is None and cached1.is_cached
     pin2 = f2._flint_prefix_pin
     del f2
     gc.collect()
     assert pin2.sdf is None
+    from flint_spark.operators.prefix import release_prefix_caches
+    release_prefix_caches()
+    assert not cached1.is_cached  # explicit hook force-releases
 
 
 def test_prefix_layout_pin_propagates_through_keep_layout(spark):
@@ -5008,3 +5016,44 @@ def test_rolling_quantile_multi_q_single_pass(spark):
     with pytest.raises(ValueError, match="length must match"):
         rolling_quantile(df, "v", "300ms", [0.5, 0.9], key=["k"],
                          out_name="only_one")
+
+
+def test_volume_bars_keyless_keeps_layout_pin(spark):
+    """r8 review (confirmed): volume_bars post-processes the engine
+    frame, so the returned bars frame must CARRY the layout pin — the
+    engine frame itself is a function local and its pin dies at
+    return."""
+    import gc
+
+    from flint_spark.operators.bars import volume_bars
+
+    df = spark.createDataFrame(
+        [(i * 1000, float((i * 7) % 23) + 1.0, float(i % 5))
+         for i in range(600)],
+        "time long, p double, vol double")
+    out = volume_bars(df, 50.0, "p", "vol", distributed=True)
+    pin = out._flint_prefix_pin
+    gc.collect()
+    assert pin.sdf is not None and pin.sdf.is_cached
+    assert out.count() > 0
+    del out
+    gc.collect()
+    assert pin.sdf is None
+
+
+def test_keyless_cumulative_single_partition_target(spark):
+    """r8 review (confirmed): a partition target of 1 (shuffle
+    partitions = 1 or num_partitions=1) must not call approxQuantile
+    with an empty probability list (NPE) — it degenerates to one
+    bucket."""
+    from flint_spark.operators.prefix import keyless_cumulative
+
+    df = spark.createDataFrame(
+        [(i * 1000, float(i % 7)) for i in range(200)],
+        "time long, v double")
+    items = [("s", lambda d, o: o(F.sum(F.col("v"))), "sum")]
+    out = keyless_cumulative(df, items, lambda st: {"cum": st["s"]},
+                             num_partitions=1)
+    got = out.orderBy("time").toPandas()
+    assert len(got) == 200
+    assert abs(got["cum"].iloc[-1] - sum(i % 7 for i in range(200))) < 1e-9
