@@ -98,7 +98,7 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
     ``ship`` widens the context-SHIPPING bounds beyond the window
     itself (overlappable windows evaluate a second, outward-extended
     frame over the same ordering): every frame ``exprs_fn`` builds
-    must sit inside [ship_lo, ship_hi]. ``exprs_fn(frame)`` receives a
+    must sit inside [ship_lo, ship_hi]. ``exprs_fn(frame, bucket_ctx)`` receives a
     frame FACTORY ``frame(lo, hi) -> WindowSpec`` over the bucket
     partitioning and returns (name, Column) pairs; ``frame(None, hi)``
     builds a GROWING frame (unboundedPreceding — legitimate only in
@@ -150,7 +150,23 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
         return w.rangeBetween(
             Window.unboundedPreceding if flo is None else flo, fhi)
 
-    pairs = list(exprs_fn(frame))
+    def growing(desc: bool, upper: int):
+        """Growing frame over the bucket partitioning in either time
+        direction — the building block of the O(n) min/max split (see
+        ``_summarizer_window_pairs``). For DESC ordering a positive
+        range offset reaches DOWN in time: (unbounded, X) covers
+        tns >= t - X."""
+        ob = F.col("__tns").desc() if desc else F.col("__tns")
+        return (Window.partitionBy("__b").orderBy(ob)
+                .rangeBetween(Window.unboundedPreceding, upper))
+
+    # the own/shipped window decomposition is exact only when the
+    # bucket width EQUALS the window span (no ship widening): a target
+    # row's own-bucket rows inside the window are then always a pure
+    # bucket prefix/suffix
+    ctx = None if ship is not None else {
+        "tgt": F.col("__tgt"), "growing": growing}
+    pairs = list(exprs_fn(frame, ctx))
     out = exploded.withColumns(dict(pairs))
     return out.filter(F.col("__tgt")).select(
         *data_cols, *[n for n, _ in pairs])
@@ -158,7 +174,8 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
 
 def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
                              lo: int, hi: int,
-                             engine: str = "auto"):
+                             engine: str = "auto",
+                             bucket_ctx: dict | None = None):
     """Output (name, Column) pairs for the [t+lo, t+hi] range window,
     given a frame FACTORY ``frame(flo, fhi) -> WindowSpec`` (``flo=None``
     = unboundedPreceding).
@@ -170,11 +187,26 @@ def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
     a sliding frame from scratch every time its lower bound moves
     (``SlidingWindowFunctionFrame`` has no retract), an O(n x
     rows-per-window) cost — measured 53 s for 2.5M rows under a
-    3600-row window vs 2.8 s under a 60-row one. Non-sum state
-    (min/max — no subtraction exists) stays on the sliding frame, and
-    summarizers without a cum spec (exact quantile, rows) fall back to
-    it entirely. All frames share one partitioning+ordering, so
-    Catalyst still plans ONE WindowExec.
+    3600-row window vs 2.8 s under a 60-row one.
+
+    min/max have no subtraction — but on the BUCKETED keyless route
+    (``bucket_ctx`` supplied: bucket width == window span) a ONE-SIDED
+    window decomposes exactly by row provenance: for a past window
+    [t-W, t], the target's own-bucket rows inside the window are
+    always the bucket PREFIX [bucket_start, t] (t - W < bucket_start
+    by construction) and the shipped rows are the suffix [t-W,
+    bucket_start) of the previous bucket — each side a GROWING frame
+    (the shipped side runs time-DESCENDING), masked by the ``__tgt``
+    own-bucket flag and combined with least/greatest (which skip
+    nulls, matching SQL MIN over an absent side). Future windows
+    mirror. Two orderings over one partitioning = two sorts, still
+    ONE exchange — the whole moment+extreme family becomes O(n).
+    Mixed-sign windows and the keyed route keep the sliding frame.
+
+    Summarizers without a cum spec (exact quantile, rows) fall back to
+    the sliding frame entirely. All same-direction frames share one
+    partitioning+ordering, so Catalyst still plans ONE WindowExec per
+    direction.
 
     Float caveat: a sum-state difference reassociates float addition;
     the absolute error is ~1 ulp of the PREFIX magnitude. The bucketed
@@ -201,6 +233,8 @@ def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
     o_now = lambda c: c.over(frame(None, hi))          # noqa: E731
     o_before = lambda c: c.over(frame(None, lo - 1))   # noqa: E731
     o_slide = lambda c: c.over(frame(lo, hi))          # noqa: E731
+    can_extreme = (bucket_ctx is not None
+                   and (int(lo) == 0 or int(hi) == 0))
     state = {}
     for n, fn, kind in summarizer._cum_items:
         if kind == "sum":
@@ -209,6 +243,20 @@ def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
             # empty prefix: count yields 0 (subtract fine), sum yields
             # null -> the window's own value stands
             state[n] = F.when(before.isNull(), now).otherwise(now - before)
+        elif kind in ("min", "max") and can_extreme:
+            tgt, growing = bucket_ctx["tgt"], bucket_ctx["growing"]
+            msk = summarizer._mask
+            own_m = lambda e, msk=msk, tgt=tgt: F.when(tgt, msk(e))
+            oth_m = lambda e, msk=msk, tgt=tgt: F.when(~tgt, msk(e))
+            if int(hi) == 0:   # past window [t+lo, t]
+                own = fn(df, own_m, lambda c: c.over(growing(False, 0)))
+                oth = fn(df, oth_m,
+                         lambda c: c.over(growing(True, -int(lo))))
+            else:              # future window [t, t+hi]
+                own = fn(df, own_m, lambda c: c.over(growing(True, 0)))
+                oth = fn(df, oth_m,
+                         lambda c: c.over(growing(False, int(hi))))
+            state[n] = (F.least if kind == "min" else F.greatest)(own, oth)
         else:
             state[n] = fn(df, summarizer._mask, o_slide)
     return list(zip(summarizer.names,
@@ -234,8 +282,8 @@ def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
     if not key and _keyless_window_auto(df, distributed):
         routed = _keyless_bucketed_window(
             df, window,
-            lambda frame: _summarizer_window_pairs(
-                df, summarizer, frame, lo, hi, engine))
+            lambda frame, ctx: _summarizer_window_pairs(
+                df, summarizer, frame, lo, hi, engine, bucket_ctx=ctx))
         if routed is not None:
             return routed
     base = (Window.partitionBy(*[F.col(k) for k in key])
@@ -279,7 +327,7 @@ def add_windows(df: DataFrame, window: TimeWindow, key: Sequence[str] = (),
 
     if not key and _keyless_window_auto(df, distributed):
         routed = _keyless_bucketed_window(
-            df, window, lambda frame: exprs(frame(lo, hi)))
+            df, window, lambda frame, ctx: exprs(frame(lo, hi)))
         if routed is not None:
             return routed
     w = _range_window(df, window, key)
@@ -318,9 +366,11 @@ def summarize_windows_overlap(df: DataFrame, window: TimeWindow,
         lag_lo, lag_hi = hi + 1, hi + ons
     ship_lo, ship_hi = min(lo, lag_lo), max(hi, lag_hi)
 
-    def pairs(frame):
+    def pairs(frame, ctx=None):
         # core + lag ride the same WindowExec; each uses the O(n)
-        # prefix-difference plan when the summarizer's state allows
+        # prefix-difference plan when the summarizer's state allows.
+        # ctx is unused: ship widening breaks the own/shipped min-max
+        # decomposition, so extremes stay sliding here
         core = _summarizer_window_pairs(df, summarizer, frame, lo, hi)
         lag = [(f"lag_{n}", c) for n, c in _summarizer_window_pairs(
             df, summarizer, frame, lag_lo, lag_hi)]
@@ -374,7 +424,8 @@ def detect_anomalies(df: DataFrame, column: str, window: str | int = "1d",
         from ..windows import past_absolute_time
 
         routed = _keyless_bucketed_window(
-            df, past_absolute_time(w_ns), lambda f: pairs(f(-w_ns, -1)),
+            df, past_absolute_time(w_ns),
+            lambda f, ctx: pairs(f(-w_ns, -1)),
             ship=(-w_ns, 0))
         if routed is not None:
             return routed

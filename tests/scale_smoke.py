@@ -767,6 +767,18 @@ def r7ops_scale(spark, millions: float = 5.0):
     # spill cliff fails loudly
     linearity("keyless window (bucketed JVM)", kwin, n_small, n_big,
               slack=1.25)
+
+    def kwin_mixed(n):
+        # min/max ride the own-prefix/shipped-suffix growing-frame
+        # split (r8): the whole moment+extreme family is O(n) — the
+        # sliding-frame plan measured 93 s at 5M for this summarizer
+        return windows_ops.summarize_windows(
+            series(n), W.past_absolute_time("3600s"),
+            S.compose(S.count(), S.sum_("v"), S.min_("v"), S.max_("v")),
+            distributed=True)
+
+    linearity("keyless window min/max (growing-frame split)",
+              kwin_mixed, n_small, n_big, slack=1.25)
     wout = kwin(n_big)
     assert "windowspecdefinition(__b" in \
         wout._jdf.queryExecution().optimizedPlan().toString()

@@ -5057,3 +5057,36 @@ def test_keyless_cumulative_single_partition_target(spark):
     got = out.orderBy("time").toPandas()
     assert len(got) == 200
     assert abs(got["cum"].iloc[-1] - sum(i % 7 for i in range(200))) < 1e-9
+
+
+def test_bucketed_minmax_uses_growing_frames(spark):
+    """O(n) min/max on the bucketed keyless route: one-sided windows
+    decompose into own-bucket prefix + shipped suffix (two growing
+    frames, least/greatest combine) — the optimized plan must carry NO
+    sliding range frame for the extreme aggregates (a sliding frame
+    re-aggregates per row; measured 93 s -> 6.3 s at 5M rows for
+    count+sum+min+max). Mixed-sign windows keep the sliding frame."""
+    from flint_spark.operators import windows_ops as wo
+    from flint_spark.windows import TimeWindow
+
+    df = spark.createDataFrame([(i * 10, float(i % 7)) for i in range(400)],
+                               "time long, v double")
+    summ = S.compose(S.min_("v"), S.max_("v"), S.sum_("v"))
+
+    def growing_only(plan: str) -> bool:
+        total = plan.count("specifiedwindowframe(RangeFrame,")
+        grow = plan.count("specifiedwindowframe(RangeFrame, "
+                          "unboundedpreceding$()")
+        return total > 0 and total == grow
+
+    plan = _opt_plan(wo.summarize_windows(
+        df, W.past_absolute_time(50), summ, distributed=True))
+    assert growing_only(plan), plan
+    fplan = _opt_plan(wo.summarize_windows(
+        df, W.future_absolute_time(50), summ, distributed=True))
+    assert growing_only(fplan), fplan
+    # mixed-sign window: decomposition invalid -> sliding frame pinned
+    mixed = TimeWindow(-25, 25, "pm25")
+    mplan = _opt_plan(wo.summarize_windows(
+        df, mixed, S.compose(S.min_("v")), distributed=True))
+    assert "specifiedwindowframe(RangeFrame, -25" in mplan
