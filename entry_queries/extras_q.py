@@ -4435,3 +4435,35 @@ def _sql_correlation_cross() -> str:
       SELECT event_type, {pairs}
       FROM e GROUP BY event_type ORDER BY event_type
     """
+
+
+def q_window_hotkey(spark, sf):
+    """KEYED per-row time-window aggregation routed through the
+    (key, time-bucket) engine (windows_ops.summarize_windows
+    hot_key_guard=0.0 forces the route — r8's skew escape hatch: a
+    key holding most rows funnels the plain keyed window into ONE
+    task, so the guard re-partitions by (key, bucket) with <=2
+    neighbor copies per row; sum-state rides the prefix-difference
+    frames, min the own-prefix/shipped-suffix growing split). Oracle =
+    the ordinary keyed RANGE window; the routes are output-identical."""
+    ev = _events(spark, sf).select(TIME_COLUMN, "event_id", "user_id",
+                                   "value")
+    summ = S.compose(S.count(), S.sum_("value"), S.min_("value"))
+    out = windows_ops.summarize_windows(
+        ev, W.past_absolute_time("3d"), summ, key=["user_id"],
+        hot_key_guard=0.0)
+    return out.select(TIME_COLUMN, "event_id", "user_id", "value",
+                      F.col("count").alias("w_n"),
+                      R("value_sum", 4).alias("w_sum"),
+                      F.col("value_min").alias("w_min"))
+
+
+SQL_WINDOW_HOTKEY = """
+  SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
+         count(*) OVER w AS w_n,
+         floor((sum(value) OVER w) * 10000 + 0.5) / 10000 AS w_sum,
+         min(value) OVER w AS w_min
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)
+"""

@@ -74,9 +74,14 @@ def _probe_span(df: DataFrame, tns) -> tuple[int, int] | None:
 
 
 def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
-                             exprs_fn, ship: tuple[int, int] | None = None
+                             exprs_fn, ship: tuple[int, int] | None = None,
+                             key: Sequence[str] = ()
                              ) -> DataFrame | None:
     """Distributed keyless per-row time-window aggregation, all JVM.
+    With ``key`` it becomes the HOT-KEY escape hatch for keyed windows:
+    partitioning moves to (key..., time bucket), so one key holding
+    most rows no longer funnels into one task — the window family's
+    analogue of the as-of ``hot_key_guard`` salting.
 
     A keyless ``Window.orderBy(time).rangeBetween(lo, hi)`` funnels the
     table through ONE task. But the frame is TIME-BOUNDED, so rows can
@@ -113,6 +118,7 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
     rows when 2x buckets landed on a fixed 32-partition exchange)."""
     from ..timeseries import floor_div
 
+    key = list(key)
     lo, hi = window.range_bounds()
     if ship is not None:
         lo, hi = min(int(lo), int(ship[0])), max(int(hi), int(ship[1]))
@@ -137,16 +143,17 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
                     F.least(serve_from, F.col("__ob")),
                     F.greatest(serve_to, F.col("__ob")))))
                 .withColumn("__tgt", F.col("__b") == F.col("__ob"))
-                # explicit width: HashPartitioning(__b, n_parts) already
-                # satisfies the window's ClusteredDistribution(__b), so
-                # this is the SAME single exchange, just sized to the
-                # bucket count instead of the session default
-                .repartition(n_parts, "__b"))
+                # explicit width: HashPartitioning(key..., __b) already
+                # satisfies the window's ClusteredDistribution, so this
+                # is the SAME single exchange, just sized to the bucket
+                # count instead of the session default
+                .repartition(n_parts, *key, "__b"))
+    part_cols = [*key, "__b"]
 
     def frame(flo, fhi):
         assert fhi <= hi and (flo is None or lo <= flo), \
             "frame outside shipped context"
-        w = Window.partitionBy("__b").orderBy(F.col("__tns"))
+        w = Window.partitionBy(*part_cols).orderBy(F.col("__tns"))
         return w.rangeBetween(
             Window.unboundedPreceding if flo is None else flo, fhi)
 
@@ -157,7 +164,7 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
         range offset reaches DOWN in time: (unbounded, X) covers
         tns >= t - X."""
         ob = F.col("__tns").desc() if desc else F.col("__tns")
-        return (Window.partitionBy("__b").orderBy(ob)
+        return (Window.partitionBy(*part_cols).orderBy(ob)
                 .rangeBetween(Window.unboundedPreceding, upper))
 
     # the own/shipped window decomposition is exact only when the
@@ -266,7 +273,15 @@ def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
 def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
                       key: Sequence[str] = (),
                       distributed: bool | None = None,
-                      engine: str = "auto") -> DataFrame:
+                      engine: str = "auto",
+                      hot_key_guard: float | None = None) -> DataFrame:
+    """``hot_key_guard=f`` (keyed input only) runs one memoized
+    count-by-key probe and, when a single key holds more than fraction
+    ``f`` of the rows, routes through the bucketed engine partitioned
+    by (key, time bucket) — the skew shape where a per-key window
+    funnels most of the table into ONE task, the same opt-in escape
+    hatch as ``left_join``'s guard. Output-identical to the plain
+    keyed window (property-pinned)."""
     from ..summarizers import EmaWindowSummarizer
 
     if isinstance(summarizer, EmaWindowSummarizer):
@@ -279,6 +294,18 @@ def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
                   **summarizer.kwargs)
     key = list(key)
     lo, hi = window.range_bounds()
+    if key and hot_key_guard is not None and distributed is not False:
+        from .asof import _hot_key_fraction
+
+        if _hot_key_fraction(df, key) > hot_key_guard:
+            routed = _keyless_bucketed_window(
+                df, window,
+                lambda frame, ctx: _summarizer_window_pairs(
+                    df, summarizer, frame, lo, hi, engine,
+                    bucket_ctx=ctx),
+                key=key)
+            if routed is not None:
+                return routed
     if not key and _keyless_window_auto(df, distributed):
         routed = _keyless_bucketed_window(
             df, window,

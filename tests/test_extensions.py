@@ -5090,3 +5090,41 @@ def test_bucketed_minmax_uses_growing_frames(spark):
     mplan = _opt_plan(wo.summarize_windows(
         df, mixed, S.compose(S.min_("v")), distributed=True))
     assert "specifiedwindowframe(RangeFrame, -25" in mplan
+
+
+def test_keyed_window_hot_key_guard_routes_identical(spark):
+    """r8: a skewed key funnels the keyed window into ONE task; the
+    hot_key_guard routes through the (key, time-bucket) engine and
+    must be output-identical — sum family via prefix-difference,
+    min/max via the growing-frame split, nulls included."""
+    import random
+
+    from flint_spark.operators import windows_ops as wo
+
+    random.seed(13)
+    rows = [(random.randint(0, 4000) * 10**6,
+             "hot" if random.random() < 0.8 else f"k{i % 5}",
+             random.choice([float(i % 11), None]))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "time long, k string, v double")
+    summ = S.compose(S.count(), S.sum_("v"), S.mean("v"),
+                     S.min_("v"), S.max_("v"))
+    for win in (W.past_absolute_time("400ms"),
+                W.future_absolute_time("250ms")):
+        plain = wo.summarize_windows(df, win, summ, key=["k"]).toPandas()
+        routed_df = wo.summarize_windows(df, win, summ, key=["k"],
+                                         hot_key_guard=0.5)
+        assert "windowspecdefinition(k#" in _opt_plan(routed_df) \
+            or "windowspecdefinition(k," in _opt_plan(routed_df)
+        assert "__b" in _opt_plan(routed_df)  # bucketed route taken
+        routed = routed_df.toPandas()
+        sc = ["time", "k", "v"]
+        a = plain.sort_values(sc, ignore_index=True)
+        b = routed[a.columns].sort_values(sc, ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      rtol=1e-9, atol=1e-9)
+    # below the guard threshold: plain keyed plan (no buckets)
+    balanced = df.withColumn("k", (F.col("time") % 7).cast("string"))
+    not_routed = wo.summarize_windows(balanced, W.past_absolute_time("400ms"),
+                                      summ, key=["k"], hot_key_guard=0.9)
+    assert "__b" not in _opt_plan(not_routed)
