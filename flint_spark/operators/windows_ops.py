@@ -4,11 +4,20 @@ Reference ``summarizeWindows``/``addWindows``
 (``timeseries/TimeSeriesRDD.scala:919-950,1128-1158``) build a 1000-LoC
 custom overlap/flipper machinery (``rdd/function/window/SummarizeWindows.scala``)
 to evaluate a close-close time window around every row without a
-shuffle. Spark's ``WindowExec`` already evaluates range frames
-incrementally (O(n) per partition for subtractable aggregates), so the
-whole operator is ``agg_expr.over(Window.partitionBy(key)
-.orderBy(time_ns).rangeBetween(lo, hi))`` — one shuffle on the key,
-matching the reference's [t+lo, t+hi] inclusive-bounds semantics.
+shuffle. The Spark-first compilation is ``agg_expr.over(
+Window.partitionBy(key).orderBy(time_ns).rangeBetween(lo, hi))`` — one
+shuffle on the key, matching the reference's [t+lo, t+hi]
+inclusive-bounds semantics — with one crucial correction discovered in
+r8: Spark's ``SlidingWindowFunctionFrame`` RE-AGGREGATES the frame for
+every row (no retract), so a naive sliding frame costs O(n x
+rows-per-window), not O(n). Mergeable-state summarizers therefore
+evaluate as differences (sums) or provenance splits (min/max on the
+bucketed route) of GROWING frames, which WindowExec does maintain
+incrementally — see ``_summarizer_window_pairs``. Known remaining
+sliding-frame costs: exact rolling quantiles (skiplist scans in the
+Arrow engine instead), the windowed EWMA family (frame-local
+exponentials avoid overflow; a prefix form would need per-bucket time
+origins), and mixed-sign custom windows.
 """
 
 from __future__ import annotations
