@@ -143,6 +143,15 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
     shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     n_parts = int(max(shuf, min(nbuckets, _MAX_BUCKET_PARTITIONS)))
     data_cols = list(df.columns)
+    # a null time would explode into a null bucket sequence and the
+    # row would SILENTLY vanish — fail loudly instead, matching
+    # functions._bucketed_window_apply (r8 review: newly reachable
+    # from keyed input via hot_key_guard, whose contract is
+    # output-identity with the plain keyed window)
+    tns = F.when(tns.isNull(), F.raise_error(F.lit(
+        "summarize_windows: null time value — the bucketed window "
+        "engine requires a non-null time column")).cast("long")
+    ).otherwise(tns)
     d = df.withColumn("__tns", tns)
     own_b = floor_div(F.col("__tns"), span)
     serve_from = floor_div(F.col("__tns") - F.lit(int(hi)), span)
@@ -184,8 +193,11 @@ def _keyless_bucketed_window(df: DataFrame, window: TimeWindow,
         "tgt": F.col("__tgt"), "growing": growing}
     pairs = list(exprs_fn(frame, ctx))
     out = exploded.withColumns(dict(pairs))
-    return out.filter(F.col("__tgt")).select(
-        *data_cols, *[n for n, _ in pairs])
+    # mirror withColumns' replace-in-place: an output name colliding
+    # with an input column must not be selected twice (r8 review —
+    # the plain route replaces the column, so must this one)
+    appended = [n for n, _ in pairs if n not in data_cols]
+    return out.filter(F.col("__tgt")).select(*data_cols, *appended)
 
 
 def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
@@ -217,7 +229,9 @@ def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
     nulls, matching SQL MIN over an absent side). Future windows
     mirror. Two orderings over one partitioning = two sorts, still
     ONE exchange — the whole moment+extreme family becomes O(n).
-    Mixed-sign windows and the keyed route keep the sliding frame.
+    Mixed-sign windows — and any route WITHOUT a bucket_ctx (the
+    plain keyed window; the keyed HOT-KEY route does carry one and
+    does use the split) — keep the sliding frame.
 
     Summarizers without a cum spec (exact quantile, rows) fall back to
     the sliding frame entirely. All same-direction frames share one
@@ -296,6 +310,12 @@ def summarize_windows(df: DataFrame, window: TimeWindow, summarizer,
     if isinstance(summarizer, EmaWindowSummarizer):
         # reference call shape summarizeWindows(window, Summarizers.ewma)
         # — order-dependent, routed to the closed-form O(n) windowed EMA
+        if hot_key_guard is not None:
+            raise ValueError(
+                "hot_key_guard is not supported for the EWMA window "
+                "family (order-dependent closed-form path; a silent "
+                "no-op would leave the hot key funnelled into one "
+                "task without telling you)")
         from .ema import ewma_windowed, exponential_smoothing_windowed
         fn = ewma_windowed if summarizer.kind == "ewma" \
             else exponential_smoothing_windowed

@@ -5128,3 +5128,46 @@ def test_keyed_window_hot_key_guard_routes_identical(spark):
     not_routed = wo.summarize_windows(balanced, W.past_absolute_time("400ms"),
                                       summ, key=["k"], hot_key_guard=0.9)
     assert "__b" not in _opt_plan(not_routed)
+
+
+def test_bucketed_window_review_edges(spark):
+    """r8 second review: (1) a null time value raises loudly on the
+    bucketed route instead of silently vanishing; (2) hot_key_guard
+    with the EWMA window family refuses instead of silently no-oping;
+    (3) an output name colliding with an input column replaces it in
+    place (as the plain route does), not a duplicate column."""
+    from flint_spark.operators import windows_ops as wo
+    from flint_spark.summarizers import EmaWindowSummarizer
+
+    df = spark.createDataFrame(
+        [(i * 10, f"k{i % 2}", float(i % 7)) for i in range(300)],
+        "time long, k string, v double")
+
+    # (1) null time -> raise_error on the routed plan
+    with_null = df.union(spark.createDataFrame(
+        [(None, "k0", 1.0)], "time long, k string, v double"))
+    bad = wo.summarize_windows(with_null, W.past_absolute_time(50),
+                               S.sum_("v"), distributed=True)
+    with pytest.raises(Exception, match="null time"):
+        bad.count()
+
+    # (2) EWMA + hot_key_guard: loud refusal
+    with pytest.raises(ValueError, match="hot_key_guard"):
+        wo.summarize_windows(df, W.past_absolute_time(50),
+                             EmaWindowSummarizer("ewma", "v"),
+                             key=["k"], hot_key_guard=0.1)
+
+    # (3) colliding output name: same single column on both routes
+    named = df.withColumn("count", F.lit(7))
+    plain = wo.summarize_windows(named, W.past_absolute_time(50),
+                                 S.count(), key=["k"])
+    routed = wo.summarize_windows(named, W.past_absolute_time(50),
+                                  S.count(), key=["k"],
+                                  hot_key_guard=0.0)
+    assert plain.columns == routed.columns
+    assert routed.columns.count("count") == 1
+    a = plain.toPandas().sort_values(["time", "k", "v"],
+                                     ignore_index=True)
+    b = routed.toPandas()[a.columns].sort_values(["time", "k", "v"],
+                                                 ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
