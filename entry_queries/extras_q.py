@@ -151,6 +151,51 @@ SQL_PACK_DOCUMENTS = """
 """
 
 
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk packing WITH document splitting
+    (pipeline.sampling.pack_sequences, forced distributed=True so the
+    gate pins the keyless prefix-engine cumsum route, never the
+    single-task window): the global doc_id-ordered token stream is cut
+    every 128 tokens; one row per (document, overlapped sequence) with
+    the slice coordinates a training loader needs. Exact LONG
+    arithmetic end-to-end — bitwise vs the oracle's global window."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")))
+    segs = sampling.pack_sequences(docs, 128, "n_tokens",
+                                   distributed=True)
+    return segs.select("doc_id", "seq_id", "doc_off", "seq_off",
+                       "seg_tokens")
+
+
+SQL_PACK_SEQUENCES = """
+  WITH d AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+  ), c AS (
+    SELECT doc_id, n,
+           CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS cb
+    FROM d
+  ), s AS (
+    SELECT doc_id, n, cb,
+           unnest(generate_series(cb // 128,
+                CASE WHEN n > 0 THEN (cb + n - 1) // 128
+                     ELSE cb // 128 END)) AS seq_id
+    FROM c
+  )
+  SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+         CAST(GREATEST(0, seq_id * 128 - cb) AS BIGINT) AS doc_off,
+         CAST(cb + GREATEST(0, seq_id * 128 - cb) - seq_id * 128
+              AS BIGINT) AS seq_off,
+         CAST(CASE WHEN n > 0
+              THEN LEAST(n, (seq_id + 1) * 128 - cb)
+                   - GREATEST(0, seq_id * 128 - cb)
+              ELSE 0 END AS BIGINT) AS seg_tokens
+  FROM s
+"""
+
+
 def q_winnow_pairs(spark, sf):
     """Winnowing (MOSS) fingerprint candidate pairs over documents
     (pipeline.dedup.winnow_fingerprints / winnow_pairs)."""

@@ -9,10 +9,12 @@ between splits. That property — not randomness — is what a 100 TB
 training pipeline needs from its sampler.
 
 Scale posture: ``hash_split`` / ``deterministic_sample`` are map-only
-(no shuffle). ``take_per_key`` is one keyed window. ``pack_documents``
-is a cumulative window per shard: global packing order is sequential by
-nature, so parallelism comes from the shard column (pack within shard);
-the standard concat-and-chunk training layout does exactly this.
+(no shuffle). ``take_per_key`` is one keyed window. The packing family
+(``pack_documents`` / ``pack_sequences``) is a cumulative token sum —
+per-shard keyed window when sharded, and for the UNSHARDED global
+stream the distributed keyless prefix engine (one value-derived hash
+exchange + a P-row carry, ``operators/prefix.py``) instead of a
+one-task window: exact LONG sums make the routes bitwise-identical.
 """
 
 from __future__ import annotations
@@ -138,43 +140,142 @@ def _estimated_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _keyless_cum_before(df: DataFrame, tokens_col: str,
+                        on: str) -> DataFrame:
+    """Exclusive running token sum in ascending ``on`` order on the
+    DISTRIBUTED keyless prefix engine (``operators/prefix.py``): one
+    value-derived hash exchange + a P-row carry job, never a one-task
+    global window. ``on`` becomes the engine's time axis, so it must be
+    an integral column (doc ids are); token counts merge as exact LONG
+    sums, so the route is bitwise-identical to the single-window plan.
+    Returns the input columns plus ``__cum_before`` (long)."""
+    from ..operators.prefix import keyless_cumulative
+
+    dtypes = dict(df.dtypes)
+    if dtypes.get(on) not in ("bigint", "int", "long", "smallint",
+                              "tinyint"):
+        raise TypeError(
+            f"distributed packing orders on {on!r}, which must be an "
+            f"integral column (got {dtypes.get(on)}); pass shard_col "
+            f"or distributed=False for non-integral order keys")
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    # the engine's axis is the `time` column; stash a real one if present
+    stash = "time" in df.columns and on != "time"
+    base = df.withColumnRenamed("time", "_pack_stash_time") if stash else df
+    eng = base if on == "time" else base.withColumn(
+        "time", F.col(on).cast("long"))
+    out = keyless_cumulative(
+        eng,
+        [("toks", lambda d, o: o(F.sum(
+            F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)))), "sum")],
+        lambda st: {"__cum_incl": st["toks"]})
+    out = out.withColumn(
+        "__cum_before",
+        (F.coalesce(F.col("__cum_incl"), F.lit(0)) - tok).cast("long")) \
+        .drop("__cum_incl")
+    if on != "time":
+        out = out.drop("time")
+    if stash:
+        out = out.withColumnRenamed("_pack_stash_time", "time")
+    return out
+
+
+def _pack_keyless_auto(df: DataFrame, distributed: bool | None) -> bool:
+    """Unsharded packing route policy (the ``left_join`` shape): None =
+    distributed when the Catalyst size estimate exceeds the single-task
+    budget OR is unknown — never silently serialize a large corpus."""
+    if distributed is not None:
+        return distributed
+    return _estimated_bytes(df) > _PACK_UNSHARDED_MAX_BYTES
+
+
+def _cum_before(df: DataFrame, tokens_col: str, on: str,
+                shard_col: str | None,
+                distributed: bool | None) -> DataFrame:
+    """Shared exclusive-prefix-token-sum stage for the packing family:
+    per-shard keyed window when sharded (parallel by shard), else the
+    distributed prefix engine or — for small inputs — one window task."""
+    if shard_col is None and _pack_keyless_auto(df, distributed):
+        return _keyless_cum_before(df, tokens_col, on)
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    part = [shard_col] if shard_col else []
+    w = (Window.partitionBy(*part).orderBy(F.col(on))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn("__cum_before",
+                         (F.sum(tok).over(w) - tok).cast("long"))
+
+
 def pack_documents(df: DataFrame, budget: int, tokens_col: str,
                    shard_col: str | None = None,
-                   on: str = "doc_id") -> DataFrame:
+                   on: str = "doc_id",
+                   distributed: bool | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in
     deterministic (shard, id) order and assigned ``bin_id`` =
     floor(cumulative_tokens_before / budget) — the standard training
     layout where documents are concatenated and the stream is chunked
     into ``budget``-token contexts.
 
-    Packing is sequential by definition; parallelism comes from
-    ``shard_col`` (bins are per-shard). With no shard the whole table
-    funnels through ONE task, so the unsharded form REFUSES inputs whose
-    Catalyst size estimate exceeds ``_PACK_UNSHARDED_MAX_BYTES``, and
-    warns loudly when the estimate is unavailable (RDD-backed plans) —
-    pass a shard column, e.g. ``pmod(h28(id), n_shards)``, instead of
-    silently serializing a large corpus."""
-    if shard_col is None:
-        est = _estimated_bytes(df)
-        if _STATS_UNKNOWN > est > _PACK_UNSHARDED_MAX_BYTES:
-            raise ValueError(
-                f"pack_documents without shard_col runs the whole table "
-                f"through one task; input estimate {est} bytes exceeds "
-                f"{_PACK_UNSHARDED_MAX_BYTES}. Pass shard_col (e.g. a "
-                f"hash of {on!r}) to pack per shard in parallel.")
-        if est >= _STATS_UNKNOWN:
-            import warnings
-            warnings.warn(
-                "pack_documents without shard_col serializes packing "
-                "through one task and this input's size is unknown to "
-                "Catalyst; pass shard_col for any corpus that doesn't "
-                "fit one executor", stacklevel=2)
-    part = [shard_col] if shard_col else []
-    w = (Window.partitionBy(*part).orderBy(F.col(on))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
-    out = df.withColumn("bin_id", F.floor(cum / F.lit(budget)).cast("long"))
-    return out
+    Sharded packing parallelizes by ``shard_col`` (bins are per-shard).
+    UNSHARDED packing — one global stream — used to refuse large inputs
+    (the whole table funneled through ONE window task); it now
+    auto-routes the running token sum through the distributed keyless
+    prefix engine (``operators/prefix.py``: one value-derived hash
+    exchange + a P-row carry), so the exact global layout scales
+    without sharding. Token sums are exact LONG arithmetic, so the
+    distributed and single-window routes are bitwise-identical.
+    ``distributed`` as in ``left_join``: None routes by Catalyst size
+    estimate (unknown estimates route distributed — the safe shape)."""
+    from ..timeseries import floor_div
+
+    cum = _cum_before(df, tokens_col, on, shard_col, distributed)
+    return (cum.withColumn("bin_id", floor_div(F.col("__cum_before"),
+                                               int(budget)))
+            .drop("__cum_before"))
+
+
+def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str,
+                   shard_col: str | None = None,
+                   on: str = "doc_id",
+                   distributed: bool | None = None) -> DataFrame:
+    """Concat-and-chunk packing WITH document splitting — the GPT
+    training layout where the (per-shard) token stream is cut every
+    ``seq_len`` tokens and a document spanning a cut contributes a
+    SEGMENT to each sequence it overlaps. One row per (document,
+    overlapped sequence), with the slice coordinates a loader needs:
+
+    - ``seq_id``: 0-based sequence index in the (shard's) stream;
+    - ``doc_off``: first token of the segment within the document;
+    - ``seq_off``: position of the segment within the sequence;
+    - ``seg_tokens``: segment length (0 for empty/null-token docs,
+      which still emit one row at their stream position).
+
+    Every token of every document lands in exactly one segment;
+    sequence ``seq_id`` holds exactly ``seq_len`` tokens except the
+    stream's last. The cumulative stage is the same distributed prefix
+    engine / per-shard window as :func:`pack_documents` (exact LONG
+    sums — route-identical); the split itself is a map-only
+    ``sequence``+``explode`` over the ≤ ceil(n/seq_len)+1 overlapped
+    sequence ids. Scale: one hash exchange for the cumsum, then
+    embarrassingly parallel."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    from ..timeseries import floor_div
+
+    cum = _cum_before(df, tokens_col, on, shard_col, distributed)
+    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    cb = F.col("__cum_before")
+    k0 = floor_div(cb, seq_len)
+    k1 = F.when(n > 0, floor_div(cb + n - 1, seq_len)).otherwise(k0)
+    out = cum.withColumn("seq_id", F.explode(F.sequence(k0, k1)))
+    seq_start = F.col("seq_id") * F.lit(seq_len).cast("long")
+    doc_off = F.greatest(F.lit(0).cast("long"), seq_start - cb)
+    seg_end = F.least(n, seq_start + F.lit(seq_len) - cb)
+    return (out.withColumn("doc_off", doc_off)
+            .withColumn("seq_off", cb + F.col("doc_off") - seq_start)
+            .withColumn("seg_tokens",
+                        F.when(n > 0, seg_end - F.col("doc_off"))
+                        .otherwise(F.lit(0).cast("long")))
+            .drop("__cum_before"))
 
 
 def repeat_dataset(df: DataFrame, factor: float, on: str = "doc_id",

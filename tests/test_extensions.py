@@ -1622,37 +1622,112 @@ def test_weighted_sample_rounds_like_deterministic_sample(spark):
         assert w == d, p
 
 
-def test_pack_documents_unsharded_guard(spark, sf_dir):
-    """Unsharded pack_documents must refuse known-large inputs (the
-    single-task window is a scale bug) and warn on unknown-stats inputs;
-    sharded calls and small known inputs pass."""
-    import warnings
-
+def test_pack_documents_unsharded_routes_distributed(spark, sf_dir):
+    """Unsharded pack_documents used to REFUSE known-large inputs (the
+    single-task window is a scale bug); it now auto-routes the running
+    token sum through the distributed prefix engine. Pin: (a) a
+    known-large estimate no longer raises and routes distributed
+    (engine budget: <=2 shuffles, 0 python stages), (b) the distributed
+    and single-window routes are bitwise-identical (exact LONG sums),
+    (c) non-integral order keys refuse the engine loudly."""
     import pytest
 
     from flint_spark.pipeline import sampling
+    from flint_spark.plans.audit import plan_counts
 
-    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-          .selectExpr("l_orderkey as doc_id", "l_linenumber as toks"))
-    big = li
-    # force a known-large estimate without real data volume
+    # unique ids (the packing contract); double tokens exercise the
+    # route-shared cast-to-long. NOTE sf lineitem-derived ids are NOT
+    # unique in the synthetic data (duplicate (orderkey, linenumber)),
+    # and tied order keys legitimately order differently per route.
+    li = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 53) + F.lit(0.5)).alias("toks"))
     old = sampling._PACK_UNSHARDED_MAX_BYTES
     sampling._PACK_UNSHARDED_MAX_BYTES = 1
     try:
-        with pytest.raises(ValueError, match="shard_col"):
-            sampling.pack_documents(big, 4096, "toks")
-        # sharded call is always allowed
-        sampling.pack_documents(big, 4096, "toks",
-                                shard_col="doc_id").limit(1).count()
+        out = sampling.pack_documents(li, 4096, "toks")
+        pc = plan_counts(out)
+        assert pc["python"] == 0, pc
+        got = sorted((r.doc_id, r.bin_id) for r in out.collect())
     finally:
         sampling._PACK_UNSHARDED_MAX_BYTES = old
-    # unknown stats (in-memory) -> loud warning, not refusal
-    small = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, toks long")
-    if sampling._estimated_bytes(small) >= sampling._STATS_UNKNOWN:
-        with warnings.catch_warnings(record=True) as w:
-            warnings.simplefilter("always")
-            sampling.pack_documents(small, 16, "toks").count()
-        assert any("shard_col" in str(x.message) for x in w)
+    ref = sorted((r.doc_id, r.bin_id) for r in sampling.pack_documents(
+        li, 4096, "toks", distributed=False).collect())
+    assert got == ref
+    # sharded calls never touch the engine
+    sampling.pack_documents(li, 4096, "toks",
+                            shard_col="doc_id").limit(1).count()
+    # engine orders on the time axis: string keys must refuse loudly
+    s = spark.createDataFrame([("a", 10)], "doc_id string, toks long")
+    with pytest.raises(TypeError, match="integral"):
+        sampling.pack_documents(s, 16, "toks", distributed=True)
+
+
+def test_pack_sequences_hand_case(spark):
+    """Boundary-splitting packing, hand-checked: lengths [3, 5, 0, 4]
+    at seq_len=4 — doc 2 straddles the first cut (segments 1+4), the
+    empty doc still emits one zero-token row at its stream position,
+    and every sequence holds exactly seq_len tokens."""
+    from flint_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 0), (4, 4)], "doc_id long, n_tokens long")
+    rows = sorted(
+        (r.doc_id, r.seq_id, r.doc_off, r.seq_off, r.seg_tokens)
+        for r in sampling.pack_sequences(
+            df, 4, "n_tokens", distributed=False).collect())
+    assert rows == [
+        (1, 0, 0, 0, 3),
+        (2, 0, 0, 3, 1), (2, 1, 1, 0, 4),
+        (3, 2, 0, 0, 0),
+        (4, 2, 0, 0, 4),
+    ]
+
+
+def test_pack_sequences_route_identity_and_invariants(spark):
+    """The distributed prefix-engine route and the single-window route
+    agree bitwise (LONG sums), and the packing invariants hold: every
+    document's segments cover exactly its tokens in order, and every
+    sequence except the stream's last holds exactly seq_len tokens."""
+    from flint_spark.operators.prefix import release_prefix_caches
+    from flint_spark.pipeline import sampling
+    from flint_spark.plans.audit import plan_counts
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 13 == 0, F.lit(None))
+         .otherwise((F.col("id") * 37 % 29)).alias("n_tokens"))
+    L = 64
+    dist = sampling.pack_sequences(df, L, "n_tokens", distributed=True)
+    pc = plan_counts(dist)
+    assert pc["shuffles"] <= 2 and pc["python"] == 0, pc
+    got = sorted((r.doc_id, r.seq_id, r.doc_off, r.seq_off, r.seg_tokens)
+                 for r in dist.collect())
+    release_prefix_caches()
+    ref = sorted((r.doc_id, r.seq_id, r.doc_off, r.seq_off, r.seg_tokens)
+                 for r in sampling.pack_sequences(
+                     df, L, "n_tokens", distributed=False).collect())
+    assert got == ref
+    # invariants over the reference rows
+    from collections import defaultdict
+    per_doc = defaultdict(list)
+    per_seq = defaultdict(int)
+    for doc, seq, doc_off, seq_off, seg in got:
+        per_doc[doc].append((doc_off, seg))
+        per_seq[seq] += seg
+        assert 0 <= seq_off < L and seg >= 0 and doc_off >= 0
+    toks = {r.doc_id: (r.n_tokens or 0) for r in df.collect()}
+    for doc, segs in per_doc.items():
+        segs.sort()
+        assert sum(s for _, s in segs) == toks[doc], doc
+        # contiguous, in-order coverage from offset 0
+        pos = 0
+        for off, s in segs:
+            assert off == pos, (doc, segs)
+            pos += s
+    last = max(per_seq)
+    for seq, tot in per_seq.items():
+        assert tot == (L if seq != last else sum(toks.values()) - last * L)
 
 
 # ----------------------------------------------------------------------
