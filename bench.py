@@ -121,6 +121,9 @@ HEADLINE = [
     "corpus_pipeline",
     "back_adjust",
     "volume_bars",
+    # round-8: boundary-splitting sequence packing on the keyless
+    # prefix engine (one hash exchange + map-only explode)
+    "pack_sequences",
 ]
 
 

@@ -269,9 +269,30 @@ def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
     )
 
 
+def _train_subset(emb: DataFrame, train_fraction: float | None,
+                  id_col: str, seed: int) -> DataFrame:
+    """Deterministic id-hash training subset (``train_fraction`` of
+    rows) for the Lloyd trainers — the 100 TB posture: k-means quality
+    needs a representative SAMPLE, not the corpus, so training cost is
+    O(fraction · N) while assignment/search still cover every vector.
+    The md5-bucket predicate (``sampling.deterministic_sample``) is a
+    pure function of (seed, id): the same rows train on every run,
+    engine and layout, so sampled training is exactly
+    train-on-the-subset — SQL-oracle-able with one WHERE clause."""
+    if train_fraction is None:
+        return emb
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError("train_fraction must be in (0, 1]")
+    from .sampling import deterministic_sample
+
+    return deterministic_sample(emb, train_fraction, on=id_col,
+                                salt=f"anntrain{seed}")
+
+
 def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              seed: int = 7, quantize: int | None = None) -> list[list[float]]:
+              seed: int = 7, quantize: int | None = None,
+              train_fraction: float | None = None) -> list[list[float]]:
     """Lloyd iterations for IVF coarse centroids (spherical k-means),
     fully distributed: each iteration is one map-only argmax-cosine
     assignment over inlined centroid literals (``_argmax_centroid``)
@@ -284,8 +305,14 @@ def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
     ``quantize=d`` half-up-rounds every centroid component to d decimals
     after each iteration, which pins the trained centroids across
     engines and aggregation orders (distributed avg is order-dependent
-    in the last ulps) — the SQL-oracle-able mode."""
+    in the last ulps) — the SQL-oracle-able mode.
+
+    ``train_fraction`` trains on a deterministic id-hash subset
+    (:func:`_train_subset`) — identical to calling ``ivf_train`` on
+    that subset directly; pass it whenever the corpus dwarfs what one
+    Lloyd pass should scan."""
     spark = emb.sparkSession
+    emb = _train_subset(emb, train_fraction, id_col, seed)
     base = emb.select(F.col(id_col).alias("vid"),
                       _dvec(F.col(vec_col)).alias("v")).persist()
     seed_rows = (base
@@ -605,7 +632,8 @@ def _pq_dims(emb: DataFrame, m: int, vec_col: str) -> int:
 def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 7,
-             quantize: int | None = None) -> list[list[list[float]]]:
+             quantize: int | None = None,
+             train_fraction: float | None = None) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split each vector into
     ``m`` subspaces and run Lloyd k-means (squared L2, ``ksub``
     centroids) in every subspace — ALL subspaces per iteration in one
@@ -619,8 +647,11 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
     assignment ties break on the lower code; ``quantize=d`` half-up
     rounds every component per iteration so training replays bitwise
     across engines and aggregation orders. Returns
-    codebooks[s][code] = sub-centroid (list of dim/m floats)."""
+    codebooks[s][code] = sub-centroid (list of dim/m floats).
+    ``train_fraction`` as in :func:`ivf_train` (deterministic id-hash
+    training subset — the at-scale mode)."""
     dsub = _pq_dims(emb, m, vec_col)
+    emb = _train_subset(emb, train_fraction, id_col, seed)
     base = emb.select(F.col(id_col).alias("vid"),
                       _dvec(F.col(vec_col)).alias("v")).persist()
     seed_rows = (base
@@ -765,7 +796,8 @@ def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
 def ivfpq_build(emb: DataFrame, k_coarse: int = 8, m: int = 4,
                 ksub: int = 8, coarse_iters: int = 1, pq_iters: int = 1,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                seed: int = 7, quantize: int | None = None):
+                seed: int = 7, quantize: int | None = None,
+                train_fraction: float | None = None):
     """Train the two-level quantizer: Lloyd coarse centroids
     (``ivf_train``, spherical) + PQ codebooks trained on the RESIDUALS
     ``v - c_assign(v)`` (``pq_train`` on a residual projection —
@@ -773,10 +805,14 @@ def ivfpq_build(emb: DataFrame, k_coarse: int = 8, m: int = 4,
     beats PQ-on-raw at equal bits). Returns (centroids, codebooks).
     Driver state: k_coarse x dim + dim x ksub floats; every training
     pass is the same map-only-assign + one-hash-agg shape as the
-    underlying trainers."""
-    cents = ivf_train(emb, k=k_coarse, iters=coarse_iters, id_col=id_col,
+    underlying trainers. ``train_fraction`` flows to BOTH trainers
+    (deterministic id-hash subset, :func:`_train_subset`) — residuals
+    are only computed for the subset, so the whole build scans
+    O(fraction · N) rows while assignment/search cover every vector."""
+    sub = _train_subset(emb, train_fraction, id_col, seed)
+    cents = ivf_train(sub, k=k_coarse, iters=coarse_iters, id_col=id_col,
                       vec_col=vec_col, seed=seed, quantize=quantize)
-    res = _ivfpq_residuals(emb, cents, id_col, vec_col)
+    res = _ivfpq_residuals(sub, cents, id_col, vec_col)
     books = pq_train(res, m=m, ksub=ksub, iters=pq_iters, id_col=id_col,
                      vec_col="residual", seed=seed, quantize=quantize)
     return cents, books

@@ -834,8 +834,42 @@ def r7ops_scale(spark, millions: float = 5.0):
     assert rounds <= 60, f"batched BPE used {rounds} rounds for 100 merges"
 
 
+def r8ops_scale(spark, millions: float = 5.0):
+    """Round-8 surface additions on the prefix engine: sequence
+    packing at 5M docs — the cumsum must stay one multi-task hash
+    exchange (linearity slack 1.25, the engine family's bar) and the
+    boundary-split explode must stay map-only."""
+    from flint_spark.pipeline import sampling
+    from flint_spark.plans.audit import plan_counts
+
+    n_big = int(millions * 1e6)
+    n_small = n_big // 2
+
+    def docs(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.xxhash64("id"), F.lit(900)).alias("n_tokens"))
+
+    def pack(n):
+        return sampling.pack_sequences(docs(n), 2048, "n_tokens",
+                                       distributed=True)
+
+    linearity("pack_sequences (prefix engine)", pack, n_small, n_big,
+              slack=1.25)
+    out = pack(n_big)
+    counts = plan_counts(out)
+    ntasks = out.rdd.getNumPartitions()
+    assert ntasks > 1, f"pack_sequences single-task ({ntasks})"
+    assert counts["python"] == 0, counts
+    print(f"  pack_sequences: {ntasks} tasks, {counts['shuffles']} "
+          f"shuffle(s), 0 python stages OK")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r7ops":
+    if len(sys.argv) > 1 and sys.argv[1] == "r8ops":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
+        r8ops_scale(get_spark("scale_smoke"), m)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r7ops":
         m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
         r7ops_scale(get_spark("scale_smoke"), m)
     elif len(sys.argv) > 1 and sys.argv[1] == "r6ops":

@@ -1663,6 +1663,43 @@ def test_pack_documents_unsharded_routes_distributed(spark, sf_dir):
         sampling.pack_documents(s, 16, "toks", distributed=True)
 
 
+def test_ann_train_fraction_subset_identity(spark, sf_dir):
+    """``train_fraction`` (the at-scale Lloyd mode) trains on a
+    deterministic id-hash subset and is EXACTLY train-on-the-subset:
+    centroids/codebooks equal those from explicitly filtering the same
+    rows; 1.0 is a no-op; out-of-range fractions refuse; sampled-train
+    centroids still serve the FULL corpus."""
+    import pytest
+
+    from flint_spark.pipeline import sampling, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sub = sampling.deterministic_sample(emb, 0.5, on="vec_id",
+                                        salt="anntrain7")
+    a = similarity.ivf_train(emb, k=4, iters=1, quantize=9,
+                             train_fraction=0.5)
+    assert a == similarity.ivf_train(sub, k=4, iters=1, quantize=9)
+    pa = similarity.pq_train(emb, m=4, ksub=4, iters=1, quantize=9,
+                             train_fraction=0.5)
+    assert pa == similarity.pq_train(sub, m=4, ksub=4, iters=1,
+                                     quantize=9)
+    full = similarity.ivf_train(emb, k=4, iters=1, quantize=9)
+    assert similarity.ivf_train(emb, k=4, iters=1, quantize=9,
+                                train_fraction=1.0) == full
+    with pytest.raises(ValueError, match="train_fraction"):
+        similarity.ivf_train(emb, train_fraction=0.0)
+    # ivfpq_build: one subset feeds both trainers; residuals only
+    # computed for the subset
+    ca, ba = similarity.ivfpq_build(emb, k_coarse=4, m=4, ksub=4,
+                                    seed=7, quantize=9,
+                                    train_fraction=0.5)
+    cb = similarity.ivf_train(sub, k=4, iters=1, quantize=9)
+    assert ca == cb
+    # sampled-train centroids serve the full corpus end-to-end
+    out = similarity.ivf_ann_topk_trained(emb, a, [0, 1], k=5, nprobe=2)
+    assert out.count() > 0
+
+
 def test_pack_sequences_hand_case(spark):
     """Boundary-splitting packing, hand-checked: lengths [3, 5, 0, 4]
     at seq_len=4 — doc 2 straddles the first cut (segments 1+4), the
