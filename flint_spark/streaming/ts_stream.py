@@ -2282,3 +2282,78 @@ def volume_bars_stream(stream: DataFrame, threshold: float,
                                    "append", "NoTimeout"))
     vwap = F.when(F.col("volume") != 0, F.col("pv") / F.col("volume"))
     return out.withColumn("vwap", vwap).drop("pv")
+
+
+def pack_sequences_stream(stream: DataFrame, seq_len: int,
+                          tokens_col: str, key: Sequence[str],
+                          on: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``pipeline.sampling.pack_sequences`` (the
+    sharded form; ``key`` = the shard columns): per-key state is ONE
+    long — the running token count — and an arriving document's
+    segment rows depend only on that prefix, so every row emits
+    exactly once, IMMEDIATELY (nothing is held open, unlike the volume
+    clock whose final bar never emits). Integer arithmetic end to end:
+    an in-order replay (ascending ``on`` within key, the file-replay
+    contract) equals the batch operator BITWISE on ALL rows, final
+    document included. Out-of-order arrivals across triggers pack in
+    arrival order — the standard streaming tradeoff; within a trigger
+    rows sort by ``on``. Null token counts pack as 0 (one zero-token
+    row at the document's stream position, the batch rule); token
+    counts must be non-negative (any volume-clock-style contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    key = list(key)
+    L = int(seq_len)
+    base = stream.withColumn(
+        "__n", F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [stream.schema[on],
+           T.StructField("seq_id", T.LongType()),
+           T.StructField("doc_off", T.LongType()),
+           T.StructField("seq_off", T.LongType()),
+           T.StructField("seg_tokens", T.LongType())])
+    state_schema = T.StructType([T.StructField("cum", T.LongType())])
+
+    def fold(key_vals, pdf_iter, state):
+        cum = state.get[0] if state.exists else 0
+        pdf = _trigger_pdf(pd, pdf_iter, sort_col=on)
+        frames = []
+        if pdf is not None and len(pdf):
+            n = pdf["__n"].to_numpy(np.int64)
+            doc = pdf[on].to_numpy()
+            # exclusive integer prefix seeded by the carried state —
+            # exact, so any chunking replays the batch cumsum bitwise
+            cb = cum + np.cumsum(np.r_[np.int64(0), n])[:-1]
+            k0 = cb // L
+            k1 = np.where(n > 0, (cb + np.maximum(n, 1) - 1) // L, k0)
+            counts = (k1 - k0 + 1).astype(np.int64)
+            total = int(counts.sum())
+            # per-document 0..counts-1 ramp -> overlapped sequence ids
+            ramp = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+            seq = np.repeat(k0, counts) + ramp
+            cbr = np.repeat(cb, counts)
+            nr = np.repeat(n, counts)
+            doc_off = np.maximum(np.int64(0), seq * L - cbr)
+            seg_end = np.minimum(nr, (seq + 1) * L - cbr)
+            seg = np.where(nr > 0, seg_end - doc_off, np.int64(0))
+            cum = int(cb[-1] + n[-1])
+            res = pd.DataFrame({on: np.repeat(doc, counts)})
+            for c, v in zip(key, key_vals):
+                res[c] = np.repeat([v], total)
+            res["seq_id"] = seq
+            res["doc_off"] = doc_off
+            res["seq_off"] = cbr + doc_off - seq * L
+            res["seg_tokens"] = seg
+            frames.append(res[[f.name for f in out_schema.fields]])
+        state.update((int(cum),))
+        yield from frames
+
+    return (base.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

@@ -1968,3 +1968,72 @@ def test_volume_bars_stream_chunk_invariance(spark, tmp_path):
     a = _collect_sorted(spark, "mc_vb_one", cols)
     b = _collect_sorted(spark, "mc_vb_many", cols)
     pd.testing.assert_frame_equal(a, b, check_exact=True, obj="mc_vb")
+
+
+def test_pack_sequences_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming sequence packing (37th replay gate): per-shard state
+    is the running token count; segments emit exactly once,
+    immediately — an in-order replay (chunks split on doc_id, the
+    stream's order axis) equals the batch operator on ALL rows,
+    bitwise (integer arithmetic end to end; nothing stays open).
+    Oracle: the per-shard window-cumsum + generate_series batch SQL."""
+    import os
+    import shutil
+
+    docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
+              .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+              .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+              .select("doc_id", "shard", "n_tokens"))
+    out_dir = str(tmp_path / "pack")
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = [None, 150, 350, None]
+    for i in range(3):
+        part = docs_b
+        if bounds[i] is not None:
+            part = part.filter(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("doc_id") < bounds[i + 1])
+        tmp = os.path.join(out_dir, f"_t{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, src),
+                    os.path.join(out_dir, f"chunk_{i}.parquet"))
+        shutil.rmtree(tmp)
+    st = (spark.readStream.schema(docs_b.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = ts_stream.pack_sequences_stream(st, 64, "n_tokens",
+                                          key=["shard"])
+    _run_to_table(out, "so_pack")
+    got = spark.sql("SELECT shard, doc_id, seq_id, doc_off, seq_off, "
+                    "seg_tokens FROM so_pack")
+    sql = """
+      WITH d AS (
+        SELECT doc_id, doc_id % 4 AS shard,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+      ), c AS (
+        SELECT doc_id, shard, n,
+               CAST(COALESCE(sum(n) OVER (PARTITION BY shard
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cb
+        FROM d
+      ), s AS (
+        SELECT doc_id, shard, n, cb,
+               unnest(generate_series(cb // 64,
+                    CASE WHEN n > 0 THEN (cb + n - 1) // 64
+                         ELSE cb // 64 END)) AS seq_id
+        FROM c
+      )
+      SELECT shard, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+             CAST(GREATEST(0, seq_id * 64 - cb) AS BIGINT) AS doc_off,
+             CAST(cb + GREATEST(0, seq_id * 64 - cb) - seq_id * 64
+                  AS BIGINT) AS seq_off,
+             CAST(CASE WHEN n > 0
+                  THEN LEAST(n, (seq_id + 1) * 64 - cb)
+                       - GREATEST(0, seq_id * 64 - cb)
+                  ELSE 0 END AS BIGINT) AS seg_tokens
+      FROM s
+    """
+    ok, msg = compare("so_pack", got, sql, con)
+    assert ok, msg
