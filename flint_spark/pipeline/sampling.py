@@ -140,6 +140,29 @@ def _estimated_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+#: integral dtypes eligible as the distributed packing order axis
+#: (df.dtypes spellings — LongType reports as 'bigint')
+_PACK_INTEGRAL = ("bigint", "int", "smallint", "tinyint")
+
+
+def _tok_long(tokens_col: str) -> Column:
+    """Token count as an exact LONG: NULL packs as 0 (an empty doc at
+    its stream position), fractional values truncate (counts are
+    integers by definition), and NEGATIVE values fail loudly — under
+    legacy sizeOfNull (ANSI off) ``F.size`` of a NULL split is -1, and
+    a -1 flowing into the cumulative sum would silently shift every
+    later document's offsets. Coalesce/clamp upstream if -1 was meant
+    as missing."""
+    raw = F.col(tokens_col).cast("long")
+    bad = F.raise_error(F.concat(
+        F.lit(f"pack: negative token count in {tokens_col!r} "
+              f"(F.size of a NULL array is -1 under legacy sizeOfNull; "
+              f"coalesce it to 0 upstream): "),
+        raw.cast("string")))
+    return F.when(raw < 0, bad.cast("long")) \
+        .otherwise(F.coalesce(raw, F.lit(0)))
+
+
 def _keyless_cum_before(df: DataFrame, tokens_col: str,
                         on: str) -> DataFrame:
     """Exclusive running token sum in ascending ``on`` order on the
@@ -148,45 +171,42 @@ def _keyless_cum_before(df: DataFrame, tokens_col: str,
     global window. ``on`` becomes the engine's time axis, so it must be
     an integral column (doc ids are); token counts merge as exact LONG
     sums, so the route is bitwise-identical to the single-window plan.
-    Returns the input columns plus ``__cum_before`` (long)."""
-    from ..operators.prefix import keyless_cumulative
+    Returns the input columns plus ``__cum_before`` (long), carrying
+    the engine layout's pin (``prefix.propagate_pin``)."""
+    from ..operators.prefix import keyless_cumulative, propagate_pin
 
     dtypes = dict(df.dtypes)
-    if dtypes.get(on) not in ("bigint", "int", "long", "smallint",
-                              "tinyint"):
+    if dtypes.get(on) not in _PACK_INTEGRAL:
         raise TypeError(
             f"distributed packing orders on {on!r}, which must be an "
             f"integral column (got {dtypes.get(on)}); pass shard_col "
             f"or distributed=False for non-integral order keys")
-    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
-    # the engine's axis is the `time` column; stash a real one if present
+    reserved = [c for c in df.columns if c.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"distributed packing reserves '__'-prefixed columns for "
+            f"the prefix engine (which would silently drop {reserved}); "
+            f"rename them or pass distributed=False")
+    tok = _tok_long(tokens_col)
+    # the engine's axis is the `time` column; stash a real one if
+    # present, and ALWAYS cast the key (time_ns_expr rejects
+    # smallint/tinyint; the cast is a no-op for bigint)
     stash = "time" in df.columns and on != "time"
     base = df.withColumnRenamed("time", "_pack_stash_time") if stash else df
-    eng = base if on == "time" else base.withColumn(
-        "time", F.col(on).cast("long"))
+    eng = base.withColumn("time", F.col(on).cast("long"))
     out = keyless_cumulative(
         eng,
-        [("toks", lambda d, o: o(F.sum(
-            F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)))), "sum")],
+        [("toks", lambda d, o: o(F.sum(_tok_long(tokens_col))), "sum")],
         lambda st: {"__cum_incl": st["toks"]})
-    out = out.withColumn(
+    res = out.withColumn(
         "__cum_before",
         (F.coalesce(F.col("__cum_incl"), F.lit(0)) - tok).cast("long")) \
         .drop("__cum_incl")
     if on != "time":
-        out = out.drop("time")
+        res = res.drop("time")
     if stash:
-        out = out.withColumnRenamed("_pack_stash_time", "time")
-    return out
-
-
-def _pack_keyless_auto(df: DataFrame, distributed: bool | None) -> bool:
-    """Unsharded packing route policy (the ``left_join`` shape): None =
-    distributed when the Catalyst size estimate exceeds the single-task
-    budget OR is unknown — never silently serialize a large corpus."""
-    if distributed is not None:
-        return distributed
-    return _estimated_bytes(df) > _PACK_UNSHARDED_MAX_BYTES
+        res = res.withColumnRenamed("_pack_stash_time", "time")
+    return propagate_pin(out, res)
 
 
 def _cum_before(df: DataFrame, tokens_col: str, on: str,
@@ -194,10 +214,28 @@ def _cum_before(df: DataFrame, tokens_col: str, on: str,
                 distributed: bool | None) -> DataFrame:
     """Shared exclusive-prefix-token-sum stage for the packing family:
     per-shard keyed window when sharded (parallel by shard), else the
-    distributed prefix engine or — for small inputs — one window task."""
-    if shard_col is None and _pack_keyless_auto(df, distributed):
-        return _keyless_cum_before(df, tokens_col, on)
-    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    distributed prefix engine or — for small inputs — one window task.
+    Route policy (the ``left_join`` shape): ``distributed=None``
+    auto-routes unsharded inputs distributed when the Catalyst size
+    estimate exceeds the single-task budget OR is unknown; inputs the
+    engine cannot take (non-integral ``on``) fall back to the one-task
+    window with a loud warning instead of breaking."""
+    if shard_col is None and distributed is not False:
+        eligible = dict(df.dtypes).get(on) in _PACK_INTEGRAL
+        auto = distributed if distributed is not None else \
+            _estimated_bytes(df) > _PACK_UNSHARDED_MAX_BYTES
+        if auto and eligible:
+            return _keyless_cum_before(df, tokens_col, on)
+        if auto and distributed:  # explicit ask the engine can't honor
+            return _keyless_cum_before(df, tokens_col, on)  # raises
+        if auto and not eligible:
+            import warnings
+            warnings.warn(
+                f"packing order key {on!r} is not integral, so the "
+                f"distributed prefix route is unavailable and this "
+                f"large/unknown-size input runs through ONE window "
+                f"task; pass shard_col to parallelize", stacklevel=3)
+    tok = _tok_long(tokens_col)
     part = [shard_col] if shard_col else []
     w = (Window.partitionBy(*part).orderBy(F.col(on))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -224,13 +262,22 @@ def pack_documents(df: DataFrame, budget: int, tokens_col: str,
     without sharding. Token sums are exact LONG arithmetic, so the
     distributed and single-window routes are bitwise-identical.
     ``distributed`` as in ``left_join``: None routes by Catalyst size
-    estimate (unknown estimates route distributed — the safe shape)."""
+    estimate (unknown estimates route distributed — the safe shape).
+
+    Token-count semantics (since the distributed route): counts are
+    exact LONG arithmetic on EVERY route — NULL packs as 0, fractional
+    values truncate (counts are integers by definition), and negative
+    values fail loudly (``F.size`` of a NULL split is -1 under legacy
+    sizeOfNull — see :func:`_tok_long`). Before r8 the sharded path
+    float-summed raw values (NULL rows got NULL bins)."""
+    from ..operators.prefix import propagate_pin
     from ..timeseries import floor_div
 
     cum = _cum_before(df, tokens_col, on, shard_col, distributed)
-    return (cum.withColumn("bin_id", floor_div(F.col("__cum_before"),
-                                               int(budget)))
-            .drop("__cum_before"))
+    out = (cum.withColumn("bin_id", floor_div(F.col("__cum_before"),
+                                              int(budget)))
+           .drop("__cum_before"))
+    return propagate_pin(cum, out)
 
 
 def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str,
@@ -259,10 +306,11 @@ def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str,
     embarrassingly parallel."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    from ..operators.prefix import propagate_pin
     from ..timeseries import floor_div
 
     cum = _cum_before(df, tokens_col, on, shard_col, distributed)
-    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    n = _tok_long(tokens_col)
     cb = F.col("__cum_before")
     k0 = floor_div(cb, seq_len)
     k1 = F.when(n > 0, floor_div(cb + n - 1, seq_len)).otherwise(k0)
@@ -270,12 +318,13 @@ def pack_sequences(df: DataFrame, seq_len: int, tokens_col: str,
     seq_start = F.col("seq_id") * F.lit(seq_len).cast("long")
     doc_off = F.greatest(F.lit(0).cast("long"), seq_start - cb)
     seg_end = F.least(n, seq_start + F.lit(seq_len) - cb)
-    return (out.withColumn("doc_off", doc_off)
-            .withColumn("seq_off", cb + F.col("doc_off") - seq_start)
-            .withColumn("seg_tokens",
-                        F.when(n > 0, seg_end - F.col("doc_off"))
-                        .otherwise(F.lit(0).cast("long")))
-            .drop("__cum_before"))
+    res = (out.withColumn("doc_off", doc_off)
+           .withColumn("seq_off", cb + F.col("doc_off") - seq_start)
+           .withColumn("seg_tokens",
+                       F.when(n > 0, seg_end - F.col("doc_off"))
+                       .otherwise(F.lit(0).cast("long")))
+           .drop("__cum_before"))
+    return propagate_pin(cum, res)
 
 
 def repeat_dataset(df: DataFrame, factor: float, on: str = "doc_id",

@@ -2297,19 +2297,23 @@ def pack_sequences_stream(stream: DataFrame, seq_len: int,
     contract) equals the batch operator BITWISE on ALL rows, final
     document included. Out-of-order arrivals across triggers pack in
     arrival order — the standard streaming tradeoff; within a trigger
-    rows sort by ``on``. Null token counts pack as 0 (one zero-token
-    row at the document's stream position, the batch rule); token
-    counts must be non-negative (any volume-clock-style contract)."""
+    rows sort by ``on``. Token-count semantics are the batch
+    operator's (``sampling._tok_long``): NULL packs as 0 (one
+    zero-token row at the document's stream position), fractional
+    truncates, and NEGATIVE counts fail the query loudly — ``F.size``
+    of a NULL split is -1 under legacy sizeOfNull, and a -1 would
+    silently shift every later document's offsets."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from ..pipeline.sampling import _tok_long
 
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     key = list(key)
     L = int(seq_len)
-    base = stream.withColumn(
-        "__n", F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)))
+    base = stream.withColumn("__n", _tok_long(tokens_col))
     out_schema = T.StructType(
         [stream.schema[c] for c in key]
         + [stream.schema[on],

@@ -1657,10 +1657,58 @@ def test_pack_documents_unsharded_routes_distributed(spark, sf_dir):
     # sharded calls never touch the engine
     sampling.pack_documents(li, 4096, "toks",
                             shard_col="doc_id").limit(1).count()
-    # engine orders on the time axis: string keys must refuse loudly
-    s = spark.createDataFrame([("a", 10)], "doc_id string, toks long")
+    # engine orders on the time axis: string keys must refuse an
+    # EXPLICIT distributed ask loudly...
+    s = spark.createDataFrame([("a", 10), ("b", 20)],
+                              "doc_id string, toks long")
     with pytest.raises(TypeError, match="integral"):
         sampling.pack_documents(s, 16, "toks", distributed=True)
+    # ...but auto-routing on a large/unknown input falls back to the
+    # single-task window with a loud warning, not a hard break
+    import warnings
+    sampling._PACK_UNSHARDED_MAX_BYTES = 1
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            n = sampling.pack_documents(s, 16, "toks").count()
+        assert n == 2
+        assert any("ONE window task" in str(x.message) for x in w)
+    finally:
+        sampling._PACK_UNSHARDED_MAX_BYTES = old
+    # '__'-prefixed user columns would be silently dropped by the
+    # engine's data-column filter: refuse instead
+    withdunder = li.withColumn("__prov", F.lit(1))
+    with pytest.raises(ValueError, match="__"):
+        sampling.pack_documents(withdunder, 16, "toks", distributed=True)
+
+
+def test_pack_token_count_contract(spark):
+    """Token counts are exact LONG arithmetic on every route: NULL
+    packs as 0, fractional truncates, and NEGATIVE counts fail loudly
+    — under legacy sizeOfNull (this session's config) ``F.size`` of a
+    NULL split is -1, which would silently shift every later
+    document's offsets if it reached the cumulative sum."""
+    import pytest
+
+    from flint_spark.pipeline import sampling
+
+    # the module's own n_tokens recipe on a NULL text row yields -1
+    docs = spark.createDataFrame([(1, "a b"), (2, None), (3, "c")],
+                                 "doc_id long, text string") \
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+    assert [r.n_tokens for r in docs.orderBy("doc_id").collect()] \
+        == [2, -1, 1]
+    for dist in (False, True):
+        with pytest.raises(Exception, match="negative token count"):
+            sampling.pack_sequences(docs, 4, "n_tokens",
+                                    distributed=dist).collect()
+    # coalesced upstream, the NULL-text doc packs as an empty doc
+    fixed = docs.withColumn("n_tokens",
+                            F.greatest(F.col("n_tokens"), F.lit(0)))
+    rows = sorted((r.doc_id, r.seq_id, r.seg_tokens)
+                  for r in sampling.pack_sequences(
+                      fixed, 4, "n_tokens", distributed=False).collect())
+    assert rows == [(1, 0, 2), (2, 0, 0), (3, 0, 1)]
 
 
 def test_ann_train_fraction_subset_identity(spark, sf_dir):
