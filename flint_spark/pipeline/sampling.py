@@ -125,8 +125,9 @@ def take_per_key(df: DataFrame, key: Sequence[str], n: int,
             .filter(F.col("__rk") <= n).drop("__rk"))
 
 
-#: unsharded pack_documents refuses above this Catalyst size estimate —
-#: a single-task window over more than this is a scale bug, not a choice
+#: unsharded packing auto-routes to the distributed prefix engine above
+#: this Catalyst size estimate — a single-task window over more than
+#: this is a scale bug, not a choice
 _PACK_UNSHARDED_MAX_BYTES = 256 << 20
 
 #: Catalyst reports ~Long.Max for RDD-backed plans with no stats
