@@ -122,8 +122,11 @@ HEADLINE = [
     "back_adjust",
     "volume_bars",
     # round-8: boundary-splitting sequence packing on the keyless
-    # prefix engine (one hash exchange + map-only explode)
+    # prefix engine (one hash exchange + map-only explode), and
+    # next-fit capacity packing (per-shard Arrow recurrence — the one
+    # deliberate python stage in the packing family)
     "pack_sequences",
+    "pack_bins",
 ]
 
 

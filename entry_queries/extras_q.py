@@ -196,6 +196,52 @@ SQL_PACK_SEQUENCES = """
 """
 
 
+def q_pack_bins(spark, sf):
+    """Capacity-respecting NEXT-FIT packing (pipeline.sampling
+    .pack_bins): documents stay whole, a bin never exceeds the budget
+    (oversized docs get their own bin), bins are per-shard. The reset
+    recurrence has no window algebra, so the operator is a per-shard
+    complete-group Arrow scan and the oracle replays it as a DuckDB
+    WITH RECURSIVE CTE stepping document-by-document."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+    packed = sampling.pack_bins(docs, budget=96, tokens_col="n_tokens",
+                                shard_col="shard")
+    return (packed.groupBy("shard", "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("tokens"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+SQL_PACK_BINS = """
+  WITH RECURSIVE d AS (
+    SELECT doc_id, doc_id % 4 AS shard,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+  ), seq AS (
+    SELECT doc_id, shard, n,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM d
+  ), walk AS (
+    SELECT shard, rn, doc_id, n,
+           CAST(0 AS BIGINT) AS bin, n AS fill
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.shard, s.rn, s.doc_id, s.n,
+           CASE WHEN w.fill > 0 AND w.fill + s.n > 96
+                THEN w.bin + 1 ELSE w.bin END,
+           CASE WHEN w.fill > 0 AND w.fill + s.n > 96
+                THEN s.n ELSE w.fill + s.n END
+    FROM walk w JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1
+  )
+  SELECT shard, bin AS bin_id, count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS tokens, min(doc_id) AS first_doc
+  FROM walk GROUP BY 1, 2
+"""
+
+
 def q_winnow_pairs(spark, sf):
     """Winnowing (MOSS) fingerprint candidate pairs over documents
     (pipeline.dedup.winnow_fingerprints / winnow_pairs)."""

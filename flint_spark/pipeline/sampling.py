@@ -601,3 +601,76 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     else:
         sel = F.lit(False)
     return scored.withColumn("selected", sel).drop("__key")
+
+
+def pack_bins(df: DataFrame, budget: int, tokens_col: str,
+              shard_col: str | None = None,
+              on: str = "doc_id") -> DataFrame:
+    """Capacity-respecting NEXT-FIT packing: documents stay WHOLE and a
+    bin's token total never exceeds ``budget`` — the third classic
+    packing layout (``pack_documents`` lets a document straddle bins;
+    ``pack_sequences`` splits it). A new bin opens when the current
+    document no longer fits; a document larger than ``budget`` lands in
+    a bin of its own IF the current bin is non-empty (next-fit's
+    standard oversized rule — it never splits). Adds ``bin_id``
+    (0-based per shard).
+
+    Engine: the reset depends on every prior reset — a non-monoid
+    recurrence with no window algebra — so the per-shard scan rides a
+    complete-group Arrow fold (one keyed exchange, the Kalman /
+    Holt-Winters recurrence pattern) and the oracle replays it as a
+    DuckDB ``WITH RECURSIVE`` CTE stepping document-by-document.
+    UNSHARDED next-fit is inherently one sequential task (nothing to
+    prefix-combine), so the unsharded form refuses inputs past the
+    single-task budget — pass ``shard_col``; token counts follow
+    :func:`_tok_long` (NULL->0, truncate, negatives fail loudly)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if shard_col is None:
+        est = _estimated_bytes(df)
+        if _STATS_UNKNOWN > est > _PACK_UNSHARDED_MAX_BYTES:
+            raise ValueError(
+                f"pack_bins without shard_col is ONE sequential task "
+                f"(next-fit has no mergeable prefix state, unlike "
+                f"pack_documents/pack_sequences) and this input's "
+                f"Catalyst estimate ({est} bytes) exceeds "
+                f"{_PACK_UNSHARDED_MAX_BYTES}; pass shard_col (e.g. "
+                f"pmod(h28({on!r}), n_shards)) to pack per shard")
+        if est >= _STATS_UNKNOWN:
+            import warnings
+            warnings.warn(
+                "pack_bins without shard_col runs next-fit through ONE "
+                "sequential task and this input's size is unknown to "
+                "Catalyst; pass shard_col for any corpus that doesn't "
+                "fit one executor", stacklevel=2)
+    base = df.withColumn("__n", _tok_long(tokens_col))
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField("bin_id", T.LongType())])
+    bud = int(budget)
+    in_cols = list(df.columns)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(on, kind="stable")
+        n = pdf["__n"].to_numpy(np.int64)
+        bins = np.empty(len(n), np.int64)
+        b = 0
+        fill = 0
+        for i, ni in enumerate(n):
+            if fill > 0 and fill + ni > bud:
+                b += 1
+                fill = 0
+            bins[i] = b
+            fill += int(ni)
+        pdf = pdf[in_cols].copy()
+        pdf["bin_id"] = bins
+        return pdf
+
+    if shard_col:
+        return base.groupBy(shard_col).applyInPandas(fold, schema)
+    # one global group (bare integer literals parse as group ordinals)
+    return (base.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandas(fold, schema))

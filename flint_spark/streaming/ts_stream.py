@@ -2361,3 +2361,58 @@ def pack_sequences_stream(stream: DataFrame, seq_len: int,
     return (base.groupBy(*key)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", "NoTimeout"))
+
+
+def pack_bins_stream(stream: DataFrame, budget: int, tokens_col: str,
+                     key: Sequence[str],
+                     on: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``pipeline.sampling.pack_bins`` (next-fit
+    capacity packing; ``key`` = the shard columns): per-key state is
+    (open bin id, its fill), and a document's bin depends only on that
+    running pair, so rows emit exactly once, immediately. The seeded
+    fold replays the batch recurrence exactly — an in-order replay
+    (ascending ``on`` within key) equals the batch operator BITWISE on
+    all rows. Token-count semantics are ``sampling._tok_long``'s
+    (NULL->0, truncate, negatives fail the query)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..pipeline.sampling import _tok_long
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    key = list(key)
+    bud = int(budget)
+    base = stream.withColumn("__n", _tok_long(tokens_col))
+    out_schema = T.StructType(
+        [stream.schema[c] for c in key]
+        + [stream.schema[on],
+           T.StructField("bin_id", T.LongType())])
+    state_schema = T.StructType([T.StructField("bin", T.LongType()),
+                                 T.StructField("fill", T.LongType())])
+
+    def fold(key_vals, pdf_iter, state):
+        b, fill = state.get if state.exists else (0, 0)
+        pdf = _trigger_pdf(pd, pdf_iter, sort_col=on)
+        frames = []
+        if pdf is not None and len(pdf):
+            n = pdf["__n"].to_numpy(np.int64)
+            bins = np.empty(len(n), np.int64)
+            for i, ni in enumerate(n):
+                if fill > 0 and fill + ni > bud:
+                    b += 1
+                    fill = 0
+                bins[i] = b
+                fill += int(ni)
+            res = pd.DataFrame({on: pdf[on].to_numpy()})
+            for c, v in zip(key, key_vals):
+                res[c] = v
+            res["bin_id"] = bins
+            frames.append(res[[f.name for f in out_schema.fields]])
+        state.update((int(b), int(fill)))
+        yield from frames
+
+    return (base.groupBy(*key)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", "NoTimeout"))

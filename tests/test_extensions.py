@@ -1682,6 +1682,69 @@ def test_pack_documents_unsharded_routes_distributed(spark, sf_dir):
         sampling.pack_documents(withdunder, 16, "toks", distributed=True)
 
 
+def test_pack_bins_hand_case_and_invariants(spark):
+    """Next-fit capacity packing: hand case [3,5,2,4] at budget 6 ->
+    bins [0,1,2,2]; an oversized doc occupies its own bin when the
+    current one is non-empty; and on a larger table every bin's total
+    fits the budget unless the bin is a single oversized document,
+    with per-shard bin ids consecutive from 0."""
+    from collections import defaultdict
+
+    from flint_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 5), (3, 2), (4, 4)], "doc_id long, n_tokens long")
+    got = {r.doc_id: r.bin_id for r in sampling.pack_bins(
+        df, 6, "n_tokens").collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 2}
+    big = spark.createDataFrame(
+        [(1, 7), (2, 1)], "doc_id long, n_tokens long")
+    got = {r.doc_id: r.bin_id for r in sampling.pack_bins(
+        big, 6, "n_tokens").collect()}
+    assert got == {1: 0, 2: 1}
+    B = 64
+    tbl = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("shard"),
+        F.when(F.col("id") % 17 == 0, F.lit(None))
+         .otherwise(F.col("id") * 37 % 90).alias("n_tokens"))
+    rows = sampling.pack_bins(tbl, B, "n_tokens",
+                              shard_col="shard").collect()
+    fills = defaultdict(int)
+    docs_in = defaultdict(list)
+    per_shard_bins = defaultdict(set)
+    toks = {r.doc_id: (r.n_tokens or 0) for r in tbl.collect()}
+    for r in rows:
+        fills[(r.shard, r.bin_id)] += toks[r.doc_id]
+        docs_in[(r.shard, r.bin_id)].append(r.doc_id)
+        per_shard_bins[r.shard].add(r.bin_id)
+    for k, tot in fills.items():
+        assert tot <= B or (len(docs_in[k]) == 1
+                            and toks[docs_in[k][0]] > B), k
+    for shard, bins in per_shard_bins.items():
+        assert bins == set(range(len(bins))), shard
+
+
+def test_pack_bins_unsharded_guard(spark):
+    """Unsharded next-fit is ONE sequential task by nature (no
+    mergeable prefix state), so known-large inputs refuse loudly."""
+    import pytest
+
+    from flint_spark.pipeline import sampling
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 F.lit(5).alias("n_tokens"))
+    old = sampling._PACK_UNSHARDED_MAX_BYTES
+    sampling._PACK_UNSHARDED_MAX_BYTES = 1
+    try:
+        with pytest.raises(ValueError, match="shard_col"):
+            sampling.pack_bins(df, 16, "n_tokens")
+    finally:
+        sampling._PACK_UNSHARDED_MAX_BYTES = old
+    with pytest.raises(ValueError, match="budget"):
+        sampling.pack_bins(df, 0, "n_tokens")
+
+
 def test_pack_token_count_contract(spark):
     """Token counts are exact LONG arithmetic on every route: NULL
     packs as 0, fractional truncates, and NEGATIVE counts fail loudly

@@ -2037,3 +2037,64 @@ def test_pack_sequences_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_pack", got, sql, con)
     assert ok, msg
+
+
+def test_pack_bins_stream_vs_duckdb(spark, con, tmp_path):
+    """Streaming next-fit capacity packing (38th replay gate): per-key
+    state is (open bin, fill); the seeded fold replays the batch
+    recurrence exactly, so the in-order replay equals the batch
+    operator on ALL rows, bitwise. Oracle: the same WITH RECURSIVE CTE
+    that gates the batch operator, stepping document-by-document."""
+    import os
+    import shutil
+
+    docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
+              .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+              .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(3)))
+              .select("doc_id", "shard", "n_tokens"))
+    out_dir = str(tmp_path / "bins")
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = [None, 120, 380, None]
+    for i in range(3):
+        part = docs_b
+        if bounds[i] is not None:
+            part = part.filter(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("doc_id") < bounds[i + 1])
+        tmp = os.path.join(out_dir, f"_t{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, src),
+                    os.path.join(out_dir, f"chunk_{i}.parquet"))
+        shutil.rmtree(tmp)
+    st = (spark.readStream.schema(docs_b.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = ts_stream.pack_bins_stream(st, 96, "n_tokens", key=["shard"])
+    _run_to_table(out, "so_bins")
+    got = spark.sql("SELECT shard, doc_id, bin_id FROM so_bins")
+    sql = """
+      WITH RECURSIVE d AS (
+        SELECT doc_id, doc_id % 3 AS shard,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+      ), seq AS (
+        SELECT doc_id, shard, n,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY doc_id) AS rn
+        FROM d
+      ), walk AS (
+        SELECT shard, rn, doc_id, n,
+               CAST(0 AS BIGINT) AS bin, n AS fill
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.rn, s.doc_id, s.n,
+               CASE WHEN w.fill > 0 AND w.fill + s.n > 96
+                    THEN w.bin + 1 ELSE w.bin END,
+               CASE WHEN w.fill > 0 AND w.fill + s.n > 96
+                    THEN s.n ELSE w.fill + s.n END
+        FROM walk w JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1
+      )
+      SELECT shard, doc_id, bin AS bin_id FROM walk
+    """
+    ok, msg = compare("so_bins", got, sql, con)
+    assert ok, msg
