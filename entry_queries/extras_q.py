@@ -206,7 +206,8 @@ def q_pack_bins(spark, sf):
     from flint_spark.pipeline import sampling
     docs = _t(spark, sf, "documents").withColumn(
         "n_tokens", F.size(F.split(F.col("text"), " "))) \
-        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4))) \
+        .select("doc_id", "shard", "n_tokens")  # don't Arrow-ship text
     packed = sampling.pack_bins(docs, budget=96, tokens_col="n_tokens",
                                 shard_col="shard")
     return (packed.groupBy("shard", "bin_id")
@@ -217,8 +218,11 @@ def q_pack_bins(spark, sf):
 
 SQL_PACK_BINS = """
   WITH RECURSIVE d AS (
+    -- COALESCE: a NULL n would otherwise poison the walk's fill/bin
+    -- state for the whole shard (NULL-intolerant recursion), while
+    -- the operator packs NULL as 0 (_tok_long)
     SELECT doc_id, doc_id % 4 AS shard,
-           len(string_split(text, ' ')) AS n
+           COALESCE(len(string_split(text, ' ')), 0) AS n
     FROM documents
   ), seq AS (
     SELECT doc_id, shard, n,

@@ -647,6 +647,12 @@ def pack_bins(df: DataFrame, budget: int, tokens_col: str,
                 "sequential task and this input's size is unknown to "
                 "Catalyst; pass shard_col for any corpus that doesn't "
                 "fit one executor", stacklevel=2)
+    reserved = [c for c in df.columns if c.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"pack_bins reserves '__'-prefixed columns for its scratch "
+            f"state (which would silently overwrite {reserved}); "
+            f"rename them")
     base = df.withColumn("__n", _tok_long(tokens_col))
     schema = T.StructType(list(df.schema.fields)
                           + [T.StructField("bin_id", T.LongType())])
@@ -655,16 +661,7 @@ def pack_bins(df: DataFrame, budget: int, tokens_col: str,
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(on, kind="stable")
-        n = pdf["__n"].to_numpy(np.int64)
-        bins = np.empty(len(n), np.int64)
-        b = 0
-        fill = 0
-        for i, ni in enumerate(n):
-            if fill > 0 and fill + ni > bud:
-                b += 1
-                fill = 0
-            bins[i] = b
-            fill += int(ni)
+        bins, _, _ = _next_fit(np, pdf["__n"].to_numpy(np.int64), bud)
         pdf = pdf[in_cols].copy()
         pdf["bin_id"] = bins
         return pdf
@@ -674,3 +671,18 @@ def pack_bins(df: DataFrame, budget: int, tokens_col: str,
     # one global group (bare integer literals parse as group ordinals)
     return (base.withColumn("__g", F.lit(0)).groupBy("__g")
             .applyInPandas(fold, schema))
+
+
+def _next_fit(np, n, budget: int, b: int = 0, fill: int = 0):
+    """The next-fit recurrence, shared VERBATIM by :func:`pack_bins`
+    and the streaming twin's seeded fold — one body makes the
+    batch==stream bitwise-parity claim true by construction. Returns
+    (bins array, open bin id, its fill)."""
+    bins = np.empty(len(n), np.int64)
+    for i, ni in enumerate(n):
+        if fill > 0 and fill + ni > budget:
+            b += 1
+            fill = 0
+        bins[i] = b
+        fill += int(ni)
+    return bins, int(b), int(fill)

@@ -2378,7 +2378,7 @@ def pack_bins_stream(stream: DataFrame, budget: int, tokens_col: str,
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..pipeline.sampling import _tok_long
+    from ..pipeline.sampling import _next_fit, _tok_long
 
     if budget <= 0:
         raise ValueError("budget must be positive")
@@ -2397,14 +2397,9 @@ def pack_bins_stream(stream: DataFrame, budget: int, tokens_col: str,
         pdf = _trigger_pdf(pd, pdf_iter, sort_col=on)
         frames = []
         if pdf is not None and len(pdf):
-            n = pdf["__n"].to_numpy(np.int64)
-            bins = np.empty(len(n), np.int64)
-            for i, ni in enumerate(n):
-                if fill > 0 and fill + ni > bud:
-                    b += 1
-                    fill = 0
-                bins[i] = b
-                fill += int(ni)
+            # the batch recurrence body, seeded with the carried state
+            bins, b, fill = _next_fit(
+                np, pdf["__n"].to_numpy(np.int64), bud, b, fill)
             res = pd.DataFrame({on: pdf[on].to_numpy()})
             for c, v in zip(key, key_vals):
                 res[c] = v

@@ -28,23 +28,27 @@ def con():
     return duck_con(SF)
 
 
-def _time_split_files(df, out_dir, splits):
-    """Write df as len(splits)+1 single parquet files chunked on time,
-    named in replay (event-time) order."""
+def _split_files(df, out_dir, splits, col):
+    """Write df as len(splits)+1 single parquet files chunked on
+    ``col``, named in replay (ascending-``col``) order."""
     bounds = [None, *splits, None]
     os.makedirs(out_dir, exist_ok=True)
     for i in range(len(bounds) - 1):
         part = df
         if bounds[i] is not None:
-            part = part.filter(F.col("time") >= bounds[i])
+            part = part.filter(F.col(col) >= bounds[i])
         if bounds[i + 1] is not None:
-            part = part.filter(F.col("time") < bounds[i + 1])
+            part = part.filter(F.col(col) < bounds[i + 1])
         tmp = os.path.join(out_dir, f"_tmp{i}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
         src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         shutil.move(os.path.join(tmp, src),
                     os.path.join(out_dir, f"chunk_{i}.parquet"))
         shutil.rmtree(tmp)
+
+
+def _time_split_files(df, out_dir, splits):
+    _split_files(df, out_dir, splits, "time")
 
 
 def _replay(spark, batch_df, out_dir):
@@ -1977,28 +1981,12 @@ def test_pack_sequences_stream_vs_duckdb(spark, con, tmp_path):
     stream's order axis) equals the batch operator on ALL rows,
     bitwise (integer arithmetic end to end; nothing stays open).
     Oracle: the per-shard window-cumsum + generate_series batch SQL."""
-    import os
-    import shutil
-
     docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
               .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
               .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
               .select("doc_id", "shard", "n_tokens"))
     out_dir = str(tmp_path / "pack")
-    os.makedirs(out_dir, exist_ok=True)
-    bounds = [None, 150, 350, None]
-    for i in range(3):
-        part = docs_b
-        if bounds[i] is not None:
-            part = part.filter(F.col("doc_id") >= bounds[i])
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("doc_id") < bounds[i + 1])
-        tmp = os.path.join(out_dir, f"_t{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.move(os.path.join(tmp, src),
-                    os.path.join(out_dir, f"chunk_{i}.parquet"))
-        shutil.rmtree(tmp)
+    _split_files(docs_b, out_dir, [150, 350], "doc_id")
     st = (spark.readStream.schema(docs_b.schema)
           .option("maxFilesPerTrigger", 1).parquet(out_dir))
     out = ts_stream.pack_sequences_stream(st, 64, "n_tokens",
@@ -2045,28 +2033,12 @@ def test_pack_bins_stream_vs_duckdb(spark, con, tmp_path):
     recurrence exactly, so the in-order replay equals the batch
     operator on ALL rows, bitwise. Oracle: the same WITH RECURSIVE CTE
     that gates the batch operator, stepping document-by-document."""
-    import os
-    import shutil
-
     docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
               .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
               .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(3)))
               .select("doc_id", "shard", "n_tokens"))
     out_dir = str(tmp_path / "bins")
-    os.makedirs(out_dir, exist_ok=True)
-    bounds = [None, 120, 380, None]
-    for i in range(3):
-        part = docs_b
-        if bounds[i] is not None:
-            part = part.filter(F.col("doc_id") >= bounds[i])
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("doc_id") < bounds[i + 1])
-        tmp = os.path.join(out_dir, f"_t{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        shutil.move(os.path.join(tmp, src),
-                    os.path.join(out_dir, f"chunk_{i}.parquet"))
-        shutil.rmtree(tmp)
+    _split_files(docs_b, out_dir, [120, 380], "doc_id")
     st = (spark.readStream.schema(docs_b.schema)
           .option("maxFilesPerTrigger", 1).parquet(out_dir))
     out = ts_stream.pack_bins_stream(st, 96, "n_tokens", key=["shard"])
@@ -2074,8 +2046,10 @@ def test_pack_bins_stream_vs_duckdb(spark, con, tmp_path):
     got = spark.sql("SELECT shard, doc_id, bin_id FROM so_bins")
     sql = """
       WITH RECURSIVE d AS (
+        -- COALESCE: a NULL n would poison the walk's NULL-intolerant
+        -- fill/bin recursion for the whole shard
         SELECT doc_id, doc_id % 3 AS shard,
-               len(string_split(text, ' ')) AS n
+               COALESCE(len(string_split(text, ' ')), 0) AS n
         FROM documents
       ), seq AS (
         SELECT doc_id, shard, n,
