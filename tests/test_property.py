@@ -118,6 +118,60 @@ def test_pack_documents_invariants(panel, budget):
         assert (shard["bin_id"].diff().dropna() >= 0).all()  # monotone bins
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), seq_len=st.integers(8, 200))
+def test_pack_sequences_invariants(panel, seq_len):
+    """Boundary-splitting packing: segments cover each document's
+    tokens exactly once, contiguously from offset 0, and every
+    per-shard sequence except the last holds exactly seq_len tokens."""
+    from flint_spark.pipeline import sampling
+
+    pdf = panel.rename(columns={"time": "doc_id"}).drop_duplicates("doc_id")
+    pdf["n_tokens"] = (pdf["v"].abs() % 97).astype(int)  # zeros included
+    df = _spark().createDataFrame(pdf[["doc_id", "id", "n_tokens"]])
+    out = sampling.pack_sequences(df, seq_len, "n_tokens",
+                                  shard_col="id").toPandas()
+    toks = dict(zip(pdf["doc_id"], pdf["n_tokens"]))
+    for doc, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("seq_id")
+        assert list(grp["doc_off"]) == \
+            [0, *grp["seg_tokens"].cumsum()[:-1]]
+        assert grp["seg_tokens"].sum() == toks[doc]
+    for shard, grp in out.groupby("id"):
+        per_seq = grp.groupby("seq_id")["seg_tokens"].sum()
+        last = per_seq.index.max()
+        total = sum(toks[d] for d in pdf[pdf["id"] == shard]["doc_id"])
+        for seq, tot in per_seq.items():
+            assert tot == (seq_len if seq != last
+                           else total - last * seq_len)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), budget=st.integers(8, 300))
+def test_pack_bins_invariants(panel, budget):
+    """Next-fit capacity packing: no document dropped/duplicated, bins
+    monotone in id order, every bin fits the budget unless it holds a
+    single oversized document."""
+    from flint_spark.pipeline import sampling
+
+    pdf = panel.rename(columns={"time": "doc_id"}).drop_duplicates("doc_id")
+    pdf["n_tokens"] = (pdf["v"].abs() % 257).astype(int)
+    df = _spark().createDataFrame(pdf[["doc_id", "id", "n_tokens"]])
+    out = sampling.pack_bins(df, budget=budget, tokens_col="n_tokens",
+                             shard_col="id").toPandas()
+    assert len(out) == len(pdf)
+    for (_, _), grp in out.groupby(["id", "bin_id"]):
+        tot = grp["n_tokens"].sum()
+        assert tot <= budget or (len(grp) == 1
+                                 and grp["n_tokens"].iloc[0] > budget)
+    for _, shard in out.groupby("id"):
+        shard = shard.sort_values("doc_id")
+        assert (shard["bin_id"].diff().dropna() >= 0).all()
+        assert shard["bin_id"].iloc[0] == 0
+
+
 @settings(max_examples=15, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
