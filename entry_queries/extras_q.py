@@ -246,6 +246,41 @@ SQL_PACK_BINS = """
 """
 
 
+def q_balance_shards(spark, sf):
+    """Token-balanced shard assignment (pipeline.sampling
+    .balance_shards): size-magnitude buckets + per-bucket round-robin
+    with rotation — near-equal shard token totals without a global
+    rank (keyed windows only, distributed by bucket). Row-level
+    compare: every document's shard is a pure function of
+    (tokens, doc_id)."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        .select("doc_id", "n_tokens")
+    return (sampling.balance_shards(docs, 8, "n_tokens")
+            .select("doc_id", "n_tokens", "shard"))
+
+
+SQL_BALANCE_SHARDS = """
+  WITH d AS (
+    SELECT doc_id,
+           COALESCE(len(string_split(text, ' ')), 0) AS n_tokens
+    FROM documents
+  ), b AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens <= 0 THEN 0
+                ELSE CAST(floor(log2(n_tokens::DOUBLE)) AS INT)
+           END AS bkt
+    FROM d
+  )
+  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         CAST((row_number() OVER (PARTITION BY bkt
+                ORDER BY n_tokens DESC, doc_id) - 1 + bkt) % 8
+              AS INT) AS shard
+  FROM b
+"""
+
+
 def q_winnow_pairs(spark, sf):
     """Winnowing (MOSS) fingerprint candidate pairs over documents
     (pipeline.dedup.winnow_fingerprints / winnow_pairs)."""

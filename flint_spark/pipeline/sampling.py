@@ -686,3 +686,35 @@ def _next_fit(np, n, budget: int, b: int = 0, fill: int = 0):
         bins[i] = b
         fill += int(ni)
     return bins, int(b), int(fill)
+
+
+def balance_shards(df: DataFrame, n_shards: int, tokens_col: str,
+                   on: str = "doc_id") -> DataFrame:
+    """Assign documents to ``n_shards`` with NEAR-EQUAL token totals —
+    the load-balancing step before sharded packing/tokenization, where
+    hash-sharding can leave one worker with all the long documents.
+
+    Fully distributed (no global rank — a keyless row_number would
+    funnel one task): documents bucket by size magnitude
+    (floor(log2(tokens)), a map-only expression), rank WITHIN each
+    bucket (keyed windows, distributed by bucket), and round-robin
+    across shards with a per-bucket rotation so no shard always
+    receives a bucket's largest member. Docs in one bucket are within
+    2x of each other, and round-robin splits each bucket's count
+    within 1 doc per shard, so shard totals differ by at most ~one
+    max-size document per magnitude class (the property test pins
+    max-min <= 4x the largest document). Deterministic — a pure
+    function of (tokens, id). Adds ``shard`` (int). Token counts
+    follow :func:`_tok_long`."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    tok = _tok_long(tokens_col)
+    bucket = F.when(tok <= 0, F.lit(0)).otherwise(
+        F.floor(F.log2(tok.cast("double"))).cast("int"))
+    base = df.withColumn("__bkt", bucket)
+    w = Window.partitionBy("__bkt").orderBy(
+        _tok_long(tokens_col).desc(), F.col(on))
+    rank = F.row_number().over(w)
+    shard = F.pmod(rank - 1 + F.col("__bkt"), F.lit(n_shards)) \
+        .cast("int")
+    return base.withColumn("shard", shard).drop("__bkt")

@@ -172,6 +172,32 @@ def test_pack_bins_invariants(panel, budget):
         assert shard["bin_id"].iloc[0] == 0
 
 
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(panel=panels(), n_shards=st.integers(1, 8))
+def test_balance_shards_invariants(panel, n_shards):
+    """Token-balanced sharding: every document assigned exactly one
+    shard in [0, n); per-shard token totals spread at most 4x the
+    largest document (per-magnitude-bucket round-robin bound); and
+    the assignment is a pure function of (tokens, id) — rerun equal."""
+    from flint_spark.pipeline import sampling
+
+    pdf = panel.rename(columns={"time": "doc_id"}).drop_duplicates("doc_id")
+    pdf["n_tokens"] = (pdf["v"].abs() % 997).astype(int)
+    df = _spark().createDataFrame(pdf[["doc_id", "n_tokens"]])
+    out = sampling.balance_shards(df, n_shards, "n_tokens").toPandas()
+    assert len(out) == len(pdf)
+    assert out["shard"].between(0, n_shards - 1).all()
+    sums = out.groupby("shard")["n_tokens"].sum()
+    sums = sums.reindex(range(n_shards), fill_value=0)
+    mx = int(out["n_tokens"].max())
+    assert sums.max() - sums.min() <= 4 * max(mx, 1), sums
+    again = sampling.balance_shards(df, n_shards, "n_tokens").toPandas()
+    a = dict(zip(out["doc_id"], out["shard"]))
+    b = dict(zip(again["doc_id"], again["shard"]))
+    assert a == b
+
+
 @settings(max_examples=15, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60,
