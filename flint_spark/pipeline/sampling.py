@@ -689,32 +689,48 @@ def _next_fit(np, n, budget: int, b: int = 0, fill: int = 0):
 
 
 def balance_shards(df: DataFrame, n_shards: int, tokens_col: str,
-                   on: str = "doc_id") -> DataFrame:
+                   on: str = "doc_id",
+                   sub_buckets: int = 1) -> DataFrame:
     """Assign documents to ``n_shards`` with NEAR-EQUAL token totals —
     the load-balancing step before sharded packing/tokenization, where
     hash-sharding can leave one worker with all the long documents.
 
-    Fully distributed (no global rank — a keyless row_number would
-    funnel one task): documents bucket by size magnitude
-    (floor(log2(tokens)), a map-only expression), rank WITHIN each
-    bucket (keyed windows, distributed by bucket), and round-robin
-    across shards with a per-bucket rotation so no shard always
-    receives a bucket's largest member. Docs in one bucket are within
-    2x of each other, and round-robin splits each bucket's count
-    within 1 doc per shard, so shard totals differ by at most ~one
-    max-size document per magnitude class (the property test pins
-    max-min <= 4x the largest document). Deterministic — a pure
-    function of (tokens, id). Adds ``shard`` (int). Token counts
-    follow :func:`_tok_long`."""
+    No global rank (a keyless row_number would funnel one task):
+    documents bucket by size magnitude (floor(log2(tokens)), a
+    map-only expression), rank WITHIN each bucket (keyed windows),
+    and round-robin across shards with a per-bucket rotation so no
+    shard always receives a bucket's largest member. Docs in one
+    bucket are within 2x of each other and round-robin splits each
+    bucket's count within 1 doc per shard, so shard totals differ by
+    at most ~one max-size document per magnitude class (the property
+    test pins max-min <= 4x the largest document for
+    ``sub_buckets=1``).
+
+    SCALE: there are only ~log2(max_tokens) ≈ 30 magnitude classes, so
+    the default ranks each class in ONE task — fine up to a few
+    hundred million docs per class, a funnel beyond. ``sub_buckets=K``
+    splits every class into K deterministic id-hash sub-buckets ranked
+    independently (parallelism ≈ classes x K); each sub-bucket
+    round-robins with its own rotation, so the absolute spread bound
+    loosens to K·4·max_doc — negligible RELATIVE to per-shard totals
+    at exactly the corpus sizes that need K > 1. Deterministic — a
+    pure function of (tokens, id) either way. Adds ``shard`` (int).
+    Token counts follow :func:`_tok_long`."""
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if sub_buckets <= 0:
+        raise ValueError("sub_buckets must be positive")
     tok = _tok_long(tokens_col)
     bucket = F.when(tok <= 0, F.lit(0)).otherwise(
         F.floor(F.log2(tok.cast("double"))).cast("int"))
-    base = df.withColumn("__bkt", bucket)
-    w = Window.partitionBy("__bkt").orderBy(
+    sub = F.pmod(h28(F.concat(F.lit("balshard"),
+                              F.col(on).cast("string"))),
+                 F.lit(sub_buckets)).cast("int") \
+        if sub_buckets > 1 else F.lit(0)
+    base = df.withColumn("__bkt", bucket).withColumn("__sub", sub)
+    w = Window.partitionBy("__bkt", "__sub").orderBy(
         _tok_long(tokens_col).desc(), F.col(on))
     rank = F.row_number().over(w)
-    shard = F.pmod(rank - 1 + F.col("__bkt"), F.lit(n_shards)) \
-        .cast("int")
-    return base.withColumn("shard", shard).drop("__bkt")
+    shard = F.pmod(rank - 1 + F.col("__bkt") + F.col("__sub"),
+                   F.lit(n_shards)).cast("int")
+    return base.withColumn("shard", shard).drop("__bkt", "__sub")

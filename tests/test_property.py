@@ -174,25 +174,29 @@ def test_pack_bins_invariants(panel, budget):
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=list(HealthCheck))
-@given(panel=panels(), n_shards=st.integers(1, 8))
-def test_balance_shards_invariants(panel, n_shards):
+@given(panel=panels(), n_shards=st.integers(1, 8),
+       k=st.integers(1, 4))
+def test_balance_shards_invariants(panel, n_shards, k):
     """Token-balanced sharding: every document assigned exactly one
-    shard in [0, n); per-shard token totals spread at most 4x the
-    largest document (per-magnitude-bucket round-robin bound); and
-    the assignment is a pure function of (tokens, id) — rerun equal."""
+    shard in [0, n); per-shard token totals spread at most K*4x the
+    largest document (per-(magnitude, sub-bucket) round-robin bound,
+    K=1 default); and the assignment is a pure function of
+    (tokens, id) — rerun equal."""
     from flint_spark.pipeline import sampling
 
     pdf = panel.rename(columns={"time": "doc_id"}).drop_duplicates("doc_id")
     pdf["n_tokens"] = (pdf["v"].abs() % 997).astype(int)
     df = _spark().createDataFrame(pdf[["doc_id", "n_tokens"]])
-    out = sampling.balance_shards(df, n_shards, "n_tokens").toPandas()
+    out = sampling.balance_shards(df, n_shards, "n_tokens",
+                                  sub_buckets=k).toPandas()
     assert len(out) == len(pdf)
     assert out["shard"].between(0, n_shards - 1).all()
     sums = out.groupby("shard")["n_tokens"].sum()
     sums = sums.reindex(range(n_shards), fill_value=0)
     mx = int(out["n_tokens"].max())
-    assert sums.max() - sums.min() <= 4 * max(mx, 1), sums
-    again = sampling.balance_shards(df, n_shards, "n_tokens").toPandas()
+    assert sums.max() - sums.min() <= k * 4 * max(mx, 1), sums
+    again = sampling.balance_shards(df, n_shards, "n_tokens",
+                                    sub_buckets=k).toPandas()
     a = dict(zip(out["doc_id"], out["shard"]))
     b = dict(zip(again["doc_id"], again["shard"]))
     assert a == b
