@@ -281,6 +281,62 @@ SQL_BALANCE_SHARDS = """
 """
 
 
+def q_shard_and_pack(spark, sf):
+    """End-to-end packing pipeline composite: token-balanced sharding
+    (balance_shards) feeding next-fit capacity packing (pack_bins,
+    per computed shard) — the two-stage layout a tokenization job
+    actually runs. One keyed-window exchange for the ranks, one
+    shuffle + Arrow fold for the per-shard walk; row-level compare of
+    every document's (shard, bin)."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        .select("doc_id", "n_tokens")
+    sharded = sampling.balance_shards(docs, 4, "n_tokens")
+    packed = sampling.pack_bins(sharded, budget=128,
+                                tokens_col="n_tokens",
+                                shard_col="shard")
+    return packed.select("doc_id", "shard", "bin_id")
+
+
+SQL_SHARD_AND_PACK = """
+  WITH RECURSIVE d AS (
+    SELECT doc_id,
+           COALESCE(len(string_split(text, ' ')), 0) AS n
+    FROM documents
+  ), b AS (
+    SELECT doc_id, n,
+           CASE WHEN n <= 0 THEN 0
+                ELSE CAST(floor(log2(n::DOUBLE)) AS INT)
+           END AS bkt
+    FROM d
+  ), sharded AS (
+    SELECT doc_id, n,
+           (row_number() OVER (PARTITION BY bkt
+                ORDER BY n DESC, doc_id) - 1 + bkt) % 4 AS shard
+    FROM b
+  ), seq AS (
+    SELECT doc_id, shard, n,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY doc_id) AS rn
+    FROM sharded
+  ), walk AS (
+    SELECT shard, rn, doc_id, n,
+           CAST(0 AS BIGINT) AS bin, n AS fill
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.shard, s.rn, s.doc_id, s.n,
+           CASE WHEN w.fill > 0 AND w.fill + s.n > 128
+                THEN w.bin + 1 ELSE w.bin END,
+           CASE WHEN w.fill > 0 AND w.fill + s.n > 128
+                THEN s.n ELSE w.fill + s.n END
+    FROM walk w JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1
+  )
+  SELECT doc_id, CAST(shard AS INT) AS shard, bin AS bin_id
+  FROM walk
+"""
+
+
 def q_winnow_pairs(spark, sf):
     """Winnowing (MOSS) fingerprint candidate pairs over documents
     (pipeline.dedup.winnow_fingerprints / winnow_pairs)."""
