@@ -28,6 +28,29 @@ def R(col, k: int):
     return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
 
 
+def Rq(col, k: int, pre: int = 9):
+    """Double rounding for BOUNDARY-FRAGILE ratios: pre-snap to the
+    1e-{pre} grid, then half-up at 1e-{k}.
+
+    ``R`` guarantees identical results only on identical doubles. A
+    ratio of windowed sums differs across engines by ulps (Spark's
+    growing frame folds sequentially, DuckDB's segment tree pairwise),
+    and when the TRUE value sits exactly on a half-up boundary (e.g. a
+    beta of exactly -0.56475 from 2-decimal inputs — observed at sf0.1,
+    2 rows in 94k), floor(x*10^k + 0.5) becomes a per-engine coin
+    flip. Pre-snapping both engines' values (within ~1e-12 of each
+    other) onto the same 1e-9 grid point first makes the final
+    rounding operate on IDENTICAL doubles; a flip now needs the true
+    value within ulps of a 1e-9 HALF-boundary that also abuts the
+    1e-{k} half point — 5 orders of magnitude less likely. SQL twin:
+    ``floor(floor(v*1e9 + 0.5)/1e9 * 10^k + 0.5)/10^k``.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    p = float(10 ** pre)
+    return R(F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p), k)
+
+
 # ----------------------------------------------------------------------
 # loaders
 # ----------------------------------------------------------------------

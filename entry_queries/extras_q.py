@@ -1974,11 +1974,16 @@ def q_rolling_ols(spark, sf):
     out = regression.rolling_ols(ev, "value", "x",
                                  W.past_absolute_time("7d"),
                                  key=["user_id"], min_samples=5)
+    # Rq (double rounding): at sf0.1 two rows' true beta/alpha sit
+    # EXACTLY on the 1e-4 half-up boundary, where the engines' ulp
+    # divergence (sequential vs segment-tree sum folds) makes a single
+    # floor(x*1e4+0.5) a per-engine coin flip
+    from entry_queries.common import Rq
     return (out.filter(F.col("beta").isNotNull())
             .select(TIME_COLUMN, "event_id", "user_id",
-                    R("beta", 4).alias("beta"),
-                    R("alpha", 4).alias("alpha"),
-                    R("r2", 6).alias("r2")))
+                    Rq("beta", 4).alias("beta"),
+                    Rq("alpha", 4).alias("alpha"),
+                    Rq("r2", 6).alias("r2")))
 
 
 SQL_ROLLING_OLS = """
@@ -2019,14 +2024,19 @@ SQL_ROLLING_OLS = """
                             AND 604800000001 PRECEDING)
   )
   SELECT time, event_id, user_id,
-         floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000 + 0.5)
-           / 10000 AS beta,
-         floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+         -- double rounding (common.Rq twin): pre-snap to the 1e9 grid
+         -- so both engines' ulp-divergent ratios round from IDENTICAL
+         -- doubles — true values exactly on a 1e-4 half boundary
+         -- (observed at sf0.1) flip a single floor per engine
+         floor(floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                     * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000 AS beta,
+         floor(floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                       * sx) / n) * 1e9 + 0.5) / 1e9
                * 10000 + 0.5) / 10000 AS alpha,
          CASE WHEN n * syy - sy * sy > 0 THEN
-           floor((power(n * sxy - sx * sy, 2)
-                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
-                 * 1000000 + 0.5) / 1000000
+           floor(floor((power(n * sxy - sx * sy, 2)
+                        / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                       * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000
          END AS r2
   FROM s WHERE n >= 5 AND n * sxx - sx * sx > 0
 """
@@ -2118,12 +2128,15 @@ def q_rolling_ols_multi(spark, sf):
     out = regression.rolling_ols_multi(ev, "value", ["x1", "x2"],
                                        W.past_absolute_time("7d"),
                                        key=["user_id"], min_samples=5)
+    # Rq: same boundary-fragility class as rolling_ols — a b1 row sits
+    # 1.3e-11 from the 1e-4 half boundary at sf0.1 (passing by luck)
+    from entry_queries.common import Rq
     return (out.filter(F.col("beta").isNotNull())
             .select(TIME_COLUMN, "event_id", "user_id",
-                    R("alpha", 4).alias("alpha"),
-                    R(F.col("beta")[0], 4).alias("b1"),
-                    R(F.col("beta")[1], 4).alias("b2"),
-                    R("r2", 6).alias("r2")))
+                    Rq("alpha", 4).alias("alpha"),
+                    Rq(F.col("beta")[0], 4).alias("b1"),
+                    Rq(F.col("beta")[1], 4).alias("b2"),
+                    Rq("r2", 6).alias("r2")))
 
 
 SQL_ROLLING_OLS_MULTI = """
@@ -2172,12 +2185,15 @@ SQL_ROLLING_OLS_MULTI = """
     FROM solved WHERE n >= 5 AND det <> 0
   )
   SELECT time, event_id, user_id,
-         floor(alpha * 10000 + 0.5) / 10000 AS alpha,
-         floor(b1 * 10000 + 0.5) / 10000 AS b1,
-         floor(b2 * 10000 + 0.5) / 10000 AS b2,
+         -- double rounding (common.Rq twin; see rolling_ols)
+         floor(floor(alpha * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000
+           AS alpha,
+         floor(floor(b1 * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000 AS b1,
+         floor(floor(b2 * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000 AS b2,
          CASE WHEN syy - sy * sy / n > 0 THEN
-           floor((1.0 - (syy - alpha * sy - b1 * p - b2 * q)
-                        / (syy - sy * sy / n)) * 1000000 + 0.5) / 1000000
+           floor(floor((1.0 - (syy - alpha * sy - b1 * p - b2 * q)
+                        / (syy - sy * sy / n)) * 1e9 + 0.5) / 1e9
+                 * 1000000 + 0.5) / 1000000
          END AS r2
   FROM coefs
 """
