@@ -28,6 +28,13 @@ def R(col, k: int):
     return F.floor(col * F.lit(m) + F.lit(0.5)) / F.lit(m)
 
 
+#: Rq pre-snaps only below this magnitude: above it Spark's F.floor
+#: (LONG-valued) could saturate at |v|*1e9 > 2^63 while DuckDB's floor
+#: stays DOUBLE — and for |v| > ~1e6 the double's own ulp already
+#: exceeds the 1e-9 grid, so the snap buys nothing there anyway
+_RQ_PRESNAP_MAX = 1.0e6
+
+
 def Rq(col, k: int, pre: int = 9):
     """Double rounding for BOUNDARY-FRAGILE ratios: pre-snap to the
     1e-{pre} grid, then half-up at 1e-{k}.
@@ -42,13 +49,35 @@ def Rq(col, k: int, pre: int = 9):
     other) onto the same 1e-9 grid point first makes the final
     rounding operate on IDENTICAL doubles; a flip now needs the true
     value within ulps of a 1e-9 HALF-boundary that also abuts the
-    1e-{k} half point — 5 orders of magnitude less likely. SQL twin:
-    ``floor(floor(v*1e9 + 0.5)/1e9 * 10^k + 0.5)/10^k``.
+    1e-{k} half point — 5 orders of magnitude less likely.
+
+    Values past ``_RQ_PRESNAP_MAX`` skip the snap (plain ``R``):
+    Spark's LONG floor would saturate near 2^63 where DuckDB's DOUBLE
+    floor does not, and the grid is below one ulp there regardless.
+    SQL twin::
+
+        CASE WHEN abs(v) < 1e6
+             THEN floor(floor(v*1e9 + 0.5)/1e9 * 10^k + 0.5)/10^k
+             ELSE floor(v * 10^k + 0.5)/10^k END
     """
     if isinstance(col, str):
         col = F.col(col)
     p = float(10 ** pre)
-    return R(F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p), k)
+    snapped = F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+    guarded = F.when(F.abs(col) < F.lit(_RQ_PRESNAP_MAX), snapped) \
+        .otherwise(col)
+    return R(guarded, k)
+
+
+def rq_sql(expr: str, k: int) -> str:
+    """DuckDB fragment computing exactly :func:`Rq` — keep the two in
+    lockstep. ``expr`` should be a simple column reference (it is
+    repeated four times)."""
+    m = 10 ** k
+    return (f"CASE WHEN abs({expr}) < 1e6 "
+            f"THEN floor(floor(({expr}) * 1e9 + 0.5) / 1e9 "
+            f"* {m} + 0.5) / {m} "
+            f"ELSE floor(({expr}) * {m} + 0.5) / {m} END")
 
 
 # ----------------------------------------------------------------------

@@ -14,7 +14,7 @@ from flint_spark.pipeline import dedup, multimodal, similarity, text as text_ops
 from flint_spark.pipeline.hashing import P, minhash_params, hyperplanes
 from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
 
-from .common import (R, _ensure_session_confs, _t, _events, _lineitem,
+from .common import (R, Rq, rq_sql, _ensure_session_confs, _t, _events, _lineitem,
                      _orders_right, _ORDERS_RIGHT_SQL)
 def q_lag_sum(spark, sf):
     """Overlappable-window lagSum (reference
@@ -125,7 +125,7 @@ def q_pack_documents(spark, sf):
     token counts (pipeline.sampling.pack_documents)."""
     from flint_spark.pipeline import sampling
     docs = _t(spark, sf, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0))) \
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
     packed = sampling.pack_documents(docs, budget=512, tokens_col="n_tokens",
                                      shard_col="shard")
@@ -161,7 +161,7 @@ def q_pack_sequences(spark, sf):
     arithmetic end-to-end — bitwise vs the oracle's global window."""
     from flint_spark.pipeline import sampling
     docs = _t(spark, sf, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), " ")))
+        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0)))
     segs = sampling.pack_sequences(docs, 128, "n_tokens",
                                    distributed=True)
     return segs.select("doc_id", "seq_id", "doc_off", "seq_off",
@@ -205,7 +205,7 @@ def q_pack_bins(spark, sf):
     WITH RECURSIVE CTE stepping document-by-document."""
     from flint_spark.pipeline import sampling
     docs = _t(spark, sf, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0))) \
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4))) \
         .select("doc_id", "shard", "n_tokens")  # don't Arrow-ship text
     packed = sampling.pack_bins(docs, budget=96, tokens_col="n_tokens",
@@ -255,7 +255,7 @@ def q_balance_shards(spark, sf):
     (tokens, doc_id)."""
     from flint_spark.pipeline import sampling
     docs = _t(spark, sf, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0))) \
         .select("doc_id", "n_tokens")
     return (sampling.balance_shards(docs, 8, "n_tokens")
             .select("doc_id", "n_tokens", "shard"))
@@ -290,7 +290,7 @@ def q_shard_and_pack(spark, sf):
     every document's (shard, bin)."""
     from flint_spark.pipeline import sampling
     docs = _t(spark, sf, "documents").withColumn(
-        "n_tokens", F.size(F.split(F.col("text"), " "))) \
+        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0))) \
         .select("doc_id", "n_tokens")
     sharded = sampling.balance_shards(docs, 4, "n_tokens")
     packed = sampling.pack_bins(sharded, budget=128,
@@ -1978,7 +1978,6 @@ def q_rolling_ols(spark, sf):
     # EXACTLY on the 1e-4 half-up boundary, where the engines' ulp
     # divergence (sequential vs segment-tree sum folds) makes a single
     # floor(x*1e4+0.5) a per-engine coin flip
-    from entry_queries.common import Rq
     return (out.filter(F.col("beta").isNotNull())
             .select(TIME_COLUMN, "event_id", "user_id",
                     Rq("beta", 4).alias("beta"),
@@ -1986,7 +1985,7 @@ def q_rolling_ols(spark, sf):
                     Rq("r2", 6).alias("r2")))
 
 
-SQL_ROLLING_OLS = """
+SQL_ROLLING_OLS = f"""
   WITH e AS (
     SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x
@@ -2023,22 +2022,26 @@ SQL_ROLLING_OLS = """
                   RANGE BETWEEN UNBOUNDED PRECEDING
                             AND 604800000001 PRECEDING)
   )
+  , coefs AS (
+    SELECT time, event_id, user_id,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta_raw,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS alpha_raw,
+           CASE WHEN n * syy - sy * sy > 0 THEN
+             power(n * sxy - sx * sy, 2)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+           END AS r2_raw
+    FROM s WHERE n >= 5 AND n * sxx - sx * sx > 0
+  )
   SELECT time, event_id, user_id,
-         -- double rounding (common.Rq twin): pre-snap to the 1e9 grid
-         -- so both engines' ulp-divergent ratios round from IDENTICAL
-         -- doubles — true values exactly on a 1e-4 half boundary
-         -- (observed at sf0.1) flip a single floor per engine
-         floor(floor(((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                     * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000 AS beta,
-         floor(floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                       * sx) / n) * 1e9 + 0.5) / 1e9
-               * 10000 + 0.5) / 10000 AS alpha,
-         CASE WHEN n * syy - sy * sy > 0 THEN
-           floor(floor((power(n * sxy - sx * sy, 2)
-                        / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
-                       * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000
-         END AS r2
-  FROM s WHERE n >= 5 AND n * sxx - sx * sx > 0
+         -- common.rq_sql twin of Rq: double rounding so both engines'
+         -- ulp-divergent ratios round from IDENTICAL doubles — true
+         -- values exactly on a 1e-4 half boundary (observed at sf0.1)
+         -- flip a single floor per engine
+         {rq_sql('beta_raw', 4)} AS beta,
+         {rq_sql('alpha_raw', 4)} AS alpha,
+         {rq_sql('r2_raw', 6)} AS r2
+  FROM coefs
 """
 
 
@@ -2130,7 +2133,6 @@ def q_rolling_ols_multi(spark, sf):
                                        key=["user_id"], min_samples=5)
     # Rq: same boundary-fragility class as rolling_ols — a b1 row sits
     # 1.3e-11 from the 1e-4 half boundary at sf0.1 (passing by luck)
-    from entry_queries.common import Rq
     return (out.filter(F.col("beta").isNotNull())
             .select(TIME_COLUMN, "event_id", "user_id",
                     Rq("alpha", 4).alias("alpha"),
@@ -2139,7 +2141,7 @@ def q_rolling_ols_multi(spark, sf):
                     Rq("r2", 6).alias("r2")))
 
 
-SQL_ROLLING_OLS_MULTI = """
+SQL_ROLLING_OLS_MULTI = f"""
   WITH e AS (
     SELECT CAST(ts AS TIMESTAMP) AS time, event_id, user_id, value,
            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS x1,
@@ -2184,18 +2186,21 @@ SQL_ROLLING_OLS_MULTI = """
               + sy * (a * d - c * b)) / det AS b2
     FROM solved WHERE n >= 5 AND det <> 0
   )
+  , fin AS (
+    SELECT time, event_id, user_id, alpha, b1, b2,
+           CASE WHEN syy - sy * sy / n > 0 THEN
+             1.0 - (syy - alpha * sy - b1 * p - b2 * q)
+                   / (syy - sy * sy / n)
+           END AS r2_raw
+    FROM coefs
+  )
   SELECT time, event_id, user_id,
-         -- double rounding (common.Rq twin; see rolling_ols)
-         floor(floor(alpha * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000
-           AS alpha,
-         floor(floor(b1 * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000 AS b1,
-         floor(floor(b2 * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000 AS b2,
-         CASE WHEN syy - sy * sy / n > 0 THEN
-           floor(floor((1.0 - (syy - alpha * sy - b1 * p - b2 * q)
-                        / (syy - sy * sy / n)) * 1e9 + 0.5) / 1e9
-                 * 1000000 + 0.5) / 1000000
-         END AS r2
-  FROM coefs
+         -- common.rq_sql twin of Rq (see rolling_ols)
+         {rq_sql('alpha', 4)} AS alpha,
+         {rq_sql('b1', 4)} AS b1,
+         {rq_sql('b2', 4)} AS b2,
+         {rq_sql('r2_raw', 6)} AS r2
+  FROM fin
 """
 
 

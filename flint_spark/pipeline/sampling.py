@@ -720,6 +720,13 @@ def balance_shards(df: DataFrame, n_shards: int, tokens_col: str,
         raise ValueError("n_shards must be positive")
     if sub_buckets <= 0:
         raise ValueError("sub_buckets must be positive")
+    bad = [c for c in df.columns
+           if c.startswith("__") or c == "shard"]
+    if bad:
+        raise ValueError(
+            f"balance_shards reserves '__'-prefixed scratch columns and "
+            f"the 'shard' output name (would silently overwrite {bad}); "
+            f"rename them")
     tok = _tok_long(tokens_col)
     bucket = F.when(tok <= 0, F.lit(0)).otherwise(
         F.floor(F.log2(tok.cast("double"))).cast("int"))

@@ -2382,6 +2382,12 @@ def pack_bins_stream(stream: DataFrame, budget: int, tokens_col: str,
 
     if budget <= 0:
         raise ValueError("budget must be positive")
+    reserved = [c for c in stream.columns if c.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"pack_bins_stream reserves '__'-prefixed columns for its "
+            f"scratch state (would silently overwrite {reserved}); "
+            f"rename them — same contract as the batch twin")
     key = list(key)
     bud = int(budget)
     base = stream.withColumn("__n", _tok_long(tokens_col))

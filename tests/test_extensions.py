@@ -1745,6 +1745,27 @@ def test_pack_bins_unsharded_guard(spark):
         sampling.pack_bins(df, 0, "n_tokens")
 
 
+def test_balance_shards_reserved_columns(spark):
+    """balance_shards refuses inputs whose columns its scratch state or
+    output would silently overwrite — the pack_bins contract."""
+    import pytest
+
+    from flint_spark.pipeline import sampling
+
+    base = spark.range(10).select(F.col("id").alias("doc_id"),
+                                  F.lit(5).alias("n_tokens"))
+    for col in ("__bkt", "shard"):
+        with pytest.raises(ValueError, match="reserves"):
+            sampling.balance_shards(base.withColumn(col, F.lit(1)),
+                                    4, "n_tokens")
+    # streaming pack_bins shares the batch twin's guard
+    from flint_spark.streaming import ts_stream
+    with pytest.raises(ValueError, match="reserves"):
+        ts_stream.pack_bins_stream(
+            base.withColumn("__n", F.lit(1)), 16, "n_tokens",
+            key=["doc_id"])
+
+
 def test_pack_token_count_contract(spark):
     """Token counts are exact LONG arithmetic on every route: NULL
     packs as 0, fractional truncates, and NEGATIVE counts fail loudly

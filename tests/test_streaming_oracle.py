@@ -1982,7 +1982,7 @@ def test_pack_sequences_stream_vs_duckdb(spark, con, tmp_path):
     bitwise (integer arithmetic end to end; nothing stays open).
     Oracle: the per-shard window-cumsum + generate_series batch SQL."""
     docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
-              .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+              .withColumn("n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0)))
               .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(4)))
               .select("doc_id", "shard", "n_tokens"))
     out_dir = str(tmp_path / "pack")
@@ -2034,7 +2034,7 @@ def test_pack_bins_stream_vs_duckdb(spark, con, tmp_path):
     operator on ALL rows, bitwise. Oracle: the same WITH RECURSIVE CTE
     that gates the batch operator, stepping document-by-document."""
     docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
-              .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+              .withColumn("n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0)))
               .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(3)))
               .select("doc_id", "shard", "n_tokens"))
     out_dir = str(tmp_path / "bins")
