@@ -137,7 +137,7 @@ def q_pack_documents(spark, sf):
 SQL_PACK_DOCUMENTS = """
   WITH d AS (
     SELECT doc_id, doc_id % 4 AS shard,
-           len(string_split(text, ' ')) AS n_tokens
+           COALESCE(len(string_split(text, ' ')), 0) AS n_tokens
     FROM documents
   ), c AS (
     SELECT shard, doc_id, n_tokens,
@@ -170,7 +170,8 @@ def q_pack_sequences(spark, sf):
 
 SQL_PACK_SEQUENCES = """
   WITH d AS (
-    SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    SELECT doc_id, COALESCE(len(string_split(text, ' ')), 0) AS n
+    FROM documents
   ), c AS (
     SELECT doc_id, n,
            CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
@@ -269,7 +270,8 @@ SQL_BALANCE_SHARDS = """
   ), b AS (
     SELECT doc_id, n_tokens,
            CASE WHEN n_tokens <= 0 THEN 0
-                ELSE CAST(floor(log2(n_tokens::DOUBLE)) AS INT)
+                ELSE CAST(length(bin(CAST(n_tokens AS BIGINT))) - 1
+                          AS INT)
            END AS bkt
     FROM d
   )
@@ -307,7 +309,7 @@ SQL_SHARD_AND_PACK = """
   ), b AS (
     SELECT doc_id, n,
            CASE WHEN n <= 0 THEN 0
-                ELSE CAST(floor(log2(n::DOUBLE)) AS INT)
+                ELSE CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INT)
            END AS bkt
     FROM d
   ), sharded AS (

@@ -274,6 +274,8 @@ def pack_documents(df: DataFrame, budget: int, tokens_col: str,
     from ..operators.prefix import propagate_pin
     from ..timeseries import floor_div
 
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     cum = _cum_before(df, tokens_col, on, shard_col, distributed)
     out = (cum.withColumn("bin_id", floor_div(F.col("__cum_before"),
                                               int(budget)))
@@ -728,8 +730,13 @@ def balance_shards(df: DataFrame, n_shards: int, tokens_col: str,
             f"the 'shard' output name (would silently overwrite {bad}); "
             f"rename them")
     tok = _tok_long(tokens_col)
+    # floor(log2(n)) via integer bit-length (length of the minimal
+    # binary string), NOT double log2: ln(x)/ln(2) vs a native log2
+    # can floor-diverge at exact powers of two across engines, and the
+    # row-level "pure function of (tokens, id)" claim must be exact by
+    # construction, not ulp-lucky. bin() is exact in Spark and DuckDB.
     bucket = F.when(tok <= 0, F.lit(0)).otherwise(
-        F.floor(F.log2(tok.cast("double"))).cast("int"))
+        (F.length(F.bin(tok)) - 1).cast("int"))
     sub = F.pmod(h28(F.concat(F.lit("balshard"),
                               F.col(on).cast("string"))),
                  F.lit(sub_buckets)).cast("int") \

@@ -2311,6 +2311,12 @@ def pack_sequences_stream(stream: DataFrame, seq_len: int,
 
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    reserved = [c for c in stream.columns if c.startswith("__")]
+    if reserved:
+        raise ValueError(
+            f"pack_sequences_stream reserves '__'-prefixed columns for "
+            f"its scratch state (would silently overwrite {reserved}); "
+            f"rename them — same contract as the batch twin")
     key = list(key)
     L = int(seq_len)
     base = stream.withColumn("__n", _tok_long(tokens_col))

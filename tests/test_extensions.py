@@ -1743,6 +1743,11 @@ def test_pack_bins_unsharded_guard(spark):
         sampling._PACK_UNSHARDED_MAX_BYTES = old
     with pytest.raises(ValueError, match="budget"):
         sampling.pack_bins(df, 0, "n_tokens")
+    # pack_documents shares the loud-budget contract: budget=0 used to
+    # flow into floor_div's pmod-by-zero and yield NULL bin_id
+    # silently under ANSI-off
+    with pytest.raises(ValueError, match="budget"):
+        sampling.pack_documents(df, 0, "n_tokens")
 
 
 def test_balance_shards_reserved_columns(spark):
@@ -1758,12 +1763,34 @@ def test_balance_shards_reserved_columns(spark):
         with pytest.raises(ValueError, match="reserves"):
             sampling.balance_shards(base.withColumn(col, F.lit(1)),
                                     4, "n_tokens")
-    # streaming pack_bins shares the batch twin's guard
+    # streaming pack_bins/pack_sequences share the batch twin's guard
     from flint_spark.streaming import ts_stream
     with pytest.raises(ValueError, match="reserves"):
         ts_stream.pack_bins_stream(
             base.withColumn("__n", F.lit(1)), 16, "n_tokens",
             key=["doc_id"])
+    with pytest.raises(ValueError, match="reserves"):
+        ts_stream.pack_sequences_stream(
+            base.withColumn("__n", F.lit(1)), 16, "n_tokens",
+            key=["doc_id"])
+
+
+def test_balance_shards_exact_bucket_at_powers_of_two(spark):
+    """The magnitude bucket is integer bit-length arithmetic
+    (length(bin(n)) - 1), exact by construction — NOT double log2,
+    whose ln(x)/ln(2) form can floor-diverge from a native log2 at
+    exact powers of two. Pin the bucket (recovered from the shard
+    rotation of singleton buckets) at every power of two up to 2^40."""
+    from flint_spark.pipeline import sampling
+
+    rows = [(k, 1 << k) for k in range(1, 41)]  # one doc per bucket
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r.doc_id: r.shard
+           for r in sampling.balance_shards(df, 1000, "n_tokens")
+                            .collect()}
+    # singleton bucket => rank 1 => shard = (0 + bkt) % 1000 = bkt
+    for k, n in rows:
+        assert got[k] == (n.bit_length() - 1) == k, (k, n, got[k])
 
 
 def test_pack_token_count_contract(spark):
