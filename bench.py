@@ -114,6 +114,15 @@ HEADLINE = [
     # plan-invisible)
     "rolling_quantile_keyless",
     "ivfpq_table",
+    # r9: the combined ivfpq_table number (kept above for continuity)
+    # mixes one-time training+write cost with the steady-state pruned
+    # serving scan, so 2 rounds of upward drift could not be attributed
+    # from the artifact (VERDICT r8). These two bench-only rows split
+    # it mechanically: build = Lloyd train + partitioned codes write;
+    # serve = partition-pruned scan + ADC scoring over the persisted
+    # table (quantizers trained once, untimed — serving never retrains)
+    "ivfpq_build",
+    "ivfpq_serve",
     "camel_api",
     # composite corpus pipeline (scoring -> dedup -> chunk -> rollup,
     # 3 exchanges end-to-end) and the suffix-product back-adjustment
@@ -161,12 +170,55 @@ def _calibrate(spark, n_iter: int = 5) -> float:
     return samples[len(samples) // 2]
 
 
+def _ivfpq_split_entries(spark):
+    """Bench-only build/serve split of `ivfpq_table` (same parameters
+    as the gate). The quantizers are trained ONCE here (untimed) and
+    shared: `ivfpq_build` times train + the one-time partitioned codes
+    write; `ivfpq_serve` times only the steady-state search — a
+    partition-pruned scan of the persisted codes plus broadcast-LUT
+    ADC scoring, which is what a serving deployment pays per query
+    batch. Correctness of the composed path is the `ivfpq_table`
+    oracle gate's job; these rows exist so bench drift is attributable
+    to one side or the other from the artifact alone."""
+    from pyspark.sql import functions as F
+
+    from flint_spark.pipeline import similarity
+
+    params = dict(k_coarse=8, m=4, ksub=8, coarse_iters=1, pq_iters=1,
+                  seed=7, quantize=9)
+    sf = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/flint_ivfpq_codes_bench_{sf}"
+    shared = {}
+
+    def build(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents, books = similarity.ivfpq_build(emb, **params)
+        similarity.ivfpq_save_codes(emb, cents, books, path)
+        shared["quant"] = (cents, books)
+        # the timed work is the train + write above; return a trivial
+        # frame so the harness's noop sink has something to execute
+        return spark.range(1).select(F.lit(path).alias("codes_path"))
+
+    def serve(spark, sf_dir):
+        if "quant" not in shared:  # first (untimed warmup) call
+            build(spark, sf_dir)
+        cents, books = shared["quant"]
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = similarity.ivfpq_topk_table(spark, path, emb, cents,
+                                          books, [0, 1, 2, 3, 4],
+                                          k=10, nprobe=2)
+        return out.select("probe_id", "vec_id", F.col("adc"), "rank")
+
+    return {"ivfpq_build": build, "ivfpq_serve": serve}
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from flint_spark import get_spark
 
     spark = get_spark("flint_spark_bench")
-    qs = {**entry.queries(), **entry.extra_queries()}
+    qs = {**entry.queries(), **entry.extra_queries(),
+          **_ivfpq_split_entries(spark)}
     # warm the JVM + parquet footers + Python UDF workers (steady-state
     # timings; worker spin-up is a fixed cost, not per-query work)
     region = spark.read.parquet(f"{SF_DIR}/region.parquet")
@@ -179,6 +231,13 @@ def main() -> None:
     # its "+48% regression" was first-position JIT cost, plan unchanged)
     for name in HEADLINE:
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    # box-speed probe BEFORE the query set (post-warmup): bracketing
+    # the run with before/after probes makes box drift DURING the run
+    # visible in the artifact itself (r8 lesson: same-code normalized
+    # swung 6.51→9.42 when calibration and queries saw different
+    # contention, and nothing in the shipped JSON could prove it)
+    calibration_before = _calibrate(spark)
 
     # median-of-N: the box is shared and single runs are noisy (observed
     # 3x swings on identical plans; the r3 "+16.5%" regression was n=3
@@ -216,21 +275,40 @@ def main() -> None:
     legacy = [timings[q] for q in HEADLINE[:LEGACY_17]]
     # box-speed probe AFTER the queries (same session, same JIT/disk
     # state); the normalized ratio is the drift-proof number BASELINE.md
-    # records alongside raw seconds
-    calibration = _calibrate(spark)
+    # records alongside raw seconds. >20% before/after mismatch means
+    # the box shifted mid-run — the run adjudicates NOTHING and should
+    # be repeated on a quieter box (the flag says so in-artifact).
+    calibration_after = _calibrate(spark)
+    calibration = calibration_after
+    drift_pct = round(
+        100.0 * abs(calibration_after - calibration_before)
+        / min(calibration_after, calibration_before), 1)
     legacy17 = round(sum(legacy), 3)
-    print(json.dumps({
+    # key order is tail-truncation-aware: the driver's BENCH_r{N}.json
+    # keeps only the LINE TAIL (r8 lost the per-query medians that the
+    # round-over-round protocol compares), so the sacrificial bulky
+    # envelope dict goes FIRST and medians + verdict scalars go LAST
+    result = {
         "metric": "headline_queries_total_runtime",
+        "min_max": spreads,
+        "queries": timings,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf_val,
         "estimator": f"median_of_{n_iter}",
-        "min_max": spreads,
         "legacy17_subtotal": legacy17,
+        "calibration_before_sec": round(calibration_before, 3),
         "calibration_sec": round(calibration, 3),
+        "calibration_drift_pct": drift_pct,
+        "calibration_unstable": drift_pct > 20.0,
         "legacy17_normalized": round(legacy17 / calibration, 3),
-    }))
+    }
+    # the FULL artifact survives regardless of driver-side truncation
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "docs", "bench_last.json"), "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

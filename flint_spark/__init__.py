@@ -26,4 +26,4 @@ __all__ = [
     "windows",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.7.0"  # single source of truth is pyproject.toml

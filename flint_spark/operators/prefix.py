@@ -59,7 +59,8 @@ from pyspark.sql import functions as F
 
 from ..timeseries import time_ns_expr
 
-__all__ = ["keyless_cumulative", "release_prefix_caches"]
+__all__ = ["keyless_cumulative", "release_prefix_caches",
+           "set_layout_registry_size", "LAYOUT_STATS"]
 
 #: (name, builder(df, over) -> Column, merge_kind)
 CumItem = tuple[str, Callable[[DataFrame, Callable[[Column], Column]], Column], str]
@@ -88,11 +89,38 @@ _LIVE_PINS: "weakref.WeakSet" = weakref.WeakSet()
 _KEEP_MAX = 4
 _KEEP: list = []
 
+#: observability (r8 verdict item 6): a pipeline interleaving more
+#: than _KEEP_MAX keyless engine frames silently recomputes evicted
+#: layouts — wasted work, never corruption. These counters make that
+#: visible so the knob below can be sized instead of guessed at.
+LAYOUT_STATS = {"built": 0, "reused": 0, "evicted": 0}
+
+
+def set_layout_registry_size(n: int) -> int:
+    """Resize the strong-ref layout registry (default 4). Returns the
+    previous size. Larger = more persisted layouts retained across an
+    interleaved pipeline (memory for speed); eviction only ever costs
+    a deterministic recompute. Excess layouts unpersist immediately."""
+    global _KEEP_MAX
+    if n < 0:
+        raise ValueError("registry size must be >= 0")
+    with _PIN_LOCK:
+        prev, _KEEP_MAX = _KEEP_MAX, int(n)
+        while len(_KEEP) > _KEEP_MAX:
+            LAYOUT_STATS["evicted"] += 1
+            try:
+                _KEEP.pop(0).unpersist()
+            except Exception:  # noqa: BLE001 — session may be stopped
+                pass
+    return prev
+
 
 def _keep_layout(sdf: DataFrame) -> None:
     with _PIN_LOCK:
+        LAYOUT_STATS["built"] += 1
         _KEEP.append(sdf)
         while len(_KEEP) > _KEEP_MAX:
+            LAYOUT_STATS["evicted"] += 1
             old = _KEEP.pop(0)
             try:
                 old.unpersist()
@@ -266,6 +294,8 @@ def keyless_cumulative(
     layout_cols = ["__tns", "__pid", "__mid"]
     if reuse:
         sdf = df
+        with _PIN_LOCK:
+            LAYOUT_STATS["reused"] += 1
         pin = getattr(df, "_flint_prefix_pin", None)
     else:
         spark = df.sparkSession

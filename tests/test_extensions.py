@@ -1314,6 +1314,57 @@ def test_multimodal_pixel_decode_guarded(spark, sf_dir):
     assert row.px_std == pytest.approx(arr.std())
 
 
+def test_pillow_decode_png_jpeg(spark):
+    """r8 verdict item 3: the decode branch a REAL multimodal adopter
+    hits first is Pillow JPEG/PNG (`multimodal.decode_image` falling
+    through netpbm, `pipeline/multimodal.py` `_pil()`), and it must be
+    exercised — not silently untested — wherever Pillow exists. Skips
+    LOUDLY (recorded in the report) when Pillow is absent, the
+    wheel-test pattern: this container ships no imaging library, CI
+    with Pillow runs the real decode."""
+    from flint_spark.pipeline import multimodal as mm
+
+    if not mm.HAS_PIXEL_DECODE:
+        pytest.skip("Pillow not installed in this environment — the "
+                    "JPEG/PNG decode branch needs an imaging library")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    # PNG is lossless: exact pixel stats end-to-end, RGB this time
+    # (the guarded test's green path covers grayscale)
+    rgb = (np.arange(60, dtype=np.uint8).reshape(5, 4, 3) * 4) % 256
+    png = io.BytesIO()
+    Image.fromarray(rgb, mode="RGB").save(png, format="PNG")
+    a = mm.decode_image(png.getvalue())
+    assert a.shape == (5, 4, 3) and (a == rgb).all()
+
+    # JPEG is lossy: pin shape + channel means within quantization
+    # error on a smooth gradient (blocky content would ring)
+    grad = np.tile(np.linspace(40, 200, 32, dtype=np.uint8), (32, 1))
+    jpg_arr = np.stack([grad, grad, grad], axis=-1)
+    jpg = io.BytesIO()
+    Image.fromarray(jpg_arr, mode="RGB").save(jpg, format="JPEG",
+                                              quality=95)
+    b = mm.decode_image(jpg.getvalue())
+    assert b.shape == (32, 32, 3)
+    assert abs(float(b.mean()) - float(jpg_arr.mean())) < 3.0
+
+    # and the DISTRIBUTED path: both payloads through
+    # extract_pixel_features without assume_netpbm
+    df = spark.createDataFrame(
+        [(1, bytearray(png.getvalue())), (2, bytearray(jpg.getvalue()))],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in
+            mm.extract_pixel_features(df).collect()}
+    assert (rows[1].px_width, rows[1].px_height) == (4, 5)
+    assert rows[1].px_mean == pytest.approx(rgb.mean())
+    assert rows[1].px_r_mean == pytest.approx(rgb[:, :, 0].mean())
+    assert (rows[2].px_width, rows[2].px_height) == (32, 32)
+    assert abs(rows[2].px_mean - jpg_arr.mean()) < 3.0
+
+
 def test_quantile_auto_switchover_and_tolerance(spark, sf_dir):
     """quantile_auto plans exact under the measured group bound, the
     sketch above it; the sketch stays within rank tolerance of exact."""
@@ -5203,6 +5254,134 @@ def test_keyless_engine_exchange_budget(spark):
     assert pc["shuffles"] <= 2 and pc["python"] == 0, pc
     pc2 = plan_counts(cusum(df, "v", mu=5.0, sigma=3.0, distributed=True))
     assert pc2["shuffles"] <= 3 and pc2["python"] == 0, pc2
+
+
+def test_prefix_layout_registry_eviction_is_recompute_not_corruption(spark):
+    """r8 verdict item 6: interleaving MORE keyless engine frames than
+    the strong-ref registry holds (default 4) evicts the oldest
+    persisted layouts — by design a deterministic RECOMPUTE, never
+    corruption (the layout sorts on a total order). Pin exactly that:
+    5 interleaved frames, evaluate round-robin twice, every result
+    bitwise-stable and correct; the new LAYOUT_STATS counter makes the
+    eviction visible and set_layout_registry_size(5) removes it."""
+    from flint_spark.operators import prefix
+    from flint_spark.operators.prefix import (
+        LAYOUT_STATS, keyless_cumulative, release_prefix_caches,
+        set_layout_registry_size)
+
+    def make(mult):
+        df = spark.range(2_000).select(
+            (F.col("id") * 1000).alias("time"),
+            ((F.col("id") * mult) % 97).cast("double").alias("v"))
+        items = [("s", lambda d, o: o(F.sum(F.col("v"))), "sum")]
+        return keyless_cumulative(df, items, lambda st: {"cum": st["s"]})
+
+    def last_cum(frame):
+        return frame.orderBy(F.col("time").desc()).first()["cum"]
+
+    def expect(mult):
+        return float(sum((i * mult) % 97 for i in range(2_000)))
+
+    release_prefix_caches()
+    before = dict(LAYOUT_STATS)
+    frames = [make(m) for m in (3, 5, 7, 11, 13)]  # 5 > _KEEP_MAX=4
+    assert LAYOUT_STATS["built"] - before["built"] == 5
+    assert LAYOUT_STATS["evicted"] - before["evicted"] >= 1
+    # round-robin evaluation: evicted layouts recompute, results exact
+    for _ in range(2):
+        for m, f in zip((3, 5, 7, 11, 13), frames):
+            assert last_cum(f) == expect(m), m
+    # a registry sized to the pipeline stops evicting
+    prev = set_layout_registry_size(5)
+    try:
+        release_prefix_caches()
+        base = dict(LAYOUT_STATS)
+        frames = [make(m) for m in (3, 5, 7, 11, 13)]
+        for m, f in zip((3, 5, 7, 11, 13), frames):
+            assert last_cum(f) == expect(m), m
+        assert LAYOUT_STATS["evicted"] == base["evicted"]
+    finally:
+        set_layout_registry_size(prev)
+        release_prefix_caches()
+
+
+def test_wheel_artifact_handrolled_and_importable(tmp_path):
+    """r8 verdict item 7 (carryover): the wheel artifact had NEVER been
+    built in this environment because setuptools<70 needs the absent
+    `wheel` backend. A wheel is a PEP-427 zip + dist-info, and the
+    package is pure python — so build one by hand (every payload file,
+    METADATA/WHEEL/RECORD with real sha256 digests) and import
+    `flint_spark` + the `ts.flint` namespace mirror FROM THE WHEEL in
+    a clean subprocess (zipimport — how pip-installed zips resolve).
+    The backend test below still runs the real `bdist_wheel` wherever
+    the backend exists; this one proves the artifact layout itself in
+    any environment."""
+    import base64
+    import hashlib
+    import pathlib
+    import subprocess
+    import sys
+    import zipfile
+
+    repo = pathlib.Path("/root/repo")
+    try:
+        import tomllib
+        version = tomllib.loads(
+            (repo / "pyproject.toml").read_text())["project"]["version"]
+    except ModuleNotFoundError:  # pragma: no cover - py<3.11
+        version = "0.7.0"
+    import flint_spark
+    assert flint_spark.__version__ == version, (
+        "pyproject.toml and flint_spark.__version__ drifted")
+
+    name = f"flint_spark-{version}"
+    whl = tmp_path / f"{name}-py3-none-any.whl"
+    payload = sorted(
+        p for pkg in ("flint_spark", "ts")
+        for p in (repo / pkg).rglob("*.py")
+        if "__pycache__" not in p.parts)
+    assert len(payload) > 30  # the real package, not a stub
+
+    record_rows = []
+    with zipfile.ZipFile(whl, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in payload:
+            arc = p.relative_to(repo).as_posix()
+            data = p.read_bytes()
+            digest = base64.urlsafe_b64encode(
+                hashlib.sha256(data).digest()).rstrip(b"=").decode()
+            zf.writestr(arc, data)
+            record_rows.append(f"{arc},sha256={digest},{len(data)}")
+        di = f"{name}.dist-info"
+        meta = (f"Metadata-Version: 2.1\nName: flint-spark\n"
+                f"Version: {version}\n")
+        wheel_meta = ("Wheel-Version: 1.0\nGenerator: flint-spark-tests\n"
+                      "Root-Is-Purelib: true\nTag: py3-none-any\n")
+        for fn, body in ((f"{di}/METADATA", meta),
+                         (f"{di}/WHEEL", wheel_meta)):
+            data = body.encode()
+            digest = base64.urlsafe_b64encode(
+                hashlib.sha256(data).digest()).rstrip(b"=").decode()
+            zf.writestr(fn, data)
+            record_rows.append(f"{fn},sha256={digest},{len(data)}")
+        record_rows.append(f"{di}/RECORD,,")
+        zf.writestr(f"{di}/RECORD", "\n".join(record_rows) + "\n")
+
+    # import from the wheel alone: clean subprocess, repo NOT on path
+    probe = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import flint_spark, ts.flint\n"
+        "assert flint_spark.__file__.startswith(sys.argv[1]), "
+        "flint_spark.__file__\n"
+        "from flint_spark.operators.asof import left_join\n"
+        "from flint_spark import summarizers\n"
+        f"assert flint_spark.__version__ == {version!r}\n"
+        "print('WHEEL_IMPORT_OK')\n")
+    out = subprocess.run(
+        [sys.executable, "-c", probe, str(whl)], cwd=str(tmp_path),
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/tmp"})
+    assert out.returncode == 0, (out.stdout, out.stderr[-2000:])
+    assert "WHEEL_IMPORT_OK" in out.stdout
 
 
 def test_package_builds_wheel_when_backend_available(tmp_path):
