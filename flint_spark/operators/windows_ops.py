@@ -252,7 +252,17 @@ def _summarizer_window_pairs(df: DataFrame, summarizer, frame,
     exact at any magnitude, O(n x window rows) — for series whose
     running magnitudes dwarf their window sums; ``engine='prefix'``
     forces the difference plan and raises if the summarizer has no
-    mergeable state."""
+    mergeable state.
+
+    Adjudicated bound (property-pinned in
+    ``test_window_prefix_diff_float_bound_adversarial``): the absolute
+    divergence vs the sliding frame stays under history_rows x
+    ulp(prefix magnitude) — on a pathological series (one 2^53
+    outlier, ~1e-3 window values) the tiny adds are ABSORBED outright
+    and the whole window sum is lost, while benign magnitudes match
+    sliding to ~1e-12 relative. Rule of thumb: keep the default while
+    |running total| / |window sum| is within ~2^40 (~12 significant
+    digits survive); beyond that pin ``engine='sliding'``."""
     if engine not in ("auto", "prefix", "sliding"):
         raise ValueError("engine must be 'auto', 'prefix' or 'sliding'")
     if engine == "sliding" or (engine == "auto" and not summarizer.has_cum):

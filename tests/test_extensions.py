@@ -5124,6 +5124,74 @@ def test_window_prefix_diff_plan_is_growing_frames(spark):
     assert "unboundedpreceding$()" not in s_plan
 
 
+def test_window_prefix_diff_float_bound_adversarial(spark):
+    """r8 verdict item 4: the prefix-difference default reassociates
+    float addition, and on the KEYED route the prefix spans the key's
+    FULL history — so a window whose true sum is tiny relative to the
+    running total loses relative precision. Build exactly that series
+    (one 2^53 outlier, then thousands of ~1e-3 values; window covers
+    only tiny values), then PIN the documented bound: the absolute
+    divergence vs engine='sliding' is nonzero (the hazard is real,
+    not theoretical) yet bounded by history_rows x ulp(prefix
+    magnitude); and engine='sliding' itself matches an exact numpy
+    re-aggregation tightly at any magnitude — the adjudicated escape
+    hatch for series whose running totals dwarf their window sums
+    (rule of thumb: |running total| / |window sum| within ~2^40 keeps
+    ~12 significant digits in the window sum; beyond that pin
+    engine='sliding')."""
+    import math
+
+    import numpy as np
+
+    from flint_spark.operators import windows_ops as wo
+
+    N, M = 1200, float(2 ** 53)  # ulp(M) = 2.0: divergence is visible
+    tiny = [((i * 7) % 9 + 1) * 1e-3 for i in range(N)]
+    vals = [M] + tiny[1:]
+    df = spark.createDataFrame(
+        [(i * 10, "a", float(v)) for i, v in zip(range(N), vals)],
+        "time long, k string, v double")
+    win = W.past_absolute_time(50)  # rows i-5..i
+
+    summ = S.sum_("v")
+    got_p = (wo.summarize_windows(df, win, summ, key=["k"])
+             .orderBy("time").toPandas())  # default auto -> prefix diff
+    got_s = (wo.summarize_windows(df, win, summ, key=["k"],
+                                  engine="sliding")
+             .orderBy("time").toPandas())
+
+    v = np.array(vals)
+    exact = np.array([v[max(0, i - 5):i + 1].sum() for i in range(N)])
+
+    # sliding re-aggregates per window: tight at any magnitude
+    tail = slice(6, None)  # windows past the outlier: true sums ~1e-2
+    np.testing.assert_allclose(got_s["v_sum"].to_numpy()[tail],
+                               exact[tail], rtol=1e-12)
+
+    diff = np.abs(got_p["v_sum"].to_numpy()[tail]
+                  - got_s["v_sum"].to_numpy()[tail])
+    # the hazard is REAL on this series (else the test proves nothing):
+    # with ulp(prefix) = 2.0, the ~1e-3 adds are ABSORBED entirely —
+    # the window sums come back ~0, losing the whole true sum (~0.04)
+    assert diff.max() > 0.01, diff.max()
+    # ...and bounded as documented: each growing-frame prefix carries
+    # <= history_rows/2 ulps of the prefix magnitude; the difference
+    # of two such prefixes stays under history_rows x ulp(magnitude)
+    assert diff.max() <= N * math.ulp(M), (diff.max(), N * math.ulp(M))
+
+    # benign magnitudes (the normal case): default matches sliding to
+    # near machine precision — the default stays the right trade
+    df2 = spark.createDataFrame(
+        [(i * 10, "a", float(((i * 7) % 9 + 1))) for i in range(N)],
+        "time long, k string, v double")
+    a = (wo.summarize_windows(df2, win, summ, key=["k"])
+         .orderBy("time").toPandas()["v_sum"].to_numpy())
+    b = (wo.summarize_windows(df2, win, summ, key=["k"],
+                              engine="sliding")
+         .orderBy("time").toPandas()["v_sum"].to_numpy())
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
 def test_keyless_bucketed_window_partition_sizing_and_span_memo(spark):
     """The bucketed keyless window sizes its ONE exchange to the bucket
     count (capped) instead of the session shuffle width — rows per
