@@ -283,6 +283,68 @@ SQL_BALANCE_SHARDS = """
 """
 
 
+def q_shard_and_split(spark, sf):
+    """End-to-end TOKENIZATION-layout composite (r8 verdict item 8,
+    mirror of `shard_and_pack`): token-balanced sharding
+    (balance_shards) feeding boundary-splitting sequence packing
+    (pack_sequences, per computed shard) — the sharded token-stream
+    layout a real tokenization job runs, with documents split across
+    128-token sequence cuts. One keyed-window exchange for the ranks,
+    per-shard windows for the cumsum, map-only sequence/explode for
+    the segments; exact LONG arithmetic end-to-end, so every
+    document's (shard, seq_id, doc_off, seq_off, seg_tokens) compares
+    row-level against the composed SQL."""
+    from flint_spark.pipeline import sampling
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0))) \
+        .select("doc_id", "n_tokens")
+    sharded = sampling.balance_shards(docs, 4, "n_tokens")
+    segs = sampling.pack_sequences(sharded, 128, "n_tokens",
+                                   shard_col="shard")
+    return segs.select("doc_id", "shard", "seq_id", "doc_off",
+                       "seq_off", "seg_tokens")
+
+
+SQL_SHARD_AND_SPLIT = """
+  WITH d AS (
+    SELECT doc_id, COALESCE(len(string_split(text, ' ')), 0) AS n
+    FROM documents
+  ), b AS (
+    SELECT doc_id, n,
+           CASE WHEN n <= 0 THEN 0
+                ELSE CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INT)
+           END AS bkt
+    FROM d
+  ), sharded AS (
+    SELECT doc_id, n,
+           CAST((row_number() OVER (PARTITION BY bkt
+                ORDER BY n DESC, doc_id) - 1 + bkt) % 4 AS INT) AS shard
+    FROM b
+  ), c AS (
+    SELECT doc_id, shard, n,
+           CAST(COALESCE(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS cb
+    FROM sharded
+  ), s AS (
+    SELECT doc_id, shard, n, cb,
+           unnest(generate_series(cb // 128,
+                CASE WHEN n > 0 THEN (cb + n - 1) // 128
+                     ELSE cb // 128 END)) AS seq_id
+    FROM c
+  )
+  SELECT doc_id, shard, CAST(seq_id AS BIGINT) AS seq_id,
+         CAST(GREATEST(0, seq_id * 128 - cb) AS BIGINT) AS doc_off,
+         CAST(cb + GREATEST(0, seq_id * 128 - cb) - seq_id * 128
+              AS BIGINT) AS seq_off,
+         CAST(CASE WHEN n > 0
+              THEN LEAST(n, (seq_id + 1) * 128 - cb)
+                   - GREATEST(0, seq_id * 128 - cb)
+              ELSE 0 END AS BIGINT) AS seg_tokens
+  FROM s
+"""
+
+
 def q_shard_and_pack(spark, sf):
     """End-to-end packing pipeline composite: token-balanced sharding
     (balance_shards) feeding next-fit capacity packing (pack_bins,

@@ -303,13 +303,14 @@ def future_left_join(left: DataFrame, right: DataFrame, tolerance: str | int = 0
 
 
 def _sorted_right_arrays(right: DataFrame, key: Sequence[str],
-                         rdata: Sequence[str], arr_name: str) -> DataFrame:
+                         rdata: Sequence[str], arr_name: str,
+                         time_column: str = TIME_COLUMN) -> DataFrame:
     """Per-key time-sorted array of right-row structs with duplicate
     timestamps pre-resolved to the MAX struct (the engine-wide tie
     rule, so both join directions read an unambiguous array). Struct
     field order (__rt, *rdata) makes ``sort_array``'s natural struct
     ordering the same total order the union plan sorts by."""
-    rstruct = F.struct(time_ns_expr(right).alias("__rt"),
+    rstruct = F.struct(time_ns_expr(right, time_column).alias("__rt"),
                        *[F.col(c) for c in rdata])
     agg = F.sort_array(F.collect_list(rstruct)).alias(arr_name)
     rtab = right.groupBy(*key).agg(agg) if key else right.agg(agg)
@@ -364,7 +365,9 @@ def left_join_broadcast(left: DataFrame, right: DataFrame,
                         tolerance: str | int = 0, key: Sequence[str] = (),
                         direction: str = "backward",
                         strict_lookahead: bool = False,
-                        engine: str = "jvm") -> DataFrame:
+                        engine: str = "jvm",
+                        time_column: str = TIME_COLUMN,
+                        right_time_column: str | None = None) -> DataFrame:
     """As-of join against a SMALL right side with ZERO shuffle of the
     left: the right table (a dim/reference table — rates, calendars,
     metadata) is folded into per-key time-sorted struct arrays (one
@@ -384,13 +387,24 @@ def left_join_broadcast(left: DataFrame, right: DataFrame,
     streaming static-dim join ``streaming.ts_stream.asof_join_static``)
     — the JVM engine beat it ~3× on the bench (whole left crossed
     JVM→Arrow→Python→JVM per batch), but the Arrow path remains the
-    reference implementation and the streaming face."""
+    reference implementation and a fallback streaming face.
+
+    The plan is STREAM-COMPATIBLE (r8 verdict item 5): no sort or
+    window over the left — a stream-static broadcast left-outer join
+    plus stateless projections — so ``streaming.ts_stream.
+    asof_join_static`` routes through this engine by default and the
+    whole micro-batch never leaves the JVM."""
+    rtc = right_time_column if right_time_column is not None \
+        else time_column
     if engine == "arrow":
         from ..streaming.ts_stream import asof_join_static
 
         return asof_join_static(left, right, tolerance, key,
+                                time_column=time_column,
+                                right_time_column=rtc,
                                 direction=direction,
-                                strict_lookahead=strict_lookahead)
+                                strict_lookahead=strict_lookahead,
+                                engine="arrow")
     if engine != "jvm":
         raise ValueError("engine must be 'jvm' or 'arrow'")
     if direction not in ("backward", "forward"):
@@ -400,7 +414,7 @@ def left_join_broadcast(left: DataFrame, right: DataFrame,
     key = list(key)
     tol = parse_duration_ns(tolerance) if tolerance else 0
     rdata = [c for c in right.columns
-             if c != TIME_COLUMN and c not in key]
+             if c != rtc and c not in key]
     conflicts = set(rdata) & set(left.columns)
     if conflicts:
         raise ValueError(f"conflicting output columns {sorted(conflicts)}")
@@ -410,7 +424,8 @@ def left_join_broadcast(left: DataFrame, right: DataFrame,
     if bad:
         raise ValueError(f"reserved column names {sorted(bad)}")
 
-    rtab = _sorted_right_arrays(right, key, rdata, "__arr")
+    rtab = _sorted_right_arrays(right, key, rdata, "__arr",
+                                time_column=rtc)
     if key:
         rtab = rtab.select(
             *[F.col(k).alias(f"__rk_{i}") for i, k in enumerate(key)],
@@ -420,12 +435,12 @@ def left_join_broadcast(left: DataFrame, right: DataFrame,
         for i, k in enumerate(key):
             c = F.col(k).eqNullSafe(F.col(f"__rk_{i}"))
             cond = c if cond is None else (cond & c)
-        joined = (left.withColumn(_TNS, time_ns_expr(left))
+        joined = (left.withColumn(_TNS, time_ns_expr(left, time_column))
                   .join(F.broadcast(rtab), cond, "left"))
     else:
         # constant-key equi-join against the 1-row array table: a
         # BroadcastHashJoin, not the nested-loop a bare crossJoin plans
-        joined = (left.withColumn(_TNS, time_ns_expr(left))
+        joined = (left.withColumn(_TNS, time_ns_expr(left, time_column))
                   .withColumn("__one", F.lit(1))
                   .join(F.broadcast(rtab.withColumn("__one", F.lit(1))),
                         "__one", "left"))
