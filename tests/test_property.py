@@ -1133,10 +1133,12 @@ def test_keyless_drawdown_routes_identical(panel):
 @given(left=panels(), right=panels(), tol=st.integers(0, 200),
        mode=st.sampled_from(["backward", "forward", "strict"]))
 def test_asof_broadcast_route_identical(left, right, tol, mode):
-    """r7 auto-broadcast pin: the broadcast as-of engine (what a
-    small stats-known right side now routes to by default) must equal
-    the pinned union-window plan across backward/forward/strict —
-    DUPLICATE (key, time) rights included (panels generate ties; both
+    """r7 auto-broadcast pin, widened to THREE-WAY in r9: the JVM
+    broadcast engine AND the Arrow collect-and-searchsorted engine
+    (the streaming face's fallback — no longer its default, so this
+    property is now its primary batch gate) must both equal the
+    pinned union-window plan across backward/forward/strict —
+    DUPLICATE (key, time) rights included (panels generate ties; all
     engines must resolve them to the max-struct row). The engines are
     invoked directly: local relations report unknown Catalyst stats,
     so the distributed=None trigger itself is pinned separately on
@@ -1147,12 +1149,12 @@ def test_asof_broadcast_route_identical(left, right, tol, mode):
     rdf = spark.createDataFrame(
         right.rename(columns={"v": "rv"}), "time long, id int, rv double")
 
-    def call(broadcast):
-        if broadcast:
+    def call(engine):
+        if engine in ("jvm", "arrow"):
             return asof.left_join_broadcast(
                 ldf, rdf, tolerance=tol, key=["id"],
                 direction="backward" if mode == "backward" else "forward",
-                strict_lookahead=(mode == "strict"))
+                strict_lookahead=(mode == "strict"), engine=engine)
         if mode == "backward":
             return asof.left_join(ldf, rdf, tolerance=tol, key=["id"],
                                   distributed=False)
@@ -1162,10 +1164,11 @@ def test_asof_broadcast_route_identical(left, right, tol, mode):
 
     cols = None
     outs = []
-    for broadcast in (False, True):
-        out = call(broadcast).toPandas()
+    for engine in ("window", "jvm", "arrow"):
+        out = call(engine).toPandas()
         out = out[sorted(out.columns)].sort_values(
             ["time", "id", "v"], ignore_index=True)
         cols = cols or out.columns.tolist()
         outs.append(out[cols])
     pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+    pd.testing.assert_frame_equal(outs[0], outs[2], check_dtype=False)
