@@ -560,8 +560,12 @@ def test_summarize_windows_overlap_lag_sum(spark):
     assert got[250] == (12.0, 2.0)   # core {150,250}; lag [50,149] -> {50}
 
 
-def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path):
-    """asof_join_static through a real stream == batch left_join."""
+@pytest.mark.parametrize("engine", ["jvm", "arrow"])
+def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path,
+                                             engine):
+    """asof_join_static through a real stream == batch left_join, on
+    BOTH engines: the JVM matcher (default since r9 — the micro-batch
+    never crosses into Python) and the Arrow searchsorted fallback."""
     import shutil
     from flint_spark.operators import asof
     from flint_spark.timeseries import ns_to_time_expr
@@ -585,12 +589,12 @@ def test_streaming_asof_static_matches_batch(spark, sf_dir, tmp_path):
                  .withColumn("time", F.col("ts").cast("timestamp"))
                  .drop("ts").select("time", "user_id", "event_id"))
     out = ts_stream.asof_join_static(stream_ev, right, tolerance="12h",
-                                     key=["user_id"])
+                                     key=["user_id"], engine=engine)
     q = (out.writeStream.outputMode("append").format("memory")
-         .queryName("asof_static_out").start())
+         .queryName(f"asof_static_out_{engine}").start())
     q.processAllAvailable()
     q.stop()
-    got = (spark.sql("SELECT * FROM asof_static_out").toPandas()
+    got = (spark.sql(f"SELECT * FROM asof_static_out_{engine}").toPandas()
            .sort_values("event_id", ignore_index=True))
     pd.testing.assert_frame_equal(
         got[["event_id", "ref_id"]], exp[["event_id", "ref_id"]],
