@@ -136,6 +136,9 @@ HEADLINE = [
     # deliberate python stage in the packing family)
     "pack_sequences",
     "pack_bins",
+    # round-9: published Gopher quality rules — one map-only
+    # projection (sorted-run scans, zero corpus exchanges)
+    "gopher_rules",
 ]
 
 

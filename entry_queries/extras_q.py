@@ -283,6 +283,127 @@ SQL_BALANCE_SHARDS = """
 """
 
 
+def q_gopher_rules(spark, sf):
+    """Published Gopher corpus-quality heuristics (pipeline.text
+    .gopher_rules, Rae et al. 2021 Appendix A) — per-document rule
+    metrics, failed-rule count and the conjunction flag, all map-only
+    (zero corpus exchanges). Every metric is a single division of
+    exact integer counts/lengths, so the compare is bitwise with NO
+    quantization — the thresholds (and the flag) are
+    engine-deterministic by construction."""
+    from flint_spark.pipeline.text import gopher_rules
+
+    docs = _t(spark, sf, "documents")
+    out = gopher_rules(docs)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "stop_hits", "bullet_line_ratio",
+        "ellipsis_line_ratio", "dup_line_frac", "dup_para_frac",
+        "dup_line_char_frac", "top2gram_char_frac",
+        "top3gram_char_frac",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+        "n_rules_failed")
+
+
+SQL_GOPHER_RULES = """
+  WITH d AS (
+    SELECT doc_id, text,
+           greatest(length(text), 1)::DOUBLE AS tl,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w,
+           string_split(text, chr(10)) AS lines,
+           string_split(text, chr(10) || chr(10)) AS paras
+    FROM documents
+  ), lc AS (
+    SELECT doc_id, sum((c - 1) * ln) AS dup_chars
+    FROM (SELECT doc_id, count(*) AS c, length(line) AS ln
+          FROM (SELECT doc_id, unnest(lines) AS line FROM d)
+          GROUP BY doc_id, line)
+    GROUP BY doc_id
+  ), g2 AS (
+    SELECT doc_id, max(c * ln) AS best
+    FROM (SELECT doc_id, count(*) AS c, length(g) AS ln
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                              j -> concat_ws(' ', w[j], w[j+1]))) AS g
+                FROM d)
+          GROUP BY doc_id, g)
+    GROUP BY doc_id
+  ), g3 AS (
+    SELECT doc_id, max(c * ln) AS best
+    FROM (SELECT doc_id, count(*) AS c, length(g) AS ln
+          FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                              j -> concat_ws(' ', w[j], w[j+1],
+                                             w[j+2]))) AS g
+                FROM d)
+          GROUP BY doc_id, g)
+    GROUP BY doc_id
+  ), m AS (
+    SELECT d.doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           CASE WHEN len(w) > 0 THEN
+             list_sum(list_transform(w, x -> length(x)))::DOUBLE
+               / len(w) ELSE 0.0 END AS mean_word_len,
+           CASE WHEN len(w) > 0 THEN (
+               (length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '…', '')))
+             + (length(text) - length(replace(text, '...', ''))) // 3
+             )::DOUBLE / len(w) ELSE 0.0 END AS symbol_word_ratio,
+           CASE WHEN len(w) > 0 THEN
+             len(list_filter(w,
+                 x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w)
+             ELSE 0.0 END AS alpha_word_ratio,
+           CAST(len(list_filter(
+             ['the','be','to','of','and','that','have','with'],
+             s -> list_contains(w, s))) AS INT) AS stop_hits,
+           len(list_filter(lines,
+               l -> starts_with(l, '•') OR starts_with(l, '- ')
+                    OR starts_with(l, '* ')))::DOUBLE
+             / len(lines) AS bullet_line_ratio,
+           len(list_filter(lines,
+               l -> ends_with(l, '…') OR ends_with(l, '...')))::DOUBLE
+             / len(lines) AS ellipsis_line_ratio,
+           (len(lines) - len(list_distinct(lines)))::DOUBLE
+             / len(lines) AS dup_line_frac,
+           (len(paras) - len(list_distinct(paras)))::DOUBLE
+             / len(paras) AS dup_para_frac,
+           COALESCE(lc.dup_chars, 0)::DOUBLE / tl
+             AS dup_line_char_frac,
+           COALESCE(g2.best, 0)::DOUBLE / tl AS top2gram_char_frac,
+           COALESCE(g3.best, 0)::DOUBLE / tl AS top3gram_char_frac
+    FROM d LEFT JOIN lc USING (doc_id)
+           LEFT JOIN g2 USING (doc_id)
+           LEFT JOIN g3 USING (doc_id)
+  )
+  SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         alpha_word_ratio, stop_hits, bullet_line_ratio,
+         ellipsis_line_ratio, dup_line_frac, dup_para_frac,
+         dup_line_char_frac, top2gram_char_frac, top3gram_char_frac,
+         CAST(r1 AND r2 AND r3 AND r4 AND r5 AND r6 AND r7 AND r8
+              AND r9 AND r10 AND r11 AND r12 AS INT) AS gopher_pass,
+         CAST((NOT r1)::INT + (NOT r2)::INT + (NOT r3)::INT
+            + (NOT r4)::INT + (NOT r5)::INT + (NOT r6)::INT
+            + (NOT r7)::INT + (NOT r8)::INT + (NOT r9)::INT
+            + (NOT r10)::INT + (NOT r11)::INT + (NOT r12)::INT
+              AS INT) AS n_rules_failed
+  FROM (
+    SELECT *,
+           n_words >= 50 AND n_words <= 100000 AS r1,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r2,
+           symbol_word_ratio <= 0.1 AS r3,
+           bullet_line_ratio <= 0.9 AS r4,
+           ellipsis_line_ratio <= 0.3 AS r5,
+           alpha_word_ratio >= 0.8 AS r6,
+           stop_hits >= 2 AS r7,
+           dup_line_frac < 0.30 AS r8,
+           dup_para_frac < 0.30 AS r9,
+           dup_line_char_frac < 0.20 AS r10,
+           top2gram_char_frac < 0.20 AS r11,
+           top3gram_char_frac < 0.18 AS r12
+    FROM m)
+"""
+
+
 def q_shard_and_split(spark, sf):
     """End-to-end TOKENIZATION-layout composite (r8 verdict item 8,
     mirror of `shard_and_pack`): token-balanced sharding

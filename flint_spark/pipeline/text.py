@@ -334,6 +334,180 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
     return out.withColumn(f"{text_col}_redacted", red)
 
 
+#: the Gopher "must contain 2 of" stop-word set (Rae et al. 2021,
+#: "Scaling Language Models: ... Gopher", Appendix A quality rules)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def _sorted_run_dup_chars(arr: Column) -> Column:
+    """Characters contained in the DUPLICATE copies of ``arr``'s
+    elements — sum over distinct elements of (count-1) * length — via
+    one O(n log n) sorted-run scan (no explode, no shuffle): sort,
+    then every element equal to its predecessor contributes its
+    length. The initial '' sentinel is safe: a real leading empty
+    string would add length 0."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("long").alias("dup")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (acc["dup"] + F.when(x == acc["prev"], F.length(x))
+             .otherwise(F.lit(0))).alias("dup")),
+        lambda acc: acc["dup"])
+
+
+def _sorted_run_top_gram_chars(arr: Column) -> Column:
+    """max over distinct elements of count * length (the character
+    span the most frequent element covers) via the same sorted-run
+    scan as :func:`_sorted_run_dup_chars`."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                (F.when(x == acc["prev"], acc["run"] + 1)
+                 .otherwise(F.lit(1).cast("long")))
+                * F.length(x)).alias("best")),
+        lambda acc: acc["best"])
+
+
+def _word_ngrams(w: Column, k: int) -> Column:
+    """Space-joined word k-gram array (empty below k words)."""
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length difference — the
+    same leftmost-replace semantics in Spark and DuckDB."""
+    return ((F.length(text)
+             - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))).cast("long")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The published Gopher corpus-quality heuristics (Rae et al.
+    2021, Appendix A) as ONE map-only projection: per-document rule
+    metrics plus the conjunction flag ``gopher_pass``. Zero corpus
+    exchanges — every metric is a higher-order expression over the
+    document's own word/line/n-gram arrays (duplicate-content
+    fractions use O(n log n) sorted-run scans instead of explode), so
+    the operator is embarrassingly parallel at any corpus size and
+    composes with the scoring/dedup/chunking pipeline for free.
+
+    Metrics and published thresholds (``gopher_pass`` ANDs them):
+
+    - ``n_words`` in [50, 100000]; ``mean_word_len`` in [3, 10]
+    - ``symbol_word_ratio`` (of '#', '…', '...') <= 0.1
+    - ``bullet_line_ratio`` (lines starting '•', '- ', '* ') <= 0.9;
+      ``ellipsis_line_ratio`` (lines ending '…' or '...') <= 0.3
+    - ``alpha_word_ratio`` (words with an alphabetic char) >= 0.8
+    - ``stop_hits`` (of the 8-word Gopher stop set) >= 2
+    - ``dup_line_frac`` < 0.30; ``dup_para_frac`` < 0.30 (count-based)
+    - ``dup_line_char_frac`` < 0.20 (chars in duplicate line COPIES /
+      text length)
+    - ``top2gram_char_frac`` < 0.20 and ``top3gram_char_frac`` < 0.18
+      (char span of the most frequent word n-gram / text length)
+
+    Tokenization is the engine's single-space split (consistent with
+    every other text operator here — a word may span a newline), and
+    char fractions use ``length(text)`` denominators; the POINT is a
+    deterministic, oracle-checkable rendering of the published rules,
+    not a reproduction of DeepMind's internal tokenizer."""
+    from .dedup import _spread
+
+    tl = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    base = _spread(docs).withColumns({
+        "__w": F.filter(F.split(F.col(text_col), " "),
+                        lambda x: x != ""),
+        "__lines": F.split(F.col(text_col), "\n"),
+        "__paras": F.split(F.col(text_col), "\n\n"),
+    })
+    w, lines, paras = F.col("__w"), F.col("__lines"), F.col("__paras")
+    n = F.size(w)
+    nd = n.cast("double")
+    n_lines = F.size(lines).cast("double")
+    mean_wl = F.when(n > 0, F.aggregate(
+        w, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x)).cast("double") / nd) \
+        .otherwise(F.lit(0.0))
+    symbols = (_count_occurrences(F.col(text_col), "#")
+               + _count_occurrences(F.col(text_col), "…")
+               + _count_occurrences(F.col(text_col), "..."))
+    symbol_ratio = F.when(n > 0, symbols.cast("double") / nd) \
+        .otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, F.size(F.filter(
+        w, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nd) \
+        .otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        lambda s: F.array_contains(w, s)))
+    bullet_ratio = (F.size(F.filter(
+        lines, lambda l: l.startswith("•") | l.startswith("- ")
+        | l.startswith("* "))).cast("double") / n_lines)
+    ellipsis_ratio = (F.size(F.filter(
+        lines, lambda l: l.endswith("…") | l.endswith("...")))
+        .cast("double") / n_lines)
+    dup_frac = lambda arr: (  # noqa: E731
+        (F.size(arr) - F.size(F.array_distinct(arr))).cast("double")
+        / F.size(arr).cast("double"))
+    out = base.withColumns({
+        "n_words": n,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": symbol_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "stop_hits": stop_hits,
+        "bullet_line_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ellipsis_ratio,
+        "dup_line_frac": dup_frac(lines),
+        "dup_para_frac": dup_frac(paras),
+        "dup_line_char_frac":
+            _sorted_run_dup_chars(lines).cast("double") / tl,
+        "top2gram_char_frac":
+            _sorted_run_top_gram_chars(_word_ngrams(w, 2))
+            .cast("double") / tl,
+        "top3gram_char_frac":
+            _sorted_run_top_gram_chars(_word_ngrams(w, 3))
+            .cast("double") / tl,
+    })
+    rules = [
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
+        (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0),
+        F.col("symbol_word_ratio") <= 0.1,
+        F.col("bullet_line_ratio") <= 0.9,
+        F.col("ellipsis_line_ratio") <= 0.3,
+        F.col("alpha_word_ratio") >= 0.8,
+        F.col("stop_hits") >= 2,
+        F.col("dup_line_frac") < 0.30,
+        F.col("dup_para_frac") < 0.30,
+        F.col("dup_line_char_frac") < 0.20,
+        F.col("top2gram_char_frac") < 0.20,
+        F.col("top3gram_char_frac") < 0.18,
+    ]
+    n_failed = sum((~r).cast("int") for r in rules)
+    passed = rules[0]
+    for r in rules[1:]:
+        passed = passed & r
+    # every metric is a single division of exact integer counts/
+    # lengths, so the thresholds (and therefore the flag and the
+    # failed-rule count) are engine-deterministic without quantization
+    return (out.withColumn("gopher_pass", passed)
+            .withColumn("n_rules_failed", n_failed)
+            .drop("__w", "__lines", "__paras"))
+
+
 def remove_repeated_lines(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_line_df: int = 5,

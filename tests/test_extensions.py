@@ -1318,6 +1318,50 @@ def test_multimodal_pixel_decode_guarded(spark, sf_dir):
     assert row.px_std == pytest.approx(arr.std())
 
 
+def test_gopher_rules_hand_cases(spark):
+    """Hand-built documents pin each published Gopher rule
+    (pipeline.text.gopher_rules): a clean passing doc, a bullet/
+    ellipsis-spam doc, a duplicate-line doc, a symbol-heavy doc, and
+    the degenerate empty doc — metrics computed by hand."""
+    from flint_spark.pipeline.text import gopher_rules
+
+    clean = ("the quick brown fox jumps over that lazy dog and it "
+             "will have been with many other words to be sure of it "
+             * 5).strip()
+    bullets = "\n".join(["• item one"] * 9 + ["closing line"])
+    dups = "\n".join(["same line here"] * 6 + ["unique line"])
+    symbols = " ".join(["tag#word"] * 30)
+    rows = [(1, clean), (2, bullets), (3, dups), (4, symbols), (5, "")]
+    got = {r.doc_id: r for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+        .collect()}
+
+    c = got[1]
+    assert c.n_words == len([w for w in clean.split(" ") if w])
+    assert c.stop_hits >= 2 and c.gopher_pass and c.n_rules_failed == 0
+
+    b = got[2]
+    assert b.bullet_line_ratio == 0.9  # 9 of 10 lines
+    # 9 identical bullet lines: 8 duplicate copies
+    assert b.dup_line_frac == 0.8
+    assert not b.gopher_pass
+
+    d = got[3]
+    assert d.dup_line_frac == pytest.approx(5 / 7)
+    # 5 duplicate copies x len("same line here")=14 chars
+    assert d.dup_line_char_frac == pytest.approx(
+        5 * 14 / len(dups))
+    assert not d.gopher_pass
+
+    s = got[4]
+    assert s.symbol_word_ratio == 1.0  # one '#' per word
+    assert not s.gopher_pass
+
+    e = got[5]
+    assert e.n_words == 0 and e.mean_word_len == 0.0
+    assert not e.gopher_pass and e.n_rules_failed >= 2
+
+
 def test_pillow_decode_png_jpeg(spark):
     """r8 verdict item 3: the decode branch a REAL multimodal adopter
     hits first is Pillow JPEG/PNG (`multimodal.decode_image` falling
