@@ -2072,3 +2072,33 @@ def test_pack_bins_stream_vs_duckdb(spark, con, tmp_path):
     """
     ok, msg = compare("so_bins", got, sql, con)
     assert ok, msg
+
+
+def test_stream_gopher_rules_vs_duckdb(spark, con, tmp_path):
+    """The Gopher quality-rule bundle is a stateless per-document
+    projection, so it runs on a readStream UNCHANGED (39th replay
+    gate): replay the documents table as a 3-chunk file stream through
+    `pipeline.text.gopher_rules`, materialize the sink, and compare
+    every metric + the flag against DuckDB batch SQL — bitwise, no
+    quantization (each metric is one division of exact integers)."""
+    from entry_queries.extras_q import SQL_GOPHER_RULES
+    from flint_spark.pipeline.text import gopher_rules
+
+    docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
+              .select("doc_id", "text"))
+    out_dir = str(tmp_path / "gopher")
+    _split_files(docs_b, out_dir, [170, 340], "doc_id")
+    st = (spark.readStream.schema(docs_b.schema)
+          .option("maxFilesPerTrigger", 1).parquet(out_dir))
+    out = gopher_rules(st).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "stop_hits", "bullet_line_ratio",
+        "ellipsis_line_ratio", "dup_line_frac", "dup_para_frac",
+        "dup_line_char_frac", "top2gram_char_frac",
+        "top3gram_char_frac",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+        "n_rules_failed")
+    _run_to_table(out, "so_gopher")
+    got = spark.sql("SELECT * FROM so_gopher")
+    ok, msg = compare("so_gopher", got, SQL_GOPHER_RULES, con)
+    assert ok, msg
