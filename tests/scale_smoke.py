@@ -865,8 +865,36 @@ def r8ops_scale(spark, millions: float = 5.0):
           f"shuffle(s), 0 python stages OK")
 
 
+def r9ops_scale(spark, millions: float = 1.0):
+    """Round-9 surface: the Gopher rule bundle is a per-doc map-only
+    projection with O(n log n) sorted-run scans — it must scale
+    LINEARLY in document count (slack 1.5: the sorted-run constants
+    are per-doc, not per-corpus) with zero python stages and no
+    corpus-scale exchange beyond the input spread."""
+    from flint_spark.pipeline.text import gopher_rules
+    from flint_spark.plans.audit import plan_counts
+
+    n_big = int(millions * 1e6)
+    n_small = n_big // 2
+
+    def rules(n):
+        return gopher_rules(synth_corpus(spark, n)).select(
+            F.sum("n_rules_failed").alias("s"))
+
+    linearity("gopher_rules (map-only)", rules, n_small, n_big,
+              slack=1.5)
+    counts = plan_counts(gopher_rules(synth_corpus(spark, n_big)))
+    assert counts["python"] == 0, counts
+    assert counts["shuffles"] <= 1, counts  # the _spread guard only
+    print(f"  gopher_rules: {counts['shuffles']} shuffle(s), 0 python "
+          f"stages OK")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r8ops":
+    if len(sys.argv) > 1 and sys.argv[1] == "r9ops":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+        r9ops_scale(get_spark("scale_smoke"), m)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r8ops":
         m = float(sys.argv[2]) if len(sys.argv) > 2 else 5.0
         r8ops_scale(get_spark("scale_smoke"), m)
     elif len(sys.argv) > 1 and sys.argv[1] == "r7ops":
