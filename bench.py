@@ -173,7 +173,7 @@ def _calibrate(spark, n_iter: int = 5) -> float:
     return samples[len(samples) // 2]
 
 
-def _ivfpq_split_entries(spark):
+def _ivfpq_split_entries():
     """Bench-only build/serve split of `ivfpq_table` (same parameters
     as the gate). The quantizers are trained ONCE here (untimed) and
     shared: `ivfpq_build` times train + the one-time partitioned codes
@@ -221,7 +221,7 @@ def main() -> None:
 
     spark = get_spark("flint_spark_bench")
     qs = {**entry.queries(), **entry.extra_queries(),
-          **_ivfpq_split_entries(spark)}
+          **_ivfpq_split_entries()}
     # warm the JVM + parquet footers + Python UDF workers (steady-state
     # timings; worker spin-up is a fixed cost, not per-query work)
     region = spark.read.parquet(f"{SF_DIR}/region.parquet")

@@ -306,13 +306,17 @@ def q_gopher_rules(spark, sf):
 
 
 SQL_GOPHER_RULES = """
-  WITH d AS (
+  WITH t AS (
+    -- NULL text is the empty document (matches the operator's
+    -- coalesce; a bare split of NULL would NULL-poison every metric)
+    SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  ), d AS (
     SELECT doc_id, text,
            greatest(length(text), 1)::DOUBLE AS tl,
            list_filter(string_split(text, ' '), x -> x <> '') AS w,
            string_split(text, chr(10)) AS lines,
            string_split(text, chr(10) || chr(10)) AS paras
-    FROM documents
+    FROM t
   ), lc AS (
     SELECT doc_id, sum((c - 1) * ln) AS dup_chars
     FROM (SELECT doc_id, count(*) AS c, length(line) AS ln

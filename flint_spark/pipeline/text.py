@@ -425,15 +425,32 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     every other text operator here — a word may span a newline), and
     char fractions use ``length(text)`` denominators; the POINT is a
     deterministic, oracle-checkable rendering of the published rules,
-    not a reproduction of DeepMind's internal tokenizer."""
+    not a reproduction of DeepMind's internal tokenizer. NULL text is
+    treated as the empty document (under legacy sizeOfNull a bare
+    split-of-NULL would poison every count with -1 — the repo-wide
+    token-count gotcha)."""
     from .dedup import _spread
 
-    tl = F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    out_names = {
+        "n_words", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "stop_hits", "bullet_line_ratio",
+        "ellipsis_line_ratio", "dup_line_frac", "dup_para_frac",
+        "dup_line_char_frac", "top2gram_char_frac",
+        "top3gram_char_frac", "gopher_pass", "n_rules_failed"}
+    bad = [c for c in docs.columns
+           if c.startswith("__") or c in out_names]
+    if bad:
+        raise ValueError(
+            f"gopher_rules reserves '__'-prefixed scratch columns and "
+            f"its metric output names (would silently overwrite "
+            f"{sorted(bad)}); rename them — same contract as the "
+            f"packing/sharding family")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    tl = F.greatest(F.length(txt), F.lit(1)).cast("double")
     base = _spread(docs).withColumns({
-        "__w": F.filter(F.split(F.col(text_col), " "),
-                        lambda x: x != ""),
-        "__lines": F.split(F.col(text_col), "\n"),
-        "__paras": F.split(F.col(text_col), "\n\n"),
+        "__w": F.filter(F.split(txt, " "), lambda x: x != ""),
+        "__lines": F.split(txt, "\n"),
+        "__paras": F.split(txt, "\n\n"),
     })
     w, lines, paras = F.col("__w"), F.col("__lines"), F.col("__paras")
     n = F.size(w)
@@ -443,9 +460,9 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         w, F.lit(0).cast("long"),
         lambda acc, x: acc + F.length(x)).cast("double") / nd) \
         .otherwise(F.lit(0.0))
-    symbols = (_count_occurrences(F.col(text_col), "#")
-               + _count_occurrences(F.col(text_col), "…")
-               + _count_occurrences(F.col(text_col), "..."))
+    symbols = (_count_occurrences(txt, "#")
+               + _count_occurrences(txt, "…")
+               + _count_occurrences(txt, "..."))
     symbol_ratio = F.when(n > 0, symbols.cast("double") / nd) \
         .otherwise(F.lit(0.0))
     alpha_ratio = F.when(n > 0, F.size(F.filter(

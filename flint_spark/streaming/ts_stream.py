@@ -344,12 +344,6 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
     (t, t+tol] with ``strict_lookahead``) — the static side is fully
     known, so the forward lookup needs no left-row buffering.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    from ..timeseries import parse_duration_ns, time_ns_expr
-
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     if strict_lookahead and direction != "forward":
@@ -365,6 +359,13 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
             right_time_column=right_time_column)
     if engine != "arrow":
         raise ValueError("engine must be 'jvm' or 'arrow'")
+    # Arrow path only below: the pure-JVM default must not pay (or
+    # require) the numpy/pandas imports it never uses
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..timeseries import parse_duration_ns, time_ns_expr
     key = list(key)
     tol = parse_duration_ns(tolerance) if tolerance else 0
     rdata = [c for c in right.columns if c != right_time_column and c not in key]

@@ -1331,7 +1331,8 @@ def test_gopher_rules_hand_cases(spark):
     bullets = "\n".join(["• item one"] * 9 + ["closing line"])
     dups = "\n".join(["same line here"] * 6 + ["unique line"])
     symbols = " ".join(["tag#word"] * 30)
-    rows = [(1, clean), (2, bullets), (3, dups), (4, symbols), (5, "")]
+    rows = [(1, clean), (2, bullets), (3, dups), (4, symbols), (5, ""),
+            (6, None)]
     got = {r.doc_id: r for r in gopher_rules(
         spark.createDataFrame(rows, "doc_id long, text string"))
         .collect()}
@@ -1360,6 +1361,23 @@ def test_gopher_rules_hand_cases(spark):
     e = got[5]
     assert e.n_words == 0 and e.mean_word_len == 0.0
     assert not e.gopher_pass and e.n_rules_failed >= 2
+
+    # NULL text == empty document, never -1 counts / NULL metrics
+    # (legacy sizeOfNull would otherwise poison every ratio): every
+    # METRIC matches the empty-string row (the original text column
+    # passes through untouched, so it is excluded)
+    d5, d6 = got[5].asDict(), got[6].asDict()
+    for k in d5:
+        if k not in ("doc_id", "text"):
+            assert d6[k] == d5[k], (k, d6[k], d5[k])
+
+    # reserved/output-name collisions fail loudly, never silently
+    # overwrite (the packing/sharding family contract)
+    base = spark.createDataFrame([(1, "x y z")],
+                                 "doc_id long, text string")
+    for col in ("__w", "n_words", "gopher_pass"):
+        with pytest.raises(ValueError, match="reserves"):
+            gopher_rules(base.withColumn(col, F.lit(1)))
 
 
 def test_pillow_decode_png_jpeg(spark):
