@@ -203,8 +203,16 @@ def _ivfpq_split_entries():
         return spark.range(1).select(F.lit(path).alias("codes_path"))
 
     def serve(spark, sf_dir):
-        if "quant" not in shared:  # first (untimed warmup) call
-            build(spark, sf_dir)
+        if "quant" not in shared:
+            # NEVER lazily fold a full train+write into a serve call —
+            # that silently corrupts the build/serve attribution these
+            # rows exist to provide (ADVICE r9). The warmup pass runs
+            # HEADLINE in order (build precedes serve), so hitting this
+            # means a filtered/reordered run: fail loudly instead.
+            raise RuntimeError(
+                "ivfpq_serve invoked before ivfpq_build in this bench "
+                "process; run ivfpq_build first (HEADLINE order does) "
+                "so serve times only the steady-state search")
         cents, books = shared["quant"]
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         out = similarity.ivfpq_topk_table(spark, path, emb, cents,

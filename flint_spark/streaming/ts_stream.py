@@ -228,7 +228,12 @@ def _static_right_size_guard(right: DataFrame, cols) -> DataFrame:
     est = _estimated_bytes(projected)
     if est >= _STATS_UNKNOWN:
         # a distributed count (nothing collected) plus a 1000-row
-        # sample prices the materialization before paying it
+        # sample prices the materialization before paying it. Persist
+        # FIRST so the pricing scan and the downstream fold/collect are
+        # one evaluation, not two (ADVICE r9) — bounded by the same
+        # budget the guard enforces, and reused by every micro-batch
+        # that re-evaluates the static subtree.
+        projected = projected.persist()
         n = projected.count()
         if n == 0:
             est = 0
@@ -251,7 +256,11 @@ def _static_right_size_guard(right: DataFrame, cols) -> DataFrame:
 
 def _collect_static_right(right: DataFrame, cols) -> "pd.DataFrame":
     """Guarded ``toPandas()`` of the static right side."""
-    return _static_right_size_guard(right, cols).toPandas()
+    projected = _static_right_size_guard(right, cols)
+    pdf = projected.toPandas()
+    if projected.is_cached:  # pricing cache is spent once collected
+        projected.unpersist()
+    return pdf
 
 
 def _null_safe_key(pd, kv):
@@ -351,7 +360,10 @@ def asof_join_static(stream: DataFrame, right: DataFrame,
     if engine == "jvm":
         from ..operators.asof import left_join_broadcast
 
-        _static_right_size_guard(right, right.columns)
+        # the guard returns the (possibly persisted) priced projection;
+        # feeding IT to the fold reuses that evaluation instead of
+        # recomputing the right side from scratch (ADVICE r9)
+        right = _static_right_size_guard(right, right.columns)
         return left_join_broadcast(
             stream, right, tolerance, key, direction=direction,
             strict_lookahead=strict_lookahead, engine="jvm",

@@ -5050,13 +5050,15 @@ def test_package_builds_and_imports_from_artifact(tmp_path):
     package-discovery path a wheel build walks), then imports
     `flint_spark` and `ts.flint` from the EXTRACTED artifact in a
     subprocess whose sys.path excludes the repo."""
+    import pathlib
     import subprocess
     import sys
     import tarfile
 
     out = subprocess.run(
         [sys.executable, "setup.py", "sdist", "-d", str(tmp_path)],
-        cwd="/root/repo", capture_output=True, text=True)
+        cwd=str(pathlib.Path(__file__).resolve().parents[1]),
+        capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-2000:]
     arts = list(tmp_path.glob("flint*spark-*.tar.gz"))
     assert len(arts) == 1, list(tmp_path.iterdir())
@@ -5457,7 +5459,10 @@ def test_wheel_artifact_handrolled_and_importable(tmp_path):
     import sys
     import zipfile
 
-    repo = pathlib.Path("/root/repo")
+    # derive the repo root from this file, not a hardcoded absolute
+    # path — the A/B protocol runs this suite from git worktrees
+    # (ADVICE r9)
+    repo = pathlib.Path(__file__).resolve().parents[1]
     try:
         import tomllib
         version = tomllib.loads(
@@ -5525,6 +5530,7 @@ def test_package_builds_wheel_when_backend_available(tmp_path):
     vacuously) where it is absent (this container ships setuptools
     without `wheel`; CI with a full toolchain runs the real thing)."""
     import importlib.util
+    import pathlib
     import subprocess
     import sys
     import zipfile
@@ -5534,7 +5540,8 @@ def test_package_builds_wheel_when_backend_available(tmp_path):
 
     out = subprocess.run(
         [sys.executable, "setup.py", "bdist_wheel", "-d", str(tmp_path)],
-        cwd="/root/repo", capture_output=True, text=True)
+        cwd=str(pathlib.Path(__file__).resolve().parents[1]),
+        capture_output=True, text=True)
     assert out.returncode == 0, out.stderr[-2000:]
     arts = list(tmp_path.glob("flint*spark-*.whl"))
     assert len(arts) == 1, list(tmp_path.iterdir())
