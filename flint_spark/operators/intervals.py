@@ -110,15 +110,66 @@ def _clock_ticks_ns(clock_df: DataFrame,
     return arr
 
 
-def _searchsorted_interval_expr(df: DataFrame, clock_df: DataFrame, inclusion: str,
-                                rounding: str) -> Column:
-    """Arbitrary-clock path: broadcast tick array + vectorized searchsorted.
+# inline the tick array as ONE in-plan literal (zero Python stages) up
+# to this many ticks: the serialized task binary is Torrent-broadcast
+# once per stage, so an <=800 KB literal costs one broadcast, same as
+# the UDF path's explicit broadcast — but the lookup stays in the JVM.
+# Larger (trimmed) clocks keep the Arrow UDF path, whose broadcast
+# variable avoids megabyte plan trees.
+_INLINE_TICK_THRESHOLD = 100_000
 
-    The clock is driver-collected exactly like the reference
-    (``Intervalize.scala:113-127``); the per-row lookup is O(log c) inside
-    an Arrow-batched pandas UDF, so data never moves to the driver.
-    """
-    ticks = _clock_ticks_ns(clock_df, data_df=df)
+
+def _jvm_intervalize(df: DataFrame, ticks: np.ndarray, inclusion: str,
+                     rounding: str) -> DataFrame:
+    """Zero-Python arbitrary-clock bucketing: the (trimmed) tick array
+    as a single in-plan ``array<long>`` literal probed per row with the
+    as-of engine's in-JVM binary search (``upper_bound_expr`` — the same
+    primitive the broadcast as-of join runs).
+
+    Validity is a plain range predicate on the raw time column applied
+    BEFORE the lookup — column expressions are trees, not DAGs, so
+    folding validity into a ``when()`` (or filtering the result for
+    null) would copy the whole binary search once per use site (3-4
+    evaluations per row; the UDF path guards against the same blowup
+    with ``asNondeterministic``). The pre-filter keeps the search at
+    exactly ONE evaluation per surviving row and, unlike a
+    post-hoc null filter, pushes down to the parquet scan as a
+    time-range prune. ``upper_bound_expr`` counts elements <= x, so
+    searchsorted-right is direct and searchsorted-left is
+    ``upper_bound(t - 1)`` (ticks and times are exact int64 ns);
+    bitwise route-identity with the UDF path is pinned in pytest."""
+    from .asof import upper_bound_expr
+
+    m = len(ticks) - 1
+    if m < 1:  # <2 ticks define no interval — same as the UDF path
+        return (df.filter(F.lit(False))
+                .withColumn(_INTERVAL, F.lit(None).cast("long")))
+    first, last = int(ticks[0]), int(ticks[-1])
+    t = time_ns_expr(df)
+    if inclusion == "begin":
+        # i = ub(t)-1 in [0, m-1]  <=>  t_0 <= t < t_m
+        pre = (t >= F.lit(first)) & (t < F.lit(last))
+    else:
+        # ie = ub(t-1) in [1, m]  <=>  t_0 < t <= t_m
+        pre = (t > F.lit(first)) & (t <= F.lit(last))
+    filtered = df.filter(pre)
+    arr = F.lit([int(v) for v in ticks])
+    tf = time_ns_expr(filtered)
+    # 1-based element_at index of the interval's BEGIN tick is exactly
+    # ub(t) (inclusion=begin) / ub(t-1) (inclusion=end); the END tick
+    # is one past it — the binary search appears ONCE either way
+    idx = upper_bound_expr(arr, tf if inclusion == "begin" else tf - F.lit(1))
+    out_idx = idx if rounding == "begin" else idx + F.lit(1)
+    return filtered.withColumn(
+        _INTERVAL, F.element_at(arr, out_idx.cast("int")).cast("long"))
+
+
+def _searchsorted_interval_expr(df: DataFrame, ticks: np.ndarray, inclusion: str,
+                                rounding: str) -> Column:
+    """Arbitrary-clock UDF fallback for clocks too large to inline:
+    O(log c) vectorized ``np.searchsorted`` inside an Arrow-batched
+    pandas UDF over an explicitly broadcast tick array. Data never
+    moves to the driver."""
     sc = df.sparkSession.sparkContext
     bticks = sc.broadcast(ticks)
     m = len(ticks) - 1
@@ -154,7 +205,10 @@ def intervalize(df: DataFrame, clock, inclusion: str = "begin",
     if isinstance(clock, UniformClock):
         expr = _uniform_interval_expr(df, clock, inclusion, rounding)
     else:
-        expr = _searchsorted_interval_expr(df, clock, inclusion, rounding)
+        ticks = _clock_ticks_ns(clock, data_df=df)
+        if len(ticks) <= _INLINE_TICK_THRESHOLD:
+            return _jvm_intervalize(df, ticks, inclusion, rounding)
+        expr = _searchsorted_interval_expr(df, ticks, inclusion, rounding)
     return df.withColumn(_INTERVAL, expr).filter(F.col(_INTERVAL).isNotNull())
 
 
