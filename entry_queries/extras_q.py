@@ -285,27 +285,103 @@ SQL_BALANCE_SHARDS = """
 
 def q_gopher_rules(spark, sf):
     """Published Gopher corpus-quality heuristics (pipeline.text
-    .gopher_rules, Rae et al. 2021 Appendix A) — per-document rule
-    metrics, failed-rule count and the conjunction flag, all map-only
-    (zero corpus exchanges). Every metric is a single division of
-    exact integer counts/lengths, so the compare is bitwise with NO
-    quantization — the thresholds (and the flag) are
-    engine-deterministic by construction."""
-    from flint_spark.pipeline.text import gopher_rules
+    .gopher_rules, Rae et al. 2021 Appendix A) — the FULL 20-rule
+    battery (r10: + dup-paragraph-char, top-4-gram and the dup
+    5..10-gram char fractions), per-document metrics, failed-rule
+    count and the conjunction flag, all map-only (zero corpus
+    exchanges). Every metric is a single division of exact integer
+    counts/lengths, so the compare is bitwise with NO quantization —
+    the thresholds (and the flag) are engine-deterministic by
+    construction."""
+    from flint_spark.pipeline.text import GOPHER_METRICS, gopher_rules
 
     docs = _t(spark, sf, "documents")
     out = gopher_rules(docs)
     return out.select(
-        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
-        "alpha_word_ratio", "stop_hits", "bullet_line_ratio",
-        "ellipsis_line_ratio", "dup_line_frac", "dup_para_frac",
-        "dup_line_char_frac", "top2gram_char_frac",
-        "top3gram_char_frac",
+        "doc_id", *GOPHER_METRICS,
         F.col("gopher_pass").cast("int").alias("gopher_pass"),
         "n_rules_failed")
 
 
-SQL_GOPHER_RULES = """
+def _gopher_ngrams_sql(k: int) -> str:
+    """DuckDB space-joined word k-gram list over ``w`` (1-indexed
+    lists; ``range(1, n)`` is end-exclusive, and a negative end yields
+    the empty list, matching the Spark side's empty array below k
+    words)."""
+    off = 2 - k
+    rng = ("range(1, len(w))" if off == 0
+           else f"range(1, len(w) - {-off})")
+    words = ", ".join("w[j]" if i == 0 else f"w[j+{i}]"
+                      for i in range(k))
+    return f"list_transform({rng}, j -> concat_ws(' ', {words}))"
+
+
+def _gopher_sql() -> str:
+    """The full 20-rule Gopher battery as ONE DuckDB statement,
+    generated so the n-gram CTEs for k=2..10 cannot drift from each
+    other. Duplicate-copy char fractions are sum((count-1)*len) — the
+    same rendering as the Spark operator's sorted-run scans."""
+    grams = "".join(f""", g{k} AS (
+    SELECT doc_id, max(c * ln) AS best
+    FROM (SELECT doc_id, count(*) AS c, length(g) AS ln
+          FROM (SELECT doc_id, unnest({_gopher_ngrams_sql(k)}) AS g
+                FROM d)
+          GROUP BY doc_id, g)
+    GROUP BY doc_id
+  )""" for k in (2, 3, 4))
+    dups = "".join(f""", dg{k} AS (
+    SELECT doc_id, sum((c - 1) * ln) AS dup_chars
+    FROM (SELECT doc_id, count(*) AS c, length(g) AS ln
+          FROM (SELECT doc_id, unnest({_gopher_ngrams_sql(k)}) AS g
+                FROM d)
+          GROUP BY doc_id, g)
+    GROUP BY doc_id
+  )""" for k in range(5, 11))
+    top_cols = "".join(
+        f""",
+           COALESCE(g{k}.best, 0)::DOUBLE / tl AS top{k}gram_char_frac"""
+        for k in (2, 3, 4))
+    dup_cols = "".join(
+        f""",
+           COALESCE(dg{k}.dup_chars, 0)::DOUBLE / tl
+             AS dup{k}gram_char_frac"""
+        for k in range(5, 11))
+    joins = "".join(f"""
+           LEFT JOIN g{k} USING (doc_id)""" for k in (2, 3, 4)) + "".join(
+        f"""
+           LEFT JOIN dg{k} USING (doc_id)""" for k in range(5, 11))
+    thresholds = [
+        ("n_words >= 50 AND n_words <= 100000", None),
+        ("mean_word_len >= 3.0 AND mean_word_len <= 10.0", None),
+        ("symbol_word_ratio <= 0.1", None),
+        ("bullet_line_ratio <= 0.9", None),
+        ("ellipsis_line_ratio <= 0.3", None),
+        ("alpha_word_ratio >= 0.8", None),
+        ("stop_hits >= 2", None),
+        ("dup_line_frac < 0.30", None),
+        ("dup_para_frac < 0.30", None),
+        ("dup_line_char_frac < 0.20", None),
+        ("dup_para_char_frac < 0.20", None),
+        ("top2gram_char_frac < 0.20", None),
+        ("top3gram_char_frac < 0.18", None),
+        ("top4gram_char_frac < 0.16", None),
+    ] + [(f"dup{k}gram_char_frac < {t}", None)
+         for k, t in zip(range(5, 11),
+                         ("0.15", "0.14", "0.13", "0.12", "0.11",
+                          "0.10"))]
+    rule_defs = ",\n           ".join(
+        f"{expr} AS r{i + 1}" for i, (expr, _) in enumerate(thresholds))
+    n = len(thresholds)
+    pass_expr = " AND ".join(f"r{i + 1}" for i in range(n))
+    fail_expr = " + ".join(f"(NOT r{i + 1})::INT" for i in range(n))
+    metric_list = """n_words, mean_word_len, symbol_word_ratio,
+         alpha_word_ratio, stop_hits, bullet_line_ratio,
+         ellipsis_line_ratio, dup_line_frac, dup_para_frac,
+         dup_line_char_frac, dup_para_char_frac, top2gram_char_frac,
+         top3gram_char_frac, top4gram_char_frac, dup5gram_char_frac,
+         dup6gram_char_frac, dup7gram_char_frac, dup8gram_char_frac,
+         dup9gram_char_frac, dup10gram_char_frac"""
+    return f"""
   WITH t AS (
     -- NULL text is the empty document (matches the operator's
     -- coalesce; a bare split of NULL would NULL-poison every metric)
@@ -323,26 +399,13 @@ SQL_GOPHER_RULES = """
           FROM (SELECT doc_id, unnest(lines) AS line FROM d)
           GROUP BY doc_id, line)
     GROUP BY doc_id
-  ), g2 AS (
-    SELECT doc_id, max(c * ln) AS best
-    FROM (SELECT doc_id, count(*) AS c, length(g) AS ln
-          FROM (SELECT doc_id,
-                       unnest(list_transform(range(1, len(w)),
-                              j -> concat_ws(' ', w[j], w[j+1]))) AS g
-                FROM d)
-          GROUP BY doc_id, g)
+  ), pc AS (
+    SELECT doc_id, sum((c - 1) * ln) AS dup_chars
+    FROM (SELECT doc_id, count(*) AS c, length(p) AS ln
+          FROM (SELECT doc_id, unnest(paras) AS p FROM d)
+          GROUP BY doc_id, p)
     GROUP BY doc_id
-  ), g3 AS (
-    SELECT doc_id, max(c * ln) AS best
-    FROM (SELECT doc_id, count(*) AS c, length(g) AS ln
-          FROM (SELECT doc_id,
-                       unnest(list_transform(range(1, len(w) - 1),
-                              j -> concat_ws(' ', w[j], w[j+1],
-                                             w[j+2]))) AS g
-                FROM d)
-          GROUP BY doc_id, g)
-    GROUP BY doc_id
-  ), m AS (
+  ){grams}{dups}, m AS (
     SELECT d.doc_id,
            CAST(len(w) AS INT) AS n_words,
            CASE WHEN len(w) > 0 THEN
@@ -373,39 +436,22 @@ SQL_GOPHER_RULES = """
              / len(paras) AS dup_para_frac,
            COALESCE(lc.dup_chars, 0)::DOUBLE / tl
              AS dup_line_char_frac,
-           COALESCE(g2.best, 0)::DOUBLE / tl AS top2gram_char_frac,
-           COALESCE(g3.best, 0)::DOUBLE / tl AS top3gram_char_frac
+           COALESCE(pc.dup_chars, 0)::DOUBLE / tl
+             AS dup_para_char_frac{top_cols}{dup_cols}
     FROM d LEFT JOIN lc USING (doc_id)
-           LEFT JOIN g2 USING (doc_id)
-           LEFT JOIN g3 USING (doc_id)
+           LEFT JOIN pc USING (doc_id){joins}
   )
-  SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-         alpha_word_ratio, stop_hits, bullet_line_ratio,
-         ellipsis_line_ratio, dup_line_frac, dup_para_frac,
-         dup_line_char_frac, top2gram_char_frac, top3gram_char_frac,
-         CAST(r1 AND r2 AND r3 AND r4 AND r5 AND r6 AND r7 AND r8
-              AND r9 AND r10 AND r11 AND r12 AS INT) AS gopher_pass,
-         CAST((NOT r1)::INT + (NOT r2)::INT + (NOT r3)::INT
-            + (NOT r4)::INT + (NOT r5)::INT + (NOT r6)::INT
-            + (NOT r7)::INT + (NOT r8)::INT + (NOT r9)::INT
-            + (NOT r10)::INT + (NOT r11)::INT + (NOT r12)::INT
-              AS INT) AS n_rules_failed
+  SELECT doc_id, {metric_list},
+         CAST({pass_expr} AS INT) AS gopher_pass,
+         CAST({fail_expr} AS INT) AS n_rules_failed
   FROM (
     SELECT *,
-           n_words >= 50 AND n_words <= 100000 AS r1,
-           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r2,
-           symbol_word_ratio <= 0.1 AS r3,
-           bullet_line_ratio <= 0.9 AS r4,
-           ellipsis_line_ratio <= 0.3 AS r5,
-           alpha_word_ratio >= 0.8 AS r6,
-           stop_hits >= 2 AS r7,
-           dup_line_frac < 0.30 AS r8,
-           dup_para_frac < 0.30 AS r9,
-           dup_line_char_frac < 0.20 AS r10,
-           top2gram_char_frac < 0.20 AS r11,
-           top3gram_char_frac < 0.18 AS r12
+           {rule_defs}
     FROM m)
 """
+
+
+SQL_GOPHER_RULES = _gopher_sql()
 
 
 def q_shard_and_split(spark, sf):

@@ -340,6 +340,21 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
                     "with"]
 
 
+#: ordered output metric names of :func:`gopher_rules` — the single
+#: source of truth shared by the oracle gate, the streaming replay
+#: gate and the hand-case pins (Rae et al. 2021 Table A1 order:
+#: quality heuristics, then the repetition battery)
+GOPHER_METRICS = (
+    "n_words", "mean_word_len", "symbol_word_ratio",
+    "alpha_word_ratio", "stop_hits", "bullet_line_ratio",
+    "ellipsis_line_ratio", "dup_line_frac", "dup_para_frac",
+    "dup_line_char_frac", "dup_para_char_frac",
+    "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+    "dup5gram_char_frac", "dup6gram_char_frac", "dup7gram_char_frac",
+    "dup8gram_char_frac", "dup9gram_char_frac", "dup10gram_char_frac",
+)
+
+
 def _sorted_run_dup_chars(arr: Column) -> Column:
     """Characters contained in the DUPLICATE copies of ``arr``'s
     elements — sum over distinct elements of (count-1) * length — via
@@ -416,27 +431,33 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - ``alpha_word_ratio`` (words with an alphabetic char) >= 0.8
     - ``stop_hits`` (of the 8-word Gopher stop set) >= 2
     - ``dup_line_frac`` < 0.30; ``dup_para_frac`` < 0.30 (count-based)
-    - ``dup_line_char_frac`` < 0.20 (chars in duplicate line COPIES /
-      text length)
-    - ``top2gram_char_frac`` < 0.20 and ``top3gram_char_frac`` < 0.18
-      (char span of the most frequent word n-gram / text length)
+    - ``dup_line_char_frac`` < 0.20; ``dup_para_char_frac`` < 0.20
+      (chars in duplicate line/paragraph COPIES / text length)
+    - ``top2gram_char_frac`` < 0.20, ``top3gram_char_frac`` < 0.18,
+      ``top4gram_char_frac`` < 0.16 (char span of the most frequent
+      word n-gram / text length)
+    - ``dup5gram_char_frac`` < 0.15 down to ``dup10gram_char_frac``
+      < 0.10 (chars in duplicate word-n-gram COPIES / text length)
+
+    — the full 20-rule repetition+quality battery of the paper's
+    Table A1 (r9 advice: earlier rounds shipped the 12-rule subset).
 
     Tokenization is the engine's single-space split (consistent with
     every other text operator here — a word may span a newline), and
-    char fractions use ``length(text)`` denominators; the POINT is a
-    deterministic, oracle-checkable rendering of the published rules,
-    not a reproduction of DeepMind's internal tokenizer. NULL text is
+    char fractions use ``length(text)`` denominators; duplicate-copy
+    char fractions count every occurrence AFTER the first, i.e.
+    sum((count-1)·len) — one deterministic rendering applied uniformly
+    to lines, paragraphs and n-grams (published reproductions differ
+    here; greedy span-skipping variants are not order-free and cannot
+    be oracle-checked bitwise). The POINT is a deterministic,
+    oracle-checkable rendering of the published rules, not a
+    reproduction of DeepMind's internal tokenizer. NULL text is
     treated as the empty document (under legacy sizeOfNull a bare
     split-of-NULL would poison every count with -1 — the repo-wide
     token-count gotcha)."""
     from .dedup import _spread
 
-    out_names = {
-        "n_words", "mean_word_len", "symbol_word_ratio",
-        "alpha_word_ratio", "stop_hits", "bullet_line_ratio",
-        "ellipsis_line_ratio", "dup_line_frac", "dup_para_frac",
-        "dup_line_char_frac", "top2gram_char_frac",
-        "top3gram_char_frac", "gopher_pass", "n_rules_failed"}
+    out_names = set(GOPHER_METRICS) | {"gopher_pass", "n_rules_failed"}
     bad = [c for c in docs.columns
            if c.startswith("__") or c in out_names]
     if bad:
@@ -480,7 +501,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     dup_frac = lambda arr: (  # noqa: E731
         (F.size(arr) - F.size(F.array_distinct(arr))).cast("double")
         / F.size(arr).cast("double"))
-    out = base.withColumns({
+    metrics = {
         "n_words": n,
         "mean_word_len": mean_wl,
         "symbol_word_ratio": symbol_ratio,
@@ -492,13 +513,22 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "dup_para_frac": dup_frac(paras),
         "dup_line_char_frac":
             _sorted_run_dup_chars(lines).cast("double") / tl,
+        "dup_para_char_frac":
+            _sorted_run_dup_chars(paras).cast("double") / tl,
         "top2gram_char_frac":
             _sorted_run_top_gram_chars(_word_ngrams(w, 2))
             .cast("double") / tl,
         "top3gram_char_frac":
             _sorted_run_top_gram_chars(_word_ngrams(w, 3))
             .cast("double") / tl,
-    })
+        "top4gram_char_frac":
+            _sorted_run_top_gram_chars(_word_ngrams(w, 4))
+            .cast("double") / tl,
+    }
+    for k in range(5, 11):
+        metrics[f"dup{k}gram_char_frac"] = \
+            _sorted_run_dup_chars(_word_ngrams(w, k)).cast("double") / tl
+    out = base.withColumns(metrics)
     rules = [
         (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
         (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0),
@@ -510,8 +540,14 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("dup_line_frac") < 0.30,
         F.col("dup_para_frac") < 0.30,
         F.col("dup_line_char_frac") < 0.20,
+        F.col("dup_para_char_frac") < 0.20,
         F.col("top2gram_char_frac") < 0.20,
         F.col("top3gram_char_frac") < 0.18,
+        F.col("top4gram_char_frac") < 0.16,
+    ] + [
+        F.col(f"dup{k}gram_char_frac") < thr
+        for k, thr in zip(range(5, 11),
+                          (0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
     ]
     n_failed = sum((~r).cast("int") for r in rules)
     passed = rules[0]

@@ -1325,9 +1325,16 @@ def test_gopher_rules_hand_cases(spark):
     the degenerate empty doc — metrics computed by hand."""
     from flint_spark.pipeline.text import gopher_rules
 
-    clean = ("the quick brown fox jumps over that lazy dog and it "
-             "will have been with many other words to be sure of it "
-             * 5).strip()
+    # genuinely non-repetitious: the r10 dup-5..10-gram rules fail any
+    # copy-paste construction (the pre-r10 fixture was one sentence x5)
+    clean = ("the curious reader walks into that quiet library and "
+             "finds shelves of very old maps with notes from sailors "
+             "who charted distant coastlines during long voyages "
+             "across unknown waters while keeping careful journals "
+             "about weather currents provisions morale navigation "
+             "instruments repairs storms islands harbors trade routes "
+             "languages customs treaties rivalries discoveries losses "
+             "triumphs returns home again finally wiser")
     bullets = "\n".join(["• item one"] * 9 + ["closing line"])
     dups = "\n".join(["same line here"] * 6 + ["unique line"])
     symbols = " ".join(["tag#word"] * 30)
@@ -1361,6 +1368,40 @@ def test_gopher_rules_hand_cases(spark):
     e = got[5]
     assert e.n_words == 0 and e.mean_word_len == 0.0
     assert not e.gopher_pass and e.n_rules_failed >= 2
+
+    # the r10 repetition battery (full Table A1): dup-paragraph chars,
+    # top-4-gram span, dup 5..10-gram copies — hand-computed
+    para = "alpha beta gamma delta words"          # 28 chars
+    rep_para = "\n\n".join([para] * 4 + ["tail words only here"])
+    p5 = " ".join(["one two three four five"] * 8)  # 5-gram repeated
+    rows2 = [(1, rep_para), (2, p5), (3, "a b"), (4, clean)]
+    got2 = {r.doc_id: r for r in gopher_rules(
+        spark.createDataFrame(rows2, "doc_id long, text string"))
+        .collect()}
+    rp = got2[1]
+    # 3 duplicate paragraph copies x 28 chars / total length
+    assert rp.dup_para_char_frac == pytest.approx(
+        3 * 28 / len(rep_para))
+    assert rp.dup_para_char_frac >= 0.20  # rule fails -> flag fails
+    assert not rp.gopher_pass
+    g5 = got2[2]
+    # words = [one two three four five] x 8 = 40 words -> 36 5-grams,
+    # all copies of the 5 rotations (each 23 chars: same five words in
+    # rotated order); the base rotation occurs 8 times (7 dup copies),
+    # the other 4 occur 7 times each (6 dup copies). Overlapping
+    # copies legitimately push the fraction far above 1.
+    dup5 = (7 + 6 * 4) * 23
+    assert g5.dup5gram_char_frac == pytest.approx(dup5 / len(p5))
+    assert g5.dup10gram_char_frac > 0.10  # long-range repetition
+    assert not g5.gopher_pass
+    # top-4-gram: most frequent 4-gram "one two three four" (18
+    # chars) and rotations; best = max(count * len)
+    assert g5.top4gram_char_frac >= 8 * 18 / len(p5) - 1e-12
+    # a short doc has no 5-grams at all -> zero fractions, rules pass
+    assert got2[3].dup5gram_char_frac == 0.0
+    assert got2[3].dup10gram_char_frac == 0.0
+    # the clean doc passes the full 20-rule battery
+    assert got2[4].gopher_pass and got2[4].n_rules_failed == 0
 
     # NULL text == empty document, never -1 counts / NULL metrics
     # (legacy sizeOfNull would otherwise poison every ratio): every

@@ -2082,7 +2082,7 @@ def test_stream_gopher_rules_vs_duckdb(spark, con, tmp_path):
     every metric + the flag against DuckDB batch SQL — bitwise, no
     quantization (each metric is one division of exact integers)."""
     from entry_queries.extras_q import SQL_GOPHER_RULES
-    from flint_spark.pipeline.text import gopher_rules
+    from flint_spark.pipeline.text import GOPHER_METRICS, gopher_rules
 
     docs_b = (spark.read.parquet(f"{SF}/documents.parquet")
               .select("doc_id", "text"))
@@ -2091,11 +2091,7 @@ def test_stream_gopher_rules_vs_duckdb(spark, con, tmp_path):
     st = (spark.readStream.schema(docs_b.schema)
           .option("maxFilesPerTrigger", 1).parquet(out_dir))
     out = gopher_rules(st).select(
-        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
-        "alpha_word_ratio", "stop_hits", "bullet_line_ratio",
-        "ellipsis_line_ratio", "dup_line_frac", "dup_para_frac",
-        "dup_line_char_frac", "top2gram_char_frac",
-        "top3gram_char_frac",
+        "doc_id", *GOPHER_METRICS,
         F.col("gopher_pass").cast("int").alias("gopher_pass"),
         "n_rules_failed")
     _run_to_table(out, "so_gopher")
