@@ -1518,6 +1518,48 @@ SQL_REPEATED_SPANS = """
 """
 
 
+def q_remove_repeated_spans(spark, sf):
+    """Repeated-span EXCISION (pipeline.dedup.remove_repeated_spans,
+    the rewrite stage completing the Lee et al. 2022 pipeline): every
+    word position covered by a 5-gram occurring in >= 2 distinct
+    documents is removed and the document rebuilt from surviving words
+    in order. Exact string + integer outputs — bitwise compare."""
+    docs = _t(spark, sf, "documents")
+    out = dedup.remove_repeated_spans(docs, n=5, min_df=2)
+    return out.select("doc_id", "text", "n_words_kept",
+                      "n_words_removed")
+
+
+SQL_REMOVE_REPEATED_SPANS = """
+  WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+  w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+  g AS (SELECT doc_id, j,
+               concat_ws(' ', ws[j], ws[j+1], ws[j+2], ws[j+3],
+                         ws[j+4]) AS shingle
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS j
+              FROM w)),
+  rep AS (SELECT shingle
+          FROM (SELECT shingle, count(DISTINCT doc_id) AS df
+                FROM g GROUP BY 1)
+          WHERE df >= 2),
+  cov AS (SELECT DISTINCT doc_id, unnest(range(j, j + 5)) AS i
+          FROM g SEMI JOIN rep USING (shingle)),
+  words AS (SELECT doc_id, i, ws[i] AS word
+            FROM (SELECT doc_id, ws,
+                         unnest(range(1, len(ws) + 1)) AS i
+                  FROM w)),
+  kept AS (SELECT doc_id, i, word
+           FROM words ANTI JOIN cov USING (doc_id, i)),
+  agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text,
+                 count(*) AS n_words_kept
+          FROM kept GROUP BY 1)
+  SELECT w.doc_id, COALESCE(a.text, '') AS text,
+         COALESCE(a.n_words_kept, 0) AS n_words_kept,
+         len(w.ws) - COALESCE(a.n_words_kept, 0) AS n_words_removed
+  FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_temperature_mix(spark, sf):
     """Temperature-flattened mixing (pipeline.sampling.temperature_mix):
     per-language keep probability n_k^(alpha-1) normalized by the

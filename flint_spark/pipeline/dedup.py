@@ -432,6 +432,77 @@ def flag_repeated_spans(docs: DataFrame, text_col: str = "text",
                 .otherwise(F.lit(0.0)).alias("repeated_frac")))
 
 
+def remove_repeated_spans(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 5,
+                          min_df: int = 2) -> DataFrame:
+    """Excise corpus-repeated spans from every document — the REWRITE
+    stage completing the Lee et al. 2022 pipeline whose dictionary is
+    :func:`repeated_ngrams` and whose doc-level signal is
+    :func:`flag_repeated_spans`: every WORD position covered by any
+    word n-gram that occurs in >= ``min_df`` distinct documents is
+    removed, and each document is rebuilt from its surviving words in
+    original order. Output: (id, text, n_words_kept, n_words_removed).
+
+    This is a word-level operator: the rebuilt text is the surviving
+    words joined by single spaces (original line/space layout is not
+    preserved — use :func:`~flint_spark.pipeline.text
+    .remove_repeated_lines` for layout-preserving boilerplate
+    removal). NULL text is the empty document. The word definition is
+    the engine-wide shingle tokenization (plain single-space split,
+    ``_words``/``_shingle_arr``) so the rewrite's positioned grams and
+    the flag stage's dictionary see IDENTICAL spans by construction.
+
+    Plan: the dictionary is the same aggregation as
+    :func:`repeated_ngrams` (one exchange of the per-doc-distinct
+    shingle stream), broadcast into a positioned-gram probe (map-side);
+    hit grams expand map-side into covered word positions; the word
+    stream anti-joins the covered set on (id, position) and the doc
+    rebuilds via sorted struct collect. Both join inputs are
+    repartitioned by id ALONE — hash partitioning on a key subset
+    satisfies the (id, position) join's clustered distribution, and the
+    per-doc rebuild then reuses that partitioning — so the whole
+    rewrite costs TWO corpus exchanges (words, covered positions), the
+    same budget as ``remove_repeated_lines``. The broadcast assumes the
+    above-threshold dictionary is boilerplate-bounded; raise ``min_df``
+    if it is not."""
+    begin_op()
+    src = _spread(docs).withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit("")))
+    base = keep(src.select(F.col(id_col), _words(text_col).alias("__w")))
+    grams = base.filter(F.size("__w") >= n).select(
+        F.col(id_col),
+        F.posexplode(_shingle_arr(n)).alias("__j", "shingle"))
+    rep = F.broadcast(repeated_ngrams(src, text_col, id_col, n=n,
+                                      min_df=min_df).select("shingle"))
+    covered = (grams.join(rep, "shingle")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(
+                           F.col("__j"), F.col("__j") + F.lit(n - 1)))
+                       .alias("__i")))
+    words = base.select(F.col(id_col),
+                        F.posexplode("__w").alias("__i", "__word"))
+    kept = (words.repartition(F.col(id_col))
+            .join(covered.repartition(F.col(id_col)),
+                  [id_col, "__i"], "left_anti"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("__i", "__word")))
+                    .alias("__sw"),
+                    F.count("*").alias("n_words_kept")))
+    totals = base.select(F.col(id_col), F.size("__w").alias("__n_total"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.concat_ws(" ", F.transform(
+                    F.coalesce(F.col("__sw"), F.array().cast(
+                        "array<struct<__i:int,__word:string>>")),
+                    lambda s: s["__word"])).alias(text_col),
+                F.coalesce(F.col("n_words_kept"), F.lit(0))
+                .alias("n_words_kept"),
+                (F.col("__n_total")
+                 - F.coalesce(F.col("n_words_kept"), F.lit(0)))
+                .alias("n_words_removed")))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iters: int = 30) -> DataFrame:

@@ -536,6 +536,60 @@ def test_flag_repeated_spans_short_docs_and_exact_dups():
     assert out.loc[3, "repeated_frac"] == 0.0
 
 
+def test_remove_repeated_spans_semantics_and_chunk_composability():
+    """r10 verdict item 4: the Lee et al. REWRITE stage. Pins (a) exact
+    excision of a cross-document span with everything else intact,
+    (b) flag/remove consistency — a fully-repeated doc rewrites to
+    empty exactly when flag_repeated_spans scores it 1.0, (c) the
+    rewrite composes with chunk_documents (chunks rebuild the cleaned
+    text, never resurrect removed spans), (d) layout invariance."""
+    from flint_spark.pipeline import dedup
+    from flint_spark.pipeline.text import chunk_documents
+
+    spark = _spark()
+    span = "one two three four five"
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [f"intro words here {span} tail words",
+                 f"other document text {span} closing part",
+                 "a b c d e f g",            # exact dup pair -> fully
+                 "a b c d e f g",            # covered, rewrites empty
+                 "unique content with no shared spans at all"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = dedup.remove_repeated_spans(df, n=5, min_df=2) \
+        .toPandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "intro words here tail words"
+    assert out.loc[2, "text"] == "other document text closing part"
+    assert out.loc[1, "n_words_removed"] == 5
+    # flag/remove consistency: repeated_frac==1.0 docs rewrite empty
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_words_kept"] == 0
+    assert out.loc[4, "text"] == ""
+    assert out.loc[5, "text"] == pdf.loc[4, "text"]
+    assert out.loc[5, "n_words_removed"] == 0
+    flags = dedup.flag_repeated_spans(df, n=5, min_df=2) \
+        .toPandas().set_index("doc_id")
+    for i in (3, 4):
+        assert flags.loc[i, "repeated_frac"] == 1.0
+        assert out.loc[i, "n_words_kept"] == 0
+
+    # composability: chunk the CLEANED corpus; every chunk text is a
+    # substring of the cleaned doc and chunk token counts re-add
+    cleaned = dedup.remove_repeated_spans(df, n=5, min_df=2)
+    chunks = chunk_documents(cleaned, max_tokens=4, overlap=1) \
+        .toPandas()
+    cl = out["text"].to_dict()
+    for _, r in chunks.iterrows():
+        if r["chunk_text"]:
+            assert r["chunk_text"] in cl[r["doc_id"]], r["chunk_text"]
+            assert span not in r["chunk_text"]
+
+    # layout invariance
+    out2 = dedup.remove_repeated_spans(df.repartition(7), n=5, min_df=2) \
+        .toPandas().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(out, out2)
+
+
 def test_hashed_classifier_score_bounds_and_determinism():
     """Scores in (0,1); raw mean bounded by max |weight|; layout-
     independent."""
