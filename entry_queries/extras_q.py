@@ -1161,6 +1161,23 @@ def q_pixel_stats(spark, sf):
     return multimodal.extract_pixel_features(media, assume_netpbm=True)
 
 
+def q_pixel_stats_png(spark, sf):
+    """Real COMPRESSED-image decode with no imaging library (r9
+    verdict item 5): synthesize 8-bit RGB PNG payloads
+    (pipeline.multimodal.with_png_payload — same deterministic dims +
+    pixel sequence as the PPM gate, zlib-compressed via encode_png),
+    decode them with the pure-stdlib PNG decoder (zlib inflate +
+    scanline unfilter) inside extract_pixel_features, and emit
+    per-image stats. The oracle replays the pixel FORMULA, never the
+    bytes — so a pass proves the encode -> inflate -> unfilter
+    roundtrip is lossless, bitwise."""
+    from flint_spark.pipeline import multimodal
+
+    docs = _t(spark, sf, "documents")
+    media = multimodal.with_png_payload(docs)
+    return multimodal.extract_pixel_features(media, assume_netpbm=True)
+
+
 SQL_PIXEL_STATS = """
   WITH dims AS (
     SELECT doc_id,
