@@ -30,6 +30,42 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: against this subtotal, so it is reported separately for continuity
 LEGACY_17 = 17
 
+#: per-query NORMALIZED baselines (r9 medians / r9 calibration 1.473s,
+#: docs/bench_last.json) — r10 verdict item 3: the aggregate legacy17
+#: bar can hide a 3x regression in one query behind noise in sixteen
+#: others. Watch rule (recorded in BASELINE.md): a query whose
+#: normalized median exceeds 1.5x its baseline in TWO consecutive
+#: STABLE-bracket runs gets bisected; a deliberate operator change
+#: re-records its row here with a BENCH_NOTES entry (r10 rebased
+#: gopher_rules 0.65 -> 20-rule battery, interval_custom_clock has no
+#: prior row — first recorded this round).
+PER_QUERY_BASELINE = {
+    "cycle_agg": 0.232, "interval_uniform": 0.29,
+    "summarize_stats": 0.183, "asof_backward": 0.458,
+    "asof_forward": 0.561, "cumulative": 0.247, "window_rolling": 0.311,
+    "ewma": 0.305, "ols": 0.407, "sessionize": 0.282,
+    "ewma_windowed": 0.332, "minhash_lsh": 1.506, "simhash_pairs": 1.105,
+    "cosine_topk": 0.415, "ivf_ann": 1.445, "text_stats": 0.327,
+    "tpch_q1": 0.203, "rolling_ols": 1.05, "rolling_ols_multi": 0.842,
+    "asof_nearest": 0.35, "asof_broadcast": 1.316,
+    "resample_linear": 0.555, "anomaly_zscore": 0.662, "url_dedup": 0.319,
+    "semantic_dedup": 4.05, "rollup_incremental": 0.675,
+    "chunk_docs": 0.177, "overlap_join": 0.83, "global_shuffle": 0.269,
+    "merge_intervals": 0.379, "asof_topk": 2.94, "token_shift": 1.337,
+    "ohlc_bars": 0.631, "max_drawdown": 0.221, "bm25": 0.349,
+    "funnel": 0.287, "containment": 1.505, "ewm_vol": 0.369,
+    "ewm_corr": 1.063, "dema": 0.516, "realized_vol": 0.277,
+    "range_vol": 0.32, "cusum": 0.329, "lead_lag": 0.573,
+    "pq_topk": 3.98, "bpe_tokens": 0.789, "dsir": 1.468,
+    "spearman": 0.712, "kalman": 0.481, "seasonal": 0.487,
+    "robust_zscore": 0.678, "holt_winters": 0.475, "ivfpq": 5.568,
+    "bigram_lm": 1.054, "kmv_distinct": 0.486, "rolling_quantile": 1.335,
+    "rolling_quantile_keyless": 0.598, "ivfpq_table": 5.151,
+    "ivfpq_build": 4.379, "ivfpq_serve": 0.445, "camel_api": 0.405,
+    "corpus_pipeline": 0.602, "back_adjust": 0.384, "volume_bars": 0.539,
+    "pack_sequences": 0.726, "pack_bins": 0.268,
+}
+
 HEADLINE = [
     "cycle_agg",
     "interval_uniform",
@@ -299,10 +335,17 @@ def main() -> None:
     # keeps only the LINE TAIL (r8 lost the per-query medians that the
     # round-over-round protocol compares), so the sacrificial bulky
     # envelope dict goes FIRST and medians + verdict scalars go LAST
+    # per-query normalized medians + the watch list (r10 item 3): a
+    # query >1.5x its recorded normalized baseline is FLAGGED in the
+    # artifact; the rule (BASELINE.md) bisects only after two
+    # consecutive stable-bracket breaches, so one noisy neighbor
+    # doesn't trigger a hunt
+    normalized = {q: round(t / calibration, 3) for q, t in timings.items()}
     result = {
         "metric": "headline_queries_total_runtime",
         "min_max": spreads,
         "queries": timings,
+        "normalized_queries": normalized,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf_val,
@@ -312,6 +355,11 @@ def main() -> None:
         "calibration_sec": round(calibration, 3),
         "calibration_drift_pct": drift_pct,
         "calibration_unstable": drift_pct > 20.0,
+        "per_query_watch": sorted(
+            q for q, v in normalized.items()
+            if q in PER_QUERY_BASELINE and v > 1.5 * PER_QUERY_BASELINE[q]),
+        "per_query_new": sorted(
+            q for q in normalized if q not in PER_QUERY_BASELINE),
         "legacy17_normalized": round(legacy17 / calibration, 3),
     }
     # the FULL artifact survives regardless of driver-side truncation
