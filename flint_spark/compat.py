@@ -18,6 +18,28 @@ Importing :mod:`flint_spark` installs the aliases; the ``ts.flint``
 namespace mirror at the repo root re-exports everything so the
 reference's own ``from ts.flint import FlintContext, summarizers``
 runs verbatim.
+
+**Migrating RDD-era constructors** (``fromRDD``/``fromSeq``/
+``fromDFWithRanges``, reference ``TimeSeriesRDD.scala:147-179,463-509``):
+those constructors exist to INJECT hand-built partition-range metadata
+(``PartitionInfo``) so the reference engine can skip its sort. This
+engine has no partition metadata to inject — ordering is established
+once by ``from_df``'s canonize (sort-if-needed) and physical locality
+is Spark's own partitioning — so the port is:
+
+>>> df = spark.createDataFrame(rows_or_rdd, schema)   # fromRDD/fromSeq
+>>> tsdf = TimeSeriesDataFrame.from_df(
+...     df.repartitionByRange(n_parts, "time"), time_column="time")
+
+``repartitionByRange`` reproduces what ``PartitionInfo`` encoded —
+time-contiguous partitions (one exchange, the cost the reference's
+metadata avoided); drop it if you don't need range locality, since
+``from_df`` alone is already correct. Code that built
+``fromDFWithRanges`` with OVERLAPPING custom ranges has no equivalent
+here by design — overlapping partitions exist to serve the reference's
+range-merge join, which this engine plans differently (union-window /
+broadcast as-of). Pinned by ``tests/test_extensions.py::
+test_rdd_era_constructor_migration_recipe``.
 """
 
 from __future__ import annotations

@@ -1421,6 +1421,49 @@ def test_gopher_rules_hand_cases(spark):
             gopher_rules(base.withColumn(col, F.lit(1)))
 
 
+def test_rdd_era_constructor_migration_recipe(spark):
+    """r9 verdict item: the documented port of the reference's RDD-era
+    constructors (fromRDD/fromSeq/fromDFWithRanges,
+    TimeSeriesRDD.scala:147-179,463-509 — see compat.py docstring).
+    createDataFrame + repartitionByRange + from_df must yield a
+    correctly ordered TSDF whose operator results are identical to any
+    other construction route, and the range partitioning must survive
+    into the physical plan (the locality PartitionInfo encoded)."""
+    import random
+
+    from flint_spark import TimeSeriesDataFrame, summarizers as S
+
+    rows = [(t * 1000, t % 7, float(t % 97))
+            for t in range(2000)]
+    random.Random(5).shuffle(rows)  # fromRDD input is UNSORTED
+    schema = "time long, id int, x double"
+
+    # the recipe
+    df = spark.createDataFrame(rows, schema)
+    tsdf = TimeSeriesDataFrame.from_df(
+        df.repartitionByRange(4, "time"), time_column="time")
+
+    # correct vs an independent construction route, through an
+    # ORDER-SENSITIVE operator (cumulative sum depends on global time
+    # order — from_df's canonize is sort-if-needed, so order is a
+    # property operators see, not of a bare collect)
+    ref = TimeSeriesDataFrame.from_pandas(
+        spark, pd.DataFrame(sorted(rows), columns=["time", "id", "x"]),
+        time_column="time")
+    for frame in (tsdf, ref):
+        frame_out = frame.add_summary_columns(S.sum_("x"), key=["id"]) \
+            .to_pandas().sort_values(["time", "id"], ignore_index=True)
+        if frame is tsdf:
+            got = frame_out
+        else:
+            exp = frame_out
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # the range exchange (PartitionInfo's locality) is in the plan
+    plan = tsdf.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_stdlib_png_codec(spark):
     """r9 verdict item 5: the lossless image path decodes BITWISE in
     this container with no imaging library. Pins (a) encode_png ->
