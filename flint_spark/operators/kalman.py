@@ -52,11 +52,20 @@ def _kf_scan_factory(q: float, r: float, p0: float, period_ns: float):
             if last_t is None:
                 level, var = xi, p0
             else:
-                p_pred = var + q * (t[i] - last_t) / period_ns
+                # late (out-of-order) observations — possible only on
+                # the streaming fold, whose state can be AHEAD of a
+                # cross-trigger straggler — fold as same-time
+                # corrections: diffusion never runs backwards (an
+                # unclamped negative dt can drive the predicted
+                # variance negative and poison the filter). Batch
+                # input is globally sorted, so this never fires there.
+                p_pred = var + q * max(t[i] - last_t, 0) / period_ns
                 gain = p_pred / (p_pred + r)
                 level = level + gain * (xi - level)
                 var = (1.0 - gain) * p_pred
-            last_t = int(t[i])
+            # monotone: a late row must not rewind the clock (the next
+            # in-order row would double-count its diffusion span)
+            last_t = int(t[i]) if last_t is None else max(last_t, int(t[i]))
             out[i] = level
         return out, (last_t, float(level), float(var))
 

@@ -2027,7 +2027,17 @@ def kalman_stream(stream: DataFrame, column: str, key: Sequence[str],
     state, carried across triggers through the same scan the batch
     engine runs — in-order replay reproduces the batch levels bitwise.
     Null/NaN observations score null and leave the state untouched
-    (diffusion measured from the last observed row)."""
+    (diffusion measured from the last observed row).
+
+    Late arrival (a cross-trigger straggler older than the carried
+    state): the observation folds as a SAME-TIME correction — diffusion
+    is clamped at zero and the state clock never rewinds — so a late
+    chunk nudges the level without poisoning the variance, and
+    subsequent in-order rows see correctly-measured gaps. Append mode
+    cannot retract already-emitted rows, so unlike the buffered
+    window streams (anomaly/rolling-OLS) a recurrence stream does not
+    bitwise-reconverge to batch after late data; the documented fold
+    above is pinned in ``test_kalman_stream_late_arrival_semantics``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

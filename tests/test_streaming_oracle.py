@@ -2074,6 +2074,186 @@ def test_pack_bins_stream_vs_duckdb(spark, con, tmp_path):
     assert ok, msg
 
 
+def _chunk_replay(spark, rows, schema, out_dir, chunks):
+    """File stream replaying ``rows`` as one parquet file per index
+    list in ``chunks`` — the out-of-order (late-arrival) replay rig
+    shared by the r8/r9 anomaly + rolling-OLS convergence tests and
+    the r10 recurrence-stream semantics pins."""
+    batch = spark.createDataFrame(rows, schema)
+    os.makedirs(out_dir, exist_ok=True)
+    for i, idx in enumerate(chunks):
+        sub = [rows[j] for j in idx]
+        (spark.createDataFrame(sub, batch.schema).coalesce(1)
+         .write.mode("overwrite").parquet(out_dir + f"/_t{i}"))
+        src = next(f for f in os.listdir(out_dir + f"/_t{i}")
+                   if f.endswith(".parquet"))
+        shutil.move(os.path.join(out_dir + f"/_t{i}", src),
+                    os.path.join(out_dir, f"chunk_{i}.parquet"))
+        shutil.rmtree(out_dir + f"/_t{i}")
+    return (spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1).parquet(out_dir))
+
+
+def test_kalman_stream_late_arrival_semantics(spark, tmp_path):
+    """r10 item 6: a recurrence stream cannot bitwise-reconverge to
+    batch after late data (append mode, state already advanced) — the
+    pinned contract is the DOCUMENTED fold instead: a cross-trigger
+    straggler folds as a same-time correction (diffusion clamped at
+    zero, state clock never rewinds), verified against an independent
+    test-local replay of that rule over the exact trigger sequence.
+    The unclamped fold would feed a NEGATIVE predicted variance into
+    the gain on the late chunk — this test fails loudly on it."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    hours = [0, 1, 2, 3, 4, 5, 9, 6, 7, 10, 11, 12]
+    rows = [((base + pd.Timedelta(hours=h)).to_pydatetime(), "k",
+             10.0 + (h % 4) * 2.0) for h in hours]
+    # triggers: [0-5, 9] then LATE [6, 7] then [10-12]
+    chunks = [[0, 1, 2, 3, 4, 5, 6], [7, 8], [9, 10, 11]]
+    st = _chunk_replay(spark, rows,
+                       "time timestamp, k string, value double",
+                       str(tmp_path / "kflate"), chunks)
+    out = ts_stream.kalman_stream(st, "value", key=["k"], q=4.0,
+                                  r=25.0, period="1d", p0=100.0)
+    _run_to_table(out, "so_kf_late")
+    got = {r["__tns"]: r["value_kf"]
+           for r in spark.sql("SELECT * FROM so_kf_late").collect()}
+
+    # independent replay of the documented semantics
+    q, r_, p0, period_ns = 4.0, 25.0, 100.0, 86400 * 10**9
+    state, exp = None, {}
+    for idx in chunks:
+        for t, _, x in sorted((int(pd.Timestamp(rows[j][0]).value),
+                               None, rows[j][2]) for j in idx):
+            if state is None:
+                last, level, var = t, x, p0
+            else:
+                last, level, var = state
+                p = var + q * max(t - last, 0) / period_ns
+                g = p / (p + r_)
+                level, var = level + g * (x - level), (1.0 - g) * p
+                last = max(last, t)
+            state = (last, level, var)
+            exp[t] = level
+    assert set(got) == set(exp)
+    for t in exp:
+        assert got[t] is not None and abs(got[t] - exp[t]) < 1e-12, t
+    # and the state stayed sane: late folds never produced NaN/inf
+    assert all(abs(v) < 1e6 for v in got.values())
+
+
+def test_holt_winters_stream_late_arrival_semantics(spark, tmp_path):
+    """Same protocol for the Holt-Winters recurrence stream: late
+    rows fold in arrival order (their own timestamp still selects the
+    seasonal phase), pinned against an independent test-local replay
+    of the published recurrence over the exact trigger sequence."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    days = [0, 1, 2, 3, 4, 5, 9, 6, 7, 10, 11, 12]
+    rows = [((base + pd.Timedelta(days=d)).to_pydatetime(), "k",
+             20.0 + (d % 3) * 5.0) for d in days]
+    chunks = [[0, 1, 2, 3, 4, 5, 6], [7, 8], [9, 10, 11]]
+    st = _chunk_replay(spark, rows,
+                       "time timestamp, k string, value double",
+                       str(tmp_path / "hwlate"), chunks)
+    alpha, beta, gamma, period = 0.4, 0.2, 0.3, 7
+    out = ts_stream.holt_winters_stream(st, "value", key=["k"],
+                                        period=period, alpha=alpha,
+                                        beta=beta, gamma=gamma,
+                                        unit="1d")
+    _run_to_table(out, "so_hw_late")
+    got = {r["__tns"]: (r["value_hw_level"], r["value_hw_trend"],
+                        r["value_hw"])
+           for r in spark.sql("SELECT * FROM so_hw_late").collect()}
+
+    unit_ns = 86400 * 10**9
+    init, level, trend, seas = False, 0.0, 0.0, [0.0] * period
+    exp = {}
+    for idx in chunks:
+        for t, x in sorted((int(pd.Timestamp(rows[j][0]).value),
+                            rows[j][2]) for j in idx):
+            p = int((t // unit_ns) % period)
+            if not init:
+                init, level, trend = True, x, 0.0
+            else:
+                prev = level
+                level = alpha * (x - seas[p]) + (1 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1 - beta) * trend
+                seas[p] = gamma * (x - level) + (1 - gamma) * seas[p]
+            exp[t] = (level, trend, level + seas[p])
+    assert set(got) == set(exp)
+    for t, e in exp.items():
+        for gv, ev in zip(got[t], e):
+            assert abs(gv - ev) < 1e-12, (t, got[t], e)
+
+
+def test_volume_bars_stream_late_arrival_semantics(spark, tmp_path):
+    """Volume-clock stream under a late tick: the straggler folds into
+    the OPEN bar in arrival order (a volume clock is arrival-ordered by
+    construction once data is out of order), volume is conserved, and
+    the closed bar's OHLCV accounts for the late tick exactly —
+    hand-computed bar pinned field by field."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ((base + pd.Timedelta(minutes=1)).to_pydatetime(), "k", 10.0, 40.0),
+        ((base + pd.Timedelta(minutes=2)).to_pydatetime(), "k", 11.0, 40.0),
+        # LATE tick (minute 1.5) arrives in trigger 2, crosses the
+        # 100-volume threshold inside the open bar
+        ((base + pd.Timedelta(minutes=1, seconds=30)).to_pydatetime(),
+         "k", 9.0, 40.0),
+        # trigger 3 opens bar 1, which CLOSES bar 0
+        ((base + pd.Timedelta(minutes=3)).to_pydatetime(), "k", 12.0, 50.0),
+    ]
+    chunks = [[0, 1], [2], [3]]
+    st = _chunk_replay(
+        spark, rows,
+        "time timestamp, k string, value double, vol double",
+        str(tmp_path / "vblate"), chunks)
+    out = ts_stream.volume_bars_stream(st, 100.0, "value", "vol",
+                                       key=["k"])
+    _run_to_table(out, "so_vb_late")
+    bars = spark.sql("SELECT * FROM so_vb_late ORDER BY bar_seq") \
+        .collect()
+    assert len(bars) == 1  # bar 1 is still open, never emitted
+    b = bars[0]
+    assert b.bar_seq == 0
+    assert b.tns == int(pd.Timestamp(rows[0][0]).value)
+    assert (b.open, b.high, b.low) == (10.0, 11.0, 9.0)
+    assert b.close == 9.0        # last PROCESSED tick (the late one)
+    assert b.n == 3 and b.volume == 120.0
+    assert abs(b.vwap - (10.0 * 40 + 11.0 * 40 + 9.0 * 40) / 120.0) < 1e-12
+
+
+def test_pack_sequences_stream_late_arrival_semantics(spark, tmp_path):
+    """Sequence packing under a late document: packing state is one
+    running token offset, so a straggler packs AT ITS ARRIVAL POSITION
+    (documented tradeoff — the batch operator would have packed it at
+    its id position); offsets stay contiguous, every document packs
+    exactly once, tokens are conserved. Exact segment rows pinned."""
+    rows = [(1, 0, 40), (2, 0, 40), (0, 0, 50), (3, 0, 30)]
+    chunks = [[0, 1], [2], [3]]  # id 0 arrives LATE (third)
+    st = _chunk_replay(spark, rows,
+                       "doc_id long, shard int, n_tokens long",
+                       str(tmp_path / "packlate"), chunks)
+    out = ts_stream.pack_sequences_stream(st, 64, "n_tokens",
+                                          key=["shard"])
+    _run_to_table(out, "so_pack_late")
+    got = {(r.doc_id, r.seq_id): (r.doc_off, r.seq_off, r.seg_tokens)
+           for r in spark.sql("SELECT * FROM so_pack_late").collect()}
+    exp = {
+        (1, 0): (0, 0, 40),
+        (2, 0): (0, 40, 24), (2, 1): (24, 0, 16),
+        (0, 1): (0, 16, 48), (0, 2): (48, 0, 2),   # late doc: cb=80
+        (3, 2): (0, 2, 30),                        # cb=130
+    }
+    assert got == exp
+    assert sum(v[2] for v in got.values()) == 160  # token conservation
+
+
 def test_stream_gopher_rules_vs_duckdb(spark, con, tmp_path):
     """The Gopher quality-rule bundle is a stateless per-document
     projection, so it runs on a readStream UNCHANGED (39th replay
