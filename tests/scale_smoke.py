@@ -890,8 +890,141 @@ def r9ops_scale(spark, millions: float = 1.0):
           f"stages OK")
 
 
+def linearity_fn(label, fn, n_small: int, n_big: int, slack: float = 2.5):
+    """:func:`linearity` for work that happens at CONSTRUCTION time
+    (training loops, partitioned writes): times the whole callable,
+    best-of-2 per size, same ratio bound."""
+    def best(n):
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(int(n))
+            ts.append(time.perf_counter() - t0)
+        print(f"  {label} n={int(n):,} {min(ts):7.2f}s")
+        return min(ts)
+
+    t_small, t_big = best(n_small), best(n_big)
+    ratio = t_big / max(t_small, 1e-9)
+    bound = (n_big / n_small) * slack
+    assert ratio <= bound, \
+        f"{label}: {ratio:.1f}x slower for {n_big / n_small:.1f}x rows"
+    print(f"  {label}: {n_big / n_small:.0f}x rows -> {ratio:.2f}x time "
+          f"(bound {bound:.1f}x) OK")
+
+
+def r10ops_scale(spark, millions: float = 10.0):
+    """Round-10 (verdict item 1 — scale evidence): linearity of the
+    top-8 bench cost drivers in the 10M+-row regime, half-vs-full
+    step. Row-stream drivers (rolling_quantile, asof_topk, the
+    prefix-engine packing family) run at ``millions``·1e6 rows
+    directly; corpus/vector drivers (minhash, semantic_dedup, PQ,
+    IVF-PQ) run at n/50 docs/vectors — their per-row unit of work is
+    the shingle / subvector / pair stream, which lands in the same
+    10M+-element regime. Slacks: prefix family 1.25 (the repo-wide
+    pin), everything else 2.0 — tighter than the generic 2.5 because
+    these are the queries whose regression the bench watches."""
+    import tempfile
+
+    from flint_spark.operators.asof import left_join_topk
+    from flint_spark.operators.windows_ops import rolling_quantile
+    from flint_spark.pipeline import sampling, similarity as sim
+    from flint_spark.pipeline.dedup import minhash_lsh_pairs
+
+    n_big = int(millions * 1e6)
+    n_small = n_big // 2
+
+    def panel(n):
+        return spark.range(n).select(
+            (F.col("id") * 10**6).alias("time"),
+            F.pmod(F.col("id"), F.lit(5000)).alias("uid"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(1000))
+             .cast("double") / 10.0).alias("x"))
+
+    linearity("rolling_quantile/key (skiplist)",
+              lambda n: rolling_quantile(panel(n), "x", "60s", 0.5,
+                                         key=["uid"]),
+              n_small, n_big, slack=2.0)
+
+    def topk(n):
+        right = spark.range(n // 4).select(
+            (F.col("id") * 4 * 10**6 + 17).alias("time"),
+            F.pmod(F.col("id"), F.lit(5000)).alias("uid"),
+            (F.col("id") % 89).cast("double").alias("px"))
+        return left_join_topk(panel(n), right, k=3, tolerance="60s",
+                              key=["uid"])
+
+    linearity("asof_topk (last-k union)", topk, n_small, n_big,
+              slack=2.0)
+
+    def pack(n):
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(200)) + 1)
+            .alias("n_tokens"))
+        return sampling.pack_sequences(docs, 128, "n_tokens")
+
+    linearity("pack_sequences (prefix engine)", pack, n_small, n_big,
+              slack=1.25)
+
+    # corpus / vector drivers: n/50 docs or vectors ~ the 10M+
+    # shingle / subvector element regime
+    d_big, d_small = n_big // 50, n_big // 100
+    linearity("minhash_lsh_pairs",
+              lambda n: minhash_lsh_pairs(synth_corpus(spark, n),
+                                          max_bucket=50),
+              d_small, d_big, slack=2.0)
+
+    def semdedup(n):
+        k = max(int(n ** 0.5), 16)  # SemDeDup's k ~ sqrt(N)
+        return sim.semantic_dedup_pairs(
+            synth_embeddings(spark, n), list(range(k)), threshold=0.95,
+            max_cluster=4 * n // k)
+
+    linearity("semantic_dedup (sqrt-k)", semdedup, d_small, d_big,
+              slack=2.0)
+
+    def pq_cycle(n):
+        emb = synth_embeddings(spark, n)
+        books = sim.pq_train(emb, m=4, ksub=16, iters=2,
+                             train_fraction=0.2)
+        sim.pq_topk(emb, books, [0, 1, 2, 3], k=10) \
+            .write.mode("overwrite").format("noop").save()
+
+    linearity_fn("pq train+topk", pq_cycle, d_small, d_big, slack=2.0)
+
+    tmp = tempfile.mkdtemp(prefix="flint_r10_ivfpq_")
+
+    def ivfpq_build_cycle(n):
+        emb = synth_embeddings(spark, n)
+        cents, books = sim.ivfpq_build(emb, k_coarse=32, m=4, ksub=16,
+                                       coarse_iters=1, pq_iters=1,
+                                       train_fraction=0.2, seed=7)
+        sim.ivfpq_save_codes(emb, cents, books, f"{tmp}/codes_{n}")
+        quantizers[n] = (cents, books)
+
+    quantizers: dict = {}
+    linearity_fn("ivfpq build+save", ivfpq_build_cycle, d_small, d_big,
+                 slack=2.0)
+
+    def ivfpq_serve(n):
+        cents, books = quantizers[n]  # each size serves ITS OWN codes
+        emb = synth_embeddings(spark, n)
+        return sim.ivfpq_topk_table(spark, f"{tmp}/codes_{n}", emb,
+                                    cents, books, [0, 1, 2, 3], k=10,
+                                    nprobe=4)
+
+    # serve must be SUBLINEAR-OR-LINEAR: it scans nprobe/k_coarse of
+    # the codes table via partition pruning, so the linear bound holds
+    # with margin — a breach means pruning stopped working
+    linearity("ivfpq serve (pruned)", ivfpq_serve, d_small, d_big,
+              slack=2.0)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "r9ops":
+    if len(sys.argv) > 1 and sys.argv[1] == "r10ops":
+        m = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+        r10ops_scale(get_spark("scale_smoke"), m)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r9ops":
         m = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
         r9ops_scale(get_spark("scale_smoke"), m)
     elif len(sys.argv) > 1 and sys.argv[1] == "r8ops":
