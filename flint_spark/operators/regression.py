@@ -344,8 +344,20 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
         syy = S[:, k + 1, k + 1]
         sy = S[:, 0, k + 1]
         with np.errstate(all="ignore"):
-            det = np.linalg.det(np.nan_to_num(A, nan=0.0))
-            ok = (n >= min_samples) & np.isfinite(det) & (det != 0.0) \
+            A0 = np.nan_to_num(A, nan=0.0)
+            det = np.linalg.det(A0)
+            # RELATIVE singularity guard (r10): det != 0 admits windows
+            # whose determinant is pure cancellation noise — at 10x data
+            # the two engines' ulp-different windowed sums coin-flipped
+            # ~900 rows in and out of the emitted set. A determinant
+            # below 1e-9 of the Gramian's diagonal product (Hadamard
+            # scale) is numerically singular: coefficients from it are
+            # garbage, so they are null BY CONTRACT, identically in the
+            # SQL oracle's Cramer guard.
+            diag_scale = np.abs(np.prod(
+                np.diagonal(A0, axis1=1, axis2=2), axis=1))
+            ok = (n >= min_samples) & np.isfinite(det) \
+                & (np.abs(det) > 1e-9 * diag_scale) \
                 & np.isfinite(A).all(axis=(1, 2)) & np.isfinite(b).all(axis=1)
             coef = np.full((N, p), np.nan)
             if ok.any():
