@@ -230,15 +230,19 @@ SQL_PACK_BINS = """
            row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
     FROM d
   ), walk AS (
+    -- "non-empty" = HAS DOCUMENTS (used), mirroring _next_fit's r10
+    -- zero-token fix, not fill > 0
     SELECT shard, rn, doc_id, n,
-           CAST(0 AS BIGINT) AS bin, n AS fill
+           CAST(0 AS BIGINT) AS bin, n AS fill, 1 AS used
     FROM seq WHERE rn = 1
     UNION ALL
     SELECT s.shard, s.rn, s.doc_id, s.n,
-           CASE WHEN w.fill > 0 AND w.fill + s.n > 96
+           CASE WHEN w.used > 0 AND w.fill + s.n > 96
                 THEN w.bin + 1 ELSE w.bin END,
-           CASE WHEN w.fill > 0 AND w.fill + s.n > 96
-                THEN s.n ELSE w.fill + s.n END
+           CASE WHEN w.used > 0 AND w.fill + s.n > 96
+                THEN s.n ELSE w.fill + s.n END,
+           CASE WHEN w.used > 0 AND w.fill + s.n > 96
+                THEN 1 ELSE w.used + 1 END
     FROM walk w JOIN seq s ON s.shard = w.shard AND s.rn = w.rn + 1
   )
   SELECT shard, bin AS bin_id, count(*) AS n_docs,
@@ -3279,14 +3283,20 @@ def q_pagerank(spark, sf):
 
 
 def _sql_pagerank(iterations: int = 6, damping: float = 0.85) -> str:
-    ctes = ["""e0 AS (SELECT 'c' || o_custkey AS s, 's' || l_suppkey AS d,
+    # e0/en/ow/nodes are referenced by EVERY unrolled iteration:
+    # MATERIALIZED stops DuckDB inlining the orders x lineitem join
+    # once per reference — the inlined form spilled >79 GB of temp at
+    # the r10 sf1 sweep's 6M-row lineitem and died on disk
+    ctes = ["""e0 AS MATERIALIZED (
+              SELECT 'c' || o_custkey AS s, 's' || l_suppkey AS d,
               count(*)::DOUBLE AS w
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
               GROUP BY 1, 2),
-  nodes AS (SELECT s AS node FROM e0 UNION SELECT d FROM e0),
+  nodes AS MATERIALIZED (SELECT s AS node FROM e0 UNION SELECT d FROM e0),
   nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-  ow AS (SELECT s, sum(w) AS tw FROM e0 GROUP BY 1),
-  en AS (SELECT e0.s, e0.d, w / tw AS p FROM e0 JOIN ow USING (s)),
+  ow AS MATERIALIZED (SELECT s, sum(w) AS tw FROM e0 GROUP BY 1),
+  en AS MATERIALIZED (
+    SELECT e0.s, e0.d, w / tw AS p FROM e0 JOIN ow USING (s)),
   r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""]
     for i in range(iterations):
         ctes.append(f"""dg{i} AS (SELECT COALESCE(sum(rank), 0) AS m FROM r{i}

@@ -663,7 +663,7 @@ def pack_bins(df: DataFrame, budget: int, tokens_col: str,
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(on, kind="stable")
-        bins, _, _ = _next_fit(np, pdf["__n"].to_numpy(np.int64), bud)
+        bins, _, _, _ = _next_fit(np, pdf["__n"].to_numpy(np.int64), bud)
         pdf = pdf[in_cols].copy()
         pdf["bin_id"] = bins
         return pdf
@@ -675,19 +675,28 @@ def pack_bins(df: DataFrame, budget: int, tokens_col: str,
             .applyInPandas(fold, schema))
 
 
-def _next_fit(np, n, budget: int, b: int = 0, fill: int = 0):
+def _next_fit(np, n, budget: int, b: int = 0, fill: int = 0,
+              used: int = 0):
     """The next-fit recurrence, shared VERBATIM by :func:`pack_bins`
     and the streaming twin's seeded fold — one body makes the
     batch==stream bitwise-parity claim true by construction. Returns
-    (bins array, open bin id, its fill)."""
+    (bins array, open bin id, its fill, its document count).
+
+    "Current bin is non-empty" means HAS DOCUMENTS (``used``), not
+    fill > 0: with zero-token documents in the bin the fill test
+    judged it empty, and an OVERSIZED document then shared their bin —
+    violating the a-bin-of-its-own contract (r10, found by the
+    hypothesis invariant suite)."""
     bins = np.empty(len(n), np.int64)
     for i, ni in enumerate(n):
-        if fill > 0 and fill + ni > budget:
+        if used > 0 and fill + ni > budget:
             b += 1
             fill = 0
+            used = 0
         bins[i] = b
         fill += int(ni)
-    return bins, int(b), int(fill)
+        used += 1
+    return bins, int(b), int(fill), int(used)
 
 
 def balance_shards(df: DataFrame, n_shards: int, tokens_col: str,

@@ -2455,22 +2455,23 @@ def pack_bins_stream(stream: DataFrame, budget: int, tokens_col: str,
         + [stream.schema[on],
            T.StructField("bin_id", T.LongType())])
     state_schema = T.StructType([T.StructField("bin", T.LongType()),
-                                 T.StructField("fill", T.LongType())])
+                                 T.StructField("fill", T.LongType()),
+                                 T.StructField("used", T.LongType())])
 
     def fold(key_vals, pdf_iter, state):
-        b, fill = state.get if state.exists else (0, 0)
+        b, fill, used = state.get if state.exists else (0, 0, 0)
         pdf = _trigger_pdf(pd, pdf_iter, sort_col=on)
         frames = []
         if pdf is not None and len(pdf):
             # the batch recurrence body, seeded with the carried state
-            bins, b, fill = _next_fit(
-                np, pdf["__n"].to_numpy(np.int64), bud, b, fill)
+            bins, b, fill, used = _next_fit(
+                np, pdf["__n"].to_numpy(np.int64), bud, b, fill, used)
             res = pd.DataFrame({on: pdf[on].to_numpy()})
             for c, v in zip(key, key_vals):
                 res[c] = v
             res["bin_id"] = bins
             frames.append(res[[f.name for f in out_schema.fields]])
-        state.update((int(b), int(fill)))
+        state.update((int(b), int(fill), int(used)))
         yield from frames
 
     return (base.groupBy(*key)
