@@ -37,8 +37,8 @@ LEGACY_17 = 17
 #: normalized median exceeds 1.5x its baseline in TWO consecutive
 #: STABLE-bracket runs gets bisected; a deliberate operator change
 #: re-records its row here with a BENCH_NOTES entry (r10 rebased
-#: gopher_rules 0.65 -> 20-rule battery, interval_custom_clock has no
-#: prior row — first recorded this round).
+#: gopher_rules: 0.65 for the 12-rule subset -> 1.682 for the full
+#: 20-rule battery).
 PER_QUERY_BASELINE = {
     "cycle_agg": 0.232, "interval_uniform": 0.29,
     "summarize_stats": 0.183, "asof_backward": 0.458,
@@ -64,6 +64,8 @@ PER_QUERY_BASELINE = {
     "ivfpq_build": 4.379, "ivfpq_serve": 0.445, "camel_api": 0.405,
     "corpus_pipeline": 0.602, "back_adjust": 0.384, "volume_bars": 0.539,
     "pack_sequences": 0.726, "pack_bins": 0.268,
+    # rebased r10: the 20-rule Table A1 battery (was 0.65 for 12 rules)
+    "gopher_rules": 1.682,
 }
 
 HEADLINE = [
