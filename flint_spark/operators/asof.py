@@ -324,7 +324,8 @@ def _sorted_right_arrays(right: DataFrame, key: Sequence[str],
     return rtab.withColumn(arr_name, dedup)
 
 
-def upper_bound_expr(arr: Column, x: Column, value=None) -> Column:
+def upper_bound_expr(arr: Column, x: Column, value=None,
+                     length: int | None = None) -> Column:
     """Number of sorted-``arr`` elements with ``value(elem) <= x`` —
     an in-JVM binary search: ``F.aggregate`` over a log2(n)-length
     sequence, each step one lazy ``element_at`` probe. The loop form
@@ -332,13 +333,28 @@ def upper_bound_expr(arr: Column, x: Column, value=None) -> Column:
     iteration count; everything stays in whole-stage codegen.
     Null/empty arrays fold to 0/null and never index. ``value``
     extracts the sort key from an element (default: the element
-    itself — plain sorted arrays)."""
+    itself — plain sorted arrays).
+
+    ``length``: when the array is an in-plan LITERAL of known size
+    (the intervalize clock path), pass its length so the size and the
+    iteration count fold to Python-side constants — column expressions
+    are trees, and the two ``F.size(arr)`` references would otherwise
+    embed two MORE copies of the literal in the plan (r10: a 100k-tick
+    clock's 800 KB literal appeared 4x instead of the 2 probes that
+    genuinely need it)."""
+    import math
+
     if value is None:
         value = lambda e: e  # noqa: E731
-    n = F.size(arr)
-    iters = F.greatest(
-        F.lit(1),
-        (F.ceil(F.log2(n.cast("double") + F.lit(1.0))) + F.lit(1)).cast("int"))
+    if length is not None:
+        n = F.lit(int(length))
+        iters = F.lit(max(1, int(math.ceil(math.log2(length + 1))) + 1))
+    else:
+        n = F.size(arr)
+        iters = F.greatest(
+            F.lit(1),
+            (F.ceil(F.log2(n.cast("double") + F.lit(1.0)))
+             + F.lit(1)).cast("int"))
     init = F.struct(F.lit(0).cast("long").alias("lo"),
                     n.cast("long").alias("hi"))
 

@@ -792,7 +792,8 @@ def ewm_volatility_windowed(df: DataFrame, column: str, window,
 def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
              duration_per_period: str = "1d",
              key: Sequence[str] = (),
-             engine: str = "native") -> DataFrame:
+             engine: str = "native",
+             min_rel_var: float = 1e-9) -> DataFrame:
     """Exponentially weighted running covariance / correlation / beta
     between two series — the pairwise face of :func:`ewm_volatility`:
     with the same time-decayed weights, ``cov = E_w[xy] - E_w[x]E_w[y]``
@@ -837,11 +838,15 @@ def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
     # RELATIVE support guard (r10): E[x^2] - E[x]^2 cancels
     # catastrophically when the decayed variance is ~ulp of E[x^2]
     # (observed: early-series beta flipping sign on pure float noise
-    # at 10x data) — a variance below 1e-9 of its own second moment is
-    # numerical garbage, 4 orders above double cancellation noise and
-    # 9 below any real signal; exact-constant series still yield 0
-    vx_ok = vx > F.lit(1e-9) * F.col(f"__{x}_sqx_ewma")
-    vy_ok = vy > F.lit(1e-9) * F.col(f"__{y}_sqy_ewma")
+    # at 10x data). The default 1e-9 also BOUNDS the ratio error any
+    # two evaluation orders can disagree by (noise/guard <= 1e-4
+    # relative), the property the bitwise oracle gates rely on; a
+    # series whose coefficient of variation is genuinely below ~3e-5
+    # reports null corr/beta at that setting — lower min_rel_var
+    # toward the ~1e-13 double-cancellation floor to admit such
+    # series, trading last-digit reproducibility
+    vx_ok = vx > F.lit(min_rel_var) * F.col(f"__{x}_sqx_ewma")
+    vy_ok = vy > F.lit(min_rel_var) * F.col(f"__{y}_sqy_ewma")
     out = (o.withColumn(f"{pfx}_ewm_cov", cov)
            .withColumn(f"{pfx}_ewm_corr",
                        F.when(vx_ok & vy_ok, corr))
@@ -897,7 +902,8 @@ def brown_double_smoothing(df: DataFrame, column: str,
 def ewm_corr_windowed(df: DataFrame, x: str, y: str, window,
                       alpha: float = 0.05,
                       duration_per_period: str = "1d",
-                      key: Sequence[str] = ()) -> DataFrame:
+                      key: Sequence[str] = (),
+                      min_rel_var: float = 1e-9) -> DataFrame:
     """Sliding-window variant of :func:`ewm_corr`: the five decayed
     moments run over the ``window`` range frame (the
     ``ewma_windowed`` exp-prefix-sum trick). All six frame sums share
@@ -936,8 +942,8 @@ def ewm_corr_windowed(df: DataFrame, x: str, y: str, window,
     vx = F.greatest(F.col("__cw_sxx") / den - ex * ex, F.lit(0.0))
     vy = F.greatest(F.col("__cw_syy") / den - ey * ey, F.lit(0.0))
     # same relative support guard as the running variant (r10)
-    vx_ok = vx > F.lit(1e-9) * (F.col("__cw_sxx") / den)
-    vy_ok = vy > F.lit(1e-9) * (F.col("__cw_syy") / den)
+    vx_ok = vx > F.lit(min_rel_var) * (F.col("__cw_sxx") / den)
+    vy_ok = vy > F.lit(min_rel_var) * (F.col("__cw_syy") / den)
     cov = F.col("__cw_sxy") / den - ex * ey
     pfx = f"{x}_{y}"
     corr = F.least(F.greatest(cov / F.sqrt(vx * vy), F.lit(-1.0)),

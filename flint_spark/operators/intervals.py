@@ -158,7 +158,8 @@ def _jvm_intervalize(df: DataFrame, ticks: np.ndarray, inclusion: str,
     # 1-based element_at index of the interval's BEGIN tick is exactly
     # ub(t) (inclusion=begin) / ub(t-1) (inclusion=end); the END tick
     # is one past it — the binary search appears ONCE either way
-    idx = upper_bound_expr(arr, tf if inclusion == "begin" else tf - F.lit(1))
+    idx = upper_bound_expr(arr, tf if inclusion == "begin" else tf - F.lit(1),
+                           length=len(ticks))
     out_idx = idx if rounding == "begin" else idx + F.lit(1)
     return filtered.withColumn(
         _INTERVAL, F.element_at(arr, out_idx.cast("int")).cast("long"))

@@ -273,7 +273,8 @@ def rolling_ols(df: DataFrame, y: str, x: str, window,
 def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
                       key: Sequence[str] = (),
                       min_samples: int | None = None,
-                      fit_intercept: bool = True) -> DataFrame:
+                      fit_intercept: bool = True,
+                      min_rel_det: float = 1e-9) -> DataFrame:
     """Per-row MULTI-regressor OLS over each row's trailing time window
     — the k-factor rolling-beta shape (reference users get it from
     ``OLSRegressionSummarizer`` inside ``summarizeWindows``,
@@ -349,15 +350,17 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
             # RELATIVE singularity guard (r10): det != 0 admits windows
             # whose determinant is pure cancellation noise — at 10x data
             # the two engines' ulp-different windowed sums coin-flipped
-            # ~900 rows in and out of the emitted set. A determinant
-            # below 1e-9 of the Gramian's diagonal product (Hadamard
-            # scale) is numerically singular: coefficients from it are
-            # garbage, so they are null BY CONTRACT, identically in the
-            # SQL oracle's Cramer guard.
+            # ~900 rows in and out of the emitted set. The default
+            # 1e-9 of the Gramian's diagonal product (Hadamard scale)
+            # caps the implied condition number at ~1e9, which keeps
+            # solver disagreement across evaluation orders below the
+            # oracle gates' output grid; pass a smaller min_rel_det to
+            # admit worse-conditioned designs at your own risk —
+            # coefficients then carry kappa*eps relative noise.
             diag_scale = np.abs(np.prod(
                 np.diagonal(A0, axis1=1, axis2=2), axis=1))
             ok = (n >= min_samples) & np.isfinite(det) \
-                & (np.abs(det) > 1e-9 * diag_scale) \
+                & (np.abs(det) > min_rel_det * diag_scale) \
                 & np.isfinite(A).all(axis=(1, 2)) & np.isfinite(b).all(axis=1)
             coef = np.full((N, p), np.nan)
             if ok.any():

@@ -244,6 +244,8 @@ def _static_right_size_guard(right: DataFrame, cols) -> DataFrame:
                 / max(len(sample), 1), 8.0)
             est = int(n * per_row)
     if est > _STATIC_RIGHT_MAX_BYTES:
+        if projected.is_cached:  # never leak the pricing cache of a
+            projected.unpersist()  # right side we are REFUSING
         raise ValueError(
             f"stream-static join materializes the entire right side "
             f"(driver collect on the arrow engine, task broadcast on "
@@ -1317,7 +1319,13 @@ def rolling_ols_multi_stream(stream: DataFrame, y: str,
             sy = S[:, 0, k + 1]
             with np.errstate(all="ignore"):
                 det = np.linalg.det(A)
-                ok = (n >= min_samples) & np.isfinite(det) & (det != 0.0)
+                # relative Hadamard-scale guard, in lockstep with the
+                # batch operator (r10: det != 0 admits cancellation
+                # noise and breaks batch/stream parity)
+                diag_scale = np.abs(np.prod(
+                    np.diagonal(A, axis1=1, axis2=2), axis=1))
+                ok = (n >= min_samples) & np.isfinite(det) \
+                    & (np.abs(det) > 1e-9 * diag_scale)
                 coef = np.full((N, k + 1), np.nan)
                 if ok.any():
                     coef[ok] = np.linalg.solve(A[ok], b[ok])
@@ -1929,9 +1937,14 @@ def ewm_corr_stream(stream: DataFrame, x: str, y: str,
             fin = lambda arr, okm: [
                 None if (not o) or np.isnan(v) else float(v)
                 for v, o in zip(arr, okm)]
+            # relative support guard, in lockstep with batch ewm_corr
+            # (r10): variance below 1e-9 of its own second moment is
+            # E[x^2]-E[x]^2 cancellation noise
+            vx_ok = vx > 1e-9 * (SXX / SW)
+            vy_ok = vy > 1e-9 * (SYY / SW)
             res[f"{pfx}_ewm_cov"] = cov
-            res[f"{pfx}_ewm_corr"] = fin(corr, (vx > 0) & (vy > 0))
-            res[f"{pfx}_ewm_beta"] = fin(beta, vy > 0)
+            res[f"{pfx}_ewm_corr"] = fin(corr, vx_ok & vy_ok)
+            res[f"{pfx}_ewm_beta"] = fin(beta, vy_ok)
             frames.append(res)
         state.update((last_tns, *carries))
         yield from frames

@@ -78,7 +78,12 @@ def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
                                       check_exact=EXACT, rtol=0,
                                       atol=0 if EXACT else 1e-9)
     except AssertionError as e:
-        return False, str(e).split("\n")[1][:200] if "\n" in str(e) else str(e)[:200]
+        # first non-empty line beyond the header — the r10 sf1 sweep's
+        # FAIL rows printed an empty message because line [1] of a
+        # frame-mismatch assertion is blank
+        lines = [ln.strip() for ln in str(e).split("\n") if ln.strip()]
+        detail = " | ".join(lines[:3])[:240] if lines else str(e)[:240]
+        return False, detail
     return True, f"{len(got)} rows"
 
 

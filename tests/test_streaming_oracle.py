@@ -781,7 +781,8 @@ def test_rolling_ols_multi_stream_vs_duckdb(spark, con, tmp_path):
                   + b * (a * q - p * b)) / det AS b1,
                (n * (c * q - p * d) - a * (a * q - p * b)
                   + sy * (a * d - c * b)) / det AS b2
-        FROM solved WHERE n >= 5 AND det <> 0
+        -- relative singularity guard (r10), mirrors the operator
+        FROM solved WHERE n >= 5 AND abs(det) > 1e-9 * abs(n * c * e)
       )
       SELECT tns, user_id, x1, x2, value,
              floor(alpha * 10000 + 0.5) / 10000 AS alpha,
@@ -1586,12 +1587,14 @@ def test_ewm_corr_stream_vs_duckdb(spark, con, tmp_path):
     out = ts_stream.ewm_corr_stream(st, "value", "xf", key=["user_id"],
                                     alpha=0.05, duration_per_period="1d")
     _run_to_table(out, "so_ewmcorr")
-    r = lambda c, n: F.floor(F.col(c) * 10 ** n + 0.5) / 10 ** n
+    # Rq, matching the oracle's r10 pre-snap: exact-rational betas
+    # (0.9703125) sit ON the half boundary with ulp engine divergence
+    from entry_queries.common import Rq
     got = (spark.sql("SELECT * FROM so_ewmcorr")
            .select(F.col("__tns").alias("tns"), "user_id",
-                   r("value_xf_ewm_cov", 4).alias("ewm_cov"),
-                   r("value_xf_ewm_corr", 6).alias("ewm_corr"),
-                   r("value_xf_ewm_beta", 6).alias("ewm_beta")))
+                   Rq("value_xf_ewm_cov", 4).alias("ewm_cov"),
+                   Rq("value_xf_ewm_corr", 6).alias("ewm_corr"),
+                   Rq("value_xf_ewm_beta", 6).alias("ewm_beta")))
     sql = (f"SELECT epoch_ns(time) AS tns, user_id, ewm_cov, ewm_corr, "
            f"ewm_beta FROM ({entry.extra_oracle_sql()['ewm_corr']})")
     ok, msg = compare("so_ewmcorr", got, sql, con)
