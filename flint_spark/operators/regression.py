@@ -47,6 +47,29 @@ def _gram_exprs(y: str, xs: Sequence[str], weight: str | None):
     return names, exprs
 
 
+def _rel_det_ok(det, A0, min_rel_det):
+    """``|det| > min_rel_det * |prod(diag(A))|`` for a stack of Gramians,
+    with a log-space fallback where the Hadamard diagonal product
+    overflows/underflows a double (e.g. ~30 regressors with second
+    moments ~1e11 push prod(diag) past 1.8e308 → inf, and the plain
+    guard would silently reject every solvable window). The plain
+    product is kept as the primary test so finite-regime decisions are
+    bit-identical to the SQL oracles that mirror it; only non-finite
+    (or zero-with-nonzero-diagonal underflow) scales reroute through
+    ``sum(log|diag|)``."""
+    diag = np.diagonal(A0, axis1=1, axis2=2)
+    with np.errstate(all="ignore"):
+        diag_scale = np.abs(np.prod(diag, axis=1))
+        ok = np.abs(det) > min_rel_det * diag_scale
+        bad = ~np.isfinite(diag_scale) | (
+            (diag_scale == 0.0) & (np.abs(diag) > 0.0).all(axis=1))
+        if bad.any():
+            log_scale = np.sum(np.log(np.abs(diag[bad])), axis=1)
+            ok[bad] = np.log(np.abs(det[bad])) \
+                > math.log(min_rel_det) + log_scale
+    return ok
+
+
 _RESULT_FIELDS = [
     T.StructField("samples", T.LongType()),
     T.StructField("beta", T.ArrayType(T.DoubleType())),
@@ -357,10 +380,10 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
             # oracle gates' output grid; pass a smaller min_rel_det to
             # admit worse-conditioned designs at your own risk —
             # coefficients then carry kappa*eps relative noise.
-            diag_scale = np.abs(np.prod(
-                np.diagonal(A0, axis1=1, axis2=2), axis=1))
+            # (_rel_det_ok falls back to log space where the diagonal
+            # product itself overflows a double — r10 ADVICE.)
             ok = (n >= min_samples) & np.isfinite(det) \
-                & (np.abs(det) > min_rel_det * diag_scale) \
+                & _rel_det_ok(det, A0, min_rel_det) \
                 & np.isfinite(A).all(axis=(1, 2)) & np.isfinite(b).all(axis=1)
             coef = np.full((N, p), np.nan)
             if ok.any():

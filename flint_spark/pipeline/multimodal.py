@@ -122,10 +122,22 @@ def decode_png(payload: bytes):
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
+        # validate the declared length against the remaining payload
+        # BEFORE slicing — a truncated file otherwise yields silently
+        # short IHDR/IDAT slices that surface later as opaque
+        # zlib/struct errors instead of a clear message (r10 ADVICE)
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"corrupt PNG: truncated {ctype.decode('latin-1')} chunk "
+                f"(declares {length} bytes, {len(payload) - pos - 12} "
+                f"remain)")
         data = payload[pos + 8:pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", data)
+            if length < 13:
+                raise ValueError(
+                    f"corrupt PNG: IHDR data is {length} bytes (< 13)")
+            meta = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":

@@ -1231,6 +1231,7 @@ def rolling_ols_multi_stream(stream: DataFrame, y: str,
                              xs: Sequence[str], key: Sequence[str],
                              window: str | int = "7d",
                              min_samples: int | None = None,
+                             min_rel_det: float = 1e-9,
                              time_column: str = TIME_COLUMN) -> DataFrame:
     """Streaming twin of ``operators.regression.rolling_ols_multi``:
     per-key k-regressor OLS (alpha, beta[], r2) over the trailing
@@ -1239,7 +1240,10 @@ def rolling_ols_multi_stream(stream: DataFrame, y: str,
     ``np.linalg.solve`` per micro-batch — the batch operator's two
     stages (windowed sums + batched solve) fused into one stateful
     fold. Same late-arrival (sorted-merge) and complete-case
-    contracts as :func:`rolling_ols_stream`."""
+    contracts as :func:`rolling_ols_stream`; ``min_rel_det`` is the
+    batch operator's relative singularity knob, threaded here so a
+    non-default batch setting keeps batch/stream parity (r10
+    ADVICE)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1321,11 +1325,11 @@ def rolling_ols_multi_stream(stream: DataFrame, y: str,
                 det = np.linalg.det(A)
                 # relative Hadamard-scale guard, in lockstep with the
                 # batch operator (r10: det != 0 admits cancellation
-                # noise and breaks batch/stream parity)
-                diag_scale = np.abs(np.prod(
-                    np.diagonal(A, axis1=1, axis2=2), axis=1))
+                # noise and breaks batch/stream parity); shared helper
+                # handles diagonal-product overflow in log space
+                from ..operators.regression import _rel_det_ok
                 ok = (n >= min_samples) & np.isfinite(det) \
-                    & (np.abs(det) > 1e-9 * diag_scale)
+                    & _rel_det_ok(det, A, min_rel_det)
                 coef = np.full((N, k + 1), np.nan)
                 if ok.any():
                     coef[ok] = np.linalg.solve(A[ok], b[ok])
@@ -1869,15 +1873,18 @@ def ewm_corr_stream(stream: DataFrame, x: str, y: str,
                     key: Sequence[str],
                     alpha: float = 0.05,
                     duration_per_period: str = "1d",
+                    min_rel_var: float = 1e-9,
                     time_column: str = TIME_COLUMN) -> DataFrame:
     """Streaming twin of :func:`operators.ema.ewm_corr`: per-key
     time-decayed covariance / correlation / hedge-beta via
     ``applyInPandasWithState`` — state is SEVEN numbers (last t + the
     six decayed sums Σw·x, Σw·y, Σw·x², Σw·y², Σw·xy, Σw). All six
     ride the shared carry scan over one step vector; combine math and
-    clamps match the batch operator expression-for-expression. Rows
-    with either side null keep the complete-pair caveat documented on
-    the batch operator (each numerator null-skips independently)."""
+    clamps match the batch operator expression-for-expression
+    (including the ``min_rel_var`` relative support guard, threaded
+    so a non-default batch setting keeps parity). Rows with either
+    side null keep the complete-pair caveat documented on the batch
+    operator (each numerator null-skips independently)."""
     import math
 
     import numpy as np
@@ -1938,10 +1945,12 @@ def ewm_corr_stream(stream: DataFrame, x: str, y: str,
                 None if (not o) or np.isnan(v) else float(v)
                 for v, o in zip(arr, okm)]
             # relative support guard, in lockstep with batch ewm_corr
-            # (r10): variance below 1e-9 of its own second moment is
-            # E[x^2]-E[x]^2 cancellation noise
-            vx_ok = vx > 1e-9 * (SXX / SW)
-            vy_ok = vy > 1e-9 * (SYY / SW)
+            # (r10): variance below min_rel_var of its own second
+            # moment is E[x^2]-E[x]^2 cancellation noise; the knob is
+            # threaded from the signature so a non-default batch
+            # setting keeps batch/stream parity (r10 ADVICE)
+            vx_ok = vx > min_rel_var * (SXX / SW)
+            vy_ok = vy > min_rel_var * (SYY / SW)
             res[f"{pfx}_ewm_cov"] = cov
             res[f"{pfx}_ewm_corr"] = fin(corr, vx_ok & vy_ok)
             res[f"{pfx}_ewm_beta"] = fin(beta, vy_ok)
@@ -2445,7 +2454,14 @@ def pack_bins_stream(stream: DataFrame, budget: int, tokens_col: str,
     fold replays the batch recurrence exactly — an in-order replay
     (ascending ``on`` within key) equals the batch operator BITWISE on
     all rows. Token-count semantics are ``sampling._tok_long``'s
-    (NULL->0, truncate, negatives fail the query)."""
+    (NULL->0, truncate, negatives fail the query).
+
+    .. note:: **Checkpoint compatibility** — the state schema gained a
+       third field (``used``, the open bin's doc count) with the
+       zero-token-doc fix; a query restarted from a checkpoint written
+       by the two-field version will fail on the
+       ``applyInPandasWithState`` state-schema mismatch. Start such
+       queries with a fresh checkpoint directory."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

@@ -994,6 +994,47 @@ def test_rolling_ols_multi_golden(spark):
     assert np.allclose(r.beta, coef, atol=1e-9)
 
 
+def test_rel_det_ok_log_fallback():
+    """r10 ADVICE: |prod(diag(A))| overflows to inf for many/large
+    regressors (~30 with second moments ~1e11), making the plain
+    relative guard reject every solvable window. _rel_det_ok must
+    (a) admit a well-conditioned design in that regime via the
+    log-space fallback, (b) still reject singular ones there, and
+    (c) agree bit-for-bit with the plain product in the finite regime
+    (the SQL oracles mirror the plain form)."""
+    import numpy as np
+
+    from flint_spark.operators.regression import _rel_det_ok
+
+    # 30x30, diag product 1e310 (-> inf as a double), one 0.999-
+    # correlated pair so the true det = prod * 0.002 stays finite
+    c = 10.0 ** (310.0 / 30.0)
+    M = np.eye(30)
+    M[0, 1] = M[1, 0] = 0.999
+    A = (c * M)[None]
+    det = np.linalg.det(A)
+    assert np.isfinite(det).all()
+    with np.errstate(over="ignore"):
+        diag_prod = np.prod(np.diagonal(A, axis1=1, axis2=2), axis=1)
+    assert not np.isfinite(diag_prod).all()
+    assert _rel_det_ok(det, A, 1e-9).all()
+
+    # singular at the same scale: duplicated row -> det 0 -> rejected
+    S = np.eye(30)
+    S[0, 1] = S[1, 0] = 1.0
+    AS = (c * S)[None]
+    assert not _rel_det_ok(np.linalg.det(AS), AS, 1e-9).any()
+
+    # finite regime: identical decisions to the plain product
+    rng = np.random.default_rng(0)
+    B = rng.normal(size=(200, 3, 3))
+    A2 = B @ B.transpose(0, 2, 1)
+    det2 = np.linalg.det(A2)
+    plain = np.abs(det2) > 1e-9 * np.abs(
+        np.prod(np.diagonal(A2, axis1=1, axis2=2), axis=1))
+    assert (_rel_det_ok(det2, A2, 1e-9) == plain).all()
+
+
 def test_ewma_native_span_guard(spark):
     """A key whose exponent span exceeds the exp() limit must raise
     loudly instead of returning inf/NaN (r4 judge nit): 100 years at a
@@ -1522,6 +1563,14 @@ def test_stdlib_png_codec(spark):
            + chunk(b"IDAT", zlib.compress(b"".join(raws)))
            + chunk(b"IEND", b""))
     assert (mm.decode_png(png) == px).all()
+
+    # truncated file: a clear corrupt-PNG message, not an opaque
+    # downstream zlib/struct error (r10 ADVICE); short IHDR likewise
+    with pytest.raises(ValueError, match="truncated IDAT chunk"):
+        mm.decode_png(png[:-13])  # clips IEND + 1 byte of IDAT crc
+    with pytest.raises(ValueError, match="IHDR data is 5 bytes"):
+        mm.decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * 5)
+                      + chunk(b"IEND", b""))
 
     # non-PNG falls through (None); out-of-scope PNG raises loudly
     assert mm.decode_png(b"P6\n1 1\n255\nabc") is None
