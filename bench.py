@@ -261,6 +261,48 @@ def _ivfpq_split_entries():
     return {"ivfpq_build": build, "ivfpq_serve": serve}
 
 
+def _persist_result(result: dict, docs_dir: str) -> str:
+    """r10 verdict item 2: an unstable calibration bracket must never
+    overwrite the stable ``bench_last.json`` record that
+    PER_QUERY_BASELINE / the watch rule reads next round. Unstable
+    results land in ``bench_last_unstable.json`` instead; a stable
+    result takes the canonical slot and retires any stale unstable
+    sibling."""
+    stable_path = os.path.join(docs_dir, "bench_last.json")
+    unstable_path = os.path.join(docs_dir, "bench_last_unstable.json")
+    path = unstable_path if result.get("calibration_unstable") \
+        else stable_path
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    if path == stable_path and os.path.exists(unstable_path):
+        os.remove(unstable_path)
+    return path
+
+
+def _run_with_retries(run_once, max_attempts: int, sleep_s: float,
+                      log=lambda m: print(m, file=sys.stderr)) -> dict:
+    """Re-run the whole measurement until a stable calibration bracket
+    lands (contention is transient: the r10 sweep box settled within
+    ~2 min of the concurrent suite draining). If every attempt is
+    unstable, return the LAST one flagged ``no_stable_bracket`` so the
+    artifact says loudly that it adjudicates nothing."""
+    result = None
+    for attempt in range(1, max_attempts + 1):
+        result = run_once()
+        result["bench_attempts"] = attempt
+        if not result.get("calibration_unstable"):
+            return result
+        log(f"# attempt {attempt}/{max_attempts}: calibration drift "
+            f"{result.get('calibration_drift_pct')}% > 20% — "
+            + (f"retrying in {sleep_s:.0f}s" if attempt < max_attempts
+               else "giving up"))
+        if attempt < max_attempts:
+            time.sleep(sleep_s)
+    result["no_stable_bracket"] = True
+    return result
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from flint_spark import get_spark
@@ -281,6 +323,18 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP",
+                                       "90"))
+    result = _run_with_retries(lambda: _measure(spark, qs),
+                               max_attempts, retry_sleep)
+    # the FULL artifact survives regardless of driver-side truncation
+    here = os.path.dirname(os.path.abspath(__file__))
+    _persist_result(result, os.path.join(here, "docs"))
+    print(json.dumps(result))
+
+
+def _measure(spark, qs) -> dict:
     # box-speed probe BEFORE the query set (post-warmup): bracketing
     # the run with before/after probes makes box drift DURING the run
     # visible in the artifact itself (r8 lesson: same-code normalized
@@ -364,12 +418,7 @@ def main() -> None:
             q for q in normalized if q not in PER_QUERY_BASELINE),
         "legacy17_normalized": round(legacy17 / calibration, 3),
     }
-    # the FULL artifact survives regardless of driver-side truncation
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "docs", "bench_last.json"), "w") as f:
-        json.dump(result, f, indent=1)
-        f.write("\n")
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

@@ -36,12 +36,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.notna().any() else None, (list, np.ndarray)):
-            df[c] = s.map(lambda v: tuple(v) if v is not None else None)
+            df[c] = s.map(lambda v: np.nan if (
+                v is None or (np.isscalar(v) and pd.isna(v)))
+                else tuple(v))
         elif pd.api.types.is_float_dtype(s):
             if not EXACT:
                 df[c] = s.round(9)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("float64")  # unify Int64/int32/int64
+    for c in df.columns:
+        # None/NaN unification in object columns (Spark toPandas emits
+        # None where DuckDB .df() emits nan): assert_frame_equal's
+        # None-vs-nan leniency is deprecated (FutureWarning today,
+        # raises in a future pandas) — normalize before comparing
+        if df[c].dtype == object:
+            df[c] = df[c].where(df[c].notna(), np.nan)
     return df.sort_values(list(df.columns), ignore_index=True)
 
 

@@ -30,3 +30,32 @@ def test_extra_query_matches_oracle(spark, con, name):
     sql = entry.extra_oracle_sql()[name]
     ok, msg = compare(name, fn(spark, SF), sql, con)
     assert ok, f"{name}: {msg}"
+
+
+def test_harness_canon_unifies_none_and_nan():
+    """r10 verdict blemish 2: assert_frame_equal's None-vs-nan leniency
+    is deprecated (FutureWarning in pandas 2.2, raises later). _canon
+    must normalize null-likes so a None-bearing Spark frame compares
+    clean — and warning-free — against a NaN-bearing DuckDB frame."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from harness import _canon
+
+    spark_like = pd.DataFrame({
+        "f": pd.array([1.5, None, 2.5], dtype="float64"),
+        "s": ["a", None, "c"],
+        "arr": pd.Series([[1, 2], None, [3]], dtype=object),
+    })
+    duck_like = pd.DataFrame({
+        "f": [1.5, np.nan, 2.5],
+        "s": ["a", np.nan, "c"],
+        "arr": pd.Series([[1, 2], np.nan, [3]], dtype=object),
+    })
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        pd.testing.assert_frame_equal(
+            _canon(spark_like), _canon(duck_like),
+            check_dtype=False, check_exact=True, rtol=0, atol=0)
