@@ -33,8 +33,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..timeseries import TIME_COLUMN
+from ..session import ansi_guard
 
 
+@ansi_guard("back-adjust operator")
 def back_adjust(prices: DataFrame, actions: DataFrame,
                 price_cols: Sequence[str], factor_col: str = "factor",
                 key: Sequence[str] = (), tolerance: str = "36500d",

@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 
 from ..summarizers import Summarizer
 from ..timeseries import TIME_COLUMN
+from ..session import ansi_guard
 
 
+@ansi_guard("cycle operators")
 def summarize_cycles(df: DataFrame, summarizer: Summarizer,
                      key: Sequence[str] = ()) -> DataFrame:
     key = list(key)
@@ -26,6 +28,7 @@ def summarize_cycles(df: DataFrame, summarizer: Summarizer,
     return out.select(TIME_COLUMN, *key, *[out[n] for n in summarizer.names])
 
 
+@ansi_guard("cycle operators")
 def group_by_cycle(df: DataFrame, key: Sequence[str] = ()) -> DataFrame:
     """One row per (time[, key]) with ``rows`` = sorted array of member
     structs (reference emits ``rows: ArrayType(inputSchema)``)."""
@@ -34,6 +37,7 @@ def group_by_cycle(df: DataFrame, key: Sequence[str] = ()) -> DataFrame:
     return df.groupBy(TIME_COLUMN, *key).agg(members.alias("rows"))
 
 
+@ansi_guard("cycle operators")
 def add_columns_for_cycle(
     df: DataFrame,
     columns: Mapping[str, Column | Callable],

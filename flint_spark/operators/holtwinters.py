@@ -30,6 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from ..timeseries import parse_duration_ns
+from ..session import ansi_guard
 
 __all__ = ["holt_winters"]
 
@@ -77,6 +78,7 @@ def _validate(alpha: float, beta: float, gamma: float,
         raise ValueError(f"period must be >= 2, got {period}")
 
 
+@ansi_guard("holt_winters operator")
 def holt_winters(df: DataFrame, column: str, period: int,
                  alpha: float = 0.3, beta: float = 0.1,
                  gamma: float = 0.1, unit: str | int = "1d",

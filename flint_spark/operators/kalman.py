@@ -33,6 +33,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 from ..timeseries import parse_duration_ns
+from ..session import ansi_guard
 
 __all__ = ["kalman_local_level"]
 
@@ -72,6 +73,7 @@ def _kf_scan_factory(q: float, r: float, p0: float, period_ns: float):
     return scan
 
 
+@ansi_guard("kalman operator")
 def kalman_local_level(df: DataFrame, column: str, q: float, r: float,
                        period: str | int = "1d", p0: float | None = None,
                        key: Sequence[str] = (),

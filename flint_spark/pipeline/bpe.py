@@ -35,6 +35,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import ansi_guard
 
 __all__ = ["bpe_train", "bpe_apply_merges", "bpe_token_counts"]
 
@@ -136,6 +137,7 @@ def _select_batch(rows, top_k: int, remaining: int, created=None):
     return selected[:remaining]
 
 
+@ansi_guard("BPE operators")
 def bpe_train(docs: DataFrame, num_merges: int = 8,
               text_col: str = "text", batch: bool = True,
               top_k: int = 64) -> list[tuple[str, str, int]]:
@@ -196,6 +198,7 @@ def bpe_apply_merges(seg: Column,
     return seg
 
 
+@ansi_guard("BPE operators")
 def bpe_token_counts(docs: DataFrame,
                      merges: Sequence[tuple[str, str, int]],
                      text_col: str = "text") -> DataFrame:

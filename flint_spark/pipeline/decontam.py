@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingles
+from ..session import ansi_guard
 
 
+@ansi_guard("decontamination operators")
 def contaminated_ngrams(test_docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 8) -> DataFrame:
     """Distinct word n-grams of the evaluation set: (shingle). The
@@ -34,6 +36,7 @@ def contaminated_ngrams(test_docs: DataFrame, text_col: str = "text",
     return shingles(test_docs, text_col, id_col, k=n).select("shingle").distinct()
 
 
+@ansi_guard("decontamination operators")
 def decontaminate(docs: DataFrame, test_docs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n: int = 8, min_hits: int = 1,

@@ -20,8 +20,10 @@ edges.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import ansi_guard
 
 
+@ansi_guard("graph operators")
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight_col: str | None = None, iterations: int = 8,
              damping: float = 0.85) -> DataFrame:

@@ -21,7 +21,14 @@ HASH_BITS = 28
 
 
 def h28(col: Column) -> Column:
-    """28-bit md5-prefix hash of a string column (Spark side)."""
+    """28-bit md5-prefix hash of a string column (Spark side).
+
+    Every pipeline operator hashes through here at plan-build time, so
+    this seam doubles as the pipeline family's ANSI session guard
+    (r10 verdict item 1)."""
+    from ..session import require_ansi_off
+
+    require_ansi_off("pipeline operators (h28)")
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 

@@ -27,12 +27,14 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import ansi_guard
 
 
 def _key_counts(df: DataFrame, key: Sequence[str]) -> DataFrame:
     return df.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@ansi_guard("profiling operators")
 def key_profile(df: DataFrame, key: Sequence[str],
                 probabilities: Sequence[float] = (0.5, 0.9, 0.99)
                 ) -> DataFrame:
@@ -58,6 +60,7 @@ def key_profile(df: DataFrame, key: Sequence[str],
         "skew", F.col("max_cnt").cast("double") / F.col("avg_cnt"))
 
 
+@ansi_guard("profiling operators")
 def heavy_keys(df: DataFrame, key: Sequence[str], k: int = 10) -> DataFrame:
     """The k heaviest key groups: (key..., cnt, share), ordered by
     (cnt desc, key... NULLS LAST) for a deterministic cut — nulls
@@ -78,6 +81,7 @@ def heavy_keys(df: DataFrame, key: Sequence[str], k: int = 10) -> DataFrame:
             .limit(k))
 
 
+@ansi_guard("profiling operators")
 def winsorize(df: DataFrame, value_col: str, key: Sequence[str] = (),
               p_lo: float = 0.01, p_hi: float = 0.99,
               mode: str = "clip", exact: bool = True,

@@ -24,6 +24,12 @@ from .hashing import hyperplanes
 
 
 def _dvec(col: Column) -> Column:
+    # the shared vector caster is the similarity family's ANSI
+    # chokepoint (cosine ratios divide by norms that can be zero;
+    # see session.require_ansi_off)
+    from ..session import require_ansi_off
+
+    require_ansi_off("similarity operators (_dvec)")
     return F.transform(col, lambda x: x.cast("double"))
 
 

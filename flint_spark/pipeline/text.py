@@ -33,6 +33,12 @@ FINGERPRINT_BASE = 131
 
 
 def _words(text_col: str) -> Column:
+    # the shared tokenizer is also the text family's ANSI chokepoint:
+    # quality/ratio expressions assume null division and legacy
+    # sizeOfNull (see session.require_ansi_off)
+    from ..session import require_ansi_off
+
+    require_ansi_off("text operators (_words)")
     return F.split(F.col(text_col), " ")
 
 

@@ -22,11 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import ansi_guard
 
 _TRACKING_PREFIXES = ("utm_",)
 _TRACKING_EXACT = ("fbclid", "gclid", "ref")
 
 
+@ansi_guard("URL operators")
 def canonical_url(col: Column) -> Column:
     base = F.split_part(col, F.lit("#"), F.lit(1))
     main = F.split_part(base, F.lit("?"), F.lit(1))
@@ -60,6 +62,7 @@ def canonical_url(col: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, path, tail)
 
 
+@ansi_guard("URL operators")
 def url_dedup(docs: DataFrame, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
     """One row per canonical URL: the keeper (min id — deterministic,
