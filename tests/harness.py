@@ -71,8 +71,12 @@ def _dtype_class_mismatch(got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
+    return compare_expected(name, spark_df, con.sql(sql).df())
+
+
+def compare_expected(name: str, spark_df,
+                     exp_raw: pd.DataFrame) -> tuple[bool, str]:
     got_raw = spark_df.toPandas()
-    exp_raw = con.sql(sql).df()
     dt_bad = _dtype_class_mismatch(got_raw, exp_raw)
     if dt_bad:
         return False, f"int/float dtype split (driver hash hazard): {dt_bad}"
@@ -104,6 +108,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None):
     con = duck_con(sf_dir)
     qs = {**entry.queries(), **entry.extra_queries()}
     oracles = {**entry.oracle_sql(), **entry.extra_oracle_sql()}
+    # second oracle mode (r10 verdict item 4): the five recursive-CTE
+    # oracles are O(n²)+ in DuckDB; HARNESS_PY_ORACLE=1 swaps them for
+    # the linear Python reference replays so the WHOLE registry sweeps
+    # at sf1 in one protocol. Pinned equal to the SQL oracles at small
+    # SF by test_extra_queries.py.
+    py_mode = _os.environ.get("HARNESS_PY_ORACLE", "") == "1"
+    if py_mode:
+        from py_oracles import PY_ORACLES
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -114,7 +126,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", only: list[str] | None = None):
                 n = df.count()
                 print(f"  {name:24s} ROWS-ONLY {n}")
                 continue
-            ok, msg = compare(name, df, oracles[name], con)
+            if py_mode and name in PY_ORACLES:
+                ok, msg = compare_expected(name, df, PY_ORACLES[name](con))
+                msg += " [py-oracle]"
+            else:
+                ok, msg = compare(name, df, oracles[name], con)
             print(f"  {name:24s} {'OK  ' if ok else 'FAIL'} {msg}")
             if not ok:
                 failures.append(name)

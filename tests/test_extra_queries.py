@@ -32,6 +32,26 @@ def test_extra_query_matches_oracle(spark, con, name):
     assert ok, f"{name}: {msg}"
 
 
+@pytest.mark.parametrize("name", ["pack_bins", "shard_and_pack",
+                                  "dedup_clusters", "kalman",
+                                  "holt_winters"])
+def test_py_oracle_matches_sql_oracle(con, name):
+    """r10 verdict item 4: the five recursive-CTE gates get a second,
+    LINEAR oracle mode (tests/py_oracles.py) so they sweep at sf1 with
+    everything else. This pins the two oracle modes bitwise-equal at
+    small SF — the SQL oracle stays the semantic source of truth, the
+    Python replay is what scales."""
+    from harness import _canon
+    from py_oracles import PY_ORACLES
+
+    sql = entry.extra_oracle_sql()[name]
+    import pandas as pd
+    got = _canon(PY_ORACLES[name](con))
+    exp = _canon(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True, rtol=0, atol=0)
+
+
 def test_harness_canon_unifies_none_and_nan():
     """r10 verdict blemish 2: assert_frame_equal's None-vs-nan leniency
     is deprecated (FutureWarning in pandas 2.2, raises later). _canon
