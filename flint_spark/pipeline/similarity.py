@@ -42,123 +42,6 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-# ----------------------------------------------------------------------
-# SQL-string expression builders (r11 optimization round).
-#
-# Two measured costs motivate building the literal-heavy vector
-# expressions as ONE parsed SQL string instead of per-element Column
-# API calls:
-#  1. py4j construction: F.array(*[F.lit(x) for x in 64 floats]) costs
-#     one JVM round-trip per element — 0.66 s for the 8x64 centroid
-#     matrix vs 0.007 s for the equivalent F.expr string (100x). The
-#     Lloyd trainers rebuild these expressions every iteration, so at
-#     bench scale construction dominated the ANN family end to end.
-#  2. interpreted folds: aggregate/zip_with lambdas are evaluated
-#     per-element in the interpreter (no whole-stage codegen), so the
-#     pair-join dot products (Σ|c|² pairs x dim steps) dominate
-#     execution. Where the vector dim is statically known the builders
-#     emit an UNROLLED arithmetic chain guarded by `size(v) = dim` —
-#     plain codegen-able multiply-adds with the IDENTICAL left-to-right
-#     fold order (((0+t1)+t2)+...), so results are bit-equal; rows that
-#     fail the guard (ragged input) fall back to the original fold.
-#
-# `repr(float)` emits the shortest decimal that round-trips, so the
-# parsed literal is the bit-identical IEEE double — pinned by
-# tests/test_property.py::test_sql_double_literal_roundtrip.
-# ----------------------------------------------------------------------
-
-
-def _dlit(x: float) -> str:
-    """SQL double literal parsing to the bit-identical IEEE value."""
-    return f"{float(x)!r}D"
-
-
-def _finite(vals) -> bool:
-    import math
-    return all(math.isfinite(float(x)) for x in vals)
-
-
-def _arr_sql(vals) -> str:
-    return "array(" + ",".join(_dlit(x) for x in vals) + ")"
-
-
-def _lit_f64s(vals) -> Column:
-    """array<double> literal in one py4j/parse call; same
-    CreateArray(Literal...) tree as ``F.array(*map(F.lit, vals))``.
-    Non-finite values (no SQL literal form) keep the per-element path."""
-    fs = [float(x) for x in vals]
-    if _finite(fs):
-        return F.expr(_arr_sql(fs))
-    return F.array(*[F.lit(x) for x in fs])
-
-
-def _dot_sql(a: str, b: str) -> str:
-    """The `_dot` fold as SQL text (identical parsed tree)."""
-    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
-            f"(acc, x) -> acc + x)")
-
-
-def _norm_sql(a: str) -> str:
-    """The `_norm` fold as SQL text (identical parsed tree)."""
-    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
-
-
-def _dot_lit_unrolled(v: str, vals) -> str:
-    """Unrolled literal dot ``((0 + v[0]*c0) + v[1]*c1) + ...`` — the
-    same IEEE op sequence as the fold, as codegen-able arithmetic.
-    Caller must guard on ``size(v) = len(vals)``."""
-    return "(0.0D" + "".join(
-        f" + {v}[{i}] * {_dlit(x)}" for i, x in enumerate(vals)) + ")"
-
-
-def _dot_cols_unrolled(a: str, b: str, dim: int) -> str:
-    """Unrolled column-column dot; guard on both sizes = dim."""
-    return "(0.0D" + "".join(
-        f" + {a}[{i}] * {b}[{i}]" for i in range(dim)) + ")"
-
-
-def _norm_unrolled(v: str, dim: int) -> str:
-    """Unrolled norm with the fold's exact op order; guard on size."""
-    return ("sqrt(0.0D" + "".join(
-        f" + {v}[{i}] * {v}[{i}]" for i in range(dim)) + ")")
-
-
-def _py_norm(vals) -> float:
-    """Driver-side `_norm` replay: same left-to-right fold, same IEEE
-    ops (math.sqrt and JVM sqrt are both correctly rounded), so the
-    value is bit-equal to evaluating `_norm` on the literal array."""
-    import math
-    acc = 0.0
-    for x in vals:
-        x = float(x)
-        acc += x * x
-    return math.sqrt(acc)
-
-
-def _cos_pair_cols(a: str, b: str, dim: int | None) -> Column:
-    """Pairwise dot of two unit-vector columns (named) — unrolled fast
-    path when ``dim`` is known, original fold otherwise/as fallback."""
-    slow = _dot_sql(a, b)
-    if dim is None:
-        return F.expr(slow)
-    return F.expr(
-        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
-        f"THEN {_dot_cols_unrolled(a, b, dim)} ELSE {slow} END")
-
-
-def _cosine_cols(a: str, b: str, dim: int | None) -> Column:
-    """Full cosine ``dot(a,b) / (norm(a) * norm(b))`` of two named
-    vector columns, same fast/fallback split as `_cos_pair_cols`."""
-    slow = (f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})")
-    if dim is None:
-        return F.expr(slow)
-    fast = (f"{_dot_cols_unrolled(a, b, dim)} / "
-            f"({_norm_unrolled(a, dim)} * {_norm_unrolled(b, dim)})")
-    return F.expr(
-        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
-        f"THEN {fast} ELSE {slow} END")
-
-
 def cosine_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbours for each probe id:
@@ -177,29 +60,8 @@ def cosine_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
     )
 
 
-def bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: sum_p 2^p * [dot(v, plane_p) > 0].
-
-    Pass the vector COLUMN NAME to get the string-built form (one parse
-    call, size-guarded unrolled dots — see the r11 builder block);
-    a Column keeps the per-element construction."""
-    if isinstance(vec, str) and all(_finite(p) for p in planes):
-        def term(p: int, plane, dot: str) -> str:
-            return f"CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END"
-
-        slow = "(0 + " + " + ".join(
-            term(p, plane, _dot_sql(vec, _arr_sql(plane)))
-            for p, plane in enumerate(planes)) + ")"
-        dims = {len(p) for p in planes}
-        if len(dims) == 1:
-            dim = dims.pop()
-            fast = "(0 + " + " + ".join(
-                term(p, plane, _dot_lit_unrolled(vec, plane))
-                for p, plane in enumerate(planes)) + ")"
-            return F.expr(f"cast(CASE WHEN size({vec}) = {dim} THEN {fast} "
-                          f"ELSE {slow} END AS bigint)")
-        return F.expr(f"cast({slow} AS bigint)")
-    vec = F.col(vec) if isinstance(vec, str) else vec
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: sum_p 2^p * [dot(v, plane_p) > 0]."""
     total = F.lit(0)
     for p, plane in enumerate(planes):
         d = _dot(vec, F.array(*[F.lit(c) for c in plane]))
@@ -207,7 +69,7 @@ def bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
     return total.cast("long")
 
 
-def _argmax_centroid(vname: str, centroids: Sequence[tuple[int, Sequence[float]]]):
+def _argmax_centroid(vcol: Column, centroids: Sequence[tuple[int, Sequence[float]]]):
     """Nearest-centroid struct (cos, -id) via ``array_max`` over literal
     centroid arrays — a PURE PROJECTION. The former shape (crossJoin
     against a broadcast centroid table + per-vector row_number window)
@@ -215,44 +77,13 @@ def _argmax_centroid(vname: str, centroids: Sequence[tuple[int, Sequence[float]]
     over k tiny constants; at 100 TB that shuffle is the whole job.
     Tie rule preserved: max (cos, -id) == smallest centroid_id at equal
     cosine. Cosine arithmetic is identical to the join form (same
-    zip_with/aggregate fold), so results are bit-equal.
-
-    ``vname`` is the vector COLUMN NAME (the family's projections all
-    call it "v"). The whole expression is built as one parsed SQL
-    string (not per-element Column calls) with a size-guarded unrolled
-    fast path — see the r11 builder block above; op order and tie rule
-    are unchanged, so results stay bit-equal."""
-    cents = [(int(cid), [float(x) for x in cv]) for cid, cv in centroids]
-    if not all(_finite(cv) for _, cv in cents):
-        # non-finite centroid components have no SQL literal form: keep
-        # the per-element Column construction (rare — data carried
-        # inf/nan into training)
-        vcol = F.col(vname)
-        entries = []
-        for cid, cv in cents:
-            lit_cv = F.array(*[F.lit(x) for x in cv])
-            cos = _dot(vcol, lit_cv) / (_norm(vcol) * _norm(lit_cv))
-            entries.append(F.struct(cos.alias("s"), F.lit(-cid).alias("nid")))
-        return F.array_max(F.array(*entries))
-
-    def argmax(entry_cos) -> str:
-        entries = ",".join(
-            f"struct({entry_cos(cid, cv)} AS s, {-cid} AS nid)"
-            for cid, cv in cents)
-        return f"array_max(array({entries}))"
-
-    slow = argmax(lambda cid, cv: (
-        f"{_dot_sql(vname, _arr_sql(cv))} / "
-        f"({_norm_sql(vname)} * {_norm_sql(_arr_sql(cv))})"))
-    dims = {len(cv) for _, cv in cents}
-    if len(dims) == 1:
-        dim = dims.pop()
-        fast = argmax(lambda cid, cv: (
-            f"{_dot_lit_unrolled(vname, cv)} / "
-            f"({_norm_unrolled(vname, dim)} * {_dlit(_py_norm(cv))})"))
-        return F.expr(f"CASE WHEN size({vname}) = {dim} THEN {fast} "
-                      f"ELSE {slow} END")
-    return F.expr(slow)
+    zip_with/aggregate fold), so results are bit-equal."""
+    entries = []
+    for cid, cv in centroids:
+        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+        cos = _dot(vcol, lit_cv) / (_norm(vcol) * _norm(lit_cv))
+        entries.append(F.struct(cos.alias("s"), F.lit(-cid).alias("nid")))
+    return F.array_max(F.array(*entries))
 
 
 def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
@@ -273,16 +104,6 @@ def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
     steps per row dominate (measured 16s -> ~2s at 400k x 128 x 16).
     Same (cos, smallest-id) tie rule; numpy's summation order may
     differ in final ulps on exact cosine ties."""
-    return _ivf_assign_with_cents(emb, centroid_ids, id_col, vec_col,
-                                  method)[0]
-
-
-def _ivf_assign_with_cents(emb: DataFrame, centroid_ids: Sequence[int],
-                           id_col: str, vec_col: str, method: str):
-    """:func:`ivf_assign` plus the collected (cid, vector) centroid
-    list — callers that need the quantizer's dim (e.g. the pair-dot
-    unrolling in :func:`semantic_dedup_pairs`) get it without a second
-    scan."""
     base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
     cent_rows = (base.filter(F.col(id_col).isin(list(centroid_ids)))
                  .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
@@ -290,7 +111,7 @@ def _ivf_assign_with_cents(emb: DataFrame, centroid_ids: Sequence[int],
     cents = sorted((r["cid"], list(r["cv"])) for r in cent_rows)
     if method == "arrow":
         return _ivf_assign_arrow(base, cents, id_col,
-                                 emb.schema[id_col].dataType), cents
+                                 emb.schema[id_col].dataType)
     import pyspark.sql.types as _T
 
     if not isinstance(emb.schema[id_col].dataType,
@@ -302,11 +123,11 @@ def _ivf_assign_with_cents(emb: DataFrame, centroid_ids: Sequence[int],
             f"{emb.schema[id_col].dataType.simpleString()} — use "
             f"method='arrow'")
     cents = [(int(c), cv) for c, cv in cents]
-    best = _argmax_centroid("v", cents)
+    best = _argmax_centroid(F.col("v"), cents)
     return base.select(
         F.col(id_col), "v",
         (-best["nid"]).cast("long").alias("centroid_id"),
-        best["s"].alias("centroid_cos")), cents
+        best["s"].alias("centroid_cos"))
 
 
 def _ivf_assign_arrow(base: DataFrame, cents, id_col: str,
@@ -364,10 +185,7 @@ def ivf_ann_topk(emb: DataFrame, probe_ids: Sequence[int],
     No persist: assignment is a pure projection (``_argmax_centroid``),
     so the probe-side re-read is a pushed-down id filter over the scan,
     far cheaper than materializing the full assigned table."""
-    assigned, cent_vecs = _ivf_assign_with_cents(emb, centroid_ids, id_col,
-                                                 vec_col, method="expr")
-    dims = {len(cv) for _, cv in cent_vecs}
-    dim = dims.pop() if len(dims) == 1 else None
+    assigned = ivf_assign(emb, centroid_ids, id_col, vec_col)
     base = assigned.select(F.col(id_col), "v", "centroid_id")
     cents = (assigned.filter(F.col(id_col).isin(list(centroid_ids)))
              .select(F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")))
@@ -384,7 +202,8 @@ def ivf_ann_topk(emb: DataFrame, probe_ids: Sequence[int],
                    .select("probe_id", "pv", "centroid_id"))
     cand = base.join(F.broadcast(probe_lists), "centroid_id") \
                .filter(F.col(id_col) != F.col("probe_id"))
-    cos = _cosine_cols("v", "pv", dim).alias("cosine")
+    cos = (_dot(F.col("v"), F.col("pv"))
+           / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("cosine")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (cand.select("probe_id", F.col(id_col), cos)
             .withColumn("rank", F.row_number().over(w))
@@ -406,7 +225,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     # normalize once per row (projected norm column — see
     # semantic_dedup_pairs) so each candidate pair is one dot product
     base = keep(emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-                .withColumn("bucket", bucket_expr("v", planes))
+                .withColumn("bucket", bucket_expr(F.col("v"), planes))
                 .withColumn("__nrm", _norm(F.col("v")))
                 .select(F.col(id_col), "bucket",
                         F.transform(F.col("v"),
@@ -415,7 +234,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                     "bucket")
     b = base.select(F.col(id_col).alias("id_b"), F.col("vn").alias("vnb"),
                     "bucket")
-    cos = _cos_pair_cols("vna", "vnb", dim).alias("cosine")
+    cos = _dot(F.col("vna"), F.col("vnb")).alias("cosine")
     return (a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", cos)
             .filter(F.col("cosine") >= threshold))
@@ -439,14 +258,15 @@ def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
     _check_dim(emb, vec_col, dim)
     planes = hyperplanes(n_planes, dim, seed)
     base = (emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-            .withColumn("bucket", bucket_expr("v", planes)))
+            .withColumn("bucket", bucket_expr(F.col("v"), planes)))
     probes = (base.filter(F.col(id_col).isin(list(probe_ids)))
               .select(F.col(id_col).alias("probe_id"), F.col("v").alias("pv"),
                       F.col("bucket").alias("pbucket")))
     joined = (base.join(F.broadcast(probes),
                         (F.col("bucket") == F.col("pbucket"))
                         & (F.col(id_col) != F.col("probe_id"))))
-    cos = _cosine_cols("v", "pv", dim).alias("cosine")
+    cos = (_dot(F.col("v"), F.col("pv"))
+           / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("cosine")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (
         joined.select("probe_id", F.col(id_col), cos)
@@ -507,7 +327,7 @@ def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
                  .orderBy("h", "vid").limit(k).select("v").collect())
     centroids = [list(r["v"]) for r in seed_rows]
     for _ in range(iters):
-        best = _argmax_centroid("v", list(enumerate(centroids)))
+        best = _argmax_centroid(F.col("v"), list(enumerate(centroids)))
         assigned = base.select(
             "vid", "v", (-best["nid"]).cast("int").alias("centroid_id"))
         comp = (assigned.select("centroid_id", F.posexplode("v"))
@@ -560,9 +380,8 @@ def ivf_ann_topk_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
                    .select("probe_id", "pv", "centroid_id"))
     cand = assigned.join(F.broadcast(probe_lists), "centroid_id") \
                    .filter(F.col(id_col) != F.col("probe_id"))
-    dims = {len(c) for c in centroids}
-    cos = _cosine_cols(
-        "v", "pv", dims.pop() if len(dims) == 1 else None).alias("cosine")
+    cos = (_dot(F.col("v"), F.col("pv"))
+           / (_norm(F.col("v")) * _norm(F.col("pv")))).alias("cosine")
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (cand.select("probe_id", F.col(id_col), cos)
             .withColumn("rank", F.row_number().over(w))
@@ -603,9 +422,9 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
     summation is not bit-identical to a fold, same accuracy)."""
     if method not in ("arrow", "expr"):
         raise ValueError("method must be 'arrow' or 'expr'")
-    assigned, cents = _ivf_assign_with_cents(emb, centroid_ids, id_col,
-                                             vec_col, method)
-    assigned = assigned.select(F.col(id_col), "v", "centroid_id")
+    assigned = ivf_assign(emb, centroid_ids, id_col, vec_col,
+                          method=method) \
+        .select(F.col(id_col), "v", "centroid_id")
     if max_cluster is not None:
         ok = (assigned.groupBy("centroid_id")
               .agg(F.count("*").alias("__n"))
@@ -663,12 +482,7 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
                         F.col("vn").alias("vna"), "centroid_id")
     b = assigned.select(F.col(id_col).alias("id_b"),
                         F.col("vn").alias("vnb"), "centroid_id")
-    # pair dot over the quantizer's dim: unrolled codegen-able chain
-    # (bit-equal fold order) — the Σ|c|² pair scoring is the operator's
-    # dominant cost and the interpreted lambda fold was 5x slower
-    dims = {len(cv) for _, cv in cents}
-    dim = dims.pop() if len(dims) == 1 else None
-    cos = _cos_pair_cols("vna", "vnb", dim).alias("cosine")
+    cos = _dot(F.col("vna"), F.col("vnb")).alias("cosine")
     return (a.join(b, ["centroid_id"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "centroid_id", cos)
@@ -784,7 +598,7 @@ def ivf_assign_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
     centroid_cos). Map-only projection over inlined centroid literals
     (``_argmax_centroid``) — no join, no shuffle."""
     base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-    best = _argmax_centroid("v",
+    best = _argmax_centroid(F.col("v"),
                             list(enumerate(list(c) for c in centroids)))
     return base.select(
         F.col(id_col), "v",
@@ -800,9 +614,7 @@ def _argmin_subcode(sv_col: Column, codebook: Sequence[Sequence[float]]):
     """Nearest sub-centroid struct (d2, code) via ``array_min`` over
     literal sub-centroid arrays — a pure projection, the PQ analogue of
     ``_argmax_centroid``. Squared-L2 fold; ties break on the lower
-    code (struct comparison orders by d2 then code). Column-API form,
-    kept for non-finite codebooks; the hot path uses
-    :func:`_argmin_sub_sql` (string-built, unrolled fast branch)."""
+    code (struct comparison orders by d2 then code)."""
     entries = []
     for code, cv in enumerate(codebook):
         lit_cv = F.array(*[F.lit(float(x)) for x in cv])
@@ -813,44 +625,14 @@ def _argmin_subcode(sv_col: Column, codebook: Sequence[Sequence[float]]):
     return F.array_min(F.array(*entries))
 
 
-def _argmin_sub_sql(sv_expr: str, codebook: Sequence[Sequence[float]],
-                    terms=None) -> str:
-    """:func:`_argmin_subcode` as SQL text. ``sv_expr`` is the
-    subvector SQL (the fold form); ``terms(i)`` — when given — yields
-    the i-th element's SQL directly, producing the unrolled squared-L2
-    chain with the fold's exact op order (guard on the parent vector's
-    size at the call site)."""
-    entries = []
-    for code, cv in enumerate(codebook):
-        if terms is not None:
-            d2 = "(0.0D" + "".join(
-                f" + ({terms(i)} - {_dlit(x)}) * ({terms(i)} - {_dlit(x)})"
-                for i, x in enumerate(cv)) + ")"
-        else:
-            d2 = (f"aggregate(zip_with({sv_expr}, {_arr_sql(cv)}, "
-                  f"(x, y) -> (x - y) * (x - y)), 0.0D, "
-                  f"(acc, x) -> acc + x)")
-        entries.append(f"struct({d2} AS d, {code} AS code)")
-    return f"array_min(array({','.join(entries)}))"
-
-
-def _pq_codes_sql(vexpr: str, codebooks, dsub: int) -> str:
-    """The per-vector PQ code array as SQL text: ``vexpr`` names the
-    (double-cast) vector; size-guarded unrolled fast branch, fold
-    fallback. Finite codebooks only (callers check)."""
-    m = len(codebooks)
-
-    def code_s(s: int, fast: bool) -> str:
-        off = s * dsub
-        return _argmin_sub_sql(
-            f"slice({vexpr}, {off + 1}, {dsub})", codebooks[s],
-            terms=(lambda i, off=off: f"{vexpr}[{off + i}]")
-            if fast else None) + ".code"
-
-    slow = "array(" + ",".join(code_s(s, False) for s in range(m)) + ")"
-    fast = "array(" + ",".join(code_s(s, True) for s in range(m)) + ")"
-    return (f"CASE WHEN size({vexpr}) = {m * dsub} THEN {fast} "
-            f"ELSE {slow} END")
+def _pq_dims(emb: DataFrame, m: int, vec_col: str) -> int:
+    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("empty embedding table")
+    dim = int(row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    return dim // m
 
 
 def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
@@ -874,6 +656,7 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
     codebooks[s][code] = sub-centroid (list of dim/m floats).
     ``train_fraction`` as in :func:`ivf_train` (deterministic id-hash
     training subset — the at-scale mode)."""
+    dsub = _pq_dims(emb, m, vec_col)
     emb = _train_subset(emb, train_fraction, id_col, seed)
     base = emb.select(F.col(id_col).alias("vid"),
                       _dvec(F.col(vec_col)).alias("v")).persist()
@@ -881,47 +664,17 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
                  .withColumn("h", F.md5(F.concat(F.lit(str(seed)),
                                                  F.col("vid").cast("string"))))
                  .orderBy("h", "vid").limit(ksub).select("v").collect())
-    if not seed_rows:
-        raise ValueError("empty embedding table")
-    # dim/divisibility from the seed rows we already hold — the former
-    # `_pq_dims` first() probe was one whole extra Spark job per build
-    dim = len(seed_rows[0]["v"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    dsub = dim // m
     books = [[list(r["v"])[s * dsub:(s + 1) * dsub] for r in seed_rows]
              for s in range(m)]
 
     import math
-
-    def _subs_expr():
-        """One parsed string per iteration (see the r11 builder block);
-        Column-API fallback when an average went non-finite."""
-        if all(_finite(cv) for book in books for cv in book):
-            def struct_s(s: int, fast: bool) -> str:
-                off = s * dsub
-                sv = f"slice(v, {off + 1}, {dsub})"
-                argmin = _argmin_sub_sql(
-                    sv, books[s],
-                    terms=(lambda i, off=off: f"v[{off + i}]")
-                    if fast else None)
-                return f"struct({s} AS s, {argmin}.code AS code, {sv} AS sv)"
-
-            slow = "array(" + ",".join(
-                struct_s(s, False) for s in range(m)) + ")"
-            fast = "array(" + ",".join(
-                struct_s(s, True) for s in range(m)) + ")"
-            return F.expr(f"CASE WHEN size(v) = {m * dsub} THEN {fast} "
-                          f"ELSE {slow} END")
-        return F.array(*[
+    for _ in range(iters):
+        subs = F.array(*[
             F.struct(F.lit(s).alias("s"),
                      _argmin_subcode(F.slice(F.col("v"), s * dsub + 1, dsub),
                                      books[s])["code"].alias("code"),
                      F.slice(F.col("v"), s * dsub + 1, dsub).alias("sv"))
             for s in range(m)])
-
-    for _ in range(iters):
-        subs = _subs_expr()
         comp = (base.select(F.explode(subs).alias("e"))
                 .select("e.s", "e.code", F.posexplode("e.sv"))
                 .groupBy("s", "code", "pos").agg(F.avg("col").alias("mn")))
@@ -952,9 +705,6 @@ def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     vectors). ``keep`` carries extra columns through the projection
     (e.g. the coarse cell id in IVF-PQ) so callers never need a
     re-join."""
-    from ..session import require_ansi_off
-
-    require_ansi_off("similarity operators (pq_encode)")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
 
@@ -962,20 +712,14 @@ def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     # vector to a lambda variable: CollapseProject would otherwise
     # inline the producing expression into EVERY per-code distance
     # fold (m x ksub evaluations per row instead of one)
-    if all(_finite(cv) for book in codebooks for cv in book):
-        dvec = f"transform(`{vec_col}`, x -> cast(x AS double))"
-        codes = F.expr(
-            f"element_at(transform(array({dvec}), "
-            f"vv -> {_pq_codes_sql('vv', codebooks, dsub)}), 1)")
-    else:
-        def _codes(rv):
-            return F.array(*[
-                _argmin_subcode(F.slice(rv, s * dsub + 1, dsub),
-                                codebooks[s])["code"]
-                for s in range(m)])
+    def _codes(rv):
+        return F.array(*[
+            _argmin_subcode(F.slice(rv, s * dsub + 1, dsub),
+                            codebooks[s])["code"]
+            for s in range(m)])
 
-        codes = F.element_at(
-            F.transform(F.array(_dvec(F.col(vec_col))), _codes), 1)
+    codes = F.element_at(
+        F.transform(F.array(_dvec(F.col(vec_col))), _codes), 1)
     return emb.select(F.col(id_col), *[F.col(c) for c in keep],
                       codes.alias("codes"))
 
@@ -1037,7 +781,7 @@ def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
         F.struct(
             F.lit(pid).alias("probe_id"),
             (F.floor(sum(
-                F.element_at(_lit_f64s(lut[s]),
+                F.element_at(F.array(*[F.lit(v) for v in lut[s]]),
                              F.element_at(F.col("codes"), s + 1) + 1)
                 for s in range(m)) * scale + F.lit(0.5)) / scale
              ).alias("adc"))
@@ -1085,12 +829,8 @@ def _ivfpq_residuals(emb: DataFrame, centroids, id_col: str,
     """(id, centroid_id, residual): map-only — assignment over inlined
     centroid literals, residual as a zip_with subtraction."""
     assigned = ivf_assign_trained(emb, centroids, id_col, vec_col)
-    if all(_finite(c) for c in centroids):
-        cent_lit = F.expr(
-            "array(" + ",".join(_arr_sql(c) for c in centroids) + ")")
-    else:
-        cent_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     cv = F.element_at(cent_lit, (F.col("centroid_id") + 1).cast("int"))
     resid = F.zip_with(F.col("v"), cv, lambda a, b: a - b)
     return assigned.select(F.col(id_col), "centroid_id",
