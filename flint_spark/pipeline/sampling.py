@@ -547,7 +547,10 @@ def dsir_score(df: DataFrame, ratios: Sequence[float],
         raise ValueError(
             f"{n_buckets} ratios inline as {n_buckets} literals; "
             f"cap is 4096 (use a coarser feature space)")
-    lit_r = F.array(*[F.lit(float(v)) for v in ratios])
+    # one parse call instead of n_buckets py4j literal round-trips
+    # (r11 construction fix — see similarity._lit_f64s)
+    from .similarity import _lit_f64s
+    lit_r = _lit_f64s(ratios)
     feats = _dsir_feats(F.col(text_col))
     logw = F.aggregate(
         F.transform(feats, lambda f: F.element_at(

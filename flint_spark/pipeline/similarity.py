@@ -42,6 +42,63 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+# ----------------------------------------------------------------------
+# r11 construction-cost fix (guide §1/§4: the driver is part of the
+# job). Centroid/codebook/LUT literals used to be built as per-element
+# ``F.lit`` chains — one py4j round-trip per float, so one k x dim
+# centroid argmax costs ~512 driver round-trips (~1-2 s) per build, and
+# the IVF/PQ training family rebuilds them every Lloyd iteration. The
+# SAME expression rendered as ONE SQL string parses in ~1 ms.
+#
+# Only the fold forms are rendered (aggregate/zip_with — identical
+# shape to the Column-API trees, so evaluated values are bit-equal);
+# an earlier attempt additionally emitted size-guarded UNROLLED
+# multiply-add chains and regressed plan/exec time 10-70x (optimizer +
+# codegen choke on the tree width) — do not reintroduce those.
+# ``repr(float)`` emits the shortest decimal that round-trips, so the
+# parsed literal is the bit-identical IEEE double.
+# ----------------------------------------------------------------------
+
+
+def _dlit(x: float) -> str:
+    """SQL double literal parsing to the bit-identical IEEE value."""
+    return f"{float(x)!r}D"
+
+
+def _finite(vals) -> bool:
+    import math
+    return all(math.isfinite(float(x)) for x in vals)
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ",".join(_dlit(x) for x in vals) + ")"
+
+
+def _arr2_sql(mat) -> str:
+    return "array(" + ",".join(_arr_sql(row) for row in mat) + ")"
+
+
+def _lit_f64s(vals) -> Column:
+    """array<double> literal in one parse call; same
+    CreateArray(Literal...) tree as ``F.array(*map(F.lit, vals))``.
+    Non-finite values (no SQL literal form) keep the per-element path."""
+    fs = [float(x) for x in vals]
+    if _finite(fs):
+        return F.expr(_arr_sql(fs))
+    return F.array(*[F.lit(x) for x in fs])
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """The `_dot` fold as SQL text (identical parsed tree shape)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)")
+
+
+def _norm_sql(a: str) -> str:
+    """The `_norm` fold as SQL text (identical parsed tree shape)."""
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
 def cosine_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbours for each probe id:
@@ -60,8 +117,19 @@ def cosine_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
     )
 
 
-def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: sum_p 2^p * [dot(v, plane_p) > 0]."""
+def bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: sum_p 2^p * [dot(v, plane_p) > 0].
+
+    Pass the vector COLUMN NAME for the one-parse string-built form
+    (same fold trees — see the r11 builder block); a Column keeps the
+    per-element construction."""
+    if isinstance(vec, str) and all(_finite(p) for p in planes):
+        terms = " + ".join(
+            f"CASE WHEN {_dot_sql(vec, _arr_sql(plane))} > 0 "
+            f"THEN {2 ** p} ELSE 0 END"
+            for p, plane in enumerate(planes))
+        return F.expr(f"cast((0 + {terms}) AS bigint)")
+    vec = F.col(vec) if isinstance(vec, str) else vec
     total = F.lit(0)
     for p, plane in enumerate(planes):
         d = _dot(vec, F.array(*[F.lit(c) for c in plane]))
@@ -69,7 +137,8 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return total.cast("long")
 
 
-def _argmax_centroid(vcol: Column, centroids: Sequence[tuple[int, Sequence[float]]]):
+def _argmax_centroid(vcol: Column | str,
+                     centroids: Sequence[tuple[int, Sequence[float]]]):
     """Nearest-centroid struct (cos, -id) via ``array_max`` over literal
     centroid arrays — a PURE PROJECTION. The former shape (crossJoin
     against a broadcast centroid table + per-vector row_number window)
@@ -77,9 +146,23 @@ def _argmax_centroid(vcol: Column, centroids: Sequence[tuple[int, Sequence[float
     over k tiny constants; at 100 TB that shuffle is the whole job.
     Tie rule preserved: max (cos, -id) == smallest centroid_id at equal
     cosine. Cosine arithmetic is identical to the join form (same
-    zip_with/aggregate fold), so results are bit-equal."""
+    zip_with/aggregate fold), so results are bit-equal.
+
+    Pass the vector COLUMN NAME to get the one-parse string-built form
+    (r11 builder block above); a Column (or non-finite centroid
+    components, which have no SQL literal form) keeps the per-element
+    construction."""
+    cents = [(int(cid), [float(x) for x in cv]) for cid, cv in centroids]
+    if isinstance(vcol, str) and all(_finite(cv) for _, cv in cents):
+        entries = ",".join(
+            f"struct({_dot_sql(vcol, _arr_sql(cv))} / "
+            f"({_norm_sql(vcol)} * {_norm_sql(_arr_sql(cv))}) AS s, "
+            f"{-cid} AS nid)"
+            for cid, cv in cents)
+        return F.expr(f"array_max(array({entries}))")
+    vcol = F.col(vcol) if isinstance(vcol, str) else vcol
     entries = []
-    for cid, cv in centroids:
+    for cid, cv in cents:
         lit_cv = F.array(*[F.lit(float(x)) for x in cv])
         cos = _dot(vcol, lit_cv) / (_norm(vcol) * _norm(lit_cv))
         entries.append(F.struct(cos.alias("s"), F.lit(-cid).alias("nid")))
@@ -123,7 +206,7 @@ def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
             f"{emb.schema[id_col].dataType.simpleString()} — use "
             f"method='arrow'")
     cents = [(int(c), cv) for c, cv in cents]
-    best = _argmax_centroid(F.col("v"), cents)
+    best = _argmax_centroid("v", cents)
     return base.select(
         F.col(id_col), "v",
         (-best["nid"]).cast("long").alias("centroid_id"),
@@ -225,7 +308,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     # normalize once per row (projected norm column — see
     # semantic_dedup_pairs) so each candidate pair is one dot product
     base = keep(emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-                .withColumn("bucket", bucket_expr(F.col("v"), planes))
+                .withColumn("bucket", bucket_expr("v", planes))
                 .withColumn("__nrm", _norm(F.col("v")))
                 .select(F.col(id_col), "bucket",
                         F.transform(F.col("v"),
@@ -258,7 +341,7 @@ def lsh_ann_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
     _check_dim(emb, vec_col, dim)
     planes = hyperplanes(n_planes, dim, seed)
     base = (emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-            .withColumn("bucket", bucket_expr(F.col("v"), planes)))
+            .withColumn("bucket", bucket_expr("v", planes)))
     probes = (base.filter(F.col(id_col).isin(list(probe_ids)))
               .select(F.col(id_col).alias("probe_id"), F.col("v").alias("pv"),
                       F.col("bucket").alias("pbucket")))
@@ -327,7 +410,7 @@ def ivf_train(emb: DataFrame, k: int = 16, iters: int = 3,
                  .orderBy("h", "vid").limit(k).select("v").collect())
     centroids = [list(r["v"]) for r in seed_rows]
     for _ in range(iters):
-        best = _argmax_centroid(F.col("v"), list(enumerate(centroids)))
+        best = _argmax_centroid("v", list(enumerate(centroids)))
         assigned = base.select(
             "vid", "v", (-best["nid"]).cast("int").alias("centroid_id"))
         comp = (assigned.select("centroid_id", F.posexplode("v"))
@@ -586,8 +669,7 @@ def pca_project(emb: DataFrame, components: Sequence[Sequence[float]],
     base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
     cols = [F.col(id_col)]
     for c, comp in enumerate(components):
-        lit = F.array(*[F.lit(float(x)) for x in comp])
-        cols.append(_dot(F.col("v"), lit).alias(f"pc{c}"))
+        cols.append(_dot(F.col("v"), _lit_f64s(comp)).alias(f"pc{c}"))
     return base.select(*cols)
 
 
@@ -598,7 +680,7 @@ def ivf_assign_trained(emb: DataFrame, centroids: Sequence[Sequence[float]],
     centroid_cos). Map-only projection over inlined centroid literals
     (``_argmax_centroid``) — no join, no shuffle."""
     base = emb.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v"))
-    best = _argmax_centroid(F.col("v"),
+    best = _argmax_centroid("v",
                             list(enumerate(list(c) for c in centroids)))
     return base.select(
         F.col(id_col), "v",
@@ -625,14 +707,16 @@ def _argmin_subcode(sv_col: Column, codebook: Sequence[Sequence[float]]):
     return F.array_min(F.array(*entries))
 
 
-def _pq_dims(emb: DataFrame, m: int, vec_col: str) -> int:
-    row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None:
-        raise ValueError("empty embedding table")
-    dim = int(row["d"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
-    return dim // m
+def _argmin_sub_sql(sv_expr: str, codebook: Sequence[Sequence[float]]) -> str:
+    """`_argmin_subcode` as SQL text over a vector EXPRESSION string —
+    same squared-L2 zip_with/aggregate folds, same (d2, code) tie rule.
+    Caller must check ``_finite`` over the codebook first."""
+    entries = ",".join(
+        f"struct(aggregate(zip_with({sv_expr}, {_arr_sql(cv)}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x) AS d, "
+        f"{code} AS code)"
+        for code, cv in enumerate(codebook))
+    return f"array_min(array({entries}))"
 
 
 def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
@@ -656,7 +740,6 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
     codebooks[s][code] = sub-centroid (list of dim/m floats).
     ``train_fraction`` as in :func:`ivf_train` (deterministic id-hash
     training subset — the at-scale mode)."""
-    dsub = _pq_dims(emb, m, vec_col)
     emb = _train_subset(emb, train_fraction, id_col, seed)
     base = emb.select(F.col(id_col).alias("vid"),
                       _dvec(F.col(vec_col)).alias("v")).persist()
@@ -664,17 +747,38 @@ def pq_train(emb: DataFrame, m: int = 4, ksub: int = 8, iters: int = 2,
                  .withColumn("h", F.md5(F.concat(F.lit(str(seed)),
                                                  F.col("vid").cast("string"))))
                  .orderBy("h", "vid").limit(ksub).select("v").collect())
+    if not seed_rows:
+        raise ValueError("empty embedding table")
+    # dim/divisibility from the seed rows we already hold — a separate
+    # ``first()`` dim probe was one whole extra Spark job per build
+    dim = len(seed_rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
     books = [[list(r["v"])[s * dsub:(s + 1) * dsub] for r in seed_rows]
              for s in range(m)]
 
     import math
-    for _ in range(iters):
-        subs = F.array(*[
+
+    def _subs_expr():
+        """One parsed string per iteration (r11 builder block);
+        Column-API fallback when an average went non-finite."""
+        if all(_finite(cv) for book in books for cv in book):
+            entries = ",".join(
+                f"struct({s} AS s, "
+                f"{_argmin_sub_sql(f'slice(v, {s * dsub + 1}, {dsub})', books[s])}"
+                f".code AS code, slice(v, {s * dsub + 1}, {dsub}) AS sv)"
+                for s in range(m))
+            return F.expr(f"array({entries})")
+        return F.array(*[
             F.struct(F.lit(s).alias("s"),
                      _argmin_subcode(F.slice(F.col("v"), s * dsub + 1, dsub),
                                      books[s])["code"].alias("code"),
                      F.slice(F.col("v"), s * dsub + 1, dsub).alias("sv"))
             for s in range(m)])
+
+    for _ in range(iters):
+        subs = _subs_expr()
         comp = (base.select(F.explode(subs).alias("e"))
                 .select("e.s", "e.code", F.posexplode("e.sv"))
                 .groupBy("s", "code", "pos").agg(F.avg("col").alias("mn")))
@@ -705,6 +809,9 @@ def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     vectors). ``keep`` carries extra columns through the projection
     (e.g. the coarse cell id in IVF-PQ) so callers never need a
     re-join."""
+    from ..session import require_ansi_off
+
+    require_ansi_off("similarity operators (pq_encode)")
     m = len(codebooks)
     dsub = len(codebooks[0][0])
 
@@ -712,14 +819,23 @@ def pq_encode(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
     # vector to a lambda variable: CollapseProject would otherwise
     # inline the producing expression into EVERY per-code distance
     # fold (m x ksub evaluations per row instead of one)
-    def _codes(rv):
-        return F.array(*[
-            _argmin_subcode(F.slice(rv, s * dsub + 1, dsub),
-                            codebooks[s])["code"]
-            for s in range(m)])
+    if all(_finite(cv) for book in codebooks for cv in book):
+        dvec = f"transform(`{vec_col}`, x -> cast(x AS double))"
+        codes_sql = ",".join(
+            f"{_argmin_sub_sql(f'slice(vv, {s * dsub + 1}, {dsub})', codebooks[s])}.code"
+            for s in range(m))
+        codes = F.expr(
+            f"element_at(transform(array({dvec}), "
+            f"vv -> array({codes_sql})), 1)")
+    else:
+        def _codes(rv):
+            return F.array(*[
+                _argmin_subcode(F.slice(rv, s * dsub + 1, dsub),
+                                codebooks[s])["code"]
+                for s in range(m)])
 
-    codes = F.element_at(
-        F.transform(F.array(_dvec(F.col(vec_col))), _codes), 1)
+        codes = F.element_at(
+            F.transform(F.array(_dvec(F.col(vec_col))), _codes), 1)
     return emb.select(F.col(id_col), *[F.col(c) for c in keep],
                       codes.alias("codes"))
 
@@ -777,15 +893,31 @@ def pq_topk(emb: DataFrame, codebooks: Sequence[Sequence[Sequence[float]]],
             for r in sorted(probe_rows, key=lambda r: r["pid"])]
 
     scale = float(10 ** round_decimals)
-    scored = F.array(*[
-        F.struct(
-            F.lit(pid).alias("probe_id"),
-            (F.floor(sum(
-                F.element_at(F.array(*[F.lit(v) for v in lut[s]]),
-                             F.element_at(F.col("codes"), s + 1) + 1)
-                for s in range(m)) * scale + F.lit(0.5)) / scale
-             ).alias("adc"))
-        for pid, lut in luts])
+    if all(_finite(lut[s]) for _, lut in luts for s in range(m)):
+        # one parse call for the whole per-probe score array; the sum
+        # renders as the same left-assoc (0 + e0 + e1 + ...) chain the
+        # Column form builds, so ADC values are bit-equal
+        def probe_sql(pid, lut):
+            terms = " + ".join(
+                f"element_at({_arr_sql(lut[s])}, "
+                f"(element_at(codes, {s + 1}) + 1))"
+                for s in range(m))
+            return (f"struct({pid} AS probe_id, "
+                    f"floor((0 + {terms}) * {_dlit(scale)} + 0.5D) "
+                    f"/ {_dlit(scale)} AS adc)")
+
+        scored = F.expr("array(" + ",".join(
+            probe_sql(pid, lut) for pid, lut in luts) + ")")
+    else:
+        scored = F.array(*[
+            F.struct(
+                F.lit(pid).alias("probe_id"),
+                (F.floor(sum(
+                    F.element_at(F.array(*[F.lit(v) for v in lut[s]]),
+                                 F.element_at(F.col("codes"), s + 1) + 1)
+                    for s in range(m)) * scale + F.lit(0.5)) / scale
+                 ).alias("adc"))
+            for pid, lut in luts])
     flat = (codes.select(F.col(id_col), F.explode(scored).alias("p"))
             .filter(F.col(id_col) != F.col("p.probe_id"))
             .select("p.probe_id", F.col(id_col), F.col("p.adc")))
@@ -829,8 +961,12 @@ def _ivfpq_residuals(emb: DataFrame, centroids, id_col: str,
     """(id, centroid_id, residual): map-only — assignment over inlined
     centroid literals, residual as a zip_with subtraction."""
     assigned = ivf_assign_trained(emb, centroids, id_col, vec_col)
-    cent_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cents = [[float(x) for x in c] for c in centroids]
+    if all(_finite(c) for c in cents):
+        cent_lit = F.expr(_arr2_sql(cents))
+    else:
+        cent_lit = F.array(*[
+            F.array(*[F.lit(x) for x in c]) for c in cents])
     cv = F.element_at(cent_lit, (F.col("centroid_id") + 1).cast("int"))
     resid = F.zip_with(F.col("v"), cv, lambda a, b: a - b)
     return assigned.select(F.col(id_col), "centroid_id",

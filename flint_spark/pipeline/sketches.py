@@ -79,7 +79,11 @@ def cms_estimate(df: DataFrame, cms: DataFrame, key_col: str,
     key = F.col(key_col).cast("string")
     ests = []
     for j in range(depth):
-        arr = F.array(*[F.lit(c).cast("long") for c in counts[j]])
+        # one parse call per row instead of `width` py4j literal
+        # round-trips (r11 construction fix); bigint literals carry the
+        # same long values the per-element Cast(Literal) form produced
+        arr = F.expr("array(" + ",".join(f"{int(c)}L" for c in counts[j])
+                     + ")")
         # element_at is 1-based
         ests.append(F.element_at(arr, (_pos(key, j, width, salt)
                                        + 1).cast("int")))

@@ -637,7 +637,10 @@ def hashed_classifier_score(docs: DataFrame, text_col: str = "text",
     if len(weights) != n_buckets:
         raise ValueError(f"weights has {len(weights)} entries, "
                          f"expected n_buckets={n_buckets}")
-    w_lit = F.array(*[F.lit(x) for x in weights])
+    # one parse call instead of n_buckets py4j literal round-trips
+    # (r11 construction fix — see similarity._lit_f64s)
+    from .similarity import _lit_f64s
+    w_lit = _lit_f64s(weights)
     tok_sum = F.aggregate(
         F.col("__w"), F.lit(0.0),
         lambda acc, x: acc + F.element_at(
