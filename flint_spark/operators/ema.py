@@ -486,6 +486,21 @@ def _span_guard(rel: Column, tns: Column, key: Sequence[str],
             .otherwise(rel))
 
 
+def _rel_column(df: DataFrame, rel: Column, name: str = "__ewm_rel"):
+    """Materialize the guarded relative-exponent expression as a
+    scratch column BEFORE the per-moment loop (r11, guide §2.3): the
+    expression embeds per-key window aggregates (the base ``min`` plus
+    the guard's ``max``/``min``), and every ``exp(rel)`` reference
+    otherwise extracts its own copy — ewm_corr's five-moment build
+    planned THIRTY identical whole-partition max/min window aggregates
+    (plan-verified) where two suffice. Values are unchanged; only the
+    duplicate window buffers go away. Returns (augmented_df, rel_col,
+    scratch_name) — caller drops the scratch at the end."""
+    while name in df.columns:
+        name += "_"
+    return df.withColumn(name, rel), F.col(name), name
+
+
 def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
                 duration_per_period: str = "1d", convention: str = "legacy",
                 key: Sequence[str] = ()) -> DataFrame:
@@ -514,6 +529,7 @@ def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
              .rowsBetween(W.unboundedPreceding, W.currentRow))
     rel = (tns - base).cast("double") * F.lit(lam)
     rel = _span_guard(rel, tns, key, lam, "ewma_native")
+    df, rel, _rn = _rel_column(df, rel)
     cols = [column] if isinstance(column, str) else list(column)
     outs = {}
     for c in cols:
@@ -532,7 +548,7 @@ def ewma_native(df: DataFrame, column: str, alpha: float = 0.05,
         else:
             den = F.sum(F.exp(rel)).over(frame) * F.exp(-rel)
             outs[f"{c}_ewma"] = num / den
-    return df.withColumns(outs)
+    return df.withColumns(outs).drop(_rn)
 
 
 def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,
@@ -570,6 +586,7 @@ def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,
     from pyspark.sql import Column  # noqa: F401
     rel = (tns - base).cast("double") * F.lit(lam)
     rel = _span_guard(rel, tns, key, lam, "ewma_windowed")
+    df, rel, _rn = _rel_column(df, rel)
     x = F.col(column)
     num = F.sum(x * F.exp(rel)).over(frame) * F.exp(-rel)
     if convention == "legacy":
@@ -577,7 +594,7 @@ def ewma_windowed(df: DataFrame, column: str, window, alpha: float = 0.05,
     else:
         den = F.sum(F.exp(rel)).over(frame) * F.exp(-rel)
         out = num / den
-    return df.withColumn(f"{column}_ewma", out)
+    return df.withColumn(f"{column}_ewma", out).drop(_rn)
 
 
 def exponential_smoothing_windowed(df: DataFrame, column: str, window,
@@ -774,6 +791,7 @@ def ewm_volatility_windowed(df: DataFrame, column: str, window,
              .rangeBetween(*window.range_bounds()))
     rel = (tns - base).cast("double") * F.lit(lam)
     rel = _span_guard(rel, tns, key, lam, "ewm_volatility_windowed")
+    df, rel, _rn = _rel_column(df, rel)
     x = F.col(column).cast("double")
     # ALL frame sums in ONE projection: window expressions embedded in
     # separate withColumn trees extract into separate Window nodes that
@@ -786,7 +804,7 @@ def ewm_volatility_windowed(df: DataFrame, column: str, window,
     o = df.withColumns(sums)
     mean = F.col("__vw_sx") / F.col("__vw_den")
     msq = F.col("__vw_sxx") / F.col("__vw_den")
-    return _ewm_moment_cols(o, column, mean, msq).drop(*sums)
+    return _ewm_moment_cols(o, column, mean, msq).drop(*sums, _rn)
 
 
 def ewm_corr(df: DataFrame, x: str, y: str, alpha: float = 0.05,
@@ -925,6 +943,7 @@ def ewm_corr_windowed(df: DataFrame, x: str, y: str, window,
              .rangeBetween(*window.range_bounds()))
     rel = (tns - base).cast("double") * F.lit(lam)
     rel = _span_guard(rel, tns, key, lam, "ewm_corr_windowed")
+    df, rel, _rn = _rel_column(df, rel)
     cx, cy = F.col(x).cast("double"), F.col(y).cast("double")
     w = F.exp(rel)
     # one projection for ALL six frame sums -> ONE WindowExec (see
@@ -952,4 +971,4 @@ def ewm_corr_windowed(df: DataFrame, x: str, y: str, window,
             .withColumn(f"{pfx}_ewm_corr",
                         F.when(vx_ok & vy_ok, corr))
             .withColumn(f"{pfx}_ewm_beta", F.when(vy_ok, cov / vy))
-            .drop(*sums))
+            .drop(*sums, _rn))

@@ -275,12 +275,20 @@ def rolling_ols(df: DataFrame, y: str, x: str, window,
     both = xc.isNotNull() & yc.isNotNull()
     mx = F.when(both, xc)
     my = F.when(both, yc)
-    n = wcount(mx).cast("double")
-    sx = wsum(mx)
-    sy = wsum(my)
-    sxx = wsum(mx * mx)
-    syy = wsum(my * my)
-    sxy = wsum(mx * my)
+    # ALL six window sums in ONE projection (r11, guide §2.4): adding
+    # beta/alpha/r2 via chained withColumns re-extracted the embedded
+    # window sums per output column — three Window nodes, each with
+    # its own re-derived sort key and therefore its own full Sort
+    # (plan-verified). Materialized together they plan one WindowExec
+    # / one sort; the combine arithmetic below is unchanged.
+    sums = {"__ro_n": wcount(mx).cast("double"),
+            "__ro_sx": wsum(mx), "__ro_sy": wsum(my),
+            "__ro_sxx": wsum(mx * mx), "__ro_syy": wsum(my * my),
+            "__ro_sxy": wsum(mx * my)}
+    o = df.withColumns(sums)
+    n, sx, sy = F.col("__ro_n"), F.col("__ro_sx"), F.col("__ro_sy")
+    sxx, syy, sxy = (F.col("__ro_sxx"), F.col("__ro_syy"),
+                     F.col("__ro_sxy"))
     det = n * sxx - sx * sx
     beta = F.when((n >= min_samples) & (det > 0),
                   (n * sxy - sx * sy) / det)
@@ -288,9 +296,10 @@ def rolling_ols(df: DataFrame, y: str, x: str, window,
     denom_y = n * syy - sy * sy
     r2 = F.when(beta.isNotNull() & (denom_y > 0),
                 F.pow(n * sxy - sx * sy, 2) / (det * denom_y))
-    return (df.withColumn("beta", beta)
+    return (o.withColumn("beta", beta)
             .withColumn("alpha", alpha)
-            .withColumn("r2", r2))
+            .withColumn("r2", r2)
+            .drop(*sums))
 
 
 def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
@@ -494,9 +503,17 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
 
     def avg_rank(col: str) -> Column:
         w = Window.partitionBy(*keyc).orderBy(F.col(col))
-        ties = Window.partitionBy(*keyc, F.col(col))
+        # tie-group size as the RANGE current-row peer frame of the
+        # SAME (key, order-by-col) spec rank() uses: the former
+        # partitionBy(key, col) count was its own window spec, so each
+        # rank column planned TWO Window nodes with two full sorts
+        # (r11, guide §2.4 — four sorts for the operator where two
+        # suffice). Peer-frame count == partition-by-(key, col) count
+        # exactly (same integer), and both expressions now share one
+        # WindowExec per rank order.
+        peers = w.rangeBetween(Window.currentRow, Window.currentRow)
         return (F.rank().over(w).cast("double")
-                + (F.count("*").over(ties) - F.lit(1)) / F.lit(2.0))
+                + (F.count("*").over(peers) - F.lit(1)) / F.lit(2.0))
 
     ranked = base.withColumns({"__rx": avg_rank(x_col),
                                "__ry": avg_rank(y_col)})

@@ -146,19 +146,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         sh = shingles(docs, text_col, id_col, k)
         stop = (sh.groupBy("shingle").agg(F.count("*").alias("__df"))
                 .filter(F.col("__df") > max_df).select("shingle"))
+        # hash chains rendered as ONE parsed expression per signature
+        # column instead of ~5 py4j Column calls each (r11 construction
+        # fix; integer arithmetic — values are exactly the
+        # per-element form's)
         sh = (sh.join(F.broadcast(stop), "shingle", "left_anti")
               .withColumn("h", h28(F.col("shingle"))))
-        aggs = [F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P))
-                .alias(f"mh_{j}") for j, (a, b) in enumerate(params)]
+        aggs = [F.expr(f"min(({a} * h + {b}) % {P})").alias(f"mh_{j}")
+                for j, (a, b) in enumerate(params)]
         return sh.groupBy(id_col).agg(*aggs)
     base = _spread(docs).select(F.col(id_col), _words(text_col).alias("__w"))
     sh_arr = F.array_distinct(_shingle_arr(k))
     harr = F.transform(sh_arr, h28)
     base = base.filter(F.size(F.col("__w")) >= k).withColumn("__h", harr)
     cols = [
-        F.array_min(F.transform(
-            F.col("__h"),
-            lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P))).alias(f"mh_{j}")
+        F.expr(f"array_min(transform(__h, x -> ({a} * x + {b}) % {P}))")
+        .alias(f"mh_{j}")
         for j, (a, b) in enumerate(params)
     ]
     return base.select(F.col(id_col), *cols)
@@ -186,15 +189,16 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     sig = keep(minhash_signatures(docs, text_col, id_col, k, num_hashes, seed,
                                   max_df))
     mh_cols = [f"mh_{j}" for j in range(num_hashes)]
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[F.col(mh_cols[b * rows + r]).cast("string")
-                               for r in range(rows)]).alias("bsig"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")) \
+    # band structs / scoring rendered as parsed expressions (r11
+    # construction fix): the per-element Column form cost ~400 py4j
+    # round-trips per build; values are identical (integer/string ops)
+    band_structs = ",".join(
+        "struct({b} AS band, concat_ws(',', {cs}) AS bsig)".format(
+            b=b, cs=", ".join(f"cast(mh_{b * rows + r} AS string)"
+                              for r in range(rows)))
+        for b in range(bands))
+    banded = sig.select(F.col(id_col),
+                        F.expr(f"explode(array({band_structs}))").alias("bb")) \
                 .select(id_col, "bb.band", "bb.bsig")
     banded = _cap_buckets(banded, ["band", "bsig"], max_bucket)
     a, b_ = banded.alias("a"), banded.alias("b")
@@ -205,12 +209,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sig_a = sig.select(F.col(id_col).alias("id_a"),
-                       *[F.col(c).alias(f"a_{c}") for c in mh_cols])
-    sig_b = sig.select(F.col(id_col).alias("id_b"),
-                       *[F.col(c).alias(f"b_{c}") for c in mh_cols])
-    matches = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
-                  for c in mh_cols)
+    sig_a = sig.selectExpr(f"{id_col} AS id_a",
+                           *[f"{c} AS a_{c}" for c in mh_cols])
+    sig_b = sig.selectExpr(f"{id_col} AS id_b",
+                           *[f"{c} AS b_{c}" for c in mh_cols])
+    # same left-assoc (0 + t0 + t1 + ...) integer chain the Column
+    # form's Python sum() built
+    matches = F.expr("(0 + " + " + ".join(
+        f"CASE WHEN a_{c} = b_{c} THEN 1 ELSE 0 END" for c in mh_cols)
+        + ")")
     return (
         pairs.join(sig_a, "id_a").join(sig_b, "id_b")
         .select("id_a", "id_b",
@@ -246,8 +253,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     row = (_spread(docs).filter(F.col(text_col).isNotNull())
            .select(F.col(id_col), harr.alias("__h"))
            .select(F.col(id_col), *sums))
-    sim = sum(F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i)).otherwise(0)
-              for i in range(nbits))
+    # one parsed chain — same left-assoc (0 + t0 + ...) integer sum the
+    # Column form's Python sum() built (r11 construction fix)
+    sim = F.expr("(0 + " + " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN {2 ** i} ELSE 0 END"
+        for i in range(nbits)) + ")")
     return row.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 

@@ -518,17 +518,21 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame,
     by data."""
     import math
 
-    def counts(df):
+    def counts_df(df, side: str):
         b = F.pmod(h28(F.col("f")), F.lit(n_buckets)).alias("b")
-        rows = (df.select(F.explode(_dsir_feats(F.col(text_col))).alias("f"))
+        return (df.select(F.explode(_dsir_feats(F.col(text_col))).alias("f"))
                 .select(b).groupBy("b").agg(F.count("*").alias("c"))
-                .collect())
-        out = [0] * n_buckets
-        for r in rows:
-            out[r["b"]] = r["c"]
-        return out
+                .select(F.lit(side).alias("side"), "b", "c"))
 
-    t, r = counts(target), counts(raw)
+    # ONE action for both distribution passes: the union's two
+    # branches are independent and Spark schedules their stages
+    # concurrently, so the (smaller) target pass rides along with the
+    # raw pass instead of serializing after it (guide §2.6). Counts
+    # are exact integers — identical to two separate collects.
+    t, r = [0] * n_buckets, [0] * n_buckets
+    for row in (counts_df(target, "t")
+                .unionByName(counts_df(raw, "r")).collect()):
+        (t if row["side"] == "t" else r)[row["b"]] = row["c"]
     t_tot, r_tot = sum(t) + alpha * n_buckets, sum(r) + alpha * n_buckets
     return [math.log((t[i] + alpha) / t_tot) -
             math.log((r[i] + alpha) / r_tot) for i in range(n_buckets)]
