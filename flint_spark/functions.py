@@ -102,6 +102,27 @@ def _complete_group_batches(batches, gcols: Sequence[str]):
             else carry[0]
 
 
+def _compute_partitions(df: DataFrame) -> int:
+    """Partition count for the keyed Arrow COMPUTE stages (the
+    ``repartition(key).sortWithinPartitions`` feeding every
+    ``_complete_group_batches`` consumer). Passing it explicitly
+    (REPARTITION_BY_NUM) stops AQE's byte-based coalescing from
+    folding the stage below cluster parallelism: shuffle bytes are
+    the wrong cost signal when the stage's cost is per-row Python
+    compute, not shuffle I/O — at sf0.1 the last-k as-of union
+    (~14 MB) coalesced to 4 tasks on 32 cores, serializing ~3 s of
+    Arrow-stage work. max(shuffle.partitions, defaultParallelism)
+    scales with the cluster; override with
+    ``spark.flint.compute.partitions`` when a TB-scale input wants
+    more partitions than cores."""
+    spark = df.sparkSession
+    v = str(spark.conf.get("spark.flint.compute.partitions", "") or "")
+    if v:
+        return int(v)
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(shuf, spark.sparkContext.defaultParallelism)
+
+
 def summarize_cycles_udf(df: DataFrame, fn: Callable[[pd.DataFrame], Mapping],
                          out_schema: str | T.StructType,
                          key: Sequence[str] = ()) -> DataFrame:
@@ -137,7 +158,8 @@ def summarize_cycles_udf(df: DataFrame, fn: Callable[[pd.DataFrame], Mapping],
                 rows.append(res)
             yield pd.DataFrame(rows, columns=names)
 
-    arranged = (df.repartition(*[F.col(c) for c in group_cols])
+    arranged = (df.repartition(_compute_partitions(df),
+                               *[F.col(c) for c in group_cols])
                 .sortWithinPartitions(*group_cols))
     return arranged.mapInPandas(run, full)
 
@@ -292,7 +314,8 @@ def _bucketed_window_apply(df: DataFrame, window: TimeWindow,
         for head in _complete_group_batches(batches, gcols):
             yield _emit(np, head)
 
-    arranged = (exploded.repartition(*[F.col(c) for c in gcols])
+    arranged = (exploded.repartition(_compute_partitions(exploded),
+                                     *[F.col(c) for c in gcols])
                 .sortWithinPartitions(*gcols, "__tns"))
     return arranged.mapInPandas(run, out_schema)
 
@@ -439,7 +462,8 @@ def summarize_cycles_calls(df: DataFrame, outputs: Mapping,
                 rows.append(res)
             yield pd.DataFrame(rows, columns=names_all)
 
-    arranged = (df.repartition(*[F.col(c) for c in group_cols])
+    arranged = (df.repartition(_compute_partitions(df),
+                               *[F.col(c) for c in group_cols])
                 .sortWithinPartitions(*group_cols))
     return arranged.mapInPandas(run, full)
 

@@ -856,59 +856,99 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
     union = u_l.unionByName(u_r)
 
     def run(batches):
-        from ..streaming.ts_stream import (_lastk_gather,
-                                           _sort_time_then_values)
-
+        # Vectorized ACROSS key groups (r11, guide §4.2): the first cut
+        # sliced a pandas sub-frame per group (iloc/boolean mask/copy/
+        # per-group sort), ~2 ms of per-group pandas overhead that at
+        # 1.5k keys cost ~3 s where the actual searchsorted+gather math
+        # is milliseconds. Now: ONE left/right split per head, ONE
+        # stable sort of all right rows keyed by (group, time, values)
+        # — per-group order identical to the old per-group
+        # _sort_time_then_values because the leading group key is
+        # never-null and the sort is stable — and a per-group loop of
+        # two numpy searchsorteds over array views. Values, tie rule
+        # and row order are bitwise those of the per-group form.
         for head in _complete_group_batches(batches, key):
             head = head.reset_index(drop=True)
-            segs = _group_boundaries(np, head, key).tolist() + [len(head)]
-            outs = []
-            for s0, s1 in zip(segs, segs[1:]):
-                g = head.iloc[s0:s1]
-                side = g["__side"].to_numpy()
-                lpdf = g[side == 1]
-                if len(lpdf) == 0:
-                    continue
-                out = lpdf[in_cols].copy()
-                t = lpdf[_TNS].to_numpy(np.int64)
-                n = len(t)
-                # subset to the prefixed right columns BEFORE renaming:
-                # the group frame still carries the left payload
-                # columns (typed-zero fillers on right rows), so a
-                # right data column sharing a left payload name would
-                # otherwise rename into a duplicate pandas label
-                rpdf = (g.loc[side == 0,
-                              ["__rtns", *[pref[c] for c in rdata]]]
-                        .rename(columns={v: c for c, v in pref.items()}))
-                if len(rpdf) == 0:
-                    for c in rdata:
-                        # dtype=object even when n == 0: an empty
-                        # default assignment makes a float64 column,
-                        # which Arrow refuses to cast to list<...>
-                        out[out_names[c]] = pd.Series(
-                            [[] for _ in range(n)], index=out.index,
-                            dtype=object)
-                    out["n_matched"] = np.zeros(n, dtype=np.int32)
-                    outs.append(out)
-                    continue
-                rpdf = _sort_time_then_values(rpdf, "__rtns", rdata)
-                rt = rpdf["__rtns"].to_numpy(np.int64)
-                # (n, k) gather: row i takes rt-indices hi-1, hi-2,
-                # ..., masked below lo — the k-tail of the candidate
-                # run, reversed (shared with the broadcast twin)
-                idx, mask = _lastk_gather(np, rt, t, tol, k)
+            side = head["__side"].to_numpy()
+            lmask = side == 1
+            if not lmask.any():
+                continue
+            bounds = _group_boundaries(np, head, key)
+            ngroups = len(bounds)
+            marker = np.zeros(len(head), dtype=np.int64)
+            marker[bounds] = 1
+            gid = np.cumsum(marker) - 1
+            out = head.loc[lmask, in_cols].reset_index(drop=True)
+            t = head.loc[lmask, _TNS].to_numpy(np.int64)
+            n = len(t)
+            # subset to the prefixed right columns BEFORE renaming:
+            # the frame still carries the left payload columns
+            # (typed-zero fillers on right rows), so a right data
+            # column sharing a left payload name would otherwise
+            # rename into a duplicate pandas label
+            rsub = (head.loc[~lmask,
+                             ["__rtns", *[pref[c] for c in rdata]]]
+                    .rename(columns={v: c for c, v in pref.items()}))
+            if len(rsub) == 0:
                 for c in rdata:
-                    rv = rpdf[c].to_numpy()
-                    picked = rv[idx]
+                    # dtype=object even when n == 0: an empty default
+                    # assignment makes a float64 column, which Arrow
+                    # refuses to cast to list<...>
                     out[out_names[c]] = pd.Series(
-                        [picked[i][mask[i]].tolist() for i in range(n)],
-                        index=out.index, dtype=object)
-                out["n_matched"] = mask.sum(axis=1).astype(np.int32)
-                outs.append(out)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                        [[] for _ in range(n)], index=out.index,
+                        dtype=object)
+                out["n_matched"] = np.zeros(n, dtype=np.int32)
+                yield out
+                continue
+            rsub = rsub.assign(__g=gid[~lmask])
+            # _sort_time_then_values per group == one global stable
+            # sort led by the group id (same na_position paths)
+            try:
+                rsrt = rsub.sort_values(["__g", "__rtns"] + rdata,
+                                        kind="stable",
+                                        na_position="first")
+            except TypeError:
+                rsrt = rsub.sort_values(["__g", "__rtns"],
+                                        kind="stable")
+            rt_all = rsrt["__rtns"].to_numpy(np.int64)
+            rg = rsrt["__g"].to_numpy()
+            grange = np.arange(ngroups)
+            rstart = np.searchsorted(rg, grange, side="left")
+            rend = np.searchsorted(rg, grange, side="right")
+            lgid = gid[lmask]
+            lstart = np.searchsorted(lgid, grange, side="left")
+            lend = np.searchsorted(lgid, grange, side="right")
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for g in range(ngroups):
+                ls, le = lstart[g], lend[g]
+                if ls == le:
+                    continue
+                rt = rt_all[rstart[g]:rend[g]]
+                tg = t[ls:le]
+                lo[ls:le] = rstart[g] + np.searchsorted(
+                    rt, tg - tol, side="left")
+                hi[ls:le] = rstart[g] + np.searchsorted(
+                    rt, tg, side="right")
+            # (n, k) gather in GLOBAL right coordinates: row i takes
+            # rt-indices hi-1, hi-2, ..., masked below its group's lo
+            # — the k-tail of the candidate run, reversed (the same
+            # contract as _lastk_gather in the broadcast twin)
+            idx = hi[:, None] - 1 - np.arange(k)[None, :]
+            mask = idx >= lo[:, None]
+            idx = np.clip(idx, 0, len(rt_all) - 1)
+            for c in rdata:
+                rv = rsrt[c].to_numpy()
+                picked = rv[idx]
+                out[out_names[c]] = pd.Series(
+                    [picked[i][mask[i]].tolist() for i in range(n)],
+                    index=out.index, dtype=object)
+            out["n_matched"] = mask.sum(axis=1).astype(np.int32)
+            yield out
 
-    arranged = (union.repartition(*[F.col(c) for c in key])
+    from ..functions import _compute_partitions
+    arranged = (union.repartition(_compute_partitions(union),
+                                  *[F.col(c) for c in key])
                 .sortWithinPartitions(*key))
     return arranged.mapInPandas(run, out_schema)
 

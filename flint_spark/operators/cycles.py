@@ -105,7 +105,9 @@ def add_columns_for_cycle(
                     frames.append(g)
                 yield pd.concat(frames, ignore_index=True)[names]
 
-        arranged = (out.repartition(*[F.col(c) for c in group_cols])
+        from ..functions import _compute_partitions
+        arranged = (out.repartition(_compute_partitions(out),
+                                    *[F.col(c) for c in group_cols])
                     .sortWithinPartitions(*group_cols))
         out = arranged.mapInPandas(run, full)
     return out

@@ -242,7 +242,9 @@ def _apply_per_key(df: DataFrame, column: str, out_name, key: Sequence[str],
                     res[n] = o
                 yield res
 
-        arranged = (with_ns.repartition(*[F.col(k) for k in key])
+        from ..functions import _compute_partitions
+        arranged = (with_ns.repartition(_compute_partitions(with_ns),
+                                        *[F.col(k) for k in key])
                     .sortWithinPartitions(
                         *key, F.col("__tns").asc_nulls_last(),
                         F.col(column).asc_nulls_last(),

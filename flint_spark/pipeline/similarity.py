@@ -152,14 +152,31 @@ def _argmax_centroid(vcol: Column | str,
     (r11 builder block above); a Column (or non-finite centroid
     components, which have no SQL literal form) keeps the per-element
     construction."""
+    import math
+
     cents = [(int(cid), [float(x) for x in cv]) for cid, cv in centroids]
     if isinstance(vcol, str) and all(_finite(cv) for _, cv in cents):
+        # r11 (guide §1.2 per-task work): the row norm used to be
+        # re-folded PER CENTROID (k x 64 extra interpreted fold steps
+        # per row) — bind it ONCE as a lambda variable; and each
+        # centroid's own norm is a CONSTANT — fold it in Python
+        # (ordered += over the same values = the identical IEEE
+        # double sequence the SQL fold would constant-fold to) so the
+        # optimizer stops re-deriving k 64-literal folds per plan.
+        def _pynorm(cv):
+            acc = 0.0
+            for x in cv:
+                acc += x * x
+            return math.sqrt(acc)
+
         entries = ",".join(
             f"struct({_dot_sql(vcol, _arr_sql(cv))} / "
-            f"({_norm_sql(vcol)} * {_norm_sql(_arr_sql(cv))}) AS s, "
+            f"(nv * {_dlit(_pynorm(cv))}) AS s, "
             f"{-cid} AS nid)"
             for cid, cv in cents)
-        return F.expr(f"array_max(array({entries}))")
+        return F.expr(
+            f"element_at(transform(array({_norm_sql(vcol)}), "
+            f"nv -> array_max(array({entries}))), 1)")
     vcol = F.col(vcol) if isinstance(vcol, str) else vcol
     entries = []
     for cid, cv in cents:
@@ -193,7 +210,8 @@ def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
                  .collect())
     cents = sorted((r["cid"], list(r["cv"])) for r in cent_rows)
     if method == "arrow":
-        return _ivf_assign_arrow(base, cents, id_col,
+        from .dedup import _spread
+        return _ivf_assign_arrow(_spread(base), cents, id_col,
                                  emb.schema[id_col].dataType)
     import pyspark.sql.types as _T
 
@@ -207,7 +225,11 @@ def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
             f"method='arrow'")
     cents = [(int(c), cv) for c, cv in cents]
     best = _argmax_centroid("v", cents)
-    return base.select(
+    # _spread (r11, guide §2): the argmax is k x dim interpreted fold
+    # steps PER ROW; a single-file local scan would run the whole
+    # assignment in one task (no-op on many-split inputs)
+    from .dedup import _spread
+    return _spread(base).select(
         F.col(id_col), "v",
         (-best["nid"]).cast("long").alias("centroid_id"),
         best["s"].alias("centroid_cos"))
@@ -499,10 +521,13 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
     and each cluster as one numpy Gram matmul in an Arrow-batched
     ``applyInPandas`` (measured 15x end-to-end at 400k x 16d, 128
     clusters: 10s vs 148s; each task holds one |c| x dim block —
-    bounded by ``max_cluster``). ``"expr"`` is the pure-expression plan whose
-    per-pair arithmetic is a left-fold dot product, bit-replayable in
-    SQL — the DuckDB-oracle-gated form (numpy's SIMD/pairwise
-    summation is not bit-identical to a fold, same accuracy)."""
+    bounded by ``max_cluster``). ``"expr"`` keeps left-fold float
+    semantics end to end — bit-replayable in SQL, the
+    DuckDB-oracle-gated form: assignment and normalization are fold
+    expressions, and the per-cluster pairing executes the SAME fold
+    order as ordered rank-1 Gram updates in an Arrow kernel (a plain
+    matmul's SIMD/pairwise summation would NOT be bit-identical to a
+    fold; the ordered update is, lane for lane)."""
     if method not in ("arrow", "expr"):
         raise ValueError("method must be 'arrow' or 'expr'")
     assigned = ivf_assign(emb, centroid_ids, id_col, vec_col,
@@ -513,6 +538,15 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
               .agg(F.count("*").alias("__n"))
               .filter(F.col("__n") <= max_cluster).drop("__n"))
         assigned = assigned.join(F.broadcast(ok), "centroid_id")
+    # null screen on the RAW vector (r11): a null v / null element row
+    # can never form a pair (its cosine folds to null, dropped by the
+    # >= filter), so drop it here. Testing v — not the derived vn —
+    # matters: a predicate on vn gets pushed below the projection with
+    # the whole normalization expression INLINED, re-evaluating the
+    # norm fold per row in the filter (measured +1.3 s at sf0.1).
+    assigned = assigned.filter(
+        F.col("v").isNotNull()
+        & ~F.exists(F.col("v"), lambda x: x.isNull()))
     # normalize ONCE per row before pairing: the pair count is
     # Σ_c |c|², so per-pair norm recomputation triples the dominant
     # cost; with unit vectors each pair is a single dot product.
@@ -561,15 +595,70 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
                 .applyInPandas(_cluster_pairs,
                                "id_a long, id_b long, centroid_id long, "
                                "cosine double"))
-    a = assigned.select(F.col(id_col).alias("id_a"),
-                        F.col("vn").alias("vna"), "centroid_id")
-    b = assigned.select(F.col(id_col).alias("id_b"),
-                        F.col("vn").alias("vnb"), "centroid_id")
-    cos = _dot(F.col("vna"), F.col("vnb")).alias("cosine")
-    return (a.join(b, ["centroid_id"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "centroid_id", cos)
-            .filter(F.col("cosine") >= threshold))
+    # fold-exact Arrow pairing (r11, guide §4.2): the former self-join
+    # evaluated one interpreted three-layer higher-order fold PER PAIR
+    # (Σ_c |c|² of them — ~3 s of the gate's 4 at sf0.1, vs 0.2 s for
+    # assignment). This kernel accumulates each cluster's Gram matrix
+    # by ORDERED rank-1 updates (S += outer(M[:,j], M[:,j]) for
+    # j = 0..dim-1): per pair that is the identical float64
+    # multiply-then-add sequence as the left fold — numpy elementwise
+    # ops are lane-wise scalar IEEE ops, no reassociation, no FMA —
+    # so cosines stay bitwise equal (oracle-pinned). Spark edge
+    # semantics replicated exactly: null rows were screened on the
+    # raw vector above (they can never form a pair); NaN cosines are
+    # kept (Spark orders NaN above every number, so NaN >= thr is
+    # true); vectors of unequal length pair as null (zip_with pads
+    # the shorter side) and therefore pair only within equal-length
+    # classes.
+    import numpy as np
+    import pandas as pd
+
+    idt = emb.schema[id_col].dataType.simpleString()
+    ct = assigned.schema["centroid_id"].dataType.simpleString()
+    pair_schema = (f"id_a {idt}, id_b {idt}, centroid_id {ct}, "
+                   f"cosine double")
+    thr = float(threshold)
+
+    def _fold_pairs(pdf):
+        pdf = pdf.sort_values("__id", ignore_index=True)
+        outs = []
+        lens = pdf["vn"].map(len).to_numpy()
+        for L in np.unique(lens):
+            sub = pdf[lens == L]
+            n = len(sub)
+            if n < 2:
+                continue
+            M = np.stack(sub["vn"].to_numpy()).astype(np.float64,
+                                                      copy=False)
+            S = np.zeros((n, n))
+            for j in range(int(L)):
+                col = M[:, j]
+                S += np.outer(col, col)
+            mask = np.triu((S >= thr) | np.isnan(S), k=1)
+            ia, jb = np.nonzero(mask)
+            if not len(ia):
+                continue
+            ids = sub["__id"].to_numpy()
+            outs.append(pd.DataFrame({
+                "id_a": ids[ia], "id_b": ids[jb],
+                "centroid_id": np.repeat(sub["centroid_id"].iloc[0],
+                                         len(ia)),
+                "cosine": S[ia, jb]}))
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=pdf["__id"].dtype),
+                 "id_b": pd.Series(dtype=pdf["__id"].dtype),
+                 "centroid_id": pd.Series(
+                     dtype=pdf["centroid_id"].dtype),
+                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    # centroid_id is an argmax over literals of a fully-non-null
+    # vector (screened above), so it cannot be null here
+    return (assigned.select(F.col(id_col).alias("__id"), "centroid_id",
+                            "vn")
+            .groupBy("centroid_id")
+            .applyInPandas(_fold_pairs, pair_schema))
 
 
 def gramian(emb: DataFrame, vec_col: str = "embedding",
