@@ -519,8 +519,14 @@ def dsir_log_ratios(raw: DataFrame, target: DataFrame,
     import math
 
     def counts_df(df, side: str):
+        # _spread (r11, guide §2): tokenize+bigram+explode+hash per doc
+        # is the pass's whole cost — a single-split local scan would
+        # run it in one task (no-op on many-split corpora)
+        from .dedup import _spread
+
         b = F.pmod(h28(F.col("f")), F.lit(n_buckets)).alias("b")
-        return (df.select(F.explode(_dsir_feats(F.col(text_col))).alias("f"))
+        return (_spread(df)
+                .select(F.explode(_dsir_feats(F.col(text_col))).alias("f"))
                 .select(b).groupBy("b").agg(F.count("*").alias("c"))
                 .select(F.lit(side).alias("side"), "b", "c"))
 

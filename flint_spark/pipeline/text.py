@@ -418,7 +418,91 @@ def _count_occurrences(text: Column, needle: str) -> Column:
             / F.lit(len(needle))).cast("long")
 
 
-def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+#: published Table-A1 thresholds, shared by both gopher_rules engines
+#: (metric name -> predicate on the metric value)
+_GOPHER_RULES_PY = [
+    ("n_words", lambda v: 50 <= v <= 100_000),
+    ("mean_word_len", lambda v: 3.0 <= v <= 10.0),
+    ("symbol_word_ratio", lambda v: v <= 0.1),
+    ("bullet_line_ratio", lambda v: v <= 0.9),
+    ("ellipsis_line_ratio", lambda v: v <= 0.3),
+    ("alpha_word_ratio", lambda v: v >= 0.8),
+    ("stop_hits", lambda v: v >= 2),
+    ("dup_line_frac", lambda v: v < 0.30),
+    ("dup_para_frac", lambda v: v < 0.30),
+    ("dup_line_char_frac", lambda v: v < 0.20),
+    ("dup_para_char_frac", lambda v: v < 0.20),
+    ("top2gram_char_frac", lambda v: v < 0.20),
+    ("top3gram_char_frac", lambda v: v < 0.18),
+    ("top4gram_char_frac", lambda v: v < 0.16),
+] + [
+    (f"dup{k}gram_char_frac", (lambda thr: lambda v: v < thr)(thr))
+    for k, thr in zip(range(5, 11),
+                      (0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+]
+
+
+def _gopher_metrics_py(text: str | None) -> dict:
+    """All 20 Table-A1 metrics for ONE document — the Python twin of
+    the expression battery, value-for-value: every count is an exact
+    integer (Counter replaces the sorted-run scans: sum((c-1)*len) and
+    max(c*len) over distinct elements are the same integers), every
+    ratio is ONE IEEE double division of exact ints, and Python
+    ``len``/``str.split``/``str.count`` match Spark's
+    code-point ``length``, literal-pattern ``split`` and
+    leftmost-nonoverlap ``replace`` counting on the same text."""
+    import re
+    from collections import Counter
+
+    t = text if text is not None else ""
+    tl = max(len(t), 1)
+    w = [x for x in t.split(" ") if x != ""]
+    lines = t.split("\n")
+    paras = t.split("\n\n")
+    n = len(w)
+    nl = len(lines)
+    mean_wl = (sum(len(x) for x in w) / n) if n > 0 else 0.0
+    symbols = t.count("#") + t.count("…") + t.count("...")
+    alpha = sum(1 for x in w if re.search("[A-Za-z]", x))
+    wset = set(w)
+    m = {
+        "n_words": n,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": (symbols / n) if n > 0 else 0.0,
+        "alpha_word_ratio": (alpha / n) if n > 0 else 0.0,
+        "stop_hits": sum(1 for s in GOPHER_STOPWORDS if s in wset),
+        "bullet_line_ratio": sum(
+            1 for l in lines
+            if l.startswith(("•", "- ", "* "))) / nl,
+        "ellipsis_line_ratio": sum(
+            1 for l in lines if l.endswith(("…", "..."))) / nl,
+        "dup_line_frac": (nl - len(set(lines))) / nl,
+        "dup_para_frac": (len(paras) - len(set(paras))) / len(paras),
+    }
+    for name, arr in (("dup_line_char_frac", lines),
+                      ("dup_para_char_frac", paras)):
+        m[name] = sum((c - 1) * len(s)
+                      for s, c in Counter(arr).items()) / tl
+    for k in (2, 3, 4):
+        grams = [" ".join(w[i:i + k]) for i in range(n - k + 1)] \
+            if n >= k else []
+        m[f"top{k}gram_char_frac"] = max(
+            (c * len(g) for g, c in Counter(grams).items()),
+            default=0) / tl
+    for k in range(5, 11):
+        grams = [" ".join(w[i:i + k]) for i in range(n - k + 1)] \
+            if n >= k else []
+        m[f"dup{k}gram_char_frac"] = sum(
+            (c - 1) * len(g)
+            for g, c in Counter(grams).items()) / tl
+    fails = [not pred(m[name]) for name, pred in _GOPHER_RULES_PY]
+    m["gopher_pass"] = not any(fails)
+    m["n_rules_failed"] = sum(fails)
+    return m
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 engine: str = "arrow") -> DataFrame:
     """The published Gopher corpus-quality heuristics (Rae et al.
     2021, Appendix A) as ONE map-only projection: per-document rule
     metrics plus the conjunction flag ``gopher_pass``. Zero corpus
@@ -472,6 +556,40 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
             f"its metric output names (would silently overwrite "
             f"{sorted(bad)}); rename them — same contract as the "
             f"packing/sharding family")
+    if engine not in ("arrow", "expr"):
+        raise ValueError("engine must be 'arrow' or 'expr'")
+    if engine == "arrow":
+        # r11 (guide §4.2): the 20-metric expression battery is
+        # higher-order functions end to end, which Spark evaluates
+        # INTERPRETED (CodegenFallback) — measured ~3 ms/doc on
+        # ~300-char fixtures, linear in the metric count. The Python
+        # twin computes the same exact-integer counts with
+        # Counter/str ops (~10x less CPU per doc) and stays
+        # map-only/stateless; outputs are bitwise the expression
+        # form's (parity-pinned in pytest, oracle-gated with no
+        # quantization).
+        from pyspark.sql import types as T
+
+        mtypes = {"n_words": T.IntegerType(),
+                  "stop_hits": T.IntegerType()}
+        schema = T.StructType(
+            list(docs.schema.fields)
+            + [T.StructField(mn, mtypes.get(mn, T.DoubleType()))
+               for mn in GOPHER_METRICS]
+            + [T.StructField("gopher_pass", T.BooleanType()),
+               T.StructField("n_rules_failed", T.IntegerType())])
+        out_cols = [f.name for f in schema.fields]
+        extra = (*GOPHER_METRICS, "gopher_pass", "n_rules_failed")
+
+        def run(batches):
+            for pdf in batches:
+                rows = [_gopher_metrics_py(t) for t in pdf[text_col]]
+                res = pdf.copy()
+                for mn in extra:
+                    res[mn] = [r[mn] for r in rows]
+                yield res[out_cols]
+
+        return _spread(docs).mapInPandas(run, schema)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     tl = F.greatest(F.length(txt), F.lit(1)).cast("double")
     base = _spread(docs).withColumns({

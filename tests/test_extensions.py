@@ -5966,3 +5966,30 @@ def test_bucketed_window_review_edges(spark):
     b = routed.toPandas()[a.columns].sort_values(["time", "k", "v"],
                                                  ignore_index=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_gopher_rules_engine_parity(spark):
+    """The Arrow kernel (r11 default) and the expression battery
+    produce BITWISE-identical metrics, flags and failed-rule counts —
+    including the null-text, empty-text, astral-plane (code-point
+    length) and repeated-n-gram edges."""
+    import pandas as pd
+
+    from flint_spark.pipeline.text import gopher_rules
+
+    rows = [
+        (1, "the be to of and that have with " * 20),
+        (2, None),
+        (3, ""),
+        (4, "• a\n• b\n• c…\nd..."),
+        (5, "dup dup dup dup dup dup " * 10),
+        (6, "x\n\ny\n\nx\n\nx"),
+        (7, "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝔴𝔬𝔯𝔡𝔰 and ascii words mixed " * 8),
+        (8, "one two three four five six seven eight nine ten " * 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = (gopher_rules(docs, engine="arrow")
+         .orderBy("doc_id").toPandas())
+    e = (gopher_rules(docs, engine="expr")
+         .orderBy("doc_id").toPandas())
+    pd.testing.assert_frame_equal(a, e, check_exact=True)
