@@ -4407,9 +4407,15 @@ def q_kmv_distinct(spark, sf):
     merge rule (k smallest of the union = k smallest of merged
     samples) and the theta intersection estimator exactly."""
     from flint_spark.pipeline import sketches as SK
+    from flint_spark.pipeline._cache import begin_op, keep
 
     ev = _events(spark, sf)
-    sk = SK.kmv_sketch(ev, "user_id", k=64, key=["event_type"])
+    # the sketch table is consumed THREE times below (per-type rows +
+    # both sides of the union/intersect estimates); without a persist
+    # the whole distinct+window+agg subtree re-executes per consumer
+    # (10 Sorts in the r11 before-plan where 4 suffice)
+    begin_op()
+    sk = keep(SK.kmv_sketch(ev, "user_id", k=64, key=["event_type"]))
     per_type = sk.select(F.col("event_type").alias("tag"), "m",
                          R("est_distinct", 6).alias("est"))
     a = sk.filter(F.col("event_type") == "click").drop("event_type")
