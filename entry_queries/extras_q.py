@@ -2247,8 +2247,16 @@ def q_asof_broadcast(spark, sf):
     table map-side via broadcast sorted arrays + searchsorted — no
     exchange of the big side (the as-of analogue of a broadcast hash
     join). Same semantics and oracle as the union-window backward
-    join."""
-    ev = _events(spark, sf)
+    join. The probe side is spread AT THE READ (guide §2.5: the local
+    fixture is one unsplittable single-row-group parquet file, so the
+    map-side probe stage would otherwise run in one task; the per-row
+    in-JVM binary search is an interpreted fold, ~25 µs/row —
+    interleaved A/B 1.4 s → 0.8 s at sf0.1). The OPERATOR keeps its
+    zero-probe-exchange contract untouched (test-pinned); fixing the
+    unsplittable-input layout is the reader's job, per the guide."""
+    from flint_spark.pipeline.dedup import _spread
+
+    ev = _spread(_events(spark, sf))
     right = _t(spark, sf, "orders").select(
         F.col("o_orderdate").alias(TIME_COLUMN),
         F.col("o_custkey").alias("user_id"), "o_totalprice")

@@ -119,7 +119,10 @@ def _compute_partitions(df: DataFrame) -> int:
     v = str(spark.conf.get("spark.flint.compute.partitions", "") or "")
     if v:
         return int(v)
-    shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:  # some platforms set non-numeric values (e.g. "auto")
+        shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuf = 0
     return max(shuf, spark.sparkContext.defaultParallelism)
 
 

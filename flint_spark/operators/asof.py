@@ -440,15 +440,6 @@ def left_join_broadcast(left: DataFrame, right: DataFrame,
     if bad:
         raise ValueError(f"reserved column names {sorted(bad)}")
 
-    # input-split parallelism guard (r11, guide §2.5): the per-row
-    # binary search is an interpreted fold (higher-order functions are
-    # CodegenFallback), ~25 µs/row — a single-split local scan runs
-    # the whole probe stage in one task. No-op on many-split inputs
-    # and on streams, so the zero-shuffle-of-the-left scale property
-    # is untouched where it matters.
-    from ..pipeline.dedup import _spread
-    left = _spread(left)
-
     rtab = _sorted_right_arrays(right, key, rdata, "__arr",
                                 time_column=rtc)
     if key:

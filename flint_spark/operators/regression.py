@@ -365,8 +365,11 @@ def rolling_ols_multi(df: DataFrame, y: str, xs: Sequence[str], window,
     def solve(col: pd.Series) -> pd.DataFrame:
         N = len(col)
         S = np.zeros((N, m, m))
-        vals = np.array([[np.nan if v is None else v for v in row]
-                         for row in col], dtype=np.float64) \
+        # np.asarray converts None -> nan for float64 itself (and
+        # passes Arrow's already-nan ndarray cells through) — the
+        # per-element Python listcomp this replaces was ~1.5x slower
+        # at 100k rows for identical values (r11)
+        vals = np.asarray(col.tolist(), dtype=np.float64) \
             if N else np.zeros((0, len(tri)))
         for idx, (i, j) in enumerate(tri):
             S[:, i, j] = vals[:, idx]

@@ -5993,3 +5993,33 @@ def test_gopher_rules_engine_parity(spark):
     e = (gopher_rules(docs, engine="expr")
          .orderBy("doc_id").toPandas())
     pd.testing.assert_frame_equal(a, e, check_exact=True)
+
+
+def test_compute_partitions_explicit_exchange(spark):
+    """Keyed Arrow compute stages repartition with an EXPLICIT count
+    (REPARTITION_BY_NUM) so AQE's byte-based coalescing cannot fold
+    the per-row Python stage below cluster parallelism (r11), and the
+    spark.flint.compute.partitions override wins when set."""
+    from flint_spark.functions import _compute_partitions
+    from flint_spark.operators.asof import left_join_topk
+
+    df = spark.range(10).selectExpr("id", "id AS user_id")
+    n = _compute_partitions(df)
+    assert n >= spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.flint.compute.partitions", "7")
+    try:
+        assert _compute_partitions(df) == 7
+    finally:
+        spark.conf.unset("spark.flint.compute.partitions")
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0)], "user_id long, event_id long, value double"
+    ).selectExpr("timestamp_seconds(event_id) AS time", "user_id",
+                 "event_id")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0)], "user_id long, t long, px double"
+    ).selectExpr("timestamp_seconds(t) AS time", "user_id", "px")
+    out = left_join_topk(left, right, k=2, tolerance="1000d",
+                         key=["user_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
