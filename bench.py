@@ -30,42 +30,39 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: against this subtotal, so it is reported separately for continuity
 LEGACY_17 = 17
 
-#: per-query NORMALIZED baselines (r9 medians / r9 calibration 1.473s,
-#: docs/bench_last.json) — r10 verdict item 3: the aggregate legacy17
-#: bar can hide a 3x regression in one query behind noise in sixteen
-#: others. Watch rule (recorded in BASELINE.md): a query whose
-#: normalized median exceeds 1.5x its baseline in TWO consecutive
-#: STABLE-bracket runs gets bisected; a deliberate operator change
-#: re-records its row here with a BENCH_NOTES entry (r10 rebased
-#: gopher_rules: 0.65 for the 12-rule subset -> 1.682 for the full
-#: 20-rule battery).
+#: per-query NORMALIZED baselines — REBASED round 11 (optimization
+#: round 1): the r11 optimizations deliberately changed most operators
+#: (see OPTIMIZATION_r11.md), so every row re-records from the r11
+#: end-of-round STABLE bracket (docs/bench_last.json, calibration
+#: 2.25s, drift 14.5%) per BASELINE.md's rebase rule — the watch rule
+#: now guards the IMPROVED level (e.g. semantic_dedup 4.05 -> 0.404,
+#: asof_topk 2.94 -> 0.77, gopher_rules 1.682 -> 0.343). History: r9
+#: table in git (16ac930); BENCH_NOTES.md "r11 rebase".
 PER_QUERY_BASELINE = {
-    "cycle_agg": 0.232, "interval_uniform": 0.29,
-    "summarize_stats": 0.183, "asof_backward": 0.458,
-    "asof_forward": 0.561, "cumulative": 0.247, "window_rolling": 0.311,
-    "ewma": 0.305, "ols": 0.407, "sessionize": 0.282,
-    "ewma_windowed": 0.332, "minhash_lsh": 1.506, "simhash_pairs": 1.105,
-    "cosine_topk": 0.415, "ivf_ann": 1.445, "text_stats": 0.327,
-    "tpch_q1": 0.203, "rolling_ols": 1.05, "rolling_ols_multi": 0.842,
-    "asof_nearest": 0.35, "asof_broadcast": 1.316,
-    "resample_linear": 0.555, "anomaly_zscore": 0.662, "url_dedup": 0.319,
-    "semantic_dedup": 4.05, "rollup_incremental": 0.675,
-    "chunk_docs": 0.177, "overlap_join": 0.83, "global_shuffle": 0.269,
-    "merge_intervals": 0.379, "asof_topk": 2.94, "token_shift": 1.337,
-    "ohlc_bars": 0.631, "max_drawdown": 0.221, "bm25": 0.349,
-    "funnel": 0.287, "containment": 1.505, "ewm_vol": 0.369,
-    "ewm_corr": 1.063, "dema": 0.516, "realized_vol": 0.277,
-    "range_vol": 0.32, "cusum": 0.329, "lead_lag": 0.573,
-    "pq_topk": 3.98, "bpe_tokens": 0.789, "dsir": 1.468,
-    "spearman": 0.712, "kalman": 0.481, "seasonal": 0.487,
-    "robust_zscore": 0.678, "holt_winters": 0.475, "ivfpq": 5.568,
-    "bigram_lm": 1.054, "kmv_distinct": 0.486, "rolling_quantile": 1.335,
-    "rolling_quantile_keyless": 0.598, "ivfpq_table": 5.151,
-    "ivfpq_build": 4.379, "ivfpq_serve": 0.445, "camel_api": 0.405,
-    "corpus_pipeline": 0.602, "back_adjust": 0.384, "volume_bars": 0.539,
-    "pack_sequences": 0.726, "pack_bins": 0.268,
-    # rebased r10: the 20-rule Table A1 battery (was 0.65 for 12 rules)
-    "gopher_rules": 1.682,
+    "cycle_agg": 0.238, "interval_uniform": 0.236,
+    "summarize_stats": 0.141, "asof_backward": 0.304,
+    "asof_forward": 0.366, "cumulative": 0.163, "window_rolling": 0.2,
+    "ewma": 0.194, "ols": 0.252, "sessionize": 0.209,
+    "ewma_windowed": 0.182, "minhash_lsh": 0.555, "simhash_pairs": 0.773,
+    "cosine_topk": 0.315, "ivf_ann": 0.727, "text_stats": 0.327,
+    "tpch_q1": 0.207, "rolling_ols": 0.638, "rolling_ols_multi": 0.744,
+    "asof_nearest": 0.512, "asof_broadcast": 0.541,
+    "resample_linear": 0.297, "anomaly_zscore": 0.52, "url_dedup": 0.234,
+    "semantic_dedup": 0.404, "rollup_incremental": 0.238,
+    "chunk_docs": 0.089, "overlap_join": 0.442, "global_shuffle": 0.154,
+    "merge_intervals": 0.205, "asof_topk": 0.77, "token_shift": 0.722,
+    "ohlc_bars": 0.426, "max_drawdown": 0.175, "bm25": 0.274,
+    "funnel": 0.201, "containment": 1.0, "ewm_vol": 0.366,
+    "ewm_corr": 0.509, "dema": 0.304, "realized_vol": 0.217,
+    "range_vol": 0.216, "cusum": 0.2, "lead_lag": 0.354, "pq_topk": 0.887,
+    "bpe_tokens": 0.556, "dsir": 1.153, "spearman": 0.59, "kalman": 0.495,
+    "seasonal": 0.341, "robust_zscore": 0.387, "holt_winters": 0.402,
+    "ivfpq": 1.641, "bigram_lm": 0.665, "kmv_distinct": 0.504,
+    "rolling_quantile": 0.439, "rolling_quantile_keyless": 0.622,
+    "ivfpq_table": 2.777, "ivfpq_build": 1.497, "ivfpq_serve": 0.506,
+    "camel_api": 0.37, "corpus_pipeline": 0.388, "back_adjust": 0.32,
+    "volume_bars": 0.459, "pack_sequences": 0.74, "pack_bins": 0.27,
+    "gopher_rules": 0.343,
 }
 
 HEADLINE = [
