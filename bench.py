@@ -30,39 +30,41 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: against this subtotal, so it is reported separately for continuity
 LEGACY_17 = 17
 
-#: per-query NORMALIZED baselines — REBASED round 11 (optimization
-#: round 1): the r11 optimizations deliberately changed most operators
-#: (see OPTIMIZATION_r11.md), so every row re-records from the r11
-#: end-of-round STABLE bracket (docs/bench_last.json, calibration
-#: 2.25s, drift 14.5%) per BASELINE.md's rebase rule — the watch rule
-#: now guards the IMPROVED level (e.g. semantic_dedup 4.05 -> 0.404,
-#: asof_topk 2.94 -> 0.77, gopher_rules 1.682 -> 0.343). History: r9
-#: table in git (16ac930); BENCH_NOTES.md "r11 rebase".
+#: per-query NORMALIZED baselines — RE-RECORDED round 12 per the r11
+#: verdict (item 2): the r11 full-table rebase was recorded from ONE
+#: box's favorable bracket, and the driver's first r11 run put 26/67
+#: queries on per_query_watch — a watch rule that cries wolf
+#: adjudicates nothing. Each row is now
+#: max(builder r11 stable bracket, driver BENCH_r11.json normalized
+#: median at 15.1% drift), i.e. a cross-box margin: the 1.5x watch
+#: threshold arms above BOTH observed boxes, so a breach means a real
+#: regression rather than box-to-box normalization skew. History: r11
+#: builder table in git (c5d53aa), r9 table in 16ac930; BENCH_NOTES.md
+#: "r12 re-record".
 PER_QUERY_BASELINE = {
-    "cycle_agg": 0.238, "interval_uniform": 0.236,
-    "summarize_stats": 0.141, "asof_backward": 0.304,
-    "asof_forward": 0.366, "cumulative": 0.163, "window_rolling": 0.2,
-    "ewma": 0.194, "ols": 0.252, "sessionize": 0.209,
-    "ewma_windowed": 0.182, "minhash_lsh": 0.555, "simhash_pairs": 0.773,
-    "cosine_topk": 0.315, "ivf_ann": 0.727, "text_stats": 0.327,
-    "tpch_q1": 0.207, "rolling_ols": 0.638, "rolling_ols_multi": 0.744,
-    "asof_nearest": 0.512, "asof_broadcast": 0.541,
-    "resample_linear": 0.297, "anomaly_zscore": 0.52, "url_dedup": 0.234,
-    "semantic_dedup": 0.404, "rollup_incremental": 0.238,
-    "chunk_docs": 0.089, "overlap_join": 0.442, "global_shuffle": 0.154,
-    "merge_intervals": 0.205, "asof_topk": 0.77, "token_shift": 0.722,
-    "ohlc_bars": 0.426, "max_drawdown": 0.175, "bm25": 0.274,
-    "funnel": 0.201, "containment": 1.0, "ewm_vol": 0.366,
-    "ewm_corr": 0.509, "dema": 0.304, "realized_vol": 0.217,
-    "range_vol": 0.216, "cusum": 0.2, "lead_lag": 0.354, "pq_topk": 0.887,
-    "bpe_tokens": 0.556, "dsir": 1.153, "spearman": 0.59, "kalman": 0.495,
-    "seasonal": 0.341, "robust_zscore": 0.387, "holt_winters": 0.402,
-    "ivfpq": 1.641, "bigram_lm": 0.665, "kmv_distinct": 0.504,
-    "rolling_quantile": 0.439, "rolling_quantile_keyless": 0.622,
-    "ivfpq_table": 2.777, "ivfpq_build": 1.497, "ivfpq_serve": 0.506,
-    "camel_api": 0.37, "corpus_pipeline": 0.388, "back_adjust": 0.32,
-    "volume_bars": 0.459, "pack_sequences": 0.74, "pack_bins": 0.27,
-    "gopher_rules": 0.343,
+    "cycle_agg": 0.267, "interval_uniform": 0.315, "summarize_stats": 0.19,
+    "asof_backward": 0.746, "asof_forward": 0.564, "cumulative": 0.263,
+    "window_rolling": 0.292, "ewma": 0.283, "ols": 0.353,
+    "sessionize": 0.444, "ewma_windowed": 0.351, "minhash_lsh": 0.712,
+    "simhash_pairs": 0.773, "cosine_topk": 0.327, "ivf_ann": 0.76,
+    "text_stats": 0.383, "tpch_q1": 0.26, "rolling_ols": 0.638,
+    "rolling_ols_multi": 0.833, "asof_nearest": 0.512,
+    "asof_broadcast": 0.692, "resample_linear": 0.4,
+    "anomaly_zscore": 0.596, "url_dedup": 0.263, "semantic_dedup": 0.509,
+    "rollup_incremental": 0.34, "chunk_docs": 0.114, "overlap_join": 0.653,
+    "global_shuffle": 0.212, "merge_intervals": 0.526, "asof_topk": 0.77,
+    "token_shift": 1.271, "ohlc_bars": 0.914, "max_drawdown": 0.537,
+    "bm25": 0.68, "funnel": 0.467, "containment": 1.957, "ewm_vol": 0.391,
+    "ewm_corr": 1.192, "dema": 0.598, "realized_vol": 0.494,
+    "range_vol": 0.708, "cusum": 0.642, "lead_lag": 0.771,
+    "pq_topk": 1.385, "bpe_tokens": 0.741, "dsir": 1.64, "spearman": 0.771,
+    "kalman": 0.541, "seasonal": 0.5, "robust_zscore": 0.517,
+    "holt_winters": 0.454, "ivfpq": 2.266, "bigram_lm": 1.719,
+    "kmv_distinct": 0.902, "rolling_quantile": 0.594,
+    "rolling_quantile_keyless": 0.981, "ivfpq_table": 2.777,
+    "ivfpq_build": 1.989, "ivfpq_serve": 0.805, "camel_api": 0.677,
+    "corpus_pipeline": 0.587, "back_adjust": 0.455, "volume_bars": 0.566,
+    "pack_sequences": 0.74, "pack_bins": 0.29, "gopher_rules": 0.587,
 }
 
 HEADLINE = [

@@ -151,7 +151,15 @@ def decode_png(payload: bytes):
             f"unsupported PNG shape (color_type={color}, depth={depth}, "
             f"interlace={interlace}); this stdlib decoder covers 8-bit "
             f"non-interlaced gray/RGB/RGBA — install Pillow for the rest")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # a PNG truncated exactly at a chunk boundary passes every
+        # per-chunk length check above (IEND simply missing) yet leaves
+        # the zlib stream incomplete — keep the documented ValueError
+        # contract instead of leaking a raw zlib.error (r11 verdict)
+        raise ValueError(
+            f"corrupt PNG: truncated zlib stream ({e})") from None
     stride = w * channels
     if len(raw) != (stride + 1) * h:
         raise ValueError("corrupt PNG pixel data")
