@@ -111,10 +111,15 @@ def _compute_partitions(df: DataFrame) -> int:
     the wrong cost signal when the stage's cost is per-row Python
     compute, not shuffle I/O — at sf0.1 the last-k as-of union
     (~14 MB) coalesced to 4 tasks on 32 cores, serializing ~3 s of
-    Arrow-stage work. max(shuffle.partitions, defaultParallelism)
-    scales with the cluster; override with
+    Arrow-stage work. The default scales with the cluster but is
+    CAPPED at 4x defaultParallelism (r12 ADVICE): shuffle.partitions
+    is often tuned for the largest shuffle in a workload (e.g. 2000),
+    and pinning every tiny keyed Python stage to it would launch
+    thousands of near-empty Python-worker tasks on a small-core
+    cluster; 4x cores keeps enough slack for stragglers/skew without
+    inheriting an unrelated tuning. Override with
     ``spark.flint.compute.partitions`` when a TB-scale input wants
-    more partitions than cores."""
+    more partitions than that."""
     spark = df.sparkSession
     v = str(spark.conf.get("spark.flint.compute.partitions", "") or "")
     if v:
@@ -123,7 +128,8 @@ def _compute_partitions(df: DataFrame) -> int:
         shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         shuf = 0
-    return max(shuf, spark.sparkContext.defaultParallelism)
+    dp = spark.sparkContext.defaultParallelism
+    return max(dp, min(shuf, 4 * dp))
 
 
 def summarize_cycles_udf(df: DataFrame, fn: Callable[[pd.DataFrame], Mapping],

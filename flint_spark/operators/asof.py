@@ -814,7 +814,7 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
     import pandas as pd
 
     from ..functions import _complete_group_batches, _group_boundaries
-    from ..streaming.ts_stream import _lastk_plan
+    from ..streaming.ts_stream import _lastk_plan, _sort_time_then_values
 
     key = list(key)
     if not key:
@@ -908,8 +908,16 @@ def left_join_topk(left: DataFrame, right: DataFrame, k: int,
                                         kind="stable",
                                         na_position="first")
             except TypeError:
-                rsrt = rsub.sort_values(["__g", "__rtns"],
-                                        kind="stable")
+                # per-group fallback (r12 ADVICE): one group with an
+                # unorderable payload (mixed-type object column) must
+                # not drop the (time, values) tie rule for the CLEAN
+                # groups sharing its batch — degrade exactly like the
+                # old per-group path: only the offending group falls
+                # back to arrival order. Groups concatenate in
+                # ascending __g, reproducing the global sort's order.
+                rsrt = pd.concat([
+                    _sort_time_then_values(grp, "__rtns", rdata)
+                    for _, grp in rsub.groupby("__g", sort=True)])
             rt_all = rsrt["__rtns"].to_numpy(np.int64)
             rg = rsrt["__g"].to_numpy()
             grange = np.arange(ngroups)

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ._cache import begin_op, keep
-from .hashing import P, h28, h32, minhash_params
+from .hashing import P, h28, h32, minhash_params, qid
 
 
 def _words(text_col: str) -> Column:
@@ -205,13 +205,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     pairs = (
         a.join(b_, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bsig") == F.col("b.bsig"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+               & (F.col(f"a.{qid(id_col)}") < F.col(f"b.{qid(id_col)}")))
+        .select(F.col(f"a.{qid(id_col)}").alias("id_a"),
+                F.col(f"b.{qid(id_col)}").alias("id_b"))
         .distinct()
     )
-    sig_a = sig.selectExpr(f"{id_col} AS id_a",
+    sig_a = sig.selectExpr(f"{qid(id_col)} AS id_a",
                            *[f"{c} AS a_{c}" for c in mh_cols])
-    sig_b = sig.selectExpr(f"{id_col} AS id_b",
+    sig_b = sig.selectExpr(f"{qid(id_col)} AS id_b",
                            *[f"{c} AS b_{c}" for c in mh_cols])
     # same left-assoc (0 + t0 + t1 + ...) integer chain the Column
     # form's Python sum() built
@@ -286,9 +287,9 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
+               & (F.col(f"a.{qid(id_col)}") < F.col(f"b.{qid(id_col)}")))
+        .select(F.col(f"a.{qid(id_col)}").alias("id_a"),
+                F.col(f"b.{qid(id_col)}").alias("id_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
                 .alias("hamming"))
         # hamming is a pure function of the pair, so filtering BEFORE the

@@ -37,6 +37,17 @@ def h28_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 7))::BIGINT)"
 
 
+def qid(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into SQL-string
+    fragments / ``F.col`` paths (embedded backticks escaped by
+    doubling). An id column named with a reserved word or special
+    characters that resolves fine via ``F.col(name)`` would otherwise
+    fail to parse — or parse as an unintended expression — once
+    interpolated into ``selectExpr``/``F.expr`` text (r12 ADVICE;
+    matches ``pq_encode``'s treatment)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def h52(col: Column) -> Column:
     """52-bit md5-prefix hash (13 hex digits). Still exactly
     representable in a double, so normalized hashes stay bit-identical

@@ -20,7 +20,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .hashing import hyperplanes
+from .hashing import hyperplanes, qid
 
 
 def _dvec(col: Column) -> Column:
@@ -99,6 +99,13 @@ def _norm_sql(a: str) -> str:
     return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
 
 
+#: Gram-kernel row-block budget (doubles per block): bounds the dense
+#: score block at ~32 MB (plus one same-size temporary on the fold
+#: path) per task regardless of cluster size, instead of the unblocked
+#: n x n matrix that OOMs on a degenerate/uncapped cluster (r12 ADVICE)
+_GRAM_BLOCK_ELEMS = 4_000_000
+
+
 def cosine_topk(emb: DataFrame, probe_ids: Sequence[int], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbours for each probe id:
@@ -125,7 +132,7 @@ def bucket_expr(vec: Column | str, planes: list[list[float]]) -> Column:
     per-element construction."""
     if isinstance(vec, str) and all(_finite(p) for p in planes):
         terms = " + ".join(
-            f"CASE WHEN {_dot_sql(vec, _arr_sql(plane))} > 0 "
+            f"CASE WHEN {_dot_sql(qid(vec), _arr_sql(plane))} > 0 "
             f"THEN {2 ** p} ELSE 0 END"
             for p, plane in enumerate(planes))
         return F.expr(f"cast((0 + {terms}) AS bigint)")
@@ -155,35 +162,43 @@ def _argmax_centroid(vcol: Column | str,
     import math
 
     cents = [(int(cid), [float(x) for x in cv]) for cid, cv in centroids]
-    if isinstance(vcol, str) and all(_finite(cv) for _, cv in cents):
-        # r11 (guide §1.2 per-task work): the row norm used to be
-        # re-folded PER CENTROID (k x 64 extra interpreted fold steps
-        # per row) — bind it ONCE as a lambda variable; and each
-        # centroid's own norm is a CONSTANT — fold it in Python
-        # (ordered += over the same values = the identical IEEE
-        # double sequence the SQL fold would constant-fold to) so the
-        # optimizer stops re-deriving k 64-literal folds per plan.
-        def _pynorm(cv):
-            acc = 0.0
-            for x in cv:
-                acc += x * x
-            return math.sqrt(acc)
 
+    # r11 (guide §1.2 per-task work): the row norm used to be re-folded
+    # PER CENTROID (k x 64 extra interpreted fold steps per row) — bind
+    # it ONCE as a lambda variable; and each centroid's own norm is a
+    # CONSTANT — fold it in Python (ordered += over the same values =
+    # the identical IEEE double sequence the SQL fold would
+    # constant-fold to) so the optimizer stops re-deriving k 64-literal
+    # folds per plan. r12: the Column-API fallback applies the same
+    # binding, keeping the two paths structurally identical.
+    def _pynorm(cv):
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
+    if isinstance(vcol, str) and all(_finite(cv) for _, cv in cents):
+        qv = qid(vcol)
         entries = ",".join(
-            f"struct({_dot_sql(vcol, _arr_sql(cv))} / "
+            f"struct({_dot_sql(qv, _arr_sql(cv))} / "
             f"(nv * {_dlit(_pynorm(cv))}) AS s, "
             f"{-cid} AS nid)"
             for cid, cv in cents)
         return F.expr(
-            f"element_at(transform(array({_norm_sql(vcol)}), "
+            f"element_at(transform(array({_norm_sql(qv)}), "
             f"nv -> array_max(array({entries}))), 1)")
     vcol = F.col(vcol) if isinstance(vcol, str) else vcol
-    entries = []
-    for cid, cv in cents:
-        lit_cv = F.array(*[F.lit(float(x)) for x in cv])
-        cos = _dot(vcol, lit_cv) / (_norm(vcol) * _norm(lit_cv))
-        entries.append(F.struct(cos.alias("s"), F.lit(-cid).alias("nid")))
-    return F.array_max(F.array(*entries))
+
+    def _best(nv):
+        entries = []
+        for cid, cv in cents:
+            lit_cv = F.array(*[F.lit(float(x)) for x in cv])
+            cos = _dot(vcol, lit_cv) / (nv * F.lit(_pynorm(cv)))
+            entries.append(F.struct(cos.alias("s"),
+                                    F.lit(-cid).alias("nid")))
+        return F.array_max(F.array(*entries))
+
+    return F.element_at(F.transform(F.array(_norm(vcol)), _best), 1)
 
 
 def ivf_assign(emb: DataFrame, centroid_ids: Sequence[int],
@@ -573,21 +588,35 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
             if n < 2:
                 return empty
             M = np.stack(pdf["vn"].to_numpy())
-            S = M @ M.T
-            # boolean mask + nonzero, NOT triu_indices: materializing
-            # the full index pair list costs 2 x n²/2 int64 per cluster
-            # regardless of how few pairs survive the threshold
-            mask = np.triu(S >= thr, k=1)
-            ia, jb = np.nonzero(mask)
             ids = pdf["__id"].to_numpy()
-            return pd.DataFrame({
-                "id_a": ids[ia],
-                "id_b": ids[jb],
-                "centroid_id": np.full(len(ia),
-                                       int(pdf["centroid_id"].iloc[0]),
-                                       dtype="int64"),
-                "cosine": S[ia, jb],
-            })
+            cid = int(pdf["centroid_id"].iloc[0])
+            # row-blocked Gram (r12, ADVICE): a dense n x n S is
+            # ~8 bytes * n² in ONE task — a degenerate 100k-row cluster
+            # would need ~80 GB. Each block is rows x n (~bounded at
+            # _GRAM_BLOCK_ELEMS doubles); global row-major pair order
+            # is preserved because blocks emit in row order.
+            bs = max(1, _GRAM_BLOCK_ELEMS // n)
+            col_ix = np.arange(n)
+            outs = []
+            for r0 in range(0, n, bs):
+                r1 = min(n, r0 + bs)
+                S = M[r0:r1] @ M.T
+                # boolean mask + nonzero, NOT triu_indices:
+                # materializing the full index pair list costs
+                # 2 x n²/2 int64 per cluster regardless of how few
+                # pairs survive the threshold
+                mask = (S >= thr) & (col_ix[None, :]
+                                     > np.arange(r0, r1)[:, None])
+                ia, jb = np.nonzero(mask)
+                if not len(ia):
+                    continue
+                outs.append(pd.DataFrame({
+                    "id_a": ids[ia + r0],
+                    "id_b": ids[jb],
+                    "centroid_id": np.full(len(ia), cid, dtype="int64"),
+                    "cosine": S[ia, jb],
+                }))
+            return pd.concat(outs, ignore_index=True) if outs else empty
 
         return (assigned
                 .select(F.col(id_col).alias("__id"), "centroid_id", "vn")
@@ -630,20 +659,33 @@ def semantic_dedup_pairs(emb: DataFrame, centroid_ids: Sequence[int],
                 continue
             M = np.stack(sub["vn"].to_numpy()).astype(np.float64,
                                                       copy=False)
-            S = np.zeros((n, n))
-            for j in range(int(L)):
-                col = M[:, j]
-                S += np.outer(col, col)
-            mask = np.triu((S >= thr) | np.isnan(S), k=1)
-            ia, jb = np.nonzero(mask)
-            if not len(ia):
-                continue
             ids = sub["__id"].to_numpy()
-            outs.append(pd.DataFrame({
-                "id_a": ids[ia], "id_b": ids[jb],
-                "centroid_id": np.repeat(sub["centroid_id"].iloc[0],
-                                         len(ia)),
-                "cosine": S[ia, jb]}))
+            # row-blocked Gram (r12, ADVICE): the full n x n S plus the
+            # np.outer temporary is ~16 bytes * n² in one task — a
+            # degenerate/uncapped cluster OOMs where the old pair join
+            # spilled. Blocking by ROWS keeps every S[a, b] element's
+            # j-accumulation order untouched (each block still adds
+            # outer-product columns j = 0..L-1 in sequence), so the
+            # fold-exact bitwise contract holds; blocks emit in row
+            # order, preserving the row-major global pair order.
+            bs = max(1, _GRAM_BLOCK_ELEMS // n)
+            col_ix = np.arange(n)
+            for r0 in range(0, n, bs):
+                r1 = min(n, r0 + bs)
+                S = np.zeros((r1 - r0, n))
+                for j in range(int(L)):
+                    col = M[:, j]
+                    S += np.outer(col[r0:r1], col)
+                mask = ((S >= thr) | np.isnan(S)) \
+                    & (col_ix[None, :] > np.arange(r0, r1)[:, None])
+                ia, jb = np.nonzero(mask)
+                if not len(ia):
+                    continue
+                outs.append(pd.DataFrame({
+                    "id_a": ids[ia + r0], "id_b": ids[jb],
+                    "centroid_id": np.repeat(sub["centroid_id"].iloc[0],
+                                             len(ia)),
+                    "cosine": S[ia, jb]}))
         if not outs:
             return pd.DataFrame(
                 {"id_a": pd.Series(dtype=pdf["__id"].dtype),

@@ -6005,7 +6005,18 @@ def test_compute_partitions_explicit_exchange(spark):
 
     df = spark.range(10).selectExpr("id", "id AS user_id")
     n = _compute_partitions(df)
-    assert n >= spark.sparkContext.defaultParallelism
+    dp = spark.sparkContext.defaultParallelism
+    assert n >= dp
+    # r12 ADVICE: a shuffle.partitions tuned for the workload's largest
+    # shuffle must not pin tiny keyed Python stages to thousands of
+    # near-empty tasks — the default caps at 4x cores
+    assert n <= 4 * dp
+    old_shuf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(100 * dp))
+    try:
+        assert _compute_partitions(df) == 4 * dp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
     spark.conf.set("spark.flint.compute.partitions", "7")
     try:
         assert _compute_partitions(df) == 7
