@@ -256,8 +256,14 @@ def _capped_vocab(tok: DataFrame, vocab_size: int | None):
     stream. ``total`` is derived from the counts aggregate — NOT a
     second corpus scan, and immune to ``F.size(NULL) = -1`` on
     null-text rows (the oracle computes tot from counts the same
-    way)."""
-    counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    way). The counts table is persisted (operator-internal, ``_cache``
+    policy): the vocab cut, total and vmass each launch their own
+    broadcast-build job, and unpersisted they would each rescan the
+    corpus (r12, guide §2.4)."""
+    from ._cache import begin_op, keep
+
+    begin_op()
+    counts = keep(tok.groupBy("w").agg(F.count("*").alias("cnt")))
     total = counts.agg(F.sum("cnt").alias("total"))
     if vocab_size is None:
         return counts, None, total
@@ -929,38 +935,48 @@ def token_distribution_shift(ref_docs: DataFrame, new_docs: DataFrame,
     ``sum(tv_term)`` total variation; sorting by ``tv_term`` ranks the
     top movers.
 
-    Plan: ONE corpus scan per side — the per-side token-count tables
-    are persisted (the ``minhash_lsh`` internal-persist precedent)
-    and re-aggregated for totals/top-K/joins, so neither corpus is
-    scanned twice; everything downstream is K-row-bounded and the
-    K+1-row output never materializes an unbounded vocab."""
+    Plan: ONE corpus-scale aggregation for BOTH sides — r12 (guide
+    §2.6, the dsir union-fuse precedent): the two per-side count
+    tables used to be separate persisted aggregations, and the
+    totals/top-K/joins downstream each launched their own K-row job
+    (24 jobs at sf0.1, 8-core scaling ratio 0.38: pure job
+    overhead). The sides now ride one tagged union whose aggregate is
+    persisted; the per-side totals fuse into a single conditional
+    aggregate, and the K-row ``invocab`` table is persisted so the
+    bucket union and the mass aggregate share it. Everything
+    downstream is K-row-bounded and the K+1-row output never
+    materializes an unbounded vocab."""
     from ._cache import begin_op, keep
 
-    def side_counts(docs):
-        tok = _token_stream(docs, text_col, id_col)
-        return tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-
-    def side_total(counts, name):
-        # coalesce: an EMPTY side must smooth to a proper distribution
-        # (p = 1/(0 + kk + 1)), not propagate NULL through every term
-        return counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias(name))
-
     begin_op()
-    rc = keep(side_counts(ref_docs))
-    nc = keep(side_counts(new_docs))
+    tagged = (_token_stream(ref_docs, text_col, id_col)
+              .select("w", F.lit(0).alias("__side"))
+              .unionByName(_token_stream(new_docs, text_col, id_col)
+                           .select("w", F.lit(1).alias("__side"))))
+    counts = keep(tagged.groupBy("__side", "w")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    rc = counts.filter(F.col("__side") == 0).select("w", "cnt")
+    nc = counts.filter(F.col("__side") == 1).select("w", "cnt")
     # the literal token "__OOV__" is excluded from the modeled vocab
     # (its occurrences pool into the OOV bucket on BOTH sides) so the
     # sentinel bucket can never collide with a real vocab row
     vocab = (rc.filter(F.col("w") != "__OOV__")
              .orderBy(F.desc("cnt"), "w").limit(vocab_size)
              .select("w", F.col("cnt").alias("rcnt")))
-    invocab = (vocab.join(nc, "w", "left")
-               .select("w", "rcnt",
-                       F.coalesce(F.col("cnt"), F.lit(0)).alias("ncnt")))
+    invocab = keep(vocab.join(nc, "w", "left")
+                   .select("w", "rcnt",
+                           F.coalesce(F.col("cnt"), F.lit(0))
+                           .alias("ncnt")))
     # bounded driver-free constants: totals, in-vocab masses, bucket
-    # count — every frame here is <= K rows or 1 row
-    consts = (side_total(rc, "rtot")
-              .crossJoin(side_total(nc, "ntot"))
+    # count — every frame here is <= K rows or 1 row. coalesce: an
+    # EMPTY side must smooth to a proper distribution
+    # (p = 1/(0 + kk + 1)), not propagate NULL through every term
+    totals = counts.agg(
+        F.coalesce(F.sum(F.when(F.col("__side") == 0, F.col("cnt"))),
+                   F.lit(0)).alias("rtot"),
+        F.coalesce(F.sum(F.when(F.col("__side") == 1, F.col("cnt"))),
+                   F.lit(0)).alias("ntot"))
+    consts = (totals
               .crossJoin(invocab.agg(
                   F.coalesce(F.sum("rcnt"), F.lit(0)).alias("rmass"),
                   F.coalesce(F.sum("ncnt"), F.lit(0)).alias("nmass"),
@@ -1189,12 +1205,20 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     (single-token and empty docs have no order-2 evidence and are
     omitted — score those with the unigram operator).
 
-    Plan: one map-side pair explosion feeding the bigram count
-    aggregation + the same capped-unigram build as
-    ``unigram_logprob``; both cuts are distributed
-    ``TakeOrderedAndProject`` and broadcast back onto the pair stream;
-    one per-doc aggregation. Three corpus-scale exchanges total,
-    broadcast sides bounded by the caps."""
+    Plan: one map-side pair explosion feeding the model-count
+    aggregation + the probe pass. r12 (guide §2.6, the dsir
+    union-fuse precedent): the unigram and bigram model counts used
+    to be SEPARATE aggregations, and the capped cuts/totals/masses
+    re-derived the unigram one once per broadcast build — ~4 corpus
+    scans for the model alone (12 jobs, 8-core scaling ratio 0.28:
+    pure job overhead). Both counts now ride ONE tagged-union
+    aggregation whose result is persisted (operator-internal,
+    ``_cache`` policy), so the model costs one corpus-scale action
+    and every cut/total/mass is a K-row job over the cached table.
+    TWO corpus-scale exchanges total (model union, per-doc
+    aggregation), broadcast sides bounded by the caps."""
+    from ._cache import begin_op, keep
+
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam={lam} outside (0, 1)")
     w = F.filter(_words(text_col), lambda x: x != "")
@@ -1207,19 +1231,36 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
 
     # the unigram model counts the SAME tokens that form pairs (empty
     # strings from repeated/trailing spaces are excluded — they would
-    # occupy vocab slots and inflate total/vmass for every real token)
-    tok = (_spread_docs(docs)
-           .select(F.col(id_col), F.explode(w).alias("w")))
-    ucounts, uvocab, consts = _capped_vocab(tok, vocab_size)
-    if uvocab is None:
-        uvocab = ucounts
+    # occupy vocab slots and inflate total/vmass for every real token).
+    # Tokens are non-empty strings, so a NULL w2 unambiguously tags the
+    # unigram side of the fused aggregation.
+    uni_rows = (_spread_docs(docs)
+                .select(F.explode(w).alias("w1"),
+                        F.lit(None).cast("string").alias("w2")))
+    begin_op()
+    counts_all = keep(uni_rows.unionByName(pairs.select("w1", "w2"))
+                      .groupBy("w1", "w2")
+                      .agg(F.count(F.lit(1)).alias("cnt")))
+    ucounts = (counts_all.filter(F.col("w2").isNull())
+               .select(F.col("w1").alias("w"), "cnt"))
+    total = ucounts.agg(F.sum("cnt").alias("total"))
+    if vocab_size is not None:
+        # the K-row vocab cut feeds THREE consumers (u1/u2 broadcasts,
+        # vmass) — persist it so the TakeOrdered runs once
+        uvocab = keep(ucounts.orderBy(F.desc("cnt"), "w")
+                      .limit(vocab_size))
+        consts = total.crossJoin(
+            uvocab.agg(F.sum("cnt").alias("vmass")))
+    else:
+        uvocab, consts = ucounts, total
 
     def bounded(df, capped):
         # forced broadcast ONLY when bounded by construction; the
         # uncapped mode lets AQE pick (the unigram_logprob convention)
         return F.broadcast(df) if capped else df
 
-    bcounts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    bcounts = (counts_all.filter(F.col("w2").isNotNull())
+               .select("w1", "w2", F.col("cnt").alias("bcnt")))
     if bigram_size is not None:
         bvocab = bcounts.orderBy(F.desc("bcnt"), "w1", "w2") \
                         .limit(bigram_size)
