@@ -319,7 +319,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     stop = (sh0.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df).select("shingle"))
     sh = keep(sh0.join(F.broadcast(stop), "shingle", "left_anti"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    # sizes feeds BOTH scoring joins — unpersisted, the per-doc
+    # aggregation over the cached shingle table executes once per
+    # broadcast build (r12, guide §2.4; interleaved A/B ~16% on the
+    # containment twin)
+    sizes = keep(sh.groupBy(id_col).agg(F.count("*").alias("nsh")))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -631,7 +635,10 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     stop = (sh0.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df).select("shingle"))
     sh = keep(sh0.join(F.broadcast(stop), "shingle", "left_anti"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    # sizes feeds BOTH scoring joins — persisted so the per-doc
+    # aggregation over the cached shingle table runs once (r12,
+    # guide §2.4; interleaved A/B 2.28 -> 1.92 s at sf0.1)
+    sizes = keep(sh.groupBy(id_col).agg(F.count("*").alias("nsh")))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
