@@ -161,7 +161,8 @@ def q_pack_sequences(spark, sf):
     arithmetic end-to-end — bitwise vs the oracle's global window."""
     from flint_spark.pipeline import sampling
     docs = _t(spark, sf, "documents").withColumn(
-        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0)))
+        "n_tokens", F.greatest(F.size(F.split(F.col("text"), " ")), F.lit(0))) \
+        .select("doc_id", "n_tokens")  # don't ship text through the layout
     segs = sampling.pack_sequences(docs, 128, "n_tokens",
                                    distributed=True)
     return segs.select("doc_id", "seq_id", "doc_off", "seq_off",
@@ -4906,7 +4907,8 @@ def q_keyless_volume_bars(spark, sf):
 
     ev = _events(spark, sf).withColumn(
         "vol", F.floor(F.get_json_object("props", "$.k").cast("double"))
-        .cast("double"))
+        .cast("double")) \
+        .select(TIME_COLUMN, "event_id", "value", "vol")  # no props in layout
     out = volume_bars(ev, 500.0, "value", "vol",
                       tie_break=["event_id"], distributed=True)
     return out.select(
